@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.sources.Tables
+
+/** Ports of the reference's nine SQL query builders
+  * (reference: jonesy/queries.py), re-expressed as declarative DataFrame
+  * plans over the fixture tables, using the role mapping in FIXTURES.md §C
+  * (enrollment fact → lineitem, primary section → orders, person dim →
+  * customer, CDC stream → events).
+  *
+  * Design stance (SURVEY.md §7.1): all relational work the reference
+  * delegated to Oracle's optimizer is declared here as DataFrame plans so
+  * Catalyst performs pushdown/pruning/join-selection; correlated
+  * subqueries are decorrelated *by construction* into window functions or
+  * aggregate-plus-join shapes.
+  */
+object ReferencePorts extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // P1/S1: pure projection + rename scan
+  // (reference: jonesy/queries.py:22-28 get_advisor_notes_access — a
+  // 3-column SELECT ... AS ... FROM view). Narrow projection must reach
+  // the parquet scan (ReadSchema prunes to 3 columns).
+  // --------------------------------------------------------------------
+  val advisorNotes: Q = Q(
+    "ref_advisor_notes",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey").as("user_id"),
+          col("c_name").as("cs_id"),
+          col("c_mktsegment").as("permission_list"))
+        .orderBy("user_id"),
+    Some("""SELECT c_custkey AS user_id, c_name AS cs_id,
+            c_mktsegment AS permission_list
+            FROM customer ORDER BY user_id""")
+  )
+
+  // --------------------------------------------------------------------
+  // P1/P3/P4/O1: filters (equality, inequality, NOT NULL) + projection +
+  // ordered output (reference: jonesy/queries.py:31-49
+  // get_basic_attributes: person_type != 'Z', affiliations IS NOT NULL,
+  // ORDER BY ldap_uid).
+  // --------------------------------------------------------------------
+  val basicAttributes: Q = Q(
+    "ref_basic_attributes",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment") =!= "MACHINERY")
+        .filter(col("c_acctbal").isNotNull && col("c_acctbal") > 0)
+        .select(
+          col("c_custkey").as("ldap_uid"),
+          col("c_name").as("full_name"),
+          col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("affiliation"))
+        .orderBy("ldap_uid"),
+    Some("""SELECT c_custkey AS ldap_uid, c_name AS full_name,
+            c_acctbal AS acctbal, c_mktsegment AS affiliation
+            FROM customer
+            WHERE c_mktsegment <> 'MACHINERY'
+              AND c_acctbal IS NOT NULL AND c_acctbal > 0
+            ORDER BY ldap_uid""")
+  )
+
+  // --------------------------------------------------------------------
+  // J6/A3/O4: current-term resolution — stacked uncorrelated scalar
+  // aggregates + DISTINCT + ORDER BY + top-3
+  // (reference: jonesy/queries.py:54-67 get_current_terms: MIN future
+  // term → MAX term below it → terms >= that, rownum <= 3).
+  // Terms ≈ distinct order months. Scalars are computed as 1-row
+  // aggregates and attached with a broadcast cross-join, so the plan has
+  // no driver round-trip and stays a single DAG at any scale.
+  // --------------------------------------------------------------------
+  val currentTerms: Q = Q(
+    "ref_current_terms",
+    (s, dir) => {
+      val terms = t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("term_begin"))
+        .distinct()
+      val pivot = lit("2000-06-15").cast("timestamp")
+      val minFuture = terms.filter(col("term_begin") > pivot)
+        .agg(min("term_begin").as("min_future"))
+      val current = terms
+        .join(broadcast(minFuture))
+        .filter(col("term_begin") < col("min_future"))
+        .agg(max("term_begin").as("current_term"))
+      terms
+        .join(broadcast(current))
+        .filter(col("term_begin") >= col("current_term"))
+        .select(col("term_begin"))
+        .orderBy("term_begin")
+        .limit(3)
+    },
+    Some("""WITH terms AS (
+              SELECT DISTINCT date_trunc('month', o_orderdate) AS term_begin
+              FROM orders)
+            SELECT term_begin FROM terms
+            WHERE term_begin >= (
+              SELECT max(term_begin) FROM terms
+              WHERE term_begin < (
+                SELECT min(term_begin) FROM terms
+                WHERE term_begin > TIMESTAMP '2000-06-15'))
+            ORDER BY term_begin LIMIT 3""")
+  )
+
+  // --------------------------------------------------------------------
+  // J3: greatest-per-group (argmax with ties kept) — the reference keeps
+  // every row whose EFFECTIVE_DATE equals the per-group MAX
+  // (reference: jonesy/queries.py:70-95, correlated scalar subquery).
+  // Decorrelated by construction: groupBy(max) + broadcast-able self
+  // join. Fixture role: latest order(s) per customer.
+  // --------------------------------------------------------------------
+  val latestOrderPerCustomer: Q = Q(
+    "ref_latest_order_per_customer",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val latest = orders.groupBy("o_custkey")
+        .agg(max("o_orderdate").as("max_date"))
+        .withColumnRenamed("o_custkey", "g_custkey")
+      orders
+        .join(latest,
+          col("o_custkey") === col("g_custkey") &&
+            col("o_orderdate") === col("max_date"))
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          col("o_orderdate").as("orderdate"),
+          col("o_totalprice").as("totalprice"))
+        .orderBy("custkey", "orderkey")
+    },
+    Some("""SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+            o.o_orderdate AS orderdate, o.o_totalprice AS totalprice
+            FROM orders o
+            WHERE o.o_orderdate = (
+              SELECT max(i.o_orderdate) FROM orders i
+              WHERE i.o_custkey = o.o_custkey)
+            ORDER BY custkey, orderkey""")
+  )
+
+  // --------------------------------------------------------------------
+  // J3 (window form): same argmax expressed as the canonical Spark
+  // window — row_number over (partition by group, order by date desc),
+  // deterministic tiebreak. SURVEY.md §2.5: this is the idiomatic
+  // simplification of the reference's correlated-subquery ranking.
+  // --------------------------------------------------------------------
+  val latestOrderWindow: Q = Q(
+    "ref_latest_order_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          col("o_orderdate").as("orderdate"))
+        .orderBy("custkey")
+    },
+    Some("""SELECT custkey, orderkey, orderdate FROM (
+              SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                     o_orderdate AS orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+            ORDER BY custkey""")
+  )
+
+  def all: Seq[Q] = Seq(
+    advisorNotes, basicAttributes, currentTerms,
+    latestOrderPerCustomer, latestOrderWindow)
+}
