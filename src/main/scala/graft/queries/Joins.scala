@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.sources.Tables
+
+/** Join coverage — SURVEY.md §2.3 (J1–J7).
+  *
+  * Scale notes (100 TB stance): dimension tables (region/nation/customer-
+  * sized) are explicitly `broadcast()` so the fact scan never shuffles for
+  * them; fact-fact joins shuffle on their keys once and reuse that
+  * partitioning; the correlated patterns from the reference are
+  * decorrelated by construction (one shuffle instead of N probes).
+  */
+object Joins extends QueryModule {
+
+  /** J1 — multi-key equi-join chain (reference: jonesy/queries.py:136-145
+    * joins instructor updates ⋈ assigned instructors on 5 keys ⋈ sections
+    * on 2). Fixture: lineitem ⋈ orders (fact-fact, shuffle) ⋈ customer ⋈
+    * nation ⋈ region (dims, broadcast) → revenue rollup per region. */
+  val starJoin: Q = Q(
+    "ref_star_join",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(
+          count(lit(1)).as("line_count"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+        .orderBy("region", "nation")
+    },
+    Some("""
+      SELECT r_name AS region, n_name AS nation,
+             count(*) AS line_count,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** J2 — left outer join preserving unmatched left rows
+    * (reference: jonesy/queries.py:251-264 LEFT OUTER JOIN chains). */
+  val leftJoin: Q = Q(
+    "ref_left_join",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey").as("custkey"))
+        .agg(count(col("o_orderkey")).as("big_orders"))
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT c_custkey AS custkey, count(o_orderkey) AS big_orders
+      FROM customer
+      LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        ON c_custkey = o_custkey
+      GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** J4/P7 — the reference's most intricate query (jonesy/queries.py:1-19
+    * omit_drops_and_withdrawals): a correlated per-row MIN over the
+    * primary section's enrollments consulted inside a CASE predicate.
+    * Here: lineitem = enrollment (l_returnflag = grade, l_linestatus =
+    * status), orders = primary section, o_orderstatus = grading basis.
+    * Spark side decorrelates by construction — pre-aggregate min(grade)
+    * per order once (one shuffle) and left-join, instead of N correlated
+    * probes. The DuckDB oracle keeps the reference's correlated-subquery
+    * shape, proving the rewrite is semantics-preserving. */
+  val conditionalJoin: Q = Q(
+    "ref_conditional_join",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val enroll = li.filter(col("l_linestatus") =!= "X")
+      val primMin = enroll
+        .join(o.filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_orderkey").as("pm_orderkey"))
+        .agg(min("l_returnflag").as("prim_grade"))
+      enroll
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(primMin, col("l_orderkey") === col("pm_orderkey"), "left")
+        .filter(
+          when(col("o_orderstatus") === "O",
+            col("prim_grade").isNotNull && col("prim_grade") =!= "R")
+            .otherwise(col("l_returnflag") =!= "R"))
+        .select(
+          col("l_orderkey").as("orderkey"),
+          col("l_linenumber").as("linenumber"),
+          col("l_returnflag").as("grade"),
+          col("o_orderstatus").as("basis"))
+        .orderBy("orderkey", "linenumber")
+    },
+    Some("""
+      SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+             l.l_returnflag AS grade, o.o_orderstatus AS basis
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linestatus <> 'X'
+        AND CASE WHEN o.o_orderstatus = 'O' THEN (
+              SELECT min(p.l_returnflag) FROM lineitem p
+              WHERE p.l_orderkey = l.l_orderkey AND p.l_linestatus <> 'X'
+                AND EXISTS (SELECT 1 FROM orders po
+                            WHERE po.o_orderkey = p.l_orderkey
+                              AND po.o_orderstatus = 'F'))
+            ELSE l.l_returnflag END IS NOT NULL
+        AND CASE WHEN o.o_orderstatus = 'O' THEN (
+              SELECT min(p.l_returnflag) FROM lineitem p
+              WHERE p.l_orderkey = l.l_orderkey AND p.l_linestatus <> 'X'
+                AND EXISTS (SELECT 1 FROM orders po
+                            WHERE po.o_orderkey = p.l_orderkey
+                              AND po.o_orderstatus = 'F'))
+            ELSE l.l_returnflag END <> 'R'
+      ORDER BY orderkey, linenumber""")
+  )
+
+  /** J5 — range/containment join with an equi-key component (reference:
+    * jonesy/queries.py:266-268 course validity window vs TERM_END_DT).
+    * The equi-key (orderkey) keeps the plan a hash/sort-merge join with
+    * the range as a residual — not a nested-loop (SURVEY.md §7.3). */
+  val rangeJoin: Q = Q(
+    "ref_range_join",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      li.join(o,
+          li("l_orderkey") === o("o_orderkey") &&
+            li("l_shipdate") >= o("o_orderdate") &&
+            li("l_shipdate") <= date_add(o("o_orderdate"), 90))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("shipped_in_window"))
+        .orderBy("priority")
+    },
+    Some("""
+      SELECT o_orderpriority AS priority, count(*) AS shipped_in_window
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** J7 — semi join: the reference hand-rolls existence via LEFT JOIN +
+    * IS NOT NULL (jonesy/queries.py:10-17); idiomatic Spark is
+    * left_semi — no duplicate amplification, no post-filter. */
+  val semiJoin: Q = Q(
+    "ref_semi_join",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT c_custkey AS custkey, c_name AS name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O')
+      ORDER BY custkey""")
+  )
+
+  /** J7 — anti join (complement of the semi). */
+  val antiJoin: Q = Q(
+    "ref_anti_join",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT c_custkey AS custkey, c_name AS name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'O')
+      ORDER BY custkey""")
+  )
+
+  /** J3 variant — argmax with a sentinel-date OR-escape (reference:
+    * jonesy/queries.py:269-283: latest updatedDate per course unless the
+    * sentinel 1901-01-01 marks a legacy row that always survives). */
+  val argmaxSentinel: Q = Q(
+    "ref_argmax_sentinel",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val latest = li.groupBy(col("l_orderkey").as("g_orderkey"))
+        .agg(max("l_shipdate").as("max_ship"))
+      // No broadcast hint: `latest` scales with the fact table, so the
+      // join must stay a shuffle join; both sides hash on orderkey and
+      // the agg's shuffle is reused (one exchange total).
+      li.join(latest, col("l_orderkey") === col("g_orderkey"))
+        .filter(col("l_shipdate") === col("max_ship") ||
+          col("l_shipdate") === to_timestamp(lit("1901-01-01")))
+        .select(
+          col("l_orderkey").as("orderkey"),
+          col("l_linenumber").as("linenumber"),
+          col("l_shipdate").as("shipdate"))
+        .orderBy("orderkey", "linenumber")
+    },
+    Some("""
+      SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+             l_shipdate AS shipdate
+      FROM lineitem l
+      WHERE l_shipdate = (SELECT max(i.l_shipdate) FROM lineitem i
+                          WHERE i.l_orderkey = l.l_orderkey)
+         OR l_shipdate = TIMESTAMP '1901-01-01'
+      ORDER BY orderkey, linenumber""")
+  )
+
+  def all: Seq[Q] = Seq(starJoin, leftJoin, conditionalJoin, rangeJoin,
+    semiJoin, antiJoin, argmaxSentinel)
+}
