@@ -30,6 +30,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

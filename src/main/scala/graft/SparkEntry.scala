@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** All registered query modules. */
   def modules: Seq[QueryModule] = Seq(
-    graft.queries.ReferencePorts)
+    graft.queries.ReferencePorts,
+    graft.queries.Joins,
+    graft.queries.ScalarFns)
 
   private lazy val catalog: Seq[Q] = modules.flatMap(_.all)
 

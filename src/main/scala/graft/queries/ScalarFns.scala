@@ -41,7 +41,8 @@ object ScalarFns extends QueryModule {
           Fns.priorityRank(col("p_type"),
             Seq("ECONOMY" -> 1, "PROMO" -> 2, "STANDARD" -> 3))
             .as("type_rank"))
-        .orderBy("course_id"),
+        .orderBy("course_id")
+    },
     Some("""
       WITH c AS (
         SELECT *,

@@ -18,9 +18,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table from a scale-factor directory. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    lowercased(spark.read.parquet(s"$dir/$name.parquet"))
+  /** Read one table from a scale-factor directory.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read it as a nanos long (legacy conf) and
+    * rebuild the timestamp with integral division (ns longs exceed
+    * double's exact integer range, so `div`, never `/`).
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = lowercased(spark.read.parquet(s"$dir/$name.parquet"))
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
 
   /** Lowercase-normalize column names (reference: jonesy/jobs.py:177
     * `[c[0].lower() for c in result.description]`). Fixture columns are
