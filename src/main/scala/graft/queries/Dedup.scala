@@ -22,6 +22,11 @@ import graft.sources.Tables
 object Dedup extends QueryModule {
 
   // ---- shared shingle/signature builders (Spark side) ----------------
+  //
+  // Composable stages so one lineage (and one persisted intermediate) is
+  // shared by every consumer. Spark's cache manager dedups by logical
+  // plan, so identical stages persisted from different queries share one
+  // cache entry (cheap across the Verify/Bench run).
 
   /** Distinct word-bigram shingles per doc: (doc_id, shingle). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
@@ -35,17 +40,17 @@ object Dedup extends QueryModule {
   /** 8-permutation MinHash signature per doc (md5-keyed min-hashing:
     * permutation i orders shingles by md5(i || '|' || shingle), so min
     * = first under that permutation). */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
+  private def signatures(sh: DataFrame): DataFrame = {
     val hs = (0 until 8).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    shingles(s, dir).groupBy("doc_id").agg(hs.head, hs.tail: _*)
+    sh.groupBy("doc_id").agg(hs.head, hs.tail: _*)
   }
 
   /** LSH bands: 2 bands × 4 rows → (doc_id, band, bucket). One pass
     * over the signature (explode of a 2-element literal array), not a
     * self-union that would compute the signature twice. */
-  private def bands(s: SparkSession, dir: String): DataFrame =
-    signatures(s, dir)
+  private def bands(sig: DataFrame): DataFrame =
+    sig
       .select(col("doc_id"), explode(array(
         struct(lit(0).as("band"),
           md5(concat(col("h0"), col("h1"), col("h2"), col("h3")))
@@ -56,9 +61,11 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
 
-  /** Candidate pairs from band-bucket collisions (doc_a < doc_b). */
-  private def candidates(s: SparkSession, dir: String): DataFrame = {
-    val b = bands(s, dir)
+  /** Candidate pairs from band-bucket collisions (doc_a < doc_b).
+    * Persists the band table: a self-join recomputes the whole
+    * shingle→signature lineage for each side otherwise. */
+  private def candidates(bandDf: DataFrame): DataFrame = {
+    val b = bandDf.persist()
     val a = b.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val c = b.select(col("doc_id").as("doc_b"),
       col("band").as("band_b"), col("bucket").as("bucket_b"))
@@ -121,7 +128,7 @@ object Dedup extends QueryModule {
   val minhashLsh: Q = Q(
     "dd_minhash_lsh",
     (s, dir) =>
-      candidates(s, dir)
+      candidates(bands(signatures(shingles(s, dir))))
         .select(col("doc_a"), col("doc_b"), col("shared_bands"))
         .orderBy("doc_a", "doc_b"),
     Some(s"""
@@ -136,9 +143,12 @@ object Dedup extends QueryModule {
   val jaccardVerify: Q = Q(
     "dd_jaccard_verify",
     (s, dir) => {
-      val sh = shingles(s, dir)
+      // One persisted shingle table feeds sizes, signatures→candidates,
+      // and both sides of the intersection count — one computed lineage
+      // instead of four scans (ADVICE r2).
+      val sh = shingles(s, dir).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cand = candidates(s, dir).select("doc_a", "doc_b")
+      val cand = candidates(bands(signatures(sh))).select("doc_a", "doc_b")
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"),
@@ -146,6 +156,10 @@ object Dedup extends QueryModule {
         .filter(col("shingle") === col("shingle_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_inter"))
+      // jaccard is a single IEEE division of exact integers — Spark and
+      // DuckDB produce bit-identical doubles, so no decimal cast and the
+      // >= 0.5 filter applies to the same raw value on both sides
+      // (ADVICE r2: never round/cast differently from the oracle).
       inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
           "doc_a")
@@ -154,8 +168,7 @@ object Dedup extends QueryModule {
         .select(
           col("doc_a"), col("doc_b"),
           (col("n_inter").cast("double") /
-            (col("n_a") + col("n_b") - col("n_inter")))
-            .cast("decimal(18,6)").as("jaccard"))
+            (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
@@ -169,8 +182,7 @@ object Dedup extends QueryModule {
         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
         GROUP BY 1, 2)
       SELECT doc_a, doc_b,
-             CAST(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
-                  AS DECIMAL(18,6)) AS jaccard
+             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
       FROM inter i
       JOIN sizes sa ON sa.doc_id = i.doc_a
       JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -228,15 +240,16 @@ object Dedup extends QueryModule {
     "dd_embed_srp",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      // (plane, dim) -> deterministic ±1 from md5 parity
-      val coef = s.range(8).select(col("id").as("plane"))
-        .crossJoin(s.range(64).select(col("id").as("dim")))
-        .withColumn("c",
-          when(ascii(substring(md5(concat_ws(",", col("plane"), col("dim"))),
-            1, 1)) % 2 === 0, 1.0).otherwise(-1.0))
       val comps = emb
         .select(col("vec_id"), posexplode(col("embedding"))
           .as(Seq("dim", "x")))
+      // (plane, dim) -> deterministic ±1 from md5 parity; dims derived
+      // from the data (ADVICE r2: never hard-code the embedding width).
+      val coef = comps.select("dim").distinct()
+        .crossJoin(s.range(8).select(col("id").as("plane")))
+        .withColumn("c",
+          when(ascii(substring(md5(concat_ws(",", col("plane"), col("dim"))),
+            1, 1)) % 2 === 0, 1.0).otherwise(-1.0))
       val bucketed = comps
         .join(broadcast(coef), "dim")
         .groupBy("vec_id", "plane")
@@ -245,11 +258,17 @@ object Dedup extends QueryModule {
         .groupBy("vec_id")
         .agg(concat_ws("", array_sort(collect_list(struct(col("plane"),
           col("bit"))))("bit")).as("bucket"))
-      val withVec = bucketed.join(emb, "vec_id")
+      // Persisted: the bucket self-join would otherwise recompute the
+      // whole projection lineage for each side.
+      val withVec = bucketed.join(emb, "vec_id").persist()
       val a = withVec.select(col("vec_id").as("vec_a"),
         col("bucket"), col("embedding").as("ea"))
       val b = withVec.select(col("vec_id").as("vec_b"),
         col("bucket").as("bucket_b"), col("embedding").as("eb"))
+      // cosine = seqfold(dot) / (sqrt(seqfold(a²)) * sqrt(seqfold(b²))):
+      // strict left-to-right folds so DuckDB's list_reduce replays the
+      // identical IEEE operation sequence → bit-identical doubles; the
+      // >= 0.15 filter applies to the same raw value on both sides.
       a.join(b, col("bucket") === col("bucket_b") &&
           col("vec_a") < col("vec_b"))
         .withColumn("dot", expr(
@@ -259,19 +278,21 @@ object Dedup extends QueryModule {
         .withColumn("nb", expr(
           "sqrt(aggregate(eb, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
         .select(col("vec_a"), col("vec_b"), col("bucket"),
-          (col("dot") / (col("na") * col("nb")))
-            .cast("decimal(18,6)").as("cosine"))
+          (col("dot") / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.15)
         .orderBy("vec_a", "vec_b")
     },
     Some("""
-      WITH coef AS (
+      WITH dims AS (
+        SELECT DISTINCT generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings),
+      coef AS (
         SELECT p.plane, d.dim,
                CASE WHEN ascii(substr(md5(p.plane || ',' || d.dim), 1, 1))
                          % 2 = 0
-                    THEN 1.0 ELSE -1.0 END AS c
-        FROM (SELECT unnest(range(0, 8)) AS plane) p,
-             (SELECT unnest(range(0, 64)) AS dim) d),
+                    THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(-1.0 AS DOUBLE) END AS c
+        FROM (SELECT unnest(range(0, 8)) AS plane) p, dims d),
       comps AS (
         SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) - 1 AS dim
@@ -287,15 +308,21 @@ object Dedup extends QueryModule {
         FROM proj GROUP BY 1),
       wv AS (
         SELECT b.vec_id, b.bucket, e.embedding
-        FROM bucketed b JOIN embeddings e ON e.vec_id = b.vec_id)
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-             CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[]))
-                  AS DECIMAL(18,6)) AS cosine
-      FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[]))
-                 AS DECIMAL(18,6)) >= 0.15
+        FROM bucketed b JOIN embeddings e ON e.vec_id = b.vec_id),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+               list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                 (acc, v) -> acc + v)
+               / (sqrt(list_reduce(list_transform(a.embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                    (acc, v) -> acc + v))
+                  * sqrt(list_reduce(list_transform(b.embedding,
+                      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                      (acc, v) -> acc + v))) AS cosine
+        FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, bucket, cosine
+      FROM pairs WHERE cosine >= 0.15
       ORDER BY vec_a, vec_b""")
   )
 

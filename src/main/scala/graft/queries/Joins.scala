@@ -34,13 +34,20 @@ object Joins extends QueryModule {
         .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
         .agg(
           count(lit(1)).as("line_count"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+          // Exact integer cents: double→decimal casts round differently
+          // in Spark (BigDecimal HALF_UP on the shortest decimal repr)
+          // vs DuckDB (binary-value rounding) — ADVICE r2. round(x*100)
+          // operates on the same IEEE product in both engines and the
+          // long sum is exact and order-independent.
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("revenue_cents"))
         .orderBy("region", "nation")
     },
     Some("""
       SELECT r_name AS region, n_name AS nation,
              count(*) AS line_count,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey

@@ -53,8 +53,9 @@ object TextAnalysis extends QueryModule {
   /** Quality scoring: stopword ratio, punctuation count, lexical
     * diversity (distinct/total tokens) and a keep/drop flag — the
     * standard cheap filters applied before expensive pipeline stages.
-    * Ratios are DECIMAL(18,6) on both sides so the float compare is
-    * exact. */
+    * Ratios are raw doubles: each is a single IEEE division of exact
+    * integers, so Spark and DuckDB agree bit-for-bit — no decimal cast
+    * (ADVICE r2: decimal rounding modes differ between the engines). */
   val quality: Q = Q(
     "ta_quality",
     (s, dir) =>
@@ -68,12 +69,11 @@ object TextAnalysis extends QueryModule {
         .select(
           col("doc_id"),
           col("n_tokens"),
-          (col("n_stop").cast("double") / col("n_tokens"))
-            .cast("decimal(18,6)").as("stop_ratio"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
           (col("n_punct").cast("double") / length(col("text")))
-            .cast("decimal(18,6)").as("punct_ratio"),
+            .as("punct_ratio"),
           (size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
-            .cast("decimal(18,6)").as("lex_diversity"),
+            .as("lex_diversity"),
           when(col("n_tokens") >= 20 &&
                size(array_distinct(col("toks"))) >= 10, "keep")
             .otherwise("drop").as("verdict"))
@@ -83,12 +83,12 @@ object TextAnalysis extends QueryModule {
         SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
       SELECT doc_id,
              len(toks) AS n_tokens,
-             CAST(CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
-                  / len(toks) AS DECIMAL(18,6)) AS stop_ratio,
-             CAST(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
-                  / length(text) AS DECIMAL(18,6)) AS punct_ratio,
-             CAST(CAST(len(list_distinct(toks)) AS DOUBLE)
-                  / len(toks) AS DECIMAL(18,6)) AS lex_diversity,
+             CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+                  / len(toks) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                  / length(text) AS punct_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / len(toks) AS lex_diversity,
              CASE WHEN len(toks) >= 20 AND len(list_distinct(toks)) >= 10
                   THEN 'keep' ELSE 'drop' END AS verdict
       FROM t ORDER BY doc_id""")

@@ -21,20 +21,22 @@ object Tables {
   /** Read one table from a scale-factor directory.
     *
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read it as a nanos long (legacy conf) and
-    * rebuild the timestamp with integral division (ns longs exceed
-    * double's exact integer range, so `div`, never `/`).
+    * vectorized reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
+    * set at SparkSession build (Verify/Bench/spec harness — NOT mutated
+    * here, per ADVICE r2) it arrives as a nanos long and is rebuilt as a
+    * timestamp. The rewrite is restricted to the `events` table so a
+    * genuine long `ts` column elsewhere is never reinterpreted, and uses
+    * floor division (`(ts - pmod(ts,1000)) div 1000`) so pre-1970 nanos
+    * round toward -∞, not toward zero. Ns longs exceed double's exact
+    * integer range, so integral `div`, never `/`.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = lowercased(spark.read.parquet(s"$dir/$name.parquet"))
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
-    }
+    if (name == "events" && df.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    else df
   }
 
   /** Lowercase-normalize column names (reference: jonesy/jobs.py:177
