@@ -16,7 +16,10 @@ object SparkEntry {
     graft.queries.Joins,
     graft.queries.ScalarFns,
     graft.queries.TextAnalysis,
-    graft.queries.Dedup)
+    graft.queries.Dedup,
+    graft.queries.Events,
+    graft.queries.Relational,
+    graft.queries.Similarity)
 
   private lazy val catalog: Seq[Q] = modules.flatMap(_.all)
 

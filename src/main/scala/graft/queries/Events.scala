@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.sources.Tables
+
+/** Event-stream operators over the `events` table — the reference's
+  * incremental/CDC semantics (SURVEY.md §2.10 T1–T3) plus the
+  * stream-shaped extensions (§2.12): JSON property extraction, tumbling
+  * windows, and an as-of join.
+  *
+  * Scale stance (100 TB): every query is a single scan plus at most one
+  * shuffle — on the window/group key or on `user_id` for the as-of
+  * window. The as-of join is expressed as a running `last(_, ignoreNulls)`
+  * window rather than a join at all, so there is no build side to blow up
+  * and skewed users degrade to one partition's sort, not a cross product.
+  * The watermark cutoff is computed as a 1-row aggregate attached by
+  * broadcast cross-join — one DAG, no driver round-trip.
+  */
+object Events extends QueryModule {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** T2/P5 — CDC event-type filter: the reference extracts creates and
+    * updates only (`change_type IN ('C','U')`, jonesy/queries.py:146);
+    * here the analog keeps interaction events and drops the 'error'
+    * (delete-analog) stream. */
+  val cdcFilter: Q = Q(
+    "ev_cdc_filter",
+    (s, dir) =>
+      ev(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id, user_id, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+      ORDER BY event_id""")
+  )
+
+  /** T1 — watermark incremental extraction (reference: jonesy/jobs.py:19,40
+    * `cutoff = now − 5 days`; jonesy/queries.py:110,147
+    * `last_updated >= cutoff`). The cutoff is anchored to max(ts) so the
+    * query is deterministic across runs; the 5-day lookback IS the
+    * late-data allowance (SURVEY.md §2.10). */
+  val watermarkIncremental: Q = Q(
+    "ev_watermark",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hi = e.agg(max("ts").as("max_ts"))
+      e.join(broadcast(hi))
+        .filter(col("ts") >= col("max_ts") - expr("INTERVAL 5 DAYS"))
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, ts, event_type
+      FROM events
+      WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 5 DAY
+      ORDER BY event_id""")
+  )
+
+  /** F14 ext — JSON property extraction from the `props` column
+    * (SURVEY.md §2.12): `get_json_object` is a codegen'd path expression,
+    * not a UDF; the cast pins the comparison to exact integers. */
+  val jsonExtract: Q = Q(
+    "ev_json_extract",
+    (s, dir) =>
+      ev(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .filter(col("k_val").isNotNull)
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      ORDER BY event_id""")
+  )
+
+  /** T5 ext — tumbling 1-hour window aggregation, the batch face of the
+    * Structured Streaming shape (`window(ts, "1 hour")` is exactly what a
+    * `readStream` pipeline would use; graft.streaming drives the real
+    * streaming path). Value sums are exact integer cents — double sums
+    * are order-dependent across partitions (see Joins.starJoin). */
+  val windowAgg: Q = Q(
+    "ev_window_agg",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(
+          window(col("ts"), "1 hour").as("w"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("value_cents"))
+        .orderBy("hour_start", "event_type"),
+    Some("""
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** As-of join (§2.12 / SURVEY.md J8): for every event, the most recent
+    * 'error' event timestamp by the same user at-or-before it. Expressed
+    * as a running window (`last(_, ignoreNulls)` over rows up to current)
+    * — one shuffle on user_id, no join, no range explosion; the DuckDB
+    * oracle uses its native ASOF LEFT JOIN, proving the window rewrite
+    * implements the canonical as-of semantics. */
+  val asofJoin: Q = Q(
+    "ev_asof_join",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("last_error_ts",
+          last(when(col("event_type") === "error", col("ts")),
+            ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("last_error_ts"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id, e.ts, e.event_type,
+             r.ts AS last_error_ts
+      FROM events e
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                      WHERE event_type = 'error') r
+        ON e.user_id = r.user_id AND e.ts >= r.ts
+      ORDER BY e.event_id""")
+  )
+
+  def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
+    windowAgg, asofJoin)
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.sources.Tables
+
+/** Relational completions — SURVEY.md §2.8 set operations, §2.4 A5
+  * (rollup/cube/distinct aggregates), and §2.6 O5 (ordered pagination).
+  * The reference has none of these as explicit operators (set ops are
+  * absent; pagination is client-side ROWNUM batching, S3/O5); in a Spark
+  * engine they are first-class and come straight from Catalyst.
+  *
+  * Scale stance: set ops and grouped aggs shuffle once on their keys;
+  * rollup/cube expand grouping sets map-side before one shuffle. The
+  * pagination port is literal parity only — a global row_number is a
+  * single-partition sort by construction and documented as such; at
+  * scale the partitioned scan replaces it (SURVEY.md S3).
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** §2.8 — UNION (distinct): premium-segment ∪ high-balance customers. */
+  val union: Q = Q(
+    "rel_union",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey"))
+        .union(c.filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT c_custkey AS custkey FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      ORDER BY custkey""")
+  )
+
+  /** §2.8 — INTERSECT: customers in the segment AND above balance. */
+  val intersect: Q = Q(
+    "rel_intersect",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey"))
+        .intersect(c.filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT c_custkey AS custkey FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      ORDER BY custkey""")
+  )
+
+  /** §2.8 — EXCEPT: segment customers without a filed ('F') order. */
+  val except: Q = Q(
+    "rel_except",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey"))
+        .except(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT c_custkey AS custkey FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY custkey""")
+  )
+
+  /** §2.4 A5 — ROLLUP over the region→nation hierarchy: per-nation,
+    * per-region subtotal, and grand-total customer counts in one pass
+    * (grouping sets expand before a single shuffle). Null ordering is
+    * pinned NULLS FIRST on both sides — the engines' defaults differ. */
+  val rollup: Q = Q(
+    "rel_rollup",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(asc_nulls_first("region"), asc_nulls_first("nation"))
+    },
+    Some("""
+      SELECT r_name AS region, n_name AS nation,
+             count(*) AS n_customers
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region NULLS FIRST, nation NULLS FIRST""")
+  )
+
+  /** §2.4 A5 — CUBE over two independent dimensions with an exact-cents
+    * revenue measure (double sums are order-dependent; cents are not). */
+  val cube: Q = Q(
+    "rel_cube",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment").as("segment"),
+          col("o_orderstatus").as("status"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("revenue_cents"))
+        .orderBy(asc_nulls_first("segment"), asc_nulls_first("status"))
+    },
+    Some("""
+      SELECT c_mktsegment AS segment, o_orderstatus AS status,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY CUBE(c_mktsegment, o_orderstatus)
+      ORDER BY segment NULLS FIRST, status NULLS FIRST""")
+  )
+
+  /** §2.4 A5 — distinct aggregate alongside plain aggregates: per
+    * segment, distinct nations represented, customer count, and exact
+    * total balance in cents. */
+  val distinctAgg: Q = Q(
+    "rel_distinct_agg",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_customers"),
+          sum(round(col("c_acctbal") * 100).cast("long"))
+            .as("balance_cents"))
+        .orderBy("segment"),
+    Some("""
+      SELECT c_mktsegment AS segment,
+             count(DISTINCT c_nationkey) AS n_nations,
+             count(*) AS n_customers,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+      FROM customer GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** §2.6 O5 — ordered pagination window (reference: jonesy/queries.py:37-48
+    * `ROWNUM <= hi / rnum > lo` over a stable ORDER BY, batch 2 of the
+    * driver loop). Literal parity port: row_number over a global order is
+    * a single-partition sort and exists only to mirror the reference's
+    * client-side batching — a partitioned scan replaces it at scale. */
+  val pagination: Q = Q(
+    "rel_pagination",
+    (s, dir) => {
+      val w = Window.orderBy("orderkey")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_custkey").as("custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 100 && col("rn") <= 200)
+        .orderBy("rn")
+    },
+    Some("""
+      SELECT orderkey, custkey, rn FROM (
+        SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+               row_number() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders)
+      WHERE rn > 100 AND rn <= 200
+      ORDER BY rn""")
+  )
+
+  def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
+    distinctAgg, pagination)
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.functions.VectorFns._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table — SURVEY.md §2.12:
+  * brute-force cosine top-k as the exactness baseline, and an
+  * SRP-bucketed (LSH/IVF-style) variant as the scale path.
+  *
+  * Scale stance (100 TB): brute force is |Q|·N with the query set
+  * broadcast — correct for small query batches, linear in the corpus,
+  * and embarrassingly parallel (no shuffle on the corpus side; the only
+  * shuffle is the per-query top-k, whose input is pre-pruned map-side by
+  * the rank window at k rows per partition... the window itself shuffles
+  * on query_id, a tiny key set). The SRP variant prunes candidates to
+  * same-bucket vectors first — Σ bucket·|Q∩bucket| work — trading recall
+  * for a corpus-scale-independent probe cost; both faces share the exact
+  * same fold-based cosine so results are comparable.
+  *
+  * Ranking determinism: cosines are bit-identical across engines
+  * (VectorFns) and ties break on vec_id, so ranks hash-match exactly.
+  */
+object Similarity extends QueryModule {
+
+  private val K = 10
+
+  /** Deterministic query batch: the first 3 vectors. */
+  private def parts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val emb = Tables(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    (emb, queries)
+  }
+
+  /** Brute-force cosine top-k: exact baseline, query batch broadcast. */
+  val topkBrute: Q = Q(
+    "ss_topk_brute",
+    (s, dir) => {
+      val (emb, queries) = parts(s, dir)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineFold("q_emb", "embedding"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 3),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               ${duckCosine("q.q_emb", "e.embedding")} AS cosine
+        FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, cosine FROM ranked
+      WHERE rank <= $K ORDER BY q_id, rank""")
+  )
+
+  /** SRP-bucketed approximate top-k: 4 md5-derived hyperplanes → 16
+    * buckets; candidates are same-bucket vectors only. The recall/cost
+    * trade is explicit: fewer planes → bigger buckets → higher recall,
+    * more probe work. Buckets and cosines share the Dedup/VectorFns
+    * md5-parity and fold constructions. */
+  val topkSrp: Q = Q(
+    "ss_topk_srp",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val comps = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      val coef = comps.select("dim").distinct()
+        .crossJoin(s.range(4).select(col("id").as("plane")))
+        .withColumn("c",
+          when(ascii(substring(md5(concat_ws(",", col("plane"), col("dim"))),
+            1, 1)) % 2 === 0, 1.0).otherwise(-1.0))
+      val bucketed = comps
+        .join(broadcast(coef), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(sum(col("x").cast("double") * col("c")).as("proj"))
+        .withColumn("bit", when(col("proj") >= 0, "1").otherwise("0"))
+        .groupBy("vec_id")
+        .agg(concat_ws("", array_sort(collect_list(struct(col("plane"),
+          col("bit"))))("bit")).as("bucket"))
+      val withVec = bucketed.join(emb, "vec_id").persist()
+      val queries = withVec.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+          col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      withVec
+        .join(broadcast(queries),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineFold("q_emb", "embedding"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH dims AS (
+        SELECT DISTINCT generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings),
+      coef AS (
+        SELECT p.plane, d.dim,
+               CASE WHEN ascii(substr(md5(p.plane || ',' || d.dim), 1, 1))
+                         % 2 = 0
+                    THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(-1.0 AS DOUBLE) END AS c
+        FROM (SELECT unnest(range(0, 4)) AS plane) p, dims d),
+      comps AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings),
+      proj AS (
+        SELECT c2.vec_id, co.plane,
+               CASE WHEN sum(CAST(c2.x AS DOUBLE) * co.c) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM comps c2 JOIN coef co ON c2.dim = co.dim
+        GROUP BY 1, 2),
+      bucketed AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+        FROM proj GROUP BY 1),
+      wv AS (
+        SELECT b.vec_id, b.bucket, e.embedding
+        FROM bucketed b JOIN embeddings e ON e.vec_id = b.vec_id),
+      q AS (
+        SELECT vec_id AS q_id, bucket AS q_bucket, embedding AS q_emb
+        FROM wv WHERE vec_id < 3),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               ${duckCosine("q.q_emb", "e.embedding")} AS cosine
+        FROM wv e JOIN q
+          ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, cosine FROM ranked
+      WHERE rank <= $K ORDER BY q_id, rank""")
+  )
+
+  def all: Seq[Q] = Seq(topkBrute, topkSrp)
+}
