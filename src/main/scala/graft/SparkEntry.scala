@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Dedup,
     graft.queries.Events,
     graft.queries.Relational,
-    graft.queries.Similarity)
+    graft.queries.Similarity,
+    graft.queries.MultimodalQueries)
 
   private lazy val catalog: Seq[Q] = modules.flatMap(_.all)
 

@@ -1,0 +1,78 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.functions.Fns
+
+/** Sink layer — SURVEY.md §2.1 S4/S5/S7 and the serialization contract F13.
+  *
+  * The reference streams cursor rows through a CSV writer into gzip and
+  * uploads the bytes to every target bucket (jonesy/jobs.py:100-148). Here
+  * the same contract is a declarative write: headerless gzip CSV, one
+  * logical file per query (`coalesce(1)` preserves the ordered-output
+  * contract, SURVEY.md §2.11), timestamps serialized per F13 before the
+  * sink, fan-out as a loop over targets with per-target error isolation.
+  *
+  * Scale note: `coalesce(1)` exists for byte-parity with the reference's
+  * one-file-per-query output. At 100 TB the same sink runs with
+  * `singleFile = false` — a parallel multi-part write into the same
+  * md5-dated prefix — and downstream globs the prefix; nothing else
+  * changes.
+  */
+object Sinks {
+
+  /** F13 — serialize every timestamp column for CSV output: the
+    * designated watermark column (`last_updated` in the reference) gets
+    * the America/Los_Angeles reinterpretation with offset; every other
+    * timestamp gets the generic '... UTC' format
+    * (reference: jonesy/jobs.py:166-173). */
+  def serializeTimestamps(df: DataFrame,
+                          laColumns: Set[String] = Set("last_updated"))
+      : DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == TimestampType) {
+        val c: Column =
+          if (laColumns(f.name)) Fns.laReinterpretFormat(col(f.name))
+          else Fns.tsUtcFormat(col(f.name))
+        acc.withColumn(f.name, c)
+      } else acc
+    }
+
+  /** S4 — headerless gzip CSV (reference: jonesy/jobs.py:100-114,175:
+    * csv.writer into GzipFile, lineterminator='\n', UTF-8). */
+  def gzipCsv(df: DataFrame, path: String, singleFile: Boolean = true)
+      : Unit = {
+    val out = if (singleFile) serializeTimestamps(df).coalesce(1)
+              else serializeTimestamps(df)
+    out.write
+      .mode("overwrite")
+      .option("compression", "gzip")
+      .option("header", "false")
+      .option("lineSep", "\n")
+      .csv(path)
+  }
+
+  /** S5 — multi-target fan-out with per-target error isolation
+    * (reference: jonesy/jobs.py:116-132: upload to each bucket in
+    * TARGETS; a failing bucket logs and yields False without raising).
+    * Returns per-target success flags in input order. */
+  def fanOut(df: DataFrame, targets: Seq[String], key: String)
+      : Seq[(String, Boolean)] = {
+    require(targets.nonEmpty, "no targets configured") // jobs.py:119-122
+    targets.map { t =>
+      t -> (try { gzipCsv(df, s"$t/$key"); true }
+            catch {
+              case e: Exception =>
+                System.err.println(s"[sink] target $t failed: ${e.getMessage}")
+                false
+            })
+    }
+  }
+
+  /** S7 — md5-dated daily prefix + per-query key
+    * (reference: jonesy/jobs.py:145-148). */
+  def dailyKey(isoDate: String, queryName: String): String =
+    s"${Fns.dailyPath(isoDate)}/$queryName.gz"
+}

@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns — SURVEY.md §2.12: image/audio/video payloads
+  * travel as opaque `binary` columns with a typed metadata struct;
+  * decode/feature-extract runs partition-wise so each task amortizes
+  * decoder setup over a batch of rows (the Scala analog of a pandas
+  * batch UDF over `mapInPandas`).
+  *
+  * The decode step itself is a STUB — this container ships no image or
+  * audio codecs — replaced by a deterministic fake so the Spark-side
+  * plumbing (schema, binary handling, partitioning, batch shape) is real
+  * and tested end-to-end. Swapping `decodeStub` for a real JNI/FFI
+  * decoder changes nothing upstream or downstream of it.
+  *
+  * Scale stance (100 TB): payloads dominate row size, so ops that don't
+  * need bytes must prune the binary column (Catalyst column pruning does
+  * this when metadata is a separate column — verified in the spec);
+  * decode is a narrow map (no shuffle), parallel in the number of input
+  * partitions; `maxPartitionBytes` bounds per-task memory.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the payload. n_bytes/checksum are
+    * nullable because they derive from the (nullable) source column. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("checksum", StringType, nullable = true)))
+
+  /** Feature row produced by the (stubbed) decoder. */
+  val featuresType: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false)))
+
+  /** Attach a binary payload + metadata struct to the documents table —
+    * the fixture has no real media, so the payload is the UTF-8 text
+    * bytes; in production this column IS the image/audio blob. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("media_type"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long")
+          .as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("checksum")).as("meta"))
+
+  /** Partition-wise decode + feature extraction. Deterministic fake:
+    * "dimensions" derive from the payload length, "mean_byte" from the
+    * real bytes — stable across runs and engines.
+    *
+    * ??? -- a real implementation would decode `payload` here (JPEG →
+    * pixels, WAV → samples) once per batch, e.g. via a JNI codec held in
+    * a per-partition lazy handle; the deterministic fake below keeps the
+    * exact batch shape and schema without the codec. */
+  def decodeStub(spark: SparkSession, withPayloadDf: DataFrame)
+      : DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featuresType)
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition "decoder" setup happens once, here
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val fakeW = 16 + (bytes.length % 16)
+          val fakeH = 16 + ((bytes.length / 16) % 16)
+          val mean =
+            if (bytes.isEmpty) 0.0
+            else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble /
+              bytes.length
+          Row(id, fakeW, fakeH, mean)
+        }
+      }(enc)
+  }
+}

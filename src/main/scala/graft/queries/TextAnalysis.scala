@@ -179,5 +179,29 @@ object TextAnalysis extends QueryModule {
       GROUP BY 1 ORDER BY freq DESC, bigram ASC LIMIT 20""")
   )
 
-  def all: Seq[Q] = Seq(tokenStats, quality, langId, wordFreq, bigramFreq)
+  /** Document fingerprinting via a rolling character-8-gram hash
+    * (winnowing-style): the fingerprint is the minimum md5 over all
+    * sliding 8-char windows — robust to content reordering at the
+    * sentence level, cheap (one linear pass per doc, no shuffle), and
+    * deterministic across engines (lexicographic min over hex). */
+  val fingerprint: Q = Q(
+    "ta_fingerprint",
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          expr("array_min(transform(sequence(1, greatest(length(text)-7, 1))," +
+            " i -> md5(substring(text, i, 8))))").as("fingerprint"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             list_aggregate(list_transform(
+               range(1, greatest(length(text)-7, 1) + 1),
+               i -> md5(substr(text, CAST(i AS INT), 8))), 'min')
+               AS fingerprint
+      FROM documents ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] =
+    Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint)
 }

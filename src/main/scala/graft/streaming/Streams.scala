@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming face of the engine — SURVEY.md §2.10.
+  *
+  * The reference's incremental job is a cron-driven micro-batch with a
+  * 5-day watermark column filter (jonesy/jobs.py:19,39-49). Structured
+  * Streaming generalizes exactly that: the SAME transform runs over a
+  * batch DataFrame or a `readStream` source; the watermark bounds state
+  * instead of re-extraction, and late rows within 5 days still land —
+  * the reference's lookback re-extraction contract, kept by the engine.
+  *
+  * Scale stance: windowed counts shuffle on (window, event_type) with
+  * partial aggregation map-side; sessionization state lives per user_id
+  * key in the state store, bounded by the processing-time timeout.
+  */
+object Streams {
+
+  /** Event row for typed stateful ops. */
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** A user session assembled by the stateful operator. */
+  final case class Session(user_id: Long, n_events: Long,
+                           first_ts: Timestamp, last_ts: Timestamp)
+
+  /** Running state per user (public: Spark codegen instantiates it). */
+  final case class SessionState(n: Long, first: Long, last: Long)
+
+  /** T1/T5 — watermarked tumbling-window counts. Works identically on a
+    * batch DataFrame (watermark is a no-op) and a streaming one (state
+    * for windows older than 5 days is dropped; late rows inside the
+    * allowance still merge — the reference's lookback contract). Mirrors
+    * the batch query `ev_window_agg` so the two faces are comparable. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 days")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  /** Custom state — sessionization with `flatMapGroupsWithState`
+    * (SURVEY.md §2.12 / builder mandate: KeyValueGroupedDataset state
+    * ops). A session closes when the state times out (no events for the
+    * gap) and is emitted downstream. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.n, new Timestamp(s.first),
+              new Timestamp(s.last)))
+          } else {
+            val events = rows.toSeq
+            val lo = events.map(_.ts.getTime).min
+            val hi = events.map(_.ts.getTime).max
+            val next = state.getOption match {
+              case Some(s) => SessionState(s.n + events.size,
+                math.min(s.first, lo), math.max(s.last, hi))
+              case None => SessionState(events.size.toLong, lo, hi)
+            }
+            state.update(next)
+            state.setTimeoutDuration(s"$gapMinutes minutes")
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Wire a streaming source of events shaped like the `events` table
+    * into the windowed aggregation and a memory sink — the
+    * readStream → transform → writeStream lifecycle in one place.
+    * Complete mode: the sink holds the full windowed rollup. */
+  def startWindowedQuery(spark: SparkSession, source: DataFrame,
+                         queryName: String) =
+    windowedEventCounts(source)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .start()
+}

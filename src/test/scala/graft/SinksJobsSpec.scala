@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.{Jobs, Sinks}
+
+/** Sink/job layer — gzip CSV contract, fan-out error isolation,
+  * dispatcher semantics (SURVEY.md §2.1 S4/S5/S7/S8). */
+class SinksJobsSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("gzipCsv writes one headerless gzip part; timestamps serialized") {
+    val dir = Files.createTempDirectory("sink_spec").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .withColumn("last_updated",
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.lit("2024-01-15 12:00:00")))
+    Sinks.gzipCsv(df, s"$dir/out")
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".csv.gz"))
+    assert(parts.length == 1, "coalesce(1) → exactly one part file")
+    val back = spark.read.option("header", "false").csv(s"$dir/out")
+    assert(back.count() == 2)
+    // F13b applied to the last_updated column before the sink
+    val cols = back.collect().map(_.getString(2)).toSet
+    assert(cols == Set("2024-01-15 04:00:00 -0800"))
+  }
+
+  test("fanOut isolates a failing target and continues (jobs.py:128-131)") {
+    val dir = Files.createTempDirectory("fan_spec").toString
+    val df = Seq((1, "x")).toDF("a", "b")
+    val results = Sinks.fanOut(df,
+      Seq(s"$dir/good", "file:///proc/definitely/not/writable"),
+      "daily/k/q.gz")
+    assert(results.map(_._2) == Seq(true, false))
+    assert(new java.io.File(s"$dir/good/daily/k/q.gz").exists())
+  }
+
+  test("fanOut with no targets aborts (jobs.py:119-122)") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Sinks.fanOut(df, Seq.empty, "k")
+    }
+  }
+
+  test("unknown job is a logged no-op, not an exception (jobs.py:64-65)") {
+    assert(Jobs.run("upload_nonsense", spark, sf, Seq("/tmp/x"),
+      "2024-01-01").isEmpty)
+  }
+
+  test("upload_advisors pipeline writes every query to every target") {
+    val dir = Files.createTempDirectory("jobs_spec").toString
+    val res = Jobs.run("upload_advisors", spark, sf,
+      Seq(s"$dir/t1", s"$dir/t2"), "2024-01-01")
+    assert(res.size == Jobs.pipelines("upload_advisors").size * 2)
+    assert(res.forall(_._3), s"all uploads succeed: $res")
+    val key = Sinks.dailyKey("2024-01-01", "ref_advisor_notes")
+    assert(new java.io.File(s"$dir/t1/$key").isDirectory ||
+      new java.io.File(s"$dir/t1/$key").exists())
+  }
+}

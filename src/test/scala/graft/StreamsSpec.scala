@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Structured Streaming lifecycle: readStream → watermarked window agg →
+  * memory sink; late-but-inside-watermark rows merge (T1 contract). */
+class StreamsSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts over a memory stream, two micro-batches") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.startWindowedQuery(spark, source.toDF(), "win_test")
+    try {
+      source.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.25),
+        Event(2, ts("2024-01-01 10:55:00"), 7, "click", 2.50),
+        Event(3, ts("2024-01-01 11:05:00"), 8, "view", 4.00))
+      q.processAllAvailable()
+      // a "late" row for the 10:00 window arrives in batch 2, inside
+      // the 5-day allowance — it must merge into the existing window
+      source.addData(Event(4, ts("2024-01-01 10:30:00"), 9, "click", 0.75))
+      q.processAllAvailable()
+      val out = spark.table("win_test")
+        .orderBy("hour_start", "event_type")
+        .as[(Timestamp, String, Long, Long)].collect().toSeq
+      assert(out == Seq(
+        (ts("2024-01-01 10:00:00"), "click", 3L, 450L),
+        (ts("2024-01-01 11:00:00"), "view", 1L, 400L)))
+    } finally q.stop()
+  }
+
+  test("windowedEventCounts is batch/stream agnostic (same transform)") {
+    val batch = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.25),
+      Event(2, ts("2024-01-01 10:55:00"), 7, "click", 2.50)).toDF()
+    val out = Streams.windowedEventCounts(batch)
+      .as[(Timestamp, String, Long, Long)].collect().toSeq
+    assert(out == Seq((ts("2024-01-01 10:00:00"), "click", 2L, 375L)))
+  }
+
+  test("sessionize runs on a stream and holds open sessions in state") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.sessionize(source.toDS()).writeStream
+      .format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0))
+      // NOT processAllAvailable: ProcessingTimeTimeout queries keep
+      // scheduling timeout-check batches, so it can block indefinitely.
+      // Poll until the batch that consumed both rows has committed.
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def consumed: Long = q.recentProgress
+        .map(p => Option(p.numInputRows).getOrElse(0L)).sum
+      while (consumed < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(consumed >= 2, "stream consumed both events")
+      // no processing-time timeout has fired → sessions still open
+      assert(spark.table("sess_test").count() == 0)
+    } finally q.stop()
+  }
+}

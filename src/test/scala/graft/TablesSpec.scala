@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Source-layer contracts: lowercase normalization, and the events
+  * TIMESTAMP(NANOS) rebuild (events-only, floor semantics). */
+class TablesSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  test("lowercased normalizes mixed-case columns (jobs.py:177 contract)") {
+    val df = Seq((1, "x")).toDF("LDAP_UID", "Affiliations")
+    assert(Tables.lowercased(df).columns.toSeq ==
+      Seq("ldap_uid", "affiliations"))
+  }
+
+  test("events ts long→timestamp uses floor division (pre-1970 safe)") {
+    val dir = Files.createTempDirectory("tables_spec").toString
+    // 1500 ns → 1 µs; -1500 ns → floor(-1.5 µs) = -2 µs, NOT -1 (trunc)
+    Seq((1L, 1500L), (2L, -1500L), (3L, 0L))
+      .toDF("event_id", "ts").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val micros = Tables(spark, dir, "events")
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .orderBy("event_id").as[(Long, Long)].collect()
+    assert(micros.toSeq == Seq((1L, 1L), (2L, -2L), (3L, 0L)))
+  }
+
+  test("a long ts column outside events is NOT reinterpreted") {
+    val dir = Files.createTempDirectory("tables_spec2").toString
+    Seq((1L, 123456789L)).toDF("id", "ts").write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val schema = Tables(spark, dir, "lineitem").schema
+    assert(schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+}
