@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatVectorDot
+
+/** Engine extension point — registers graft's native Catalyst
+  * expressions so they are callable from SQL and `expr(...)`.
+  *
+  * Two installation paths:
+  *   - `.config("spark.sql.extensions", "graft.GraftExtensions")` at
+  *     session build (the canonical SparkSessionExtensions route);
+  *   - `GraftExtensions.ensure(spark)` on an already-built session —
+  *     needed because the driver harness constructs the SparkSession
+  *     itself and hands it to each query.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.fvecDot)
+}
+
+object GraftExtensions {
+
+  private val fvecDot = (
+    FunctionIdentifier("fvec_dot"),
+    new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "fvec_dot takes exactly 2 arguments")
+      FloatVectorDot(children.head, children(1))
+    })
+
+  /** Idempotently register graft functions on an existing session. */
+  def ensure(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(fvecDot._1))
+      reg.registerFunction(fvecDot._1, fvecDot._2, fvecDot._3)
+  }
+}

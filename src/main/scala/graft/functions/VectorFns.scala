@@ -28,6 +28,17 @@ object VectorFns {
   def cosineFold(a: String, b: String): Column =
     dotFold(a, b) / (normFold(a) * normFold(b))
 
+  /** Cosine via the native codegen'd expression (FloatVectorDot) —
+    * bit-identical to cosineFold (same IEEE sequence: norm = √dot(v,v)),
+    * but one fused loop per dot instead of interpreted lambdas. Needs
+    * graft.GraftExtensions registered on the session. */
+  def cosineNative(s: org.apache.spark.sql.SparkSession,
+                   a: String, b: String): Column = {
+    graft.GraftExtensions.ensure(s)
+    expr(s"fvec_dot($a, $b) / " +
+      s"(sqrt(fvec_dot($a, $a)) * sqrt(fvec_dot($b, $b)))")
+  }
+
   /** DuckDB fragment computing the identical dot product fold. */
   def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +

@@ -46,7 +46,7 @@ object Similarity extends QueryModule {
       val w = Window.partitionBy("q_id")
         .orderBy(col("cosine").desc, col("vec_id").asc)
       emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineFold("q_emb", "embedding"))
+        .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
@@ -102,7 +102,7 @@ object Similarity extends QueryModule {
       withVec
         .join(broadcast(queries),
           col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineFold("q_emb", "embedding"))
+        .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))

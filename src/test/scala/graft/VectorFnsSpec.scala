@@ -28,6 +28,38 @@ class VectorFnsSpec extends AnyFunSuite with SharedSpark {
     assert(n == 5.0)
   }
 
+  test("fvec_dot (native codegen expression) is bit-identical to dotFold") {
+    GraftExtensions.ensure(spark)
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("ea", "eb")
+    val out = df.select(
+      VectorFns.dotFold("ea", "eb").as("fold"),
+      org.apache.spark.sql.functions.expr("fvec_dot(ea, eb)").as("native"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (fold, native) =>
+      assert(java.lang.Double.doubleToLongBits(fold) ==
+        java.lang.Double.doubleToLongBits(native),
+        s"bit mismatch: $fold vs $native")
+    }
+  }
+
+  test("fvec_dot runs inside whole-stage codegen") {
+    GraftExtensions.ensure(spark)
+    // a parquet-backed plan — a literal local relation would be
+    // constant-folded into LocalTableScan before codegen
+    val df = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "embeddings")
+      .selectExpr("fvec_dot(embedding, embedding) AS d")
+    // the '*(n)' prefix marks operators fused into a WholeStageCodegen
+    // stage in the executed-plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[fvec_dot.*"), plan)
+    assert(df.as[Double].head() > 0.0)
+  }
+
   test("cosineFold: identical vectors → 1.0 within one ulp; opposite → -1") {
     val c1 = one(Seq(0.5f, 0.25f, 0.125f), Seq(0.5f, 0.25f, 0.125f))
       .select(VectorFns.cosineFold("ea", "eb")).as[Double].head()
