@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-shaping operators for the 100 TB target — SURVEY.md §4 +
+  * build mandate ("broadcast small dims, repartition/bucketing for
+  * co-located joins, salting for skew, AQE for runtime re-plan").
+  *
+  * Defense layers, in order: (1) AQE skew-join splitting handles skewed
+  * *joins* automatically at runtime; (2) explicit salting below handles
+  * the cases AQE cannot — skewed aggregation keys, and stateful/stream
+  * joins where AQE never sees the full distribution; (3) bucketing
+  * pre-pays the shuffle once at write time so every later join/agg on
+  * the bucket key is exchange-free.
+  */
+object Partitioning {
+
+  /** Salted inner equi-join for a skew-heavy left side: left rows get a
+    * deterministic salt in [0, salts) (hash of the whole row — not
+    * rand(), which would break retry/replay determinism); the right side
+    * is replicated `salts` times. Result equals the plain inner join on
+    * `key`, but a hot key's rows spread over `salts` reducers.
+    *
+    * Cost model: right side grows ×salts — use for dimension-sized
+    * right sides too big to broadcast but small next to the fact side;
+    * size `salts` ≈ hot-key rows / target-partition rows. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts > 0)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val saltedRight = right.withColumn("__salt",
+      explode(lit((0 until salts).toArray)))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), "inner")
+      .drop("__salt")
+  }
+
+  /** Salted two-phase aggregation for skewed group keys: phase 1
+    * aggregates (key, salt) — spreading a hot key over `salts` reducers
+    * — phase 2 merges the partials per key. `partials` maps a column to
+    * its phase-1 aggregate; `merges` folds phase-1 results per key.
+    * (For algebraic aggregates Spark's map-side partial aggregation
+    * already does this; explicit salting is for holistic aggregates or
+    * when the partial-agg hash table overflows on a hot key.) */
+  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    df.withColumn("__salt",
+        pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum("__partial").as("n"))
+  }
+
+  /** Write a bucketed+sorted table: pre-pays the shuffle so subsequent
+    * joins/aggs on `key` between same-bucketed tables plan without an
+    * Exchange (verified in PartitioningSpec). The production analog of
+    * the reference's per-term output partitioning (SURVEY.md S7/§2.1),
+    * generalized to any join key. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read back a bucketed table by name. */
+  def bucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

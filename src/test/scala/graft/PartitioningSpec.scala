@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Partitioning
+import graft.sources.Tables
+
+/** Shuffle-shaping operators: salting preserves semantics; bucketing
+  * removes the join exchange. */
+class PartitioningSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saltedJoin equals the plain inner join") {
+    val o = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables(spark, sf, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val plain = o.join(c, Seq("o_custkey"), "inner")
+      .agg(count(lit(1)), sum(round(col("o_totalprice") * 100)
+        .cast("long"))).head()
+    val salted = Partitioning.saltedJoin(o, c, "o_custkey", 8)
+      .agg(count(lit(1)), sum(round(col("o_totalprice") * 100)
+        .cast("long"))).head()
+    assert(plain == salted)
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    val o = Tables(spark, sf, "orders")
+    val plain = o.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus").collect().map(r => (r.getString(0),
+        r.getLong(1))).toSeq
+    val salted = Partitioning.saltedCount(o, "o_orderstatus", 8)
+      .orderBy("o_orderstatus").collect().map(r => (r.getString(0),
+        r.getLong(1))).toSeq
+    assert(plain == salted)
+  }
+
+  test("bucketed-to-bucketed join plans without a shuffle exchange") {
+    val o = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables(spark, sf, "customer").select("c_custkey", "c_name")
+    Partitioning.writeBucketed(o, "b_orders", "o_custkey", 4)
+    Partitioning.writeBucketed(
+      c.withColumnRenamed("c_custkey", "o_custkey"), "b_customer",
+      "o_custkey", 4)
+    val joined = Partitioning.bucketed(spark, "b_orders")
+      .join(Partitioning.bucketed(spark, "b_customer"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
