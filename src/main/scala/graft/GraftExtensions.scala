@@ -8,18 +8,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.FloatVectorDot
 
 /** Engine extension point — registers graft's native Catalyst
-  * expressions so they are callable from SQL and `expr(...)`.
+  * expressions (callable from SQL and `expr(...)`) and the
+  * [[graft.plans.NativeVectorOps]] optimizer rule (declarative
+  * fold-based dot products → the codegen'd native expression).
   *
   * Two installation paths:
   *   - `.config("spark.sql.extensions", "graft.GraftExtensions")` at
   *     session build (the canonical SparkSessionExtensions route);
   *   - `GraftExtensions.ensure(spark)` on an already-built session —
   *     needed because the driver harness constructs the SparkSession
-  *     itself and hands it to each query.
+  *     itself and hands it to each query (the rule lands in
+  *     `experimental.extraOptimizations`, the post-build equivalent of
+  *     injectOptimizerRule).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fvecDot)
+    ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
+  }
 }
 
 object GraftExtensions {
@@ -32,10 +38,15 @@ object GraftExtensions {
       FloatVectorDot(children.head, children(1))
     })
 
-  /** Idempotently register graft functions on an existing session. */
+  /** Idempotently register graft functions + optimizer rules on an
+    * existing session. */
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(fvecDot._1))
       reg.registerFunction(fvecDot._1, fvecDot._2, fvecDot._3)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.NativeVectorOps))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.NativeVectorOps)
   }
 }

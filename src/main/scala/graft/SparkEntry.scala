@@ -29,9 +29,15 @@ object SparkEntry {
     graft.queries.ReferencePorts.latestOrderPerCustomer
       .fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every query
+    * runs with the engine extensions installed (native expressions +
+    * the NativeVectorOps optimizer rule) — the driver builds the
+    * session itself, so registration happens here, idempotently. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    catalog.map(q => q.name -> q.fn).toMap
+    catalog.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      GraftExtensions.ensure(s)
+      q.fn(s, dir)
+    }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

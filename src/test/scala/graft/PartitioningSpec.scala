@@ -40,6 +40,16 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
   test("bucketed-to-bucketed join plans without a shuffle exchange") {
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey")
     val c = Tables(spark, sf, "customer").select("c_custkey", "c_name")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear both before writing
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
     Partitioning.writeBucketed(o, "b_orders", "o_custkey", 4)
     Partitioning.writeBucketed(
       c.withColumnRenamed("c_custkey", "o_custkey"), "b_customer",

