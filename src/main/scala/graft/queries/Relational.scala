@@ -183,6 +183,36 @@ object Relational extends QueryModule {
       ORDER BY rn""")
   )
 
+  /** §2.4 ext — PIVOT: order-status counts spread to columns per
+    * segment. Spark `.pivot(col, values)` with explicit values keeps
+    * the output schema static (required at scale — value discovery is
+    * an extra job); missing combinations are 0 on both sides (Spark
+    * pivot yields null there, DuckDB's FILTER count yields 0 —
+    * coalesced to match). */
+  val pivot: Q = Q(
+    "rel_pivot",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("segment"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("segment")
+    },
+    Some("""
+      SELECT c_mktsegment AS segment,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
-    distinctAgg, pagination)
+    distinctAgg, pagination, pivot)
 }

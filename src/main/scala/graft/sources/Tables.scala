@@ -39,6 +39,28 @@ object Tables {
     else df
   }
 
+  /** S2 — the production JDBC path the parquet fixtures stand in for:
+    * a partitioned parallel extract (replacing the reference's
+    * client-side ROWNUM pagination, jonesy/queries.py:37-48) with
+    * filter/projection pushdown into the database. Not exercisable in
+    * this container (no database); kept as the documented, compiled
+    * production wiring.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int,
+           props: Map[String, String] = Map.empty): DataFrame =
+    lowercased(
+      props.foldLeft(
+        spark.read.format("jdbc")
+          .option("url", url)
+          .option("dbtable", table)
+          .option("partitionColumn", partitionColumn)
+          .option("lowerBound", lowerBound)
+          .option("upperBound", upperBound)
+          .option("numPartitions", numPartitions)
+      ) { case (r, (k, v)) => r.option(k, v) }.load())
+
   /** Lowercase-normalize column names (reference: jonesy/jobs.py:177
     * `[c[0].lower() for c in result.description]`). Fixture columns are
     * already lowercase; this keeps the contract explicit for any source.
