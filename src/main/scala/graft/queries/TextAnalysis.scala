@@ -38,6 +38,11 @@ object TextAnalysis extends QueryModule {
           col("doc_id"),
           size(col("toks")).as("n_tokens"),
           size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+          // BPE-ish pre-tokenization: letter runs OR single non-letter
+          // non-space — the regex stands in for a byte-pair merger's
+          // input segmentation
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[^a-z ]"), lit(0))).as("n_subtokens"),
           length(col("text")).as("n_chars_computed"),
           md5(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
@@ -45,6 +50,7 @@ object TextAnalysis extends QueryModule {
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
              len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+             len(regexp_extract_all(text, '[a-z]+|[^a-z ]')) AS n_subtokens,
              length(text) AS n_chars_computed,
              md5(text) AS fingerprint
       FROM documents ORDER BY doc_id""")

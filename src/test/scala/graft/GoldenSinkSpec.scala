@@ -1,0 +1,30 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.Sinks
+
+/** §2.11/§5.4 — the ordered-output contract is byte-stable: the same
+  * query written twice produces identical gzip bytes (GZIPOutputStream
+  * writes MTIME=0; coalesce(1) + the query's ORDER BY pin row order). */
+class GoldenSinkSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def partBytes(dir: String): Array[Byte] = {
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv.gz")).head
+    Files.readAllBytes(part.toPath)
+  }
+
+  test("gzip CSV output is byte-identical across runs") {
+    val base = Files.createTempDirectory("golden").toString
+    val q = SparkEntry.queries("ref_term_courses")
+    Sinks.gzipCsv(q(spark, sf), s"$base/a")
+    Sinks.gzipCsv(q(spark, sf), s"$base/b")
+    val (a, b) = (partBytes(s"$base/a"), partBytes(s"$base/b"))
+    assert(a.nonEmpty && java.util.Arrays.equals(a, b))
+  }
+}

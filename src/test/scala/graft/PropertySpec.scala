@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Fns
+
+/** §5.3 — property-based semantics checks over ScalaCheck generators.
+  * Each property evaluates one Spark job over a generated batch of rows
+  * (not one job per case). */
+class PropertySpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  private val letters = Gen.stringOf(Gen.alphaChar).map(_.take(5))
+  private val digits = Gen.chooseNum(0, 99999).map(_.toString)
+
+  test("catalog parse: prefix+root+suffix reassembles the input") {
+    val cases = (for {
+      p <- letters; d <- digits; s <- letters
+    } yield p + d + s)
+    val sample = Gen.listOfN(300, cases).sample.get
+    val df = sample.toDF("c")
+    val out = df.select(
+      org.apache.spark.sql.functions.concat(
+        Fns.catalogPrefix($"c"), Fns.catalogRoot($"c"),
+        Fns.catalogSuffix($"c"))).as[String].collect()
+    assert(out.toSeq == sample)
+  }
+
+  test("fullName: no double spaces, no leading/trailing space") {
+    val part = Gen.oneOf(Gen.const(null: String), Gen.const(""),
+      Gen.const("  "), letters, letters.map(" " + _ + " "))
+    val rows = Gen.listOfN(300,
+      Gen.zip(part, part, part)).sample.get
+    val df = rows.toDF("f", "m", "l")
+    val out = df.select(Fns.fullName($"f", $"m", $"l")).as[String]
+      .collect()
+    out.foreach { s =>
+      assert(!s.contains("  "), s"double space in '$s'")
+      assert(s == s.trim, s"untrimmed '$s'")
+    }
+  }
+
+  test("exact dedup is idempotent: distinct twice == distinct once") {
+    val rows = Gen.listOfN(500, Gen.chooseNum(0, 50)).sample.get
+    val df = rows.toDF("k")
+    val once = df.distinct()
+    assert(once.count() == once.distinct().count())
+    assert(once.count() == rows.distinct.size.toLong)
+  }
+
+  test("greatest-per-group keeps exactly one row per key (window form)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = Gen.listOfN(500,
+      Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0, 1000))).sample.get
+    val df = rows.toDF("k", "v")
+    val w = Window.partitionBy("k").orderBy(desc("v"), desc("k"))
+    val top = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(top.count() == rows.map(_._1).distinct.size.toLong)
+    // and each kept v is the max for its key
+    val kept = top.select("k", "v").as[(Int, Int)].collect().toMap
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      assert(kept(k) == vs.map(_._2).max)
+    }
+  }
+}
