@@ -139,6 +139,42 @@ object Events extends QueryModule {
       ORDER BY e.event_id""")
   )
 
+  /** T5 ext — session windows: per-user activity sessions closed by a
+    * 2-hour gap, via Spark's native `session_window` (state-store-backed
+    * when streaming; one shuffle on user_id in batch). The DuckDB oracle
+    * derives the same sessions with the classic gaps-and-islands window
+    * SQL, proving the operator's semantics. `session_window.end` is
+    * last-event + gap by definition, so the session end is reported as
+    * the aggregated max(ts) on both sides. */
+  val sessionWindow: Q = Q(
+    "ev_session_window",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(session_window(col("ts"), "2 hours").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("last_ts"), col("n_events"))
+        .orderBy("user_id", "session_start"),
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
-    windowAgg, asofJoin)
+    windowAgg, asofJoin, sessionWindow)
 }

@@ -81,6 +81,16 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the stream face of `dd_exact`: drop rows
+    * whose key was already seen, with the watermark bounding the
+    * dedup-state retention to the late-data allowance (without it,
+    * seen-keys state grows forever — the 100 TB failure mode). */
+  def streamingDedup(events: DataFrame,
+                     keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", "5 days")
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Wire a streaming source of events shaped like the `events` table
     * into the windowed aggregation and a memory sink — the
     * readStream → transform → writeStream lifecycle in one place.

@@ -48,6 +48,23 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq((ts("2024-01-01 10:00:00"), "click", 2L, 375L)))
   }
 
+  test("streamingDedup drops an exact duplicate arriving in a later batch") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.streamingDedup(source.toDF()).writeStream
+      .format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      source.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // same event_id + ts re-delivered (at-least-once source) → dropped
+      source.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 7, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionize runs on a stream and holds open sessions in state") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
