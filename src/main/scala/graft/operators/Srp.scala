@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftExtensions
+
+/** Sign-random-projection (SRP) bucketing over embedding columns —
+  * the shared LSH primitive behind embedding near-dup (Dedup.embedSrp)
+  * and approximate top-k (Similarity.topkSrp).
+  *
+  * Scale design: each of the nPlanes hyperplanes is an md5-derived ±1
+  * coefficient vector materialized as a LITERAL array<float> column, so
+  * the bucket computation is nPlanes native fvec_dot calls in one
+  * narrow map over the corpus — no posexplode (×dims row blow-up), no
+  * coefficient join, no groupBy: the only shuffle in an SRP pipeline is
+  * the downstream bucket-key join. This replaces an explode+join+2×agg
+  * plan that shuffled dims×nPlanes rows per vector — the difference
+  * between a map and a 512× exchange at 100 TB.
+  *
+  * Determinism: projections are strict left-to-right folds (fvec_dot),
+  * bit-identical to the DuckDB fragments below — unlike a groupBy-sum,
+  * whose partial-aggregation order is partition-dependent.
+  */
+object Srp {
+
+  /** md5-parity ±1 coefficient; must equal the SQL form
+    * `ascii(substr(md5(plane || ',' || dim), 1, 1)) % 2 = 0 → 1 : -1`. */
+  def sign(plane: Int, dim: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane,$dim".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if (hex.charAt(0).toInt % 2 == 0) 1f else -1f
+  }
+
+  /** The plane's full coefficient vector. */
+  def coef(plane: Int, dims: Int): Array[Float] =
+    Array.tabulate(dims)(sign(plane, _))
+
+  /** Attach a `bucket` column of nPlanes sign bits. `dims` is read from
+    * the data with one tiny aggregate (never hard-coded — ADVICE r2). */
+  def withBucket(s: SparkSession, emb: DataFrame,
+                 nPlanes: Int): DataFrame = {
+    GraftExtensions.ensure(s)
+    val dims = emb.agg(max(size(col("embedding")))).head().getInt(0)
+    val withCoefs = (0 until nPlanes).foldLeft(emb) { (df, p) =>
+      df.withColumn(s"__c$p", typedLit(coef(p, dims)))
+    }
+    withCoefs
+      .withColumn("bucket", concat((0 until nPlanes).map { p =>
+        when(expr(s"fvec_dot(embedding, __c$p)") >= 0, "1").otherwise("0")
+      }: _*))
+      .drop((0 until nPlanes).map(p => s"__c$p"): _*)
+  }
+
+  /** DuckDB CTE defining the identical coefficient vectors. */
+  def duckCoefCte(nPlanes: Int): String = s"""
+    coef AS (
+      SELECT p.plane,
+             list_transform(
+               range(0, (SELECT max(len(embedding)) FROM embeddings)),
+               dd -> CASE WHEN ascii(substr(md5(p.plane || ',' || dd), 1, 1))
+                               % 2 = 0
+                          THEN CAST(1.0 AS FLOAT)
+                          ELSE CAST(-1.0 AS FLOAT) END) AS c
+      FROM (SELECT unnest(range(0, $nPlanes)) AS plane) p)"""
+
+  /** DuckDB expression producing the identical bucket string. */
+  def duckBucketExpr(nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val dot = graft.functions.VectorFns.duckDot(
+        "embedding", s"(SELECT c FROM coef WHERE plane = $p)")
+      s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+}

@@ -233,93 +233,45 @@ object Dedup extends QueryModule {
 
   /** Embedding near-dup via sign-random-projection (SRP) buckets:
     * 8 md5-derived ±1 hyperplanes → 8 sign bits → bucket; exact cosine
-    * only within buckets. The plane/dim coefficient table is 8×64 rows
-    * — broadcast — and the pair join shuffles on the bucket key, so
-    * the plan is linear + Σ bucket². */
+    * only within buckets. Bucketing is one narrow map (native dots
+    * against literal coefficient vectors — operators.Srp; no explode,
+    * no coefficient join, no aggregation), so the only shuffle is the
+    * bucket-key pair join: linear + Σ bucket².
+    *
+    * cosine = seqfold(dot) / (√seqfold(a²)·√seqfold(b²)): strict
+    * left-to-right folds replayed exactly by DuckDB's list_reduce →
+    * bit-identical doubles; the >= 0.15 filter applies to the same raw
+    * value on both sides. */
   val embedSrp: Q = Q(
     "dd_embed_srp",
     (s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val comps = emb
-        .select(col("vec_id"), posexplode(col("embedding"))
-          .as(Seq("dim", "x")))
-      // (plane, dim) -> deterministic ±1 from md5 parity; dims derived
-      // from the data (ADVICE r2: never hard-code the embedding width).
-      val coef = comps.select("dim").distinct()
-        .crossJoin(s.range(8).select(col("id").as("plane")))
-        .withColumn("c",
-          when(ascii(substring(md5(concat_ws(",", col("plane"), col("dim"))),
-            1, 1)) % 2 === 0, 1.0).otherwise(-1.0))
-      val bucketed = comps
-        .join(broadcast(coef), "dim")
-        .groupBy("vec_id", "plane")
-        .agg(sum(col("x").cast("double") * col("c")).as("proj"))
-        .withColumn("bit", when(col("proj") >= 0, "1").otherwise("0"))
-        .groupBy("vec_id")
-        .agg(concat_ws("", array_sort(collect_list(struct(col("plane"),
-          col("bit"))))("bit")).as("bucket"))
+      import graft.operators.Srp
       // Persisted: the bucket self-join would otherwise recompute the
-      // whole projection lineage for each side.
-      val withVec = bucketed.join(emb, "vec_id").persist()
+      // projection lineage for each side.
+      val withVec = Srp.withBucket(s, Tables(s, dir, "embeddings"), 8)
+        .persist()
       val a = withVec.select(col("vec_id").as("vec_a"),
         col("bucket"), col("embedding").as("ea"))
       val b = withVec.select(col("vec_id").as("vec_b"),
         col("bucket").as("bucket_b"), col("embedding").as("eb"))
-      // cosine = seqfold(dot) / (sqrt(seqfold(a²)) * sqrt(seqfold(b²))):
-      // strict left-to-right folds so DuckDB's list_reduce replays the
-      // identical IEEE operation sequence → bit-identical doubles; the
-      // >= 0.15 filter applies to the same raw value on both sides.
       a.join(b, col("bucket") === col("bucket_b") &&
           col("vec_a") < col("vec_b"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-        .withColumn("na", expr(
-          "sqrt(aggregate(ea, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-        .withColumn("nb", expr(
-          "sqrt(aggregate(eb, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-        .select(col("vec_a"), col("vec_b"), col("bucket"),
-          (col("dot") / (col("na") * col("nb"))).as("cosine"))
+        .withColumn("cosine",
+          graft.functions.VectorFns.cosineNative(s, "ea", "eb"))
+        .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
         .filter(col("cosine") >= 0.15)
         .orderBy("vec_a", "vec_b")
     },
-    Some("""
-      WITH dims AS (
-        SELECT DISTINCT generate_subscripts(embedding, 1) - 1 AS dim
-        FROM embeddings),
-      coef AS (
-        SELECT p.plane, d.dim,
-               CASE WHEN ascii(substr(md5(p.plane || ',' || d.dim), 1, 1))
-                         % 2 = 0
-                    THEN CAST(1.0 AS DOUBLE)
-                    ELSE CAST(-1.0 AS DOUBLE) END AS c
-        FROM (SELECT unnest(range(0, 8)) AS plane) p, dims d),
-      comps AS (
-        SELECT vec_id, unnest(embedding) AS x,
-               generate_subscripts(embedding, 1) - 1 AS dim
-        FROM embeddings),
-      proj AS (
-        SELECT c2.vec_id, co.plane,
-               CASE WHEN sum(CAST(c2.x AS DOUBLE) * co.c) >= 0
-                    THEN '1' ELSE '0' END AS bit
-        FROM comps c2 JOIN coef co ON c2.dim = co.dim
-        GROUP BY 1, 2),
-      bucketed AS (
-        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
-        FROM proj GROUP BY 1),
+    Some(s"""
+      WITH ${graft.operators.Srp.duckCoefCte(8)},
       wv AS (
-        SELECT b.vec_id, b.bucket, e.embedding
-        FROM bucketed b JOIN embeddings e ON e.vec_id = b.vec_id),
+        SELECT vec_id, embedding,
+               ${graft.operators.Srp.duckBucketExpr(8)} AS bucket
+        FROM embeddings),
       pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-               list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-                 (acc, v) -> acc + v)
-               / (sqrt(list_reduce(list_transform(a.embedding,
-                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
-                    (acc, v) -> acc + v))
-                  * sqrt(list_reduce(list_transform(b.embedding,
-                      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
-                      (acc, v) -> acc + v))) AS cosine
+               ${graft.functions.VectorFns.duckCosine(
+                 "a.embedding", "b.embedding")} AS cosine
         FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, bucket, cosine
       FROM pairs WHERE cosine >= 0.15

@@ -72,28 +72,15 @@ object Similarity extends QueryModule {
   /** SRP-bucketed approximate top-k: 4 md5-derived hyperplanes → 16
     * buckets; candidates are same-bucket vectors only. The recall/cost
     * trade is explicit: fewer planes → bigger buckets → higher recall,
-    * more probe work. Buckets and cosines share the Dedup/VectorFns
-    * md5-parity and fold constructions. */
+    * more probe work. Bucketing is the shared operators.Srp narrow map
+    * (literal coefficient vectors + native dots — no explode, no
+    * shuffle); probes join on the bucket key only. */
   val topkSrp: Q = Q(
     "ss_topk_srp",
     (s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val comps = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("dim", "x")))
-      val coef = comps.select("dim").distinct()
-        .crossJoin(s.range(4).select(col("id").as("plane")))
-        .withColumn("c",
-          when(ascii(substring(md5(concat_ws(",", col("plane"), col("dim"))),
-            1, 1)) % 2 === 0, 1.0).otherwise(-1.0))
-      val bucketed = comps
-        .join(broadcast(coef), "dim")
-        .groupBy("vec_id", "plane")
-        .agg(sum(col("x").cast("double") * col("c")).as("proj"))
-        .withColumn("bit", when(col("proj") >= 0, "1").otherwise("0"))
-        .groupBy("vec_id")
-        .agg(concat_ws("", array_sort(collect_list(struct(col("plane"),
-          col("bit"))))("bit")).as("bucket"))
-      val withVec = bucketed.join(emb, "vec_id").persist()
+      import graft.operators.Srp
+      val withVec = Srp.withBucket(s, Tables(s, dir, "embeddings"), 4)
+        .persist()
       val queries = withVec.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
           col("embedding").as("q_emb"))
@@ -109,32 +96,11 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rank")
     },
     Some(s"""
-      WITH dims AS (
-        SELECT DISTINCT generate_subscripts(embedding, 1) - 1 AS dim
-        FROM embeddings),
-      coef AS (
-        SELECT p.plane, d.dim,
-               CASE WHEN ascii(substr(md5(p.plane || ',' || d.dim), 1, 1))
-                         % 2 = 0
-                    THEN CAST(1.0 AS DOUBLE)
-                    ELSE CAST(-1.0 AS DOUBLE) END AS c
-        FROM (SELECT unnest(range(0, 4)) AS plane) p, dims d),
-      comps AS (
-        SELECT vec_id, unnest(embedding) AS x,
-               generate_subscripts(embedding, 1) - 1 AS dim
-        FROM embeddings),
-      proj AS (
-        SELECT c2.vec_id, co.plane,
-               CASE WHEN sum(CAST(c2.x AS DOUBLE) * co.c) >= 0
-                    THEN '1' ELSE '0' END AS bit
-        FROM comps c2 JOIN coef co ON c2.dim = co.dim
-        GROUP BY 1, 2),
-      bucketed AS (
-        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
-        FROM proj GROUP BY 1),
+      WITH ${graft.operators.Srp.duckCoefCte(4)},
       wv AS (
-        SELECT b.vec_id, b.bucket, e.embedding
-        FROM bucketed b JOIN embeddings e ON e.vec_id = b.vec_id),
+        SELECT vec_id, embedding,
+               ${graft.operators.Srp.duckBucketExpr(4)} AS bucket
+        FROM embeddings),
       q AS (
         SELECT vec_id AS q_id, bucket AS q_bucket, embedding AS q_emb
         FROM wv WHERE vec_id < 3),
