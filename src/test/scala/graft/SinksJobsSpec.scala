@@ -41,6 +41,15 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     assert(new java.io.File(s"$dir/good/daily/k/q.gz").exists())
   }
 
+  test("empty result writes a valid empty output (jobs.py:181-184 path)") {
+    val dir = Files.createTempDirectory("empty_spec").toString
+    val df = Seq((1L, "a")).toDF("id", "v").filter("id < 0")
+    Sinks.gzipCsv(df, s"$dir/out")
+    val back = spark.read.option("header", "false")
+      .schema("c0 STRING").csv(s"$dir/out")
+    assert(back.count() == 0)
+  }
+
   test("fanOut with no targets aborts (jobs.py:119-122)") {
     val df = Seq((1, "x")).toDF("a", "b")
     intercept[IllegalArgumentException] {

@@ -48,6 +48,25 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq((ts("2024-01-01 10:00:00"), "click", 2L, 375L)))
   }
 
+  test("file-source stream: readStream over a directory, windowed to memory") {
+    val dir = java.nio.file.Files.createTempDirectory("filestream")
+      .toString
+    Seq(Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.25),
+        Event(2, ts("2024-01-01 10:20:00"), 8, "click", 2.50))
+      .toDF().write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .parquet(s"$dir/in")
+    val q = Streams.startWindowedQuery(spark, src, "file_win_test")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("file_win_test")
+        .as[(Timestamp, String, Long, Long)].collect().toSeq
+      assert(out == Seq((ts("2024-01-01 10:00:00"), "click", 2L, 375L)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops an exact duplicate arriving in a later batch") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
