@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** The SQL face of the engine: registered fixture views + graft
+  * extensions queried through `spark.sql`, including the native
+  * expression by name. */
+class SqlInterfaceSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("catalog tables + fvec_dot are usable from plain SQL") {
+    GraftExtensions.ensure(spark)
+    Tables.names.foreach { n =>
+      Tables(spark, sf, n).createOrReplaceTempView(n)
+    }
+    val top = spark.sql("""
+      SELECT r_name, count(*) AS n
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY n DESC, r_name LIMIT 1""").head()
+    assert(top.getLong(1) > 0)
+
+    val selfSim = spark.sql("""
+      SELECT avg(fvec_dot(embedding, embedding)) FROM embeddings""")
+      .head().getDouble(0)
+    assert(selfSim > 0.0)
+  }
+}

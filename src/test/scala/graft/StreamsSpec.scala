@@ -84,6 +84,33 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streamingDedup state survives a restart (checkpoint recovery)") {
+    val base = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val (in, out, cp) = (s"$base/in", s"$base/out", s"$base/cp")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    def start() = Streams.streamingDedup(
+      spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+
+    Seq(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0))
+      .toDF().write.parquet(s"$in")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // second run: the same event redelivered + one new — recovered
+    // dedup state must drop the duplicate across the restart
+    Seq(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 7, "view", 2.0))
+      .toDF().write.mode("append").parquet(s"$in")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("sessionize runs on a stream and holds open sessions in state") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
