@@ -118,5 +118,72 @@ object Similarity extends QueryModule {
       WHERE rank <= $K ORDER BY q_id, rank""")
   )
 
-  def all: Seq[Q] = Seq(topkBrute, topkSrp)
+  /** IVF-style approximate top-k: 8 coarse centroids (deterministically
+    * the first 8 vectors — a seeded k-means would refine them; the
+    * partition/probe mechanics are identical), every vector assigned to
+    * its max-cosine centroid, probes search their own cell only.
+    *
+    * Scale shape: assignment = broadcast(8 centroids) × corpus → argmax
+    * window per vector (one narrow pass + one shuffle on vec_id);
+    * probing joins on the cell id — cost |cell|, not corpus. Contrast
+    * with SRP: data-adaptive cells vs oblivious hyperplanes. */
+  val topkIvf: Q = Q(
+    "ss_topk_ivf",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("c_id").asc)
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("c_cos", cosineNative(s, "embedding", "c_emb"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+        .persist()
+      val queries = assigned.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+          col("embedding").as("q_emb"))
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      assigned
+        .join(broadcast(queries),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 8),
+      scored_cells AS (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ${duckCosine("e.embedding", "c.c_emb")} AS c_cos
+        FROM embeddings e, cents c),
+      assigned AS (
+        SELECT vec_id, embedding, c_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY c_cos DESC, c_id ASC) AS rn
+          FROM scored_cells) WHERE rn = 1),
+      q AS (
+        SELECT vec_id AS q_id, cell AS q_cell, embedding AS q_emb
+        FROM assigned WHERE vec_id < 3),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               ${duckCosine("q.q_emb", "e.embedding")} AS cosine
+        FROM assigned e JOIN q
+          ON e.cell = q.q_cell AND e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, cosine FROM ranked
+      WHERE rank <= $K ORDER BY q_id, rank""")
+  )
+
+  def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf)
 }
