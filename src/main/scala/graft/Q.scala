@@ -10,9 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Determinism contract: every query that has an oracle must produce a
   * totally-ordered, exactly-reproducible result — deterministic ORDER BY
-  * on both sides, float aggregates rounded on both sides, identical
-  * column names/aliases on both sides (the driver sorts columns by name
-  * before hashing values).
+  * on both sides; identical column names/aliases on both sides (the
+  * driver sorts columns by name before hashing values); and any float
+  * column produced by the IDENTICAL IEEE operation sequence in both
+  * engines (sequential folds mirrored by DuckDB list_reduce; money sums
+  * as exact integer cents). Never cast a double to DECIMAL — Spark
+  * rounds the shortest decimal repr HALF_UP, DuckDB rounds the binary
+  * value, and the two disagree (round 2 failures).
   */
 final case class Q(
     name: String,

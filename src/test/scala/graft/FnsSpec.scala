@@ -69,6 +69,20 @@ class FnsSpec extends AnyFunSuite with SharedSpark {
     assert(out.head == "2024-03-01 23:59:58 UTC")
   }
 
+  test("stripNewlines, ynToBool, nvl2, toChar, hhmm (F5/F6/F2/F7/F8)") {
+    val df = Seq(("a\nb\rc", "Y", "N", 42)).toDF("t", "y", "n", "num")
+      .withColumn("ts", to_timestamp(lit("2024-05-01 09:30:45")))
+    val r = df.select(
+      Fns.stripNewlines($"t"),
+      Fns.ynToBool($"y"), Fns.ynToBool($"n"),
+      Fns.nvl2($"y", lit("has"), lit("none")),
+      Fns.nvl2(lit(null).cast("string"), lit("has"), lit("none")),
+      Fns.toChar($"num"),
+      Fns.hhmm($"ts")).head()
+    assert(r.toSeq == Seq("abc", "true", "false", "has", "none",
+      "42", "09:30"))
+  }
+
   test("dailyPath: md5-dated prefix layout (S7/F12)") {
     // md5("2024-01-01") — independently computed constant
     assert(Fns.dailyPath("2024-01-01") ==
