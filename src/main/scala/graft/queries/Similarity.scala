@@ -130,16 +130,31 @@ object Similarity extends QueryModule {
   val topkIvf: Q = Q(
     "ss_topk_ivf",
     (s, dir) => {
+      graft.GraftExtensions.ensure(s)
       val emb = Tables(s, dir, "embeddings")
+      // centroids collected driver-side (8 rows — the same class of
+      // driver work as broadcast planning) and inlined as literal
+      // vectors: assignment is then a narrow map — 8 codegen'd cosines
+      // + an argmax over a literal struct array — with NO crossJoin
+      // row expansion and NO shuffle. Tie-break (-c_id in the max
+      // struct) mirrors the oracle's ORDER BY c_cos DESC, c_id ASC.
       val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("c_id").asc)
-      val assigned = emb.join(broadcast(cents))
-        .withColumn("c_cos", cosineNative(s, "embedding", "c_emb"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val withC = cents.zipWithIndex.foldLeft(emb) {
+        case (df, ((_, v), i)) => df.withColumn(s"__cc$i", typedLit(v))
+      }
+      val cellStructs = cents.zipWithIndex.map { case ((cId, _), i) =>
+        struct(
+          (expr(s"fvec_dot(embedding, __cc$i)") /
+            (expr("sqrt(fvec_dot(embedding, embedding))") *
+              expr(s"sqrt(fvec_dot(__cc$i, __cc$i))"))).as("c"),
+          lit(-cId).as("nid"))
+      }
+      val assigned = withC
+        .withColumn("cell", -array_max(array(cellStructs: _*))("nid"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
         .persist()
       val queries = assigned.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
