@@ -51,6 +51,26 @@ object Multimodal {
           .as("n_bytes"),
         md5(encode(col("text"), "UTF-8")).as("checksum")).as("meta"))
 
+  /** Frame sampling: slice the payload into fixed-size "frames" and
+    * keep every `stride`-th one — the video-keyframe access pattern
+    * (seek + slice, never materializing the full decode) expressed as a
+    * codegen'd projection. Real media swaps byte-offset slicing for
+    * container-index seeks; the schema (array<binary> frames + count)
+    * and the pruning-friendly layout are the production shape. */
+  def sampleFrames(withPayloadDf: DataFrame, frameBytes: Int,
+                   stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    withPayloadDf.select(
+      col("doc_id"),
+      expr(s"""transform(
+           filter(sequence(0, int(octet_length(payload) / $frameBytes)),
+                  i -> i % $stride = 0 AND i * $frameBytes <
+                       octet_length(payload)),
+           i -> substring(payload, i * $frameBytes + 1, $frameBytes))""")
+        .as("frames"))
+      .withColumn("n_frames", size(col("frames")))
+  }
+
   /** Partition-wise decode + feature extraction. Deterministic fake:
     * "dimensions" derive from the payload length, "mean_byte" from the
     * real bytes — stable across runs and engines.

@@ -175,6 +175,33 @@ object Events extends QueryModule {
       ORDER BY user_id, session_start""")
   )
 
+  /** T5 ext — SLIDING windows (1 hour every 30 minutes): each event
+    * lands in exactly two windows; Spark's `window(ts, len, slide)`
+    * expands them map-side before one shuffle. The oracle derives the
+    * same two window starts per event (the 30-minute grid point and
+    * the one before it) with unnest — proving the overlap semantics. */
+  val slidingWindow: Q = Q(
+    "ev_sliding_window",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"))
+        .orderBy("win_start", "event_type"),
+    Some("""
+      WITH expanded AS (
+        SELECT event_type,
+               unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800),
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                         - INTERVAL 30 MINUTE]) AS win_start
+        FROM events)
+      SELECT win_start::TIMESTAMP AS win_start, event_type,
+             count(*) AS n_events
+      FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
-    windowAgg, asofJoin, sessionWindow)
+    windowAgg, asofJoin, sessionWindow, slidingWindow)
 }

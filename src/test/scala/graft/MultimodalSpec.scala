@@ -21,6 +21,22 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(row.getLong(0) == row.getInt(1).toLong)
   }
 
+  test("sampleFrames: strided fixed-size slices reassemble the payload prefix") {
+    val payloads = Multimodal.withPayload(Tables(spark, sf, "documents"))
+    val framed = Multimodal.sampleFrames(payloads, frameBytes = 16,
+      stride = 1)
+    val row = framed.join(payloads, "doc_id")
+      .selectExpr("frames", "payload", "n_frames").head()
+    val frames = row.getSeq[Array[Byte]](0)
+    val payload = row.getAs[Array[Byte]](1)
+    assert(frames.map(_.length).sum == payload.length)
+    assert(java.util.Arrays.equals(frames.flatten.toArray, payload))
+    // stride 2 keeps every other frame
+    val strided = Multimodal.sampleFrames(payloads, 16, 2)
+      .selectExpr("n_frames").head().getInt(0)
+    assert(strided == (row.getInt(2) + 1) / 2)
+  }
+
   test("decodeStub: fixed feature schema, deterministic values") {
     val payloads = Multimodal.withPayload(Tables(spark, sf, "documents"))
     val f1 = Multimodal.decodeStub(spark, payloads).orderBy("doc_id")
