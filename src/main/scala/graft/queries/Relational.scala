@@ -213,6 +213,27 @@ object Relational extends QueryModule {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** §2.4 A5 ext — sketch aggregates: HyperLogLog++ distinct counts and
+    * t-digest quantiles per segment. Sketch internals differ across
+    * engines by design, so there is no SQL oracle — the driver records
+    * a rows-only check and RelationalSketchSpec bounds the error
+    * against exact answers (HLL++ rsd 0.05 here). At 100 TB these are
+    * the only affordable distinct/quantile forms: mergeable, fixed
+    * memory, one pass. */
+  val sketchAgg: Q = Q(
+    "rel_sketch_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.05)
+            .as("approx_customers"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"))
+        .orderBy("priority"),
+    None // sketch internals are engine-specific — rows-only check
+  )
+
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
-    distinctAgg, pagination, pivot)
+    distinctAgg, pagination, pivot, sketchAgg)
 }

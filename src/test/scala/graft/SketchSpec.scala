@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Sketch aggregates: bounded error against exact answers (no DuckDB
+  * oracle — sketch internals are engine-specific by design). */
+class SketchSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 3x rsd of exact per group") {
+    val o = Tables(spark, sf, "orders")
+    val both = o.groupBy("o_orderpriority").agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), rsd = 0.05).as("approx"))
+    both.collect().foreach { r =>
+      val (exact, approx) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"${r.getString(0)}: exact=$exact approx=$approx")
+    }
+  }
+
+  test("percentile_approx median between per-group min and max") {
+    val o = Tables(spark, sf, "orders")
+    val rows = o.groupBy("o_orderpriority").agg(
+      min("o_totalprice").as("lo"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+        .as("med"),
+      max("o_totalprice").as("hi")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(1) &&
+        r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+}
