@@ -91,6 +91,41 @@ object Streams {
       .withWatermark("ts", "5 days")
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-stream join: each interaction event paired with error
+    * events by the same user in the preceding `lookbackMinutes`. Both
+    * sides carry watermarks and the join condition is time-bounded, so
+    * buffered state is evictable — the only shape a stream-stream join
+    * can hold at scale (unbounded conditions buffer forever). */
+  def joinErrorsWithin(interactions: DataFrame, errors: DataFrame,
+                       lookbackMinutes: Int = 10): DataFrame = {
+    val i = interactions.withWatermark("ts", "1 hour").alias("i")
+    val e = errors.withWatermark("ts", "1 hour").alias("e")
+    i.join(e, expr(
+      s"""i.user_id = e.user_id AND
+          e.ts BETWEEN i.ts - INTERVAL $lookbackMinutes MINUTES
+                   AND i.ts"""))
+      .select(col("i.event_id").as("event_id"),
+        col("i.user_id").as("user_id"),
+        col("i.ts").as("ts"), col("e.ts").as("error_ts"))
+  }
+
+  /** Streaming fan-out — the reference's multi-target S3 sink
+    * (SURVEY.md S5) on the streaming face: every micro-batch is written
+    * gzip-CSV to each target under a per-batch key via `foreachBatch`,
+    * keeping the per-target error isolation of `Sinks.fanOut`.
+    * Checkpointing makes redelivery idempotent-by-path (T6). */
+  def startFanOutQuery(source: DataFrame, targets: Seq[String],
+                       prefix: String, checkpoint: String) =
+    source.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.jobs.Sinks.fanOut(batch, targets,
+          s"$prefix/batch-$batchId.gz")
+        ()
+      }
+      .start()
+
   /** Wire a streaming source of events shaped like the `events` table
     * into the windowed aggregation and a memory sink — the
     * readStream → transform → writeStream lifecycle in one place.

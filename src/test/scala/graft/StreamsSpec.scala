@@ -84,6 +84,43 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs events with errors in the lookback") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = Streams.joinErrorsWithin(clicks.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      errors.addData(Event(10, ts("2024-01-01 10:02:00"), 7, "error", 0.0))
+      clicks.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.0), // within 10m
+        Event(2, ts("2024-01-01 10:20:00"), 7, "click", 1.0), // outside
+        Event(3, ts("2024-01-01 10:05:00"), 8, "click", 1.0)) // other user
+      q.processAllAvailable()
+      val out = spark.table("ssj_test")
+        .select("event_id").as[Long].collect().toSeq
+      assert(out == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch fan-out lands each micro-batch on every target") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("fanout").toString
+    val source = MemoryStream[Event]
+    val q = Streams.startFanOutQuery(source.toDF(),
+      Seq(s"$base/t1", s"$base/t2"), "daily/k", s"$base/cp")
+    try {
+      source.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      Seq("t1", "t2").foreach { t =>
+        val dir = new java.io.File(s"$base/$t/daily/k/batch-0.gz")
+        assert(dir.exists(), s"missing $dir")
+        assert(spark.read.csv(dir.toString).count() == 1)
+      }
+    } finally q.stop()
+  }
+
   test("streamingDedup state survives a restart (checkpoint recovery)") {
     val base = java.nio.file.Files.createTempDirectory("ckpt").toString
     val (in, out, cp) = (s"$base/in", s"$base/out", s"$base/cp")
