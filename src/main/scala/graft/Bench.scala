@@ -17,6 +17,9 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.sources.Tables(spark, sfDir, "region").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // drop persisted intermediates between queries: cache reuse
+      // across queries would make per-query times order-dependent
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
