@@ -153,7 +153,8 @@ object Similarity extends QueryModule {
           lit(-cId).as("nid"))
       }
       val assigned = withC
-        .withColumn("cell", -array_max(array(cellStructs: _*))("nid"))
+        .withColumn("cell",
+          -array_max(array(cellStructs.toIndexedSeq: _*))("nid"))
         .select(col("vec_id"), col("embedding"), col("cell"))
         .persist()
       val queries = assigned.filter(col("vec_id") < 3)
