@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parameterized text near-dup primitives — MinHash+LSH and SimHash —
+  * the library-facing API behind the fixed `dd_*` catalog queries
+  * (which pin numPerms=8, bands=2, simBits=32 for their oracles).
+  *
+  * Scale contract: every step is linear in the corpus except
+  * within-bucket candidate generation, which costs Σ bucket² — tune
+  * (numPerms, bands) so expected bucket sizes stay small. All hashes
+  * are md5-based so any SQL engine (the DuckDB oracle, a warehouse
+  * spot-check) can replay them bit-for-bit.
+  */
+object TextDedup {
+
+  /** Distinct word-bigram shingles per doc: (docId, shingle). */
+  def shingles(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol), explode(array_distinct(expr(
+        "transform(slice(__toks, 1, size(__toks)-1)," +
+          " (x, i) -> concat(x, ' ', element_at(__toks, i+2)))")))
+        .as("shingle"))
+
+  /** numPerms-permutation MinHash signature per doc (md5-keyed
+    * min-hashing: permutation i orders shingles by md5(i || '|' ||
+    * shingle), so min = first under that permutation). Output columns
+    * h0..h{numPerms-1}. */
+  def signatures(sh: DataFrame, numPerms: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(numPerms > 0)
+    val hs = (0 until numPerms).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    sh.groupBy(idCol).agg(hs.head, hs.tail: _*)
+  }
+
+  /** LSH banding: `bands` buckets of numPerms/bands rows each →
+    * (docId, band, bucket). One explode pass — the signature is never
+    * recomputed per band. */
+  def bands(sig: DataFrame, numPerms: Int, nBands: Int,
+            idCol: String = "doc_id"): DataFrame = {
+    require(nBands > 0 && numPerms % nBands == 0,
+      s"numPerms=$numPerms must divide into nBands=$nBands")
+    val rows = numPerms / nBands
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((b * rows until (b + 1) * rows)
+          .map(i => col(s"h$i")): _*)).as("bucket"))
+    }
+    sig
+      .select(col(idCol),
+        explode(array(bandStructs.toIndexedSeq: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from band-bucket collisions (a < b), with the
+    * number of colliding bands. Persists the band table — the
+    * self-join would recompute the whole lineage per side. */
+  def candidates(bandDf: DataFrame,
+                 idCol: String = "doc_id"): DataFrame = {
+    val b = bandDf.persist()
+    val l = b.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
+    val r = b.select(col(idCol).as("doc_b"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    l.join(r,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** End-to-end LSH candidates from raw documents. */
+  def lshCandidates(docs: DataFrame, numPerms: Int, nBands: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    candidates(
+      bands(signatures(shingles(docs, idCol, textCol), numPerms, idCol),
+        numPerms, nBands, idCol), idCol)
+
+  /** SimHash fingerprint per doc: per-bit majority vote over token
+    * md5s (bit b = parity of hex char b), assembled into a `bits`-wide
+    * bit-string. Linear: |tokens| × bits exploded rows, one groupBy. */
+  def simhash(docs: DataFrame, bits: Int = 32,
+              idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    require(bits > 0 && bits <= 32, "md5 hex provides 32 positions")
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .select(col(idCol), col("h"),
+        explode(expr(s"sequence(1, $bits)")).as("b"))
+      .withColumn("vote",
+        when(ascii(col("h").substr(col("b"), lit(1))) % 2 === 1, 1)
+          .otherwise(-1))
+      .groupBy(idCol, "b")
+      .agg(sum("vote").as("v"))
+      .withColumn("bit", when(col("v") > 0, "1").otherwise("0"))
+      .groupBy(idCol)
+      .agg(concat_ws("", array_sort(collect_list(struct(col("b"),
+        col("bit"))))("bit")).as("simhash"))
+  }
+}

@@ -21,60 +21,9 @@ import graft.sources.Tables
   */
 object Dedup extends QueryModule {
 
-  // ---- shared shingle/signature builders (Spark side) ----------------
-  //
-  // Composable stages so one lineage (and one persisted intermediate) is
-  // shared by every consumer. Spark's cache manager dedups by logical
-  // plan, so identical stages persisted from different queries share one
-  // cache entry (cheap across the Verify/Bench run).
-
-  /** Distinct word-bigram shingles per doc: (doc_id, shingle). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(slice(toks, 1, size(toks)-1)," +
-          " (x, i) -> concat(x, ' ', element_at(toks, i+2)))")))
-        .as("shingle"))
-
-  /** 8-permutation MinHash signature per doc (md5-keyed min-hashing:
-    * permutation i orders shingles by md5(i || '|' || shingle), so min
-    * = first under that permutation). */
-  private def signatures(sh: DataFrame): DataFrame = {
-    val hs = (0 until 8).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(hs.head, hs.tail: _*)
-  }
-
-  /** LSH bands: 2 bands × 4 rows → (doc_id, band, bucket). One pass
-    * over the signature (explode of a 2-element literal array), not a
-    * self-union that would compute the signature twice. */
-  private def bands(sig: DataFrame): DataFrame =
-    sig
-      .select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"),
-          md5(concat(col("h0"), col("h1"), col("h2"), col("h3")))
-            .as("bucket")),
-        struct(lit(1).as("band"),
-          md5(concat(col("h4"), col("h5"), col("h6"), col("h7")))
-            .as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
-
-  /** Candidate pairs from band-bucket collisions (doc_a < doc_b).
-    * Persists the band table: a self-join recomputes the whole
-    * shingle→signature lineage for each side otherwise. */
-  private def candidates(bandDf: DataFrame): DataFrame = {
-    val b = bandDf.persist()
-    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val c = b.select(col("doc_id").as("doc_b"),
-      col("band").as("band_b"), col("bucket").as("bucket_b"))
-    a.join(c,
-        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-          col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared_bands"))
-  }
+  // Spark-side builders live in graft.operators.TextDedup (parameterized
+  // library API); the queries below pin numPerms=8, bands=2, bits=32 to
+  // match their oracles.
 
   // ---- shared SQL fragments (DuckDB oracle side) ---------------------
 
@@ -128,7 +77,8 @@ object Dedup extends QueryModule {
   val minhashLsh: Q = Q(
     "dd_minhash_lsh",
     (s, dir) =>
-      candidates(bands(signatures(shingles(s, dir))))
+      graft.operators.TextDedup.lshCandidates(
+          Tables(s, dir, "documents"), numPerms = 8, nBands = 2)
         .select(col("doc_a"), col("doc_b"), col("shared_bands"))
         .orderBy("doc_a", "doc_b"),
     Some(s"""
@@ -146,9 +96,12 @@ object Dedup extends QueryModule {
       // One persisted shingle table feeds sizes, signatures→candidates,
       // and both sides of the intersection count — one computed lineage
       // instead of four scans (ADVICE r2).
-      val sh = shingles(s, dir).persist()
+      import graft.operators.TextDedup
+      val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cand = candidates(bands(signatures(sh))).select("doc_a", "doc_b")
+      val cand = TextDedup.candidates(
+        TextDedup.bands(TextDedup.signatures(sh, 8), 8, 2))
+        .select("doc_a", "doc_b")
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"),
@@ -196,26 +149,10 @@ object Dedup extends QueryModule {
     * fingerprint are near-dups at Hamming distance 0. */
   val simhash: Q = Q(
     "dd_simhash",
-    (s, dir) => {
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val bits = toks
-        .select(col("doc_id"), col("h"),
-          explode(expr("sequence(1, 32)")).as("b"))
-        .withColumn("vote",
-          when(ascii(col("h").substr(col("b"), lit(1))) % 2 === 1, 1)
-            .otherwise(-1))
-        .groupBy("doc_id", "b")
-        .agg(sum("vote").as("v"))
-        .withColumn("bit", when(col("v") > 0, "1").otherwise("0"))
-      bits
-        .groupBy("doc_id")
-        .agg(concat_ws("", array_sort(collect_list(struct(col("b"),
-          col("bit"))))("bit")).as("simhash"))
+    (s, dir) =>
+      graft.operators.TextDedup.simhash(Tables(s, dir, "documents"), 32)
         .select(col("doc_id"), col("simhash"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some("""
       WITH toks AS (
         SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
