@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's production entrypoint — the reference's CLI contract
+  * (jonesy.py:13-16): `JOB` selects the pipeline, `TARGETS` is the
+  * comma-separated sink list, layered env supplies config. A user of
+  * the reference runs `spark-submit --class graft.Main` with the same
+  * environment instead of `python jonesy.py`.
+  *
+  * Env: JOB (required), TARGETS (required, comma-separated),
+  * GRAFT_SF_DIR (data root), GRAFT_DATE (ISO date for the daily path;
+  * defaults to today UTC).
+  */
+object Main {
+
+  /** Testable core: dispatch one job and return per-upload outcomes. */
+  def run(spark: SparkSession, job: String, sfDir: String,
+          targets: Seq[String], isoDate: String)
+      : Seq[(String, String, Boolean)] =
+    jobs.Jobs.run(job, spark, sfDir, targets, isoDate)
+
+  def main(args: Array[String]): Unit = {
+    val job = sys.env.getOrElse("JOB",
+      { System.err.println("JOB env var is required"); return })
+    val targets = sys.env.get("TARGETS").map(_.split(",").toSeq)
+      .getOrElse { System.err.println("TARGETS env var is required"); return }
+    val sfDir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val date = sys.env.getOrElse("GRAFT_DATE",
+      java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
+    val spark = SparkSession.builder()
+      .appName(s"graft-$job")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    try {
+      val results = run(spark, job, sfDir, targets, date)
+      results.foreach { case (q, t, ok) =>
+        println(s"[graft] $q -> $t: ${if (ok) "ok" else "FAILED"}")
+      }
+      // per-bucket failure is isolated+logged, not fatal
+      // (reference: jonesy/jobs.py:128-131)
+    } finally spark.stop()
+  }
+}

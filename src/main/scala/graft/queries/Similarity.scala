@@ -43,14 +43,7 @@ object Similarity extends QueryModule {
     "ss_topk_brute",
     (s, dir) => {
       val (emb, queries) = parts(s, dir)
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-      emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
-        .orderBy("q_id", "rank")
+      graft.operators.Ann.topkBrute(s, emb, queries, K)
     },
     Some(s"""
       WITH q AS (
@@ -78,22 +71,9 @@ object Similarity extends QueryModule {
   val topkSrp: Q = Q(
     "ss_topk_srp",
     (s, dir) => {
-      import graft.operators.Srp
-      val withVec = Srp.withBucket(s, Tables(s, dir, "embeddings"), 4)
-        .persist()
-      val queries = withVec.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
-          col("embedding").as("q_emb"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-      withVec
-        .join(broadcast(queries),
-          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
-        .orderBy("q_id", "rank")
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Ann.topkSrp(s, emb,
+        emb.filter(col("vec_id") < 3).select("vec_id"), K, nPlanes = 4)
     },
     Some(s"""
       WITH ${graft.operators.Srp.duckCoefCte(4)},
