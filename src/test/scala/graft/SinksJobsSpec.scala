@@ -64,7 +64,8 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
 
   test("upload_advisors pipeline writes every query to every target") {
     val dir = Files.createTempDirectory("jobs_spec").toString
-    val res = Jobs.run("upload_advisors", spark, sf,
+    // via the production entrypoint's core (graft.Main.run == Jobs.run)
+    val res = graft.Main.run(spark, "upload_advisors", sf,
       Seq(s"$dir/t1", s"$dir/t2"), "2024-01-01")
     assert(res.size == Jobs.pipelines("upload_advisors").size * 2)
     assert(res.forall(_._3), s"all uploads succeed: $res")
