@@ -35,6 +35,27 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(fp16.getString(1).forall(c => c == '0' || c == '1'))
   }
 
+  test("identical documents are always LSH candidates (any config)") {
+    import spark.implicits._
+    // 20 docs in 10 identical pairs: doc i and doc i+10 share all
+    // shingles → identical signatures → collide in every band
+    val texts = (0 until 10).map(i =>
+      s"alpha bravo charlie delta echo foxtrot golf hotel india $i")
+    val dup = ((0 until 10).map(i => (i.toLong, texts(i))) ++
+      (0 until 10).map(i => (i.toLong + 10, texts(i)))).toDF(
+      "doc_id", "text")
+    Seq((8, 2), (8, 4), (6, 3)).foreach { case (perms, nBands) =>
+      val pairs = TextDedup.lshCandidates(dup, perms, nBands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      (0 until 10).foreach { i =>
+        val hit = pairs.find(p => p._1 == i && p._2 == i + 10)
+        assert(hit.nonEmpty, s"($perms,$nBands): missing pair $i")
+        assert(hit.get._3 == nBands,
+          s"identical docs must collide in all $nBands bands")
+      }
+    }
+  }
+
   test("more bands at same perms never loses candidate pairs") {
     // banding theory: rows-per-band shrinks → collision probability
     // rises → the candidate set can only grow
