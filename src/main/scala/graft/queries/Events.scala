@@ -202,6 +202,40 @@ object Events extends QueryModule {
       FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** §2.5 ext — analytic window functions beyond ranking: per-user
+    * lag (seconds since previous event, exact integer µs→s division
+    * avoided — emitted as microsecond longs), lead (next event type),
+    * and first_value (the user's first event type). One shuffle on
+    * user_id shared by all three. */
+  val lagLead: Q = Q(
+    "ev_lag_lead",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      ev(s, dir)
+        .select(
+          col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))).as("micros_since_prev"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          first(col("event_type")).over(wAll).as("first_type"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+             epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+               AS micros_since_prev,
+             lead(event_type, 1) OVER w AS next_type,
+             first_value(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
-    windowAgg, asofJoin, sessionWindow, slidingWindow)
+    windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead)
 }

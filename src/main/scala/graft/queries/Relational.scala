@@ -234,6 +234,33 @@ object Relational extends QueryModule {
     None // sketch internals are engine-specific — rows-only check
   )
 
+  /** §2.4 A5 — explicit GROUPING SETS with grouping_id: the two
+    * single-dimension rollups in one pass (the shape neither ROLLUP nor
+    * CUBE expresses), disambiguating real NULL group keys from
+    * subtotal rows via grouping_id. DataFrame API has rollup/cube only,
+    * so this goes through the SQL face over a temp view. */
+  val groupingSets: Q = Q(
+    "rel_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS n
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY gid, status NULLS FIRST, priority NULLS FIRST""")
+    },
+    Some("""
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+               AS gid,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY gid, status NULLS FIRST, priority NULLS FIRST""")
+  )
+
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
-    distinctAgg, pagination, pivot, sketchAgg)
+    distinctAgg, pagination, pivot, sketchAgg, groupingSets)
 }
