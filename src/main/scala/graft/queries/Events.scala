@@ -236,6 +236,59 @@ object Events extends QueryModule {
       ORDER BY event_id""")
   )
 
+  /** §2.5 ext — distribution window functions: ntile quartiles,
+    * percent_rank, cume_dist over event values per type. All three are
+    * exact small-integer ratios ((rank-1)/(n-1), pos/n) → bit-identical
+    * doubles across engines, so they hash-oracle safely. */
+  val rankStats: Q = Q(
+    "ev_rank_stats",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      ev(s, dir)
+        .select(
+          col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, event_type,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_id""")
+  )
+
+  /** F9–F11 ext — calendar field extraction, with cross-engine
+    * convention alignment: ISO day-of-week is computed explicitly
+    * (Spark `dayofweek` is 1=Sunday, DuckDB `dow` is 0=Sunday;
+    * `isodow`/a shifted formula agree on 1=Monday..7=Sunday). */
+  val timeParts: Q = Q(
+    "ev_time_parts",
+    (s, dir) =>
+      ev(s, dir)
+        .select(
+          col("event_id"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"),
+          hour(col("ts")).as("h"),
+          expr("((dayofweek(ts) + 5) % 7) + 1").as("iso_dow"),
+          weekofyear(col("ts")).as("iso_week"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+             isodow(ts) AS iso_dow,
+             CAST(week(ts) AS INT) AS iso_week
+      FROM events ORDER BY event_id""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
-    windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead)
+    windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
+    rankStats, timeParts)
 }

@@ -16,6 +16,13 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
       SparkEntry.queries.keySet))
   }
 
+  test("every job pipeline references only existing catalog queries") {
+    graft.jobs.Jobs.pipelines.foreach { case (job, qs) =>
+      val missing = qs.filterNot(SparkEntry.queries.contains)
+      assert(missing.isEmpty, s"$job references unknown: $missing")
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
