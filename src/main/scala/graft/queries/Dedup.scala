@@ -168,6 +168,65 @@ object Dedup extends QueryModule {
       FROM bits GROUP BY 1 ORDER BY doc_id""")
   )
 
+  /** SimHash near-dup retrieval at Hamming distance ≤ 1 via the
+    * bit-flip variant join: each doc emits its fingerprint plus the 32
+    * single-bit flips (33 keys), and a pair is within distance 1 iff
+    * one side's variant equals the other side's exact fingerprint.
+    * Cost: 33N join keys, hash-partitioned — the standard trick that
+    * turns Hamming search into equi-joins (generalizes to distance d
+    * by flipping d-subsets). Each ≤1 pair is found by both directions
+    * and (at distance 0) by all 33 variants, so the join is distinct'd
+    * on the pair. */
+  val simhashHamming: Q = Q(
+    "dd_simhash_hamming",
+    (s, dir) => {
+      val fp = graft.operators.TextDedup
+        .simhash(Tables(s, dir, "documents"), 32).persist()
+      val variants = fp.select(col("doc_id"),
+        explode(expr(
+          """array_union(array(simhash),
+             transform(sequence(1, 32), i -> concat(
+               substring(simhash, 1, i-1),
+               CASE WHEN substring(simhash, i, 1) = '0' THEN '1'
+                    ELSE '0' END,
+               substring(simhash, i+1, 32-i))))""")).as("variant"))
+      variants
+        .join(fp.select(col("doc_id").as("doc_b"),
+          col("simhash").as("fp_b")),
+          col("variant") === col("fp_b") && col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        FROM documents),
+      bits AS (
+        SELECT doc_id, b,
+               CASE WHEN sum(CASE WHEN ascii(substr(h, b, 1)) % 2 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM toks, (SELECT unnest(range(1, 33)) AS b)
+        GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+        FROM bits GROUP BY 1),
+      variants AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_append(
+                 list_transform(range(1, 33), i -> substr(simhash, 1, CAST(i AS INT)-1)
+                   || (CASE WHEN substr(simhash, CAST(i AS INT), 1) = '0'
+                            THEN '1' ELSE '0' END)
+                   || substr(simhash, CAST(i AS INT)+1, 32-CAST(i AS INT))),
+                 simhash))) AS variant
+        FROM fp)
+      SELECT DISTINCT v.doc_id AS doc_a, f.doc_id AS doc_b
+      FROM variants v
+      JOIN fp f ON v.variant = f.simhash AND v.doc_id < f.doc_id
+      ORDER BY doc_a, doc_b""")
+  )
+
   /** Embedding near-dup via sign-random-projection (SRP) buckets:
     * 8 md5-derived ±1 hyperplanes → 8 sign bits → bucket; exact cosine
     * only within buckets. Bucketing is one narrow map (native dots
@@ -215,5 +274,6 @@ object Dedup extends QueryModule {
       ORDER BY vec_a, vec_b""")
   )
 
-  def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash, embedSrp)
+  def all: Seq[Q] =
+    Seq(exact, minhashLsh, jaccardVerify, simhash, simhashHamming, embedSrp)
 }
