@@ -84,6 +84,30 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("append mode: late data beyond the 5-day allowance is dropped") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.windowedEventCounts(source.toDF())
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      source.addData(Event(1, ts("2024-01-01 10:10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark 6 days past the first window → it closes
+      source.addData(Event(2, ts("2024-01-07 11:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_test")
+        .as[(Timestamp, String, Long, Long)].collect().toSeq
+      assert(closed == Seq((ts("2024-01-01 10:00:00"), "click", 1L, 100L)))
+      // a row for the closed window, outside the allowance → dropped
+      source.addData(Event(3, ts("2024-01-01 10:20:00"), 7, "click", 9.0))
+      q.processAllAvailable()
+      val after = spark.table("late_test")
+        .as[(Timestamp, String, Long, Long)].collect().toSeq
+      assert(after == closed, "late row must not reopen the window")
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs events with errors in the lookback") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Event]
