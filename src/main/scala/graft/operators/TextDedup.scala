@@ -83,24 +83,26 @@ object TextDedup {
 
   /** SimHash fingerprint per doc: per-bit majority vote over token
     * md5s (bit b = parity of hex char b), assembled into a `bits`-wide
-    * bit-string. Linear: |tokens| × bits exploded rows, one groupBy. */
+    * bit-string.
+    *
+    * One pass: the `bits` votes are `bits` conditional sums inside a
+    * single partial-aggregating groupBy over token rows — not a ×bits
+    * explode (which would shuffle bits× the token count) and not a
+    * second aggregation. At corpus scale the shuffle carries one
+    * `bits`-column partial row per (doc, partition). */
   def simhash(docs: DataFrame, bits: Int = 32,
               idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     require(bits > 0 && bits <= 32, "md5 hex provides 32 positions")
-    docs
+    val toks = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
-      .select(col(idCol), col("h"),
-        explode(expr(s"sequence(1, $bits)")).as("b"))
-      .withColumn("vote",
-        when(ascii(col("h").substr(col("b"), lit(1))) % 2 === 1, 1)
-          .otherwise(-1))
-      .groupBy(idCol, "b")
-      .agg(sum("vote").as("v"))
-      .withColumn("bit", when(col("v") > 0, "1").otherwise("0"))
-      .groupBy(idCol)
-      .agg(concat_ws("", array_sort(collect_list(struct(col("b"),
-        col("bit"))))("bit")).as("simhash"))
+    val votes = (1 to bits).map(b =>
+      sum(when(ascii(col("h").substr(b, 1)) % 2 === 1, 1).otherwise(-1))
+        .as(s"__v$b"))
+    toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        concat((1 to bits).map(b =>
+          when(col(s"__v$b") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 }
