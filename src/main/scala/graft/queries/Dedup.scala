@@ -274,6 +274,36 @@ object Dedup extends QueryModule {
       ORDER BY vec_a, vec_b""")
   )
 
-  def all: Seq[Q] =
-    Seq(exact, minhashLsh, jaccardVerify, simhash, simhashHamming, embedSrp)
+  /** Duplicate-cluster resolution: connected components over the LSH
+    * candidate-pair graph (operators.ConnectedComponents min-label
+    * propagation), labeling every clustered doc with its component's
+    * minimum doc id — the representative a keep-one dedup policy
+    * retains. The DuckDB oracle derives the identical fixpoint with a
+    * recursive transitive-closure CTE. */
+  val dupClusters: Q = Q(
+    "dd_dup_clusters",
+    (s, dir) => {
+      val cand = graft.operators.TextDedup.lshCandidates(
+        Tables(s, dir, "documents"), numPerms = 8, nBands = 2)
+      graft.operators.ConnectedComponents
+        .minLabel(cand, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSql, $sigSql, $candSql,
+      bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+        WHERE e.b <> r.a)
+      SELECT a AS doc_id, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
+    simhashHamming, embedSrp, dupClusters)
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+
+/** Min-label propagation: known component structures, multi-round
+  * convergence on a chain longer than one hop. */
+class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.minLabel(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two components resolve to their minimum ids") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("a long chain converges across multiple rounds") {
+    // 0-1-2-...-9: min label must travel the whole diameter
+    val got = cc((0L until 9L).map(i => (i, i + 1)))
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("a cycle plus a bridge forms one component") {
+    val got = cc(Seq((4L, 5L), (5L, 6L), (6L, 4L), (6L, 9L)))
+    assert(got.values.toSet == Set(4L))
+    assert(got.keySet == Set(4L, 5L, 6L, 9L))
+  }
+}
