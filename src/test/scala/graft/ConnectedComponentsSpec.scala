@@ -30,4 +30,14 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
     assert(got.values.toSet == Set(4L))
     assert(got.keySet == Set(4L, 5L, 6L, 9L))
   }
+
+  test("non-convergence within maxIters fails loudly, never silently") {
+    // A 10-node chain needs ~9 propagation rounds; maxIters=2 cannot
+    // reach the fixpoint and must throw, not return partial labels.
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.minLabel(edges, "a", "b", maxIters = 2).collect()
+    }
+    assert(ex.getMessage.contains("no fixpoint"))
+  }
 }
