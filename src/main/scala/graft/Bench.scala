@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness: every catalog query timed as the median of
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) back-to-back runs, cache
+  * cleared before each run. Single-shot timings proved unable to
+  * arbitrate regressions — r4 saw ±13s swings on unchanged code — so
+  * the median is the reported number. A query that throws is reported
+  * with value -1 and its message in the `errors` map rather than
+  * silently recording a fast time.
+  */
 object Bench {
+  private def jsonStr(s: String): String =
+    "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,18 +29,40 @@ object Bench {
     // timed query isn't charged for session warm-up
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.sources.Tables(spark, sfDir, "region").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // drop persisted intermediates between queries: cache reuse
-      // across queries would make per-query times order-dependent
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // optional args = subset of query names, for local iteration on one
+    // query without paying for the whole catalog
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else args.toSeq.map(n => n -> SparkEntry.queries(n))
+    val results = selected.map { case (name, fn) =>
+      var err: Option[String] = None
+      val times = Seq.newBuilder[Double]
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        // drop persisted intermediates between runs: cache reuse would
+        // make repeated runs (and query order) non-independent
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable => err = Some(
+            e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(160))
+        }
+        r += 1
+      }
+      val ts = times.result().sorted
+      val median = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
+      (name, median, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) => jsonStr(k) + ":" + jsonStr(m) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,29 +3,56 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the
-  * cluster-resolution step that turns near-dup candidate PAIRS into
+/** Connected components by min-label propagation with pointer doubling —
+  * the cluster-resolution step that turns near-dup candidate PAIRS into
   * duplicate GROUPS (keep one representative per component).
   *
   * Each node converges to the minimum doc id reachable from it, a
   * unique fixpoint independent of iteration order — deterministic and
   * replayable by a recursive-CTE oracle.
   *
-  * Scale shape: the driver loop runs diameter-many rounds (near-dup
-  * clusters are shallow — usually 2–3); each round is ONE distributed
-  * action: an edge⋈label join unioned with the labels themselves and
-  * reduced by a single min-aggregation that carries both the new label
-  * and the node's previous label. The convergence probe then scans the
-  * checkpointed blocks of that round (no plan re-execution, no second
-  * join — r3's probe re-ran the propagation join every round). This is
-  * the legitimate use of driver-side iteration: coordination only, all
-  * data movement stays distributed. Each round's labels are
+  * Scale shape: plain min-label propagation needs O(diameter) rounds —
+  * a long chain of ids ordered against the propagation direction pays
+  * one round per hop. Each round here therefore folds TWO label sources
+  * into the min-aggregation:
+  *
+  *   - neighbor labels (edge ⋈ label join) — moves a label 1 hop, and
+  *   - the label's own label (label ⋈ label self-join on label = id,
+  *     "pointer doubling") — jumps a label chain of length 2^k to
+  *     2^(k+1) in one round.
+  *
+  * The doubling term makes the round count O(log diameter): on a
+  * worst-case path the labelled prefix doubles every round instead of
+  * growing by one. Both joins are plan-level invariants: labels are
+  * always ids of reachable nodes (min over reachable ids, init = self),
+  * so the self-join key always resolves and the fixpoint — labels
+  * constant per component, equal to the component min — is unchanged
+  * from the propagation-only variant, which is what the DuckDB
+  * recursive-CTE oracle replays.
+  *
+  * This is the legitimate use of driver-side iteration: coordination
+  * only, all data movement stays distributed. Each round's labels are
   * localCheckpoint'ed — persist alone is NOT enough: the logical plan
-  * would still nest two copies of the previous round's plan, growing
-  * exponentially with iterations until analysis itself OOMs; the
-  * checkpoint truncates lineage to the materialized result.
+  * would still nest copies of the previous round's plan (and pointer
+  * doubling would square it), growing until analysis itself OOMs; the
+  * checkpoint truncates lineage to the materialized result. The
+  * previous round's checkpointed blocks are unpersisted as soon as the
+  * next round is materialized, so executor storage holds at most two
+  * rounds of labels regardless of iteration count.
   */
 object ConnectedComponents {
+
+  /** Release a localCheckpoint'ed round's storage blocks.
+    * `Dataset.unpersist` only evicts cache-manager entries, and
+    * localCheckpoint blocks live at the RDD layer behind the plan's
+    * `LogicalRDD` leaf — unpersist that RDD or the blocks linger until
+    * GC-driven cleanup. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** (id, cluster) for every node in `edges`, cluster = min reachable
     * id. `edges` is undirected input given as (aCol, bCol) pairs.
@@ -35,26 +62,43 @@ object ConnectedComponents {
     * labels would be a wrong answer with no signal. */
   def minLabel(edges: DataFrame, aCol: String, bCol: String,
                maxIters: Int = 50): DataFrame = {
-    val bidir = edges
+    require(maxIters > 0,
+      s"ConnectedComponents.minLabel: maxIters must be positive, got $maxIters")
+    // Materialize the caller's edge lineage ONCE before mirroring it:
+    // a plain union of two selects over `edges` would evaluate the
+    // (possibly expensive — e.g. LSH candidate generation) upstream
+    // plan once per branch. The eager checkpoint pays it a single time
+    // and both union branches read the materialized blocks.
+    val fwd = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    val bidir = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    var prev = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // Neighbor labels and the node's own (id, label) row flow into one
-      // min-aggregation: min over all rows = new label; the is_self row
+      // Three label sources flow into one min-aggregation: neighbor
+      // labels (1-hop propagation), the label's own label (pointer
+      // doubling), and the node's own (id, label) row. The is_self row
       // (exactly one per id — labels' ids are bidir's distinct srcs)
       // resurfaces the previous label so `changed` needs no extra join.
       val fromNeighbors = bidir
         .join(labels, bidir("dst") === labels("id"))
         .select(bidir("src").as("id"), col("label"),
           lit(false).as("is_self"))
+      val lbl = labels.select(col("id").as("l_id"), col("label").as("l_label"))
+      val fromPointer = labels
+        .join(lbl, labels("label") === col("l_id"))
+        .select(labels("id"), col("l_label").as("label"),
+          lit(false).as("is_self"))
       val next = fromNeighbors
+        .union(fromPointer)
         .union(labels.select(col("id"), col("label"),
           lit(true).as("is_self")))
         .groupBy("id")
@@ -64,10 +108,18 @@ object ConnectedComponents {
         .localCheckpoint()
       // Scans the blocks just materialized by localCheckpoint — cheap.
       converged = next.filter(col("__changed")).isEmpty
+      // Previous round's checkpointed blocks are no longer reachable
+      // from any live plan — release them (ADVICE r4). The final
+      // round's blocks stay: the returned plan reads them.
+      releaseCheckpoint(prev)
+      prev = next
       labels = next.select("id", "label")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter converged=$converged")
     }
     bidir.unpersist()
+    releaseCheckpoint(fwd)
     if (!converged) throw new IllegalStateException(
       s"ConnectedComponents.minLabel: no fixpoint after $maxIters rounds" +
         " — labels would be silently wrong; raise maxIters")
