@@ -1,34 +1,144 @@
 package graft.jobs
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.SparkEntry
+import graft.sources.Tables
 
 /** Job layer — SURVEY.md §2.1 S8 + §3: the reference's three entry
   * points (`JOB` env selects `upload_advisors`, `upload_recent_refresh`,
   * `upload_snapshot`; jonesy.py:13-16, jonesy/jobs.py:28-65), each a
-  * named pipeline of (query → sink) pairs over the shared catalog.
+  * pipeline of (query → sink) pairs over the shared catalog.
+  *
+  * The refresh and snapshot jobs are TERM-PARAMETERIZED: the reference
+  * loops `for term_id in self.get_current_term_ids()` and writes one
+  * key per (extract, term) — `…/courses/courses-{term_id}.gz`
+  * (jonesy/jobs.py:41-62). Here the same shape: current terms are
+  * resolved once per run by collecting the `ref_current_terms` result
+  * (≤3 rows — planning-class driver work, the reference does the same
+  * round-trip in get_current_term_ids, jobs.py:71-74), then each
+  * per-term extract runs as its own Spark plan with the term's month
+  * bounds pushed to the parquet scan as a range predicate.
   *
   * Unknown job → message and no-op, not an exception
   * (reference: jonesy/jobs.py:64-65 semantics preserved).
   */
 object Jobs {
 
-  /** Which catalog queries each job extracts. Mirrors §3: advisors =
-    * the advisor projections + greatest-per-group relationship extract;
-    * recent refresh = the watermark/CDC incrementals; snapshot = the
-    * full-extract set driven by current-term resolution. */
+  /** A term-parameterized extract: (spark, dataDir, termId "yyyyMM"). */
+  type TermQuery = (SparkSession, String, String) => DataFrame
+
+  /** Flat (term-independent) queries per job. Mirrors §3: advisors =
+    * the advisor projections + greatest-per-group relationship extract
+    * (jobs.py:30-38); snapshot additionally uploads the full
+    * basic-attributes extract before its per-term loop (jobs.py:51-54). */
   val pipelines: Map[String, Seq[String]] = Map(
     "upload_advisors" -> Seq(
       "ref_advisor_notes", "ref_latest_order_per_customer"),
-    "upload_recent_refresh" -> Seq(
-      "ev_watermark", "ev_cdc_filter", "ref_conditional_join"),
-    "upload_snapshot" -> Seq(
-      "ref_current_terms", "ref_basic_attributes", "ref_term_courses",
-      "ref_full_names", "ref_meeting_days"))
+    "upload_recent_refresh" -> Seq.empty,
+    "upload_snapshot" -> Seq("ref_basic_attributes"))
 
-  /** Run one job: every query in its pipeline is written gzip-CSV to
-    * each target under the md5-dated daily key. Returns
+  /** Per-term extracts per job, keyed by the reference's key-group name
+    * (jobs.py:41-62: refresh = instructor/enrollment updates since the
+    * recency cutoff; snapshot = full courses/enrollments per term). */
+  val perTermPipelines: Map[String, Seq[(String, TermQuery)]] = Map(
+    "upload_recent_refresh" -> Seq(
+      "instructor-updates" -> (recentInstructorUpdates _),
+      "enrollment-updates" -> (recentEnrollmentUpdates _)),
+    "upload_snapshot" -> Seq(
+      "courses" -> (termCourses _),
+      "enrollments" -> (termEnrollments _)))
+
+  /** Current term ids as yyyyMM, from the catalog's current-term
+    * resolution query (reference: jobs.py:71-74). The collect is ≤3
+    * rows by construction (`ref_current_terms` is LIMIT 3). */
+  def currentTermIds(spark: SparkSession, sfDir: String): Seq[String] =
+    SparkEntry.queries("ref_current_terms")(spark, sfDir)
+      .select(date_format(col("term_begin"), "yyyyMM").as("term_id"))
+      .collect().map(_.getString(0)).toSeq
+
+  /** [start, end) month bounds for a yyyyMM term id — literal
+    * timestamps so the term filter reaches the parquet scan as a
+    * pushable range predicate instead of a date_trunc expression. */
+  private def monthBounds(termId: String) = {
+    val ym = java.time.YearMonth.parse(termId,
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMM"))
+    (lit(ym.atDay(1).toString).cast("timestamp"),
+      lit(ym.plusMonths(1).atDay(1).toString).cast("timestamp"))
+  }
+
+  /** Snapshot per-term enrollments — orders whose order month is the
+    * term (reference get_term_enrollments, queries.py via jobs.py:60-62). */
+  def termEnrollments(s: SparkSession, dir: String, termId: String): DataFrame = {
+    val (lo, hi) = monthBounds(termId)
+    Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey").as("enrollment_id"),
+        col("o_custkey").as("ldap_uid"),
+        col("o_orderstatus").as("enrollment_status"),
+        col("o_orderdate").as("enrolled_at"))
+      .orderBy("enrollment_id")
+  }
+
+  /** Snapshot per-term courses — the distinct parts ordered in the
+    * term, with catalog metadata (reference get_term_courses,
+    * jobs.py:56-58). Fact-fact join shuffles once on the order key;
+    * the small distinct part-key set then broadcast-joins to `part`. */
+  def termCourses(s: SparkSession, dir: String, termId: String): DataFrame = {
+    val (lo, hi) = monthBounds(termId)
+    val termOrders = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey")
+    val partKeys = Tables(s, dir, "lineitem")
+      .join(termOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey")).distinct()
+    Tables(s, dir, "part")
+      .join(partKeys, col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey").as("course_id"),
+        trim(col("p_name")).as("course_title"),
+        col("p_brand").as("catalog_nbr"),
+        col("p_type").as("course_type"))
+      .orderBy("course_id")
+  }
+
+  /** Refresh per-term instructor updates — events in the term month
+    * inside the 5-day recency window (reference
+    * get_recent_instructor_updates: term filter + last_updated >=
+    * cutoff, via jobs.py:40-45; recency anchored to max(ts) so the
+    * extract is deterministic, as in `ev_watermark`). */
+  def recentInstructorUpdates(s: SparkSession, dir: String, termId: String): DataFrame = {
+    val (lo, hi) = monthBounds(termId)
+    val e = Tables(s, dir, "events")
+    val cutoff = e.agg(max("ts").as("max_ts"))
+    e.filter(col("ts") >= lo && col("ts") < hi)
+      .join(broadcast(cutoff))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 5 DAYS"))
+      .select(col("event_id"), col("user_id").as("instructor_uid"),
+        col("ts").as("last_updated"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** Refresh per-term enrollment updates — term orders inside the
+    * 5-day recency window (reference get_recent_enrollment_updates via
+    * jobs.py:46-49), anchored to max(o_orderdate). */
+  def recentEnrollmentUpdates(s: SparkSession, dir: String, termId: String): DataFrame = {
+    val (lo, hi) = monthBounds(termId)
+    val o = Tables(s, dir, "orders")
+    val cutoff = o.agg(max("o_orderdate").as("max_date"))
+    o.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(broadcast(cutoff))
+      .filter(col("o_orderdate") >= col("max_date") - expr("INTERVAL 5 DAYS"))
+      .select(col("o_orderkey").as("enrollment_id"),
+        col("o_custkey").as("ldap_uid"),
+        col("o_orderdate").as("last_updated"))
+      .orderBy("enrollment_id")
+  }
+
+  /** Run one job: every flat query in its pipeline, then every
+    * (per-term extract × current term), each written gzip-CSV to each
+    * target under the md5-dated daily key (per-term keys
+    * `{group}/{group}-{termId}.gz`, reference jobs.py:41-62). Returns
     * (query, target, ok) rows; empty for an unknown job. */
   def run(job: String, spark: SparkSession, sfDir: String,
           targets: Seq[String], isoDate: String)
@@ -39,11 +149,23 @@ object Jobs {
           s"[jobs] unknown job '$job' — known: ${pipelines.keys.mkString(", ")}")
         Seq.empty
       case Some(queryNames) =>
-        for {
+        val flat = for {
           name <- queryNames
           df = SparkEntry.queries(name)(spark, sfDir)
           (target, ok) <- Sinks.fanOut(df, targets,
             Sinks.dailyKey(isoDate, name))
         } yield (name, target, ok)
+        val termQueries = perTermPipelines.getOrElse(job, Seq.empty)
+        val terms =
+          if (termQueries.nonEmpty) currentTermIds(spark, sfDir)
+          else Seq.empty
+        val perTerm = for {
+          term <- terms
+          (group, q) <- termQueries
+          df = q(spark, sfDir, term)
+          (target, ok) <- Sinks.fanOut(df, targets,
+            Sinks.termKey(isoDate, group, term))
+        } yield (s"$group-$term", target, ok)
+        flat ++ perTerm
     }
 }

@@ -75,4 +75,10 @@ object Sinks {
     * (reference: jonesy/jobs.py:145-148). */
   def dailyKey(isoDate: String, queryName: String): String =
     s"${Fns.dailyPath(isoDate)}/$queryName.gz"
+
+  /** S7/S8 — per-term key under the daily prefix:
+    * `{group}/{group}-{termId}.gz`, the reference's term-parameterized
+    * upload shape (jonesy/jobs.py:44,48,58,62). */
+  def termKey(isoDate: String, group: String, termId: String): String =
+    s"${Fns.dailyPath(isoDate)}/$group/$group-$termId.gz"
 }

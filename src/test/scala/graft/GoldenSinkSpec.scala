@@ -27,4 +27,13 @@ class GoldenSinkSpec extends AnyFunSuite with SharedSpark {
     val (a, b) = (partBytes(s"$base/a"), partBytes(s"$base/b"))
     assert(a.nonEmpty && java.util.Arrays.equals(a, b))
   }
+
+  test("term-parameterized extract is byte-identical across runs") {
+    val base = Files.createTempDirectory("golden_term").toString
+    val term = graft.jobs.Jobs.currentTermIds(spark, sf).head
+    Sinks.gzipCsv(graft.jobs.Jobs.termEnrollments(spark, sf, term), s"$base/a")
+    Sinks.gzipCsv(graft.jobs.Jobs.termEnrollments(spark, sf, term), s"$base/b")
+    val (a, b) = (partBytes(s"$base/a"), partBytes(s"$base/b"))
+    assert(a.nonEmpty && java.util.Arrays.equals(a, b))
+  }
 }

@@ -73,4 +73,33 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     assert(new java.io.File(s"$dir/t1/$key").isDirectory ||
       new java.io.File(s"$dir/t1/$key").exists())
   }
+
+  test("upload_snapshot fans out per current term (jobs.py:55-62)") {
+    val dir = Files.createTempDirectory("jobs_term_spec").toString
+    val res = Jobs.run("upload_snapshot", spark, sf,
+      Seq(s"$dir/t1"), "2024-01-01")
+    assert(res.forall(_._3), s"all uploads succeed: $res")
+    val terms = Jobs.currentTermIds(spark, sf)
+    assert(terms.nonEmpty && terms.size <= 3)
+    // flat basic-attributes upload plus one key per (group, term)
+    assert(res.map(_._1).toSet ==
+      Set("ref_basic_attributes") ++
+        terms.flatMap(t => Seq(s"courses-$t", s"enrollments-$t")))
+    for (t <- terms; g <- Seq("courses", "enrollments")) {
+      val key = Sinks.termKey("2024-01-01", g, t)
+      assert(key.endsWith(s"$g/$g-$t.gz"), key)
+      assert(new java.io.File(s"$dir/t1/$key").exists(), key)
+    }
+  }
+
+  test("upload_recent_refresh is per-term only (jobs.py:39-49)") {
+    val dir = Files.createTempDirectory("jobs_refresh_spec").toString
+    val res = Jobs.run("upload_recent_refresh", spark, sf,
+      Seq(s"$dir/t1"), "2024-01-01")
+    val terms = Jobs.currentTermIds(spark, sf)
+    assert(res.size == terms.size * 2, s"2 extracts per term: $res")
+    assert(res.map(_._1).forall(n =>
+      n.startsWith("instructor-updates-") ||
+        n.startsWith("enrollment-updates-")))
+  }
 }
