@@ -45,14 +45,17 @@ object Ann {
   def topkSrp(s: SparkSession, corpus: DataFrame, queryIds: DataFrame,
               k: Int, nPlanes: Int, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val bucketed = Srp.withBucket(s, corpus, nPlanes).persist()
+    // bucketed feeds both the query lookup and the probe join —
+    // materialized once, released as soon as the (k·|Q|)-row result is
+    // itself materialized (CacheScope.eval) so no blocks outlive the call
+    val bucketed = Srp.withBucket(s, corpus, nPlanes).localCheckpoint()
     val queries = bucketed.join(queryIds, idCol)
       .select(col(idCol).as("q_id"), col("bucket").as("q_bucket"),
         col(vecCol).as("q_emb"))
-    rank(
+    CacheScope.eval(rank(
       bucketed.join(broadcast(queries),
           col("bucket") === col("q_bucket") && col(idCol) =!= col("q_id"))
         .withColumn("cosine", VectorFns.cosineNative(s, "q_emb", vecCol)),
-      k, idCol)
+      k, idCol))(bucketed)
   }
 }

@@ -42,17 +42,8 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Release a localCheckpoint'ed round's storage blocks.
-    * `Dataset.unpersist` only evicts cache-manager entries, and
-    * localCheckpoint blocks live at the RDD layer behind the plan's
-    * `LogicalRDD` leaf — unpersist that RDD or the blocks linger until
-    * GC-driven cleanup. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    CacheScope.releaseCheckpoint(df)
 
   /** (id, cluster) for every node in `edges`, cluster = min reachable
     * id. `edges` is undirected input given as (aCol, bCol) pairs.

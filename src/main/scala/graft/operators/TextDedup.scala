@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Parameterized text near-dup primitives — MinHash+LSH and SimHash —
@@ -58,13 +58,15 @@ object TextDedup {
   }
 
   /** Candidate pairs from band-bucket collisions (a < b), with the
-    * number of colliding bands. Persists the band table — the
-    * self-join would recompute the whole lineage per side. */
+    * number of colliding bands. `bandDf` feeds BOTH sides of the
+    * self-join — pass it persisted or checkpointed (as
+    * [[lshCandidates]] does) or its whole upstream lineage is computed
+    * once per side. No caching happens here, so callers own the blocks'
+    * lifetime. */
   def candidates(bandDf: DataFrame,
                  idCol: String = "doc_id"): DataFrame = {
-    val b = bandDf.persist()
-    val l = b.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
-    val r = b.select(col(idCol).as("doc_b"),
+    val l = bandDf.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
+    val r = bandDf.select(col(idCol).as("doc_b"),
       col("band").as("band_b"), col("bucket").as("bucket_b"))
     l.join(r,
         col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
@@ -73,13 +75,17 @@ object TextDedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
-  /** End-to-end LSH candidates from raw documents. */
+  /** End-to-end LSH candidates from raw documents. The band table is
+    * materialized once (eager checkpoint) for the self-join, released
+    * as soon as the candidate pairs — Σ bucket² bounded — are
+    * themselves materialized. */
   def lshCandidates(docs: DataFrame, numPerms: Int, nBands: Int,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
-    candidates(
-      bands(signatures(shingles(docs, idCol, textCol), numPerms, idCol),
-        numPerms, nBands, idCol), idCol)
+                    textCol: String = "text"): DataFrame = {
+    val bd = bands(signatures(shingles(docs, idCol, textCol), numPerms, idCol),
+      numPerms, nBands, idCol).localCheckpoint()
+    CacheScope.eval(candidates(bd, idCol))(bd)
+  }
 
   /** SimHash fingerprint per doc: per-bit majority vote over token
     * md5s (bit b = parity of hex char b), assembled into a `bits`-wide
@@ -92,7 +98,20 @@ object TextDedup {
     * `bits`-column partial row per (doc, partition). */
   def simhash(docs: DataFrame, bits: Int = 32,
               idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text"): DataFrame =
+    simhashInt(docs, bits, idCol, textCol)
+      .select(col(idCol), renderBits(col("simhash_int"), bits).as("simhash"))
+
+  /** SimHash packed into a LONG (`simhash_int`, bit 1 of the
+    * fingerprint = most significant of the low `bits`) — the shuffle-
+    * and join-friendly representation: Hamming-neighbor retrieval joins
+    * on 8-byte keys and generates bit-flip variants by XOR instead of
+    * shuffling `bits`-char strings (~8× fewer shuffle bytes at 32
+    * bits). [[renderBits]] recovers the exact bit-string of [[simhash]]
+    * at the oracle/display boundary. */
+  def simhashInt(docs: DataFrame, bits: Int = 32,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
     require(bits > 0 && bits <= 32, "md5 hex provides 32 positions")
     val toks = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
@@ -102,7 +121,13 @@ object TextDedup {
         .as(s"__v$b"))
     toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        concat((1 to bits).map(b =>
-          when(col(s"__v$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+        (1 to bits).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << (bits - b))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash_int"))
   }
+
+  /** Bit-string rendering of a packed fingerprint, identical to the
+    * string [[simhash]] builds: bit 1 first. */
+  def renderBits(fp: Column, bits: Int): Column =
+    lpad(bin(fp), bits, "0")
 }

@@ -96,12 +96,12 @@ object Dedup extends QueryModule {
       // One persisted shingle table feeds sizes, signatures→candidates,
       // and both sides of the intersection count — one computed lineage
       // instead of four scans (ADVICE r2).
-      import graft.operators.TextDedup
+      import graft.operators.{CacheScope, TextDedup}
       val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cand = TextDedup.candidates(
-        TextDedup.bands(TextDedup.signatures(sh, 8), 8, 2))
-        .select("doc_a", "doc_b")
+      val bd = TextDedup.bands(TextDedup.signatures(sh, 8), 8, 2)
+        .localCheckpoint()
+      val cand = TextDedup.candidates(bd).select("doc_a", "doc_b")
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"),
@@ -113,7 +113,7 @@ object Dedup extends QueryModule {
       // DuckDB produce bit-identical doubles, so no decimal cast and the
       // >= 0.5 filter applies to the same raw value on both sides
       // (ADVICE r2: never round/cast differently from the oracle).
-      inter
+      val result = inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
           "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
@@ -124,6 +124,7 @@ object Dedup extends QueryModule {
             (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
+      CacheScope.eval(result)(sh, bd)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
@@ -174,29 +175,31 @@ object Dedup extends QueryModule {
     * one side's variant equals the other side's exact fingerprint.
     * Cost: 33N join keys, hash-partitioned — the standard trick that
     * turns Hamming search into equi-joins (generalizes to distance d
-    * by flipping d-subsets). Each ≤1 pair is found by both directions
-    * and (at distance 0) by all 33 variants, so the join is distinct'd
-    * on the pair. */
+    * by flipping d-subsets). Fingerprints stay PACKED as longs end to
+    * end: variants are XORs of single-bit masks and the join keys are
+    * 8-byte ints, ~8× fewer shuffle bytes than the equivalent 32-char
+    * bit-strings (which exist only in the oracle's replay). Each ≤1
+    * pair is found by both directions and (at distance 0) by all 33
+    * variants, so the join is distinct'd on the pair. */
   val simhashHamming: Q = Q(
     "dd_simhash_hamming",
     (s, dir) => {
+      import graft.operators.CacheScope
       val fp = graft.operators.TextDedup
-        .simhash(Tables(s, dir, "documents"), 32).persist()
+        .simhashInt(Tables(s, dir, "documents"), 32).localCheckpoint()
       val variants = fp.select(col("doc_id"),
         explode(expr(
-          """array_union(array(simhash),
-             transform(sequence(1, 32), i -> concat(
-               substring(simhash, 1, i-1),
-               CASE WHEN substring(simhash, i, 1) = '0' THEN '1'
-                    ELSE '0' END,
-               substring(simhash, i+1, 32-i))))""")).as("variant"))
-      variants
+          """concat(array(simhash_int),
+             transform(sequence(1, 32),
+               i -> simhash_int ^ shiftleft(1L, 32 - i)))""")).as("variant"))
+      val result = variants
         .join(fp.select(col("doc_id").as("doc_b"),
-          col("simhash").as("fp_b")),
+          col("simhash_int").as("fp_b")),
           col("variant") === col("fp_b") && col("doc_id") < col("doc_b"))
         .select(col("doc_id").as("doc_a"), col("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
+      CacheScope.eval(result)(fp)
     },
     Some("""
       WITH toks AS (
@@ -241,22 +244,23 @@ object Dedup extends QueryModule {
   val embedSrp: Q = Q(
     "dd_embed_srp",
     (s, dir) => {
-      import graft.operators.Srp
-      // Persisted: the bucket self-join would otherwise recompute the
-      // projection lineage for each side.
+      import graft.operators.{CacheScope, Srp}
+      // Materialized once: the bucket self-join would otherwise
+      // recompute the projection lineage for each side.
       val withVec = Srp.withBucket(s, Tables(s, dir, "embeddings"), 8)
-        .persist()
+        .localCheckpoint()
       val a = withVec.select(col("vec_id").as("vec_a"),
         col("bucket"), col("embedding").as("ea"))
       val b = withVec.select(col("vec_id").as("vec_b"),
         col("bucket").as("bucket_b"), col("embedding").as("eb"))
-      a.join(b, col("bucket") === col("bucket_b") &&
+      val result = a.join(b, col("bucket") === col("bucket_b") &&
           col("vec_a") < col("vec_b"))
         .withColumn("cosine",
           graft.functions.VectorFns.cosineNative(s, "ea", "eb"))
         .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
         .filter(col("cosine") >= 0.15)
         .orderBy("vec_a", "vec_b")
+      CacheScope.eval(result)(withVec)
     },
     Some(s"""
       WITH ${graft.operators.Srp.duckCoefCte(8)},
@@ -285,8 +289,13 @@ object Dedup extends QueryModule {
     (s, dir) => {
       val cand = graft.operators.TextDedup.lshCandidates(
         Tables(s, dir, "documents"), numPerms = 8, nBands = 2)
-      graft.operators.ConnectedComponents
+      // minLabel runs its loop eagerly (materialized edge table +
+      // per-round checkpoints), so cand's blocks are releasable as soon
+      // as it returns.
+      val labels = graft.operators.ConnectedComponents
         .minLabel(cand, "doc_a", "doc_b")
+      graft.operators.CacheScope.releaseCheckpoint(cand)
+      labels
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     },

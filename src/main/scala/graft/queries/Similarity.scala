@@ -136,13 +136,13 @@ object Similarity extends QueryModule {
         .withColumn("cell",
           -array_max(array(cellStructs.toIndexedSeq: _*))("nid"))
         .select(col("vec_id"), col("embedding"), col("cell"))
-        .persist()
+        .localCheckpoint()
       val queries = assigned.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
           col("embedding").as("q_emb"))
       val wRank = Window.partitionBy("q_id")
         .orderBy(col("cosine").desc, col("vec_id").asc)
-      assigned
+      val result = assigned
         .join(broadcast(queries),
           col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
         .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
@@ -150,6 +150,7 @@ object Similarity extends QueryModule {
         .filter(col("rank") <= K)
         .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
         .orderBy("q_id", "rank")
+      graft.operators.CacheScope.eval(result)(assigned)
     },
     Some(s"""
       WITH cents AS (
