@@ -4,13 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** The engine's production entrypoint — the reference's CLI contract
   * (jonesy.py:13-16): `JOB` selects the pipeline, `TARGETS` is the
-  * comma-separated sink list, layered env supplies config. A user of
-  * the reference runs `spark-submit --class graft.Main` with the same
-  * environment instead of `python jonesy.py`.
+  * comma-separated sink list, layered config supplies everything else
+  * (`.env.shared` < `.env.secret` < process env — [[Config]],
+  * reference jonesy.py:7-11). A user of the reference runs
+  * `spark-submit --class graft.Main` with the same environment instead
+  * of `python jonesy.py`.
   *
-  * Env: JOB (required), TARGETS (required, comma-separated),
+  * Config keys: JOB (required), TARGETS (required, comma-separated),
   * GRAFT_SF_DIR (data root), GRAFT_DATE (ISO date for the daily path;
-  * defaults to today UTC).
+  * defaults to today UTC). GRAFT_ENV_DIR (process env only) points at
+  * the directory holding the dotenv files, default `.`.
   */
 object Main {
 
@@ -21,12 +24,15 @@ object Main {
     jobs.Jobs.run(job, spark, sfDir, targets, isoDate)
 
   def main(args: Array[String]): Unit = {
-    val job = sys.env.getOrElse("JOB",
-      { System.err.println("JOB env var is required"); return })
-    val targets = sys.env.get("TARGETS").map(_.split(",").toSeq)
-      .getOrElse { System.err.println("TARGETS env var is required"); return }
-    val sfDir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val date = sys.env.getOrElse("GRAFT_DATE",
+    val config = Config.load(sys.env.getOrElse("GRAFT_ENV_DIR", "."))
+    val job = config.getOrElse("JOB",
+      { System.err.println("JOB is required (env or .env files)"); return })
+    val targets = config.get("TARGETS").map(_.split(",").toSeq)
+      .getOrElse {
+        System.err.println("TARGETS is required (env or .env files)"); return
+      }
+    val sfDir = config.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val date = config.getOrElse("GRAFT_DATE",
       java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
     val spark = SparkSession.builder()
       .appName(s"graft-$job")

@@ -76,7 +76,11 @@ object ReferencePorts extends QueryModule {
   // term → MAX term below it → terms >= that, rownum <= 3).
   // Terms ≈ distinct order months. Scalars are computed as 1-row
   // aggregates and attached with a broadcast cross-join, so the plan has
-  // no driver round-trip and stays a single DAG at any scale.
+  // no driver round-trip. The distinct term table feeds THREE consumers
+  // (minFuture, current, the final filter) — materialized once (months
+  // are a bounded-tiny set at any corpus size) so the plan scans and
+  // shuffles `orders` exactly once instead of once per consumer, and
+  // released as soon as the 3-row result is itself materialized.
   // --------------------------------------------------------------------
   val currentTerms: Q = Q(
     "ref_current_terms",
@@ -84,6 +88,7 @@ object ReferencePorts extends QueryModule {
       val terms = t(s, dir, "orders")
         .select(date_trunc("month", col("o_orderdate")).as("term_begin"))
         .distinct()
+        .localCheckpoint()
       val pivot = lit("2000-06-15").cast("timestamp")
       val minFuture = terms.filter(col("term_begin") > pivot)
         .agg(min("term_begin").as("min_future"))
@@ -91,12 +96,13 @@ object ReferencePorts extends QueryModule {
         .join(broadcast(minFuture))
         .filter(col("term_begin") < col("min_future"))
         .agg(max("term_begin").as("current_term"))
-      terms
+      val result = terms
         .join(broadcast(current))
         .filter(col("term_begin") >= col("current_term"))
         .select(col("term_begin"))
         .orderBy("term_begin")
         .limit(3)
+      graft.operators.CacheScope.eval(result)(terms)
     },
     Some("""WITH terms AS (
               SELECT DISTINCT date_trunc('month', o_orderdate) AS term_begin

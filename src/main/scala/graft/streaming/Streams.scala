@@ -49,15 +49,23 @@ object Streams {
 
   /** Custom state — sessionization with `flatMapGroupsWithState`
     * (SURVEY.md §2.12 / builder mandate: KeyValueGroupedDataset state
-    * ops). A session closes when the state times out (no events for the
-    * gap) and is emitted downstream. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
+    * ops). EVENT-time semantics, matching the reference's 5-day
+    * lookback contract: a session closes when the WATERMARK passes its
+    * last event + gap — wall-clock stalls don't close sessions, and a
+    * late out-of-order event inside `allowedLateness` still merges
+    * into its open session. The per-group iterator is folded in one
+    * pass (count + min/max), never materialized — a hot key's whole
+    * micro-batch group on the heap is the scale failure mode. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 allowedLateness: String = "5 days")
       : Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
     events
+      .withWatermark("ts", allowedLateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event],
          state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
@@ -66,17 +74,30 @@ object Streams {
             Iterator(Session(userId, s.n, new Timestamp(s.first),
               new Timestamp(s.last)))
           } else {
-            val events = rows.toSeq
-            val lo = events.map(_.ts.getTime).min
-            val hi = events.map(_.ts.getTime).max
-            val next = state.getOption match {
-              case Some(s) => SessionState(s.n + events.size,
-                math.min(s.first, lo), math.max(s.last, hi))
-              case None => SessionState(events.size.toLong, lo, hi)
+            var n = 0L
+            var lo = Long.MaxValue
+            var hi = Long.MinValue
+            rows.foreach { e =>
+              n += 1
+              val t = e.ts.getTime
+              if (t < lo) lo = t
+              if (t > hi) hi = t
             }
-            state.update(next)
-            state.setTimeoutDuration(s"$gapMinutes minutes")
-            Iterator.empty
+            if (n == 0) Iterator.empty
+            else {
+              val next = state.getOption match {
+                case Some(s) => SessionState(s.n + n,
+                  math.min(s.first, lo), math.max(s.last, hi))
+                case None => SessionState(n, lo, hi)
+              }
+              state.update(next)
+              // close at last-event-time + gap; the max() keeps the
+              // target ahead of a watermark that already passed it
+              // (setTimeoutTimestamp rejects targets behind the watermark)
+              state.setTimeoutTimestamp(
+                math.max(next.last, state.getCurrentWatermarkMs()) + gapMs)
+              Iterator.empty
+            }
           }
       }
   }

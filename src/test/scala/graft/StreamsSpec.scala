@@ -172,27 +172,33 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(out).count() == 2)
   }
 
-  test("sessionize runs on a stream and holds open sessions in state") {
+  test("sessionize closes by event time and merges a late out-of-order row") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
-    val q = Streams.sessionize(source.toDS()).writeStream
-      .format("memory").queryName("sess_test")
+    val q = Streams.sessionize(source.toDS(), gapMinutes = 30,
+        allowedLateness = "10 minutes").writeStream
+      .format("memory").queryName("sess_et")
       .outputMode("append").start()
     try {
       source.addData(
         Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
         Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0))
-      // NOT processAllAvailable: ProcessingTimeTimeout queries keep
-      // scheduling timeout-check batches, so it can block indefinitely.
-      // Poll until the batch that consumed both rows has committed.
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def consumed: Long = q.recentProgress
-        .map(p => Option(p.numInputRows).getOrElse(0L)).sum
-      while (consumed < 2 && System.nanoTime() < deadline)
-        Thread.sleep(100)
-      assert(consumed >= 2, "stream consumed both events")
-      // no processing-time timeout has fired → sessions still open
-      assert(spark.table("sess_test").count() == 0)
+      q.processAllAvailable()
+      // watermark (10:00) hasn't passed last+gap (10:40) → still open
+      assert(spark.table("sess_et").count() == 0)
+      // out-of-order row inside the lateness allowance merges into the
+      // open session instead of starting a new one
+      source.addData(Event(3, ts("2024-01-01 10:05:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_et").count() == 0)
+      // a later event elsewhere pushes the watermark to 11:20 > 10:40 —
+      // user 7's session times out and is emitted; user 9's stays open
+      source.addData(Event(4, ts("2024-01-01 11:30:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_et")
+        .as[graft.streaming.Streams.Session].collect().toSeq
+      assert(rows == Seq(graft.streaming.Streams.Session(7, 3,
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))))
     } finally q.stop()
   }
 }
