@@ -98,45 +98,75 @@ object Similarity extends QueryModule {
       WHERE rank <= $K ORDER BY q_id, rank""")
   )
 
-  /** IVF-style approximate top-k: 8 coarse centroids (deterministically
-    * the first 8 vectors — a seeded k-means would refine them; the
-    * partition/probe mechanics are identical), every vector assigned to
-    * its max-cosine centroid, probes search their own cell only.
+  /** IVF-style approximate top-k: 8 coarse centroids — seeded with the
+    * first 8 vectors, then refined by ONE Lloyd (k-means) step — every
+    * vector assigned to its max-cosine centroid, probes search their
+    * own cell only.
     *
     * Scale shape: assignment = broadcast(8 centroids) × corpus → argmax
-    * window per vector (one narrow pass + one shuffle on vec_id);
-    * probing joins on the cell id — cost |cell|, not corpus. Contrast
-    * with SRP: data-adaptive cells vs oblivious hyperplanes. */
+    * per vector (a narrow map, no shuffle); the Lloyd update is one
+    * posexplode + groupBy(cell, dim) — linear, k·dim output rows — and
+    * the k·dim sums are collected driver-side (the same planning-class
+    * round-trip as the seed collect). Probing joins on the cell id —
+    * cost |cell|, not corpus. Contrast with SRP: data-adaptive cells vs
+    * oblivious hyperplanes.
+    *
+    * Determinism: centroid means are computed from INTEGER-scaled sums
+    * (round(x·2²⁰) as long — order-free exact addition), then one
+    * double division and a float cast — an IEEE sequence DuckDB replays
+    * bit-for-bit, exactly like the fold cosine. A float mean of floats,
+    * by contrast, would depend on partition order. */
   val topkIvf: Q = Q(
     "ss_topk_ivf",
     (s, dir) => {
       graft.GraftExtensions.ensure(s)
       val emb = Tables(s, dir, "embeddings")
-      // centroids collected driver-side (8 rows — the same class of
-      // driver work as broadcast planning) and inlined as literal
+      // seed centroids collected driver-side (8 rows — the same class
+      // of driver work as broadcast planning) and inlined as literal
       // vectors: assignment is then a narrow map — 8 codegen'd cosines
       // + an argmax over a literal struct array — with NO crossJoin
       // row expansion and NO shuffle. Tie-break (-c_id in the max
       // struct) mirrors the oracle's ORDER BY c_cos DESC, c_id ASC.
-      val cents = emb.filter(col("vec_id") < 8)
+      val cents0 = emb.filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-      val withC = cents.zipWithIndex.foldLeft(emb) {
-        case (df, ((_, v), i)) => df.withColumn(s"__cc$i", typedLit(v))
+      def assign(cents: Array[(Long, Array[Float])]): DataFrame = {
+        val withC = cents.zipWithIndex.foldLeft(emb) {
+          case (df, ((_, v), i)) => df.withColumn(s"__cc$i", typedLit(v))
+        }
+        val cellStructs = cents.zipWithIndex.map { case ((cId, _), i) =>
+          struct(
+            (expr(s"fvec_dot(embedding, __cc$i)") /
+              (expr("sqrt(fvec_dot(embedding, embedding))") *
+                expr(s"sqrt(fvec_dot(__cc$i, __cc$i))"))).as("c"),
+            lit(-cId).as("nid"))
+        }
+        withC
+          .withColumn("cell",
+            -array_max(array(cellStructs.toIndexedSeq: _*))("nid"))
+          .select(col("vec_id"), col("embedding"), col("cell"))
       }
-      val cellStructs = cents.zipWithIndex.map { case ((cId, _), i) =>
-        struct(
-          (expr(s"fvec_dot(embedding, __cc$i)") /
-            (expr("sqrt(fvec_dot(embedding, embedding))") *
-              expr(s"sqrt(fvec_dot(__cc$i, __cc$i))"))).as("c"),
-          lit(-cId).as("nid"))
+      // one Lloyd step: per-(cell, dim) integer-scaled sums, distributed
+      val SCALE = 1048576.0 // 2^20
+      val sums = assign(cents0)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("idx", "x")))
+        .groupBy("cell", "idx")
+        .agg(sum(round(col("x").cast("double") * SCALE).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val refined: Map[Long, Array[Float]] = sums.groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => ((r.getLong(2).toDouble / r.getLong(3)) / SCALE).toFloat)
+        }
+      // empty cells keep their seed (can't occur with data-point seeds —
+      // a seed's own vector always argmaxes to it — but the fallback is
+      // mirrored in the oracle so the two can never diverge)
+      val cents1 = cents0.map { case (cId, v) =>
+        (cId, refined.getOrElse(cId, v))
       }
-      val assigned = withC
-        .withColumn("cell",
-          -array_max(array(cellStructs.toIndexedSeq: _*))("nid"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .localCheckpoint()
+      val assigned = assign(cents1).localCheckpoint()
       val queries = assigned.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
           col("embedding").as("q_emb"))
@@ -153,9 +183,35 @@ object Similarity extends QueryModule {
       graft.operators.CacheScope.eval(result)(assigned)
     },
     Some(s"""
-      WITH cents AS (
+      WITH cents0 AS (
         SELECT vec_id AS c_id, embedding AS c_emb
         FROM embeddings WHERE vec_id < 8),
+      sc0 AS (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ${duckCosine("e.embedding", "c.c_emb")} AS c_cos
+        FROM embeddings e, cents0 c),
+      a0 AS (
+        SELECT vec_id, embedding, c_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY c_cos DESC, c_id ASC) AS rn
+          FROM sc0) WHERE rn = 1),
+      dims AS (
+        SELECT cell, unnest(range(1, len(embedding)+1)) AS idx,
+               unnest(embedding) AS x
+        FROM a0),
+      sums AS (
+        SELECT cell, idx,
+               sum(CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM dims GROUP BY 1, 2),
+      cents AS (
+        SELECT c0.c_id,
+               CASE WHEN count(sm.idx) = 0 THEN first(c0.c_emb)
+                    ELSE list(CAST((CAST(sm.s AS DOUBLE) / sm.n)
+                                   / 1048576.0 AS FLOAT) ORDER BY sm.idx)
+               END AS c_emb
+        FROM cents0 c0 LEFT JOIN sums sm ON sm.cell = c0.c_id
+        GROUP BY c0.c_id),
       scored_cells AS (
         SELECT e.vec_id, e.embedding, c.c_id,
                ${duckCosine("e.embedding", "c.c_emb")} AS c_cos
