@@ -183,6 +183,28 @@ object Relational extends QueryModule {
       ORDER BY rn""")
   )
 
+  /** §2.6 O5 (scale path) — KEYSET pagination: the next page is "first
+    * `pageSize` keys above the last key seen", a pushable range
+    * predicate + distributed top-k (TakeOrderedAndProject) instead of
+    * `rel_pagination`'s global row_number window (a single-partition
+    * sort at any scale). This is the shape a 100 TB driver loop
+    * actually runs: each page costs one pruned scan + k rows, and the
+    * cursor (the last key) replaces the row offset. */
+  val keysetPagination: Q = Q(
+    "rel_keyset_pagination",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") > 400)
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_custkey").as("custkey"))
+        .orderBy("orderkey")
+        .limit(100),
+    Some("""
+      SELECT o_orderkey AS orderkey, o_custkey AS custkey
+      FROM orders WHERE o_orderkey > 400
+      ORDER BY orderkey LIMIT 100""")
+  )
+
   /** §2.4 ext — PIVOT: order-status counts spread to columns per
     * segment. Spark `.pivot(col, values)` with explicit values keeps
     * the output schema static (required at scale — value discovery is
@@ -262,5 +284,6 @@ object Relational extends QueryModule {
   )
 
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
-    distinctAgg, pagination, pivot, sketchAgg, groupingSets)
+    distinctAgg, pagination, keysetPagination, pivot, sketchAgg,
+    groupingSets)
 }

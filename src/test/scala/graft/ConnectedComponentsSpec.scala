@@ -25,6 +25,15 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
     assert(got == (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("pointer doubling handles a worst-case path within O(log d) rounds") {
+    // 64-node path with ids ordered against the propagation direction:
+    // plain 1-hop min-label needs 63 rounds — over the default
+    // maxIters=50, so this converges (in ~7 rounds) ONLY because the
+    // label-of-label doubling term jumps chains geometrically.
+    val got = cc((0L until 63L).map(i => (i, i + 1)))
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
   test("a cycle plus a bridge forms one component") {
     val got = cc(Seq((4L, 5L), (5L, 6L), (6L, 4L), (6L, 9L)))
     assert(got.values.toSet == Set(4L))
