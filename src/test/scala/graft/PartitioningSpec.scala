@@ -61,4 +61,18 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
       s"bucketed join must not shuffle:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("keyset pagination plans as pushed range scan + distributed top-k") {
+    val df = SparkEntry.queries("rel_keyset_pagination")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the cursor predicate must reach the parquet scan...
+    assert(plan.contains("GreaterThan(o_orderkey,400)"),
+      s"range predicate not pushed to the scan:\n$plan")
+    // ...and the page must be a distributed top-k, not a global sort
+    // behind a single-partition row_number window
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k:\n$plan")
+    assert(!plan.contains("Window"), s"keyset paging must not window:\n$plan")
+  }
 }
