@@ -205,6 +205,60 @@ object Relational extends QueryModule {
       ORDER BY orderkey LIMIT 100""")
   )
 
+  /** §2.12 ext — deterministic hash sampling, the curation primitive a
+    * training-data pipeline uses instead of RNG sampling: keep a row
+    * iff the first hex byte of md5(key) falls under the rate (here
+    * 0x40/0x100 = 25%). Reproducible across engines, runs, and
+    * cluster sizes (no seed, no partition dependence), and it stays a
+    * narrow codegen'd filter — no shuffle, no sort, sample-then-join
+    * lines up on both sides of any later equi-join on the same key.
+    * Lowercase-hex string comparison ≡ numeric comparison, so the
+    * oracle replays it verbatim. */
+  val hashSample: Q = Q(
+    "rel_hash_sample",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "40")
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"))
+        .orderBy("orderkey"),
+    Some("""
+      SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+             o_orderstatus AS status
+      FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'
+      ORDER BY orderkey""")
+  )
+
+  /** §2.12 ext — stratified quota sampling: an equal-sized,
+    * deterministic sample PER STRATUM (segment), the balanced-mixture
+    * primitive for corpus curation. Rows rank within their stratum by
+    * md5(key) — a uniform but reproducible order — and the first
+    * `quota` win. One shuffle on the stratum key; each stratum ranks in
+    * parallel (contrast with the global-window pagination port). */
+  val stratifiedSample: Q = Q(
+    "rel_stratified_sample",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 40)
+        .select(col("c_mktsegment").as("segment"),
+          col("c_custkey").as("custkey"), col("rn"))
+        .orderBy("segment", "rn")
+    },
+    Some("""
+      SELECT c_mktsegment AS segment, c_custkey AS custkey, rn FROM (
+        SELECT c_mktsegment, c_custkey,
+               row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+        FROM customer)
+      WHERE rn <= 40
+      ORDER BY segment, rn""")
+  )
+
   /** §2.4 ext — PIVOT: order-status counts spread to columns per
     * segment. Spark `.pivot(col, values)` with explicit values keeps
     * the output schema static (required at scale — value discovery is
@@ -285,5 +339,5 @@ object Relational extends QueryModule {
 
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot, sketchAgg,
-    groupingSets)
+    groupingSets, hashSample, stratifiedSample)
 }
