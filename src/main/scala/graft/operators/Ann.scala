@@ -48,7 +48,7 @@ object Ann {
     // bucketed feeds both the query lookup and the probe join —
     // materialized once, released as soon as the (k·|Q|)-row result is
     // itself materialized (CacheScope.eval) so no blocks outlive the call
-    val bucketed = Srp.withBucket(s, corpus, nPlanes).localCheckpoint()
+    val bucketed = Srp.withBucket(s, corpus, nPlanes).transform(graft.operators.CacheScope.materialize)
     val queries = bucketed.join(queryIds, idCol)
       .select(col(idCol).as("q_id"), col("bucket").as("q_bucket"),
         col(vecCol).as("q_emb"))

@@ -26,6 +26,24 @@ object CacheScope {
       case _ => ()
     }
 
+  /** Eagerly materialize a lineage, truncating its plan to the
+    * materialized result. By default this is `localCheckpoint()` —
+    * executor-memory blocks, fast, but NOT fault-tolerant: an executor
+    * loss mid-iteration (the real-cluster failure mode `local[*]` never
+    * shows) kills every plan reading the lost blocks. When the session
+    * conf sets `graft.checkpoint.dir`, iterative/materialized lineages
+    * switch to reliable `checkpoint()` into that directory (DFS at
+    * cluster scale), which survives executor loss at the price of a
+    * write+read through the filesystem. */
+  def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.checkpoint.dir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+
   /** Materialize `result` eagerly (localCheckpoint) and release the
     * `intermediates` — persisted or localCheckpoint'ed — right away.
     * The returned DataFrame reads the materialized blocks; those are

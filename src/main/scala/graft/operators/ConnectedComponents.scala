@@ -32,13 +32,17 @@ import org.apache.spark.sql.functions._
   *
   * This is the legitimate use of driver-side iteration: coordination
   * only, all data movement stays distributed. Each round's labels are
-  * localCheckpoint'ed — persist alone is NOT enough: the logical plan
-  * would still nest copies of the previous round's plan (and pointer
-  * doubling would square it), growing until analysis itself OOMs; the
-  * checkpoint truncates lineage to the materialized result. The
-  * previous round's checkpointed blocks are unpersisted as soon as the
-  * next round is materialized, so executor storage holds at most two
-  * rounds of labels regardless of iteration count.
+  * materialized via [[CacheScope.materialize]] — persist alone is NOT
+  * enough: the logical plan would still nest copies of the previous
+  * round's plan (and pointer doubling would square it), growing until
+  * analysis itself OOMs; the checkpoint truncates lineage to the
+  * materialized result. Default is `localCheckpoint()` (fast,
+  * executor-memory); set `graft.checkpoint.dir` for reliable
+  * `checkpoint()` to a DFS dir so an executor loss mid-loop does not
+  * kill the job at cluster scale. The previous round's checkpointed
+  * blocks are unpersisted as soon as the next round is materialized,
+  * so executor storage holds at most two rounds of labels regardless
+  * of iteration count.
   */
 object ConnectedComponents {
 
@@ -62,14 +66,23 @@ object ConnectedComponents {
     // and both union branches read the materialized blocks.
     val fwd = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
+      .transform(CacheScope.materialize)
+    // No distinct() on the mirrored edge set: the per-round min-
+    // aggregation absorbs duplicate edges for free, and a distinct here
+    // would cost a full-edge shuffle every bit as large as a round.
     val bidir = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist()
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    // Label init folds the FIRST propagation round in: every node
+    // starts at min(own id, min neighbor id) — one shuffle, the same
+    // shuffle a distinct-ids init would have paid, but one full round
+    // of joins ahead. (bidir has every node as a src, so no node is
+    // lost to the groupBy.)
+    var labels = bidir
+      .groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
+      .transform(CacheScope.materialize)
     var prev = labels
     var iter = 0
     var converged = false
@@ -96,7 +109,7 @@ object ConnectedComponents {
         .agg(min("label").as("label"),
           max(when(col("is_self"), col("label"))).as("__old"))
         .withColumn("__changed", col("label") < col("__old"))
-        .localCheckpoint()
+        .transform(CacheScope.materialize)
       // Scans the blocks just materialized by localCheckpoint — cheap.
       converged = next.filter(col("__changed")).isEmpty
       // Previous round's checkpointed blocks are no longer reachable

@@ -83,7 +83,7 @@ object TextDedup {
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val bd = bands(signatures(shingles(docs, idCol, textCol), numPerms, idCol),
-      numPerms, nBands, idCol).localCheckpoint()
+      numPerms, nBands, idCol).transform(graft.operators.CacheScope.materialize)
     CacheScope.eval(candidates(bd, idCol))(bd)
   }
 

@@ -100,7 +100,7 @@ object Dedup extends QueryModule {
       val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val bd = TextDedup.bands(TextDedup.signatures(sh, 8), 8, 2)
-        .localCheckpoint()
+        .transform(graft.operators.CacheScope.materialize)
       val cand = TextDedup.candidates(bd).select("doc_a", "doc_b")
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
@@ -186,7 +186,7 @@ object Dedup extends QueryModule {
     (s, dir) => {
       import graft.operators.CacheScope
       val fp = graft.operators.TextDedup
-        .simhashInt(Tables(s, dir, "documents"), 32).localCheckpoint()
+        .simhashInt(Tables(s, dir, "documents"), 32).transform(graft.operators.CacheScope.materialize)
       val variants = fp.select(col("doc_id"),
         explode(expr(
           """concat(array(simhash_int),
@@ -248,7 +248,7 @@ object Dedup extends QueryModule {
       // Materialized once: the bucket self-join would otherwise
       // recompute the projection lineage for each side.
       val withVec = Srp.withBucket(s, Tables(s, dir, "embeddings"), 8)
-        .localCheckpoint()
+        .transform(graft.operators.CacheScope.materialize)
       val a = withVec.select(col("vec_id").as("vec_a"),
         col("bucket"), col("embedding").as("ea"))
       val b = withVec.select(col("vec_id").as("vec_b"),

@@ -40,6 +40,25 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
     assert(got.keySet == Set(4L, 5L, 6L, 9L))
   }
 
+  test("reliable checkpoint knob reaches the same fixpoint") {
+    // graft.checkpoint.dir switches every iterative materialization
+    // from executor-memory localCheckpoint() to reliable checkpoint()
+    // — the fault-tolerant path a real cluster needs. Same fixpoint,
+    // and checkpoint files actually land in the configured dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    spark.conf.set("graft.checkpoint.dir", dir)
+    try {
+      val got = cc(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"expected checkpoint files under $dir")
+    } finally {
+      spark.conf.unset("graft.checkpoint.dir")
+    }
+  }
+
   test("non-convergence within maxIters fails loudly, never silently") {
     // A 10-node chain needs ~9 propagation rounds; maxIters=2 cannot
     // reach the fixpoint and must throw, not return partial labels.
