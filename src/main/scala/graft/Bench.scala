@@ -11,12 +11,24 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private def jsonStr(s: String): String =
-    "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\""
+    // blank every char that would break a JSON string literal: the
+    // escapes plus ALL control chars < 0x20 (exception messages can
+    // carry \b, \f, even NUL)
+    "\"" + s.map(c => if (c == '\\' || c == '"' || c < ' ') ' ' else c) + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // fail fast on a typo'd query name, with the known set in the
+    // message, instead of an opaque NoSuchElementException mid-run
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}\n" +
+          s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,8 +65,11 @@ object Bench {
         }
         r += 1
       }
+      // any recorded error voids the whole query: -1, never a
+      // valid-looking median of the reps that happened to succeed
       val ts = times.result().sorted
-      val median = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
+      val median =
+        if (err.nonEmpty || ts.isEmpty) -1.0 else ts(ts.size / 2)
       (name, median, err)
     }
     val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + v }

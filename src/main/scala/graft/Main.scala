@@ -24,12 +24,18 @@ object Main {
     jobs.Jobs.run(job, spark, sfDir, targets, isoDate)
 
   def main(args: Array[String]): Unit = {
+    // Missing required config aborts the PROCESS with a non-zero exit
+    // — the reference exit()s from inside the upload path
+    // (jonesy/jobs.py:119-122) and its cron wrapper relies on that; a
+    // silent zero-exit return would report success to the scheduler.
     val config = Config.load(sys.env.getOrElse("GRAFT_ENV_DIR", "."))
     val job = config.getOrElse("JOB",
-      { System.err.println("JOB is required (env or .env files)"); return })
+      { System.err.println("JOB is required (env or .env files)")
+        sys.exit(2) })
     val targets = config.get("TARGETS").map(_.split(",").toSeq)
       .getOrElse {
-        System.err.println("TARGETS is required (env or .env files)"); return
+        System.err.println("TARGETS is required (env or .env files)")
+        sys.exit(2)
       }
     val sfDir = config.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val date = config.getOrElse("GRAFT_DATE",

@@ -29,26 +29,32 @@ object Jobs {
   /** A term-parameterized extract: (spark, dataDir, termId "yyyyMM"). */
   type TermQuery = (SparkSession, String, String) => DataFrame
 
-  /** Flat (term-independent) queries per job. Mirrors §3: advisors =
-    * the advisor projections + greatest-per-group relationship extract
+  /** Flat (term-independent) queries per job, as (catalog query,
+    * reference extract name) — the extract name is the reference's
+    * spelling that lands in the upload key. Mirrors §3: advisors = the
+    * advisor projections + greatest-per-group relationship extract
     * (jobs.py:30-38); snapshot additionally uploads the full
     * basic-attributes extract before its per-term loop (jobs.py:51-54). */
-  val pipelines: Map[String, Seq[String]] = Map(
+  val pipelines: Map[String, Seq[(String, String)]] = Map(
     "upload_advisors" -> Seq(
-      "ref_advisor_notes", "ref_latest_order_per_customer"),
+      "ref_advisor_notes" -> "advisor-note-permissions",
+      "ref_latest_order_per_customer" -> "instructor-advisor-map"),
     "upload_recent_refresh" -> Seq.empty,
-    "upload_snapshot" -> Seq("ref_basic_attributes"))
+    "upload_snapshot" -> Seq("ref_basic_attributes" -> "basic-attributes"))
 
-  /** Per-term extracts per job, keyed by the reference's key-group name
-    * (jobs.py:41-62: refresh = instructor/enrollment updates since the
-    * recency cutoff; snapshot = full courses/enrollments per term). */
-  val perTermPipelines: Map[String, Seq[(String, TermQuery)]] = Map(
+  /** Per-term extracts per job as (key directory, key file base,
+    * query). Directory and file base differ for the refresh groups —
+    * underscore dirs, dash files, matching jobs.py:44,48 — and agree
+    * for the snapshot groups (jobs.py:58,62). */
+  val perTermPipelines: Map[String, Seq[(String, String, TermQuery)]] = Map(
     "upload_recent_refresh" -> Seq(
-      "instructor-updates" -> (recentInstructorUpdates _),
-      "enrollment-updates" -> (recentEnrollmentUpdates _)),
+      ("instructor_updates", "instructor-updates",
+        (s, d, t) => recentInstructorUpdates(s, d, t)),
+      ("enrollment_updates", "enrollment-updates",
+        (s, d, t) => recentEnrollmentUpdates(s, d, t))),
     "upload_snapshot" -> Seq(
-      "courses" -> (termCourses _),
-      "enrollments" -> (termEnrollments _)))
+      ("courses", "courses", termCourses _),
+      ("enrollments", "enrollments", termEnrollments _)))
 
   /** Current term ids as yyyyMM, from the catalog's current-term
     * resolution query (reference: jobs.py:71-74). The collect is ≤3
@@ -103,32 +109,57 @@ object Jobs {
   }
 
   /** Refresh per-term instructor updates — events in the term month
-    * inside the 5-day recency window (reference
+    * that are newer than the recency cutoff (reference
     * get_recent_instructor_updates: term filter + last_updated >=
-    * cutoff, via jobs.py:40-45; recency anchored to max(ts) so the
-    * extract is deterministic, as in `ev_watermark`). */
-  def recentInstructorUpdates(s: SparkSession, dir: String, termId: String): DataFrame = {
+    * cutoff, via jobs.py:40-45).
+    *
+    * The cutoff is an ARGUMENT, as in the reference (jobs.py:40
+    * computes now − RECENT_REFRESH_CUTOFF_DAYS once and passes it into
+    * both refresh queries). When omitted it anchors to max(ts) − 5
+    * days so the extract is deterministic for the oracle — note the
+    * documented approximation in that default: term membership and the
+    * recency window then land on the SAME timestamp column relative to
+    * the global max, so only terms near max(ts) produce rows. An
+    * explicit cutoff (the production path) keeps the two filters
+    * independent, as the reference's separate term_id/last_updated
+    * columns do. */
+  def recentInstructorUpdates(s: SparkSession, dir: String, termId: String,
+                              cutoff: Option[java.sql.Timestamp] = None)
+      : DataFrame = {
     val (lo, hi) = monthBounds(termId)
     val e = Tables(s, dir, "events")
-    val cutoff = e.agg(max("ts").as("max_ts"))
-    e.filter(col("ts") >= lo && col("ts") < hi)
-      .join(broadcast(cutoff))
-      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 5 DAYS"))
+    val inTerm = e.filter(col("ts") >= lo && col("ts") < hi)
+    val recent = cutoff match {
+      case Some(c) => inTerm.filter(col("ts") >= lit(c))
+      case None =>
+        inTerm
+          .join(broadcast(e.agg(max("ts").as("max_ts"))))
+          .filter(col("ts") >= col("max_ts") - expr("INTERVAL 5 DAYS"))
+    }
+    recent
       .select(col("event_id"), col("user_id").as("instructor_uid"),
         col("ts").as("last_updated"), col("event_type"))
       .orderBy("event_id")
   }
 
-  /** Refresh per-term enrollment updates — term orders inside the
-    * 5-day recency window (reference get_recent_enrollment_updates via
-    * jobs.py:46-49), anchored to max(o_orderdate). */
-  def recentEnrollmentUpdates(s: SparkSession, dir: String, termId: String): DataFrame = {
+  /** Refresh per-term enrollment updates — term orders newer than the
+    * recency cutoff (reference get_recent_enrollment_updates via
+    * jobs.py:46-49). Cutoff semantics and the anchored default's
+    * collapsed-dimension caveat as in [[recentInstructorUpdates]]. */
+  def recentEnrollmentUpdates(s: SparkSession, dir: String, termId: String,
+                              cutoff: Option[java.sql.Timestamp] = None)
+      : DataFrame = {
     val (lo, hi) = monthBounds(termId)
     val o = Tables(s, dir, "orders")
-    val cutoff = o.agg(max("o_orderdate").as("max_date"))
-    o.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
-      .join(broadcast(cutoff))
-      .filter(col("o_orderdate") >= col("max_date") - expr("INTERVAL 5 DAYS"))
+    val inTerm = o.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val recent = cutoff match {
+      case Some(c) => inTerm.filter(col("o_orderdate") >= lit(c))
+      case None =>
+        inTerm
+          .join(broadcast(o.agg(max("o_orderdate").as("max_date"))))
+          .filter(col("o_orderdate") >= col("max_date") - expr("INTERVAL 5 DAYS"))
+    }
+    recent
       .select(col("o_orderkey").as("enrollment_id"),
         col("o_custkey").as("ldap_uid"),
         col("o_orderdate").as("last_updated"))
@@ -148,24 +179,29 @@ object Jobs {
         System.err.println(
           s"[jobs] unknown job '$job' — known: ${pipelines.keys.mkString(", ")}")
         Seq.empty
-      case Some(queryNames) =>
+      case Some(extracts) =>
+        // Advisors extracts live under the sis-sysadm/advisors prefix;
+        // everything else under the plain sis-data daily root
+        // (jobs.py:31-37 vs 52-54).
+        val keyFor: String => String =
+          if (job == "upload_advisors") Sinks.advisorsKey(isoDate, _)
+          else Sinks.dailyKey(isoDate, _)
         val flat = for {
-          name <- queryNames
+          (name, extract) <- extracts
           df = SparkEntry.queries(name)(spark, sfDir)
-          (target, ok) <- Sinks.fanOut(df, targets,
-            Sinks.dailyKey(isoDate, name))
-        } yield (name, target, ok)
+          (target, ok) <- Sinks.fanOut(df, targets, keyFor(extract))
+        } yield (extract, target, ok)
         val termQueries = perTermPipelines.getOrElse(job, Seq.empty)
         val terms =
           if (termQueries.nonEmpty) currentTermIds(spark, sfDir)
           else Seq.empty
         val perTerm = for {
           term <- terms
-          (group, q) <- termQueries
+          (dir, file, q) <- termQueries
           df = q(spark, sfDir, term)
           (target, ok) <- Sinks.fanOut(df, targets,
-            Sinks.termKey(isoDate, group, term))
-        } yield (s"$group-$term", target, ok)
+            Sinks.termKey(isoDate, dir, file, term))
+        } yield (s"$file-$term", target, ok)
         flat ++ perTerm
     }
 }

@@ -71,14 +71,28 @@ object Sinks {
     }
   }
 
-  /** S7 — md5-dated daily prefix + per-query key
-    * (reference: jonesy/jobs.py:145-148). */
-  def dailyKey(isoDate: String, queryName: String): String =
-    s"${Fns.dailyPath(isoDate)}/$queryName.gz"
+  /** S7 — full key for a flat (term-independent) extract:
+    * `sis-data/{daily}/{extract}/{extract}.gz`
+    * (reference: jonesy/jobs.py:52-54,145-148 — the snapshot's
+    * basic-attributes key, root prefix and all). */
+  def dailyKey(isoDate: String, extract: String): String =
+    s"sis-data/${Fns.dailyPath(isoDate)}/$extract/$extract.gz"
 
-  /** S7/S8 — per-term key under the daily prefix:
-    * `{group}/{group}-{termId}.gz`, the reference's term-parameterized
-    * upload shape (jonesy/jobs.py:44,48,58,62). */
-  def termKey(isoDate: String, group: String, termId: String): String =
-    s"${Fns.dailyPath(isoDate)}/$group/$group-$termId.gz"
+  /** S7 — full key for an advisors-job extract:
+    * `sis-data/sis-sysadm/{daily}/advisors/{extract}/{extract}.gz`
+    * (reference: jonesy/jobs.py:30-38 — the advisors uploads live under
+    * a `sis-sysadm` root and an `advisors` group directory). */
+  def advisorsKey(isoDate: String, extract: String): String =
+    s"sis-data/sis-sysadm/${Fns.dailyPath(isoDate)}/advisors/$extract/$extract.gz"
+
+  /** S7/S8 — full per-term key under the daily prefix:
+    * `sis-data/{daily}/{dir}/{file}-{termId}.gz`. Directory and file
+    * base are SEPARATE because the reference spells them differently
+    * for the refresh groups — underscore directories, dash file names
+    * (`instructor_updates/instructor-updates-{term}.gz`,
+    * jonesy/jobs.py:44,48) — while the snapshot groups use the same
+    * word for both (`courses/courses-{term}.gz`, jobs.py:58,62). */
+  def termKey(isoDate: String, dir: String, file: String,
+              termId: String): String =
+    s"sis-data/${Fns.dailyPath(isoDate)}/$dir/$file-$termId.gz"
 }

@@ -91,11 +91,15 @@ object Streams {
                 case None => SessionState(n, lo, hi)
               }
               state.update(next)
-              // close at last-event-time + gap; the max() keeps the
-              // target ahead of a watermark that already passed it
-              // (setTimeoutTimestamp rejects targets behind the watermark)
+              // close at last-event-time + gap; if the watermark has
+              // already passed that target (a late event extended the
+              // session), close at the earliest timestamp the API
+              // permits — watermark + 1 — rather than a full gap after
+              // the watermark (setTimeoutTimestamp rejects targets at
+              // or behind the watermark)
               state.setTimeoutTimestamp(
-                math.max(next.last, state.getCurrentWatermarkMs()) + gapMs)
+                math.max(next.last + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
               Iterator.empty
             }
           }

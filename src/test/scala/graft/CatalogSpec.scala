@@ -18,7 +18,7 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
 
   test("every job pipeline references only existing catalog queries") {
     graft.jobs.Jobs.pipelines.foreach { case (job, qs) =>
-      val missing = qs.filterNot(SparkEntry.queries.contains)
+      val missing = qs.map(_._1).filterNot(SparkEntry.queries.contains)
       assert(missing.isEmpty, s"$job references unknown: $missing")
     }
   }

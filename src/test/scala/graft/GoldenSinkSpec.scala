@@ -28,6 +28,21 @@ class GoldenSinkSpec extends AnyFunSuite with SharedSpark {
     assert(a.nonEmpty && java.util.Arrays.equals(a, b))
   }
 
+  test("upload keys match the reference byte-for-byte (jobs.py:31-62)") {
+    // md5("2026-08-12") = faa3edd3ef0a96a9883e52f8d1bd14fd; the three
+    // key shapes — advisors under sis-data/sis-sysadm/.../advisors,
+    // flat snapshot extracts under sis-data, per-term refresh groups
+    // with underscore dirs + dash file names — spelled out in full.
+    val d = "2026-08-12"
+    val daily = s"daily/faa3edd3ef0a96a9883e52f8d1bd14fd-$d"
+    assert(Sinks.advisorsKey(d, "advisor-note-permissions") ==
+      s"sis-data/sis-sysadm/$daily/advisors/advisor-note-permissions/advisor-note-permissions.gz")
+    assert(Sinks.dailyKey(d, "basic-attributes") ==
+      s"sis-data/$daily/basic-attributes/basic-attributes.gz")
+    assert(Sinks.termKey(d, "instructor_updates", "instructor-updates", "202608") ==
+      s"sis-data/$daily/instructor_updates/instructor-updates-202608.gz")
+  }
+
   test("term-parameterized extract is byte-identical across runs") {
     val base = Files.createTempDirectory("golden_term").toString
     val term = graft.jobs.Jobs.currentTermIds(spark, sf).head

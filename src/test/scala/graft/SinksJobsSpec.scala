@@ -69,7 +69,7 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
       Seq(s"$dir/t1", s"$dir/t2"), "2024-01-01")
     assert(res.size == Jobs.pipelines("upload_advisors").size * 2)
     assert(res.forall(_._3), s"all uploads succeed: $res")
-    val key = Sinks.dailyKey("2024-01-01", "ref_advisor_notes")
+    val key = Sinks.advisorsKey("2024-01-01", "advisor-note-permissions")
     assert(new java.io.File(s"$dir/t1/$key").isDirectory ||
       new java.io.File(s"$dir/t1/$key").exists())
   }
@@ -83,13 +83,32 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     assert(terms.nonEmpty && terms.size <= 3)
     // flat basic-attributes upload plus one key per (group, term)
     assert(res.map(_._1).toSet ==
-      Set("ref_basic_attributes") ++
+      Set("basic-attributes") ++
         terms.flatMap(t => Seq(s"courses-$t", s"enrollments-$t")))
     for (t <- terms; g <- Seq("courses", "enrollments")) {
-      val key = Sinks.termKey("2024-01-01", g, t)
+      val key = Sinks.termKey("2024-01-01", g, g, t)
       assert(key.endsWith(s"$g/$g-$t.gz"), key)
       assert(new java.io.File(s"$dir/t1/$key").exists(), key)
     }
+  }
+
+  test("refresh extracts accept an explicit recency cutoff (jobs.py:40-49)") {
+    // The reference computes the cutoff once and passes it into both
+    // refresh queries; the anchored default exists only for oracle
+    // determinism. An explicit early cutoff must widen the window —
+    // every term-month event qualifies — independently of max(ts).
+    val terms = Jobs.currentTermIds(spark, sf)
+    val t = terms.head
+    val early = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
+    val all = Jobs.recentInstructorUpdates(spark, sf, t, Some(early)).count()
+    val anchored = Jobs.recentInstructorUpdates(spark, sf, t).count()
+    assert(all >= anchored)
+    val enr = Jobs.recentEnrollmentUpdates(spark, sf, t, Some(early))
+    assert(enr.columns.toSeq ==
+      Seq("enrollment_id", "ldap_uid", "last_updated"))
+    // a cutoff after the data's max excludes everything
+    val late = java.sql.Timestamp.valueOf("2999-01-01 00:00:00")
+    assert(Jobs.recentEnrollmentUpdates(spark, sf, t, Some(late)).count() == 0)
   }
 
   test("upload_recent_refresh is per-term only (jobs.py:39-49)") {
