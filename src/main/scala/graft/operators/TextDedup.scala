@@ -130,4 +130,55 @@ object TextDedup {
     * string [[simhash]] builds: bit 1 first. */
   def renderBits(fp: Column, bits: Int): Column =
     lpad(bin(fp), bits, "0")
+
+  /** SQL array of `fpCol` XOR'd with every ≤ `maxFlips`-bit mask (the
+    * fingerprint itself, all single flips, then all pair flips). Sizes:
+    * 1 / 1+bits / 1+bits+C(bits,2). */
+  private def flipVariants(fpCol: String, bits: Int, maxFlips: Int)
+      : String = {
+    val one = s"""transform(sequence(1, $bits),
+                    i -> $fpCol ^ shiftleft(1L, $bits - i))"""
+    val two = s"""flatten(transform(sequence(1, ${bits - 1}),
+                    i -> transform(sequence(i + 1, $bits),
+                      j -> $fpCol ^ shiftleft(1L, $bits - i)
+                                  ^ shiftleft(1L, $bits - j))))"""
+    maxFlips match {
+      case 0 => s"array($fpCol)"
+      case 1 => s"concat(array($fpCol), $one)"
+      case 2 => s"concat(array($fpCol), $one, $two)"
+      case n => throw new IllegalArgumentException(
+        s"flipVariants: maxFlips ≤ 2 supported, got $n")
+    }
+  }
+
+  /** All pairs of fingerprints within Hamming distance `maxDistance`,
+    * with the exact distance — the scale path for near-dup retrieval at
+    * d > 0. The distance budget is SPLIT across the two join sides:
+    * side A emits variants with ≤ ceil(d/2) bit flips, side B with
+    * ≤ floor(d/2), and any pair at distance ≤ d meets on some equal
+    * variant (split the differing-bit set). At d=2 that is 33N keys
+    * per side instead of the 529N a one-sided flip-2 emission would
+    * shuffle — the asymmetric-split trick keeps variant count
+    * O(bits^ceil(d/2)) per row instead of O(bits^d). Join keys stay
+    * packed 8-byte longs; every surviving pair is guaranteed ≤ d by
+    * construction (|Sa Δ Sb| ≤ d), so the distance column is derived,
+    * not filtered. `fp` is materialized by the caller. */
+  def hammingPairs(fp: DataFrame, bits: Int = 32, maxDistance: Int = 1,
+                   idCol: String = "doc_id",
+                   fpCol: String = "simhash_int"): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 4,
+      s"hammingPairs: maxDistance ≤ 4 supported, got $maxDistance")
+    val aFlips = (maxDistance + 1) / 2
+    val bFlips = maxDistance / 2
+    val va = fp.select(col(idCol).as("doc_a"), col(fpCol).as("fp_a"),
+      explode(expr(flipVariants(fpCol, bits, aFlips))).as("variant"))
+    val vb = fp.select(col(idCol).as("doc_b"), col(fpCol).as("fp_b"),
+      explode(expr(flipVariants(fpCol, bits, bFlips))).as("variant"))
+    va.join(vb, Seq("variant"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+          .as("dist"))
+      .distinct()
+  }
 }

@@ -230,6 +230,47 @@ object Dedup extends QueryModule {
       ORDER BY doc_a, doc_b""")
   )
 
+  /** SimHash retrieval at Hamming distance ≤ 2 — the distance-budget
+    * SPLIT generalization (operators.TextDedup.hammingPairs): both
+    * join sides emit ≤1-bit-flip variants (33N keys each), and any
+    * pair at distance ≤ 2 meets on an equal variant; 529N one-sided
+    * pair-flip keys never exist. The oracle replays with DuckDB's
+    * hamming() over the bit-strings — an O(N²) check that is fine at
+    * oracle scale and exactly what the split join avoids at corpus
+    * scale. */
+  val simhashHamming2: Q = Q(
+    "dd_simhash_hamming2",
+    (s, dir) => {
+      import graft.operators.CacheScope
+      val fp = graft.operators.TextDedup
+        .simhashInt(Tables(s, dir, "documents"), 32)
+        .transform(CacheScope.materialize)
+      val result = graft.operators.TextDedup
+        .hammingPairs(fp, bits = 32, maxDistance = 2)
+        .orderBy("doc_a", "doc_b")
+      CacheScope.eval(result)(fp)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        FROM documents),
+      bits AS (
+        SELECT doc_id, b,
+               CASE WHEN sum(CASE WHEN ascii(substr(h, b, 1)) % 2 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM toks, (SELECT unnest(range(1, 33)) AS b)
+        GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+        FROM bits GROUP BY 1)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             hamming(a.simhash, b.simhash) AS dist
+      FROM fp a JOIN fp b
+        ON a.doc_id < b.doc_id AND hamming(a.simhash, b.simhash) <= 2
+      ORDER BY doc_a, doc_b""")
+  )
+
   /** Embedding near-dup via sign-random-projection (SRP) buckets:
     * 8 md5-derived ±1 hyperplanes → 8 sign bits → bucket; exact cosine
     * only within buckets. Bucketing is one narrow map (native dots
@@ -314,5 +355,5 @@ object Dedup extends QueryModule {
   )
 
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
-    simhashHamming, embedSrp, dupClusters)
+    simhashHamming, simhashHamming2, embedSrp, dupClusters)
 }

@@ -10,7 +10,10 @@ import graft.sources.Tables
   * plumbing in graft.multimodal.Multimodal). `mm_binary_stats` proves
   * the binary payload + typed-metadata schema against DuckDB;
   * `mm_decode_features` drives the partition-wise decode path (stubbed
-  * decoder, real batch shape) — no SQL equivalent, rows-only check. */
+  * decoder, real batch shape) — and because the stub is a pure
+  * function of the payload bytes, DuckDB replays it exactly: the
+  * fixture text is ASCII, so per-char `ord` equals per-byte value and
+  * the mean is one exact-integer double division in both engines. */
 object MultimodalQueries extends QueryModule {
 
   val binaryStats: Q = Q(
@@ -37,7 +40,17 @@ object MultimodalQueries extends QueryModule {
       Multimodal.decodeStub(s,
         Multimodal.withPayload(Tables(s, dir, "documents")))
         .orderBy("doc_id"),
-    None // mapPartitions decode stub — driver records rows-only check
+    Some("""
+      SELECT doc_id,
+             CAST(16 + (octet_length(encode(text)) % 16) AS INTEGER)
+               AS width,
+             CAST(16 + ((octet_length(encode(text)) // 16) % 16)
+               AS INTEGER) AS height,
+             CAST(list_aggregate(
+                    list_transform(string_split(text, ''), x -> ord(x)),
+                    'sum') AS DOUBLE)
+               / octet_length(encode(text)) AS mean_byte
+      FROM documents ORDER BY doc_id""")
   )
 
   def all: Seq[Q] = Seq(binaryStats, decodeFeatures)

@@ -42,9 +42,9 @@ object Tables {
   /** S2 — the production JDBC path the parquet fixtures stand in for:
     * a partitioned parallel extract (replacing the reference's
     * client-side ROWNUM pagination, jonesy/queries.py:37-48) with
-    * filter/projection pushdown into the database. Not exercisable in
-    * this container (no database); kept as the documented, compiled
-    * production wiring.
+    * filter/projection pushdown into the database. Exercised
+    * end-to-end in TablesSpec against an embedded Derby database
+    * (partition count, lowercase contract, pushed predicate).
     */
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,

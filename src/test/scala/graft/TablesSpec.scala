@@ -31,6 +31,38 @@ class TablesSpec extends AnyFunSuite with SharedSpark {
     assert(micros.toSeq == Seq((1L, 1L), (2L, -2L), (3L, 0L)))
   }
 
+  test("jdbc source round-trips an embedded Derby table with pushdown") {
+    // S2 end-to-end against a real database — embedded Derby (ships
+    // with Spark for the Hive metastore): partitioned parallel read,
+    // lowercase contract, and the filter reaching the database as a
+    // pushed predicate rather than a post-scan Spark filter.
+    val dbDir = Files.createTempDirectory("derby_spec").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE ENROLLMENTS (ID INT NOT NULL, LDAP_UID VARCHAR(16))")
+      val ins = conn.prepareStatement("INSERT INTO ENROLLMENTS VALUES (?, ?)")
+      (1 to 20).foreach { i =>
+        ins.setInt(1, i); ins.setString(2, s"uid$i"); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+
+    val df = Tables.jdbc(spark, url, "ENROLLMENTS",
+      partitionColumn = "ID", lowerBound = 1L, upperBound = 21L,
+      numPartitions = 4)
+    assert(df.columns.toSeq == Seq("id", "ldap_uid"), "lowercase contract")
+    assert(df.rdd.getNumPartitions == 4, "partitioned parallel extract")
+    assert(df.count() == 20)
+
+    val filtered = df.filter(col("id") > 15)
+    assert(filtered.count() == 5)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"filter must reach the database scan:\n$plan")
+  }
+
   test("a long ts column outside events is NOT reinterpreted") {
     val dir = Files.createTempDirectory("tables_spec2").toString
     Seq((1L, 123456789L)).toDF("id", "ts").write.mode("overwrite")

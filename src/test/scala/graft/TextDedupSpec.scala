@@ -56,6 +56,25 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("hammingPairs finds exactly the pairs within the distance budget") {
+    import spark.implicits._
+    // 4-bit packed fingerprints — pairwise XOR popcounts:
+    // 1010⊕1011=1, 1011⊕1101=2, 1011⊕0111=2, 1101⊕0111=2,
+    // 1010⊕1101=3, 1010⊕0111=3
+    val fp = Seq((1L, 10L), (2L, 11L), (3L, 13L), (4L, 7L))
+      .toDF("doc_id", "simhash_int")
+    def got(d: Int): Map[(Long, Long), Long] =
+      TextDedup.hammingPairs(fp, bits = 4, maxDistance = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    assert(got(0) == Map.empty)
+    assert(got(1) == Map((1L, 2L) -> 1L))
+    assert(got(2) == Map((1L, 2L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 2L, (3L, 4L) -> 2L))
+    assert(got(3) == Map((1L, 2L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 2L, (3L, 4L) -> 2L, (1L, 3L) -> 3L, (1L, 4L) -> 3L))
+  }
+
   test("more bands at same perms never loses candidate pairs") {
     // banding theory: rows-per-band shrinks → collision probability
     // rises → the candidate set can only grow
