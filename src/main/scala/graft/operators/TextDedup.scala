@@ -131,6 +131,26 @@ object TextDedup {
   def renderBits(fp: Column, bits: Int): Column =
     lpad(bin(fp), bits, "0")
 
+  /** Distinct k-word shingles per document — the n-gram unit for
+    * decontamination and boilerplate analysis (the 2-shingle
+    * [[shingles]] keeps duplicates for MinHash; these are
+    * per-doc-distinct because overlap/frequency ops count gram SETS).
+    * One narrow projection + explode; a doc shorter than k words
+    * yields no rows (the `if` guard — Spark's `sequence(1, n)` with
+    * n < 1 would count DOWN, not produce empty). */
+  def kShingles(docs: DataFrame, k: Int,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"kShingles: k must be positive, got $k")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__l"))
+      .select(col(idCol), explode(array_distinct(expr(
+        s"""if(size(__l) >= $k,
+              transform(sequence(1, size(__l) - $k + 1),
+                i -> concat_ws(' ', slice(__l, i, $k))),
+              array())"""))).as("shingle"))
+  }
+
   /** SQL array of `fpCol` XOR'd with every ≤ `maxFlips`-bit mask (the
     * fingerprint itself, all single flips, then all pair flips). Sizes:
     * 1 / 1+bits / 1+bits+C(bits,2). */

@@ -271,6 +271,47 @@ object Dedup extends QueryModule {
       ORDER BY doc_a, doc_b""")
   )
 
+  /** Decontamination — the train/eval n-gram overlap report every
+    * training-data pipeline runs before shipping a corpus: for each
+    * (training doc, eval doc) pair sharing at least one 6-word shingle,
+    * the count of distinct shared shingles. The eval set here is the
+    * deterministic 10% slice `doc_id % 10 = 0`; in production it is a
+    * benchmark corpus, small by nature — hence the BROADCAST of the
+    * eval gram table, making the whole op a narrow scan + broadcast
+    * join + one groupBy on the (rare) contaminated pairs. Grams join
+    * on xxhash64 keys (8 bytes instead of ~40-byte strings); the hash
+    * never reaches the output, so the oracle replays on the strings
+    * themselves. */
+  val decontaminate: Q = Q(
+    "dd_decontaminate",
+    (s, dir) => {
+      val grams = graft.operators.TextDedup
+        .kShingles(Tables(s, dir, "documents"), 6)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      val ev = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("g"))
+      grams.join(broadcast(ev), "g")
+        .filter(col("doc_id") =!= col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id", "eval_id")
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 6 + 2),
+                 i -> array_to_string(string_split(text, ' ')[i:i+5], ' '))))
+                 AS gram
+        FROM documents),
+      ev AS (
+        SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 10 = 0)
+      SELECT g.doc_id, e.eval_id, count(*) AS n_shared
+      FROM grams g JOIN ev e USING (gram)
+      WHERE g.doc_id <> e.eval_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   /** Embedding near-dup via sign-random-projection (SRP) buckets:
     * 8 md5-derived ±1 hyperplanes → 8 sign bits → bucket; exact cosine
     * only within buckets. Bucketing is one narrow map (native dots
@@ -355,5 +396,6 @@ object Dedup extends QueryModule {
   )
 
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
-    simhashHamming, simhashHamming2, embedSrp, dupClusters)
+    simhashHamming, simhashHamming2, embedSrp, dupClusters,
+    decontaminate)
 }

@@ -208,6 +208,54 @@ object TextAnalysis extends QueryModule {
       FROM documents ORDER BY doc_id""")
   )
 
+  /** Boilerplate detection — the C4-style repeated-n-gram pass: a
+    * 5-word shingle appearing in ≥ 3 distinct documents is
+    * "boilerplate" (headers, footers, templated spans), and each doc
+    * reports its distinct-gram count, boilerplate-gram count, and
+    * fraction. Shape at scale: one explode, one map-side-combinable
+    * frequency groupBy on 8-byte gram hashes, one join back (heavy
+    * grams are by definition the skewed keys — AQE skew-join or a salt
+    * on `g` handles them), one per-doc groupBy. The fraction is a
+    * single exact-integer double division, replayable by DuckDB. */
+  val boilerplate: Q = Q(
+    "ta_boilerplate",
+    (s, dir) => {
+      val grams = graft.operators.TextDedup
+        .kShingles(docs(s, dir), 5)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.xxhash64(col("shingle")).as("g"))
+      // kShingles rows are distinct per (doc, gram), so plain count
+      // IS the distinct-doc frequency
+      val freq = grams.groupBy("g").agg(count(lit(1)).as("n_docs"))
+      grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_frac",
+          col("n_boiler").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 5 + 2),
+                 i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))))
+                 AS gram
+        FROM documents),
+      freq AS (SELECT gram, count(*) AS n_docs FROM grams GROUP BY 1)
+      SELECT doc_id,
+             count(*) AS n_grams,
+             CAST(coalesce(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_boiler,
+             CAST(coalesce(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END), 0)
+               AS DOUBLE) / count(*) AS boiler_frac
+      FROM grams JOIN freq USING (gram)
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] =
-    Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint)
+    Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
+      boilerplate)
 }
