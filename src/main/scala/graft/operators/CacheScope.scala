@@ -44,13 +44,14 @@ object CacheScope {
       case _ => df.localCheckpoint()
     }
 
-  /** Materialize `result` eagerly (localCheckpoint) and release the
+  /** Materialize `result` eagerly (via [[materialize]], so the
+    * `graft.checkpoint.dir` knob applies here too) and release the
     * `intermediates` — persisted or localCheckpoint'ed — right away.
     * The returned DataFrame reads the materialized blocks; those are
     * result-scoped and reclaimed by the context cleaner once the caller
     * drops the reference. */
   def eval(result: DataFrame)(intermediates: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
+    val out = materialize(result)
     intermediates.foreach { d =>
       d.unpersist(blocking = false)
       releaseCheckpoint(d)

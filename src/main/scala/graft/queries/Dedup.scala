@@ -395,7 +395,48 @@ object Dedup extends QueryModule {
       FROM reach GROUP BY a ORDER BY doc_id""")
   )
 
+  /** The keep-one dedup MATERIALIZATION — the corpus a training run
+    * actually reads: every document except clustered non-
+    * representatives (cluster members whose id is not the component
+    * minimum). Composes the cluster labels with a left-anti join on
+    * the drop set; the drop set is proportional to the duplicate rate,
+    * the anti-join shuffles once on doc_id. */
+  val dedupCorpus: Q = Q(
+    "dd_dedup_corpus",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cand = graft.operators.TextDedup.lshCandidates(
+        docs, numPerms = 8, nBands = 2)
+      val labels = graft.operators.ConnectedComponents
+        .minLabel(cand, "doc_a", "doc_b")
+      graft.operators.CacheScope.releaseCheckpoint(cand)
+      val drop = labels.filter(col("cluster") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      val result = docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+      graft.operators.CacheScope.eval(result)(labels)
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSql, $sigSql, $candSql,
+      bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+        WHERE e.b <> r.a),
+      clusters AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a)
+      SELECT d.doc_id
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      WHERE c.cluster IS NULL OR c.cluster = d.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
-    decontaminate)
+    decontaminate, dedupCorpus)
 }

@@ -255,7 +255,48 @@ object TextAnalysis extends QueryModule {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Intra-document repetition — the Gopher-style within-doc quality
+    * rule: the fraction of a doc's 3-word grams that are repeats of an
+    * earlier gram in the SAME doc. Entirely narrow (per-row array
+    * ops, no shuffle but the output sort); the fraction is one
+    * exact-integer double division. */
+  val intraRepetition: Q = Q(
+    "ta_intra_repetition",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__l"))
+        .select(
+          col("doc_id"),
+          expr("greatest(size(__l) - 2, 0)").cast("long").as("n_grams"),
+          expr("""size(array_distinct(
+                    if(size(__l) >= 3,
+                       transform(sequence(1, size(__l) - 2),
+                         i -> concat_ws(' ', slice(__l, i, 3))),
+                       array())))""").cast("long").as("n_distinct"))
+        .withColumn("dup_frac",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise((col("n_grams") - col("n_distinct")).cast("double")
+              / col("n_grams")))
+        .orderBy("doc_id"),
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               greatest(len(string_split(text, ' ')) - 2, 0) AS n_grams,
+               len(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+                 AS n_distinct
+        FROM documents)
+      SELECT doc_id,
+             CAST(n_grams AS BIGINT) AS n_grams,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             CASE WHEN n_grams = 0 THEN 0.0
+                  ELSE CAST(n_grams - n_distinct AS DOUBLE) / n_grams
+             END AS dup_frac
+      FROM g ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
-      boilerplate)
+      boilerplate, intraRepetition)
 }
