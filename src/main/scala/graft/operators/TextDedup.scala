@@ -131,6 +131,31 @@ object TextDedup {
   def renderBits(fp: Column, bits: Int): Column =
     lpad(bin(fp), bits, "0")
 
+  /** Per-ROW packed SimHash — bit-identical to [[simhashInt]] but with
+    * ZERO shuffle: the token votes fold inside a higher-order
+    * `aggregate` over the split array instead of explode + groupBy.
+    * This is the STREAMING-safe form (no stateful aggregation, so it
+    * composes with watermarks, dropDuplicates, and stateful ops
+    * downstream) and the right batch form whenever the fingerprint is
+    * an intermediate column rather than the grouped result. Token
+    * hashes are materialized once into a temp array column, so md5
+    * runs once per token, not once per (token, bit). */
+  def withSimhashInt(docs: DataFrame, bits: Int = 32,
+                     textCol: String = "text",
+                     outCol: String = "simhash_int"): DataFrame = {
+    require(bits > 0 && bits <= 32, "md5 hex provides 32 positions")
+    docs
+      .withColumn("__hs",
+        expr(s"transform(split($textCol, ' '), t -> md5(t))"))
+      .withColumn(outCol, expr(
+        s"""aggregate(sequence(1, $bits), 0L, (acc, b) ->
+              acc + if(aggregate(__hs, 0, (a, h) ->
+                         a + if(ascii(substring(h, b, 1)) % 2 = 1, 1, -1))
+                       > 0,
+                       shiftleft(1L, $bits - b), 0L))"""))
+      .drop("__hs")
+  }
+
   /** Distinct k-word shingles per document — the n-gram unit for
     * decontamination and boilerplate analysis (the 2-shingle
     * [[shingles]] keeps duplicates for MinHash; these are

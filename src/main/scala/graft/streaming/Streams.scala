@@ -116,6 +116,27 @@ object Streams {
       .withWatermark("ts", "5 days")
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming NEAR-dedup — the stream face of the SimHash batch
+    * family: each arriving document gets its packed fingerprint from
+    * the shuffle-free per-row form (`TextDedup.withSimhashInt` — a
+    * higher-order fold, no stateful aggregation), and documents whose
+    * fingerprint was already seen inside the watermark are dropped.
+    * Same-fingerprint ≈ near-identical text (all 32 bit-votes agree),
+    * so this is the d=0 tier of streaming near-dedup; the d≥1 tiers
+    * stay batch jobs (`dd_simhash_hamming*`), where the variant join
+    * is cheap — the right split for a 100 TB ingest pipeline: cheap
+    * fingerprint dedup inline on the stream, deeper passes downstream.
+    * Expects (ts, `textCol`) columns; watermark bounds seen-state.
+    * `dropDuplicatesWithinWatermark` keys on the fingerprint ALONE —
+    * a later doc with the same fingerprint but a different timestamp
+    * is still a duplicate — while letting the watermark expire
+    * seen-fingerprint state. */
+  def streamingNearDedup(docs: DataFrame,
+                         textCol: String = "text"): DataFrame =
+    graft.operators.TextDedup.withSimhashInt(docs, 32, textCol)
+      .withWatermark("ts", "5 days")
+      .dropDuplicatesWithinWatermark(Seq("simhash_int"))
+
   /** Stream-stream join: each interaction event paired with error
     * events by the same user in the preceding `lookbackMinutes`. Both
     * sides carry watermarks and the join condition is time-bounded, so

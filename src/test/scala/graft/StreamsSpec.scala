@@ -201,4 +201,43 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))))
     } finally q.stop()
   }
+
+  test("streaming near-dedup drops same-fingerprint docs across batches") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.streamingNearDedup(docs)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("near_dedup")
+      .outputMode("append").start()
+    try {
+      // doc 2 repeats doc 1's text (same fingerprint, later ts) in the
+      // SAME batch; doc 3 repeats it in a LATER batch; doc 4 differs
+      source.addData(
+        (1L, ts("2024-01-01 10:00:00"), "spark shuffles the join keys"),
+        (2L, ts("2024-01-01 10:05:00"), "spark shuffles the join keys"))
+      q.processAllAvailable()
+      source.addData(
+        (3L, ts("2024-01-01 10:10:00"), "spark shuffles the join keys"),
+        (4L, ts("2024-01-01 10:11:00"), "an entirely different sentence"))
+      q.processAllAvailable()
+      val kept = spark.table("near_dedup").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
+  test("per-row simhash is bit-identical to the grouped batch form") {
+    // the streaming-safe fold and the explode+groupBy batch plan must
+    // produce the same fingerprint for every doc
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val grouped = graft.operators.TextDedup.simhashInt(docs, 32)
+      .withColumnRenamed("simhash_int", "g")
+    val perRow = graft.operators.TextDedup.withSimhashInt(docs, 32)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("simhash_int").as("r"))
+    val diff = grouped.join(perRow, "doc_id")
+      .filter("g <> r").count()
+    assert(diff == 0)
+  }
 }
