@@ -69,4 +69,24 @@ object Partitioning {
   /** Read back a bucketed table by name. */
   def bucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Guarantee a floor of scan parallelism for NARROW pipelines.
+    *
+    * A fully narrow plan (per-row fingerprints, signature folds)
+    * inherits the file scan's split count, and a small file — or a
+    * single parquet row group, which cannot be split at all — scans as
+    * ONE partition, serializing every downstream map on one core. At
+    * warehouse scale the scan provides ample splits and this is a
+    * strict NO-OP; only when the source has fewer than half the
+    * cluster's cores does it insert one hash repartition on `keyCol`
+    * (deterministic, row-sized — cheap next to the narrow work it
+    * parallelizes). The partition-count probe is planning-time only
+    * (split enumeration; no job runs). */
+  def ensureParallelism(df: DataFrame, keyCol: String): DataFrame = {
+    if (df.isStreaming) return df // micro-batches parallelize at the source
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target)
+      df.repartition(target, col(keyCol))
+    else df
+  }
 }

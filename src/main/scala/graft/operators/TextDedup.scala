@@ -28,13 +28,41 @@ object TextDedup {
   /** numPerms-permutation MinHash signature per doc (md5-keyed
     * min-hashing: permutation i orders shingles by md5(i || '|' ||
     * shingle), so min = first under that permutation). Output columns
-    * h0..h{numPerms-1}. */
+    * h0..h{numPerms-1}. Operates on an EXPLODED (docId, shingle)
+    * table — use when the shingle rows exist anyway (the exact-Jaccard
+    * verifier reuses one shingle lineage for sizes, candidates, and
+    * intersections); when they don't, [[signaturesNarrow]] computes
+    * the identical signature with zero shuffle. */
   def signatures(sh: DataFrame, numPerms: Int,
                  idCol: String = "doc_id"): DataFrame = {
     require(numPerms > 0)
     val hs = (0 until numPerms).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
     sh.groupBy(idCol).agg(hs.head, hs.tail: _*)
+  }
+
+  /** Per-ROW MinHash signature straight from the documents — identical
+    * output to `signatures(shingles(docs))` but with ZERO shuffle: the
+    * doc's shingle set is an array column and each permutation's min
+    * is an `array_min(transform(...))` fold inside the row. At corpus
+    * scale this removes the (docs × shingles)-row exchange entirely —
+    * fingerprinting becomes a narrow map and the only shuffle left in
+    * LSH is the band-bucket join itself. Docs with no shingle (< 2
+    * words) are dropped, matching the exploded form's semantics. */
+  def signaturesNarrow(docs: DataFrame, numPerms: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(numPerms > 0)
+    val sig = (0 until numPerms).map(i =>
+      expr(s"array_min(transform(__sh, s -> md5(concat('$i|', s))))")
+        .as(s"h$i"))
+    Partitioning.ensureParallelism(docs, idCol)
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__sh", array_distinct(expr(
+        "transform(slice(__toks, 1, size(__toks)-1)," +
+          " (x, i) -> concat(x, ' ', element_at(__toks, i+2)))")))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol) +: sig: _*)
   }
 
   /** LSH banding: `bands` buckets of numPerms/bands rows each →
@@ -82,8 +110,8 @@ object TextDedup {
   def lshCandidates(docs: DataFrame, numPerms: Int, nBands: Int,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val bd = bands(signatures(shingles(docs, idCol, textCol), numPerms, idCol),
-      numPerms, nBands, idCol).transform(graft.operators.CacheScope.materialize)
+    val bd = bands(signaturesNarrow(docs, numPerms, idCol, textCol),
+      numPerms, nBands, idCol).transform(CacheScope.materialize)
     CacheScope.eval(candidates(bd, idCol))(bd)
   }
 
@@ -108,10 +136,22 @@ object TextDedup {
     * on 8-byte keys and generates bit-flip variants by XOR instead of
     * shuffling `bits`-char strings (~8× fewer shuffle bytes at 32
     * bits). [[renderBits]] recovers the exact bit-string of [[simhash]]
-    * at the oracle/display boundary. */
+    * at the oracle/display boundary. Computed per-ROW
+    * ([[withSimhashInt]] — zero shuffle); [[simhashIntGrouped]] keeps
+    * the explode+groupBy plan as the differential reference. */
   def simhashInt(docs: DataFrame, bits: Int = 32,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text"): DataFrame =
+    withSimhashInt(docs, bits, textCol).select(col(idCol), col("simhash_int"))
+
+  /** The explode + partial-aggregating-groupBy SimHash plan — same
+    * output as [[simhashInt]], one token-row shuffle. Kept as the
+    * differential reference the equivalence spec checks the narrow
+    * fold against; the narrow form wins at every scale (votes for one
+    * doc never span rows, so the shuffle buys nothing). */
+  def simhashIntGrouped(docs: DataFrame, bits: Int = 32,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
     require(bits > 0 && bits <= 32, "md5 hex provides 32 positions")
     val toks = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
@@ -142,9 +182,10 @@ object TextDedup {
     * runs once per token, not once per (token, bit). */
   def withSimhashInt(docs: DataFrame, bits: Int = 32,
                      textCol: String = "text",
-                     outCol: String = "simhash_int"): DataFrame = {
+                     outCol: String = "simhash_int",
+                     idCol: String = "doc_id"): DataFrame = {
     require(bits > 0 && bits <= 32, "md5 hex provides 32 positions")
-    docs
+    Partitioning.ensureParallelism(docs, idCol)
       .withColumn("__hs",
         expr(s"transform(split($textCol, ' '), t -> md5(t))"))
       .withColumn(outCol, expr(
@@ -167,7 +208,7 @@ object TextDedup {
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     require(k >= 1, s"kShingles: k must be positive, got $k")
-    docs
+    Partitioning.ensureParallelism(docs, idCol)
       .select(col(idCol), split(col(textCol), " ").as("__l"))
       .select(col(idCol), explode(array_distinct(expr(
         s"""if(size(__l) >= $k,

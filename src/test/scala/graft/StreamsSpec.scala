@@ -227,11 +227,11 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("per-row simhash is bit-identical to the grouped batch form") {
-    // the streaming-safe fold and the explode+groupBy batch plan must
-    // produce the same fingerprint for every doc
+    // the streaming-safe fold and the explode+groupBy reference plan
+    // must produce the same fingerprint for every doc
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")
-    val grouped = graft.operators.TextDedup.simhashInt(docs, 32)
+    val grouped = graft.operators.TextDedup.simhashIntGrouped(docs, 32)
       .withColumnRenamed("simhash_int", "g")
     val perRow = graft.operators.TextDedup.withSimhashInt(docs, 32)
       .select(org.apache.spark.sql.functions.col("doc_id"),

@@ -56,6 +56,16 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("narrow per-row signatures equal the exploded groupBy form") {
+    val perms = 8
+    val grouped = TextDedup.signatures(TextDedup.shingles(docs), perms)
+    val narrow = TextDedup.signaturesNarrow(docs, perms)
+    assert(grouped.columns.toSeq == narrow.columns.toSeq)
+    // anti-join both ways: identical (doc, h0..h7) row sets
+    assert(grouped.except(narrow).count() == 0)
+    assert(narrow.except(grouped).count() == 0)
+  }
+
   test("hammingPairs finds exactly the pairs within the distance budget") {
     import spark.implicits._
     // 4-bit packed fingerprints — pairwise XOR popcounts:
