@@ -62,6 +62,21 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(joined.count() > 0)
   }
 
+  test("ensureParallelism repartitions starved scans and no-ops otherwise") {
+    import spark.implicits._
+    // a single-partition source with fewer than half the cores → one
+    // hash repartition to defaultParallelism
+    val starved = (1L to 100L).toDF("doc_id").coalesce(1)
+    val fixed = Partitioning.ensureParallelism(starved, "doc_id")
+    assert(fixed.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(fixed.count() == 100)
+    // an already-parallel source passes through with its plan untouched
+    val par = (1L to 100L).toDF("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+    assert(Partitioning.ensureParallelism(par, "doc_id") eq par)
+  }
+
   test("keyset pagination plans as pushed range scan + distributed top-k") {
     val df = SparkEntry.queries("rel_keyset_pagination")(
       spark, "/root/testdata/sf0.001")
