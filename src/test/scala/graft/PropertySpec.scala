@@ -50,6 +50,32 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(once.count() == rows.distinct.size.toLong)
   }
 
+  test("hammingPairs equals brute-force pairs on random fingerprints") {
+    // 60 random 8-bit fingerprints; for every distance budget the
+    // variant join must return exactly the brute-force ≤d pair set
+    // with the exact distance
+    val fps = Gen.listOfN(60, Gen.chooseNum(0L, 255L)).sample.get
+      .zipWithIndex.map { case (f, i) => (i.toLong, f) }
+    val df = fps.toDF("doc_id", "simhash_int")
+    val byId = fps.toMap
+    for (d <- 0 to 3) {
+      val got = graft.operators.TextDedup
+        .hammingPairs(df, bits = 8, maxDistance = d)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        dist = java.lang.Long.bitCount(fa ^ fb)
+        if dist <= d
+      } yield (a, b) -> dist.toLong).toMap
+      assert(got == want, s"maxDistance=$d")
+      // distances in the output always match the true XOR popcount
+      got.foreach { case ((a, b), dist) =>
+        assert(dist == java.lang.Long.bitCount(byId(a) ^ byId(b)))
+      }
+    }
+  }
+
   test("greatest-per-group keeps exactly one row per key (window form)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
