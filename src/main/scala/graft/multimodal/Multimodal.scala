@@ -71,6 +71,41 @@ object Multimodal {
       .withColumn("n_frames", size(col("frames")))
   }
 
+  /** Output row of the (stubbed) resizer. */
+  val resizedType: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("orig_bytes", LongType, nullable = false),
+    StructField("res_bytes", LongType, nullable = false),
+    StructField("res_checksum", StringType, nullable = false)))
+
+  /** Partition-wise RESIZE — the downsample step of an image/audio
+    * pipeline, as a deterministic fake over the raw payload: keep
+    * every `stride`-th byte (a real resizer decodes, scales, and
+    * re-encodes here — same batch shape, same schema). Emits the
+    * original and resized byte counts plus the md5 of the resized
+    * payload so the transformation is content-addressable downstream.
+    * Narrow map; payload bytes never shuffle. */
+  def resizeStub(spark: SparkSession, withPayloadDf: DataFrame,
+                 stride: Int = 4): DataFrame = {
+    require(stride > 0)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizedType)
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val resized = Array.range(0, bytes.length, stride)
+            .map(bytes(_))
+          md.reset()
+          val hex = md.digest(resized).map(b => f"$b%02x").mkString
+          Row(id, bytes.length.toLong, resized.length.toLong, hex)
+        }
+      }(enc)
+  }
+
   /** Partition-wise decode + feature extraction. Deterministic fake:
     * "dimensions" derive from the payload length, "mean_byte" from the
     * real bytes — stable across runs and engines.

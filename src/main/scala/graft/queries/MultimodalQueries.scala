@@ -53,5 +53,29 @@ object MultimodalQueries extends QueryModule {
       FROM documents ORDER BY doc_id""")
   )
 
-  def all: Seq[Q] = Seq(binaryStats, decodeFeatures)
+  /** The resize/downsample path — every 4th payload byte kept, output
+    * content-addressed by md5 of the resized bytes. ASCII fixture ⇒
+    * DuckDB replays the byte selection as a character selection and
+    * the checksum matches bit-for-bit. */
+  val resize: Q = Q(
+    "mm_resize",
+    (s, dir) =>
+      Multimodal.resizeStub(s,
+        Multimodal.withPayload(Tables(s, dir, "documents")), stride = 4)
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(orig AS BIGINT) AS orig_bytes,
+             CAST(len(r) AS BIGINT) AS res_bytes,
+             md5(r) AS res_checksum
+      FROM (SELECT doc_id,
+                   octet_length(encode(text)) AS orig,
+                   array_to_string(list_transform(
+                     range(1, len(text) + 1, 4),
+                     i -> substr(text, CAST(i AS INT), 1)), '') AS r
+            FROM documents)
+      ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(binaryStats, decodeFeatures, resize)
 }
