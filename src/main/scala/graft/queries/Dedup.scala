@@ -412,8 +412,12 @@ object Dedup extends QueryModule {
       graft.operators.CacheScope.releaseCheckpoint(cand)
       val drop = labels.filter(col("cluster") =!= col("id"))
         .select(col("id").as("doc_id"))
-      val result = docs.join(drop, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"))
+      // the anti-join's stream side is the raw corpus scan — give it
+      // the same parallelism floor the fingerprint builders get, or a
+      // single-row-group file serializes the whole anti-join + sort
+      val result = graft.operators.Partitioning
+        .ensureParallelism(docs.select(col("doc_id")), "doc_id")
+        .join(drop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
       graft.operators.CacheScope.eval(result)(labels)
     },
