@@ -296,7 +296,56 @@ object TextAnalysis extends QueryModule {
       FROM g ORDER BY doc_id""")
   )
 
+  /** Quality-weighted deterministic sampling — the data-MIXING pass:
+    * each lexical-diversity tier samples at its own rate (high 75%,
+    * mid 50%, low 25%) via the md5-prefix rate filter, so corpus
+    * composition shifts toward quality without an RNG. Fully narrow,
+    * reproducible at any cluster size and across reruns — the property
+    * a training-data pipeline needs for auditable mixtures. Tier
+    * thresholds compare raw exact-integer divisions, so Spark and
+    * DuckDB agree on every boundary. */
+  val qualitySample: Q = Q(
+    "ta_quality_sample",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("lex",
+          size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")))
+        .withColumn("tier",
+          when(col("lex") >= 0.8, "high")
+            .when(col("lex") >= 0.5, "mid")
+            .otherwise("low"))
+        .withColumn("rate",
+          when(col("tier") === "high", "c0")
+            .when(col("tier") === "mid", "80")
+            .otherwise("40"))
+        .filter(
+          substring(md5(col("doc_id").cast("string")), 1, 2) < col("rate"))
+        .select(col("doc_id"), col("tier"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS lex
+        FROM documents),
+      tiers AS (
+        SELECT doc_id,
+               CASE WHEN lex >= 0.8 THEN 'high'
+                    WHEN lex >= 0.5 THEN 'mid'
+                    ELSE 'low' END AS tier,
+               CASE WHEN lex >= 0.8 THEN 'c0'
+                    WHEN lex >= 0.5 THEN '80'
+                    ELSE '40' END AS rate
+        FROM t)
+      SELECT doc_id, tier
+      FROM tiers
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < rate
+      ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
-      boilerplate, intraRepetition)
+      boilerplate, intraRepetition, qualitySample)
 }
