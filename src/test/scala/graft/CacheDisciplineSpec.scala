@@ -12,7 +12,8 @@ class CacheDisciplineSpec extends AnyFunSuite with SharedSpark {
 
   test("cache-heavy catalog queries leave no session cache entries") {
     for (name <- Seq("dd_minhash_lsh", "dd_jaccard_verify",
-        "dd_simhash_hamming", "dd_embed_srp", "dd_dup_clusters",
+        "dd_simhash_hamming", "dd_simhash_hamming2", "dd_embed_srp",
+        "dd_dup_clusters", "dd_dedup_corpus", "dd_decontaminate",
         "ss_topk_srp", "ss_topk_ivf")) {
       SparkEntry.queries(name)(spark, sf).count()
       assert(spark.sharedState.cacheManager.isEmpty,

@@ -223,6 +223,18 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
       q.processAllAvailable()
       val kept = spark.table("near_dedup").as[Long].collect().toSet
       assert(kept == Set(1L, 4L), s"got $kept")
+      // the bounded-state contract, shown honestly: once the watermark
+      // passes the 5-day allowance, seen-fingerprint state expires and
+      // the same text is admitted AGAIN — state is finite by design
+      source.addData(
+        (5L, ts("2024-01-20 09:00:00"), "advancing the watermark now"))
+      q.processAllAvailable()
+      source.addData(
+        (6L, ts("2024-01-20 09:01:00"), "spark shuffles the join keys"))
+      q.processAllAvailable()
+      val after = spark.table("near_dedup").as[Long].collect().toSet
+      assert(after.contains(6L),
+        s"expired fingerprint state must re-admit, got $after")
     } finally q.stop()
   }
 
