@@ -345,7 +345,49 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id""")
   )
 
+  /** Fixed-window token chunking with overlap — the pass that splits
+    * documents into training-context windows (32-token chunks, stride
+    * 24 ⇒ 8-token overlap). A narrow explode: chunk count per doc is
+    * ⌈max(n−32,0)/24⌉+1, each chunk content-addressed by md5 so the
+    * output stays row-sized no matter the window. At corpus scale this
+    * is the map stage feeding tokenizer/packing jobs — no shuffle
+    * until someone aggregates chunks. */
+  val chunk: Q = Q(
+    "ta_chunk",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__l"))
+        .select(col("doc_id"), col("__l"),
+          explode(expr(
+            "sequence(0, (greatest(size(__l) - 32, 0) + 23) div 24)"))
+            .as("chunk_id"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          expr("size(slice(__l, chunk_id * 24 + 1, 32))").cast("long")
+            .as("n_tokens"),
+          expr("md5(concat_ws(' ', slice(__l, chunk_id * 24 + 1, 32)))")
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      c AS (
+        SELECT doc_id,
+               unnest(range(0, ((greatest(len(l) - 32, 0) + 23) // 24) + 1))
+                 AS chunk_id,
+               l
+        FROM t)
+      SELECT doc_id,
+             CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(l[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT)
+               AS n_tokens,
+             md5(array_to_string(l[chunk_id*24+1 : chunk_id*24+32], ' '))
+               AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_id""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
-      boilerplate, intraRepetition, qualitySample)
+      boilerplate, intraRepetition, qualitySample, chunk)
 }
