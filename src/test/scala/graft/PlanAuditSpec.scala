@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-catalog plan audit — the invariants that keep 100 TB plans
+  * healthy, pinned so a refactor cannot silently regress them:
+  * no cartesian/nested-loop joins except the two documented shapes,
+  * and no single-partition global window except the literal-parity
+  * pagination port. */
+class PlanAuditSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries allowed a BroadcastNestedLoopJoin: ss_topk_brute IS the
+    * all-pairs baseline by definition (broadcast query batch), and
+    * ev_watermark joins a broadcast 1-row max aggregate with a
+    * non-equi recency condition — both documented in SURVEY.md. */
+  private val nestedLoopAllowed = Set("ss_topk_brute", "ev_watermark")
+
+  /** Queries allowed an empty-partition (global) window:
+    * rel_pagination is the documented literal-parity port of the
+    * reference's ROWNUM batching; rel_keyset_pagination next to it is
+    * the scale path. */
+  private val globalWindowAllowed = Set("rel_pagination")
+
+  test("no undocumented cartesian or nested-loop join in any query") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val bad =
+          (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) &&
+            !nestedLoopAllowed(name)
+        if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"undocumented non-equi join shapes in: $offenders")
+  }
+
+  test("no undocumented single-partition global window in any query") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        // windowspecdefinition( directly followed by an order spec and
+        // no partition column = global window, one task at any scale
+        val global = plan.contains("windowspecdefinition(") &&
+          raw"windowspecdefinition\(\w+#\d+L? (ASC|DESC)".r
+            .findFirstIn(plan).isDefined
+        if (global && !globalWindowAllowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"undocumented global windows in: $offenders")
+  }
+}
