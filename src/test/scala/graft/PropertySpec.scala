@@ -58,7 +58,7 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       .zipWithIndex.map { case (f, i) => (i.toLong, f) }
     val df = fps.toDF("doc_id", "simhash_int")
     val byId = fps.toMap
-    for (d <- 0 to 3) {
+    for (d <- 0 to 4) {
       val got = graft.operators.TextDedup
         .hammingPairs(df, bits = 8, maxDistance = d)
         .collect()
