@@ -116,8 +116,17 @@ object Similarity extends QueryModule {
     * double division and a float cast — an IEEE sequence DuckDB replays
     * bit-for-bit, exactly like the fold cosine. A float mean of floats,
     * by contrast, would depend on partition order. */
-  val topkIvf: Q = Q(
-    "ss_topk_ivf",
+  val topkIvf: Q = ivfQuery("ss_topk_ivf", nprobe = 1)
+
+  /** Multi-probe IVF — the standard recall knob: each query searches
+    * its `nprobe` best cells (by centroid cosine) instead of only its
+    * own. Probe cost grows linearly in nprobe while staying
+    * corpus-scale-independent; candidates never duplicate because
+    * every vector lives in exactly one cell. nprobe=2 here. */
+  val topkIvf2: Q = ivfQuery("ss_topk_ivf2", nprobe = 2)
+
+  private def ivfQuery(name: String, nprobe: Int): Q = Q(
+    name,
     (s, dir) => {
       graft.GraftExtensions.ensure(s)
       val emb = Tables(s, dir, "embeddings")
@@ -131,22 +140,24 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-      def assign(cents: Array[(Long, Array[Float])]): DataFrame = {
-        val withC = cents.zipWithIndex.foldLeft(emb) {
+      def withCents(base: DataFrame,
+                    cents: Array[(Long, Array[Float])]): DataFrame =
+        cents.zipWithIndex.foldLeft(base) {
           case (df, ((_, v), i)) => df.withColumn(s"__cc$i", typedLit(v))
         }
-        val cellStructs = cents.zipWithIndex.map { case ((cId, _), i) =>
+      def cellStructs(cents: Array[(Long, Array[Float])]) =
+        cents.zipWithIndex.map { case ((cId, _), i) =>
           struct(
             (expr(s"fvec_dot(embedding, __cc$i)") /
               (expr("sqrt(fvec_dot(embedding, embedding))") *
                 expr(s"sqrt(fvec_dot(__cc$i, __cc$i))"))).as("c"),
             lit(-cId).as("nid"))
         }
-        withC
+      def assign(cents: Array[(Long, Array[Float])]): DataFrame =
+        withCents(emb, cents)
           .withColumn("cell",
-            -array_max(array(cellStructs.toIndexedSeq: _*))("nid"))
+            -array_max(array(cellStructs(cents).toIndexedSeq: _*))("nid"))
           .select(col("vec_id"), col("embedding"), col("cell"))
-      }
       // one Lloyd step: per-(cell, dim) integer-scaled sums, distributed
       val SCALE = 1048576.0 // 2^20
       val sums = assign(cents0)
@@ -166,10 +177,18 @@ object Similarity extends QueryModule {
       val cents1 = cents0.map { case (cId, v) =>
         (cId, refined.getOrElse(cId, v))
       }
-      val assigned = assign(cents1).localCheckpoint()
-      val queries = assigned.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
-          col("embedding").as("q_emb"))
+      val assigned = assign(cents1)
+        .transform(graft.operators.CacheScope.materialize)
+      // query batch probes its top-nprobe cells: structs sort asc by
+      // (cosine, -c_id), reversed -> cosine DESC then c_id ASC — the
+      // oracle's exact ranking. nprobe=1 degenerates to the argmax
+      // cell, i.e. single-probe IVF.
+      val queries = withCents(emb.filter(col("vec_id") < 3), cents1)
+        .withColumn("__ranked",
+          reverse(array_sort(array(cellStructs(cents1).toIndexedSeq: _*))))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(expr(s"slice(__ranked, 1, $nprobe)")).as("__pc"))
+        .select(col("q_id"), col("q_emb"), (-col("__pc.nid")).as("q_cell"))
       val wRank = Window.partitionBy("q_id")
         .orderBy(col("cosine").desc, col("vec_id").asc)
       val result = assigned
@@ -222,8 +241,10 @@ object Similarity extends QueryModule {
             ORDER BY c_cos DESC, c_id ASC) AS rn
           FROM scored_cells) WHERE rn = 1),
       q AS (
-        SELECT vec_id AS q_id, cell AS q_cell, embedding AS q_emb
-        FROM assigned WHERE vec_id < 3),
+        SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY c_cos DESC, c_id ASC) AS rn
+          FROM scored_cells WHERE vec_id < 3) WHERE rn <= $nprobe),
       scored AS (
         SELECT q.q_id, e.vec_id,
                ${duckCosine("q.q_emb", "e.embedding")} AS cosine
@@ -238,5 +259,5 @@ object Similarity extends QueryModule {
       WHERE rank <= $K ORDER BY q_id, rank""")
   )
 
-  def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf)
+  def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2)
 }
