@@ -46,9 +46,11 @@ object Ann {
               k: Int, nPlanes: Int, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     // bucketed feeds both the query lookup and the probe join —
-    // materialized once, released as soon as the (k·|Q|)-row result is
-    // itself materialized (CacheScope.eval) so no blocks outlive the call
-    val bucketed = Srp.withBucket(s, corpus, nPlanes).transform(graft.operators.CacheScope.materialize)
+    // persisted lazily (the result-materializing job fills the cache in
+    // passing; no eager extra pass), released as soon as the (k·|Q|)-row
+    // result is itself materialized (CacheScope.eval) so no blocks
+    // outlive the call
+    val bucketed = Srp.withBucket(s, corpus, nPlanes).persist()
     val queries = bucketed.join(queryIds, idCol)
       .select(col(idCol).as("q_id"), col("bucket").as("q_bucket"),
         col(vecCol).as("q_emb"))

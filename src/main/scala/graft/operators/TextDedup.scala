@@ -104,14 +104,20 @@ object TextDedup {
   }
 
   /** End-to-end LSH candidates from raw documents. The band table is
-    * materialized once (eager checkpoint) for the self-join, released
-    * as soon as the candidate pairs — Σ bucket² bounded — are
+    * persisted LAZILY for the self-join: the single job that
+    * materializes the candidate pairs populates the cache on its first
+    * band scan and reads it on the second, so signatures compute once
+    * without a separate eager-checkpoint job (r6's eager variant cost
+    * an extra full pass — the dd_minhash_lsh bench regression). Lazy
+    * persist also keeps the lineage recomputable on executor loss,
+    * which a localCheckpoint would not. The blocks are released as
+    * soon as the candidate pairs — Σ bucket² bounded — are
     * themselves materialized. */
   def lshCandidates(docs: DataFrame, numPerms: Int, nBands: Int,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val bd = bands(signaturesNarrow(docs, numPerms, idCol, textCol),
-      numPerms, nBands, idCol).transform(CacheScope.materialize)
+      numPerms, nBands, idCol).persist()
     CacheScope.eval(candidates(bd, idCol))(bd)
   }
 

@@ -177,8 +177,10 @@ object Similarity extends QueryModule {
       val cents1 = cents0.map { case (cId, v) =>
         (cId, refined.getOrElse(cId, v))
       }
+      // assigned feeds exactly ONE consumer (the probe join; the query
+      // batch derives from `emb` directly), so no persist/checkpoint:
+      // materializing a single-use lineage is a pure extra pass.
       val assigned = assign(cents1)
-        .transform(graft.operators.CacheScope.materialize)
       // query batch probes its top-nprobe cells: structs sort asc by
       // (cosine, -c_id), reversed -> cosine DESC then c_id ASC — the
       // oracle's exact ranking. nprobe=1 degenerates to the argmax
@@ -199,7 +201,7 @@ object Similarity extends QueryModule {
         .filter(col("rank") <= K)
         .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
         .orderBy("q_id", "rank")
-      graft.operators.CacheScope.eval(result)(assigned)
+      result
     },
     Some(s"""
       WITH cents0 AS (

@@ -37,6 +37,15 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"undocumented non-equi join shapes in: $offenders")
   }
 
+  test("SRP dims probe is a one-row CollectLimit, not a full aggregate") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val plan = graft.operators.Srp.dimsProbe(emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CollectLimit"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"dims probe regressed to a full-table aggregate:\n$plan")
+  }
+
   test("no undocumented single-partition global window in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -41,6 +41,32 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     assert(new java.io.File(s"$dir/good/daily/k/q.gz").exists())
   }
 
+  test("fanOut executes the plan once for N targets, identical bytes") {
+    val dir = Files.createTempDirectory("fan_once_spec").toString
+    val df = spark.range(1000).selectExpr("id", "md5(cast(id as string)) as v")
+    val group = "fanout-once-spec"
+    spark.sparkContext.setJobGroup(group, "fanOut single-execution audit")
+    val res = try Sinks.fanOut(df,
+      Seq(s"$dir/t1", s"$dir/t2", s"$dir/t3"), "daily/k/q.gz")
+    finally spark.sparkContext.clearJobGroup()
+    assert(res.map(_._2) == Seq(true, true, true))
+    // the status store is fed asynchronously — poll until it settles
+    val deadline = System.nanoTime() + 5e9.toLong
+    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    while (jobs().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    Thread.sleep(200)
+    assert(jobs().length == 1,
+      s"one staging write, zero per-target executions: ${jobs().toSeq}")
+    // every target received the same byte stream (jobs.py:116-132)
+    def bytes(t: String): Seq[String] =
+      new java.io.File(s"$dir/$t/daily/k/q.gz").listFiles()
+        .filter(_.getName.endsWith(".csv.gz")).sortBy(_.getName)
+        .map(f => java.util.Base64.getEncoder.encodeToString(
+          java.nio.file.Files.readAllBytes(f.toPath))).toSeq
+    assert(bytes("t1").nonEmpty)
+    assert(bytes("t1") == bytes("t2") && bytes("t2") == bytes("t3"))
+  }
+
   test("empty result writes a valid empty output (jobs.py:181-184 path)") {
     val dir = Files.createTempDirectory("empty_spec").toString
     val df = Seq((1L, "a")).toDF("id", "v").filter("id < 0")
