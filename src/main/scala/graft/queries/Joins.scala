@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule}
@@ -227,6 +228,132 @@ object Joins extends QueryModule {
       ORDER BY orderkey, linenumber""")
   )
 
+  /** The reference's deprecated course path composed as ONE plan
+    * (reference: jonesy/queries.py:246-283 get_term_courses_deprecated):
+    * sections JOIN the career-filtered term table, a 4-deep LEFT-JOIN
+    * chain (display-name translation → versioned course catalog →
+    * meetings → instructors), a validity-window containment against the
+    * term's end date, and an argmax-with-sentinel over catalog versions.
+    * Each piece is covered alone (ref_left_join / ref_range_join /
+    * ref_argmax_sentinel); this exercises the COMPOSITION, where
+    * join-order and pushdown surprises live. Fixture roles: lineitem =
+    * sections (term = ship month), month table from 'F'-status orders =
+    * EXTENDED_TERM_MVW (career filter), part = DISPLAYNAMEXLAT, orders
+    * re-read = versioned API_COURSE (customer key as displayName, order
+    * date as updatedDate), supplier = MEETING, nation = INSTRUCTOR.
+    *
+    * Catalyst/scale notes: the term lands on the sec scan as a pushable
+    * timestamp range (the reference inlines the term id as a literal);
+    * the WHERE's range + argmax predicates are null-intolerant on crs
+    * columns, so Catalyst converts the xlat/crs LEFT JOINs to inner —
+    * the same inner-ization Oracle applies to the reference's query.
+    * The correlated MAX decorrelates by construction into one aggregate
+    * + equi-join; its term2 lookup rides a literal-key broadcast whose
+    * constant key folds away, leaving a 1×N broadcast loop over the
+    * single-row term table — the correct scalar-attach plan at any
+    * scale, allowlisted in PlanAuditSpec. Dims
+    * (term/part/supplier/nation) broadcast; the only shuffled joins are
+    * sec⋈crs and crs⋈argmax, both keyed on the catalog key so the
+    * exchange is reused. The sentinel-date escape can't fire on this
+    * data (no 1901 dates) — it is exercised structurally, as in
+    * ref_argmax_sentinel. */
+  val termCoursesDeprecated: Q = Q(
+    "ref_term_courses_deprecated",
+    (s, dir) => {
+      val termId = "199506"
+      val lo = lit("1995-06-01").cast("timestamp")
+      val hi = lit("1995-07-01").cast("timestamp")
+      val sentinel = lit("1901-01-01").cast("timestamp")
+      val o = Tables(s, dir, "orders")
+      val term1 = o
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(date_format(col("o_orderdate"), "yyyyMM").as("t_term_id"),
+          last_day(col("o_orderdate")).cast("timestamp").as("term_end"))
+        .distinct()
+      val sec = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .withColumn("term_id", date_format(col("l_shipdate"), "yyyyMM"))
+      val crs = o.select(col("o_custkey").as("crs_key"),
+        col("o_orderdate").as("course_updated_date"),
+        col("o_orderpriority").as("course_priority"))
+      val inWindow: Column => Column = d =>
+        d <= col("term_end") &&
+          d + expr("INTERVAL 24 MONTHS") >= col("term_end")
+      val latest = o.withColumn("t_term_id", lit(termId))
+        .join(broadcast(term1), "t_term_id")
+        .filter(inWindow(col("o_orderdate")) ||
+          col("o_orderdate") === sentinel)
+        .groupBy(col("o_custkey").as("mx_key"))
+        .agg(max("o_orderdate").as("max_updated"))
+      sec
+        .join(broadcast(term1), col("term_id") === col("t_term_id"))
+        .join(broadcast(Tables(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"), "left")
+        .join(crs, col("crs_key") === col("p_partkey"), "left")
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"), "left")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("n_nationkey") === col("s_nationkey"), "left")
+        .join(latest, col("mx_key") === col("crs_key"), "left")
+        .filter(inWindow(col("course_updated_date")) &&
+          col("course_updated_date") === col("max_updated"))
+        .select(
+          col("l_orderkey").as("section_key"),
+          col("l_linenumber").as("section_num"),
+          col("term_id"),
+          col("p_type").as("dept_code"),
+          col("p_brand").as("catalog_nbr"),
+          trim(col("p_name")).as("course_title"),
+          col("course_updated_date"),
+          col("course_priority"),
+          col("s_name").as("location"),
+          col("n_name").as("instructor_region"),
+          col("l_quantity").as("units"),
+          col("l_returnflag").as("enrollment_status"))
+        .distinct()
+        .orderBy("section_key", "section_num", "course_updated_date",
+          "course_priority")
+    },
+    Some("""
+      WITH term1 AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y%m') AS t_term_id,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+                 AS term_end
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderdate >= TIMESTAMP '1995-06-01'
+          AND o_orderdate < TIMESTAMP '1995-07-01')
+      SELECT DISTINCT
+        sec.l_orderkey AS section_key, sec.l_linenumber AS section_num,
+        strftime(sec.l_shipdate, '%Y%m') AS term_id,
+        xlat.p_type AS dept_code, xlat.p_brand AS catalog_nbr,
+        trim(xlat.p_name) AS course_title,
+        crs.o_orderdate AS course_updated_date,
+        crs.o_orderpriority AS course_priority,
+        mtg.s_name AS location, instr.n_name AS instructor_region,
+        sec.l_quantity AS units, sec.l_returnflag AS enrollment_status
+      FROM lineitem sec
+      JOIN term1 ON term1.t_term_id = strftime(sec.l_shipdate, '%Y%m')
+      LEFT JOIN part xlat ON xlat.p_partkey = sec.l_partkey
+      LEFT JOIN orders crs ON crs.o_custkey = xlat.p_partkey
+      LEFT JOIN supplier mtg ON mtg.s_suppkey = sec.l_suppkey
+      LEFT JOIN nation instr ON instr.n_nationkey = mtg.s_nationkey
+      WHERE sec.l_shipdate >= TIMESTAMP '1995-06-01'
+        AND sec.l_shipdate < TIMESTAMP '1995-07-01'
+        AND crs.o_orderdate <= term1.term_end
+        AND crs.o_orderdate + INTERVAL 24 MONTH >= term1.term_end
+        AND crs.o_orderdate = (
+          SELECT max(crs2.o_orderdate)
+          FROM orders crs2, term1 term2
+          WHERE crs2.o_custkey = crs.o_custkey
+            AND ((crs2.o_orderdate <= term2.term_end
+                  AND crs2.o_orderdate + INTERVAL 24 MONTH >= term2.term_end)
+                 OR crs2.o_orderdate = TIMESTAMP '1901-01-01'))
+      ORDER BY section_key, section_num, course_updated_date,
+               course_priority""")
+  )
+
   def all: Seq[Q] = Seq(starJoin, leftJoin, conditionalJoin, rangeJoin,
-    semiJoin, antiJoin, argmaxSentinel)
+    semiJoin, antiJoin, argmaxSentinel, termCoursesDeprecated)
 }

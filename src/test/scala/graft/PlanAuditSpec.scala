@@ -12,10 +12,15 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
   private val sf = "/root/testdata/sf0.001"
 
   /** Queries allowed a BroadcastNestedLoopJoin: ss_topk_brute IS the
-    * all-pairs baseline by definition (broadcast query batch), and
+    * all-pairs baseline by definition (broadcast query batch);
     * ev_watermark joins a broadcast 1-row max aggregate with a
-    * non-equi recency condition — both documented in SURVEY.md. */
-  private val nestedLoopAllowed = Set("ss_topk_brute", "ev_watermark")
+    * non-equi recency condition; ref_term_courses_deprecated attaches
+    * the broadcast SINGLE-ROW term table to the argmax subquery's
+    * version scan (the literal term-id equi-key constant-folds away,
+    * leaving a 1×N broadcast loop — the correct scalar-attach plan at
+    * any scale). All documented at the query definition. */
+  private val nestedLoopAllowed =
+    Set("ss_topk_brute", "ev_watermark", "ref_term_courses_deprecated")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
