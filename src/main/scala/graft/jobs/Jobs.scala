@@ -74,17 +74,44 @@ object Jobs {
       lit(ym.plusMonths(1).atDay(1).toString).cast("timestamp"))
   }
 
-  /** Snapshot per-term enrollments — orders whose order month is the
-    * term (reference get_term_enrollments, queries.py via jobs.py:60-62). */
+  /** Snapshot per-term enrollments — the reference's FULL-WIDTH
+    * projection (reference get_term_enrollments, queries.py:294-307:
+    * 13 DISTINCT columns — section/term/session ids, uid + TO_CHAR'd
+    * sis id, enrollment status, waitlist position, units, grade,
+    * grade points, grading basis, NULLable midterm grade, institution
+    * — ORDER BY section_id, sis_id). Fixture roles: enrollment row =
+    * lineitem of a term order; the TO_CHAR cast lands on sis_id; the
+    * reference's nullable GRADE_MARK_MID becomes a CASE that nulls the
+    * not-yet-graded flag. ROWNUM batching of this query is ported
+    * separately (rel_pagination / rel_keyset_pagination); the snapshot
+    * job uploads the whole extract, as jobs.py:60-62 does.
+    *
+    * Scale shape: the term filter is a pushable range on the orders
+    * scan; lineitem joins on the order key (the one shuffle); all 13
+    * output columns are projections, no arithmetic (byte-stable CSV). */
   def termEnrollments(s: SparkSession, dir: String, termId: String): DataFrame = {
     val (lo, hi) = monthBounds(termId)
-    Tables(s, dir, "orders")
+    val o = Tables(s, dir, "orders")
       .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
-      .select(col("o_orderkey").as("enrollment_id"),
+    Tables(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("l_orderkey").as("section_id"),
+        date_format(col("o_orderdate"), "yyyyMM").as("term_id"),
+        col("o_orderpriority").as("session_id"),
         col("o_custkey").as("ldap_uid"),
-        col("o_orderstatus").as("enrollment_status"),
-        col("o_orderdate").as("enrolled_at"))
-      .orderBy("enrollment_id")
+        col("o_custkey").cast("string").as("sis_id"),
+        col("l_linestatus").as("enrollment_status"),
+        col("l_linenumber").as("waitlist_position"),
+        col("l_quantity").as("units"),
+        col("l_returnflag").as("grade"),
+        col("l_discount").as("grade_points"),
+        col("o_orderstatus").as("grading_basis"),
+        when(col("l_returnflag") === "N", lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("grade_midterm"),
+        lit("UC_GRAFT").as("institution"))
+      .distinct()
+      .orderBy("section_id", "sis_id", "waitlist_position")
   }
 
   /** Snapshot per-term courses — the distinct parts ordered in the

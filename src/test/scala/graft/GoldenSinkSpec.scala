@@ -43,6 +43,27 @@ class GoldenSinkSpec extends AnyFunSuite with SharedSpark {
       s"sis-data/$daily/instructor_updates/instructor-updates-202608.gz")
   }
 
+  test("snapshot enrollments-{term}.gz carries the full 13-col projection") {
+    val base = Files.createTempDirectory("golden_wide").toString
+    val term = graft.jobs.Jobs.currentTermIds(spark, sf).head
+    val df = graft.jobs.Jobs.termEnrollments(spark, sf, term)
+    // the reference's column order, queries.py:294-307
+    assert(df.columns.toSeq == Seq("section_id", "term_id", "session_id",
+      "ldap_uid", "sis_id", "enrollment_status", "waitlist_position",
+      "units", "grade", "grade_points", "grading_basis", "grade_midterm",
+      "institution"))
+    // through the snapshot job into two targets: same key, same bytes
+    val res = graft.jobs.Jobs.run("upload_snapshot", spark, sf,
+      Seq(s"$base/t1", s"$base/t2"), "2024-01-01")
+    assert(res.forall(_._3), s"all uploads succeed: $res")
+    val key = Sinks.termKey("2024-01-01", "enrollments", "enrollments", term)
+    val (a, b) = (partBytes(s"$base/t1/$key"), partBytes(s"$base/t2/$key"))
+    assert(a.nonEmpty && java.util.Arrays.equals(a, b))
+    val back = spark.read.option("header", "false").csv(s"$base/t1/$key")
+    assert(back.columns.length == 13)
+    assert(back.count() == df.count() && df.count() > 0)
+  }
+
   test("term-parameterized extract is byte-identical across runs") {
     val base = Files.createTempDirectory("golden_term").toString
     val term = graft.jobs.Jobs.currentTermIds(spark, sf).head
