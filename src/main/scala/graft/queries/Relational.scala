@@ -310,6 +310,39 @@ object Relational extends QueryModule {
     None // sketch internals are engine-specific — rows-only check
   )
 
+  /** A5 companion — the sketch's accuracy made driver-visible:
+    * rel_sketch_agg is rows-only by design (HLL internals are
+    * engine-specific), so THIS query closes the loop by computing the
+    * exact distinct count and the HLL++ estimate in one pass and
+    * emitting a hash-checked boolean that the estimate lands within
+    * 3×rsd (0.15 relative at rsd=0.05 — a ≥3σ bound for HLL++'s error
+    * distribution, deterministic for a fixed input since the sketch is
+    * seed-free). The oracle pins `within_bound` to TRUE per group and
+    * replays the exact count, so the one non-hash-checked catalog
+    * entry has a hash-checked accuracy certificate next to it.
+    * Scale: one shuffle; the exact countDistinct is the expensive
+    * exactness baseline (it expands per-key), present here exactly to
+    * certify the cheap sketch a 100 TB run would use alone. */
+  val sketchBound: Q = Q(
+    "rel_sketch_bound",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_customers"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.05)
+            .as("approx"))
+        .select(col("priority"), col("exact_customers"),
+          (abs(col("approx") - col("exact_customers")) <=
+            col("exact_customers") * 0.15).as("within_bound"))
+        .orderBy("priority"),
+    Some("""
+      SELECT o_orderpriority AS priority,
+             count(DISTINCT o_custkey) AS exact_customers,
+             TRUE AS within_bound
+      FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
   /** §2.4 A5 — explicit GROUPING SETS with grouping_id: the two
     * single-dimension rollups in one pass (the shape neither ROLLUP nor
     * CUBE expresses), disambiguating real NULL group keys from
@@ -339,5 +372,5 @@ object Relational extends QueryModule {
 
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot, sketchAgg,
-    groupingSets, hashSample, stratifiedSample)
+    sketchBound, groupingSets, hashSample, stratifiedSample)
 }
