@@ -39,6 +39,124 @@ object Ann {
         .withColumn("cosine", VectorFns.cosineNative(s, "q_emb", vecCol)),
       k, idCol)
 
+  // ------------------------------------------------------------------
+  // IVF: data-adaptive coarse cells (seed + one deterministic Lloyd
+  // step), narrow argmax assignment, and a build-once/probe-many
+  // bucketed index face. The k-dependent machinery here is shared by
+  // the ss_topk_ivf* catalog queries and the prebuilt-index path.
+  // ------------------------------------------------------------------
+
+  /** Integer scale for the Lloyd sums: exact order-free addition, then
+    * one double division + float cast — an IEEE sequence any engine
+    * replays bit-for-bit (a float mean of floats would depend on
+    * partition order). */
+  private val LloydScale = 1048576.0 // 2^20
+
+  private def withCents(base: DataFrame,
+                        cents: Array[(Long, Array[Float])]): DataFrame =
+    cents.zipWithIndex.foldLeft(base) {
+      case (df, ((_, v), i)) => df.withColumn(s"__cc$i", typedLit(v))
+    }
+
+  /** Per-centroid (cosine, -id) structs; array_max picks max cosine
+    * with ties to the LOWEST centroid id (the oracle's ORDER BY c_cos
+    * DESC, c_id ASC), array_sort+reverse ranks all cells. */
+  private def cellStructs(cents: Array[(Long, Array[Float])],
+                          vecCol: String) =
+    cents.zipWithIndex.map { case ((cId, _), i) =>
+      struct(
+        (expr(s"fvec_dot($vecCol, __cc$i)") /
+          (expr(s"sqrt(fvec_dot($vecCol, $vecCol))") *
+            expr(s"sqrt(fvec_dot(__cc$i, __cc$i))"))).as("c"),
+        lit(-cId).as("nid"))
+    }
+
+  /** Narrow cell assignment: broadcast literal centroids, per-row
+    * argmax — no join, no shuffle. Output: (idCol, vecCol, cell). */
+  def ivfAssign(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    withCents(corpus, cents)
+      .withColumn("cell",
+        -array_max(array(cellStructs(cents, vecCol).toIndexedSeq: _*))("nid"))
+      .select(col(idCol), col(vecCol), col("cell"))
+
+  /** IVF centroids: the corpus' first `k` vectors as seeds, refined by
+    * ONE Lloyd step over the whole corpus. Both driver round-trips are
+    * planning-class (k rows; k·dims sums). Deterministic: seeds are
+    * id-ordered, sums integer-scaled. */
+  def ivfCentroids(s: SparkSession, corpus: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[(Long, Array[Float])] = {
+    graft.GraftExtensions.ensure(s)
+    val cents0 = corpus.filter(col(idCol) < k)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val sums = ivfAssign(corpus, cents0, idCol, vecCol)
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("idx", "x")))
+      .groupBy("cell", "idx")
+      .agg(sum(round(col("x").cast("double") * LloydScale).cast("long"))
+        .as("s"), count(lit(1)).as("n"))
+      .collect()
+    val refined: Map[Long, Array[Float]] = sums.groupBy(_.getLong(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1))
+          .map(r => ((r.getLong(2).toDouble / r.getLong(3)) / LloydScale)
+            .toFloat)
+      }
+    // empty cells keep their seed (can't occur with data-point seeds —
+    // a seed's own vector always argmaxes to it — but the fallback is
+    // mirrored in the oracle so the two can never diverge)
+    cents0.map { case (cId, v) => (cId, refined.getOrElse(cId, v)) }
+  }
+
+  /** Top-`nprobe` probe cells per query vector: (q_id, q_emb, q_cell).
+    * nprobe=1 degenerates to the argmax cell (single-probe IVF). */
+  def ivfProbeCells(queries: DataFrame, cents: Array[(Long, Array[Float])],
+                    nprobe: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    withCents(queries, cents)
+      .withColumn("__ranked",
+        reverse(array_sort(array(cellStructs(cents, vecCol)
+          .toIndexedSeq: _*))))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_emb"),
+        explode(expr(s"slice(__ranked, 1, $nprobe)")).as("__pc"))
+      .select(col("q_id"), col("q_emb"), (-col("__pc.nid")).as("q_cell"))
+
+  /** BUILD-once face: assign every corpus vector to its cell and
+    * persist the assignment as a `cell`-bucketed+sorted table. The
+    * assignment pass — the per-vector centroid argmax a probe would
+    * otherwise recompute — is pre-paid exactly once; every later probe
+    * batch reads the table with bucket pruning on its probe cells and
+    * joins with NO exchange on the corpus side. The production ANN
+    * pattern: index build amortized over many query batches. */
+  def buildIvfIndex(s: SparkSession, corpus: DataFrame,
+                    cents: Array[(Long, Array[Float])], table: String,
+                    nBuckets: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    Partitioning.writeBucketed(
+      ivfAssign(corpus, cents, idCol, vecCol), table, "cell", nBuckets)
+
+  /** PROBE-many face against a prebuilt index table: the probe-cell
+    * list (k·nprobe values, driver-known) lands on the scan as an IN
+    * filter, so Spark prunes to the matching buckets; the query batch
+    * broadcasts; scoring + top-k rank are the only remaining work.
+    * The corpus side plans scan → filter → broadcast-join with no
+    * Exchange (pinned in SimilaritySpec). */
+  def probeIvfIndex(s: SparkSession, table: String, queries: DataFrame,
+                    k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cells = queries.select("q_cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = Partitioning.bucketed(s, table)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .join(broadcast(queries),
+        col("cell") === col("q_cell") && col(idCol) =!= col("q_id"))
+      .withColumn("cosine", VectorFns.cosineNative(s, "q_emb", vecCol))
+    rank(scored, k, idCol)
+  }
+
   /** SRP-bucketed approximate top-k: corpus and queries bucketed by
     * `nPlanes` sign-projection bits (operators.Srp — a narrow map);
     * probes score same-bucket vectors only. */

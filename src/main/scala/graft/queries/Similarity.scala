@@ -128,72 +128,22 @@ object Similarity extends QueryModule {
   private def ivfQuery(name: String, nprobe: Int): Q = Q(
     name,
     (s, dir) => {
-      graft.GraftExtensions.ensure(s)
+      // All IVF machinery lives in operators.Ann (shared with the
+      // build-once/probe-many bucketed-index face): seeds + one
+      // integer-scaled Lloyd step driver-side (planning-class
+      // round-trips), literal-centroid argmax assignment (narrow map,
+      // no shuffle), top-nprobe probe cells per query. The assigned
+      // corpus feeds exactly ONE consumer (the probe join; the query
+      // batch derives from `emb` directly), so no persist/checkpoint.
+      import graft.operators.Ann
       val emb = Tables(s, dir, "embeddings")
-      // seed centroids collected driver-side (8 rows — the same class
-      // of driver work as broadcast planning) and inlined as literal
-      // vectors: assignment is then a narrow map — 8 codegen'd cosines
-      // + an argmax over a literal struct array — with NO crossJoin
-      // row expansion and NO shuffle. Tie-break (-c_id in the max
-      // struct) mirrors the oracle's ORDER BY c_cos DESC, c_id ASC.
-      val cents0 = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-      def withCents(base: DataFrame,
-                    cents: Array[(Long, Array[Float])]): DataFrame =
-        cents.zipWithIndex.foldLeft(base) {
-          case (df, ((_, v), i)) => df.withColumn(s"__cc$i", typedLit(v))
-        }
-      def cellStructs(cents: Array[(Long, Array[Float])]) =
-        cents.zipWithIndex.map { case ((cId, _), i) =>
-          struct(
-            (expr(s"fvec_dot(embedding, __cc$i)") /
-              (expr("sqrt(fvec_dot(embedding, embedding))") *
-                expr(s"sqrt(fvec_dot(__cc$i, __cc$i))"))).as("c"),
-            lit(-cId).as("nid"))
-        }
-      def assign(cents: Array[(Long, Array[Float])]): DataFrame =
-        withCents(emb, cents)
-          .withColumn("cell",
-            -array_max(array(cellStructs(cents).toIndexedSeq: _*))("nid"))
-          .select(col("vec_id"), col("embedding"), col("cell"))
-      // one Lloyd step: per-(cell, dim) integer-scaled sums, distributed
-      val SCALE = 1048576.0 // 2^20
-      val sums = assign(cents0)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("idx", "x")))
-        .groupBy("cell", "idx")
-        .agg(sum(round(col("x").cast("double") * SCALE).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val refined: Map[Long, Array[Float]] = sums.groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1))
-            .map(r => ((r.getLong(2).toDouble / r.getLong(3)) / SCALE).toFloat)
-        }
-      // empty cells keep their seed (can't occur with data-point seeds —
-      // a seed's own vector always argmaxes to it — but the fallback is
-      // mirrored in the oracle so the two can never diverge)
-      val cents1 = cents0.map { case (cId, v) =>
-        (cId, refined.getOrElse(cId, v))
-      }
-      // assigned feeds exactly ONE consumer (the probe join; the query
-      // batch derives from `emb` directly), so no persist/checkpoint:
-      // materializing a single-use lineage is a pure extra pass.
-      val assigned = assign(cents1)
-      // query batch probes its top-nprobe cells: structs sort asc by
-      // (cosine, -c_id), reversed -> cosine DESC then c_id ASC — the
-      // oracle's exact ranking. nprobe=1 degenerates to the argmax
-      // cell, i.e. single-probe IVF.
-      val queries = withCents(emb.filter(col("vec_id") < 3), cents1)
-        .withColumn("__ranked",
-          reverse(array_sort(array(cellStructs(cents1).toIndexedSeq: _*))))
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          explode(expr(s"slice(__ranked, 1, $nprobe)")).as("__pc"))
-        .select(col("q_id"), col("q_emb"), (-col("__pc.nid")).as("q_cell"))
+      val cents1 = Ann.ivfCentroids(s, emb, 8)
+      val assigned = Ann.ivfAssign(emb, cents1)
+      val queries = Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3), cents1, nprobe)
       val wRank = Window.partitionBy("q_id")
         .orderBy(col("cosine").desc, col("vec_id").asc)
-      val result = assigned
+      assigned
         .join(broadcast(queries),
           col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
         .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
@@ -201,7 +151,6 @@ object Similarity extends QueryModule {
         .filter(col("rank") <= K)
         .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
         .orderBy("q_id", "rank")
-      result
     },
     Some(s"""
       WITH cents0 AS (

@@ -24,4 +24,38 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(r2 >= r1, s"query $q: nprobe=2 recall $r2 < nprobe=1 $r1")
     }
   }
+
+  test("prebuilt bucketed IVF index: pruned exchange-free probe, same results") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ann
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val cents = Ann.ivfCentroids(spark, emb, 8)
+    Ann.buildIvfIndex(spark, emb, cents, "ivf_index_spec", nBuckets = 8)
+    try {
+      val queries = Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3), cents, nprobe = 1)
+        .transform(graft.operators.CacheScope.materialize)
+      val probe = Ann.probeIvfIndex(spark, "ivf_index_spec", queries, 10)
+      // corpus side: bucket-pruned scan, no Exchange anywhere below the
+      // broadcast join (the only Exchange in the whole plan is the
+      // top-k rank window's, on the tiny candidate set)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"probe scan is not bucket-pruned:\n$plan")
+      // (plans print top-down: everything after the join line is its
+      // subtree — the pruned scan and the broadcast side; a shuffle
+      // prints as "Exchange hashpartitioning", the broadcast side as
+      // "BroadcastExchange")
+      val joinIdx = plan.indexOf("BroadcastHashJoin")
+      assert(joinIdx >= 0, plan)
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"shuffle below the probe join:\n$plan")
+      // build-once/probe-many returns exactly the live-assignment result
+      val live = SparkEntry.queries("ss_topk_ivf")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val idx = probe.collect().map(_.toSeq).toSeq
+      assert(idx == live)
+      graft.operators.CacheScope.releaseCheckpoint(queries)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_index_spec")
+  }
 }
