@@ -70,6 +70,21 @@ object Partitioning {
   def bucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Write a directory-partitioned parquet layout (`path/key=value/…`)
+    * — the lake-output analog of the reference's per-term file
+    * partitioning (S7/S8): one directory per key value, so any later
+    * read with a key predicate prunes to the matching directories
+    * before listing a single data file (PartitionFilters at the scan,
+    * verified in PartitioningSpec). Dynamic overwrite replaces only
+    * the partitions present in `df` — the idempotent per-term refresh
+    * contract (T6) on the lake face: re-running a term's extract
+    * rewrites that term's directory and no other. */
+  def writePartitioned(df: DataFrame, path: String, key: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(key)
+      .parquet(path)
+
   /** Guarantee a floor of scan parallelism for NARROW pipelines.
     *
     * A fully narrow plan (per-row fingerprints, signature folds)

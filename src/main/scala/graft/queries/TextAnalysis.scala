@@ -387,7 +387,144 @@ object TextAnalysis extends QueryModule {
       FROM c ORDER BY doc_id, chunk_id""")
   )
 
+  /** TF-IDF-style salient terms: each document's top-3 tokens ranked
+    * by tf/df — term frequency over document frequency. The classic
+    * log-idf is replaced by the rational tf/df score because ln()'s
+    * last-ulp behavior differs across libm implementations while
+    * integer division is IEEE-exact in every engine (the same
+    * determinism rule as the cosine fold); for a FIXED term the
+    * orderings agree, and the score is our own extension's contract.
+    *
+    * Scale: tf is one token-key groupBy (bounded vocab); df derives
+    * from tf (grouped again on the token key — no second corpus
+    * scan); the tf⋈df join broadcasts the vocab-sized df side; the
+    * top-3 window partitions by doc_id. The tf lineage feeds both
+    * sides — persisted lazily, released after the result
+    * materializes. */
+  val tfidfTopTerms: Q = Q(
+    "ta_tfidf_topterms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token").asc)
+      val result = tf.join(broadcast(df), "token")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("score"))
+        .orderBy("doc_id", "rank")
+      graft.operators.CacheScope.eval(result)(tf)
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY 1, 2),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      ranked AS (
+        SELECT doc_id, token,
+               CAST(tf AS DOUBLE) / df AS score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY CAST(tf AS DOUBLE) / df DESC, token ASC) AS rank
+        FROM tf JOIN df USING (token))
+      SELECT doc_id, rank, token, score FROM ranked
+      WHERE rank <= 3 ORDER BY doc_id, rank""")
+  )
+
+  /** Out-of-vocabulary rate per document against a corpus-derived
+    * vocabulary (the top-20 tokens by frequency, ties broken
+    * alphabetically — the tokenizer-prep statistic: how much of each
+    * doc a fixed vocab covers). The vocab is vocab-sized by
+    * construction, so it broadcasts; the per-doc stats are one
+    * groupBy on doc_id. The OOV ratio is one exact-integer division. */
+  val oovRate: Q = Q(
+    "ta_oov_rate",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("token")).limit(20)
+        .select(col("token"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      vocab AS (
+        SELECT token FROM (
+          SELECT token, count(*) AS freq FROM toks GROUP BY 1
+          ORDER BY freq DESC, token ASC LIMIT 20)),
+      flags AS (
+        SELECT t.doc_id,
+               CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN vocab v ON t.token = v.token)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+      FROM flags GROUP BY 1 ORDER BY doc_id""")
+  )
+
+  /** Stopword-strip MATERIALIZATION — the cleaned corpus a tokenizer
+    * would train on: the corpus's own top-5 most frequent tokens
+    * (data-derived, not a static list) removed from every document,
+    * order preserved. The tiny vocab is collected driver-side (≤5
+    * rows — the same planning-class round-trip as the IVF seeds) and
+    * inlined as a literal array, so the strip is a narrow codegen'd
+    * higher-order filter over the token array: no join, no shuffle,
+    * linear in the corpus. */
+  val stopwordStrip: Q = Q(
+    "ta_stopword_strip",
+    (s, dir) => {
+      val top5 = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("token")).limit(5)
+        .select("token").collect().map(_.getString(0))
+      val arr = top5.map(t => s"'$t'").mkString(", ")
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("clean",
+          expr(s"filter(toks, t -> NOT array_contains(array($arr), t))"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("clean")).as("clean_text"),
+          (size(col("toks")) - size(col("clean"))).as("n_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH freq AS (
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY 1),
+      top5 AS (
+        SELECT list(token) AS sw FROM (
+          SELECT token FROM freq ORDER BY freq DESC, token ASC LIMIT 5)),
+      stripped AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               list_filter(string_split(text, ' '),
+                 t -> NOT list_contains(sw, t)) AS clean
+        FROM documents, top5)
+      SELECT doc_id, array_to_string(clean, ' ') AS clean_text,
+             len(toks) - len(clean) AS n_removed
+      FROM stripped ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
-      boilerplate, intraRepetition, qualitySample, chunk)
+      boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
+      oovRate, stopwordStrip)
 }

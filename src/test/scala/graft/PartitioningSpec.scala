@@ -77,6 +77,36 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(Partitioning.ensureParallelism(par, "doc_id") eq par)
   }
 
+  test("partitioned lake write: pruned reads, dynamic per-partition overwrite") {
+    val base = java.nio.file.Files.createTempDirectory("lake").toString
+    val events = Tables(spark, sf, "events")
+      .withColumn("dt", to_date(col("ts")))
+    Partitioning.writePartitioned(events, s"$base/events", "dt")
+    val nParts = new java.io.File(s"$base/events").listFiles()
+      .count(_.getName.startsWith("dt="))
+    assert(nParts > 1, "fixture must span multiple dates")
+    // a key predicate becomes a PartitionFilter: directories prune
+    // before any data file is read
+    val day = events.select(min("dt")).head().getDate(0).toString
+    val rd = spark.read.parquet(s"$base/events")
+      .filter(col("dt") === day)
+    val scan = rd.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains(s"isnotnull(dt"), s"no partition pruning:\n$scan")
+    val expected = events.filter(col("dt") === day).count()
+    assert(rd.count() == expected && expected > 0)
+    // dynamic overwrite: rewriting ONE day's rows replaces only that
+    // directory — every other partition's bytes stay (T6 on the lake)
+    val before = new java.io.File(s"$base/events").listFiles()
+      .filter(_.getName.startsWith("dt=")).length
+    Partitioning.writePartitioned(
+      events.filter(col("dt") === day), s"$base/events", "dt")
+    val after = new java.io.File(s"$base/events").listFiles()
+      .filter(_.getName.startsWith("dt=")).length
+    assert(after == before, "other partitions must survive the rewrite")
+    assert(spark.read.parquet(s"$base/events").count() == events.count())
+  }
+
   test("keyset pagination plans as pushed range scan + distributed top-k") {
     val df = SparkEntry.queries("rel_keyset_pagination")(
       spark, "/root/testdata/sf0.001")
