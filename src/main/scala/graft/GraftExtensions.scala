@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorDot, MinhashSig, SimhashLong}
 
 /** Engine extension point — registers graft's native Catalyst
   * expressions (callable from SQL and `expr(...)`) and the
@@ -24,6 +24,8 @@ import graft.functions.FloatVectorDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fvecDot)
+    ext.injectFunction(GraftExtensions.simhashLong)
+    ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -38,12 +40,30 @@ object GraftExtensions {
       FloatVectorDot(children.head, children(1))
     })
 
+  private val simhashLong = (
+    FunctionIdentifier("simhash_long"),
+    new ExpressionInfo(classOf[SimhashLong].getName, "simhash_long"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "simhash_long takes exactly 2 arguments")
+      SimhashLong(children.head, children(1))
+    })
+
+  private val minhashSig = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "minhash_sig takes exactly 2 arguments")
+      MinhashSig(children.head, children(1))
+    })
+
   /** Idempotently register graft functions + optimizer rules on an
     * existing session. */
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(fvecDot._1))
-      reg.registerFunction(fvecDot._1, fvecDot._2, fvecDot._3)
+    Seq(fvecDot, simhashLong, minhashSig).foreach { f =>
+      if (!reg.functionExists(f._1))
+        reg.registerFunction(f._1, f._2, f._3)
+    }
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.NativeVectorOps))
       spark.experimental.extraOptimizations ++=

@@ -42,16 +42,38 @@ object TextDedup {
   }
 
   /** Per-ROW MinHash signature straight from the documents — identical
-    * output to `signatures(shingles(docs))` but with ZERO shuffle: the
-    * doc's shingle set is an array column and each permutation's min
-    * is an `array_min(transform(...))` fold inside the row. At corpus
-    * scale this removes the (docs × shingles)-row exchange entirely —
+    * output to `signatures(shingles(docs))` but with ZERO shuffle,
+    * computed by the NATIVE codegen'd kernel (functions.MinhashSig:
+    * one fused loop — every bigram shingle is a contiguous byte slice
+    * of the text, so no shingle strings or hex digests are ever
+    * allocated except the numPerms winners). At corpus scale this
+    * removes the (docs × shingles)-row exchange entirely —
     * fingerprinting becomes a narrow map and the only shuffle left in
     * LSH is the band-bucket join itself. Docs with no shingle (< 2
-    * words) are dropped, matching the exploded form's semantics. */
+    * words) are dropped, matching the exploded form's semantics.
+    * [[signaturesNarrowFold]] keeps the built-ins-only plan as the
+    * differential reference. */
   def signaturesNarrow(docs: DataFrame, numPerms: Int,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
+    require(numPerms > 0)
+    graft.GraftExtensions.ensure(docs.sparkSession)
+    val sig = (0 until numPerms).map(i =>
+      expr(s"element_at(__sig, ${i + 1})").as(s"h$i"))
+    Partitioning.ensureParallelism(docs, idCol)
+      .withColumn("__sig", expr(s"minhash_sig($textCol, $numPerms)"))
+      .filter(size(col("__sig")) > 0)
+      .select(col(idCol) +: sig: _*)
+  }
+
+  /** The declarative fold form of [[signaturesNarrow]] — same output,
+    * built-in functions only: shingle array column + an
+    * `array_min(transform(...))` fold per permutation. Interpreted
+    * lambda evaluation makes it the slow path; kept as the
+    * engine-independent differential reference. */
+  def signaturesNarrowFold(docs: DataFrame, numPerms: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
     require(numPerms > 0)
     val sig = (0 until numPerms).map(i =>
       expr(s"array_min(transform(__sh, s -> md5(concat('$i|', s))))")
@@ -178,18 +200,37 @@ object TextDedup {
     lpad(bin(fp), bits, "0")
 
   /** Per-ROW packed SimHash — bit-identical to [[simhashInt]] but with
-    * ZERO shuffle: the token votes fold inside a higher-order
-    * `aggregate` over the split array instead of explode + groupBy.
-    * This is the STREAMING-safe form (no stateful aggregation, so it
-    * composes with watermarks, dropDuplicates, and stateful ops
-    * downstream) and the right batch form whenever the fingerprint is
-    * an intermediate column rather than the grouped result. Token
-    * hashes are materialized once into a temp array column, so md5
-    * runs once per token, not once per (token, bit). */
+    * ZERO shuffle, computed by the NATIVE codegen'd expression
+    * (functions.SimhashLong: one fused loop over the raw bytes — md5
+    * per token, nibble-parity votes, no hex strings or arrays
+    * allocated — inside whole-stage codegen). This is the
+    * STREAMING-safe form (no stateful aggregation, so it composes with
+    * watermarks, dropDuplicates, and stateful ops downstream) and the
+    * right batch form whenever the fingerprint is an intermediate
+    * column rather than the grouped result. [[withSimhashIntFold]]
+    * keeps the declarative higher-order-fold plan as the differential
+    * reference the equivalence specs pin the native kernel against. */
   def withSimhashInt(docs: DataFrame, bits: Int = 32,
                      textCol: String = "text",
                      outCol: String = "simhash_int",
                      idCol: String = "doc_id"): DataFrame = {
+    require(bits > 0 && bits <= 32, "md5 hex provides 32 positions")
+    graft.GraftExtensions.ensure(docs.sparkSession)
+    Partitioning.ensureParallelism(docs, idCol)
+      .withColumn(outCol, expr(s"simhash_long($textCol, $bits)"))
+  }
+
+  /** The declarative fold form of [[withSimhashInt]] — same output,
+    * built-in functions only: token md5s materialized once into a temp
+    * array column, votes folded by a nested higher-order `aggregate`.
+    * Interpreted lambda evaluation makes it the slow path; it exists
+    * as the engine-independent reference the native expression is
+    * differentially tested against (and would be the fallback on a
+    * Spark build without extension registration). */
+  def withSimhashIntFold(docs: DataFrame, bits: Int = 32,
+                         textCol: String = "text",
+                         outCol: String = "simhash_int",
+                         idCol: String = "doc_id"): DataFrame = {
     require(bits > 0 && bits <= 32, "md5 hex provides 32 positions")
     Partitioning.ensureParallelism(docs, idCol)
       .withColumn("__hs",

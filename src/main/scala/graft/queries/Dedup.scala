@@ -99,11 +99,16 @@ object Dedup extends QueryModule {
       import graft.operators.{CacheScope, TextDedup}
       val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // lazily persisted, like sh: the one job that materializes the
-      // final result populates both caches in passing — an eager
-      // checkpoint here costs a whole extra pass over the corpus
-      // (r6's dd_jaccard_verify bench regression)
-      val bd = TextDedup.bands(TextDedup.signatures(sh, 8), 8, 2).persist()
+      // signatures come from the NATIVE narrow kernel over the raw
+      // docs — identical values to `signatures(sh, 8)` (min over
+      // duplicates = min over distinct) without the md5-per-shingle-row
+      // groupBy shuffle; the persisted shingle table serves only the
+      // sizes and the intersection join. Lazily persisted, like sh:
+      // the one job that materializes the final result populates both
+      // caches in passing — an eager checkpoint here costs a whole
+      // extra pass over the corpus (r6's bench regression).
+      val bd = TextDedup.bands(TextDedup.signaturesNarrow(
+        Tables(s, dir, "documents"), 8), 8, 2).persist()
       val cand = TextDedup.candidates(bd).select("doc_a", "doc_b")
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")

@@ -35,6 +35,38 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(fp16.getString(1).forall(c => c == '0' || c == '1'))
   }
 
+  test("native minhash_sig is bit-identical to the declarative fold") {
+    import spark.implicits._
+    val tricky = Seq((1001L, ""), (1002L, " "), (1003L, "a  b "),
+      (1004L, "one"), (1005L, "répé até répé até x")).toDF("doc_id", "text")
+    for (perms <- Seq(4, 8); df <- Seq(docs, tricky)) {
+      val native = TextDedup.signaturesNarrow(df, perms)
+      val fold = TextDedup.signaturesNarrowFold(df, perms)
+      assert(native.columns.toSeq == fold.columns.toSeq)
+      // same surviving docs, same signature values
+      assert(native.exceptAll(fold).count() == 0 &&
+        fold.exceptAll(native).count() == 0,
+        s"native/fold divergence at numPerms=$perms")
+    }
+  }
+
+  test("native simhash_long is bit-identical to the declarative fold") {
+    import spark.implicits._
+    // fixture corpus plus the split()-semantics traps: empty text
+    // (one empty token), leading/trailing/double spaces (empty tokens
+    // kept), single token, multi-byte UTF-8
+    val tricky = Seq((1001L, ""), (1002L, " "), (1003L, "a  b "),
+      (1004L, "one"), (1005L, "héllo wörld ≠ ascii")).toDF("doc_id", "text")
+    for (bits <- Seq(8, 32); df <- Seq(docs, tricky)) {
+      val native = TextDedup.withSimhashInt(df, bits)
+        .select($"doc_id", $"simhash_int".as("n"))
+      val fold = TextDedup.withSimhashIntFold(df, bits)
+        .select($"doc_id", $"simhash_int".as("f"))
+      assert(native.join(fold, "doc_id").filter("n <> f").count() == 0,
+        s"native/fold divergence at bits=$bits")
+    }
+  }
+
   test("identical documents are always LSH candidates (any config)") {
     import spark.implicits._
     // 20 docs in 10 identical pairs: doc i and doc i+10 share all
