@@ -72,12 +72,18 @@ object Bench {
         if (err.nonEmpty || ts.isEmpty) -1.0 else ts(ts.size / 2)
       (name, median, err)
     }
-    val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + v }
+    // the driver keeps only the LAST ~2000 chars of stdout; ms-precision
+    // values and a basename sf keep the whole line (71 queries ≈ 1.8 KB)
+    // inside that window so it parses — r7's 9-decimal line was truncated
+    // mid-object and recorded as unparseable
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => jsonStr(k) + ":" + jsonStr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -32,14 +32,21 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinhashSig(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // numPerms is foldable, so its range is enforced at analysis time:
+  // the SQL face (`minhash_sig(text, -1)`) would otherwise throw
+  // NegativeArraySizeException mid-job, and 0 would yield a signature
+  // that every downstream band filter silently drops.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType.isInstanceOf[StringType] &&
-        right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else
+    if (!(left.dataType.isInstanceOf[StringType] &&
+          right.dataType == IntegerType && right.foldable))
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, literal int), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else right.eval() match {
+      case p: Int if p >= 1 => TypeCheckResult.TypeCheckSuccess
+      case p => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName numPerms must be >= 1, got $p")
+    }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -30,14 +30,21 @@ case class SimhashLong(left: Expression, right: Expression)
 
   // ExpectsInputTypes is off-limits (AbstractDataType is private[sql]
   // in Spark 4) — validate (string, foldable int) directly instead.
+  // The value range is checked here too: bits is foldable, and the SQL
+  // face (`simhash_long(text, 40)`) would otherwise read past the
+  // 16-byte md5 digest at runtime while bits<=0 silently returned 0.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType.isInstanceOf[StringType] &&
-        right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else
+    if (!(left.dataType.isInstanceOf[StringType] &&
+          right.dataType == IntegerType && right.foldable))
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, literal int), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else right.eval() match {
+      case b: Int if b >= 1 && b <= 32 => TypeCheckResult.TypeCheckSuccess
+      case b => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bits must be in 1..32 (16-byte md5 digest = 32 " +
+          s"nibble votes), got $b")
+    }
 
   override def dataType: DataType = LongType
 

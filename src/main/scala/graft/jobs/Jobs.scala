@@ -111,6 +111,12 @@ object Jobs {
           .otherwise(col("l_returnflag")).as("grade_midterm"),
         lit("UC_GRAFT").as("institution"))
       .distinct()
+      // the reference orders by (section_id, sis_id) only
+      // (jobs.py/queries.py enrollment ORDER BY); waitlist_position is
+      // an intentional determinism extension — ties on the first two
+      // keys would otherwise leave the CSV row order engine-chosen.
+      // Drop it if byte-parity with a reference-ordered golden file is
+      // ever required.
       .orderBy("section_id", "sis_id", "waitlist_position")
   }
 

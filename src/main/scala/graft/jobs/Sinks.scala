@@ -71,7 +71,16 @@ object Sinks {
     * write fails every target; a failed copy fails only its target.
     * Targets always receive identical bytes, and each copy lands over
     * a `delete` of any prior key — the T6 idempotent-redelivery
-    * contract, same as the single-target overwrite. */
+    * contract, same as the single-target overwrite.
+    *
+    * The staging path must be visible to BOTH the executors (that
+    * commit the write) and the driver (that copies the bytes out). A
+    * driver-local temp dir only satisfies that under a local master, so
+    * on any other master an explicit DFS `staging` path is required —
+    * otherwise the part files would commit on executor disks and the
+    * driver-side copy would silently ship an empty extract. As a second
+    * line of defense the stage dir is checked for committed part files
+    * before any copy starts. */
   def fanOut(df: DataFrame, targets: Seq[String], key: String,
              staging: Option[String] = None): Seq[(String, Boolean)] = {
     require(targets.nonEmpty, "no targets configured") // jobs.py:119-122
@@ -85,13 +94,31 @@ object Sinks {
                 catch { case e: Exception => logFail(s"target $t", e) }))
     } else {
       import org.apache.hadoop.fs.{FileUtil, Path => HPath}
-      val conf = df.sparkSession.sparkContext.hadoopConfiguration
-      val stage = staging.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft-fanout").toString) +
-        "/stage"
+      val sc = df.sparkSession.sparkContext
+      require(staging.nonEmpty || sc.isLocal,
+        "fanOut on a non-local master needs an explicit DFS staging " +
+          "path: a driver-local temp dir is not visible to executors")
+      val conf = sc.hadoopConfiguration
+      // the created-by-us parent (deleted in full afterwards) vs the
+      // caller-owned staging root (only our stage/ subdir is deleted)
+      val tempParent = if (staging.isEmpty)
+        Some(java.nio.file.Files.createTempDirectory("graft-fanout").toString)
+      else None
+      val stage = staging.orElse(tempParent).get + "/stage"
       val computed =
-        try { gzipCsv(df, stage); true }
-        catch { case e: Exception => logFail("staging write", e) }
+        try {
+          gzipCsv(df, stage)
+          // committed data files must be visible from the driver before
+          // any target copy — catches a mis-pointed staging path early
+          val sp = new HPath(stage)
+          val fs = sp.getFileSystem(conf)
+          val hasParts = fs.listStatus(sp)
+            .exists(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          if (!hasParts)
+            logFail("staging write",
+              new java.io.IOException(s"no part files committed in $stage"))
+          else true
+        } catch { case e: Exception => logFail("staging write", e) }
       val out = targets.map { t =>
         t -> (computed &&
           (try {
@@ -104,7 +131,7 @@ object Sinks {
           } catch { case e: Exception => logFail(s"target $t", e) }))
       }
       try {
-        val sp = new HPath(stage)
+        val sp = new HPath(tempParent.getOrElse(stage))
         sp.getFileSystem(conf).delete(sp, true)
       } catch { case _: Exception => () }
       out

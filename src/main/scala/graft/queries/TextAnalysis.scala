@@ -493,12 +493,15 @@ object TextAnalysis extends QueryModule {
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), asc("token")).limit(5)
-        .select("token").collect().map(_.getString(0))
-      val arr = top5.map(t => s"'$t'").mkString(", ")
+        .select("token").collect().map(_.getString(0)).toSeq
+      // typedLit, not SQL-text interpolation: a corpus token containing
+      // a quote or backslash must stay data, never become syntax, and an
+      // empty corpus must still yield a typed array<string> literal
+      val vocab = typedLit(top5)
       docs(s, dir)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("clean",
-          expr(s"filter(toks, t -> NOT array_contains(array($arr), t))"))
+          filter(col("toks"), t => !array_contains(vocab, t)))
         .select(col("doc_id"),
           concat_ws(" ", col("clean")).as("clean_text"),
           (size(col("toks")) - size(col("clean"))).as("n_removed"))
