@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, MinhashSig, SimhashLong}
+import graft.functions.{BloomMightContain, FloatVectorDot, MinhashSig, SimhashLong}
 
 /** Engine extension point — registers graft's native Catalyst
   * expressions (callable from SQL and `expr(...)`) and the
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.fvecDot)
     ext.injectFunction(GraftExtensions.simhashLong)
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectFunction(GraftExtensions.bloomMightContain)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -56,11 +57,21 @@ object GraftExtensions {
       MinhashSig(children.head, children(1))
     })
 
+  private val bloomMightContain = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(classOf[BloomMightContain].getName,
+      "bloom_might_contain"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "bloom_might_contain takes exactly 2 arguments")
+      BloomMightContain(children.head, children(1))
+    })
+
   /** Idempotently register graft functions + optimizer rules on an
     * existing session. */
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(fvecDot, simhashLong, minhashSig).foreach { f =>
+    Seq(fvecDot, simhashLong, minhashSig, bloomMightContain).foreach { f =>
       if (!reg.functionExists(f._1))
         reg.registerFunction(f._1, f._2, f._3)
     }

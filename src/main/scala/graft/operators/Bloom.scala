@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter pre-join gating — the standard shape for joining a
+  * 100 TB fact side against a key set that is too large to broadcast
+  * as exact rows but compresses to megabytes as a filter.
+  *
+  * Build once on the small side (`buildLong` — Spark's public
+  * `DataFrameStatFunctions.bloomFilter`, one aggregate job whose
+  * per-partition filters OR-merge on the driver), then gate the big
+  * side with a narrow codegen'd probe (`gateLong` →
+  * functions.BloomMightContain) BEFORE its exchange: only probable
+  * matches pay the shuffle, cutting shuffled volume to roughly the
+  * true-match rate plus `fpp`. Because a Bloom filter has no false
+  * negatives, gating never changes the downstream exact join's result
+  * — only its cost.
+  */
+object Bloom {
+
+  /** Serialized Bloom filter over a LONG key column of `df`.
+    *
+    * `expectedItems` sizes the bit array (~1.2 MB per million items at
+    * fpp 0.03); overshooting wastes proportional broadcast bytes,
+    * undershooting only degrades fpp — correctness is unaffected
+    * either way, so a generous static estimate beats a pre-count job. */
+  def buildLong(df: DataFrame, keyCol: String,
+                expectedItems: Long = 1L << 20,
+                fpp: Double = 0.03): Array[Byte] = {
+    val f = df.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    f.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Membership-probe predicate over serialized filter bytes: keeps
+    * every true member (no false negatives) plus ~fpp of non-members. */
+  def gateLong(spark: org.apache.spark.sql.SparkSession,
+               filterBytes: Array[Byte], key: Column): Column = {
+    graft.GraftExtensions.ensure(spark)
+    call_function("bloom_might_contain", lit(filterBytes), key)
+  }
+}

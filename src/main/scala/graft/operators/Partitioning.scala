@@ -53,6 +53,27 @@ object Partitioning {
       .agg(sum("__partial").as("n"))
   }
 
+  /** Salted two-phase stats over a skewed group key — the general form
+    * of [[saltedCount]] for the count/sum/min/max family: phase 1
+    * aggregates (key, salt) so a hot key's rows spread over `salts`
+    * reducers, phase 2 merges partials per key (sum of counts/sums,
+    * min of mins, max of maxes). Output: key, n_rows, sum_val,
+    * min_val, max_val — equal to the unsalted single-phase aggregate
+    * by algebraic decomposability, which is how the catalog face
+    * (rel_salted_agg) certifies it against a plain GROUP BY oracle. */
+  def saltedStats(df: DataFrame, key: String, valueCol: String,
+                  salts: Int): DataFrame = {
+    require(salts > 0)
+    df.withColumn("__salt",
+        pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"),
+        min(valueCol).as("__mn"), max(valueCol).as("__mx"))
+      .groupBy(col(key))
+      .agg(sum("__n").as("n_rows"), sum("__s").as("sum_val"),
+        min("__mn").as("min_val"), max("__mx").as("max_val"))
+  }
+
   /** Write a bucketed+sorted table: pre-pays the shuffle so subsequent
     * joins/aggs on `key` between same-bucketed tables plan without an
     * Exchange (verified in PartitioningSpec). The production analog of

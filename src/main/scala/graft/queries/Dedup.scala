@@ -323,6 +323,141 @@ object Dedup extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** MinHash accuracy certification — est-vs-exact Jaccard for every
+    * LSH candidate pair, the sketch-quality report that justifies
+    * running the cheap estimate at corpus scale (the rel_sketch_bound
+    * pattern applied to MinHash): est = matching signature positions /
+    * numPerms, exact = |A∩B|/|A∪B| from the shingle sets, plus the
+    * absolute error. Cost ∝ candidates (never pairs²); both engines
+    * derive every double by the identical IEEE sequence (int/8
+    * division, int/int division, one subtraction), so all three float
+    * columns hash-match. A candidate pair sharing band buckets but no
+    * shingle (md5 collision — not observed, but semantically possible)
+    * exact-scores 0 via the left join's COALESCE rather than dropping. */
+  val minhashBound: Q = Q(
+    "dd_minhash_bound",
+    (s, dir) => {
+      import graft.operators.{CacheScope, TextDedup}
+      val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sigs = TextDedup.signaturesNarrow(
+        Tables(s, dir, "documents"), 8).persist()
+      val cand = TextDedup.candidates(TextDedup.bands(sigs, 8, 2))
+        .select("doc_a", "doc_b")
+      val matches = (0 until 8)
+        .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cand
+        .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (matches.cast("double") / lit(8.0)).as("est_jaccard"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"),
+          col("shingle").as("shingle_b")), "doc_b")
+        .filter(col("shingle") === col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      val result = est
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          "doc_b")
+        .withColumn("jaccard",
+          coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          col("jaccard"),
+          abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+      CacheScope.eval(result)(sh, sigs)
+    },
+    Some(s"""
+      WITH $shinglesSql, $sigSql, $candSql,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+      j AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) +
+                    (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) +
+                    (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) +
+                    (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) +
+                    (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) +
+                    (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END) +
+                    (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) +
+                    (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / 8 AS est_jaccard,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+                 (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, est_jaccard, jaccard,
+             abs(est_jaccard - jaccard) AS abs_err
+      FROM j ORDER BY doc_a, doc_b""")
+  )
+
+  /** Bloom-gated decontamination — the same train/eval overlap report
+    * as [[decontaminate]], in the shape it takes when the eval gram set
+    * is too large to broadcast as exact rows: build a Bloom filter over
+    * the eval gram hashes ONCE (one aggregate job on the small side,
+    * ~0.9 MB of bits per million grams), gate the train-side gram
+    * stream with a narrow codegen'd probe (functions.BloomMightContain)
+    * BEFORE the exchange, and shuffle-join only the survivors for the
+    * exact intersection count. The filter admits ~fpp false positives
+    * — all removed by the exact join — and zero false negatives, so
+    * the result is bit-identical to the ungated variant: this query
+    * runs against [[decontaminate]]'s oracle verbatim, which is the
+    * certification. Shuffled volume drops from every train gram to
+    * (true overlaps + fpp·grams) — at 100 TB that is the difference
+    * between shuffling the corpus and shuffling a rounding error. */
+  val decontaminateBloom: Q = Q(
+    "dd_decontaminate_bloom",
+    (s, dir) => {
+      import graft.operators.{Bloom, CacheScope}
+      val grams = graft.operators.TextDedup
+        .kShingles(Tables(s, dir, "documents"), 6)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      // the eval slice feeds the filter build AND the exact join; the
+      // build job is the one that fills the (lazy) cache in passing
+      val ev = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("g")).persist()
+      val bits = Bloom.buildLong(ev, "g")
+      val result = grams
+        .filter(Bloom.gateLong(s, bits, col("g")))
+        .join(ev.hint("shuffle_hash"), "g") // the no-broadcast scale path
+        .filter(col("doc_id") =!= col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id", "eval_id")
+      CacheScope.eval(result)(ev)
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 6 + 2),
+                 i -> array_to_string(string_split(text, ' ')[i:i+5], ' '))))
+                 AS gram
+        FROM documents),
+      ev AS (
+        SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 10 = 0)
+      SELECT g.doc_id, e.eval_id, count(*) AS n_shared
+      FROM grams g JOIN ev e USING (gram)
+      WHERE g.doc_id <> e.eval_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   /** Embedding near-dup via sign-random-projection (SRP) buckets:
     * 8 md5-derived ±1 hyperplanes → 8 sign bits → bucket; exact cosine
     * only within buckets. Bucketing is one narrow map (native dots
@@ -454,5 +589,5 @@ object Dedup extends QueryModule {
 
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
-    decontaminate, dedupCorpus)
+    decontaminate, decontaminateBloom, dedupCorpus, minhashBound)
 }

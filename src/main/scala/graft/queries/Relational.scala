@@ -370,7 +370,35 @@ object Relational extends QueryModule {
       ORDER BY gid, status NULLS FIRST, priority NULLS FIRST""")
   )
 
+  /** Skew-proof aggregation as a catalog face — the Partitioning
+    * toolkit's salted two-phase stats (operators.Partitioning
+    * .saltedStats) certified against a plain single-phase GROUP BY
+    * oracle. `documents.lang` is the worst-case agg key: a handful of
+    * values over the whole corpus, so an unsalted groupBy lands entire
+    * languages on single reducers. Phase 1 spreads each language over
+    * 8 deterministic salt reducers (row-hash salt, never rand() —
+    * retry/replay-stable), phase 2 merges 8 partials per language —
+    * correct for the count/sum/min/max family by algebraic
+    * decomposability, and at 100 TB the difference between 5 working
+    * reducers and a stuck one. (Spark's map-side partial aggregation
+    * covers this for in-memory hash tables; explicit salting is the
+    * contract when partials spill or the agg is holistic.) */
+  val saltedAgg: Q = Q(
+    "rel_salted_agg",
+    (s, dir) => graft.operators.Partitioning
+      .saltedStats(t(s, dir, "documents"), "lang", "n_chars", 8)
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        col("sum_val").as("total_chars"), col("min_val").as("min_chars"),
+        col("max_val").as("max_chars"))
+      .orderBy("lang"),
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM documents GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot, sketchAgg,
-    sketchBound, groupingSets, hashSample, stratifiedSample)
+    sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg)
 }

@@ -526,8 +526,43 @@ object TextAnalysis extends QueryModule {
       FROM stripped ORDER BY doc_id""")
   )
 
+  /** Text normalization MATERIALIZATION — the canonical-form pass every
+    * pipeline runs before dedup/fingerprinting so that case and
+    * punctuation variants of the same content collide: lowercase,
+    * strip every char outside [a-z0-9 ], collapse whitespace runs,
+    * trim. Pure per-row string work — one scan, zero shuffle, fully
+    * codegen'd — and every step is a regex both engines interpret
+    * identically (ASCII classes only; no locale- or Unicode-dependent
+    * behavior). Emitted with before/after lengths so the downstream
+    * quality gate can threshold on shrinkage (heavy markup → large
+    * drop). */
+  val normalize: Q = Q(
+    "ta_normalize",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("norm_text",
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")))
+        .select(col("doc_id"), col("norm_text"),
+          length(col("text")).as("n_chars_raw"),
+          length(col("norm_text")).as("n_chars_norm"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g')) AS norm_text
+        FROM documents)
+      SELECT doc_id, norm_text,
+             CAST(length(text) AS INT) AS n_chars_raw,
+             CAST(length(norm_text) AS INT) AS n_chars_norm
+      FROM n ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
-      oovRate, stopwordStrip)
+      oovRate, stopwordStrip, normalize)
 }
