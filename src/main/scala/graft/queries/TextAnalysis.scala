@@ -561,8 +561,71 @@ object TextAnalysis extends QueryModule {
       FROM n ORDER BY doc_id""")
   )
 
+  /** Corpus mixing MATERIALIZATION — rebalance the language
+    * distribution by deterministic per-language downsampling rates
+    * (the data-mixing step of every multilingual training run: here
+    * dominant `en` keeps 50%, `zh` 75%, the rest 100%). The keep/drop
+    * decision is a pure function of (doc_id, lang) — first md5 byte
+    * under a per-language hex threshold, the rel_hash_sample idiom —
+    * so the mix is reproducible on any cluster size, any partitioning,
+    * any retry, and composable with later stages without coordination.
+    * One narrow scan, zero shuffle. ("g" sorts above every hex digit
+    * — the keep-all threshold.) */
+  val corpusMix: Q = Q(
+    "ta_corpus_mix",
+    (s, dir) =>
+      docs(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("lang") === "en", "80")
+            .when(col("lang") === "zh", "c0")
+            .otherwise("g"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, lang, source
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN 'c0'
+                      ELSE 'g' END
+      ORDER BY doc_id""")
+  )
+
+  /** Per-language heavy hitters — the top-3 most frequent tokens per
+    * language, the per-stratum vocabulary report behind language-ID
+    * lists and stopword tables. Aggregate-then-window: one bounded-key
+    * groupBy (lang × token) does the heavy lifting, then the rank
+    * window runs over the already-aggregated (tiny) result partitioned
+    * by lang — never a window over raw rows. Ties break
+    * lexicographically, making rank and order fully deterministic. */
+  val topTermsPerLang: Q = Q(
+    "ta_top_terms_per_lang",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(desc("freq"), asc("token"))
+      docs(s, dir)
+        .select(col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("lang", "rank", "token", "freq")
+        .orderBy("lang", "rank")
+    },
+    Some("""
+      SELECT lang, rank, token, freq FROM (
+        SELECT lang, token, count(*) AS freq,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY count(*) DESC, token ASC) AS rank
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY lang, token)
+      WHERE rank <= 3
+      ORDER BY lang, rank""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
-      oovRate, stopwordStrip, normalize)
+      oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang)
 }

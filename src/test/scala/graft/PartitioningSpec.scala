@@ -37,6 +37,17 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(plain == salted)
   }
 
+  test("saltedStats equals the unsalted single-phase aggregate") {
+    val d = Tables(spark, sf, "documents")
+    val plain = d.groupBy("lang").agg(count(lit(1)).as("n_rows"),
+        sum("n_chars").as("sum_val"), min("n_chars").as("min_val"),
+        max("n_chars").as("max_val"))
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    val salted = Partitioning.saltedStats(d, "lang", "n_chars", 8)
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(plain == salted)
+  }
+
   test("bucketed-to-bucketed join plans without a shuffle exchange") {
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey")
     val c = Tables(spark, sf, "customer").select("c_custkey", "c_name")

@@ -67,6 +67,20 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     assert(bytes("t1") == bytes("t2") && bytes("t2") == bytes("t3"))
   }
 
+  test("fanOut deletes its created temp parent (ADVICE r7 leak)") {
+    val tmpRoot = new java.io.File(
+      System.getProperty("java.io.tmpdir"))
+    def fanDirs() = tmpRoot.listFiles()
+      .filter(_.getName.startsWith("graft-fanout")).map(_.getName).toSet
+    val before = fanDirs()
+    val dir = Files.createTempDirectory("fan_clean_spec").toString
+    val df = Seq((1, "x")).toDF("a", "b")
+    val res = Sinks.fanOut(df, Seq(s"$dir/t1", s"$dir/t2"), "daily/k/q.gz")
+    assert(res.map(_._2) == Seq(true, true))
+    assert(fanDirs() == before,
+      "fanOut must remove the graft-fanout* temp parent it created")
+  }
+
   test("empty result writes a valid empty output (jobs.py:181-184 path)") {
     val dir = Files.createTempDirectory("empty_spec").toString
     val df = Seq((1L, "a")).toDF("id", "v").filter("id < 0")

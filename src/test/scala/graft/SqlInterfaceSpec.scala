@@ -29,4 +29,21 @@ class SqlInterfaceSpec extends AnyFunSuite with SharedSpark {
       .head().getDouble(0)
     assert(selfSim > 0.0)
   }
+
+  test("native fns reject out-of-range literal args at analysis time") {
+    GraftExtensions.ensure(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("documents")
+    // ADVICE r7: bits>32 used to read past the md5 digest at runtime;
+    // numPerms<=0 used to throw NegativeArraySizeException mid-job
+    for (bad <- Seq("simhash_long(text, 40)", "simhash_long(text, 0)",
+                    "minhash_sig(text, -1)", "minhash_sig(text, 0)"))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $bad FROM documents").collect()
+      }
+    // the boundary values stay legal
+    val ok = spark.sql(
+      "SELECT simhash_long(text, 32), minhash_sig(text, 1) " +
+        "FROM documents LIMIT 1").collect()
+    assert(ok.length == 1)
+  }
 }
