@@ -83,7 +83,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfName"}""")
+    // errors only when present — every serialized byte competes with
+    // catalog growth for the ~2000-char capture window
+    val errPart = if (errs == "{}") "" else s""","errors":$errs"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -429,9 +429,14 @@ object Dedup extends QueryModule {
         .kShingles(Tables(s, dir, "documents"), 6)
         .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
       // the eval slice feeds the filter build AND the exact join; the
-      // build job is the one that fills the (lazy) cache in passing
-      val ev = grams.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("eval_id"), col("g")).persist()
+      // build job fills the (lazy) cache in passing. The doc filter
+      // sits BELOW the shingle explode — the build job scans only the
+      // eval corpus, not every document's grams.
+      val ev = graft.operators.TextDedup
+        .kShingles(Tables(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0), 6)
+        .select(col("doc_id").as("eval_id"),
+          xxhash64(col("shingle")).as("g")).persist()
       val bits = Bloom.buildLong(ev, "g")
       val result = grams
         .filter(Bloom.gateLong(s, bits, col("g")))

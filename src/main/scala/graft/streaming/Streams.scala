@@ -137,6 +137,30 @@ object Streams {
       .withWatermark("ts", "5 days")
       .dropDuplicatesWithinWatermark(Seq("simhash_int"))
 
+  /** Streaming decontamination gate — the stream face of
+    * `dd_decontaminate_bloom`: documents arriving on the stream are
+    * checked against a Bloom filter of the eval corpus's gram hashes
+    * and only CLEAN documents (no probable eval overlap) pass. The
+    * filter bytes ride the closure as a broadcast-sized literal and
+    * the probe is a stateless narrow map — no watermark, no state
+    * store, identical per-row cost to the batch gate — which is the
+    * point: ingest-time filtering at stream rate, with the exact
+    * (batch) decontamination report downstream for the ~fpp of false
+    * drops a pipeline can reclaim later. A doc is dropped if ANY of
+    * its 6-grams probes positive. */
+  def streamingDecontaminationGate(docs: DataFrame,
+                                   filterBytes: Array[Byte],
+                                   textCol: String = "text"): DataFrame = {
+    val grams = expr(
+      s"""transform(
+            slice(split($textCol, ' '), 1,
+              greatest(size(split($textCol, ' ')) - 5, 0)),
+            (x, i) -> xxhash64(array_join(
+              slice(split($textCol, ' '), i + 1, 6), ' ')))""")
+    docs.filter(!exists(grams, h =>
+      graft.operators.Bloom.gateLong(docs.sparkSession, filterBytes, h)))
+  }
+
   /** Stream-stream join: each interaction event paired with error
     * events by the same user in the preceding `lookbackMinutes`. Both
     * sides carry watermarks and the join condition is time-bounded, so

@@ -301,6 +301,39 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate drops contaminated docs, stateless") {
+    implicit val sq = spark.sqlContext
+    // eval corpus: one known benchmark sentence → 6-gram Bloom filter
+    val evalDocs = Seq(
+      "the quick brown fox jumps over the lazy dog tonight").toDF("text")
+    val evalGrams = graft.operators.TextDedup.kShingles(
+      evalDocs.selectExpr("1L as doc_id", "text"), 6)
+      .select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("shingle")).as("g"))
+    val bits = graft.operators.Bloom.buildLong(evalGrams, "g")
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val q = Streams.streamingDecontaminationGate(docs, bits)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("decon_gate")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        // contains "quick brown fox jumps over the" → contaminated
+        (1L, "a quick brown fox jumps over the lazy dog every day"),
+        // clean: shares words but no 6-gram
+        (2L, "the slow green turtle walks under a heavy shell today"),
+        // shorter than 6 tokens: no gram, always clean
+        (3L, "tiny doc"))
+      q.processAllAvailable()
+      val kept = spark.table("decon_gate").as[Long].collect().toSet
+      assert(kept == Set(2L, 3L), s"got $kept")
+      // stateless contract: the gate keeps no state store state
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "decontamination gate must be stateless")
+    } finally q.stop()
+  }
+
   test("per-row simhash is bit-identical to the grouped batch form") {
     // the streaming-safe fold and the explode+groupBy reference plan
     // must produce the same fingerprint for every doc
