@@ -592,7 +592,43 @@ object Dedup extends QueryModule {
       ORDER BY d.doc_id""")
   )
 
+  /** Corpus-health report — exact-duplicate rate per source: the
+    * monitoring number a pipeline tracks per crawl/feed to catch a
+    * misbehaving source before it floods training data. Duplicate
+    * membership comes from a count-over-window PARTITIONED BY the
+    * content hash (hash-partitioned — never a global window), then one
+    * bounded-key groupBy on source. dup_rate is one int/int IEEE
+    * division, identical in both engines. */
+  val dupRateBySource: Q = Q(
+    "dd_dup_rate_by_source",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("h")
+      Tables(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("n_same", count(lit(1)).over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .withColumn("dup_rate",
+          col("n_dup_docs").cast("double") / col("n_docs"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH h AS (
+        SELECT source,
+               count(*) OVER (PARTITION BY md5(text)) AS n_same
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_rate
+      FROM h GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
-    decontaminate, decontaminateBloom, dedupCorpus, minhashBound)
+    decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
+    dupRateBySource)
 }
