@@ -178,4 +178,37 @@ object Ann {
         .withColumn("cosine", VectorFns.cosineNative(s, "q_emb", vecCol)),
       k, idCol))(bucketed)
   }
+
+  /** Multi-table SRP top-k — the standard recall fix for oblivious
+    * hyperplane buckets: `nTables` independent hash tables of
+    * `nPlanes` bits each (one 16-bit bucket string, banded 4×4 — the
+    * LSH banding trick on sign bits), a vector is a candidate if it
+    * collides with the query in ANY table. Recall rises steeply with
+    * tables (1-(1-p^b)^L) while probe cost stays Σ bucket-sized;
+    * candidates hit in several tables are deduped BEFORE ranking by a
+    * (q_id, id) groupBy over identical cosines — max() of equal
+    * doubles, engine-replayable. Same narrow bucketing map as
+    * single-table SRP: nTables·nPlanes literal coefficient vectors,
+    * zero shuffle to fingerprint. */
+  def topkSrpMulti(s: SparkSession, corpus: DataFrame,
+                   queryIds: DataFrame, k: Int, nPlanes: Int = 4,
+                   nTables: Int = 4, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val bucketed = Srp.withBucket(s, corpus, nPlanes * nTables).persist()
+    val bands = bucketed.select(col(idCol), col(vecCol),
+      posexplode(array((0 until nTables).map(t =>
+        substring(col("bucket"), t * nPlanes + 1, nPlanes)): _*))
+        .as(Seq("tbl", "bkey")))
+    val queries = bands.join(queryIds, idCol)
+      .select(col(idCol).as("q_id"), col("tbl").as("q_tbl"),
+        col("bkey").as("q_bkey"), col(vecCol).as("q_emb"))
+    val scored = bands
+      .join(broadcast(queries),
+        col("tbl") === col("q_tbl") && col("bkey") === col("q_bkey") &&
+          col(idCol) =!= col("q_id"))
+      .withColumn("cosine", VectorFns.cosineNative(s, "q_emb", vecCol))
+      .groupBy("q_id", idCol)
+      .agg(max(col("cosine")).as("cosine")) // dedupe multi-table hits
+    CacheScope.eval(rank(scored, k, idCol))(bucketed)
+  }
 }

@@ -219,6 +219,49 @@ object Similarity extends QueryModule {
         FROM assigned e JOIN iq
           ON e.cell = iq.q_cell AND e.vec_id <> iq.q_id)"""
 
+  /** Multi-table SRP approximate top-k — the recall fix the
+    * ss_recall_report motivates: 4 independent 4-bit SRP tables (one
+    * 16-plane bucketing pass, banded — the LSH banding trick on sign
+    * bits); a vector is a candidate on ANY per-table collision, and
+    * multi-table hits dedupe before ranking. Collision probability
+    * per table is p⁴ but across tables 1-(1-p⁴)⁴ — steeper recall at
+    * the cost of ≤4× probe work, still corpus-scale-independent. */
+  val topkSrpMulti: Q = Q(
+    "ss_topk_srp_multi",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Ann.topkSrpMulti(s, emb,
+        emb.filter(col("vec_id") < 3).select("vec_id"), K,
+        nPlanes = 4, nTables = 4)
+    },
+    Some(s"""
+      WITH ${graft.operators.Srp.duckCoefCte(16)},
+      wv AS (
+        SELECT vec_id, embedding,
+               ${graft.operators.Srp.duckBucketExpr(16)} AS bucket
+        FROM embeddings),
+      bands AS (
+        SELECT vec_id, embedding, t.t AS tbl,
+               substr(bucket, t.t * 4 + 1, 4) AS bkey
+        FROM wv, (SELECT unnest(range(0, 4)) AS t) t),
+      q AS (
+        SELECT vec_id AS q_id, tbl, bkey, embedding AS q_emb
+        FROM bands WHERE vec_id < 3),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               max(${duckCosine("q.q_emb", "e.embedding")}) AS cosine
+        FROM bands e JOIN q
+          ON e.tbl = q.tbl AND e.bkey = q.bkey AND e.vec_id <> q.q_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, cosine FROM ranked
+      WHERE rank <= $K ORDER BY q_id, rank""")
+  )
+
   /** Recall certification for the approximate paths — per-query
     * recall@K of SRP buckets AND multi-probe IVF against the exact
     * brute-force baseline (the dd_minhash_bound pattern on the
@@ -328,5 +371,5 @@ object Similarity extends QueryModule {
   )
 
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
-    recallReport)
+    topkSrpMulti, recallReport)
 }

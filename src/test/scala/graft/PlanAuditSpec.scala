@@ -18,9 +18,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     * the broadcast SINGLE-ROW term table to the argmax subquery's
     * version scan (the literal term-id equi-key constant-folds away,
     * leaving a 1×N broadcast loop — the correct scalar-attach plan at
-    * any scale). All documented at the query definition. */
+    * any scale); ss_recall_report contains the ss_topk_brute pipeline
+    * as its exactness baseline, inheriting its broadcast all-pairs
+    * loop. All documented at the query definition. */
   private val nestedLoopAllowed =
-    Set("ss_topk_brute", "ev_watermark", "ref_term_courses_deprecated")
+    Set("ss_topk_brute", "ev_watermark", "ref_term_courses_deprecated",
+      "ss_recall_report")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the

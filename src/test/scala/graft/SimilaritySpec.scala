@@ -25,6 +25,22 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("multi-table SRP recall dominates single-table SRP recall") {
+    val exact = topSets("ss_topk_brute")
+    val single = topSets("ss_topk_srp")
+    val multi = topSets("ss_topk_srp_multi")
+    // per-query dominance can tie at 0, so assert the aggregate —
+    // banding must strictly help somewhere on this fixture
+    val rs = exact.keys.toSeq.map { q =>
+      ((single.getOrElse(q, Set.empty) & exact(q)).size,
+        (multi.getOrElse(q, Set.empty) & exact(q)).size)
+    }
+    rs.foreach { case (r1, rl) =>
+      assert(rl >= r1, s"multi-table recall $rl < single-table $r1") }
+    assert(rs.map(_._2).sum > rs.map(_._1).sum,
+      s"banding should strictly improve total recall: $rs")
+  }
+
   test("prebuilt bucketed IVF index: pruned exchange-free probe, same results") {
     import org.apache.spark.sql.functions._
     import graft.operators.Ann
