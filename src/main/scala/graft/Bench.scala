@@ -72,11 +72,11 @@ object Bench {
         if (err.nonEmpty || ts.isEmpty) -1.0 else ts(ts.size / 2)
       (name, median, err)
     }
-    // the driver keeps only the LAST ~2000 chars of stdout; ms-precision
-    // values and a basename sf keep the whole line (71 queries ≈ 1.8 KB)
+    // the driver keeps only the LAST ~2000 chars of stdout; centisecond
+    // values and a basename sf keep the whole line (80 queries ≈ 1.9 KB)
     // inside that window so it parses — r7's 9-decimal line was truncated
     // mid-object and recorded as unparseable
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => jsonStr(k) + ":" + jsonStr(m) }
