@@ -28,7 +28,13 @@ object Bloom {
   def buildLong(df: DataFrame, keyCol: String,
                 expectedItems: Long = 1L << 20,
                 fpp: Double = 0.03): Array[Byte] = {
-    val f = df.stat.bloomFilter(keyCol, expectedItems, fpp)
+    // Spark's stat.bloomFilter NPEs on an empty input (its aggregate
+    // yields a null buffer); an empty key set is a legal degenerate —
+    // an all-zero-bits filter that admits nothing (EdgeCaseSpec)
+    val f =
+      if (df.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else df.stat.bloomFilter(keyCol, expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     f.writeTo(bos)
     bos.toByteArray

@@ -53,4 +53,46 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     val got = TextDedup.hammingPairs(twins, 8, 2).collect()
     assert(got.length == 1 && got.head.getLong(2) == 0L)
   }
+
+  test("bloom gate and streaming gate are total on degenerate docs") {
+    import org.apache.spark.sql.functions._
+    // empty member set: build over zero rows must still gate soundly
+    val empty = weird.filter(lit(false))
+      .select(xxhash64(col("text")).as("g"))
+    val bits = graft.operators.Bloom.buildLong(empty, "g")
+    val gated = weird.select(xxhash64(col("text")).as("g"))
+      .filter(graft.operators.Bloom.gateLong(spark, bits, col("g")))
+    assert(gated.count() == 0, "empty filter admits nothing")
+    // the streaming gram gate passes short/empty docs (no 6-gram) and
+    // stays total on repeated separators — batch DataFrame, same code
+    val passed = graft.streaming.Streams
+      .streamingDecontaminationGate(weird, bits)
+      .select("doc_id").as[Long].collect().toSet
+    assert(passed == Set(1L, 2L, 3L, 4L, 5L),
+      "empty filter contaminates nothing; short docs always pass")
+  }
+
+  test("normalization and mix gates are total on degenerate text") {
+    import org.apache.spark.sql.functions._
+    // ta_normalize's transform chain on empty/whitespace text
+    val norm = weird
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")))
+      .select("doc_id", "norm_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "" && norm(4L) == "a b",
+      "empty stays empty; separator runs collapse")
+    // dup-rate window on an all-unique and an all-duplicate corpus
+    val dupes = Seq((1L, "x", "s"), (2L, "x", "s"), (3L, "y", "s"))
+      .toDF("doc_id", "text", "source")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val rate = dupes.withColumn("h", md5(col("text")))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .groupBy("source")
+      .agg(sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .collect().head.getLong(1)
+    assert(rate == 2L, "both members of a duplicate pair count")
+  }
 }
