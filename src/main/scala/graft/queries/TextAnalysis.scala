@@ -624,8 +624,50 @@ object TextAnalysis extends QueryModule {
       ORDER BY lang, rank""")
   )
 
+  /** Shard assignment MATERIALIZATION — pack documents into
+    * fixed-token-budget training shards: within each source, documents
+    * take a deterministic order (md5 of the id — uniform, reproducible,
+    * decorrelated from crawl order) and a running token total; shard
+    * id = how many full budgets precede the doc's first token. A doc
+    * that straddles the boundary belongs to the shard it STARTS in
+    * (floor((cum - n)/budget)), matching a writer that starts a new
+    * file only when the budget is already exhausted. The window
+    * partitions on `source` — bounded partitions that parallelize the
+    * sort, never a global single-partition ordering (that is
+    * rel_pagination's documented literal-parity wart); at 100 TB each
+    * source packs independently, which is also operationally right
+    * (sources arrive and re-pack on their own cadence). */
+  val shardAssign: Q = Q(
+    "ta_shard_assign",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / budget).as("shard"))
+        .orderBy("source", "shard", "doc_id")
+    },
+    Some("""
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard
+      FROM (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents)
+      ORDER BY source, shard, doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
-      oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang)
+      oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
+      shardAssign)
 }
