@@ -74,6 +74,51 @@ object Partitioning {
         min("__mn").as("min_val"), max("__mx").as("max_val"))
   }
 
+  /** Exact token-budget shard packing WITHOUT a per-group global sort.
+    *
+    * Semantics: within each `partCol` group, rows take the
+    * deterministic order (md5(idCol), idCol) and a running `weightCol`
+    * total; `shard` = floor((cum - weight) / budget) — the shard the
+    * row STARTS in. A single window per group would compute this with
+    * ONE reducer per group — a hot source serializes at 100 TB. The
+    * md5 order key makes the fix free: its FIRST HEX CHAR is a prefix
+    * of the order key, so ordering hierarchically by (hex₁, md5) IS
+    * the flat md5 order. Each of the 16 sub-buckets windows
+    * independently (16× the parallelism per group), their per-group
+    * totals prefix-sum on the driver (≤ 16·|groups| rows — a
+    * planning-class round-trip, like the IVF seed collect), and the
+    * bucket offset joins back via broadcast. Bit-identical to the
+    * single-window form (PartitioningSpec pins the equivalence), so
+    * any engine can replay it as one plain window. */
+  def packShards(df: DataFrame, partCol: String, idCol: String,
+                 weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val base = df
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .withColumn("__bkt", substring(col("__ord"), 1, 1))
+    val totals = base.groupBy(partCol, "__bkt")
+      .agg(sum(weightCol).as("__t")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).iterator.flatMap {
+      case (part, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val cum = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cum).map { case ((_, bkt, _), off) => (part, bkt, off) }
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF(partCol, "__bkt", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol), col("__bkt"))
+      .orderBy(col("__ord"), col(idCol))
+    base
+      .withColumn("__cum", sum(weightCol).over(w))
+      .join(broadcast(offDf), Seq(partCol, "__bkt"))
+      .withColumn("shard",
+        floor((col("__off") + col("__cum") - col(weightCol)) / budget))
+      .drop("__ord", "__bkt", "__cum", "__off")
+  }
+
   /** Write a bucketed+sorted table: pre-pays the shuffle so subsequent
     * joins/aggs on `key` between same-bucketed tables plan without an
     * Exchange (verified in PartitioningSpec). The production analog of

@@ -631,26 +631,23 @@ object TextAnalysis extends QueryModule {
     * id = how many full budgets precede the doc's first token. A doc
     * that straddles the boundary belongs to the shard it STARTS in
     * (floor((cum - n)/budget)), matching a writer that starts a new
-    * file only when the budget is already exhausted. The window
-    * partitions on `source` — bounded partitions that parallelize the
-    * sort, never a global single-partition ordering (that is
-    * rel_pagination's documented literal-parity wart); at 100 TB each
-    * source packs independently, which is also operationally right
-    * (sources arrive and re-pack on their own cadence). */
+    * file only when the budget is already exhausted. The physical
+    * plan is operators.Partitioning.packShards — a two-level exact
+    * prefix sum (16-way md5-prefix sub-buckets windowed independently,
+    * driver-side bucket offsets) that avoids the one-reducer-per-source
+    * sort a naive per-source window would cost at 100 TB, while
+    * producing the BIT-IDENTICAL result the oracle computes as one
+    * plain window (the sub-bucket key is a prefix of the order key,
+    * so hierarchical order = flat order). */
   val shardAssign: Q = Q(
     "ta_shard_assign",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val budget = 2000L
-      val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      docs(s, dir)
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-        .withColumn("cum", sum("n_tokens").over(w))
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / budget).as("shard"))
-        .orderBy("source", "shard", "doc_id")
-    },
+    (s, dir) => graft.operators.Partitioning.packShards(
+        docs(s, dir)
+          .withColumn("n_tokens",
+            size(split(col("text"), " ")).cast("long")),
+        "source", "doc_id", "n_tokens", budget = 2000L)
+      .select("source", "doc_id", "n_tokens", "shard")
+      .orderBy("source", "shard", "doc_id"),
     Some("""
       SELECT source, doc_id, n_tokens,
              CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard

@@ -48,6 +48,25 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(plain == salted)
   }
 
+  test("packShards equals the single-window reference computation") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, sf, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ref = d.withColumn("cum", sum("n_tokens").over(w))
+      .select(col("source"), col("doc_id"),
+        floor((col("cum") - col("n_tokens")) / 2000L).as("shard"))
+      .orderBy("source", "doc_id")
+      .collect().map(_.toSeq).toSeq
+    val got = Partitioning
+      .packShards(d, "source", "doc_id", "n_tokens", 2000L)
+      .select("source", "doc_id", "shard")
+      .orderBy("source", "doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == ref)
+  }
+
   test("bucketed-to-bucketed join plans without a shuffle exchange") {
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey")
     val c = Tables(spark, sf, "customer").select("c_custkey", "c_name")
