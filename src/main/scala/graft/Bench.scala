@@ -76,7 +76,13 @@ object Bench {
     // values and a basename sf keep the whole line (80 queries ≈ 1.9 KB)
     // inside that window so it parses — r7's 9-decimal line was truncated
     // mid-object and recorded as unparseable
-    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def fmt(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      // strip trailing zeros ("0.10"→"0.1", "3.00"→"3") — still valid
+      // JSON numbers, ~1 byte/query back
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => jsonStr(k) + ":" + jsonStr(m) }

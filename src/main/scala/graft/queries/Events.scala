@@ -288,7 +288,103 @@ object Events extends QueryModule {
       FROM events ORDER BY event_id""")
   )
 
+  /** Sequential funnel — signup → first view AFTER signup → first
+    * purchase AFTER that view, per user, with the stage reached. The
+    * order constraint is what makes it a funnel (a purchase before
+    * the first post-signup view does not convert); each stage is one
+    * per-type filtered aggregate joined on user_id, so every join key
+    * is the user — three aggregations and joins sharing one hash
+    * partitioning (exchange reuse), never a self-join on raw events.
+    * LEFT joins keep stalled users; min() timestamps are exact. */
+  val funnel: Q = Q(
+    "ev_funnel",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val vw = e.filter(col("event_type") === "view")
+        .join(su, "user_id")
+        .filter(col("ts") > col("signup_ts"))
+        .groupBy("user_id").agg(min("ts").as("first_view_ts"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(vw, "user_id")
+        .filter(col("ts") > col("first_view_ts"))
+        .groupBy("user_id").agg(min("ts").as("first_purchase_ts"))
+      e.select("user_id").distinct()
+        .join(su, Seq("user_id"), "left")
+        .join(vw, Seq("user_id"), "left")
+        .join(pu, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("first_purchase_ts").isNotNull, 3)
+            .when(col("first_view_ts").isNotNull, 2)
+            .when(col("signup_ts").isNotNull, 1)
+            .otherwise(0))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      v AS (
+        SELECT e.user_id, min(e.ts) AS first_view_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+          AND e.ts > s.signup_ts
+        WHERE e.event_type = 'view' GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+          AND e.ts > v.first_view_ts
+        WHERE e.event_type = 'purchase' GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM events)
+      SELECT u.user_id, s.signup_ts, v.first_view_ts,
+             p.first_purchase_ts,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN v.user_id IS NOT NULL THEN 2
+                  WHEN s.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM u LEFT JOIN s USING (user_id)
+             LEFT JOIN v USING (user_id)
+             LEFT JOIN p USING (user_id)
+      ORDER BY user_id""")
+  )
+
+  /** Cohort retention — users cohorted by the ISO week of their FIRST
+    * event; for each (cohort, week offset), the distinct users active
+    * that week. Two bounded aggregations (per-user first week, then
+    * per-(cohort, offset) distinct count) joined on user_id — the
+    * standard retention matrix, with week arithmetic kept to exact
+    * multiples of 7 days so the offset division is exact in any
+    * engine. */
+  val retention: Q = Q(
+    "ev_retention",
+    (s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("week", date_trunc("week", col("ts")))
+      val cohorts = e.groupBy("user_id")
+        .agg(min("week").as("cohort_week"))
+      e.select("user_id", "week").distinct()
+        .join(cohorts, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""
+      WITH w AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events),
+      c AS (
+        SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, w.week) / 7 AS BIGINT)
+               AS week_offset,
+             count(DISTINCT w.user_id) AS n_users
+      FROM w JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
-    rankStats, timeParts)
+    rankStats, timeParts, funnel, retention)
 }
