@@ -627,8 +627,111 @@ object Dedup extends QueryModule {
       FROM h GROUP BY 1 ORDER BY 1""")
   )
 
+  /** The WHOLE curation pipeline as ONE declarative plan — the
+    * composition every training-data run executes end-to-end: LSH
+    * near-dup clustering → keep one doc per cluster → drop the eval
+    * slice and every train doc sharing a 6-gram with it
+    * (Bloom-pre-gated, exactly verified) → per-language mix
+    * downsampling → per-source token-budget shard packing. Each stage
+    * is individually certified elsewhere (dd_dedup_corpus,
+    * dd_decontaminate_bloom, ta_corpus_mix, ta_shard_assign); this
+    * query certifies their COMPOSITION, where join-order and
+    * pushdown surprises live — the same reasoning as the composed
+    * deprecated-course-path port (ref_term_courses_deprecated).
+    *
+    * Plan shape at 100 TB: the near-dup stage is the only
+    * multi-round piece (log-diameter CC); everything after is
+    * anti-joins on doc_id (one partitioning reused), a narrow mix
+    * gate, and packShards' two-level window. The Bloom gate keeps the
+    * exact-verify join's input at (true overlaps + fpp), never the
+    * full gram stream. */
+  val curationPipeline: Q = Q(
+    "dd_curation_pipeline",
+    (s, dir) => {
+      import graft.operators.{Bloom, CacheScope, ConnectedComponents,
+        TextDedup}
+      val docs = Tables(s, dir, "documents")
+      // stage 1: near-dup clusters, keep the min-id representative
+      val cand = TextDedup.lshCandidates(docs, numPerms = 8, nBands = 2)
+      val labels = ConnectedComponents.minLabel(cand, "doc_a", "doc_b")
+      CacheScope.releaseCheckpoint(cand)
+      val dupDrop = labels.filter(col("cluster") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      // stage 2: exact decontamination, bloom-gated
+      val evGrams = TextDedup
+        .kShingles(docs.filter(col("doc_id") % 10 === 0), 6)
+        .select(xxhash64(col("shingle")).as("g")).distinct().persist()
+      val bits = Bloom.buildLong(evGrams, "g")
+      val contaminated = TextDedup
+        .kShingles(docs.filter(col("doc_id") % 10 =!= 0), 6)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .filter(Bloom.gateLong(s, bits, col("g")))
+        .join(evGrams, "g")
+        .select("doc_id").distinct()
+      // stages 3+4: language mix gate, then shard packing
+      val kept = docs
+        .filter(col("doc_id") % 10 =!= 0)
+        .join(dupDrop, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("lang") === "en", "80")
+            .when(col("lang") === "zh", "c0")
+            .otherwise("g"))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      val result = graft.operators.Partitioning
+        .packShards(kept, "source", "doc_id", "n_tokens", budget = 2000L)
+        .select("source", "doc_id", "lang", "n_tokens", "shard")
+        .orderBy("source", "shard", "doc_id")
+      CacheScope.eval(result)(labels, evGrams)
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSql, $sigSql, $candSql,
+      bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+        WHERE e.b <> r.a),
+      clusters AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a),
+      grams6 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 6 + 2),
+                 i -> array_to_string(string_split(text, ' ')[i:i+5], ' '))))
+                 AS gram
+        FROM documents),
+      contam AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams6 g JOIN grams6 e ON g.gram = e.gram
+        WHERE g.doc_id % 10 <> 0 AND e.doc_id % 10 = 0),
+      kept AS (
+        SELECT d.source, d.doc_id, d.lang,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d
+        LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        WHERE (c.cluster IS NULL OR c.cluster = d.doc_id)
+          AND d.doc_id % 10 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+          AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <
+              CASE d.lang WHEN 'en' THEN '80' WHEN 'zh' THEN 'c0'
+                          ELSE 'g' END)
+      SELECT source, doc_id, lang, n_tokens,
+             CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard
+      FROM (
+        SELECT *, sum(n_tokens) OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM kept)
+      ORDER BY source, shard, doc_id""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
-    dupRateBySource)
+    dupRateBySource, curationPipeline)
 }
