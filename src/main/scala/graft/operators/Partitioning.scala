@@ -89,7 +89,13 @@ object Partitioning {
     * planning-class round-trip, like the IVF seed collect), and the
     * bucket offset joins back via broadcast. Bit-identical to the
     * single-window form (PartitioningSpec pins the equivalence), so
-    * any engine can replay it as one plain window. */
+    * any engine can replay it as one plain window.
+    *
+    * `df` is evaluated TWICE — once by the offsets collect, once by
+    * the returned plan. Callers whose `df` carries an expensive
+    * lineage should persist() it first (the offsets job fills the
+    * cache in passing) and release it once the result materializes —
+    * see dd_curation_pipeline. */
   def packShards(df: DataFrame, partCol: String, idCol: String,
                  weightCol: String, budget: Long): DataFrame = {
     require(budget > 0)

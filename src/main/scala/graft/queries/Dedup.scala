@@ -668,7 +668,11 @@ object Dedup extends QueryModule {
         .filter(Bloom.gateLong(s, bits, col("g")))
         .join(evGrams, "g")
         .select("doc_id").distinct()
-      // stages 3+4: language mix gate, then shard packing
+      // stages 3+4: language mix gate, then shard packing. kept's
+      // lineage carries every upstream stage and feeds BOTH packShards
+      // jobs (bucket-offset collect, then the window) — persist lazily
+      // so the offsets job fills the cache and the result job replays
+      // none of the dedup/decontamination work.
       val kept = docs
         .filter(col("doc_id") % 10 =!= 0)
         .join(dupDrop, Seq("doc_id"), "left_anti")
@@ -678,11 +682,12 @@ object Dedup extends QueryModule {
             .when(col("lang") === "zh", "c0")
             .otherwise("g"))
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .persist()
       val result = graft.operators.Partitioning
         .packShards(kept, "source", "doc_id", "n_tokens", budget = 2000L)
         .select("source", "doc_id", "lang", "n_tokens", "shard")
         .orderBy("source", "shard", "doc_id")
-      CacheScope.eval(result)(labels, evGrams)
+      CacheScope.eval(result)(labels, evGrams, kept)
     },
     Some(s"""
       WITH RECURSIVE $shinglesSql, $sigSql, $candSql,
