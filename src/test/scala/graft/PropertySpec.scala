@@ -92,4 +92,27 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       assert(kept(k) == vs.map(_._2).max)
     }
   }
+
+  test("packShards: hierarchical prefix sum equals one window, any corpus") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // random (id, group, weight) rows — ids unique, groups skewed so
+    // one group dominates (the scenario the two-level form exists for)
+    val rows = Gen.listOfN(400, Gen.zip(
+      Gen.oneOf("hot", "hot", "hot", "warm", "cold"),
+      Gen.chooseNum(0L, 500L))).sample.get
+      .zipWithIndex.map { case ((g, w), i) => (i.toLong, g, w) }
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ref = df.withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"),
+        floor((col("cum") - col("n_tokens")) / 777L).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.operators.Partitioning
+      .packShards(df, "source", "doc_id", "n_tokens", 777L)
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
 }
