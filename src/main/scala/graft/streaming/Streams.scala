@@ -190,8 +190,12 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // stage under the checkpoint location: it is contractually
+        // visible to driver AND executors on any master, which is
+        // exactly what fanOut's multi-target staging write needs
         graft.jobs.Sinks.fanOut(batch, targets,
-          s"$prefix/batch-$batchId.gz")
+          s"$prefix/batch-$batchId.gz",
+          staging = Some(s"$checkpoint/fanout-staging"))
         ()
       }
       .start()
