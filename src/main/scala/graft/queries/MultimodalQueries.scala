@@ -77,5 +77,46 @@ object MultimodalQueries extends QueryModule {
       ORDER BY doc_id""")
   )
 
-  def all: Seq[Q] = Seq(binaryStats, decodeFeatures, resize)
+  /** The video-keyframe access pattern — fixed 32-byte "frames", every
+    * 2nd kept (Multimodal.sampleFrames), certified content-addressed:
+    * frame count, sampled byte total, and md5 over the concatenated
+    * kept frames. ASCII fixture ⇒ DuckDB replays byte slicing as
+    * character slicing (the mm_resize convention); the trailing
+    * partial frame is kept truncated by both engines. */
+  val frameSample: Q = Q(
+    "mm_frame_sample",
+    (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.withPayload(Tables(s, dir, "documents")),
+          frameBytes = 32, stride = 2)
+        .select(
+          col("doc_id"),
+          col("n_frames"),
+          md5(expr(
+            "aggregate(frames, CAST('' AS BINARY), (a, f) -> concat(a, f))"))
+            .as("frames_checksum"),
+          expr("aggregate(frames, CAST(0 AS BIGINT), " +
+            "(a, f) -> a + octet_length(f))").as("sampled_bytes"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH f AS (
+        SELECT doc_id, text,
+               list_filter(
+                 range(0, octet_length(encode(text)) // 32 + 1),
+                 i -> i % 2 = 0 AND
+                      i * 32 < octet_length(encode(text))) AS keep
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               CAST(len(keep) AS INT) AS n_frames,
+               array_to_string(list_transform(keep,
+                 i -> substr(text, CAST(i * 32 + 1 AS INT), 32)), '')
+                 AS sampled
+        FROM f)
+      SELECT doc_id, n_frames, md5(sampled) AS frames_checksum,
+             CAST(length(sampled) AS BIGINT) AS sampled_bytes
+      FROM s ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(binaryStats, decodeFeatures, resize, frameSample)
 }
