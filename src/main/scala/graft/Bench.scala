@@ -72,27 +72,30 @@ object Bench {
         if (err.nonEmpty || ts.isEmpty) -1.0 else ts(ts.size / 2)
       (name, median, err)
     }
-    // the driver keeps only the LAST ~2000 chars of stdout; centisecond
-    // values and a basename sf keep the whole line (80 queries ≈ 1.9 KB)
-    // inside that window so it parses — r7's 9-decimal line was truncated
-    // mid-object and recorded as unparseable
-    def fmt(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // the driver keeps only the LAST ~2000 chars of stdout — a longer
+    // line is truncated mid-object and recorded as unparseable (r7's
+    // 9-decimal line). Precision adapts to the catalog size: start at
+    // milliseconds and coarsen until the whole line fits the window.
+    def fmt(v: Double, prec: Int): String = {
+      val s = s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
       // strip trailing zeros ("0.10"→"0.1", "3.00"→"3") — still valid
       // JSON numbers, ~1 byte/query back
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v) }
-      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => jsonStr(k) + ":" + jsonStr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val sfName = new java.io.File(sfDir).getName
     // errors only when present — every serialized byte competes with
-    // catalog growth for the ~2000-char capture window
+    // catalog growth for the capture window
     val errPart = if (errs == "{}") "" else s""","errors":$errs"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}""")
+    def line(prec: Int): String = {
+      val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, prec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
+    }
+    println(Seq(3, 2, 1).map(line).find(_.length <= 1980).getOrElse(line(1)))
     spark.stop()
   }
 }
