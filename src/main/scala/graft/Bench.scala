@@ -93,7 +93,7 @@ object Bench {
     def line(prec: Int): String = {
       val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, prec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","reps":$reps,"queries":$qs$errPart,"sf":"$sfName"}"""
     }
     println(Seq(3, 2, 1).map(line).find(_.length <= 1980).getOrElse(line(1)))
     spark.stop()

@@ -102,24 +102,33 @@ object Partitioning {
     val base = df
       .withColumn("__ord", md5(col(idCol).cast("string")))
       .withColumn("__bkt", substring(col("__ord"), 1, 1))
+    // NULL group keys form their own group (as a window's PARTITION BY
+    // would): collect as Option, sum-of-all-NULL weights counts 0
     val totals = base.groupBy(partCol, "__bkt")
       .agg(sum(weightCol).as("__t")).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (Option(r.getString(0)), r.getString(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
     val offsets = totals.groupBy(_._1).iterator.flatMap {
       case (part, rows) =>
         val sorted = rows.sortBy(_._2)
         val cum = sorted.scanLeft(0L)(_ + _._3)
-        sorted.zip(cum).map { case ((_, bkt, _), off) => (part, bkt, off) }
+        sorted.zip(cum).map { case ((_, bkt, _), off) =>
+          (part.orNull, bkt, off) }
     }.toSeq
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = offsets.toDF(partCol, "__bkt", "__off")
+    val offDf = broadcast(offsets.toDF(partCol, "__bkt", "__off"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partCol), col("__bkt"))
       .orderBy(col("__ord"), col(idCol))
+    // null-safe equality on the group key — a plain equi-join would
+    // silently drop every NULL-keyed row the window just processed
     base
       .withColumn("__cum", sum(weightCol).over(w))
-      .join(broadcast(offDf), Seq(partCol, "__bkt"))
+      .join(offDf,
+        base(partCol) <=> offDf(partCol) &&
+          base("__bkt") === offDf("__bkt"))
+      .drop(offDf(partCol)).drop(offDf("__bkt"))
       .withColumn("shard",
         floor((col("__off") + col("__cum") - col(weightCol)) / budget))
       .drop("__ord", "__bkt", "__cum", "__off")

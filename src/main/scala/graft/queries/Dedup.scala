@@ -43,6 +43,20 @@ object Dedup extends QueryModule {
              min(md5('6|'||shingle)) h6, min(md5('7|'||shingle)) h7
       FROM sh GROUP BY 1)"""
 
+  /** The decontamination 6-gram CTE, shared verbatim by
+    * `dd_decontaminate`, `dd_decontaminate_bloom` (whose certification
+    * is that it matches the ungated oracle — which must therefore BE
+    * the same text, not a copy), and `dd_curation_pipeline`. `name`
+    * lets the caller pick the CTE's binding name. */
+  private def grams6Sql(name: String): String = s"""
+      $name AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 6 + 2),
+                 i -> array_to_string(string_split(text, ' ')[i:i+5], ' '))))
+                 AS gram
+        FROM documents)"""
+
   private val candSql = """
     bands AS (
       SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bucket FROM sig
@@ -307,14 +321,8 @@ object Dedup extends QueryModule {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id", "eval_id")
     },
-    Some("""
-      WITH grams AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                 range(1, len(string_split(text, ' ')) - 6 + 2),
-                 i -> array_to_string(string_split(text, ' ')[i:i+5], ' '))))
-                 AS gram
-        FROM documents),
+    Some(s"""
+      WITH ${grams6Sql("grams")},
       ev AS (
         SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 10 = 0)
       SELECT g.doc_id, e.eval_id, count(*) AS n_shared
@@ -447,14 +455,8 @@ object Dedup extends QueryModule {
         .orderBy("doc_id", "eval_id")
       CacheScope.eval(result)(ev)
     },
-    Some("""
-      WITH grams AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                 range(1, len(string_split(text, ' ')) - 6 + 2),
-                 i -> array_to_string(string_split(text, ' ')[i:i+5], ' '))))
-                 AS gram
-        FROM documents),
+    Some(s"""
+      WITH ${grams6Sql("grams")},
       ev AS (
         SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 10 = 0)
       SELECT g.doc_id, e.eval_id, count(*) AS n_shared
@@ -677,10 +679,7 @@ object Dedup extends QueryModule {
         .filter(col("doc_id") % 10 =!= 0)
         .join(dupDrop, Seq("doc_id"), "left_anti")
         .join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
-          when(col("lang") === "en", "80")
-            .when(col("lang") === "zh", "c0")
-            .otherwise("g"))
+        .filter(TextAnalysis.mixGate)
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
         .persist()
       val result = graft.operators.Partitioning
@@ -702,13 +701,7 @@ object Dedup extends QueryModule {
       clusters AS (
         SELECT a AS doc_id, least(a, min(b)) AS cluster
         FROM reach GROUP BY a),
-      grams6 AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                 range(1, len(string_split(text, ' ')) - 6 + 2),
-                 i -> array_to_string(string_split(text, ' ')[i:i+5], ' '))))
-                 AS gram
-        FROM documents),
+      ${grams6Sql("grams6")},
       contam AS (
         SELECT DISTINCT g.doc_id
         FROM grams6 g JOIN grams6 e ON g.gram = e.gram
@@ -721,9 +714,7 @@ object Dedup extends QueryModule {
         WHERE (c.cluster IS NULL OR c.cluster = d.doc_id)
           AND d.doc_id % 10 <> 0
           AND d.doc_id NOT IN (SELECT doc_id FROM contam)
-          AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <
-              CASE d.lang WHEN 'en' THEN '80' WHEN 'zh' THEN 'c0'
-                          ELSE 'g' END)
+          AND ${TextAnalysis.mixGateSql("d")})
       SELECT source, doc_id, lang, n_tokens,
              CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard
       FROM (

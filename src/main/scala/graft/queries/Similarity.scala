@@ -304,10 +304,10 @@ object Similarity extends QueryModule {
         .join(recallOf(ivf, "ivf"), Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("srp_h"), lit(0L)).as("srp_hits"),
-          (coalesce(col("srp_h"), lit(0L)).cast("double") / 10.0)
+          (coalesce(col("srp_h"), lit(0L)).cast("double") / lit(K.toDouble))
             .as("srp_recall"),
           coalesce(col("ivf_h"), lit(0L)).as("ivf_hits"),
-          (coalesce(col("ivf_h"), lit(0L)).cast("double") / 10.0)
+          (coalesce(col("ivf_h"), lit(0L)).cast("double") / lit(K.toDouble))
             .as("ivf_recall"))
         .orderBy("q_id")
     },
@@ -361,9 +361,9 @@ object Similarity extends QueryModule {
           ON t.q_id = b.q_id AND t.vec_id = b.vec_id GROUP BY 1)
       SELECT q.q_id,
              CAST(COALESCE(s.h, 0) AS BIGINT) AS srp_hits,
-             CAST(COALESCE(s.h, 0) AS DOUBLE) / 10.0 AS srp_recall,
+             CAST(COALESCE(s.h, 0) AS DOUBLE) / $K AS srp_recall,
              CAST(COALESCE(i.h, 0) AS BIGINT) AS ivf_hits,
-             CAST(COALESCE(i.h, 0) AS DOUBLE) / 10.0 AS ivf_recall
+             CAST(COALESCE(i.h, 0) AS DOUBLE) / $K AS ivf_recall
       FROM (SELECT DISTINCT q_id FROM btop) q
       LEFT JOIN shits s USING (q_id)
       LEFT JOIN ihits i USING (q_id)

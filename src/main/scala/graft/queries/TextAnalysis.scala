@@ -575,20 +575,35 @@ object TextAnalysis extends QueryModule {
     "ta_corpus_mix",
     (s, dir) =>
       docs(s, dir)
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
-          when(col("lang") === "en", "80")
-            .when(col("lang") === "zh", "c0")
-            .otherwise("g"))
+        .filter(mixGate)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id"),
-    Some("""
+    Some(s"""
       SELECT doc_id, lang, source
       FROM documents
-      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-            CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN 'c0'
-                      ELSE 'g' END
+      WHERE ${mixGateSql("")}
       ORDER BY doc_id""")
   )
+
+  /** The language-mix keep gate (en 50%, zh 75%, rest 100%) as ONE
+    * definition — `ta_corpus_mix` certifies it standalone and
+    * `dd_curation_pipeline` composes it, so the two queries cannot
+    * drift apart. Scala and SQL forms are maintained together here:
+    * a rate change edits this pair and nothing else. */
+  def mixGate: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 2) <
+      when(col("lang") === "en", "80")
+        .when(col("lang") === "zh", "c0")
+        .otherwise("g")
+
+  /** DuckDB form of [[mixGate]]; `alias` prefixes the column refs
+    * (pass "" when the documents table is unaliased). */
+  def mixGateSql(alias: String): String = {
+    val p = if (alias.isEmpty) "" else s"$alias."
+    s"""substr(md5(CAST(${p}doc_id AS VARCHAR)), 1, 2) <
+            CASE ${p}lang WHEN 'en' THEN '80' WHEN 'zh' THEN 'c0'
+                      ELSE 'g' END"""
+  }
 
   /** Per-language heavy hitters — the top-3 most frequent tokens per
     * language, the per-stratum vocabulary report behind language-ID

@@ -147,18 +147,23 @@ object Streams {
     * point: ingest-time filtering at stream rate, with the exact
     * (batch) decontamination report downstream for the ~fpp of false
     * drops a pipeline can reclaim later. A doc is dropped if ANY of
-    * its 6-grams probes positive. */
+    * its 6-grams probes positive; docs too short for one 6-gram —
+    * including empty and NULL text, where `exists` yields NULL —
+    * always pass. Tokenization runs ONCE per row into a helper
+    * column (the batch-side kShingles shape); building grams from it
+    * keeps per-row cost linear in tokens, not grams × tokens. */
   def streamingDecontaminationGate(docs: DataFrame,
                                    filterBytes: Array[Byte],
                                    textCol: String = "text"): DataFrame = {
     val grams = expr(
-      s"""transform(
-            slice(split($textCol, ' '), 1,
-              greatest(size(split($textCol, ' ')) - 5, 0)),
-            (x, i) -> xxhash64(array_join(
-              slice(split($textCol, ' '), i + 1, 6), ' ')))""")
-    docs.filter(!exists(grams, h =>
-      graft.operators.Bloom.gateLong(docs.sparkSession, filterBytes, h)))
+      """transform(
+           slice(__toks, 1, greatest(size(__toks) - 5, 0)),
+           (x, i) -> xxhash64(array_join(slice(__toks, i + 1, 6), ' ')))""")
+    docs.withColumn("__toks", split(col(textCol), " "))
+      .filter(!coalesce(exists(grams, h =>
+        graft.operators.Bloom.gateLong(docs.sparkSession, filterBytes, h)),
+        lit(false)))
+      .drop("__toks")
   }
 
   /** Stream-stream join: each interaction event paired with error

@@ -64,12 +64,17 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
       .filter(graft.operators.Bloom.gateLong(spark, bits, col("g")))
     assert(gated.count() == 0, "empty filter admits nothing")
     // the streaming gram gate passes short/empty docs (no 6-gram) and
-    // stays total on repeated separators — batch DataFrame, same code
+    // stays total on repeated separators — batch DataFrame, same code.
+    // NULL text joins the always-pass set: split(NULL) propagates NULL
+    // through exists, and an unguarded filter would silently drop the
+    // row as if contaminated
+    val withNull = weird.unionAll(
+      Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val passed = graft.streaming.Streams
-      .streamingDecontaminationGate(weird, bits)
+      .streamingDecontaminationGate(withNull, bits)
       .select("doc_id").as[Long].collect().toSet
-    assert(passed == Set(1L, 2L, 3L, 4L, 5L),
-      "empty filter contaminates nothing; short docs always pass")
+    assert(passed == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "empty filter contaminates nothing; short/empty/null docs always pass")
   }
 
   test("normalization and mix gates are total on degenerate text") {

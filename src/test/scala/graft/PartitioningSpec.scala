@@ -67,6 +67,32 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(got == ref)
   }
 
+  test("packShards keeps NULL group keys and survives all-NULL weights") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // a NULL-keyed group (window PARTITION BY semantics: NULLs form one
+    // group) plus a group whose weights are ALL NULL — the equi-join
+    // used to drop the former and the offsets collect NPE'd on the latter
+    val d = Seq(
+      (1L, "a", Some(100L)), (2L, "a", Some(300L)),
+      (3L, null.asInstanceOf[String], Some(250L)),
+      (4L, null.asInstanceOf[String], Some(250L)),
+      (5L, "b", None), (6L, "b", None))
+      .toDF("doc_id", "source", "n_tokens")
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ref = d.withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"),
+        floor((col("cum") - col("n_tokens")) / 200L).as("shard"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = Partitioning
+      .packShards(d, "source", "doc_id", "n_tokens", 200L)
+      .select("doc_id", "shard")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == ref)
+    assert(got.size == 6, "no row may vanish, NULL-keyed or not")
+  }
+
   test("bucketed-to-bucketed join plans without a shuffle exchange") {
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey")
     val c = Tables(spark, sf, "customer").select("c_custkey", "c_name")
