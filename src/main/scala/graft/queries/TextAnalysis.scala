@@ -677,9 +677,57 @@ object TextAnalysis extends QueryModule {
       ORDER BY source, shard, doc_id""")
   )
 
+  /** Per-language token-length quantiles (p50/p90/p99) — the length
+    * distribution every curation run consults to set its min/max-length
+    * filter thresholds. EXACT discrete quantiles (smallest length whose
+    * cumulative count reaches ceil(p·n)), computed scale-first: one
+    * bounded-key groupBy collapses the corpus to a (lang × length)
+    * HISTOGRAM, and the cumulative window runs over that tiny aggregate
+    * — never a per-language sort of raw rows, so a 100 TB corpus pays
+    * one map-side-combined shuffle of |langs|·|distinct lengths| rows.
+    * All-integer rank arithmetic (the only double is ceil(p·n), a
+    * comparison bound computed identically by both engines), so the
+    * report hash-matches across engines — no interpolated
+    * percentile_cont float drift. */
+  val lengthQuantiles: Q = Q(
+    "ta_length_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .groupBy("lang", "n_tokens").agg(count(lit(1)).as("c"))
+      val byLang = Window.partitionBy("lang")
+      def q(p: Double, name: String) =
+        min(when(col("cum") >= ceil(lit(p) * col("n")), col("n_tokens")))
+          .as(name)
+      hist
+        .withColumn("cum", sum("c").over(byLang.orderBy("n_tokens")))
+        .withColumn("n", sum("c").over(byLang))
+        .groupBy("lang")
+        .agg(max("n").as("n_docs"),
+          q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               count(*) AS c
+        FROM documents GROUP BY 1, 2),
+      cum AS (
+        SELECT lang, n_tokens,
+               sum(c) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS n
+        FROM hist)
+      SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+             min(CASE WHEN cum >= ceil(0.5 * n)  THEN n_tokens END) AS p50,
+             min(CASE WHEN cum >= ceil(0.9 * n)  THEN n_tokens END) AS p90,
+             min(CASE WHEN cum >= ceil(0.99 * n) THEN n_tokens END) AS p99
+      FROM cum GROUP BY lang ORDER BY lang""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
-      shardAssign)
+      shardAssign, lengthQuantiles)
 }
