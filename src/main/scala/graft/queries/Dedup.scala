@@ -629,6 +629,47 @@ object Dedup extends QueryModule {
       FROM h GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Cross-source near-duplication overlap matrix — for every source
+    * pair, the number of distinct 6-grams BOTH emit: the provenance
+    * report that tells a pipeline which feeds mirror each other
+    * (syndication, scrapes of the same site) before per-source mix
+    * weights are trusted. Shape at 100 TB: distinct (gram-hash,
+    * source) pairs — one groupBy shuffle on an 8-byte key — then a
+    * self-join on the gram whose fan-out is bounded by |sources|² per
+    * gram, never corpus². The distinct set feeds both join sides, so
+    * it persists lazily and the one result job fills the cache.
+    * Gram identity is the xxhash64 of the gram text (the
+    * dd_decontaminate idiom): a 64-bit collision merging two grams is
+    * the report's stated resolution. */
+  val sourceOverlap: Q = Q(
+    "dd_source_overlap",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val gs = graft.operators.TextDedup.kShingles(docs, 6)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(xxhash64(col("shingle")).as("g"), col("source"))
+        .distinct()
+        .persist()
+      val result = gs.as("a")
+        .join(gs.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("source_a", "source_b")
+      graft.operators.CacheScope.eval(result)(gs)
+    },
+    Some(s"""
+      WITH ${grams6Sql("grams")},
+      gs AS (
+        SELECT DISTINCT d.source, g.gram
+        FROM grams g JOIN documents d USING (doc_id))
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared_grams
+      FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   /** The WHOLE curation pipeline as ONE declarative plan — the
     * composition every training-data run executes end-to-end: LSH
     * near-dup clustering → keep one doc per cluster → drop the eval
@@ -729,5 +770,5 @@ object Dedup extends QueryModule {
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
-    dupRateBySource, curationPipeline)
+    dupRateBySource, sourceOverlap, curationPipeline)
 }
