@@ -633,31 +633,30 @@ object Dedup extends QueryModule {
     * pair, the number of distinct 6-grams BOTH emit: the provenance
     * report that tells a pipeline which feeds mirror each other
     * (syndication, scrapes of the same site) before per-source mix
-    * weights are trusted. Shape at 100 TB: distinct (gram-hash,
-    * source) pairs — one groupBy shuffle on an 8-byte key — then a
-    * self-join on the gram whose fan-out is bounded by |sources|² per
-    * gram, never corpus². The distinct set feeds both join sides, so
-    * it persists lazily and the one result job fills the cache.
-    * Gram identity is the xxhash64 of the gram text (the
+    * weights are trusted. Shape at 100 TB: ONE groupBy shuffle on the
+    * 8-byte gram hash collapses the corpus to per-gram source SETS
+    * (map-side combined, each set bounded by |sources|); pair
+    * generation is then a narrow double-explode whose fan-out is
+    * |sources-sharing-the-gram|² per gram, never corpus² — no
+    * self-join, no second shuffle of the gram table, no cache to
+    * manage. Gram identity is the xxhash64 of the gram text (the
     * dd_decontaminate idiom): a 64-bit collision merging two grams is
     * the report's stated resolution. */
   val sourceOverlap: Q = Q(
     "dd_source_overlap",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val gs = graft.operators.TextDedup.kShingles(docs, 6)
+      graft.operators.TextDedup.kShingles(docs, 6)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select(xxhash64(col("shingle")).as("g"), col("source"))
-        .distinct()
-        .persist()
-      val result = gs.as("a")
-        .join(gs.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"),
-          col("b.source").as("source_b"))
+        .groupBy("g").agg(collect_set("source").as("ss"))
+        .filter(size(col("ss")) > 1)
+        .select(explode(col("ss")).as("source_a"), col("ss"))
+        .select(col("source_a"), explode(col("ss")).as("source_b"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy("source_a", "source_b")
-      graft.operators.CacheScope.eval(result)(gs)
     },
     Some(s"""
       WITH ${grams6Sql("grams")},
