@@ -370,6 +370,48 @@ object Similarity extends QueryModule {
       ORDER BY q_id""")
   )
 
+  /** Embedding-health report — the ingest check a vector corpus runs
+    * before ANN indexing trusts it: per label, the vector count,
+    * dimension range (a ragged corpus breaks every dot product),
+    * zero-vector count (cosine undefined), non-finite norm count, and
+    * the norm range. One narrow map per row (the native codegen'd
+    * fvec_dot in its catalog face — norm = √dot(v,v), the same fused
+    * loop the ANN queries rank with) into a bounded-key groupBy; every
+    * aggregate is order-independent (counts, min/max over per-row
+    * values both engines compute bit-identically), so no float-sum
+    * accumulation-order drift. */
+  val embedHealth: Q = Q(
+    "ss_embed_health",
+    (s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      Tables(s, dir, "embeddings")
+        .withColumn("norm", expr("sqrt(fvec_dot(embedding, embedding))"))
+        .withColumn("d", size(col("embedding")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min("d").as("d_min"), max("d").as("d_max"),
+          sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("norm").isNaN ||
+            col("norm") === Double.PositiveInfinity, 1L).otherwise(0L))
+            .as("n_nonfinite"),
+          min("norm").as("min_norm"), max("norm").as("max_norm"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT label, CAST(len(embedding) AS INT) AS d,
+               ${duckNorm("embedding")} AS norm
+        FROM embeddings)
+      SELECT label, count(*) AS n_vecs,
+             min(d) AS d_min, max(d) AS d_max,
+             CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(sum(CASE WHEN isnan(norm) OR isinf(norm) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_nonfinite,
+             min(norm) AS min_norm, max(norm) AS max_norm
+      FROM n GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
-    topkSrpMulti, recallReport)
+    topkSrpMulti, recallReport, embedHealth)
 }
