@@ -72,37 +72,60 @@ object Bench {
         if (err.nonEmpty || ts.isEmpty) -1.0 else ts(ts.size / 2)
       (name, median, err)
     }
-    // the driver keeps only the LAST ~2000 chars of stdout, and the
-    // sbt epilogue ("[success] Total time: …", ~80 chars) lands INSIDE
-    // that window after our line — r7's full-precision line lost its
-    // head this way and parsed as null. Budget the stdout line at 1850
-    // chars. Full per-query precision always goes to a detail FILE in
-    // the repo (the judge reads the repo; stdout is only the driver's
-    // headline). When even the 1-decimal full map no longer fits the
-    // window — the catalog outgrew it at 87 queries — the stdout map
-    // degrades to the SLOWEST entries (the ones regression-grading
-    // needs), an omission count, and the detail pointer.
-    def fmt(v: Double, prec: Int): String = {
-      val s = s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
-      // strip trailing zeros ("0.10"→"0.1", "3.00"→"3") — still valid
-      // JSON numbers, ~1 byte/query back
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      else s
-    }
-    val errs = results.collect { case (k, _, Some(m)) => jsonStr(k) + ":" + jsonStr(m) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    val sfName = new java.io.File(sfDir).getName
-    // errors only when present — every serialized byte competes with
-    // catalog growth for the capture window
-    val errPart = if (errs == "{}") "" else s""","errors":$errs"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
-    val detail = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, 6) }
-      .mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","reps":$reps,"queries":$detail$errPart,"sf":"$sfName"}
-""".getBytes("UTF-8"))
+      (detailJson(results, reps, sfName) + "\n").getBytes("UTF-8"))
+    println(headline(results, reps, sfName, detailPath))
+    spark.stop()
+  }
+
+  // the driver keeps only the LAST ~2000 chars of stdout, and the
+  // sbt epilogue ("[success] Total time: …", ~80 chars) lands INSIDE
+  // that window after our line — r7's full-precision line lost its
+  // head this way and parsed as null. Budget the stdout line at 1850
+  // chars. Full per-query precision always goes to a detail FILE in
+  // the repo (the judge reads the repo; stdout is only the driver's
+  // headline). When even the 1-decimal full map no longer fits the
+  // window — the catalog outgrew it at 87 queries — the stdout map
+  // degrades to the SLOWEST entries (the ones regression-grading
+  // needs), an omission count, and the detail pointer. BenchFormatSpec
+  // pins the budget and the degradation ladder.
+  val StdoutBudget = 1850
+
+  private def fmt(v: Double, prec: Int): String = {
+    val s = s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+    // strip trailing zeros ("0.10"→"0.1", "3.00"→"3") — still valid
+    // JSON numbers, ~1 byte/query back
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    else s
+  }
+
+  private def errPart(
+      results: Seq[(String, Double, Option[String])]): String = {
+    // errors only when present — every serialized byte competes with
+    // catalog growth for the capture window
+    val errs = results.collect { case (k, _, Some(m)) =>
+      jsonStr(k) + ":" + jsonStr(m) }.mkString("{", ",", "}")
+    if (errs == "{}") "" else s""","errors":$errs"""
+  }
+
+  /** The unbounded full-precision record written beside the repo. */
+  def detailJson(results: Seq[(String, Double, Option[String])],
+                 reps: Int, sfName: String): String = {
+    val total = results.collect { case (_, v, None) => v }.sum
+    val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, 6) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","reps":$reps,"queries":$qs${errPart(results)},"sf":"$sfName"}"""
+  }
+
+  /** The stdout line: precision coarsens 3→2→1, then the query map
+    * degrades to the slowest K entries, until the line fits
+    * [[StdoutBudget]]. Always valid JSON. */
+  def headline(results: Seq[(String, Double, Option[String])],
+               reps: Int, sfName: String, detailPath: String): String = {
+    val total = results.collect { case (_, v, None) => v }.sum
     def line(prec: Int, keep: Int): String = {
       val (shown, omitted) =
         if (keep >= results.size) (results, 0)
@@ -115,13 +138,12 @@ object Bench {
         .mkString("{", ",", "}")
       val omitPart = if (omitted == 0) ""
         else s""","q_omitted":$omitted,"detail":${jsonStr(detailPath)}"""
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","reps":$reps,"queries":$qs$omitPart$errPart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","reps":$reps,"queries":$qs$omitPart${errPart(results)},"sf":"$sfName"}"""
     }
     val candidates =
       Seq(3, 2, 1).map(line(_, Int.MaxValue)) ++
         Seq(results.size - 5, results.size - 10, 60, 40, 20, 10)
           .filter(_ > 0).map(line(1, _))
-    println(candidates.find(_.length <= 1850).getOrElse(line(1, 5)))
-    spark.stop()
+    candidates.find(_.length <= StdoutBudget).getOrElse(line(1, 5))
   }
 }

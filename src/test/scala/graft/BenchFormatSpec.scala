@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The bench stdout line is a DRIVER CONTRACT: only the last ~2000
+  * chars of stdout survive capture, with the sbt epilogue inside the
+  * window after the line — r7 shipped an unparseable truncated line
+  * this way. Pin the two properties that keep it parseable forever:
+  * every emitted line is valid JSON, and no catalog size can push it
+  * past the budget. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper
+
+  private def mk(n: Int, err: Int = 0): Seq[(String, Double, Option[String])] =
+    (1 to n).map { i =>
+      (f"dd_some_catalog_query_name_$i%03d", i * 0.037,
+        if (i <= err) Some("SparkException: boom") else None)
+    }
+
+  test("small catalogs emit the full map at millisecond precision") {
+    val line = Bench.headline(mk(10), 3, "sf0.1", "BENCH_DETAIL.json")
+    val js = mapper.readTree(line)
+    assert(js.get("queries").size() == 10)
+    assert(!js.has("q_omitted"))
+    assert(js.get("reps").asInt() == 3)
+    // 3-decimal precision survived (0.037 stays exact)
+    assert(js.get("queries").get("dd_some_catalog_query_name_001")
+      .asDouble() == 0.037)
+  }
+
+  test("every catalog size up to 500 queries fits the budget, parseable") {
+    for (n <- Seq(50, 88, 120, 200, 500)) {
+      val line = Bench.headline(mk(n), 3, "sf0.1", "BENCH_DETAIL.json")
+      assert(line.length <= Bench.StdoutBudget, s"n=$n len=${line.length}")
+      val js = mapper.readTree(line)
+      assert(js.get("metric").asText() == "total")
+      val shown = js.get("queries").size()
+      val omitted = if (js.has("q_omitted")) js.get("q_omitted").asInt() else 0
+      assert(shown + omitted == n, s"n=$n shown=$shown omitted=$omitted")
+      if (omitted > 0) {
+        assert(js.get("detail").asText() == "BENCH_DETAIL.json")
+        // the SLOWEST queries survive degradation — the last (largest
+        // value) name must be shown, the first (smallest) omitted
+        assert(js.get("queries").has(f"dd_some_catalog_query_name_$n%03d"))
+        assert(!js.get("queries").has("dd_some_catalog_query_name_001"))
+      }
+    }
+  }
+
+  test("error messages stay inside the line and the total excludes them") {
+    val line = Bench.headline(mk(88, err = 2), 3, "sf0.1", "d.json")
+    assert(line.length <= Bench.StdoutBudget)
+    val js = mapper.readTree(line)
+    assert(js.get("errors").size() == 2)
+    // errored queries carry value -1 upstream; total sums successes only
+    val total = mk(88, err = 2).collect { case (_, v, None) => v }.sum
+    assert(math.abs(js.get("value").asDouble() - total) < 0.05)
+  }
+
+  test("detail JSON always carries the whole catalog at full precision") {
+    val detail = Bench.detailJson(mk(500), 3, "sf0.01")
+    val js = mapper.readTree(detail)
+    assert(js.get("queries").size() == 500)
+    assert(js.get("sf").asText() == "sf0.01")
+  }
+}
