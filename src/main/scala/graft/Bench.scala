@@ -52,8 +52,15 @@ object Bench {
       var r = 0
       while (r < reps && err.isEmpty) {
         // drop persisted intermediates between runs: cache reuse would
-        // make repeated runs (and query order) non-independent
+        // make repeated runs (and query order) non-independent.
+        // clearCache() only empties the SQL cache manager — a prior
+        // query's localCheckpoint blocks live at the RDD layer and
+        // otherwise linger until GC-driven cleanup, so over a ~90-query
+        // catalog they pile into real memory pressure that inflates
+        // every later query's time (observed 3-5× on the tail half).
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -384,7 +384,66 @@ object Events extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** CDC MERGE (upsert) — apply a change log to a snapshot in one plan,
+    * the maintenance step behind the reference's snapshot/incremental
+    * duality (SURVEY.md T3: `upload_snapshot` rebuilds, `upload_recent_
+    * refresh` patches; jonesy/jobs.py:19,40). The change log is first
+    * reduced to the LATEST change per key — `max(struct(ts, event_id,
+    * value))` is a plain aggregate, so the reduction gets map-side
+    * partial combine and one shuffle, never a per-key window over raw
+    * events; (ts, event_id) is a unique order so the argmax is
+    * deterministic. The merge itself is a single full-outer join on the
+    * key: matched-with-change → 'U' (take the new value),
+    * matched-without-change → 'K' (keep), unmatched change → 'I'
+    * (insert). At 100 TB both sides arrive hash-partitioned on the same
+    * key, so the whole upsert is one reduction + one co-partitioned
+    * join — the standard MERGE INTO plan without a table format.
+    * The snapshot is restricted to keys < 100 so the insert branch is
+    * genuinely exercised (event users run 0..149). */
+  val cdcMerge: Q = Q(
+    "ev_cdc_merge",
+    (s, dir) => {
+      val snap = Tables(s, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("s_uid"),
+          col("c_acctbal").as("balance"))
+      val changes = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .as("last"))
+        .select(col("user_id").as("c_uid"),
+          col("last.value").as("new_value"))
+      snap.join(changes, col("s_uid") === col("c_uid"), "full_outer")
+        .select(
+          coalesce(col("s_uid"), col("c_uid")).as("user_id"),
+          when(col("s_uid").isNull, "I")
+            .when(col("c_uid").isNull, "K")
+            .otherwise("U").as("op"),
+          coalesce(col("new_value"), col("balance")).as("balance"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH snap AS (
+        SELECT c_custkey AS user_id, c_acctbal AS balance
+        FROM customer WHERE c_custkey < 100),
+      changes AS (
+        SELECT user_id, value AS new_value FROM (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase')
+        WHERE rn = 1)
+      SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+             CASE WHEN s.user_id IS NULL THEN 'I'
+                  WHEN c.user_id IS NULL THEN 'K'
+                  ELSE 'U' END AS op,
+             COALESCE(c.new_value, s.balance) AS balance
+      FROM snap s FULL OUTER JOIN changes c ON s.user_id = c.user_id
+      ORDER BY user_id""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
-    rankStats, timeParts, funnel, retention)
+    rankStats, timeParts, funnel, retention, cdcMerge)
 }

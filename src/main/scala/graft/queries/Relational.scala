@@ -398,7 +398,141 @@ object Relational extends QueryModule {
       FROM documents GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Approximate-quantile certification — percentile_approx (the
+    * KLL/t-digest-family sketch Spark aggregates in one pass with
+    * mergeable partials, the 100 TB quantile path) certified against
+    * the EXACT per-group p40/p60 band: with accuracy 10000 the rank
+    * error is 1e-4·n, so the approx median must land far inside the
+    * ±10%-rank band. Like rel_sketch_bound, the engine-specific
+    * estimate never reaches the output — only the boolean and the
+    * exact group stats do, so the oracle states the bound as TRUE and
+    * the hash check proves it. */
+  val quantileBound: Q = Q(
+    "rel_quantile_bound",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("approx_p50"),
+          expr("percentile(o_totalprice, 0.4)").as("lo"),
+          expr("percentile(o_totalprice, 0.6)").as("hi"))
+        .select(col("priority"), col("n_orders"),
+          (col("approx_p50") >= col("lo") &&
+            col("approx_p50") <= col("hi")).as("within_bound"))
+        .orderBy("priority"),
+    Some("""
+      SELECT o_orderpriority AS priority, count(*) AS n_orders,
+             TRUE AS within_bound
+      FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Single-pass column profiler (operators.Profiler) — the per-column
+    * null/distinct/min/max report a lake runs over an incoming drop.
+    * The oracle SQL is deliberately the NAIVE form (one SELECT per
+    * column, UNION ALL — N scans); the Spark plan folds all metrics
+    * into one `agg`, scanning the table once. min/max stay in typed
+    * columns (numeric as double, string as string) — never a double
+    * formatted through a string, which would tie the hash to engine
+    * float printing. */
+  val profile: Q = Q(
+    "rel_profile",
+    (s, dir) => graft.operators.Profiler.profile(
+      t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")),
+    Some {
+      def numRow(c: String) =
+        s"""SELECT '$c' AS col_name,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               CAST(min($c) AS DOUBLE) AS min_num,
+               CAST(max($c) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+             FROM orders"""
+      def strRow(c: String) =
+        s"""SELECT '$c' AS col_name,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num,
+               CAST(NULL AS DOUBLE) AS max_num,
+               min($c) AS min_str, max($c) AS max_str
+             FROM orders"""
+      Seq(numRow("o_orderkey"), numRow("o_custkey"),
+        strRow("o_orderstatus"), numRow("o_totalprice"),
+        strRow("o_orderpriority"))
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY col_name")
+    }
+  )
+
+  /** Z-order layout report (operators.ZOrder) — both dims scaled to 4
+    * bits, interleaved, and the 8-bit key space cut into 16 contiguous
+    * chunks (= the 16 files a z-ordered write would produce). The
+    * result row per chunk carries min/max of BOTH raw columns: every
+    * chunk bounds custkey to ~1/4 of its range AND nationkey to ~1/4
+    * of its range — the quantitative form of "a filter on either
+    * column prunes ~3/4 of the files", which a single-column sort
+    * gives for one dimension only. The per-dimension scaling bounds
+    * come from a 1-row min/max aggregate broadcast-cross-joined back
+    * (the ev_watermark pattern — one DAG, no driver round-trip, no
+    * sf-dependent constants); the quotient of exactly-representable
+    * ints through one correctly-rounded division keeps floor()
+    * engine-identical. The interleave itself is integer shift/and/add
+    * (codegen'd, oracle-identical). */
+  val zorder: Q = Q(
+    "rel_zorder",
+    (s, dir) => {
+      import graft.operators.ZOrder
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val bounds = c.agg(
+        min("c_custkey").as("min_c"), max("c_custkey").as("max_c"),
+        min("c_nationkey").as("min_n"), max("c_nationkey").as("max_n"))
+      val scaled = c.crossJoin(broadcast(bounds))
+        .withColumn("a_s", floor((col("c_custkey") - col("min_c")) * 16 /
+          (col("max_c") - col("min_c") + 1)))
+        .withColumn("b_s", floor((col("c_nationkey") - col("min_n")) * 16 /
+          (col("max_n") - col("min_n") + 1)))
+      scaled
+        .withColumn("chunk",
+          shiftright(ZOrder.key2(col("a_s"), col("b_s"), 4), 4))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n_rows"),
+          min("c_custkey").as("min_cust"),
+          max("c_custkey").as("max_cust"),
+          min("c_nationkey").as("min_nation"),
+          max("c_nationkey").as("max_nation"))
+        .orderBy("chunk")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT min(c_custkey) AS min_c, max(c_custkey) AS max_c,
+               min(c_nationkey) AS min_n, max(c_nationkey) AS max_n
+        FROM customer),
+      scaled AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(floor((c_custkey - min_c) * 16
+                 / (max_c - min_c + 1)) AS BIGINT) AS a_s,
+               CAST(floor((c_nationkey - min_n) * 16
+                 / (max_n - min_n + 1)) AS BIGINT) AS b_s
+        FROM customer, b),
+      z AS (
+        SELECT c_custkey, c_nationkey,
+               ${graft.operators.ZOrder.duckKeyExpr2("a_s", "b_s", 4)}
+                 AS zkey
+        FROM scaled)
+      SELECT zkey >> 4 AS chunk, count(*) AS n_rows,
+             min(c_custkey) AS min_cust, max(c_custkey) AS max_cust,
+             min(c_nationkey) AS min_nation,
+             max(c_nationkey) AS max_nation
+      FROM z GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot, sketchAgg,
-    sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg)
+    sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
+    quantileBound, profile, zorder)
 }

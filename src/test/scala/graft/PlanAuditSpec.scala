@@ -20,10 +20,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     * leaving a 1×N broadcast loop — the correct scalar-attach plan at
     * any scale); ss_recall_report contains the ss_topk_brute pipeline
     * as its exactness baseline, inheriting its broadcast all-pairs
-    * loop. All documented at the query definition. */
+    * loop; rel_zorder broadcast-attaches its 1-row min/max scaling
+    * bounds (the ev_watermark pattern). All documented at the query
+    * definition. */
   private val nestedLoopAllowed =
     Set("ss_topk_brute", "ev_watermark", "ref_term_courses_deprecated",
-      "ss_recall_report")
+      "ss_recall_report", "rel_zorder")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
