@@ -106,6 +106,46 @@ object Streams {
       }
   }
 
+  /** The maintained latest state per key, emitted as a changelog row. */
+  final case class KeyState(user_id: Long, ts: Timestamp,
+                            event_id: Long, value: Double)
+
+  /** Streaming UPSERT — the stream face of the batch CDC merge
+    * (`ev_cdc_merge`): `mapGroupsWithState` maintains the latest
+    * (ts, event_id)-ordered value per key and emits one changelog row
+    * per key per micro-batch — exactly the stream a MERGE-applying
+    * sink consumes (Update output mode). Latest-wins is enforced
+    * against BOTH the batch (single-pass fold over the group iterator,
+    * never materialized) and the carried state, so an out-of-order
+    * older event can never overwrite newer state — the idempotence
+    * half of the T6 contract on the streaming face.
+    *
+    * State is one row per distinct key: bounded by the dimension's
+    * cardinality, not the stream's length — for table maintenance the
+    * state IS the table, so no timeout is set; a TTL variant would
+    * swap in ProcessingTimeTimeout for ephemeral keys. */
+  def streamingUpsert(events: Dataset[Event]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[KeyState, KeyState](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[KeyState]) =>
+          def newer(aTs: Long, aId: Long, bTs: Long, bId: Long) =
+            aTs > bTs || (aTs == bTs && aId > bId)
+          var best: KeyState = state.getOption.orNull
+          rows.foreach { e =>
+            if (best == null ||
+                newer(e.ts.getTime, e.event_id,
+                  best.ts.getTime, best.event_id))
+              best = KeyState(userId, e.ts, e.event_id, e.value)
+          }
+          state.update(best)
+          best
+      }
+  }
+
   /** Streaming exact dedup — the stream face of `dd_exact`: drop rows
     * whose key was already seen, with the watermark bounding the
     * dedup-state retention to the late-data allowance (without it,

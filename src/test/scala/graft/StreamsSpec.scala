@@ -334,6 +334,47 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streamingUpsert keeps latest per key; old events never win") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.streamingUpsert(source.toDS())
+      .writeStream.format("memory").queryName("upsert_test")
+      .outputMode("update").start()
+    try {
+      source.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "purchase", 10.0),
+        Event(2, ts("2024-01-01 11:00:00"), 7, "purchase", 20.0),
+        Event(3, ts("2024-01-01 10:30:00"), 8, "purchase", 5.0))
+      q.processAllAvailable()
+      val b1 = spark.table("upsert_test")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      // within one batch, the later event wins for user 7
+      assert(b1 == Set(
+        (7L, ts("2024-01-01 11:00:00"), 2L, 20.0),
+        (8L, ts("2024-01-01 10:30:00"), 3L, 5.0)))
+      // batch 2: an out-of-order OLDER event for 7 (must not
+      // overwrite), a genuine update for 8, a brand-new key 9
+      source.addData(
+        Event(4, ts("2024-01-01 09:00:00"), 7, "purchase", 99.0),
+        Event(5, ts("2024-01-01 12:00:00"), 8, "purchase", 6.0),
+        Event(6, ts("2024-01-01 12:30:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("upsert_test")
+        .as[(Long, Timestamp, Long, Double)].collect()
+      // the changelog's LAST emission per key is the merged state
+      val latest = all.groupBy(_._1).map { case (_, rows) =>
+        rows.maxBy(r => (r._2.getTime, r._3))
+      }.toSet
+      assert(latest == Set(
+        (7L, ts("2024-01-01 11:00:00"), 2L, 20.0),   // old event ignored
+        (8L, ts("2024-01-01 12:00:00"), 5L, 6.0),    // updated
+        (9L, ts("2024-01-01 12:30:00"), 6L, 1.0)))   // inserted
+      // user 7's batch-2 changelog row re-emits the UNCHANGED state
+      // (state write is idempotent), never the stale 09:00 value
+      assert(!all.contains((7L, ts("2024-01-01 09:00:00"), 4L, 99.0)))
+    } finally q.stop()
+  }
+
   test("per-row simhash is bit-identical to the grouped batch form") {
     // the streaming-safe fold and the explode+groupBy reference plan
     // must produce the same fingerprint for every doc
