@@ -26,7 +26,12 @@ object Profiler {
 
   private def metrics(df: DataFrame, cols: Seq[String],
                       distinct: Column => Column): Seq[Column] = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = cols.filterNot(byName.contains)
+    require(missing.isEmpty,
+      s"columns not in schema: ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
     cols.flatMap { name =>
       val c = col(name)
       val numeric = byName(name).isInstanceOf[NumericType]

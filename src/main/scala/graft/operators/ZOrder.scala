@@ -47,10 +47,12 @@ object ZOrder {
     * then holds a contiguous z-range, i.e. a bounded rectangle in
     * (a, b) space, so parquet footer min/max prune on BOTH columns. */
   def writeZOrdered(df: DataFrame, a: String, b: String, bits: Int,
-                    path: String, numFiles: Int): Unit =
+                    path: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
     df.withColumn("__zkey", key2(col(a), col(b), bits))
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
+  }
 }

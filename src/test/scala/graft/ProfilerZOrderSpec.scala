@@ -46,6 +46,23 @@ class ProfilerZOrderSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("profile of an empty table: zero counts, null extrema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("n", "s")
+    val rows = Profiler.profile(empty, Seq("n", "s")).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    assert(rows.forall(r => r.isNullAt(3) && r.isNullAt(5)))
+  }
+
+  test("profile rejects unknown columns eagerly") {
+    val o = Tables(spark, sf, "orders")
+    val e = intercept[IllegalArgumentException] {
+      Profiler.profile(o, Seq("o_orderkey", "no_such_col"))
+    }
+    assert(e.getMessage.contains("no_such_col"))
+  }
+
   test("profile is one scan of the input") {
     val o = Tables(spark, sf, "orders")
     val scans = Profiler.profile(o, Seq("o_orderkey", "o_orderstatus"))
