@@ -115,4 +115,54 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == ref)
   }
+
+  test("z-order skipping is sound: chunk boxes cover every rect query") {
+    // the data-skipping contract: for ANY filter rectangle, scanning
+    // only the chunks whose (min,max) bounding box intersects the
+    // rectangle must return exactly the rows a full scan returns —
+    // skipping may read too much, never too little. One Spark job
+    // computes points, z-chunks, and per-chunk boxes; the rectangle
+    // sweep is driver-side arithmetic over the collected boxes.
+    import graft.operators.ZOrder
+    import org.apache.spark.sql.functions._
+    val bits = 6
+    val pts = Gen.listOfN(400,
+      Gen.zip(Gen.chooseNum(0L, 63L), Gen.chooseNum(0L, 63L)))
+      .sample.get.distinct
+    val df = pts.toDF("a", "b")
+      .withColumn("chunk",
+        floor(ZOrder.key2(col("a"), col("b"), bits) / 256))
+    val boxes = df.groupBy("chunk")
+      .agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val byChunk = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._3)
+    val rects = Gen.listOfN(50, Gen.zip(
+      Gen.chooseNum(0L, 63L), Gen.chooseNum(0L, 63L),
+      Gen.chooseNum(0L, 63L), Gen.chooseNum(0L, 63L))).sample.get
+      .map { case (x0, x1, y0, y1) =>
+        (math.min(x0, x1), math.max(x0, x1),
+          math.min(y0, y1), math.max(y0, y1))
+      }
+    for ((x0, x1, y0, y1) <- rects) {
+      val expected = pts.filter { case (a, b) =>
+        a >= x0 && a <= x1 && b >= y0 && b <= y1 }.toSet
+      val surviving = boxes.collect {
+        case (c, (a0, a1, b0, b1))
+            if a1 >= x0 && a0 <= x1 && b1 >= y0 && b0 <= y1 => c
+      }.toSet
+      val got = surviving.iterator
+        .flatMap(c => byChunk.getOrElse(c, Array.empty))
+        .collect { case (a, b, _)
+            if a >= x0 && a <= x1 && b >= y0 && b <= y1 => (a, b) }
+        .toSet
+      assert(got == expected,
+        s"rect ($x0..$x1, $y0..$y1): skipping lost rows")
+    }
+  }
 }
