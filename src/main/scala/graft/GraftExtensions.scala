@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight}
 
 import graft.functions.{BloomMightContain, FloatVectorDot, MinhashSig, SimhashLong}
 
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashLong)
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.bloomMightContain)
+    ext.injectFunction(GraftExtensions.zorder2)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -67,11 +68,38 @@ object GraftExtensions {
       BloomMightContain(children.head, children(1))
     })
 
+  /** `zorder2(a, b, bits)` — the Morton-interleave layout key as a SQL
+    * function. Not a custom Expression: the builder EXPANDS to the same
+    * shift/and/add tree `operators.ZOrder.key2` composes (equality
+    * pinned in SqlInterfaceSpec), so the whole key stays inside
+    * whole-stage codegen with zero new runtime surface. `bits` must be
+    * a literal — the expansion happens at resolution time. */
+  private val zorder2 = (
+    FunctionIdentifier("zorder2"),
+    new ExpressionInfo(classOf[ShiftLeft].getName, "zorder2"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "zorder2 takes exactly 3 arguments")
+      val bits = children(2) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType)
+            if v >= 1 && v <= 31 => v
+        case other => throw new IllegalArgumentException(
+          s"zorder2 bits must be an integer literal in 1..31, got $other")
+      }
+      (0 until bits).map { i =>
+        Add(
+          ShiftLeft(BitwiseAnd(ShiftRight(children.head, Literal(i)),
+            Literal(1L)), Literal(2 * i + 1)),
+          ShiftLeft(BitwiseAnd(ShiftRight(children(1), Literal(i)),
+            Literal(1L)), Literal(2 * i)))
+      }.reduce[Expression](Add(_, _))
+    })
+
   /** Idempotently register graft functions + optimizer rules on an
     * existing session. */
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(fvecDot, simhashLong, minhashSig, bloomMightContain).foreach { f =>
+    Seq(fvecDot, simhashLong, minhashSig, bloomMightContain, zorder2)
+      .foreach { f =>
       if (!reg.functionExists(f._1))
         reg.registerFunction(f._1, f._2, f._3)
     }

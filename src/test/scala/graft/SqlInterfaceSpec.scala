@@ -46,4 +46,25 @@ class SqlInterfaceSpec extends AnyFunSuite with SharedSpark {
         "FROM documents LIMIT 1").collect()
     assert(ok.length == 1)
   }
+
+  test("SQL zorder2 equals the Column-level ZOrder.key2 expansion") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.ensure(spark)
+    val c = Tables(spark, sf, "customer")
+      .select(col("c_custkey").as("a"),
+        col("c_nationkey").cast("long").as("b"))
+    c.createOrReplaceTempView("zin")
+    val viaSql = spark.sql("SELECT a, zorder2(a, b, 8) AS z FROM zin")
+    val viaCol = c.select(col("a"),
+      graft.operators.ZOrder.key2(col("a"), col("b"), 8).as("z"))
+    assert(viaSql.exceptAll(viaCol).isEmpty &&
+      viaCol.exceptAll(viaSql).isEmpty)
+    // bits must be a literal in range — both failure modes reject at
+    // analysis time, never mid-job
+    for (bad <- Seq("zorder2(a, b, 0)", "zorder2(a, b, 32)",
+                    "zorder2(a, b, b)"))
+      intercept[Exception] {
+        spark.sql(s"SELECT $bad FROM zin").collect()
+      }
+  }
 }
