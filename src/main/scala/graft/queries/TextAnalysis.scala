@@ -725,9 +725,148 @@ object TextAnalysis extends QueryModule {
       FROM cum GROUP BY lang ORDER BY lang""")
   )
 
+  // Regexes shared by the PII queries — ASCII-only classes so the Java
+  // regex engine (Spark) and RE2 (DuckDB) agree on every byte.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII REDACTION — the scrub pass every pre-training pipeline runs
+    * before text leaves curation: emails, IPv4 addresses, and NANP
+    * phone numbers detected and replaced with typed placeholders,
+    * with per-class match counts kept for the audit log. The synthetic
+    * corpus carries no contact strings, so the fixture's "dirty"
+    * column is derived deterministically from doc fields (same
+    * arithmetic in both engines) — the regex match/replace work, which
+    * is the operator under test, is then fully exercised and
+    * hash-checked: counts VARY per doc (a cc'd second address every
+    * third doc, no IP every fifth) so the oracle can't pass on
+    * constant output.
+    *
+    * Scale shape: pure per-row regex work — one scan, zero shuffle,
+    * all Spark built-ins (codegen'd). Redaction order (email → ip →
+    * phone) is part of the contract: placeholders contain no digits,
+    * so later passes can't re-match earlier rewrites. */
+  val piiRedact: Q = Q(
+    "ta_pii_redact",
+    (s, dir) => {
+      val dirty = concat(
+        col("text"), lit(" reach "), col("source"), lit(".team+"),
+        col("doc_id").cast("string"), lit("@mail.example.org"),
+        when(col("doc_id") % 3 === 0, lit(" cc admin@ops.example.com"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .otherwise(concat(lit(" from 10."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") * 7 % 256).cast("string"), lit("."),
+            (col("doc_id") % 100).cast("string"))),
+        lit(" tel 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      docs(s, dir)
+        .withColumn("dirty", dirty)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("dirty"), lit(EmailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("dirty"), lit(Ipv4Re), lit(0)))
+            .as("n_ips"),
+          size(regexp_extract_all(col("dirty"), lit(PhoneRe), lit(0)))
+            .as("n_phones"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("dirty"), EmailRe, "[EMAIL]"),
+              Ipv4Re, "[IP]"),
+            PhoneRe, "[PHONE]").as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH dirty AS (
+        SELECT doc_id,
+               text || ' reach ' || source || '.team+' ||
+               CAST(doc_id AS VARCHAR) || '@mail.example.org' ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' cc admin@ops.example.com' ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN ''
+                    ELSE ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+                         || '.' || CAST(doc_id % 100 AS VARCHAR) END ||
+               ' tel 415-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(dirty, '$EmailRe')) AS n_emails,
+             len(regexp_extract_all(dirty, '$Ipv4Re')) AS n_ips,
+             len(regexp_extract_all(dirty, '$PhoneRe')) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(dirty, '$EmailRe', '[EMAIL]', 'g'),
+                 '$Ipv4Re', '[IP]', 'g'),
+               '$PhoneRe', '[PHONE]', 'g') AS clean_text
+      FROM dirty ORDER BY doc_id""")
+  )
+
+  /** URL EXTRACTION + per-domain stats — the provenance report a
+    * crawl-derived corpus needs before per-domain filtering or
+    * dedup-by-URL: every URL pulled out of the text, reduced to its
+    * domain, counted. Same fixture stance as [[piiRedact]]: URLs are
+    * synthesized deterministically from doc fields in both engines
+    * (a canonical link per doc + a mirror link on even ids), so the
+    * extract regex and the domain grouping are genuinely exercised.
+    *
+    * Scale shape: narrow per-row extract + explode, then ONE groupBy
+    * on the domain key — bounded by |domains|, never corpus-sized.
+    * The distinct-doc count per domain is map-side combinable. */
+  val urlDomains: Q = Q(
+    "ta_url_domains",
+    (s, dir) => {
+      val UrlRe = "https?://[a-z0-9.-]+/[a-z0-9/._-]*"
+      val dirty = concat(
+        col("text"), lit(" see https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/"),
+        col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" http://mirror-"),
+            (col("doc_id") % 3).cast("string"),
+            lit(".example.net/p/"),
+            (col("doc_id") % 50).cast("string")))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(dirty, lit(UrlRe), lit(0)))
+            .as("url"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "^https?://([a-z0-9.-]+)", 1)
+            .as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id,
+               text || ' see https://' || source || '.example.com/' ||
+               lang || '/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN ' http://mirror-' ||
+                         CAST(doc_id % 3 AS VARCHAR) ||
+                         '.example.net/p/' ||
+                         CAST(doc_id % 50 AS VARCHAR)
+                    ELSE '' END AS dirty
+        FROM documents),
+      u AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(dirty,
+                 'https?://[a-z0-9.-]+/[a-z0-9/._-]*')) AS url
+        FROM dirty)
+      SELECT regexp_extract(url, '^https?://([a-z0-9.-]+)', 1) AS domain,
+             count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+      FROM u GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
-      shardAssign, lengthQuantiles)
+      shardAssign, lengthQuantiles, piiRedact, urlDomains)
 }

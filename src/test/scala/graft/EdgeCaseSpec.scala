@@ -100,4 +100,31 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
       .collect().head.getLong(1)
     assert(rate == 2L, "both members of a duplicate pair count")
   }
+
+  test("PII redaction is complete: no residual matches after the pass") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ta_pii_redact")(spark, sf)
+    // the contract is ALL-occurrence replacement in a fixed order —
+    // re-running every detector over clean_text must find nothing
+    val residual = out.select(
+      sum(size(regexp_extract_all(col("clean_text"),
+        lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit(0)))).as("e"),
+      sum(size(regexp_extract_all(col("clean_text"),
+        lit("\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"), lit(0)))).as("i"),
+      sum(size(regexp_extract_all(col("clean_text"),
+        lit("\\b\\d{3}-\\d{3}-\\d{4}\\b"), lit(0)))).as("p")).head()
+    assert((0 to 2).forall(residual.getLong(_) == 0L),
+      s"residual PII after redaction: $residual")
+    // and the audit counts vary with the fixture's injection schedule
+    val counts = out
+      .filter(col("doc_id").isin(0L, 1L, 3L, 5L))
+      .select("doc_id", "n_emails", "n_ips", "n_phones")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(counts(0L) == ((2, 0, 1)), "doc 0: cc'd email, ip elided")
+    assert(counts(1L) == ((1, 1, 1)))
+    assert(counts(3L) == ((2, 1, 1)), "doc 3: cc'd email present")
+    assert(counts(5L) == ((1, 0, 1)), "doc 5: ip elided")
+  }
 }
