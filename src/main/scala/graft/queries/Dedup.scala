@@ -766,8 +766,51 @@ object Dedup extends QueryModule {
       ORDER BY source, shard, doc_id""")
   )
 
+  /** INCREMENTAL dedup — the daily-crawl production pattern: dedup a
+    * NEW batch (docs with doc_id % 7 == 0, the fixture's "today")
+    * against the EXISTING corpus (the rest) without ever re-shuffling
+    * the corpus itself. The corpus is reduced once to 8-byte
+    * fingerprints; a Bloom filter over them gates the batch so that
+    * only might-be-duplicate rows reach the exact anti-join —
+    * definitely-new rows (the overwhelming majority of a real crawl)
+    * short-circuit on a narrow per-row test. Same Bloom-then-exact
+    * two-phase as dd_decontaminate_bloom; the md5 text fingerprint is
+    * the dd_exact identity stance.
+    *
+    * Scale shape at 100 TB: the corpus-side cost is one fingerprint
+    * scan (build-once — in production the filter persists across
+    * days); the batch side is a narrow gate plus an anti-join whose
+    * LEFT input is only (true dups + Bloom fpp)·|batch| rows, never
+    * |batch|. No join touches document text. */
+  val incremental: Q = Q(
+    "dd_incremental",
+    (s, dir) => {
+      import graft.operators.Bloom
+      val all = Tables(s, dir, "documents")
+      val corpus = all.filter(col("doc_id") % 7 =!= 0)
+        .select(md5(col("text")).as("fp"), xxhash64(col("text")).as("fpl"))
+      val bits = Bloom.buildLong(corpus.select("fpl"), "fpl")
+      val batch = all.filter(col("doc_id") % 7 === 0)
+        .withColumn("might",
+          Bloom.gateLong(s, bits, xxhash64(col("text"))))
+      val fresh = batch.filter(!col("might"))
+      val survivors = batch.filter(col("might"))
+        .withColumn("fp", md5(col("text")))
+        .join(corpus.select("fp").distinct(), Seq("fp"), "left_anti")
+      fresh.select("doc_id", "lang", "source")
+        .unionByName(survivors.select("doc_id", "lang", "source"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, source FROM documents b
+      WHERE doc_id % 7 = 0 AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 7 <> 0 AND md5(c.text) = md5(b.text))
+      ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
-    dupRateBySource, sourceOverlap, curationPipeline)
+    dupRateBySource, sourceOverlap, curationPipeline, incremental)
 }

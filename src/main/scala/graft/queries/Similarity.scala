@@ -412,6 +412,52 @@ object Similarity extends QueryModule {
       FROM n GROUP BY 1 ORDER BY 1""")
   )
 
+  /** INT8 QUANTIZATION materialization — the storage-compression pass a
+    * 100 TB embedding store runs before serving: each float32 vector
+    * reduced to a per-vector max-abs scale plus int8 codes
+    * (symmetric round-half-up: floor(x·127/scale + 0.5)), a 4×
+    * size cut that brute/IVF probes can consume with one dequant
+    * multiply. Codes are emitted as a CSV string because the
+    * differential gate compares scalar columns; the bytes are the
+    * contract, the container is presentational. Degenerate vectors
+    * (all-zero or non-finite scale) quantize to the empty sentinel
+    * rather than poisoning the cast — the op stays total.
+    *
+    * Scale shape: pure per-row array arithmetic — one scan, zero
+    * shuffle, codegen'd transforms. Every step (float→double widen,
+    * abs, max, one divide, one multiply, floor) is IEEE
+    * correctly-rounded, so Spark and DuckDB agree bit-for-bit. */
+  val quantizeInt8: Q = Q(
+    "ss_quantize_int8",
+    (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .withColumn("scale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .withColumn("q",
+          when(col("scale") > 0 && !isnan(col("scale")) &&
+              col("scale") =!= Double.PositiveInfinity,
+            concat_ws(",",
+              transform(col("embedding"), x =>
+                floor(x.cast("double") * lit(127.0) / col("scale")
+                  + lit(0.5)).cast("int").cast("string"))))
+            .otherwise(lit("")))
+        .select(col("vec_id"), col("scale"), col("q"))
+        .orderBy("vec_id"),
+    Some("""
+      WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings)
+      SELECT vec_id, scale,
+             CASE WHEN scale > 0 AND isfinite(scale)
+                  THEN array_to_string(list_transform(embedding,
+                    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale
+                         + 0.5) AS INTEGER) AS VARCHAR)), ',')
+                  ELSE '' END AS q
+      FROM s ORDER BY vec_id""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
-    topkSrpMulti, recallReport, embedHealth)
+    topkSrpMulti, recallReport, embedHealth, quantizeInt8)
 }

@@ -864,9 +864,65 @@ object TextAnalysis extends QueryModule {
       FROM u GROUP BY 1 ORDER BY 1""")
   )
 
+  /** LANGUAGE-TEMPERATURE REBALANCING — the multilingual mix move
+    * (mT5-style temperature sampling): downsample each language at
+    * r_lang = min(1, sqrt(N / (k · n_lang))), so a language holding
+    * 1/k of the corpus keeps everything while a dominant language is
+    * cut by ~sqrt of its overrepresentation — flattening the mixture
+    * toward uniform without the hard per-language caps of
+    * ta_corpus_mix. Per-doc keep/drop is the deterministic
+    * hash-fraction u = int(md5[0:6]) / 16^6 (exact dyadic double, the
+    * rel_hash_sample idiom made numeric), so the sample is
+    * reproducible across cluster sizes and engines; every arithmetic
+    * step (integer ratio → one divide → sqrt) is IEEE
+    * correctly-rounded, so the r_lang boundary bits agree too.
+    *
+    * Scale shape: the language histogram is a bounded-key aggregate
+    * (≤ |langs| rows) collected driver-side — the IVF-seed
+    * planning-class round-trip — then re-broadcast; the corpus pass
+    * itself is one scan with a broadcast hash join and a narrow
+    * filter. Zero corpus-sized shuffles. */
+  val temperatureSample: Q = Q(
+    "ta_temperature_sample",
+    (s, dir) => {
+      val lc = docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n")).collect()
+      val total = lc.map(_.getLong(1)).sum
+      val k = lc.length.toLong
+      val rates: Seq[(String, Double)] = lc.toSeq.map { r =>
+        (r.getString(0),
+          math.min(1.0,
+            math.sqrt(total.toDouble / (k * r.getLong(1)).toDouble)))
+      }
+      docs(s, dir)
+        .join(broadcast(s.createDataFrame(rates).toDF("lang", "rate")),
+          "lang")
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("long") / lit(16777216.0))
+        .filter(col("u") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("rate"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS k FROM lc),
+      rates AS (
+        SELECT lang, least(1.0, sqrt(CAST(total AS DOUBLE)
+                 / CAST(k * n AS DOUBLE))) AS rate
+        FROM lc, tot)
+      SELECT d.doc_id, d.lang, r.rate
+      FROM documents d JOIN rates r USING (lang)
+      WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+              AS BIGINT) AS DOUBLE) / 16777216.0 < r.rate
+      ORDER BY d.doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
-      shardAssign, lengthQuantiles, piiRedact, urlDomains)
+      shardAssign, lengthQuantiles, piiRedact, urlDomains,
+      temperatureSample)
 }
