@@ -127,4 +127,68 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(counts(3L) == ((2, 1, 1)), "doc 3: cc'd email present")
     assert(counts(5L) == ((1, 0, 1)), "doc 5: ip elided")
   }
+
+  test("int8 quantization reconstructs within half a code step") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ss_quantize_int8")(spark, sf)
+      .filter(col("q") =!= "")
+      .withColumn("codes", transform(split(col("q"), ","),
+        c => c.cast("int")))
+    // codes live in [-127, 127]
+    val range = out.select(
+      min(array_min(col("codes"))).as("lo"),
+      max(array_max(col("codes"))).as("hi")).head()
+    assert(range.getInt(0) >= -127 && range.getInt(1) <= 127,
+      s"codes out of int8 range: $range")
+    // dequantized max error ≤ scale/254 (+1 ulp headroom): round-half-up
+    // quantization against the original float32 vectors
+    val joined = out.join(
+      graft.sources.Tables(spark, sf, "embeddings"), "vec_id")
+      .withColumn("err", expr(
+        """array_max(zip_with(embedding, codes,
+             (x, q) -> abs(CAST(x AS DOUBLE) - q * scale / 127.0)))"""))
+      .filter(col("err") > col("scale") / lit(254.0) * lit(1.0000001))
+    assert(joined.count() == 0, "reconstruction error exceeds half step")
+  }
+
+  test("incremental dedup equals batch-minus-corpus set difference") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    // independent reference: plain anti-join on raw text, no hashing,
+    // no bloom — the semantics dd_incremental must reproduce
+    val expected = docs.filter(col("doc_id") % 7 === 0)
+      .join(docs.filter(col("doc_id") % 7 =!= 0).select("text").distinct(),
+        Seq("text"), "left_anti")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val got = SparkEntry.queries("dd_incremental")(spark, sf)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(got == expected, s"mismatch: ${got.diff(expected)} extra, " +
+      s"${expected.diff(got)} missing")
+  }
+
+  test("temperature sampling keeps every doc of underrepresented languages") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val langN = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = langN.values.sum
+    val k = langN.size
+    val kept = SparkEntry.queries("ta_temperature_sample")(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langN.foreach { case (lang, n) =>
+      // a language at or below its uniform share (N/k) has rate 1:
+      // temperature sampling must not drop a single doc of it
+      if (n.toDouble * k <= total)
+        assert(kept.getOrElse(lang, 0L) == n,
+          s"$lang under uniform share but lost docs: ${kept.get(lang)} of $n")
+      else
+        assert(kept.getOrElse(lang, 0L) <= n)
+    }
+  }
 }
