@@ -458,6 +458,59 @@ object Similarity extends QueryModule {
       FROM s ORDER BY vec_id""")
   )
 
+  /** HYBRID (metadata-filtered) vector search — the filtered-ANN
+    * workload every retrieval stack runs: a relational predicate on
+    * the document side (language + lexical-diversity floor, the
+    * ta_quality gate's terms) restricts the corpus BEFORE any
+    * distance work, then exact cosine top-k ranks only the
+    * survivors. Pre-filtering (vs post-filtering a top-k) is the
+    * semantics that matters: the k results are the best *eligible*
+    * vectors, never fewer-than-k leftovers of an unfiltered search.
+    *
+    * Scale shape: the predicate is evaluated on the documents scan
+    * (pushdown-friendly — no embedding bytes move for rejected
+    * docs); eligibility joins to the embedding store on the 8-byte
+    * id; the query batch stays broadcast. Cost is |eligible|·|Q|,
+    * strictly less than brute force by the filter's selectivity. */
+  val hybridSearch: Q = Q(
+    "ss_hybrid_search",
+    (s, dir) => {
+      val allowed = Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(col("lang") === "en" &&
+          size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")) >= 0.5)
+        .select(col("doc_id").as("vec_id"))
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.operators.Ann.topkBrute(s, emb.join(allowed, "vec_id"),
+        queries, K)
+    },
+    Some(s"""
+      WITH allowed AS (
+        SELECT doc_id AS vec_id FROM documents
+        WHERE lang = 'en'
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.5),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 3),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               ${duckCosine("q.q_emb", "e.embedding")} AS cosine
+        FROM embeddings e
+        JOIN allowed a USING (vec_id)
+        JOIN q ON e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, cosine FROM ranked
+      WHERE rank <= $K ORDER BY q_id, rank""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
-    topkSrpMulti, recallReport, embedHealth, quantizeInt8)
+    topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch)
 }

@@ -21,11 +21,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     * any scale); ss_recall_report contains the ss_topk_brute pipeline
     * as its exactness baseline, inheriting its broadcast all-pairs
     * loop; rel_zorder broadcast-attaches its 1-row min/max scaling
-    * bounds (the ev_watermark pattern). All documented at the query
+    * bounds (the ev_watermark pattern); ss_hybrid_search is
+    * ss_topk_brute over the metadata-filtered corpus — same broadcast
+    * query batch, |eligible|·|Q| loop. All documented at the query
     * definition. */
   private val nestedLoopAllowed =
     Set("ss_topk_brute", "ev_watermark", "ref_term_courses_deprecated",
-      "ss_recall_report", "rel_zorder")
+      "ss_recall_report", "rel_zorder", "ss_hybrid_search")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
