@@ -69,4 +69,55 @@ object Tables {
     val lower = df.columns.map(_.toLowerCase)
     if (lower.sameElements(df.columns)) df else df.toDF(lower.toIndexedSeq: _*)
   }
+
+  /** Formats the lake helpers accept: Spark-native columnar/text
+    * formats only (no external connector jars in this build). */
+  val lakeFormats: Set[String] = Set("parquet", "orc", "json", "csv")
+
+  /** Materialize an extract in any built-in lake format. One writer
+    * path for all four: parquet/orc are the columnar scale choices
+    * (splittable, predicate/projection pushdown, per-chunk stats);
+    * json/csv are the interchange faces. CSV keeps a header and pins
+    * the timestamp pattern so the text round-trip is lossless under
+    * [[readLake]]'s explicit schema; text formats get gzip (the S4
+    * sink convention) — columnar formats keep their internal codec. */
+  def writeLake(df: DataFrame, path: String, format: String): Unit = {
+    require(lakeFormats(format), s"unsupported lake format: $format")
+    val w = df.write.mode("overwrite").format(format)
+    val tuned = format match {
+      case "csv" => w.option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .option("compression", "gzip")
+      case "json" => w
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .option("compression", "gzip")
+      case _ => w
+    }
+    tuned.save(path)
+  }
+
+  /** Read back a [[writeLake]] extract. Columnar formats are
+    * self-describing; the text formats REQUIRE the writer's schema —
+    * CSV has no types at all and JSON would widen int32→int64 and
+    * read timestamps as strings, silently breaking joins against
+    * columnar tables downstream. Passing the schema also keeps the
+    * scan single-pass (no inference job — at 100 TB an inference
+    * pre-read is a full extra scan). */
+  def readLake(spark: SparkSession, path: String, format: String,
+               schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    require(lakeFormats(format), s"unsupported lake format: $format")
+    require(schema.nonEmpty || format == "parquet" || format == "orc",
+      s"$format round-trip requires the writer's schema (no inference " +
+        "pass at scale)")
+    val r = spark.read.format(format)
+    val tuned = format match {
+      case "csv" => r.option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      case "json" =>
+        r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      case _ => r
+    }
+    lowercased(schema.fold(tuned)(tuned.schema).load(path))
+  }
 }

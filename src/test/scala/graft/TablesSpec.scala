@@ -71,4 +71,28 @@ class TablesSpec extends AnyFunSuite with SharedSpark {
     assert(schema("ts").dataType ==
       org.apache.spark.sql.types.LongType)
   }
+
+  test("lake round-trip is lossless in every supported format") {
+    // lineitem carries the risky types: int32, int64, double, string,
+    // and a millisecond timestamp — the columns text formats mangle
+    // without an explicit schema
+    val src = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val dir = Files.createTempDirectory("lake_rt").toString
+    for (fmt <- Tables.lakeFormats) {
+      Tables.writeLake(src, s"$dir/$fmt", fmt)
+      val back = Tables.readLake(spark, s"$dir/$fmt", fmt,
+        if (fmt == "csv" || fmt == "json") Some(src.schema) else None)
+      assert(back.schema == src.schema, s"$fmt schema drift")
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        s"$fmt round-trip altered rows")
+    }
+    // text formats refuse to read without the writer's schema: an
+    // inference pass is a silent full extra scan at 100 TB
+    intercept[IllegalArgumentException] {
+      Tables.readLake(spark, s"$dir/csv", "csv")
+    }
+    intercept[IllegalArgumentException] {
+      Tables.writeLake(src, s"$dir/x", "avro") // no connector jar here
+    }
+  }
 }
