@@ -725,11 +725,11 @@ object TextAnalysis extends QueryModule {
       FROM cum GROUP BY lang ORDER BY lang""")
   )
 
-  // Regexes shared by the PII queries — ASCII-only classes so the Java
-  // regex engine (Spark) and RE2 (DuckDB) agree on every byte.
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  // PII regexes + scrub live in operators.Pii — ONE definition shared
+  // with the streaming ingest face, so batch and stream cannot drift.
+  private val EmailRe = graft.operators.Pii.EmailRe
+  private val Ipv4Re = graft.operators.Pii.Ipv4Re
+  private val PhoneRe = graft.operators.Pii.PhoneRe
 
   /** PII REDACTION — the scrub pass every pre-training pipeline runs
     * before text leaves curation: emails, IPv4 addresses, and NANP
@@ -762,21 +762,9 @@ object TextAnalysis extends QueryModule {
             (col("doc_id") % 100).cast("string"))),
         lit(" tel 415-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      docs(s, dir)
-        .withColumn("dirty", dirty)
-        .select(
-          col("doc_id"),
-          size(regexp_extract_all(col("dirty"), lit(EmailRe), lit(0)))
-            .as("n_emails"),
-          size(regexp_extract_all(col("dirty"), lit(Ipv4Re), lit(0)))
-            .as("n_ips"),
-          size(regexp_extract_all(col("dirty"), lit(PhoneRe), lit(0)))
-            .as("n_phones"),
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("dirty"), EmailRe, "[EMAIL]"),
-              Ipv4Re, "[IP]"),
-            PhoneRe, "[PHONE]").as("clean_text"))
+      graft.operators.Pii
+        .withScrub(docs(s, dir).withColumn("dirty", dirty), "dirty")
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "clean_text")
         .orderBy("doc_id")
     },
     Some(s"""

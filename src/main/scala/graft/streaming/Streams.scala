@@ -206,6 +206,18 @@ object Streams {
       .drop("__toks")
   }
 
+  /** Streaming PII scrub — the ingest-time face of `ta_pii_redact`:
+    * every arriving document gets per-class audit counts and the
+    * redacted text BEFORE anything lands in the lake, so raw PII
+    * never touches storage. Delegates to [[graft.operators.Pii]] —
+    * the identical expressions the batch catalog query runs, so a
+    * batch backfill and the live stream can never disagree on what
+    * was scrubbed. Stateless (pure per-row regex map): no state
+    * store, no watermark, safe at any stream rate. */
+  def streamingPiiScrub(docs: DataFrame,
+                        textCol: String = "text"): DataFrame =
+    graft.operators.Pii.withScrub(docs, textCol)
+
   /** Stream-stream join: each interaction event paired with error
     * events by the same user in the preceding `lookbackMinutes`. Both
     * sides carry watermarks and the join condition is time-bounded, so

@@ -301,6 +301,32 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming PII scrub redacts in-flight and stays stateless") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val q = Streams.streamingPiiScrub(docs)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "clean_text")
+      .writeStream.format("memory").queryName("pii_scrub")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (1L, "contact bob.smith+x@corp.example.com or 10.1.2.3 now"),
+        (2L, "call 415-555-0142 about the order"),
+        (3L, "nothing sensitive here"))
+      q.processAllAvailable()
+      val rows = spark.table("pii_scrub")
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+      assert(rows(1L) == ((1, 1, 0,
+        "contact [EMAIL] or [IP] now")))
+      assert(rows(2L) == ((0, 0, 1, "call [PHONE] about the order")))
+      assert(rows(3L) == ((0, 0, 0, "nothing sensitive here")))
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "PII scrub must be stateless")
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate drops contaminated docs, stateless") {
     implicit val sq = spark.sqlContext
     // eval corpus: one known benchmark sentence → 6-gram Bloom filter
