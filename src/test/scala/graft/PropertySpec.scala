@@ -165,4 +165,34 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         s"rect ($x0..$x1, $y0..$y1): skipping lost rows")
     }
   }
+
+  test("PII scrub is idempotent and complete on adversarial text") {
+    import org.apache.spark.sql.functions._
+    // generator biased toward boundary shapes: fragments that ALMOST
+    // match (lone @, dotted numbers, dashed digits), full matches
+    // embedded mid-token, and placeholder-like text already present
+    val fragment = Gen.oneOf(
+      letters, digits,
+      Gen.const("a@b.co"), Gen.const("x.y@z"), Gen.const("@"),
+      Gen.const("1.2.3.4"), Gen.const("10.0.0.255"), Gen.const("1.2.3"),
+      Gen.const("999.999.999.999"), Gen.const("123-456-7890"),
+      Gen.const("12-345-6789"), Gen.const("[EMAIL]"), Gen.const("[IP]"),
+      Gen.const("user+tag@mail.example.org"), Gen.const("."),
+      Gen.const("-"), Gen.const(" "))
+    val texts = Gen.listOfN(300,
+      Gen.listOfN(6, fragment).map(_.mkString(" "))).sample.get
+    val df = graft.operators.Pii.withScrub(texts.toDF("text"), "text")
+    // completeness: no detector matches its own redaction output
+    val residual = graft.operators.Pii
+      .withScrub(df.select(col("clean_text").as("text")), "text")
+      .agg(sum("n_emails"), sum("n_ips"), sum("n_phones")).head()
+    assert((0 to 2).forall(residual.getLong(_) == 0L),
+      s"redacted text still matches a detector: $residual")
+    // idempotence: a second scrub is a no-op byte-for-byte
+    val twice = graft.operators.Pii
+      .withScrub(df.select(col("clean_text").as("text")), "text")
+      .select(col("clean_text"))
+    assert(twice.exceptAll(df.select(col("clean_text"))).isEmpty,
+      "second scrub altered already-clean text")
+  }
 }
