@@ -49,6 +49,28 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"undocumented non-equi join shapes in: $offenders")
   }
 
+  test("column pruning reaches the scan: text/embedding never read unused") {
+    // the corpus' WIDE columns are text and embedding — a scan that
+    // drags one of them for a query that doesn't touch it is the
+    // difference between a metadata pass and a full-corpus read at
+    // 100 TB. Pin the three shapes where pruning does real work.
+    def readSchemas(name: String): Seq[String] =
+      "ReadSchema: [^\\n]+".r.findAllIn(
+        SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString).toSeq
+    // temperature sampling decides on (doc_id, lang) alone
+    assert(readSchemas("ta_temperature_sample").forall(!_.contains("text")),
+      "ta_temperature_sample must not read document text")
+    // the relational sample never touches orders' payload columns
+    assert(readSchemas("rel_hash_sample").forall(!_.contains("o_totalprice")),
+      "rel_hash_sample must not read o_totalprice")
+    // hybrid search reads text only on the documents side — the
+    // embeddings scan stays (vec_id, embedding)
+    val hybrid = readSchemas("ss_hybrid_search")
+    assert(hybrid.exists(r => r.contains("embedding") && !r.contains("text")),
+      s"hybrid: embeddings scan must not carry text: $hybrid")
+  }
+
   test("SRP dims probe is a one-row CollectLimit, not a full aggregate") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     val plan = graft.operators.Srp.dimsProbe(emb)

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cluster-size-independence contract: every query whose Scaladoc
+  * claims determinism "across cluster sizes" must return IDENTICAL
+  * rows (values and order) when the shuffle width and the input
+  * partitioning change — what actually varies between a laptop run
+  * and a 1000-executor run. Catches order-dependent aggregation
+  * (float sums), partition-index-dependent sampling, and
+  * first-row-wins reductions that only look deterministic at one
+  * width.
+  *
+  * Runs each query at shuffle.partitions=3 and =17 (runtime-settable
+  * conf; SharedSpark's default is 4 — restored after). The queries
+  * here all end in a deterministic ORDER BY, so full-row equality
+  * including order is the right bar. */
+class ReproducibilitySpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Determinism-claimed queries spanning every claim class: hash
+    * sampling (rel/ta), temperature rates (driver-side sqrt +
+    * broadcast), MinHash/SimHash fingerprints (narrow kernels), LSH
+    * candidate generation (self-join), shard packing (two-level
+    * prefix sum), quantization (per-row IEEE chain), connected
+    * components (iterative min-label). */
+  private val queries = Seq(
+    "rel_hash_sample", "rel_stratified_sample", "ta_quality_sample",
+    "ta_temperature_sample", "dd_simhash", "dd_minhash_lsh",
+    "ta_shard_assign", "ss_quantize_int8", "dd_dup_clusters")
+
+  test("claimed-deterministic queries are identical across shuffle widths") {
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    try {
+      val failures = queries.flatMap { name =>
+        def runAt(n: Int): Seq[String] = {
+          conf.set("spark.sql.shuffle.partitions", n)
+          SparkEntry.queries(name)(spark, sf)
+            .collect().map(_.toString).toSeq
+        }
+        val narrow = runAt(3)
+        val wide = runAt(17)
+        if (narrow == wide) None
+        else Some(s"$name: ${narrow.size} vs ${wide.size} rows, first diff " +
+          narrow.zip(wide).indexWhere { case (a, b) => a != b })
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+}
