@@ -118,5 +118,66 @@ object MultimodalQueries extends QueryModule {
       FROM s ORDER BY doc_id""")
   )
 
-  def all: Seq[Q] = Seq(binaryStats, decodeFeatures, resize, frameSample)
+  /** AUDIO windowed energy — the signal-level feature pass an audio
+    * corpus runs before silence trimming or loudness filtering: the
+    * payload interpreted as big-endian 16-bit PCM, cut into fixed
+    * 64-sample windows, each reduced to its RMS. The "decode" is the
+    * documented stub stance (byte pairs ARE the samples — a real
+    * codec swaps in at the same seam); the windowing, the per-window
+    * integer reduction, and the schema are the production shape.
+    *
+    * Scale shape: one scan, a bounded explode (windows per doc =
+    * bytes/128), and a per-window fold over 64 integers — narrow
+    * end-to-end, no shuffle before the verify sort. Exactness: sample
+    * extraction is hex-slice + integer parse, the energy sum is exact
+    * BIGINT (≤ 64·32768² < 2⁴¹), and the only float ops are one
+    * divide + one sqrt — both IEEE correctly-rounded, so DuckDB
+    * replays the doubles bit-for-bit. */
+  val audioEnergy: Q = Q(
+    "mm_audio_energy",
+    (s, dir) => {
+      val W = 64 // samples per window; 2 bytes per sample
+      Multimodal.withPayload(Tables(s, dir, "documents"))
+        .withColumn("h", hex(col("payload")))
+        .withColumn("n_win",
+          (octet_length(col("payload")) / 2 / W).cast("int"))
+        .filter(col("n_win") > 0)
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), col("n_win") - 1)).as("win"))
+        .withColumn("ss", expr(s"""
+          aggregate(
+            transform(sequence(0, ${W - 1}),
+              j -> CAST(conv(substr(h, (win*$W + j)*4 + 1, 4), 16, 10)
+                   AS BIGINT) - 32768),
+            CAST(0 AS BIGINT),
+            (acc, v) -> acc + v * v)"""))
+        .select(col("doc_id"), col("win"),
+          sqrt(col("ss").cast("double") / lit(W.toDouble)).as("rms"))
+        .orderBy("doc_id", "win")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) // 2 // 64 AS INTEGER)
+                 AS n_win
+        FROM documents),
+      w AS (
+        SELECT doc_id, h, unnest(range(n_win)) AS win
+        FROM p WHERE n_win > 0),
+      e AS (
+        SELECT doc_id, win,
+               list_aggregate(list_transform(range(64),
+                 j -> (CAST('0x' || substr(h, (win*64 + j)*4 + 1, 4)
+                        AS BIGINT) - 32768)
+                      * (CAST('0x' || substr(h, (win*64 + j)*4 + 1, 4)
+                         AS BIGINT) - 32768)),
+                 'sum') AS ss
+        FROM w)
+      SELECT doc_id, CAST(win AS INTEGER) AS win,
+             sqrt(CAST(ss AS DOUBLE) / 64.0) AS rms
+      FROM e ORDER BY doc_id, win""")
+  )
+
+  def all: Seq[Q] =
+    Seq(binaryStats, decodeFeatures, resize, frameSample, audioEnergy)
 }
