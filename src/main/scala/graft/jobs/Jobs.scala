@@ -40,7 +40,18 @@ object Jobs {
       "ref_advisor_notes" -> "advisor-note-permissions",
       "ref_latest_order_per_customer" -> "instructor-advisor-map"),
     "upload_recent_refresh" -> Seq.empty,
-    "upload_snapshot" -> Seq("ref_basic_attributes" -> "basic-attributes"))
+    "upload_snapshot" -> Seq("ref_basic_attributes" -> "basic-attributes"),
+    // Extension job (no reference counterpart): the training-data
+    // curation run packaged through the SAME dispatch → extract →
+    // fan-out machinery as the reference jobs — the full certified
+    // pipeline's shard map, the per-source duplicate-rate health
+    // report, and the PII-scrubbed corpus with audit counts. One
+    // JOB=curate_corpus spark-submit produces everything a downstream
+    // trainer ingests.
+    "curate_corpus" -> Seq(
+      "dd_curation_pipeline" -> "curated-shards",
+      "dd_dup_rate_by_source" -> "dedup-health",
+      "ta_pii_redact" -> "pii-scrubbed-corpus"))
 
   /** Per-term extracts per job as (key directory, key file base,
     * query). Directory and file base differ for the refresh groups —

@@ -132,6 +132,20 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("curate_corpus job ships shard map, health report, scrubbed corpus") {
+    val dir = Files.createTempDirectory("jobs_curate_spec").toString
+    val res = graft.Main.run(spark, "curate_corpus", sf,
+      Seq(s"$dir/t1", s"$dir/t2"), "2024-01-01")
+    // 3 extracts × 2 targets, all successful
+    assert(res.size == 6 && res.forall(_._3), s"uploads: $res")
+    for (extract <- Seq("curated-shards", "dedup-health",
+        "pii-scrubbed-corpus"); t <- Seq("t1", "t2")) {
+      val key = Sinks.dailyKey("2024-01-01", extract)
+      assert(new java.io.File(s"$dir/$t/$key").exists(),
+        s"missing $t/$key")
+    }
+  }
+
   test("refresh extracts accept an explicit recency cutoff (jobs.py:40-49)") {
     // The reference computes the cutoff once and passes it into both
     // refresh queries; the anchored default exists only for oracle
