@@ -852,6 +852,43 @@ object TextAnalysis extends QueryModule {
       FROM u GROUP BY 1 ORDER BY 1""")
   )
 
+  /** CONSECUTIVE-REPEAT COLLAPSE materialization — the
+    * sequence-aware cleaning pass (distinct from [[normalize]]'s
+    * per-char canonicalization and [[stopwordStrip]]'s vocabulary
+    * removal): runs of the SAME token collapse to one occurrence,
+    * order otherwise preserved — the stutter artifact of scraped
+    * pagination, OCR, and template expansion that inflates token
+    * counts without adding content. Position-indexed higher-order
+    * filter (keep token i iff i=0 or toks[i] ≠ toks[i-1]) — per-row,
+    * codegen'd, zero shuffle, linear in the corpus. */
+  val collapseRepeats: Q = Q(
+    "ta_collapse_repeats",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("clean", expr(
+          "filter(toks, (t, i) -> i = 0 OR t != element_at(toks, i))"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("clean")).as("clean_text"),
+          size(col("toks")).as("n_tokens"),
+          (size(col("toks")) - size(col("clean"))).as("n_collapsed"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      c AS (
+        SELECT doc_id, toks,
+               list_transform(
+                 list_filter(range(1, len(toks) + 1),
+                   i -> i = 1 OR toks[i] <> toks[i-1]),
+                 i -> toks[i]) AS clean
+        FROM t)
+      SELECT doc_id, array_to_string(clean, ' ') AS clean_text,
+             len(toks) AS n_tokens,
+             len(toks) - len(clean) AS n_collapsed
+      FROM c ORDER BY doc_id""")
+  )
+
   /** LANGUAGE-TEMPERATURE REBALANCING — the multilingual mix move
     * (mT5-style temperature sampling): downsample each language at
     * r_lang = min(1, sqrt(N / (k · n_lang))), so a language holding
@@ -912,5 +949,5 @@ object TextAnalysis extends QueryModule {
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
       shardAssign, lengthQuantiles, piiRedact, urlDomains,
-      temperatureSample)
+      temperatureSample, collapseRepeats)
 }
