@@ -301,6 +301,48 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("composed streaming curation: scrub → near-dedup → decontaminate") {
+    implicit val sq = spark.sqlContext
+    // the stream face of dd_curation_pipeline's composition argument:
+    // each stage is individually certified; ONE query chaining them
+    // catches state/watermark interactions the pieces can't
+    val evalGrams = graft.operators.TextDedup.kShingles(
+      Seq("the quick brown fox jumps over the lazy dog tonight")
+        .toDF("text").selectExpr("1L as doc_id", "text"), 6)
+      .select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("shingle")).as("g"))
+    val bits = graft.operators.Bloom.buildLong(evalGrams, "g")
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val composed = Streams.streamingDecontaminationGate(
+      Streams.streamingNearDedup(Streams.streamingPiiScrub(docs)
+        .drop("text").withColumnRenamed("clean_text", "text")),
+      bits)
+    val q = composed.select("doc_id", "n_emails", "text")
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      source.addData(
+        // passes: unique content, no eval overlap; email scrubbed
+        (1L, t, "alpha beta gamma delta epsilon zeta eta from x@y.co"),
+        // near-dup of doc 1 AFTER scrubbing (same clean text) → dropped
+        // by the fingerprint dedup even though raw bytes differ
+        (2L, t, "alpha beta gamma delta epsilon zeta eta from a@b.co"),
+        // contaminated: carries an eval 6-gram → dropped by the gate
+        (3L, t, "the quick brown fox jumps over the lazy dog tonight ok"),
+        // passes: distinct clean content
+        (4L, t, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      val rows = spark.table("curation_stream")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2)))
+        .toMap
+      assert(rows.keySet == Set(1L, 4L), s"kept ${rows.keySet}")
+      assert(rows(1L)._1 == 1 && rows(1L)._2.endsWith("from [EMAIL]"),
+        s"doc 1 must be scrubbed: ${rows(1L)}")
+    } finally q.stop()
+  }
+
   test("streaming PII scrub redacts in-flight and stays stateless") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[(Long, String)]
