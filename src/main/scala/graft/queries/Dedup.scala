@@ -777,18 +777,23 @@ object Dedup extends QueryModule {
     * two-phase as dd_decontaminate_bloom; the md5 text fingerprint is
     * the dd_exact identity stance.
     *
-    * Scale shape at 100 TB: the corpus-side cost is one fingerprint
-    * scan (build-once — in production the filter persists across
-    * days); the batch side is a narrow gate plus an anti-join whose
-    * LEFT input is only (true dups + Bloom fpp)·|batch| rows, never
-    * |batch|. No join touches document text. */
+    * Scale shape at 100 TB: the corpus is scanned ONCE — both
+    * fingerprints (md5 for exact identity, xxhash64 for the Bloom
+    * key) come out of the same pass, persisted at ~40 bytes/doc (the
+    * production pattern keeps this fingerprint table across days, so
+    * the daily cost is the batch side only); the Bloom build fills
+    * the cache and the anti-join re-reads it. The batch side is a
+    * narrow gate plus an anti-join whose LEFT input is only (true
+    * dups + Bloom fpp)·|batch| rows, never |batch|. No join touches
+    * document text. */
   val incremental: Q = Q(
     "dd_incremental",
     (s, dir) => {
-      import graft.operators.Bloom
+      import graft.operators.{Bloom, CacheScope}
       val all = Tables(s, dir, "documents")
       val corpus = all.filter(col("doc_id") % 7 =!= 0)
         .select(md5(col("text")).as("fp"), xxhash64(col("text")).as("fpl"))
+        .persist()
       val bits = Bloom.buildLong(corpus.select("fpl"), "fpl")
       val batch = all.filter(col("doc_id") % 7 === 0)
         .withColumn("might",
@@ -797,9 +802,10 @@ object Dedup extends QueryModule {
       val survivors = batch.filter(col("might"))
         .withColumn("fp", md5(col("text")))
         .join(corpus.select("fp").distinct(), Seq("fp"), "left_anti")
-      fresh.select("doc_id", "lang", "source")
-        .unionByName(survivors.select("doc_id", "lang", "source"))
-        .orderBy("doc_id")
+      CacheScope.eval(
+        fresh.select("doc_id", "lang", "source")
+          .unionByName(survivors.select("doc_id", "lang", "source"))
+          .orderBy("doc_id"))(corpus)
     },
     Some("""
       SELECT doc_id, lang, source FROM documents b
