@@ -511,6 +511,53 @@ object Similarity extends QueryModule {
       WHERE rank <= $K ORDER BY q_id, rank""")
   )
 
+  /** PARTITIONED (per-label) top-k — retrieval scoped to the query
+    * vector's own label: recommendations within a category, dedup
+    * within a shard, neighbors within a language. Structurally the
+    * interesting variant: the label scope turns the all-pairs
+    * broadcast loop into an EQUI-join on the label key — the probe
+    * shuffles once on a bounded key set and each label's work is
+    * |label corpus|·|label queries|, the partitioned-ANN pattern that
+    * needs no nested-loop allowance at all. Exact within its scope
+    * (same fold cosine as ss_topk_brute). */
+  val topkPerLabel: Q = Q(
+    "ss_topk_per_label",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
+      val scored = emb
+        .join(broadcast(queries),
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 3),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               ${duckCosine("q.q_emb", "e.embedding")} AS cosine
+        FROM embeddings e
+        JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, cosine FROM ranked
+      WHERE rank <= $K ORDER BY q_id, rank""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
-    topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch)
+    topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
+    topkPerLabel)
 }
