@@ -531,8 +531,41 @@ object Relational extends QueryModule {
       FROM z GROUP BY 1 ORDER BY 1""")
   )
 
+  /** ORDER-INDEPENDENT TABLE CHECKSUM — the migration-validation op:
+    * after any copy/convert/re-partition of a 100 TB table, one number
+    * per side answers "did every row survive, byte-identical?" without
+    * moving data between environments. Per-row digest = the first 12
+    * hex chars of md5 over a canonical '|'-joined serialization
+    * (48 bits — any engine can parse it into an exact BIGINT), reduced
+    * by SUM, which commutes — partition order, parallelism, and row
+    * order cannot change the result (the ReproducibilitySpec
+    * property). The sum stays exact: 48-bit terms × up to 2⁴ doc
+    * groups per row here, and at corpus scale 2⁴⁸·N < 2⁶³ holds to
+    * N ≈ 32 trillion rows. Count rides along so a checksum collision
+    * on differing cardinalities cannot mask a loss.
+    *
+    * Scale shape: one scan, map-side partial sums, a single-row
+    * result — the cheapest possible full-table audit. */
+  val tableChecksum: Q = Q(
+    "rel_table_checksum",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(conv(substring(md5(concat_ws("|",
+            col("doc_id").cast("string"), col("text"), col("lang"),
+            col("source"), col("n_chars").cast("string"))), 1, 12), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum")),
+    Some("""
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(CAST('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+               '|' || source || '|' || CAST(n_chars AS VARCHAR)),
+               1, 12) AS BIGINT) AS BIGINT)) AS BIGINT) AS checksum
+      FROM documents""")
+  )
+
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot, sketchAgg,
     sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
-    quantileBound, profile, zorder)
+    quantileBound, profile, zorder, tableChecksum)
 }

@@ -28,7 +28,8 @@ class ReproducibilitySpec extends AnyFunSuite with SharedSpark {
   private val queries = Seq(
     "rel_hash_sample", "rel_stratified_sample", "ta_quality_sample",
     "ta_temperature_sample", "dd_simhash", "dd_minhash_lsh",
-    "ta_shard_assign", "ss_quantize_int8", "dd_dup_clusters")
+    "ta_shard_assign", "ss_quantize_int8", "dd_dup_clusters",
+    "rel_table_checksum")
 
   test("claimed-deterministic queries are identical across shuffle widths") {
     val conf = spark.conf
