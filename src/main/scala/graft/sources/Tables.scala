@@ -78,18 +78,25 @@ object Tables {
     * path for all four: parquet/orc are the columnar scale choices
     * (splittable, predicate/projection pushdown, per-chunk stats);
     * json/csv are the interchange faces. CSV keeps a header and pins
-    * the timestamp pattern so the text round-trip is lossless under
-    * [[readLake]]'s explicit schema; text formats get gzip (the S4
+    * MICROSECOND timestamp patterns for BOTH timestamp flavors —
+    * Spark timestamps carry μs, and the default (and any millisecond)
+    * pattern silently floors them on the way out; TIMESTAMP_NTZ (what
+    * parquet ms-precision unadjusted timestamps scan as) takes its
+    * pattern from the separate timestampNTZFormat option, offset-free
+    * — so the text round-trip is lossless under [[readLake]]'s
+    * explicit schema; text formats get gzip (the S4
     * sink convention) — columnar formats keep their internal codec. */
   def writeLake(df: DataFrame, path: String, format: String): Unit = {
     require(lakeFormats(format), s"unsupported lake format: $format")
     val w = df.write.mode("overwrite").format(format)
     val tuned = format match {
       case "csv" => w.option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .option("compression", "gzip")
       case "json" => w
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .option("compression", "gzip")
       case _ => w
     }
@@ -113,9 +120,11 @@ object Tables {
     val r = spark.read.format(format)
     val tuned = format match {
       case "csv" => r.option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       case "json" =>
-        r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       case _ => r
     }
     lowercased(schema.fold(tuned)(tuned.schema).load(path))

@@ -74,9 +74,12 @@ class TablesSpec extends AnyFunSuite with SharedSpark {
 
   test("lake round-trip is lossless in every supported format") {
     // lineitem carries the risky types: int32, int64, double, string,
-    // and a millisecond timestamp — the columns text formats mangle
-    // without an explicit schema
+    // and a timestamp — widened here to full MICROSECOND precision
+    // (a millisecond text pattern would floor it silently, the classic
+    // lake-interchange corruption)
     val src = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .withColumn("l_shipdate",
+        col("l_shipdate") + expr("INTERVAL '0.000123' SECOND"))
     val dir = Files.createTempDirectory("lake_rt").toString
     for (fmt <- Tables.lakeFormats) {
       Tables.writeLake(src, s"$dir/$fmt", fmt)
