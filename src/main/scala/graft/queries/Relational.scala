@@ -550,9 +550,13 @@ object Relational extends QueryModule {
     "rel_table_checksum",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(conv(substring(md5(concat_ws("|",
-            col("doc_id").cast("string"), col("text"), col("lang"),
-            col("source"), col("n_chars").cast("string"))), 1, 12), 16, 10)
+        // concat (not concat_ws): NULL-strict like the oracle's `||`,
+        // so a NULL anywhere nulls the row digest in BOTH engines and
+        // the sum skips it identically
+        .select(conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit("|"), col("text"), lit("|"),
+            col("lang"), lit("|"), col("source"), lit("|"),
+            col("n_chars").cast("string"))), 1, 12), 16, 10)
           .cast("long").as("h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum")),
     Some("""
