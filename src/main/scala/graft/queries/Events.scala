@@ -443,7 +443,45 @@ object Events extends QueryModule {
       ORDER BY user_id""")
   )
 
+  /** SKETCH × WINDOW composition — approximate distinct users per
+    * 6-hour window and event type, the shape a 100 TB event stream
+    * actually aggregates (an exact per-window countDistinct expands
+    * per key; the HLL sketch is constant-space and mergeable across
+    * partitions AND windows). Certified the rel_sketch_bound way: the
+    * exact count rides along as the baseline, the sketch must land
+    * within 3× its 2% rsd — with an absolute slack of 3 users, the
+    * small-window regime where relative bounds are meaningless — and
+    * the oracle pins that boolean TRUE
+    * while replaying the exact count — so the approximate path is
+    * hash-checked without requiring both engines' estimators to
+    * agree. Windows are epoch-aligned integer buckets
+    * (floor(epoch/21600)) — arithmetic both engines floor
+    * identically, no timezone or bucket-origin semantics in play. */
+  val windowUsers: Q = Q(
+    "ev_window_users",
+    (s, dir) =>
+      ev(s, dir)
+        .withColumn("bucket",
+          (floor(unix_timestamp(col("ts")) / 21600) * 21600).cast("long"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+        .select(col("bucket"), col("event_type"), col("n_events"),
+          col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.15, lit(3.0)))
+            .as("within_bound"))
+        .orderBy("bucket", "event_type"),
+    Some("""
+      SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket,
+             event_type, count(*) AS n_events,
+             count(DISTINCT user_id) AS exact_users,
+             TRUE AS within_bound
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
-    rankStats, timeParts, funnel, retention, cdcMerge)
+    rankStats, timeParts, funnel, retention, cdcMerge, windowUsers)
 }
