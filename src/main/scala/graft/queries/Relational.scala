@@ -568,8 +568,42 @@ object Relational extends QueryModule {
       FROM documents""")
   )
 
+  /** SALTED-JOIN certification — the skew rewrite with an oracle: the
+    * fact side joins the supplier dimension through
+    * `Partitioning.saltedJoin` (row-hash salt on the fact, ×salts
+    * replication of the dimension), and the result must be
+    * BYTE-IDENTICAL to the plain inner join the oracle runs. This is
+    * the claim that matters about salting — it changes the shuffle
+    * layout, never the relation — certified per-row by hash, not
+    * asserted in a spec over toy rows. Aggregated per supplier so the
+    * output is bounded while every joined row still contributes.
+    *
+    * Scale shape: the salt spreads each hot supplier key over 4
+    * reducers; the dimension grows ×4 (supplier is dimension-sized —
+    * exactly the regime the operator documents). */
+  val saltedJoin: Q = Q(
+    "rel_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.Partitioning.saltedJoin(li, sup, "l_suppkey", 4)
+        .groupBy("l_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+        .orderBy("l_suppkey")
+    },
+    Some("""
+      SELECT l_suppkey, s_name, count(*) AS n_rows,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot, sketchAgg,
     sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
-    quantileBound, profile, zorder, tableChecksum)
+    quantileBound, profile, zorder, tableChecksum, saltedJoin)
 }
