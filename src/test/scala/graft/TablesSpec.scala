@@ -97,5 +97,16 @@ class TablesSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       Tables.writeLake(src, s"$dir/x", "avro") // no connector jar here
     }
+    // and the OTHER timestamp flavor: events.ts is zoned TimestampType
+    // (rebuilt from parquet nanos), serialized with the offset-bearing
+    // pattern — both flavors must survive the same writer
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts", col("ts") + expr("INTERVAL '0.000321' SECOND"))
+    for (fmt <- Seq("json", "csv")) {
+      Tables.writeLake(ev, s"$dir/ev_$fmt", fmt)
+      val back = Tables.readLake(spark, s"$dir/ev_$fmt", fmt, Some(ev.schema))
+      assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty,
+        s"events $fmt round-trip altered rows")
+    }
   }
 }
