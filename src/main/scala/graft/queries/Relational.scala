@@ -602,8 +602,43 @@ object Relational extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1""")
   )
 
+  /** CO-PURCHASE pairs (market-basket co-occurrence) — for every part
+    * pair, the number of orders containing BOTH, support-thresholded:
+    * the frequent-itemset primitive behind "bought together"
+    * recommendations. Same scale discipline as dd_source_overlap: ONE
+    * groupBy collapses the fact table to per-order baskets (map-side
+    * combined distinct sets, each bounded by basket size), pair
+    * generation is a narrow double-explode whose fan-out is
+    * |basket|² per order — never |parts|² and never a fact-side
+    * self-join — and the pair count is a second bounded-key shuffle.
+    * The support threshold (≥ 3 co-orders) is where a 100 TB run
+    * prunes the pair tail before it lands anywhere. */
+  val copurchase: Q = Q(
+    "rel_copurchase",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("basket"))
+        .select(explode(col("basket")).as("part_a"), col("basket"))
+        .select(col("part_a"), explode(col("basket")).as("part_b"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 3)
+        .orderBy("part_a", "part_b"),
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS n_orders
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+      ORDER BY 1, 2""")
+  )
+
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot, sketchAgg,
     sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
-    quantileBound, profile, zorder, tableChecksum, saltedJoin)
+    quantileBound, profile, zorder, tableChecksum, saltedJoin,
+    copurchase)
 }
