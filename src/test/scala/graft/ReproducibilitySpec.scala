@@ -29,7 +29,8 @@ class ReproducibilitySpec extends AnyFunSuite with SharedSpark {
     "rel_hash_sample", "rel_stratified_sample", "ta_quality_sample",
     "ta_temperature_sample", "dd_simhash", "dd_minhash_lsh",
     "ta_shard_assign", "ss_quantize_int8", "dd_dup_clusters",
-    "rel_table_checksum")
+    "rel_table_checksum", "rel_copurchase", "dd_incremental",
+    "rel_salted_join")
 
   test("claimed-deterministic queries are identical across shuffle widths") {
     val conf = spark.conf
