@@ -58,9 +58,19 @@ object Bench {
         // otherwise linger until GC-driven cleanup, so over a ~90-query
         // catalog they pile into real memory pressure that inflates
         // every later query's time (observed 3-5× on the tail half).
+        // BLOCKING unpersist: with blocking=false the block removal
+        // races the next timed run and memory pressure still
+        // accumulates — r8 saw a 2-9× regression cluster on unchanged
+        // dedup queries with exactly that signature. The synchronous
+        // removal is charged to inter-rep housekeeping, not the
+        // measured query.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
+        // nudge the ContextCleaner: checkpoint RDDs whose DataFrames
+        // went out of scope are only reclaimed after their weak refs
+        // are processed, which needs a GC cycle to enqueue them
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -186,10 +186,38 @@ object Jobs {
       .orderBy("event_id")
   }
 
-  /** Refresh per-term enrollment updates — term orders newer than the
-    * recency cutoff (reference get_recent_enrollment_updates via
-    * jobs.py:46-49). Cutoff semantics and the anchored default's
-    * collapsed-dimension caveat as in [[recentInstructorUpdates]]. */
+  /** Refresh per-term enrollment updates — the reference's FULLY
+    * COMPOSED extract (get_recent_enrollment_updates,
+    * jonesy/queries.py:97-121 via jobs.py:46-49), not just its
+    * watermark: term filter + recency cutoff + the
+    * omit_drops_and_withdrawals conditional join (queries.py:1-19 —
+    * the P7/J4 shape certified standalone as `ref_conditional_join`)
+    * + the §2.11 career-priority truncation sort (queries.py:108-120:
+    * within each term, rows are ORDERED by academic-career rank so a
+    * downstream processing cutoff drops the LOWEST-priority careers
+    * first — the sort IS part of the output contract).
+    *
+    * Fixture roles as in [[termEnrollments]] / `ref_conditional_join`:
+    * lineitem = enrollment (l_returnflag = grade, 'R' = withdrawn,
+    * l_linestatus = status, 'X' = dropped), orders = section
+    * (o_orderstatus = grading basis, 'O' = the not-graded basis whose
+    * withdrawal state lives on the primary section), o_orderpriority =
+    * course career (its 1-URGENT…5-LOW domain maps onto the
+    * reference's UGRD<GRAD<LAW<UCBX<else rank ladder).
+    *
+    * The correlated per-row MIN over primary-section grades is
+    * decorrelated by construction — one pre-aggregate per order key
+    * over TERM orders (the reference's prim_enr is term-scoped but
+    * NOT recency-scoped, queries.py:8-16) and a left join — while the
+    * DuckDB oracle of the catalog face keeps the reference's
+    * correlated shape. Cutoff semantics and the anchored default's
+    * collapsed-dimension caveat as in [[recentInstructorUpdates]].
+    *
+    * Scale shape: the term+recency range predicates push to the
+    * orders scan; lineitem joins term orders on the order key (the
+    * one repeated shuffle key — primMin, the main join, and the
+    * DISTINCT all hash on it); the priority rank is a narrow CASE
+    * evaluated only in the final sort. */
   def recentEnrollmentUpdates(s: SparkSession, dir: String, termId: String,
                               cutoff: Option[java.sql.Timestamp] = None)
       : DataFrame = {
@@ -202,12 +230,41 @@ object Jobs {
         inTerm
           .join(broadcast(o.agg(max("o_orderdate").as("max_date"))))
           .filter(col("o_orderdate") >= col("max_date") - expr("INTERVAL 5 DAYS"))
+          .drop("max_date")
     }
-    recent
-      .select(col("o_orderkey").as("enrollment_id"),
+    val enroll = Tables(s, dir, "lineitem")
+      .filter(col("l_linestatus") =!= "X")
+    val primMin = enroll
+      .join(inTerm.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey").as("pm_orderkey"))
+      .agg(min("l_returnflag").as("prim_grade"))
+    enroll
+      .join(recent, col("l_orderkey") === col("o_orderkey"))
+      .join(primMin, col("l_orderkey") === col("pm_orderkey"), "left")
+      .filter(
+        when(col("o_orderstatus") === "O",
+          col("prim_grade").isNotNull && col("prim_grade") =!= "R")
+          .otherwise(col("l_returnflag") =!= "R"))
+      .select(
+        col("l_orderkey").as("section_id"),
+        date_format(col("o_orderdate"), "yyyyMM").as("term_id"),
         col("o_custkey").as("ldap_uid"),
+        col("o_custkey").cast("string").as("sis_id"),
+        col("l_linestatus").as("enroll_status"),
+        col("o_orderpriority").as("course_career"),
         col("o_orderdate").as("last_updated"))
-      .orderBy("enrollment_id")
+      .distinct()
+      // reference ORDER BY (queries.py:108-120): term, career rank,
+      // section, uid, last_updated DESC; enroll_status appended as a
+      // determinism extension (distinct rows can tie on all five
+      // reference keys), same stance as termEnrollments
+      .orderBy(col("term_id"),
+        graft.functions.Fns.priorityRank(col("course_career"),
+          Seq("1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 3,
+            "4-NOT SPECIFIED" -> 4)),
+        col("section_id"), col("ldap_uid"), col("last_updated").desc,
+        col("enroll_status"))
   }
 
   /** Run one job: every flat query in its pipeline, then every

@@ -30,11 +30,17 @@ object Bloom {
                 fpp: Double = 0.03): Array[Byte] = {
     // Spark's stat.bloomFilter NPEs on an empty input (its aggregate
     // yields a null buffer); an empty key set is a legal degenerate —
-    // an all-zero-bits filter that admits nothing (EdgeCaseSpec)
+    // an all-zero-bits filter that admits nothing (EdgeCaseSpec).
+    // Recover from the NPE instead of pre-checking with df.isEmpty:
+    // the pre-check was a whole extra Spark job paid by EVERY build on
+    // the overwhelmingly common non-empty path (ADVICE r8), while the
+    // catch costs nothing unless the input really is empty.
     val f =
-      if (df.isEmpty)
-        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-      else df.stat.bloomFilter(keyCol, expectedItems, fpp)
+      try df.stat.bloomFilter(keyCol, expectedItems, fpp)
+      catch {
+        case _: NullPointerException =>
+          org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      }
     val bos = new java.io.ByteArrayOutputStream()
     f.writeTo(bos)
     bos.toByteArray

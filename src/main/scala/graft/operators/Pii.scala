@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * counts as PII, so batch backfills and live ingest can never drift.
   *
   * Regexes use ASCII-only classes so the Java regex engine (Spark)
-  * and RE2 (the DuckDB oracle) agree on every byte. Redaction order
+  * and RE2 (the DuckDB oracle) agree on every byte. Email classes
+  * cover BOTH cases explicitly (emails are case-preserving in the
+  * wild — Bob.Smith@Corp.COM must scrub like bob.smith@corp.com; an
+  * ASCII [A-Za-z] range keeps Java/RE2 parity without (?i)'s
+  * engine-specific Unicode folding). Redaction order
   * (email → ipv4 → phone) is part of the contract: placeholders carry
   * no digits, so later passes can never re-match earlier rewrites.
   *
@@ -19,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 

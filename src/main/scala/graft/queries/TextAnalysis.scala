@@ -740,8 +740,9 @@ object TextAnalysis extends QueryModule {
     * arithmetic in both engines) — the regex match/replace work, which
     * is the operator under test, is then fully exercised and
     * hash-checked: counts VARY per doc (a cc'd second address every
-    * third doc, no IP every fifth) so the oracle can't pass on
-    * constant output.
+    * third doc — MIXED-case, pinning the detector's [A-Za-z] classes
+    * against both engines — no IP every fifth) so the oracle can't
+    * pass on constant output.
     *
     * Scale shape: pure per-row regex work — one scan, zero shuffle,
     * all Spark built-ins (codegen'd). Redaction order (email → ip →
@@ -753,7 +754,7 @@ object TextAnalysis extends QueryModule {
       val dirty = concat(
         col("text"), lit(" reach "), col("source"), lit(".team+"),
         col("doc_id").cast("string"), lit("@mail.example.org"),
-        when(col("doc_id") % 3 === 0, lit(" cc admin@ops.example.com"))
+        when(col("doc_id") % 3 === 0, lit(" cc Admin@Ops.Example.COM"))
           .otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit(""))
           .otherwise(concat(lit(" from 10."),
@@ -773,7 +774,7 @@ object TextAnalysis extends QueryModule {
                text || ' reach ' || source || '.team+' ||
                CAST(doc_id AS VARCHAR) || '@mail.example.org' ||
                CASE WHEN doc_id % 3 = 0
-                    THEN ' cc admin@ops.example.com' ELSE '' END ||
+                    THEN ' cc Admin@Ops.Example.COM' ELSE '' END ||
                CASE WHEN doc_id % 5 = 0 THEN ''
                     ELSE ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                          || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)

@@ -132,13 +132,20 @@ object Streams {
         GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event],
          state: GroupState[KeyState]) =>
-          def newer(aTs: Long, aId: Long, bTs: Long, bId: Long) =
-            aTs > bTs || (aTs == bTs && aId > bId)
+          // Full-precision ts compare (Timestamp.compareTo includes
+          // nanos) — NOT getTime, whose millisecond truncation could
+          // pick a different winner than the batch twin ev_cdc_merge's
+          // max(struct(ts, event_id)) for two events in the same
+          // millisecond but different microseconds (ADVICE r8).
+          def newer(aTs: java.sql.Timestamp, aId: Long,
+                    bTs: java.sql.Timestamp, bId: Long) = {
+            val c = aTs.compareTo(bTs)
+            c > 0 || (c == 0 && aId > bId)
+          }
           var best: KeyState = state.getOption.orNull
           rows.foreach { e =>
             if (best == null ||
-                newer(e.ts.getTime, e.event_id,
-                  best.ts.getTime, best.event_id))
+                newer(e.ts, e.event_id, best.ts, best.event_id))
               best = KeyState(userId, e.ts, e.event_id, e.value)
           }
           state.update(best)

@@ -178,6 +178,10 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       Gen.const("999.999.999.999"), Gen.const("123-456-7890"),
       Gen.const("12-345-6789"), Gen.const("[EMAIL]"), Gen.const("[IP]"),
       Gen.const("user+tag@mail.example.org"), Gen.const("."),
+      // mixed/upper case MUST scrub identically to lowercase (ADVICE
+      // r8: lowercase-only classes silently passed Bob.Smith@Corp.COM)
+      Gen.const("Bob.Smith@Corp.COM"), Gen.const("ADMIN@EXAMPLE.ORG"),
+      Gen.const("MixedCase@Sub.Domain.Net"), Gen.const("X@Y"),
       Gen.const("-"), Gen.const(" "))
     val texts = Gen.listOfN(300,
       Gen.listOfN(6, fragment).map(_.mkString(" "))).sample.get

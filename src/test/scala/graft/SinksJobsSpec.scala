@@ -157,9 +157,26 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     val all = Jobs.recentInstructorUpdates(spark, sf, t, Some(early)).count()
     val anchored = Jobs.recentInstructorUpdates(spark, sf, t).count()
     assert(all >= anchored)
+    // the composed reference contract (queries.py:97-121): DISTINCT
+    // 7-column projection, withdrawal-filtered, priority-ordered
     val enr = Jobs.recentEnrollmentUpdates(spark, sf, t, Some(early))
     assert(enr.columns.toSeq ==
-      Seq("enrollment_id", "ldap_uid", "last_updated"))
+      Seq("section_id", "term_id", "ldap_uid", "sis_id",
+        "enroll_status", "course_career", "last_updated"))
+    // priority sort is part of the output contract (§2.11): career
+    // ranks must be non-decreasing down the extract within each term
+    val ranks = enr.select("term_id", "course_career").collect().map { r =>
+      (r.getString(0), r.getString(1) match {
+        case "1-URGENT" => 1; case "2-HIGH" => 2; case "3-MEDIUM" => 3
+        case "4-NOT SPECIFIED" => 4; case _ => 5
+      })
+    }
+    ranks.sliding(2).foreach {
+      case Array((ta, ra), (tb, rb)) =>
+        assert(ta < tb || (ta == tb && ra <= rb),
+          s"priority order violated: ($ta,$ra) before ($tb,$rb)")
+      case _ => ()
+    }
     // a cutoff after the data's max excludes everything
     val late = java.sql.Timestamp.valueOf("2999-01-01 00:00:00")
     assert(Jobs.recentEnrollmentUpdates(spark, sf, t, Some(late)).count() == 0)
