@@ -23,6 +23,29 @@ class SketchSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("rel_sketch_agg face: sane groups, estimates within bounds") {
+    // the spec-only catalog face (not in SparkEntry.queries — no SQL
+    // oracle can replay engine-specific sketch internals): run the
+    // EXACT Q the library ships and certify it against exact answers
+    val got = graft.queries.Relational.sketchAgg.fn(spark, sf)
+    assert(got.columns.toSeq ==
+      Seq("priority", "approx_customers", "approx_median_price"))
+    val exact = Tables(spark, sf, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    val joined = got.join(exact, "priority").collect()
+    assert(joined.length == 5, "one row per order priority")
+    joined.foreach { r =>
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      val ex = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(approx - ex) / ex <= 0.15,
+        s"${r.getAs[String]("priority")}: exact=$ex approx=$approx")
+      val med = r.getAs[Double]("approx_median_price")
+      assert(med >= r.getAs[Double]("lo") && med <= r.getAs[Double]("hi"))
+    }
+  }
+
   test("percentile_approx median between per-group min and max") {
     val o = Tables(spark, sf, "orders")
     val rows = o.groupBy("o_orderpriority").agg(
