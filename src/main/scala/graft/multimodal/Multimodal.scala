@@ -10,11 +10,17 @@ import org.apache.spark.sql.types._
   * decoder setup over a batch of rows (the Scala analog of a pandas
   * batch UDF over `mapInPandas`).
   *
-  * The decode step itself is a STUB — this container ships no image or
-  * audio codecs — replaced by a deterministic fake so the Spark-side
-  * plumbing (schema, binary handling, partitioning, batch shape) is real
-  * and tested end-to-end. Swapping `decodeStub` for a real JNI/FFI
-  * decoder changes nothing upstream or downstream of it.
+  * Decode comes in two tiers. The REAL tier ([[imageDecode]],
+  * [[imageResize]], [[wavDecode]], [[pngDecode]]) runs actual format
+  * parsers from [[Codecs]] — BMP header+pixel walk, WAV RIFF chunk
+  * walk, PNG zlib-inflate + five-filter reconstruction — over format
+  * bytes synthesized deterministically per doc (the container ships no
+  * media files; the closed-form pixel/sample functions are what the
+  * SQL oracle replays). The payload-column tier (`decodeStub`,
+  * `resizeStub`) treats the text-as-bytes payload as opaque and keeps
+  * a deterministic fake at the decode seam — swapping in a JNI/FFI
+  * codec for formats beyond the JDK (JPEG, H.264) changes nothing
+  * upstream or downstream of it.
   *
   * Scale stance (100 TB): payloads dominate row size, so ops that don't
   * need bytes must prune the binary column (Catalyst column pruning does
@@ -106,14 +112,152 @@ object Multimodal {
       }(enc)
   }
 
-  /** Partition-wise decode + feature extraction. Deterministic fake:
-    * "dimensions" derive from the payload length, "mean_byte" from the
-    * real bytes — stable across runs and engines.
-    *
-    * ??? -- a real implementation would decode `payload` here (JPEG →
-    * pixels, WAV → samples) once per batch, e.g. via a JNI codec held in
-    * a per-partition lazy handle; the deterministic fake below keeps the
-    * exact batch shape and schema without the codec. */
+  // ------------------------------------------------------------------
+  // REAL codec paths (graft.multimodal.Codecs): BMP / WAV-PCM16 / PNG
+  // bytes are synthesized deterministically per doc (no media ships
+  // with the container), then decoded by the REAL parsers — header
+  // walk, pixel/sample extraction, zlib inflate + unfiltering — so the
+  // features below only match their closed-form DuckDB oracles if the
+  // full encode→bytes→decode loop is byte-correct.
+
+  /** Decoded-image feature row (exact integer channel sums — oracle-
+    * replayable without float drift). */
+  val imageFeaturesType: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** The deterministic per-doc test pattern: dims and channel values
+    * are pure functions of (doc_id, x, y) — the closed form a SQL
+    * oracle can replay while the Spark side goes through real bytes. */
+  def bmpDims(docId: Long): (Int, Int) =
+    ((8 + docId % 9).toInt, (8 + (docId * 3) % 7).toInt)
+  def bmpPixel(docId: Long)(x: Int, y: Int): (Int, Int, Int) =
+    (((docId + 7L * x + 13L * y) % 256).toInt,
+      ((3L * docId + 5L * x + y) % 256).toInt,
+      ((5L * docId + x + 11L * y) % 256).toInt)
+
+  /** Partition-wise REAL image decode: synthesize the doc's BMP bytes,
+    * parse them back with the full header+pixel-walk decoder, reduce
+    * the decoded pixels to per-channel sums. Narrow map, no shuffle;
+    * decoder state (none needed for BMP) would be amortized per
+    * partition exactly here. */
+  def imageDecode(docIds: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imageFeaturesType)
+    docIds.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = bmpDims(id)
+        val img = Codecs.decodeBmp(Codecs.encodeBmp(w, h, bmpPixel(id)))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        img.pixels.foreach(_.foreach { case (pr, pg, pb) =>
+          sr += pr; sg += pg; sb += pb
+        })
+        Row(id, img.width, img.height, sr, sg, sb)
+      }
+    }(enc)
+  }
+
+  /** REAL resize: decode the BMP, nearest-neighbor downscale ×2, then
+    * RE-ENCODE the small image and decode it AGAIN before summing —
+    * the feature answer passes through two full byte round-trips, so
+    * a padding/stride/offset bug anywhere in the codec shows up as an
+    * oracle mismatch. Output sums are over the resized grid: pixel
+    * (x,y) of the result is source pixel (2x, 2y), the closed form
+    * the oracle replays. */
+  def imageResize(docIds: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imageFeaturesType)
+    docIds.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = bmpDims(id)
+        val img = Codecs.decodeBmp(Codecs.encodeBmp(w, h, bmpPixel(id)))
+        val rw = (img.width + 1) / 2; val rh = (img.height + 1) / 2
+        val small = Codecs.decodeBmp(Codecs.encodeBmp(rw, rh,
+          (x, y) => img.pixels(2 * y)(2 * x)))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        small.pixels.foreach(_.foreach { case (pr, pg, pb) =>
+          sr += pr; sg += pg; sb += pb
+        })
+        Row(id, small.width, small.height, sr, sg, sb)
+      }
+    }(enc)
+  }
+
+  val audioFeaturesType: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  def wavSampleCount(docId: Long): Int = (64 + docId % 64).toInt
+  def wavSampleRate(docId: Long): Int = (8000 + (docId % 4) * 4000).toInt
+  def wavSample(docId: Long)(j: Int): Int =
+    (((docId * 31 + 17L * j) % 65536) - 32768).toInt
+
+  /** Partition-wise REAL audio decode: synthesize PCM16 samples,
+    * container them as WAV, walk the RIFF chunks back out, and reduce
+    * to the exact integer energy (Σ s² ≤ 128·32768² < 2⁴⁸ — no
+    * overflow, no floats). */
+  def wavDecode(docIds: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioFeaturesType)
+    docIds.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(wavSampleCount(id))(wavSample(id))
+        val audio = Codecs.decodeWavPcm16(
+          Codecs.encodeWavPcm16(wavSampleRate(id), 1, samples))
+        var e = 0L
+        audio.samples.foreach(s => e += s.toLong * s)
+        Row(id, audio.sampleRate, audio.samples.length, e)
+      }
+    }(enc)
+  }
+
+  val grayFeaturesType: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false)))
+
+  def pngDims(docId: Long): (Int, Int) =
+    ((5 + docId % 12).toInt, (6 + docId % 11).toInt)
+  def pngPixel(docId: Long)(x: Int, y: Int): Int =
+    ((7L * docId + 3L * x + 5L * y) % 256).toInt
+
+  /** Partition-wise REAL PNG decode: the bytes go through actual zlib
+    * DEFLATE on encode and the decoder must chunk-walk, CRC-check,
+    * INFLATE, and undo all five PNG row filters (the encoder cycles
+    * them by row) to reconstruct the pixels the oracle's closed form
+    * predicts. */
+  def pngDecode(docIds: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(grayFeaturesType)
+    docIds.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = pngDims(id)
+        val img = Codecs.decodePng(Codecs.encodePng(w, h, pngPixel(id)))
+        var s = 0L
+        img.pixels.foreach(_.foreach(s += _))
+        Row(id, img.width, img.height, s)
+      }
+    }(enc)
+  }
+
+  /** Partition-wise decode + feature extraction over the PAYLOAD
+    * column. Deterministic fake: "dimensions" derive from the payload
+    * length, "mean_byte" from the real bytes — stable across runs and
+    * engines. This face treats the payload as opaque (the
+    * text-as-bytes fixture is not a real image); the REAL decoder
+    * paths above ([[imageDecode]], [[wavDecode]], [[pngDecode]]) run
+    * actual format parsers at the same seam. */
   def decodeStub(spark: SparkSession, withPayloadDf: DataFrame)
       : DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder

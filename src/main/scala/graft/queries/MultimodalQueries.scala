@@ -178,6 +178,117 @@ object MultimodalQueries extends QueryModule {
       FROM e ORDER BY doc_id, win""")
   )
 
+  // ------------------------------------------------------------------
+  // REAL-codec faces (graft.multimodal.Codecs): the Spark side routes
+  // every feature through ACTUAL format bytes — BMP header+pixel walk,
+  // WAV RIFF chunk walk, PNG zlib inflate + five-filter reconstruction
+  // — while the oracle replays the closed-form pixel/sample functions
+  // the fixtures are synthesized from. The hashes can only match if
+  // the byte-level encode→decode loop is exactly correct.
+
+  /** REAL image decode (BMP): full header parse, bottom-up padded
+    * pixel walk, per-channel integer sums. Dims vary per doc (8..16 ×
+    * 8..14) so row padding (width % 4 ≠ 0) is exercised. */
+  val imageDecode: Q = Q(
+    "mm_image_decode",
+    (s, dir) =>
+      Multimodal.imageDecode(Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INTEGER) AS width,
+             CAST(8 + (doc_id * 3) % 7 AS INTEGER) AS height,
+             CAST(list_aggregate(flatten(list_transform(
+                    range(8 + (doc_id * 3) % 7), y -> list_transform(
+                      range(8 + doc_id % 9),
+                      x -> (doc_id + 7 * x + 13 * y) % 256))),
+                  'sum') AS BIGINT) AS sum_r,
+             CAST(list_aggregate(flatten(list_transform(
+                    range(8 + (doc_id * 3) % 7), y -> list_transform(
+                      range(8 + doc_id % 9),
+                      x -> (3 * doc_id + 5 * x + y) % 256))),
+                  'sum') AS BIGINT) AS sum_g,
+             CAST(list_aggregate(flatten(list_transform(
+                    range(8 + (doc_id * 3) % 7), y -> list_transform(
+                      range(8 + doc_id % 9),
+                      x -> (5 * doc_id + x + 11 * y) % 256))),
+                  'sum') AS BIGINT) AS sum_b
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** REAL resize: decode → nearest-neighbor ×2 downscale → re-encode →
+    * decode again → sums. Two full byte round-trips per row; resized
+    * pixel (x,y) = source pixel (2x,2y) is the closed form. */
+  val imageResize: Q = Q(
+    "mm_image_resize",
+    (s, dir) =>
+      Multimodal.imageResize(Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               (8 + doc_id % 9 + 1) // 2 AS rw,
+               (8 + (doc_id * 3) % 7 + 1) // 2 AS rh
+        FROM documents)
+      SELECT doc_id,
+             CAST(rw AS INTEGER) AS width,
+             CAST(rh AS INTEGER) AS height,
+             CAST(list_aggregate(flatten(list_transform(range(rh),
+                    y -> list_transform(range(rw),
+                      x -> (doc_id + 14 * x + 26 * y) % 256))),
+                  'sum') AS BIGINT) AS sum_r,
+             CAST(list_aggregate(flatten(list_transform(range(rh),
+                    y -> list_transform(range(rw),
+                      x -> (3 * doc_id + 10 * x + 2 * y) % 256))),
+                  'sum') AS BIGINT) AS sum_g,
+             CAST(list_aggregate(flatten(list_transform(range(rh),
+                    y -> list_transform(range(rw),
+                      x -> (5 * doc_id + 2 * x + 22 * y) % 256))),
+                  'sum') AS BIGINT) AS sum_b
+      FROM d ORDER BY doc_id""")
+  )
+
+  /** REAL audio decode (WAV PCM16): RIFF chunk walk, little-endian
+    * sample extraction, exact integer energy. Sample counts and rates
+    * vary per doc so the 'data' length and 'fmt ' fields are live. */
+  val wavDecode: Q = Q(
+    "mm_wav_decode",
+    (s, dir) =>
+      Multimodal.wavDecode(Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+             CAST(64 + doc_id % 64 AS INTEGER) AS n_samples,
+             CAST(list_aggregate(list_transform(range(64 + doc_id % 64),
+                    j -> ((doc_id * 31 + 17 * j) % 65536 - 32768)
+                         * ((doc_id * 31 + 17 * j) % 65536 - 32768)),
+                  'sum') AS BIGINT) AS energy
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** REAL PNG decode: zlib INFLATE + chunk CRC validation + all five
+    * row filters reconstructed (the encoder cycles None/Sub/Up/
+    * Average/Paeth by row). The pixel sum only matches the closed
+    * form if compression and unfiltering are byte-exact. */
+  val pngDecodeQ: Q = Q(
+    "mm_png_decode",
+    (s, dir) =>
+      Multimodal.pngDecode(Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(5 + doc_id % 12 AS INTEGER) AS width,
+             CAST(6 + doc_id % 11 AS INTEGER) AS height,
+             CAST(list_aggregate(flatten(list_transform(
+                    range(6 + doc_id % 11), y -> list_transform(
+                      range(5 + doc_id % 12),
+                      x -> (7 * doc_id + 3 * x + 5 * y) % 256))),
+                  'sum') AS BIGINT) AS pixel_sum
+      FROM documents ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
-    Seq(binaryStats, decodeFeatures, resize, frameSample, audioEnergy)
+    Seq(binaryStats, decodeFeatures, resize, frameSample, audioEnergy,
+      imageDecode, imageResize, wavDecode, pngDecodeQ)
 }

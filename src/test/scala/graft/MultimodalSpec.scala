@@ -37,6 +37,73 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(strided == (row.getInt(2) + 1) / 2)
   }
 
+  test("Codecs: BMP round-trips every pixel, incl. padded odd widths") {
+    import graft.multimodal.Codecs
+    // widths 1..9 cross every row-padding residue (stride = 4-aligned)
+    for (w <- 1 to 9; h <- Seq(1, 3, 8)) {
+      val px = (x: Int, y: Int) =>
+        ((x * 31 + y * 7) % 256, (x + y * 101) % 256, (x * 5 + y) % 256)
+      val img = Codecs.decodeBmp(Codecs.encodeBmp(w, h, px))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y)(x) == px(x, y), s"pixel ($x,$y) at ${w}x$h")
+    }
+  }
+
+  test("Codecs: WAV PCM16 round-trips samples; RIFF walk skips chunks") {
+    import graft.multimodal.Codecs
+    val samples = Array.tabulate(777)(j => ((j * 997) % 65536) - 32768)
+    val bytes = Codecs.encodeWavPcm16(44100, 2, samples)
+    val audio = Codecs.decodeWavPcm16(bytes)
+    assert(audio.sampleRate == 44100 && audio.channels == 2)
+    assert(audio.samples.toSeq == samples.toSeq)
+    // inject an unknown odd-length chunk between fmt and data — the
+    // walker must skip it (word-aligned) and still find the samples
+    val fmtEnd = 36 // RIFF(12) + fmt header(8) + fmt body(16)
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      1, 2, 3, 4, 5, 0) // len 5 + pad byte
+    val patched = bytes.take(fmtEnd) ++ junk ++ bytes.drop(fmtEnd)
+    putRiffSize(patched)
+    val audio2 = Codecs.decodeWavPcm16(patched)
+    assert(audio2.samples.toSeq == samples.toSeq)
+  }
+
+  private def putRiffSize(b: Array[Byte]): Unit = {
+    val v = b.length - 8
+    b(4) = v.toByte; b(5) = (v >>> 8).toByte
+    b(6) = (v >>> 16).toByte; b(7) = (v >>> 24).toByte
+  }
+
+  test("Codecs: PNG inflate+unfilter round-trips all five filters") {
+    import graft.multimodal.Codecs
+    // height ≥ 5 ⇒ the encoder's filter cycle covers None..Paeth
+    for ((w, h) <- Seq((1, 6), (7, 5), (16, 11), (3, 40))) {
+      val px = (x: Int, y: Int) => (x * 37 + y * 113 + (x * y) % 7) % 256
+      val img = Codecs.decodePng(Codecs.encodePng(w, h, px))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y)(x) == px(x, y), s"pixel ($x,$y) at ${w}x$h")
+    }
+  }
+
+  test("Codecs: malformed inputs are rejected, never mis-decoded") {
+    import graft.multimodal.Codecs
+    val bmp = Codecs.encodeBmp(4, 4, (_, _) => (1, 2, 3))
+    intercept[IllegalArgumentException](
+      Codecs.decodeBmp(bmp.take(20))) // truncated header
+    intercept[IllegalArgumentException](
+      Codecs.decodeBmp("XX".getBytes ++ bmp.drop(2))) // bad magic
+    val wav = Codecs.encodeWavPcm16(8000, 1, Array(1, -1, 2))
+    intercept[IllegalArgumentException](
+      Codecs.decodeWavPcm16(wav.take(30))) // data chunk overruns
+    val png = Codecs.encodePng(5, 6, (x, y) => x + y)
+    intercept[IllegalArgumentException](
+      Codecs.decodePng(png.take(png.length - 4))) // lost IEND tail
+    val corrupt = png.clone()
+    corrupt(40) = (corrupt(40) ^ 0x7f).toByte // flip a byte inside IDAT
+    intercept[IllegalArgumentException](Codecs.decodePng(corrupt))
+  }
+
   test("decodeStub: fixed feature schema, deterministic values") {
     val payloads = Multimodal.withPayload(Tables(spark, sf, "documents"))
     val f1 = Multimodal.decodeStub(spark, payloads).orderBy("doc_id")
