@@ -152,38 +152,75 @@ object Jobs {
       .orderBy("course_id")
   }
 
-  /** Refresh per-term instructor updates — events in the term month
-    * that are newer than the recency cutoff (reference
-    * get_recent_instructor_updates: term filter + last_updated >=
-    * cutoff, via jobs.py:40-45).
+  /** Refresh per-term instructor updates — the reference's FULLY
+    * COMPOSED extract (get_recent_instructor_updates,
+    * jonesy/queries.py:124-149 via jobs.py:40-45): the CDC updates
+    * stream filtered to creates/updates (`change_type IN ('C','U')`,
+    * the T2/P5 face) and to the term month + recency cutoff, then a
+    * 3-WAY JOIN to the instructor-assignment dim and the section dim,
+    * DISTINCT projection, and the reference's multi-key ORDER BY with
+    * `last_updated DESC` innermost.
     *
-    * The cutoff is an ARGUMENT, as in the reference (jobs.py:40
-    * computes now − RECENT_REFRESH_CUTOFF_DAYS once and passes it into
-    * both refresh queries). When omitted it anchors to max(ts) − 5
-    * days so the extract is deterministic for the oracle — note the
-    * documented approximation in that default: term membership and the
-    * recency window then land on the SAME timestamp column relative to
-    * the global max, so only terms near max(ts) produce rows. An
-    * explicit cutoff (the production path) keeps the two filters
-    * independent, as the reference's separate term_id/last_updated
-    * columns do. */
+    * Fixture roles: events = CLASS_INSTR_UPDATESV00_VW (the CDC
+    * stream; event_type click/view = change_type C/U, ts =
+    * last_updated), customer = ASSIGNEDINSTRUCTORV00_VW (c_custkey =
+    * campus-uid via the stream's user_id, c_mktsegment = role-code),
+    * nation = CLASSSECTIONALLV01_MVW (reached through the assignment
+    * dim's nation key; n_regionkey < 2 stands in for the section's
+    * "primary" flag). The reference joins instr on FIVE key columns;
+    * the fixture stream carries one instructor key, so the join is
+    * single-key here — the multi-key equi-join shape is certified
+    * separately by `ref_star_join` (J1).
+    *
+    * Cutoff is an ARGUMENT, as in the reference (jobs.py:40 computes
+    * now − RECENT_REFRESH_CUTOFF_DAYS once and passes it into both
+    * refresh queries). When omitted it anchors to max(ts) − 5 days so
+    * the extract is deterministic for the oracle — with the documented
+    * approximation that term membership and the recency window then
+    * land on the same timestamp column relative to the global max.
+    *
+    * Scale shape: term+recency+CDC predicates all push to the events
+    * scan BEFORE the joins; customer joins on user_id (the one real
+    * shuffle), nation broadcasts (25 rows); DISTINCT reuses the
+    * already-shuffled key's locality. */
   def recentInstructorUpdates(s: SparkSession, dir: String, termId: String,
                               cutoff: Option[java.sql.Timestamp] = None)
       : DataFrame = {
     val (lo, hi) = monthBounds(termId)
     val e = Tables(s, dir, "events")
-    val inTerm = e.filter(col("ts") >= lo && col("ts") < hi)
+    val inTerm = e
+      .filter(col("event_type").isin("click", "view"))
+      .filter(col("ts") >= lo && col("ts") < hi)
     val recent = cutoff match {
       case Some(c) => inTerm.filter(col("ts") >= lit(c))
       case None =>
         inTerm
           .join(broadcast(e.agg(max("ts").as("max_ts"))))
           .filter(col("ts") >= col("max_ts") - expr("INTERVAL 5 DAYS"))
+          .drop("max_ts")
     }
+    val instr = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val sec = Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
     recent
-      .select(col("event_id"), col("user_id").as("instructor_uid"),
-        col("ts").as("last_updated"), col("event_type"))
-      .orderBy("event_id")
+      .join(instr, col("user_id") === col("c_custkey"))
+      .join(broadcast(sec), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("user_id").as("sis_id"),
+        date_format(col("ts"), "yyyyMM").as("term_id"),
+        col("event_id").as("section_id"),
+        col("event_type").as("course_id"),
+        col("c_custkey").as("ldap_uid"),
+        col("c_mktsegment").as("role_code"),
+        (col("n_regionkey") < 2).as("is_primary"),
+        col("ts").as("last_updated"))
+      .distinct()
+      // reference ORDER BY (queries.py:148): term, course, section,
+      // uid, last_updated DESC — section_id (the unique stream id)
+      // already makes the order total
+      .orderBy(col("term_id"), col("course_id"), col("section_id"),
+        col("ldap_uid"), col("last_updated").desc)
   }
 
   /** Refresh per-term enrollment updates — the reference's FULLY

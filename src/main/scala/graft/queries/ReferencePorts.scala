@@ -255,7 +255,55 @@ object ReferencePorts extends QueryModule {
         section_id, ldap_uid, last_updated DESC, enroll_status""")
   )
 
+  /** The composed instructor-refresh extract AS THE JOB RUNS IT —
+    * calls [[graft.jobs.Jobs.recentInstructorUpdates]] (reference
+    * get_recent_instructor_updates, jonesy/queries.py:124-149: CDC
+    * C/U filter + term + cutoff + 3-way join + DISTINCT + multi-key
+    * ORDER BY, last_updated DESC innermost), anchored the
+    * [[recentEnrollmentUpdates]] way: cutoff = max(ts) − 5 days, term
+    * = cutoff's month. */
+  val recentInstructorUpdatesQ: Q = Q(
+    "ref_recent_instructor_updates",
+    (s, dir) => {
+      val maxI = t(s, dir, "events")
+        .agg(max("ts")).head.get(0) match {
+          case ts: java.sql.Timestamp => ts.toInstant
+          case ldt: java.time.LocalDateTime =>
+            ldt.toInstant(java.time.ZoneOffset.UTC)
+        }
+      val cutoff = java.sql.Timestamp.from(
+        maxI.minus(java.time.Duration.ofDays(5)))
+      val termId = java.time.format.DateTimeFormatter.ofPattern("yyyyMM")
+        .withZone(java.time.ZoneOffset.UTC).format(cutoff.toInstant)
+      graft.jobs.Jobs.recentInstructorUpdates(s, dir, termId, Some(cutoff))
+    },
+    Some("""
+      WITH mx AS (SELECT max(ts) - INTERVAL 5 DAY AS cutoff FROM events),
+           term AS (SELECT date_trunc('month', cutoff) AS lo,
+                           date_trunc('month', cutoff)
+                             + INTERVAL 1 MONTH AS hi,
+                           cutoff FROM mx)
+      SELECT DISTINCT
+             e.user_id AS sis_id,
+             strftime(e.ts, '%Y%m') AS term_id,
+             e.event_id AS section_id,
+             e.event_type AS course_id,
+             c.c_custkey AS ldap_uid,
+             c.c_mktsegment AS role_code,
+             n.n_regionkey < 2 AS is_primary,
+             e.ts AS last_updated
+      FROM events e
+      JOIN customer c ON c.c_custkey = e.user_id
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN term ON e.ts >= term.lo AND e.ts < term.hi
+               AND e.ts >= term.cutoff
+      WHERE e.event_type IN ('click', 'view')
+      ORDER BY term_id, course_id, section_id, ldap_uid,
+               last_updated DESC""")
+  )
+
   def all: Seq[Q] = Seq(
     advisorNotes, basicAttributes, currentTerms,
-    latestOrderPerCustomer, latestOrderWindow, recentEnrollmentUpdates)
+    latestOrderPerCustomer, latestOrderWindow, recentEnrollmentUpdates,
+    recentInstructorUpdatesQ)
 }
