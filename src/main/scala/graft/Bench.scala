@@ -74,7 +74,13 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          times += (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          times += dt
+          // per-rep time to stderr (stdout carries only the JSON
+          // line): the median alone can hide a cold-vs-hot rep split
+          // or a monotonic drift — both needed when arbitrating a
+          // regression report
+          System.err.println(f"[bench] $name rep ${r + 1}: $dt%.3f s")
         } catch {
           case e: Throwable => err = Some(
             e.getClass.getSimpleName + ": " +
