@@ -58,6 +58,35 @@ object GraftExtensions {
       MinhashSig(children.head, children(1))
     })
 
+  /** Filters at or above this many bytes are lifted out of the
+    * expression tree into a broadcast at resolution time. Below it the
+    * literal form is simpler and costs nothing measurable; above it the
+    * literal is a per-stage task-binary payload and a driver-side
+    * planning tax (every tree hash/compare walks the array). 64 KiB ≈
+    * 55k keys at fpp 0.03 — past any size a scan-predicate constant
+    * should be. */
+  val BloomBroadcastThreshold: Int = 64 << 10
+
+  // one Broadcast per distinct filter byte-array: re-resolving a plan
+  // that reuses the same driver-built bytes (streaming restarts, a
+  // gate used on both sides of a union) must not re-ship megabytes.
+  // Weak keys let the ContextCleaner reclaim the broadcast once the
+  // caller drops the bytes — array keys compare by identity under
+  // WeakHashMap's equals, which is exactly the sharing unit here.
+  private val bloomBcCache =
+    new java.util.WeakHashMap[Array[Byte],
+      org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+
+  private def broadcastBloom(bytes: Array[Byte]) =
+    bloomBcCache.synchronized {
+      var bc = bloomBcCache.get(bytes)
+      if (bc == null) {
+        bc = SparkSession.active.sparkContext.broadcast(bytes)
+        bloomBcCache.put(bytes, bc)
+      }
+      bc
+    }
+
   private val bloomMightContain = (
     FunctionIdentifier("bloom_might_contain"),
     new ExpressionInfo(classOf[BloomMightContain].getName,
@@ -65,7 +94,19 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2,
         "bloom_might_contain takes exactly 2 arguments")
-      BloomMightContain(children.head, children(1))
+      children.head match {
+        // analysis-time rewrite: fold the filter bytes out of the tree
+        // and hand executors a broadcast handle instead (scale
+        // rationale at functions.BloomMightContainBcast)
+        case f if f.foldable &&
+            f.dataType == org.apache.spark.sql.types.BinaryType =>
+          val bytes = f.eval().asInstanceOf[Array[Byte]]
+          if (bytes != null && bytes.length >= BloomBroadcastThreshold)
+            functions.BloomMightContainBcast(broadcastBloom(bytes),
+              children(1))
+          else BloomMightContain(children.head, children(1))
+        case _ => BloomMightContain(children.head, children(1))
+      }
     })
 
   /** `zorder2(a, b, bits)` — the Morton-interleave layout key as a SQL

@@ -81,3 +81,69 @@ case class BloomMightContain(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
 }
+
+/** Broadcast-backed variant of [[BloomMightContain]] — the form every
+  * large filter is rewritten into at analysis time (see
+  * GraftExtensions' `bloom_might_contain` builder).
+  *
+  * Why not keep the bytes as a literal child: a literal lives INSIDE
+  * the expression tree, so (a) every stage whose plan contains the
+  * probe serializes the full filter into its task binary — at the
+  * 1 MiB default that fires Spark's "broadcasting large task binary"
+  * warning on each of the pipeline's stages — and (b) every Catalyst
+  * transform/canonicalization that hashes or compares the tree pays
+  * for the whole array, a driver-side planning tax measured at
+  * ~2.5 s/run on the composed curation pipeline. Holding a
+  * `Broadcast` handle instead keeps the tree node at pointer size:
+  * the bytes ship to each executor exactly once over the torrent
+  * protocol, and the driver's ContextCleaner reclaims them when the
+  * handle becomes unreachable.
+  *
+  * Semantics are identical to the literal form (same probe, same
+  * no-false-negative contract); BloomSpec pins both paths against the
+  * same membership fixture.
+  */
+case class BloomMightContainBcast(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long key, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "bloom_might_contain"
+
+  // one deserialize per executor that evaluates the probe, never per
+  // row — bc.value is itself a per-executor cached fetch
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(bc.value)
+
+  def mightContain(h: Long): Boolean = filter.mightContainLong(h)
+
+  override def eval(input: InternalRow): Any = {
+    val h = child.eval(input)
+    if (h == null) null else mightContain(h.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bloomBcExpr", this,
+      classOf[BloomMightContainBcast].getName)
+    val h = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${h.code}
+      boolean ${ev.isNull} = ${h.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${ev.value} = $self.mightContain(${h.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainBcast =
+    copy(child = newChild)
+}

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * `DataFrameStatFunctions.bloomFilter`, one aggregate job whose
   * per-partition filters OR-merge on the driver), then gate the big
   * side with a narrow codegen'd probe (`gateLong` →
-  * functions.BloomMightContain) BEFORE its exchange: only probable
-  * matches pay the shuffle, cutting shuffled volume to roughly the
-  * true-match rate plus `fpp`. Because a Bloom filter has no false
-  * negatives, gating never changes the downstream exact join's result
-  * — only its cost.
+  * functions.BloomMightContain; filters past 64 KiB are lifted into a
+  * broadcast-backed probe at resolution time — see
+  * functions.BloomMightContainBcast for why megabyte literals are a
+  * per-stage task-binary payload and a driver planning tax) BEFORE its
+  * exchange: only probable matches pay the shuffle, cutting shuffled
+  * volume to roughly the true-match rate plus `fpp`. Because a Bloom
+  * filter has no false negatives, gating never changes the downstream
+  * exact join's result — only its cost.
   */
 object Bloom {
 

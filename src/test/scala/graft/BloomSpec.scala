@@ -57,6 +57,39 @@ class BloomSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("large filters resolve to the broadcast probe, small stay literal") {
+    GraftExtensions.ensure(spark)
+    val df = Seq(1L, 2L).toDF("g")
+    def resolvedProbe(bits: Array[Byte]) =
+      df.filter(Bloom.gateLong(spark, bits, col("g")))
+        .queryExecution.analyzed.expressions
+        .flatMap(_.collect {
+          case e: graft.functions.BloomMightContainBcast => e
+          case e: graft.functions.BloomMightContain => e
+        }).head
+    // 1<<20 expected items ≈ 1 MiB of filter — must NOT ride the tree
+    // as a literal (task-binary payload + Catalyst hashing tax); the
+    // builder lifts it into a broadcast at resolution time
+    val big = Bloom.buildLong(df, "g", expectedItems = 1L << 20)
+    assert(big.length >= GraftExtensions.BloomBroadcastThreshold)
+    val bcProbe = resolvedProbe(big)
+    assert(bcProbe.isInstanceOf[graft.functions.BloomMightContainBcast])
+    // …and the broadcast is built once per distinct byte array, not
+    // once per resolution
+    val again = resolvedProbe(big)
+      .asInstanceOf[graft.functions.BloomMightContainBcast]
+    assert(again.bc eq
+      bcProbe.asInstanceOf[graft.functions.BloomMightContainBcast].bc)
+    // a small filter stays a plain literal child
+    val small = Bloom.buildLong(df, "g", expectedItems = 1000)
+    assert(small.length < GraftExtensions.BloomBroadcastThreshold)
+    assert(resolvedProbe(small)
+      .isInstanceOf[graft.functions.BloomMightContain])
+    // both forms keep members
+    assert(df.filter(Bloom.gateLong(spark, big, col("g"))).count() === 2)
+    assert(df.filter(Bloom.gateLong(spark, small, col("g"))).count() === 2)
+  }
+
   test("probe works inside whole-stage codegen and interpreted eval") {
     val members = spark.range(0, 100).select(xxhash64(col("id")).as("g"))
     val bits = Bloom.buildLong(members, "g")
