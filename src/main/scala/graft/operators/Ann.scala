@@ -82,33 +82,42 @@ object Ann {
       .select(col(idCol), col(vecCol), col("cell"))
 
   /** IVF centroids: the corpus' first `k` vectors as seeds, refined by
-    * ONE Lloyd step over the whole corpus. Both driver round-trips are
-    * planning-class (k rows; k·dims sums). Deterministic: seeds are
-    * id-ordered, sums integer-scaled. */
+    * `steps` Lloyd iterations over the corpus (default 1; the catalog
+    * faces run 2 — the second step measurably tightens cells and
+    * improves probe recall, pinned in SimilaritySpec). Every driver
+    * round-trip is planning-class (k rows; k·dims sums per step).
+    * Deterministic: seeds are id-ordered, sums integer-scaled — each
+    * step is one corpus pass whose mean computation both engines
+    * replay bit-for-bit. */
   def ivfCentroids(s: SparkSession, corpus: DataFrame, k: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding")
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   steps: Int = 1)
       : Array[(Long, Array[Float])] = {
     graft.GraftExtensions.ensure(s)
-    val cents0 = corpus.filter(col(idCol) < k)
+    var cents = corpus.filter(col(idCol) < k)
       .select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val sums = ivfAssign(corpus, cents0, idCol, vecCol)
-      .select(col("cell"), posexplode(col(vecCol)).as(Seq("idx", "x")))
-      .groupBy("cell", "idx")
-      .agg(sum(round(col("x").cast("double") * LloydScale).cast("long"))
-        .as("s"), count(lit(1)).as("n"))
-      .collect()
-    val refined: Map[Long, Array[Float]] = sums.groupBy(_.getLong(0))
-      .map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1))
-          .map(r => ((r.getLong(2).toDouble / r.getLong(3)) / LloydScale)
-            .toFloat)
-      }
-    // empty cells keep their seed (can't occur with data-point seeds —
-    // a seed's own vector always argmaxes to it — but the fallback is
-    // mirrored in the oracle so the two can never diverge)
-    cents0.map { case (cId, v) => (cId, refined.getOrElse(cId, v)) }
+    for (_ <- 1 to steps) {
+      val sums = ivfAssign(corpus, cents, idCol, vecCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("idx", "x")))
+        .groupBy("cell", "idx")
+        .agg(sum(round(col("x").cast("double") * LloydScale).cast("long"))
+          .as("s"), count(lit(1)).as("n"))
+        .collect()
+      val refined: Map[Long, Array[Float]] = sums.groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => ((r.getLong(2).toDouble / r.getLong(3)) / LloydScale)
+              .toFloat)
+        }
+      // empty cells keep their previous centroid (cannot occur in step
+      // 1 — a data-point seed argmaxes to itself — but CAN from step 2
+      // on, once centroids are means; the fallback is mirrored in the
+      // oracle so the two can never diverge)
+      cents = cents.map { case (cId, v) => (cId, refined.getOrElse(cId, v)) }
+    }
+    cents
   }
 
   /** Top-`nprobe` probe cells per query vector: (q_id, q_emb, q_cell).

@@ -29,6 +29,17 @@ object Similarity extends QueryModule {
 
   private val K = 10
 
+  /** Lloyd iterations for every IVF face (Spark and oracle sides both
+    * derive their step count from this). Two: the first step moves
+    * data-point seeds to cell means, the second re-partitions against
+    * those means — the classic cheap win, measurably better probe
+    * recall (SimilaritySpec pins step-2 ≥ step-1 per query). Each
+    * extra step is a full corpus pass for a shrinking return, so the
+    * catalog stops where the recall report stops improving.
+    * Public: SimilaritySpec builds index/probe pipelines that must
+    * agree with the catalog faces centroid-for-centroid. */
+  val IvfSteps = 2
+
   /** Deterministic query batch: the first 3 vectors. */
   private def parts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -99,9 +110,9 @@ object Similarity extends QueryModule {
   )
 
   /** IVF-style approximate top-k: 8 coarse centroids — seeded with the
-    * first 8 vectors, then refined by ONE Lloyd (k-means) step — every
-    * vector assigned to its max-cosine centroid, probes search their
-    * own cell only.
+    * first 8 vectors, then refined by [[IvfSteps]] Lloyd (k-means)
+    * steps — every vector assigned to its max-cosine centroid, probes
+    * search their own cell only.
     *
     * Scale shape: assignment = broadcast(8 centroids) × corpus → argmax
     * per vector (a narrow map, no shuffle); the Lloyd update is one
@@ -137,7 +148,7 @@ object Similarity extends QueryModule {
       // batch derives from `emb` directly), so no persist/checkpoint.
       import graft.operators.Ann
       val emb = Tables(s, dir, "embeddings")
-      val cents1 = Ann.ivfCentroids(s, emb, 8)
+      val cents1 = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps)
       val assigned = Ann.ivfAssign(emb, cents1)
       val queries = Ann.ivfProbeCells(
         emb.filter(col("vec_id") < 3), cents1, nprobe)
@@ -164,41 +175,50 @@ object Similarity extends QueryModule {
   )
 
   /** DuckDB CTE chain replaying the IVF pipeline bit-for-bit — seeds,
-    * one integer-scaled Lloyd step, argmax assignment, top-nprobe
-    * probe cells, candidate scoring — ending in `iscored (q_id,
-    * vec_id, cosine)`. Shared by the ivf top-k oracles and the recall
-    * report (whose WITH-clause also carries the brute and SRP chains,
-    * hence the collision-free i-prefixed names). */
-  private def ivfDuckCtes(nprobe: Int): String = s"""
-      cents0 AS (
-        SELECT vec_id AS c_id, embedding AS c_emb
-        FROM embeddings WHERE vec_id < 8),
-      sc0 AS (
+    * `IvfSteps` integer-scaled Lloyd steps (each one an isc/ia/idims/
+    * isums/cents block chained off the previous step's centroids,
+    * mirroring the Scala loop in Ann.ivfCentroids), argmax assignment,
+    * top-nprobe probe cells, candidate scoring — ending in `iscored
+    * (q_id, vec_id, cosine)`. Shared by the ivf top-k oracles and the
+    * recall report (whose WITH-clause also carries the brute and SRP
+    * chains, hence the collision-free i-prefixed names). */
+  private def lloydStepCte(i: Int): String = {
+    val prev = s"cents${i - 1}"
+    s"""
+      isc$i AS (
         SELECT e.vec_id, e.embedding, c.c_id,
                ${duckCosine("e.embedding", "c.c_emb")} AS c_cos
-        FROM embeddings e, cents0 c),
-      a0 AS (
+        FROM embeddings e, $prev c),
+      ia$i AS (
         SELECT vec_id, embedding, c_id AS cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY c_cos DESC, c_id ASC) AS rn
-          FROM sc0) WHERE rn = 1),
-      dims AS (
+          FROM isc$i) WHERE rn = 1),
+      idims$i AS (
         SELECT cell, unnest(range(1, len(embedding)+1)) AS idx,
                unnest(embedding) AS x
-        FROM a0),
-      sums AS (
+        FROM ia$i),
+      isums$i AS (
         SELECT cell, idx,
                sum(CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
                count(*) AS n
-        FROM dims GROUP BY 1, 2),
-      cents AS (
+        FROM idims$i GROUP BY 1, 2),
+      cents$i AS (
         SELECT c0.c_id,
                CASE WHEN count(sm.idx) = 0 THEN first(c0.c_emb)
                     ELSE list(CAST((CAST(sm.s AS DOUBLE) / sm.n)
                                    / 1048576.0 AS FLOAT) ORDER BY sm.idx)
                END AS c_emb
-        FROM cents0 c0 LEFT JOIN sums sm ON sm.cell = c0.c_id
-        GROUP BY c0.c_id),
+        FROM $prev c0 LEFT JOIN isums$i sm ON sm.cell = c0.c_id
+        GROUP BY c0.c_id)"""
+  }
+
+  private def ivfDuckCtes(nprobe: Int): String = s"""
+      cents0 AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 8),
+      ${(1 to IvfSteps).map(lloydStepCte).mkString(",")},
+      cents AS (SELECT c_id, c_emb FROM cents$IvfSteps),
       scored_cells AS (
         SELECT e.vec_id, e.embedding, c.c_id,
                ${duckCosine("e.embedding", "c.c_emb")} AS c_cos
@@ -286,7 +306,7 @@ object Similarity extends QueryModule {
         .select("q_id", "vec_id")
       val srp = Ann.topkSrp(s, emb, qids, K, nPlanes = 4)
         .select("q_id", "vec_id")
-      val cents = Ann.ivfCentroids(s, emb, 8)
+      val cents = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps)
       val ivf = Ann.ivfAssign(emb, cents)
         .join(broadcast(Ann.ivfProbeCells(
           emb.filter(col("vec_id") < 3), cents, 2)),
