@@ -61,6 +61,57 @@ object Tables {
           .option("numPartitions", numPartitions)
       ) { case (r, (k, v)) => r.option(k, v) }.load())
 
+  /** S2, Oracle face — the dialect-specific knobs the reference's
+    * actual warehouse source needs, layered over [[jdbc]] (which stays
+    * database-neutral; TablesSpec proves the shared path end-to-end on
+    * embedded Derby). Spark's built-in OracleDialect handles quoting
+    * and type mapping; what it does NOT default correctly for a
+    * reproducible extract:
+    *
+    *   - `oracle.jdbc.mapDateToTimestamp=false` — Oracle DATE carries
+    *     a time-of-day; the driver default maps it to Timestamp, but
+    *     the reference's date columns are calendar dates and a
+    *     TZ-shifted timestamp silently moves them a day at the
+    *     UTC boundary.
+    *   - `sessionInitStatement` pins NLS date/timestamp formats per
+    *     session, so `to_char`-shaped pushed predicates behave the
+    *     same from every executor connection.
+    *   - `customSchema` — Oracle `NUMBER` (no scale) arrives as
+    *     DECIMAL(38,10); ids/counts must land as LONG or every
+    *     downstream join key carries decimal overhead. Callers pass
+    *     the narrow truth per column ("enrollment_id LONG, units
+    *     DOUBLE").
+    *   - `fetchsize` — the driver default (10 rows/round-trip) makes a
+    *     partitioned extract latency-bound; 10k is the standard bulk
+    *     setting.
+    *
+    * Offline contract: OracleDialectSpec pins the option map and that
+    * Spark resolves the oracle URL to its Oracle dialect (identifier
+    * quoting included). The live path cannot run in this sandbox (no
+    * Oracle instance/driver jar) — it is the same partitioned reader
+    * TablesSpec certifies on Derby, with these options layered on. */
+  def oracleJdbc(spark: SparkSession, url: String, table: String,
+                 partitionColumn: String, lowerBound: Long,
+                 upperBound: Long, numPartitions: Int,
+                 customSchema: Option[String] = None,
+                 props: Map[String, String] = Map.empty): DataFrame = {
+    require(url.startsWith("jdbc:oracle:"),
+      s"oracleJdbc requires a jdbc:oracle: url, got $url")
+    jdbc(spark, url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, oracleOptions(customSchema) ++ props)
+  }
+
+  /** The Oracle reader options [[oracleJdbc]] layers over the neutral
+    * partitioned reader — exposed for the offline spec. */
+  def oracleOptions(customSchema: Option[String]): Map[String, String] =
+    Map(
+      "oracle.jdbc.mapDateToTimestamp" -> "false",
+      "sessionInitStatement" ->
+        ("ALTER SESSION SET NLS_DATE_FORMAT = 'YYYY-MM-DD' " +
+          "NLS_TIMESTAMP_FORMAT = 'YYYY-MM-DD HH24:MI:SS.FF6'"),
+      "fetchsize" -> "10000") ++
+      customSchema.map("customSchema" -> _)
+
   /** Lowercase-normalize column names (reference: jonesy/jobs.py:177
     * `[c[0].lower() for c in result.description]`). Fixture columns are
     * already lowercase; this keeps the contract explicit for any source.
