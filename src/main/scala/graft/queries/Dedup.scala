@@ -815,8 +815,75 @@ object Dedup extends QueryModule {
       ORDER BY doc_id""")
   )
 
+  /** Leakage-safe train/val/test split — the assignment step AFTER
+    * near-dup detection that naive row-hash splits get wrong: two
+    * near-duplicate documents hashed independently land in different
+    * splits ~18% of the time, and every such pair is eval
+    * contamination (the eval half is effectively training data). The
+    * fix is to split by GROUP, not by row: documents that are LSH
+    * candidates of each other collapse into one connected component,
+    * the component id is the split key, and the whole component lands
+    * in exactly one split — near-dups can never straddle by
+    * construction (SplitSpec pins it pair-by-pair on the fixture).
+    *
+    * Assignment is the deterministic md5-prefix idiom
+    * (rel_hash_sample): first two hex chars of md5(group) give 256
+    * uniform buckets — <0xcc train (~80%), <0xe6 val (~10%), rest
+    * test (~10%). No RNG, reproducible at any cluster size, and the
+    * fractions hold in expectation over GROUPS (a mega-cluster drags
+    * its whole mass into one split — that is the point).
+    *
+    * Scale shape: LSH banding + log-round CC as in
+    * [[curationPipeline]]; the split itself is a broadcast-sized left
+    * join (components-with->1-doc only) plus a narrow md5 — no new
+    * shuffle beyond the cluster machinery. */
+  val leakageSafeSplit: Q = Q(
+    "dd_leakage_safe_split",
+    (s, dir) => {
+      import graft.operators.{CacheScope, ConnectedComponents, TextDedup}
+      val docs = Tables(s, dir, "documents")
+      val cand = TextDedup.lshCandidates(docs, numPerms = 8, nBands = 2)
+      val labels = ConnectedComponents.minLabel(cand, "doc_a", "doc_b")
+      CacheScope.releaseCheckpoint(cand)
+      val grp = coalesce(col("cluster"), col("doc_id"))
+      val bucket = substring(md5(grp.cast("string")), 1, 2)
+      val result = docs
+        .join(labels.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), grp.as("split_group"),
+          when(bucket < "cc", "train")
+            .when(bucket < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+      CacheScope.eval(result)(labels)
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSql, $sigSql, $candSql,
+      bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+        WHERE e.b <> r.a),
+      clusters AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a)
+      SELECT d.doc_id,
+             COALESCE(c.cluster, d.doc_id) AS split_group,
+             CASE WHEN substr(md5(CAST(COALESCE(c.cluster, d.doc_id)
+                            AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(COALESCE(c.cluster, d.doc_id)
+                            AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
-    dupRateBySource, sourceOverlap, curationPipeline, incremental)
+    dupRateBySource, sourceOverlap, curationPipeline, incremental,
+    leakageSafeSplit)
 }

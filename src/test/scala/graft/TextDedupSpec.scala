@@ -117,6 +117,29 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
       (2L, 4L) -> 2L, (3L, 4L) -> 2L, (1L, 3L) -> 3L, (1L, 4L) -> 3L))
   }
 
+  test("leakage-safe split: no LSH candidate pair straddles splits") {
+    // the contract the face exists for — a near-dup pair split apart
+    // is eval contamination; grouping by connected component must
+    // make straddling impossible, and every document must land in
+    // exactly one of the three splits
+    val split = SparkEntry.queries("dd_leakage_safe_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    val nDocs = graft.sources.Tables(spark, sf, "documents").count()
+    assert(split.size == nDocs, "every document assigned")
+    assert(split.values.map(_._2).toSet.subsetOf(
+      Set("train", "val", "test")))
+    val cand = TextDedup.lshCandidates(docs, 8, 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.nonEmpty, "fixture must exercise the property")
+    cand.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"near-dup pair ($a,$b) straddles ${split(a)._2}/${split(b)._2}")
+      assert(split(a)._1 == split(b)._1, "pair shares a split group")
+    }
+  }
+
   test("more bands at same perms never loses candidate pairs") {
     // banding theory: rows-per-band shrinks → collision probability
     // rises → the candidate set can only grow
