@@ -45,12 +45,13 @@ object Jobs {
     // curation run packaged through the SAME dispatch → extract →
     // fan-out machinery as the reference jobs — the full certified
     // pipeline's shard map, the per-source duplicate-rate health
-    // report, and the PII-scrubbed corpus with audit counts. One
-    // JOB=curate_corpus spark-submit produces everything a downstream
-    // trainer ingests.
+    // report, the leakage-safe train/val/test split map, and the
+    // PII-scrubbed corpus with audit counts. One JOB=curate_corpus
+    // spark-submit produces everything a downstream trainer ingests.
     "curate_corpus" -> Seq(
       "dd_curation_pipeline" -> "curated-shards",
       "dd_dup_rate_by_source" -> "dedup-health",
+      "dd_leakage_safe_split" -> "split-map",
       "ta_pii_redact" -> "pii-scrubbed-corpus"))
 
   /** Per-term extracts per job as (key directory, key file base,
