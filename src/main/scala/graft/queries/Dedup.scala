@@ -834,9 +834,12 @@ object Dedup extends QueryModule {
     * its whole mass into one split — that is the point).
     *
     * Scale shape: LSH banding + log-round CC as in
-    * [[curationPipeline]]; the split itself is a broadcast-sized left
-    * join (components-with->1-doc only) plus a narrow md5 — no new
-    * shuffle beyond the cluster machinery. */
+    * [[curationPipeline]]; the split itself is one equi-join on
+    * doc_id (labels cover only docs in candidate pairs — AQE
+    * broadcasts when that side is small, but at web-corpus dup rates
+    * of 30-50% it is a plain key-partitioned join and correct either
+    * way) plus a narrow md5 — no new shuffle shape beyond the cluster
+    * machinery. */
   val leakageSafeSplit: Q = Q(
     "dd_leakage_safe_split",
     (s, dir) => {
