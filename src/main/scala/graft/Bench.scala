@@ -97,28 +97,50 @@ object Bench {
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
+    val sfName = new java.io.File(sfDir).getName
+    // a subset run may NOT touch the default detail file: overwriting
+    // the full-catalog record with a 3-query map would silently
+    // destroy the regression baseline for everything else. Subset
+    // timings land in the detail file only when the caller names one
+    // explicitly.
+    val writeDetail = args.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")
     // regression gate BEFORE overwriting: r8's 36→52s drift hid inside
     // a total that still passed the 2× bar — per-query comparison
     // against the last recorded run is what actually catches a cluster
     // of 2-9× regressions early (stderr only; the driver's stdout
-    // contract is untouched)
+    // contract is untouched). Defensive throughout: a truncated or
+    // foreign previous file must never abort a finished run.
     val prevFile = new java.io.File(detailPath)
-    if (prevFile.exists()) {
-      val prev = parseDetailQueries(
-        new String(java.nio.file.Files.readAllBytes(prevFile.toPath),
-          "UTF-8"))
-      val cur = results.collect { case (k, v, None) => k -> v }.toMap
-      val regs = regressions(prev, cur)
-      regs.foreach { case (k, o, n) =>
-        System.err.println(
-          f"[bench] REGRESSION $k: $o%.2f s -> $n%.2f s (${n / o}%.1fx)") }
-      if (regs.nonEmpty) System.err.println(
-        s"[bench] ${regs.size} queries regressed >${RegressionFactor}x " +
-          s"vs $detailPath -- rerun before trusting either number")
+    if (writeDetail && prevFile.exists()) try {
+      val prevTxt = new String(
+        java.nio.file.Files.readAllBytes(prevFile.toPath), "UTF-8")
+      val prevSf = parseDetailField(prevTxt, "sf")
+      val prevReps = parseDetailField(prevTxt, "reps")
+      if (prevSf.exists(_ != sfName) ||
+          prevReps.exists(_ != reps.toString)) {
+        System.err.println(s"[bench] previous detail is sf=" +
+          s"${prevSf.getOrElse("?")}/reps=${prevReps.getOrElse("?")}, " +
+          s"this run is sf=$sfName/reps=$reps -- regression gate skipped")
+      } else {
+        val prev = parseDetailQueries(prevTxt)
+        val cur = results.collect { case (k, v, None) => k -> v }.toMap
+        val regs = regressions(prev, cur)
+        regs.foreach { case (k, o, n) =>
+          System.err.println(
+            f"[bench] REGRESSION $k: $o%.2f s -> $n%.2f s (${n / o}%.1fx)") }
+        if (regs.nonEmpty) System.err.println(
+          s"[bench] ${regs.size} queries regressed >${RegressionFactor}x " +
+            s"vs $detailPath -- rerun before trusting either number")
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] regression gate skipped: $e")
     }
-    val sfName = new java.io.File(sfDir).getName
-    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (detailJson(results, reps, sfName) + "\n").getBytes("UTF-8"))
+    if (writeDetail)
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detailJson(results, reps, sfName) + "\n").getBytes("UTF-8"))
+    else System.err.println(
+      s"[bench] subset run: $detailPath left untouched (set " +
+        "SPARK_GRAFT_BENCH_DETAIL to record subset timings)")
     println(headline(results, reps, sfName, detailPath))
     spark.stop()
   }
@@ -143,15 +165,23 @@ object Bench {
 
   /** Extract the `queries` map from a detail line this object wrote.
     * Hand-rolled like the writer (no JSON lib on the classpath): the
-    * format is flat `"name":number` pairs inside the queries object. */
+    * format is flat `"name":number` pairs inside the queries object.
+    * Tolerant of truncation — a half-written file from a killed run
+    * yields an empty map, never an exception. */
   def parseDetailQueries(json: String): Map[String, Double] = {
     val start = json.indexOf("\"queries\":{")
-    if (start < 0) return Map.empty
-    val body = json.substring(start + "\"queries\":{".length,
-      json.indexOf('}', start))
+    val end = if (start < 0) -1 else json.indexOf('}', start)
+    if (start < 0 || end < 0) return Map.empty
+    val body = json.substring(start + "\"queries\":{".length, end)
     "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
+
+  /** Top-level scalar field from a detail line (`"sf":"sf0.1"` or
+    * `"reps":3`), as its raw text. */
+  def parseDetailField(json: String, field: String): Option[String] =
+    ("\"" + field + "\":\"?([^\",}]+)\"?").r
+      .findFirstMatchIn(json).map(_.group(1))
 
   // the driver keeps only the LAST ~2000 chars of stdout, and the
   // sbt epilogue ("[success] Total time: …", ~80 chars) lands INSIDE

@@ -67,22 +67,37 @@ object GraftExtensions {
     * should be. */
   val BloomBroadcastThreshold: Int = 64 << 10
 
-  // one Broadcast per distinct filter byte-array: re-resolving a plan
-  // that reuses the same driver-built bytes (streaming restarts, a
-  // gate used on both sides of a union) must not re-ship megabytes.
-  // Weak keys let the ContextCleaner reclaim the broadcast once the
-  // caller drops the bytes — array keys compare by identity under
-  // WeakHashMap's equals, which is exactly the sharing unit here.
-  private val bloomBcCache =
-    new java.util.WeakHashMap[Array[Byte],
-      org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+  // One Broadcast per distinct (SparkContext, filter CONTENT):
+  // re-resolving a plan that reuses the same driver-built bytes — or a
+  // restarted stream rebuilding byte-identical bytes in a fresh array
+  // — must not re-ship megabytes. Keyed by content digest, NOT array
+  // identity: sc.broadcast() itself stores the value strongly in the
+  // driver block manager, so a weak-identity key would never clear
+  // (the r9 review's leak). The context id in the key keeps a handle
+  // from a stopped SparkContext from being handed to a new session.
+  // Bounded LRU: evicted entries are DROPPED, never destroy()ed — a
+  // live plan may still hold the handle, and the ContextCleaner
+  // reclaims the broadcast once nothing references it.
+  private val BloomBcCacheMax = 64
+  private val bloomBcCache = new java.util.LinkedHashMap[String,
+      org.apache.spark.broadcast.Broadcast[Array[Byte]]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String,
+          org.apache.spark.broadcast.Broadcast[Array[Byte]]]): Boolean =
+      size() > BloomBcCacheMax
+  }
 
   private def broadcastBloom(bytes: Array[Byte]) =
     bloomBcCache.synchronized {
-      var bc = bloomBcCache.get(bytes)
+      val sc = SparkSession.active.sparkContext
+      val digest = new java.math.BigInteger(1,
+        java.security.MessageDigest.getInstance("MD5").digest(bytes))
+        .toString(16)
+      val key = s"${sc.applicationId}:${sc.startTime}:$digest"
+      var bc = bloomBcCache.get(key)
       if (bc == null) {
-        bc = SparkSession.active.sparkContext.broadcast(bytes)
-        bloomBcCache.put(bytes, bc)
+        bc = sc.broadcast(bytes)
+        bloomBcCache.put(key, bc)
       }
       bc
     }

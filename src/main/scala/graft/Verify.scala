@@ -10,6 +10,15 @@ object Verify {
     // passes exactly two args, so its full-catalog path is unchanged)
     val (sfDir, outDir) = (args(0), args(1))
     val subset = args.drop(2).toSet
+    // fail fast on a typo'd query name (mirrors Bench): a silent
+    // zero-query dump looks like success to a local iteration loop
+    val unknown = subset.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}\n" +
+          s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

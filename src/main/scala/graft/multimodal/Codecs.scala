@@ -16,10 +16,13 @@ package graft.multimodal
   *     the PNG spec — a complete real decode for 8-bit grayscale, the
   *     plumbing identical for other color types.
   *
-  * Every parse failure throws with the offending offset/field — a
-  * corrupt blob in a 100 TB corpus must surface as a per-row error a
-  * pipeline can quarantine (see Multimodal's tryDecode wrappers), not
-  * as silently-wrong features.
+  * Every parse failure throws IllegalArgumentException with the
+  * offending offset/field — a corrupt blob in a 100 TB corpus must
+  * surface as a per-row error, not as silently-wrong features. Wrap a
+  * decode in [[Codecs.tryDecode]] to turn that into the
+  * `Either[String, A]` a quarantine pipeline routes on; the catalog
+  * faces decode fixture-synthesized (always-valid) bytes and call the
+  * throwing forms directly.
   *
   * Encoders exist so tests and fixtures can synthesize REAL bytes
   * deterministically (no media files ship with the container); the
@@ -52,6 +55,16 @@ object Codecs {
   /** Decoded image: pixels(y)(x) = (r, g, b), y=0 is the TOP row. */
   final case class Image(width: Int, height: Int,
                          pixels: Array[Array[(Int, Int, Int)]])
+
+  /** Per-row quarantine seam: Right(decoded) or Left(message) for the
+    * VALIDATED parse failures (the IllegalArgumentException every
+    * `require` above throws). Anything else — a genuine bug — still
+    * fails the task: quarantining unknown exceptions would silently
+    * eat data on a broken code path. */
+  def tryDecode[A](f: => A): Either[String, A] =
+    try Right(f)
+    catch { case e: IllegalArgumentException =>
+      Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)) }
 
   private val BmpFileHeader = 14
   private val BmpInfoHeader = 40
@@ -105,10 +118,18 @@ object Codecs {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(le16(b, 28) == 24, s"unsupported bpp ${le16(b, 28)}")
     require(le32(b, 30) == 0, s"unsupported compression ${le32(b, 30)}")
-    val stride = bmpRowStride(width)
-    require(b.length >= pixelOff + stride * height,
-      s"pixel array truncated: need ${pixelOff + stride * height}, " +
-        s"have ${b.length}")
+    // size math in Long: header-controlled width/height/pixelOff can
+    // overflow Int ((width*3+3)*height wraps positive for width around
+    // 0x2AAAAAAB), which would slip past an Int-arithmetic guard and
+    // surface as a raw ArrayIndexOutOfBounds/OOM in the pixel walk
+    // instead of this validated failure
+    require(pixelOff >= BmpFileHeader + BmpInfoHeader,
+      s"bad pixel offset $pixelOff")
+    val strideL = ((width.toLong * 3) + 3) & ~3L
+    val needL = pixelOff.toLong + strideL * height.toLong
+    require(needL <= b.length.toLong,
+      s"pixel array truncated: need $needL, have ${b.length}")
+    val stride = strideL.toInt // needL <= length fits Int, so stride does
     val rows = Array.ofDim[Array[(Int, Int, Int)]](height)
     var y = 0
     while (y < height) {

@@ -36,13 +36,19 @@ object Bloom {
     // an all-zero-bits filter that admits nothing (EdgeCaseSpec).
     // Recover from the NPE instead of pre-checking with df.isEmpty:
     // the pre-check was a whole extra Spark job paid by EVERY build on
-    // the overwhelmingly common non-empty path (ADVICE r8), while the
-    // catch costs nothing unless the input really is empty.
+    // the overwhelmingly common non-empty path (ADVICE r8). The catch
+    // CONFIRMS emptiness before substituting the empty filter — an
+    // unrelated NPE on a non-empty input must propagate, because an
+    // all-zero filter over real keys would silently drop every row at
+    // the gate (the one way this operator can break its no-false-
+    // negative contract). The confirm job runs only on the NPE path.
     val f =
       try df.stat.bloomFilter(keyCol, expectedItems, fpp)
       catch {
-        case _: NullPointerException =>
-          org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+        case npe: NullPointerException =>
+          if (df.isEmpty)
+            org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+          else throw npe
       }
     val bos = new java.io.ByteArrayOutputStream()
     f.writeTo(bos)

@@ -89,5 +89,13 @@ class BenchFormatSpec extends AnyFunSuite {
     val parsed = Bench.parseDetailQueries(detail)
     assert(parsed.size === 120)
     assert(parsed("dd_some_catalog_query_name_001") === 0.037)
+    // scalar fields for the sf/reps mismatch guard
+    assert(Bench.parseDetailField(detail, "sf") === Some("sf0.1"))
+    assert(Bench.parseDetailField(detail, "reps") === Some("3"))
+    // a truncated file (killed mid-write) must parse to empty, never
+    // throw — the gate runs AFTER the whole catalog was timed
+    val cut = detail.substring(0, detail.indexOf("\"queries\":{") + 15)
+    assert(Bench.parseDetailQueries(cut) === Map.empty)
+    assert(Bench.parseDetailQueries("") === Map.empty)
   }
 }

@@ -102,6 +102,18 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val corrupt = png.clone()
     corrupt(40) = (corrupt(40) ^ 0x7f).toByte // flip a byte inside IDAT
     intercept[IllegalArgumentException](Codecs.decodePng(corrupt))
+    // header-controlled Int overflow: width 0x2AAAAAAB makes
+    // (width*3+3)*height wrap positive under Int math — the Long-math
+    // guard must reject it as validated truncation, not AIOOBE/OOM
+    val evil = bmp.clone()
+    evil(18) = 0xAB.toByte; evil(19) = 0xAA.toByte
+    evil(20) = 0xAA.toByte; evil(21) = 0x2A.toByte
+    val e = intercept[IllegalArgumentException](Codecs.decodeBmp(evil))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // the quarantine seam: validated failures become Left, successes
+    // Right — the per-row routing a 100 TB corpus scrubber needs
+    assert(Codecs.tryDecode(Codecs.decodeBmp(evil)).isLeft)
+    assert(Codecs.tryDecode(Codecs.decodeBmp(bmp)).isRight)
   }
 
   test("decodeStub: fixed feature schema, deterministic values") {
