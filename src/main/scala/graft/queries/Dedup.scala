@@ -884,9 +884,82 @@ object Dedup extends QueryModule {
       ORDER BY d.doc_id""")
   )
 
+  /** Containment near-dup — |A∩B| / min(|A|,|B|) over the LSH candidate
+    * pairs, alongside plain Jaccard. Containment is the asymmetric
+    * cousin Jaccard misses: a short document wholly quoted inside a
+    * long one has near-1 containment but low Jaccard (the union is
+    * dominated by the long doc), and real curation pipelines flag
+    * exactly that shape — boilerplate embedding, quote-expansion,
+    * chunk-of-a-doc duplication. `is_partial_dup` marks pairs where
+    * containment clears 0.7 but Jaccard does not, i.e. the pairs only
+    * this face catches. Candidate generation is the SAME banded-LSH
+    * set as dd_minhash_lsh (recall caveat documented there: pairs with
+    * no shared band are out of scope by design — at 100 TB that bound
+    * is what keeps the op sub-quadratic); every join downstream is
+    * keyed on the candidate pair, so cost ∝ candidates, never pairs².
+    * All three doubles are single IEEE divisions of exact longs, so
+    * the oracle hash-matches bit-for-bit. */
+  val containment: Q = Q(
+    "dd_containment",
+    (s, dir) => {
+      import graft.operators.{CacheScope, TextDedup}
+      val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sigs = TextDedup.signaturesNarrow(
+        Tables(s, dir, "documents"), 8).persist()
+      val cand = TextDedup.candidates(TextDedup.bands(sigs, 8, 2))
+        .select("doc_a", "doc_b")
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"),
+          col("shingle").as("shingle_b")), "doc_b")
+        .filter(col("shingle") === col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      val result = cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          "doc_b")
+        .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni").cast("double") / least(col("n_a"), col("n_b")))
+            .as("containment"),
+          (col("ni").cast("double") /
+            (col("n_a") + col("n_b") - col("ni"))).as("jaccard"))
+        .withColumn("is_partial_dup",
+          col("containment") >= 0.7 && col("jaccard") < 0.7)
+        .orderBy("doc_a", "doc_b")
+      CacheScope.eval(result)(sh, sigs)
+    },
+    Some(s"""
+      WITH $shinglesSql, $sigSql, $candSql,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+                 least(sa.n, sb.n) AS containment,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+                 (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, containment, jaccard,
+             containment >= 0.7 AND jaccard < 0.7 AS is_partial_dup
+      FROM scored ORDER BY doc_a, doc_b""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
     dupRateBySource, sourceOverlap, curationPipeline, incremental,
-    leakageSafeSplit)
+    leakageSafeSplit, containment)
 }

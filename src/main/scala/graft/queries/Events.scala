@@ -484,7 +484,113 @@ object Events extends QueryModule {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** SCD2 intervalization — collapse each user's event-type stream into
+    * type-2 dimension rows `[valid_from, valid_to)` with an `is_current`
+    * flag, the history table a warehouse builds from a CDC feed (the
+    * reference's refresh jobs emit snapshot extracts; this is the
+    * standard "keep history" counterpart). Gaps-and-islands: the
+    * difference of two row_numbers (stream order vs per-type order) is
+    * constant exactly within a run of consecutive equal types, so a
+    * groupBy on it rebuilds the runs without a self-join; `lead` then
+    * closes each interval at the next run's start. Ties on ts are
+    * broken by event_id in BOTH row_numbers and in the lead ordering
+    * (via the run's first event_id), so the islands and the interval
+    * chain are fully deterministic.
+    *
+    * Scale (100 TB): ONE exchange on user_id serves everything — both
+    * window sorts, the island aggregate, and the lead window all need
+    * only user-level co-location (hash(user_id) satisfies every
+    * ClusteredDistribution here by the subset rule), so the plan is
+    * scan → exchange → sorts/agg/window. No join, no second shuffle;
+    * skew degrades to one partition's sort. */
+  val scd2: Q = Q(
+    "ev_scd2",
+    (s, dir) => {
+      val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wTyp = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val islands = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"),
+          (row_number().over(wAll) - row_number().over(wTyp)).as("grp"))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(min("ts").as("valid_from"),
+          min("event_id").as("first_event_id"),
+          count(lit(1)).as("n_events"))
+      val wLead = Window.partitionBy("user_id")
+        .orderBy("valid_from", "first_event_id")
+      islands
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          lead(col("valid_from"), 1).over(wLead).as("valid_to"),
+          col("n_events"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"), col("n_events"))
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+    Some("""
+      WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM events),
+      islands AS (
+        SELECT user_id, event_type, min(ts) AS valid_from,
+               min(event_id) AS first_event_id, count(*) AS n_events
+        FROM ordered GROUP BY user_id, event_type, grp),
+      scd AS (
+        SELECT user_id, event_type, valid_from, n_events,
+               lead(valid_from, 1) OVER (PARTITION BY user_id
+                 ORDER BY valid_from, first_event_id) AS valid_to
+        FROM islands)
+      SELECT user_id, event_type, valid_from, valid_to,
+             valid_to IS NULL AS is_current, n_events
+      FROM scd ORDER BY user_id, valid_from, event_type""")
+  )
+
+  /** Activity streaks — per user, maximal runs of consecutive active
+    * calendar days (the retention-adjacent "gaps and islands over
+    * dates" shape: engagement streaks, SLA uptime runs, sensor
+    * liveness). Anchor trick: `day − dense_rank(day)` is constant
+    * exactly within a run of consecutive days — dense_rank (not
+    * row_number) so multiple events on one day don't break the run —
+    * and a single groupBy on the anchor rebuilds each streak with its
+    * start, end, day count, and event count in one pass.
+    *
+    * Scale (100 TB): one exchange on user_id (the dense_rank window),
+    * then the (user, anchor) aggregate is subset-satisfied — no second
+    * shuffle, no self-join, no distinct-days materialization. */
+  val activityStreaks: Q = Q(
+    "ev_activity_streaks",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      ev(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .withColumn("anchor", date_sub(col("day"), dense_rank().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+          countDistinct(col("day")).as("n_days"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("streak_start"), col("streak_end"),
+          col("n_days"), col("n_events"))
+        .orderBy("user_id", "streak_start")
+    },
+    Some("""
+      WITH days AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY
+                 CAST(ts AS DATE)) AS INTEGER) AS rk
+        FROM events)
+      SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+             count(DISTINCT day) AS n_days, count(*) AS n_events
+      FROM days GROUP BY user_id, day - rk
+      ORDER BY user_id, streak_start""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
-    rankStats, timeParts, funnel, retention, cdcMerge, windowUsers)
+    rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
+    scd2, activityStreaks)
 }
