@@ -41,6 +41,24 @@ object Bench {
     // timed query isn't charged for session warm-up
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.sources.Tables(spark, sfDir, "region").count()
+    // host-speed calibration: a fixed CPU-bound job (no I/O, no
+    // shuffle) timed as a median of 3. The shared host's effective
+    // throughput swings ~2× between rounds even with this VM idle, so
+    // raw per-query times from different runs are not comparable; the
+    // calib value written into the detail record lets the regression
+    // gate (and any human reader) normalize two runs to the same
+    // host frame before judging a diff.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: the sum of 2e8 hash-sized longs overflows
+      // ANSI arithmetic; xor is closed over Long and just as CPU-bound
+      spark.range(0, 200000000L, 1, cpus.toInt)
+        .selectExpr("bit_xor(id * 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // absorb the calib shape's own codegen
+    val calib = Seq.fill(3)(calibOnce()).sorted.apply(1)
+    System.err.println(f"[bench] host calib: $calib%.3f s")
     // optional args = subset of query names, for local iteration on one
     // query without paying for the whole catalog
     val selected =
@@ -116,14 +134,34 @@ object Bench {
         java.nio.file.Files.readAllBytes(prevFile.toPath), "UTF-8")
       val prevSf = parseDetailField(prevTxt, "sf")
       val prevReps = parseDetailField(prevTxt, "reps")
+      // cpus too: both raw times and the calib depend on thread count,
+      // so cross-cpu comparisons are meaningless even normalized
+      val prevCpus = parseDetailField(prevTxt, "cpus")
       if (prevSf.exists(_ != sfName) ||
-          prevReps.exists(_ != reps.toString)) {
+          prevReps.exists(_ != reps.toString) ||
+          prevCpus.exists(_ != cpus)) {
         System.err.println(s"[bench] previous detail is sf=" +
-          s"${prevSf.getOrElse("?")}/reps=${prevReps.getOrElse("?")}, " +
-          s"this run is sf=$sfName/reps=$reps -- regression gate skipped")
+          s"${prevSf.getOrElse("?")}/reps=${prevReps.getOrElse("?")}" +
+          s"/cpus=${prevCpus.getOrElse("?")}, " +
+          s"this run is sf=$sfName/reps=$reps/cpus=$cpus -- " +
+          "regression gate skipped")
       } else {
         val prev = parseDetailQueries(prevTxt)
-        val cur = results.collect { case (k, v, None) => k -> v }.toMap
+        // normalize this run into the previous run's host frame: a
+        // uniformly-2×-slower host must not read as 115 regressions
+        // (nor mask a real one measured on a faster host). Clamped to
+        // [0.5, 3] — a calib ratio outside that is itself suspect, and
+        // an unclamped ratio could hide a genuine catalog-wide change.
+        val scale = parseDetailField(prevTxt, "calib")
+          .flatMap(s => scala.util.Try(s.toDouble).toOption)
+          .filter(_ > 0)
+          .map(pc => math.max(0.5, math.min(3.0, calib / pc)))
+          .getOrElse(1.0)
+        if (math.abs(scale - 1.0) > 0.3) System.err.println(
+          f"[bench] host speed differs from previous run by $scale%.2fx " +
+            "(calib-normalized gate; absolute totals NOT comparable)")
+        val cur = results.collect { case (k, v, None) => k -> v / scale }
+          .toMap
         val regs = regressions(prev, cur)
         regs.foreach { case (k, o, n) =>
           System.err.println(
@@ -137,7 +175,8 @@ object Bench {
     }
     if (writeDetail)
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (detailJson(results, reps, sfName) + "\n").getBytes("UTF-8"))
+        (detailJson(results, reps, sfName, calib, cpus) + "\n")
+          .getBytes("UTF-8"))
     else System.err.println(
       s"[bench] subset run: $detailPath left untouched (set " +
         "SPARK_GRAFT_BENCH_DETAIL to record subset timings)")
@@ -213,13 +252,19 @@ object Bench {
     if (errs == "{}") "" else s""","errors":$errs"""
   }
 
-  /** The unbounded full-precision record written beside the repo. */
+  /** The unbounded full-precision record written beside the repo.
+    * `calib` is the host-speed probe (see main); ≤0 = not measured
+    * (older files / spec-constructed records) and the regression gate
+    * then skips normalization. */
   def detailJson(results: Seq[(String, Double, Option[String])],
-                 reps: Int, sfName: String): String = {
+                 reps: Int, sfName: String, calib: Double = -1.0,
+                 cpus: String = ""): String = {
     val total = results.collect { case (_, v, None) => v }.sum
     val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, 6) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","reps":$reps,"queries":$qs${errPart(results)},"sf":"$sfName"}"""
+    val calibPart = if (calib > 0) s""","calib":${fmt(calib, 6)}""" else ""
+    val cpusPart = if (cpus.nonEmpty) s""","cpus":"$cpus"""" else ""
+    s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","reps":$reps$calibPart$cpusPart,"queries":$qs${errPart(results)},"sf":"$sfName"}"""
   }
 
   /** The stdout line: precision coarsens 3→2→1, then the query map

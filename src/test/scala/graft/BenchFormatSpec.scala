@@ -98,4 +98,28 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.parseDetailQueries(cut) === Map.empty)
     assert(Bench.parseDetailQueries("") === Map.empty)
   }
+
+  test("calib round-trips through detail and normalizes the gate") {
+    // with calib: field present and parseable
+    val detail = Bench.detailJson(mk(10), 3, "sf0.1", calib = 0.412,
+      cpus = "32")
+    assert(mapper.readTree(detail).get("calib").asDouble() === 0.412)
+    assert(Bench.parseDetailField(detail, "calib") === Some("0.412"))
+    assert(Bench.parseDetailField(detail, "cpus") === Some("32"))
+    // without calib (older files): field absent, parse yields None
+    val old = Bench.detailJson(mk(10), 3, "sf0.1")
+    assert(!mapper.readTree(old).has("calib"))
+    assert(Bench.parseDetailField(old, "calib") === None)
+    // the gate's normalization contract: a uniformly 2.2×-slower host
+    // (calib 0.4 → 0.88) divides every current time by 2.2 before
+    // comparing, so unchanged code shows ZERO regressions...
+    val prev = Map("a" -> 1.0, "b" -> 0.5)
+    val slowHost = Map("a" -> 2.2, "b" -> 1.1).map {
+      case (k, v) => k -> v / (0.88 / 0.4) }
+    assert(Bench.regressions(prev, slowHost).isEmpty)
+    // ...while a genuine 4× regression still clears the 1.5× bar
+    // after the same normalization
+    val realReg = Map("a" -> 4.0 / (0.88 / 0.4), "b" -> 0.5)
+    assert(Bench.regressions(prev, realReg).map(_._1) === Seq("a"))
+  }
 }
