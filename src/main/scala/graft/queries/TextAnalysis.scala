@@ -945,10 +945,151 @@ object TextAnalysis extends QueryModule {
       ORDER BY d.doc_id""")
   )
 
+  /** Shared oracle CTEs for the URL-bearing fixture: `dirty` (doc text
+    * + synthesized canonical/mirror links, identical to
+    * [[urlDomains]]'s construction) and `pairs` (distinct doc↔domain
+    * mentions). Factored so the link-graph faces can never drift from
+    * the extraction the per-domain report uses. */
+  private val urlPairsSql = """
+      dirty AS (
+        SELECT doc_id,
+               text || ' see https://' || source || '.example.com/' ||
+               lang || '/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN ' http://mirror-' ||
+                         CAST(doc_id % 3 AS VARCHAR) ||
+                         '.example.net/p/' ||
+                         CAST(doc_id % 50 AS VARCHAR)
+                    ELSE '' END AS dirty
+        FROM documents),
+      u AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(dirty,
+                 'https?://[a-z0-9.-]+/[a-z0-9/._-]*')) AS url
+        FROM dirty),
+      pairs AS (
+        SELECT DISTINCT doc_id,
+               regexp_extract(url, '^https?://([a-z0-9.-]+)', 1) AS domain
+        FROM u)"""
+
+  /** Spark twin of [[urlPairsSql]]: distinct (doc_id, domain) mentions. */
+  private def urlPairs(s: SparkSession, dir: String): DataFrame = {
+    val UrlRe = "https?://[a-z0-9.-]+/[a-z0-9/._-]*"
+    val dirty = concat(
+      col("text"), lit(" see https://"), col("source"),
+      lit(".example.com/"), col("lang"), lit("/"),
+      col("doc_id").cast("string"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" http://mirror-"),
+          (col("doc_id") % 3).cast("string"),
+          lit(".example.net/p/"),
+          (col("doc_id") % 50).cast("string")))
+        .otherwise(lit("")))
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(dirty, lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "^https?://([a-z0-9.-]+)", 1)
+          .as("domain"))
+      .distinct()
+  }
+
+  /** LINK-GRAPH PAGERANK over domain co-mentions — the authority
+    * signal crawl curation uses for per-domain quality weighting
+    * (rank a domain by who it appears alongside, not just how often):
+    * domains co-mentioned in a document link to each other both ways,
+    * and 5 power iterations with damping 0.85 redistribute rank mass
+    * along those edges. This is the engine's iterative-join face
+    * beyond connected components: each iteration is one
+    * edges⋈ranks⋈deg join plus a groupBy-sum — never a collect, never
+    * an adjacency matrix.
+    *
+    * Cross-engine exactness: ALL arithmetic is integer. Ranks live as
+    * longs scaled by 1e9; each contribution is `rank div deg` (floor),
+    * each update is `0.15·S + (85·Σ) div 100` (floor). Integer sums
+    * are order-independent, so Spark's partial aggregation and
+    * DuckDB's serial sum agree bit-for-bit — the standard float
+    * PageRank could never hash-match across engines. Overflow bound:
+    * Σ in-mass ≤ N·S, so 85·Σ stays inside Long up to ~10^8 domains —
+    * the oracle CASTs its int128 sums back to BIGINT to pin the same
+    * width. Dangling/isolated domains keep the 0.15·S floor (the
+    * simplified no-redistribution PageRank; documented, matched in
+    * the oracle).
+    *
+    * Scale (100 TB): pairs/edges/deg build with bounded-key shuffles
+    * (|domains|, |edges| — crawl-graph-sized, not corpus-sized); the
+    * per-doc pair explode is |domains-in-doc|², the copurchase-style
+    * fan-out, small by construction. Each iteration shuffles only the
+    * edge table keyed by src then dst — 5 fixed rounds, the
+    * ConnectedComponents lineage discipline (persist + eval release)
+    * applied to a fixed-depth loop. */
+  val domainPagerank: Q = {
+    val S = 1000000000L
+    val iterSql = (i: Int) => s"""
+      r$i AS (
+        SELECT n.domain,
+               ${15L * S / 100} + (85 * COALESCE(m.in_mass, 0)) // 100
+                 AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS domain,
+                 CAST(sum(r.rank // d.deg) AS BIGINT) AS in_mass
+          FROM edges e
+          JOIN r${i - 1} r ON r.domain = e.src
+          JOIN deg d ON d.src = e.src
+          GROUP BY 1) m ON m.domain = n.domain)"""
+    Q(
+      "ta_domain_pagerank",
+      (s, dir) => {
+        import graft.operators.CacheScope
+        val pairs = urlPairs(s, dir)
+        val edges = pairs.as("a")
+          .join(pairs.as("b"), "doc_id")
+          .filter(col("a.domain") =!= col("b.domain"))
+          .select(col("a.domain").as("src"), col("b.domain").as("dst"))
+          .distinct().persist()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .persist()
+        val nodes = pairs.select("domain").distinct().persist()
+        var ranks = nodes.select(col("domain"), lit(S).as("rank"))
+        for (_ <- 1 to 5) {
+          val inMass = edges
+            .join(ranks.select(col("domain").as("src"), col("rank")),
+              "src")
+            .join(deg, "src")
+            .select(col("dst").as("domain"),
+              expr("rank div deg").as("c"))
+            .groupBy("domain").agg(sum("c").as("in_mass"))
+          ranks = nodes
+            .join(inMass, Seq("domain"), "left")
+            .select(col("domain"),
+              (lit(15L * S / 100) +
+                expr("(85 * coalesce(in_mass, CAST(0 AS BIGINT))) " +
+                  "div 100")).as("rank"))
+        }
+        val result = ranks
+          .select(col("domain"), col("rank").as("rank_scaled"))
+          .orderBy(col("rank_scaled").desc, col("domain"))
+        CacheScope.eval(result)(edges, deg, nodes)
+      },
+      Some(s"""
+        WITH $urlPairsSql,
+        edges AS (
+          SELECT DISTINCT a.domain AS src, b.domain AS dst
+          FROM pairs a JOIN pairs b ON a.doc_id = b.doc_id
+                                   AND a.domain <> b.domain),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT domain FROM pairs),
+        r0 AS (SELECT domain, CAST($S AS BIGINT) AS rank FROM nodes),
+        ${(1 to 5).map(iterSql).mkString(",")}
+        SELECT domain, rank AS rank_scaled
+        FROM r5 ORDER BY rank_scaled DESC, domain""")
+    )
+  }
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
       shardAssign, lengthQuantiles, piiRedact, urlDomains,
-      temperatureSample, collapseRepeats)
+      temperatureSample, collapseRepeats, domainPagerank)
 }
