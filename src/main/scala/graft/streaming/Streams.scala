@@ -153,6 +153,67 @@ object Streams {
       }
   }
 
+  /** One closed SCD2 interval, emitted when the next run opens. */
+  final case class ScdInterval(user_id: Long, event_type: String,
+                               valid_from: Timestamp, valid_to: Timestamp,
+                               n_events: Long)
+
+  /** The open run per user — the stream's is_current row, held as
+    * state rather than emitted (public: Spark codegen instantiates
+    * it). */
+  final case class ScdRunState(event_type: String, valid_from: Timestamp,
+                               n: Long)
+
+  /** Streaming SCD2 — the stream face of the batch intervalization
+    * (`ev_scd2`): per user, maintain the open event-type run as state
+    * and emit a closed `[valid_from, valid_to)` interval the moment a
+    * different type arrives — the history-table changelog a warehouse
+    * applies incrementally instead of rebuilding the dimension each
+    * refresh. Rows are processed in event-time order WITHIN each
+    * micro-batch (full-precision ts, event_id tiebreak — the batch
+    * twin's exact ordering); fed in order, the closed intervals are
+    * row-identical to the batch face's `valid_to IS NOT NULL` rows,
+    * which is the equivalence `StreamsSpec` pins. A cross-batch late
+    * event (inside lateness but after a newer run opened) cannot
+    * retroactively split an emitted interval — the append-mode
+    * limitation every changelog SCD2 shares; the batch face is the
+    * reconciliation path, exactly the snapshot/incremental duality of
+    * T3.
+    *
+    * Scale: state is ONE small row per user (bounded by key
+    * cardinality, like [[streamingUpsert]]); the per-batch sort
+    * materializes only one user's slice of one micro-batch, bounded
+    * by batch sizing, not stream length. */
+  def streamingScd2(events: Dataset[Event]): Dataset[ScdInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdRunState, ScdInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[ScdRunState]) =>
+          val sorted = rows.toArray
+          java.util.Arrays.sort(sorted, (a: Event, b: Event) => {
+            val c = a.ts.compareTo(b.ts) // nanos-precise, like upsert
+            if (c != 0) c else java.lang.Long.compare(a.event_id, b.event_id)
+          })
+          val out = Seq.newBuilder[ScdInterval]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            if (cur == null) cur = ScdRunState(e.event_type, e.ts, 1L)
+            else if (cur.event_type == e.event_type)
+              cur = cur.copy(n = cur.n + 1)
+            else {
+              out += ScdInterval(userId, cur.event_type, cur.valid_from,
+                e.ts, cur.n)
+              cur = ScdRunState(e.event_type, e.ts, 1L)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the stream face of `dd_exact`: drop rows
     * whose key was already seen, with the watermark bounding the
     * dedup-state retention to the late-data allowance (without it,

@@ -457,4 +457,57 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
       .filter("g <> r").count()
     assert(diff == 0)
   }
+
+  test("streaming SCD2 closes intervals at type changes across batches") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.streamingScd2(source.toDS())
+      .writeStream.format("memory").queryName("scd2_test")
+      .outputMode("append").start()
+    try {
+      // batch 1, deliberately out of order within the batch: the
+      // event-time sort must still see click,click,view
+      source.addData(
+        Event(3, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val b1 = spark.table("scd2_test")
+        .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+      assert(b1 == Set((7L, "click", ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:10:00"), 2L)),
+        "click run closes when view opens; open view run is state only")
+      // batch 2: a new type closes the view run carried in state
+      source.addData(Event(4, ts("2024-01-01 10:20:00"), 7, "purchase", 1.0))
+      q.processAllAvailable()
+      val b2 = spark.table("scd2_test")
+        .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+      assert(b2 == b1 + ((7L, "view", ts("2024-01-01 10:10:00"),
+        ts("2024-01-01 10:20:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming SCD2 replay equals the batch face's closed intervals") {
+    implicit val sq = spark.sqlContext
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "events").as[Event].collect().toSeq
+    val source = MemoryStream[Event]
+    val q = Streams.streamingScd2(source.toDS())
+      .writeStream.format("memory").queryName("scd2_replay")
+      .outputMode("append").start()
+    try {
+      source.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_replay")
+        .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+      val batch = graft.queries.Events.scd2
+        .fn(spark, "/root/testdata/sf0.001")
+        .filter("valid_to IS NOT NULL")
+        .selectExpr("user_id", "event_type", "valid_from", "valid_to",
+          "n_events")
+        .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream ${streamed.size} vs batch ${batch.size} closed intervals")
+    } finally q.stop()
+  }
 }
