@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight}
 
-import graft.functions.{BloomMightContain, FloatVectorDot, MinhashSig, SimhashLong}
+import graft.functions.{BloomMightContain, FloatVectorDot, MinhashSig, MisraGriesAgg, SimhashLong}
 
 /** Engine extension point — registers graft's native Catalyst
   * expressions (callable from SQL and `expr(...)`) and the
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.bloomMightContain)
     ext.injectFunction(GraftExtensions.zorder2)
+    ext.injectFunction(GraftExtensions.mgSummary)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -150,11 +151,31 @@ object GraftExtensions {
       }.reduce[Expression](Add(_, _))
     })
 
+  /** `mg_summary(col, k)` — the Misra-Gries heavy-hitters aggregate.
+    * `k` must be a positive integer literal: the summary width is a
+    * plan-time property (it sizes every partial state), not a per-row
+    * value. The analyzer wraps the returned AggregateFunction in an
+    * AggregateExpression like any built-in agg. */
+  private val mgSummary = (
+    FunctionIdentifier("mg_summary"),
+    new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_summary"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "mg_summary takes exactly 2 arguments")
+      val k = children(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType)
+            if v >= 1 => v
+        case other => throw new IllegalArgumentException(
+          s"mg_summary k must be a positive integer literal, got $other")
+      }
+      MisraGriesAgg(children.head, k)
+    })
+
   /** Idempotently register graft functions + optimizer rules on an
     * existing session. */
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(fvecDot, simhashLong, minhashSig, bloomMightContain, zorder2)
+    Seq(fvecDot, simhashLong, minhashSig, bloomMightContain, zorder2,
+      mgSummary)
       .foreach { f =>
       if (!reg.functionExists(f._1))
         reg.registerFunction(f._1, f._2, f._3)

@@ -1086,10 +1086,61 @@ object TextAnalysis extends QueryModule {
     )
   }
 
+  /** HEAVY-HITTERS CERTIFICATION — the engine's Misra-Gries aggregate
+    * (`functions.MisraGriesAgg`, SQL face `mg_summary`) certified the
+    * rel_sketch_bound way: one MG summary of width k=32 is computed
+    * over the token stream (one pass, k-sized partial states, real
+    * serialize/merge across partitions), then every distinct token's
+    * exact count rides along with two oracle-pinned booleans —
+    * `covered` (every token above the N/(k+1) frequency threshold is
+    * present in the summary) and `within_bound` (the summary estimate
+    * sits in [exact − N/(k+1), exact] — with est=0 for absent items).
+    * Both are THEOREMS of the sketch for any partitioning, so the
+    * DuckDB oracle replays the exact counts and pins TRUE without
+    * simulating MG — while a buggy update/merge/serialize path flips
+    * a boolean and fails the hash. The decrement-heavy k << |vocab|
+    * regime (where the surviving item SET is partitioning-dependent
+    * and deliberately NOT part of this deterministic contract) is
+    * exercised in MisraGriesSpec instead.
+    *
+    * Scale: the exact-count side is the bounded-vocabulary wordFreq
+    * shuffle; the summary side shuffles k-row states only. At 100 TB
+    * one drops the exact side and keeps the summary — this face exists
+    * to prove, row by row, that doing so is safe. */
+  val heavyHitters: Q = {
+    val K = 32
+    Q(
+      "ta_heavy_hitters",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("token"))
+        val summary = toks.agg(
+          count(lit(1)).as("n"),
+          expr(s"mg_summary(token, $K)").as("mg"))
+        val est = coalesce(expr("try_element_at(mg, token)"), lit(0L))
+        val thr = expr(s"n div ${K + 1}")
+        toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+          .join(broadcast(summary))
+          .select(col("token"), col("n_exact"),
+            (col("n_exact") <= thr ||
+              expr("try_element_at(mg, token)").isNotNull).as("covered"),
+            (est <= col("n_exact") &&
+              col("n_exact") - est <= thr).as("within_bound"))
+          .orderBy("token")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        SELECT token, count(*) AS n_exact,
+               TRUE AS covered, TRUE AS within_bound
+        FROM toks GROUP BY token ORDER BY token""")
+    )
+  }
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
       shardAssign, lengthQuantiles, piiRedact, urlDomains,
-      temperatureSample, collapseRepeats, domainPagerank)
+      temperatureSample, collapseRepeats, domainPagerank, heavyHitters)
 }

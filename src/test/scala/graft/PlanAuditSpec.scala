@@ -27,7 +27,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     * definition. */
   private val nestedLoopAllowed =
     Set("ss_topk_brute", "ev_watermark", "ref_term_courses_deprecated",
-      "ss_recall_report", "rel_zorder", "ss_hybrid_search")
+      "ss_recall_report", "rel_zorder", "ss_hybrid_search",
+      // ta_heavy_hitters broadcast-attaches its 1-row (count, mg
+      // summary) aggregate to the per-token exact counts — the
+      // ev_watermark scalar-attach pattern
+      "ta_heavy_hitters")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
