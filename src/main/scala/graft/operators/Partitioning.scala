@@ -36,6 +36,59 @@ object Partitioning {
       .drop("__salt")
   }
 
+  /** Sketch-driven skew join: salt ONLY the hot keys. [[saltedJoin]]
+    * replicates the whole right side ×salts — correct, but at 100 TB
+    * the replication is the cost, and skew is almost never
+    * whole-table: a handful of keys carry the mass. This variant finds
+    * those keys with ONE pass of the engine's Misra-Gries aggregate
+    * (`mg_summary(key, k)` — k-sized partial states, no shuffle of the
+    * fact table), collects the ≤k survivors (a planning-class
+    * round-trip, the IVF-seed idiom), and splits the join: cold keys
+    * take the plain shuffle join untouched; hot keys take the salted
+    * path with the right side replicated for the hot sliver only.
+    * Result equals the plain inner join on `key` for ANY detected set
+    * — MG false positives merely salt a warm key (harmless), and the
+    * MG lower-bound estimate guarantees every key above
+    * |left|/(k+1) rows is caught, which is exactly the population that
+    * can skew a reducer. `minHotRows` tightens the cut when the
+    * caller knows its target partition size; the isin(≤k literals)
+    * predicates stay codegen'd and scan-pushable.
+    *
+    * This is the explicit, plannable form of AQE's skew-join split —
+    * needed when the skew sits UPSTREAM of where AQE can see it
+    * (inside a multi-join stage) or when the join must behave
+    * identically across replays regardless of runtime statistics. */
+  def adaptiveSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                         salts: Int, k: Int = 64,
+                         minHotRows: Long = 1L): DataFrame = {
+    require(salts > 0 && k > 0)
+    graft.GraftExtensions.ensure(left.sparkSession)
+    val hot = left
+      .select(col(key).cast("string").as("__k"))
+      .agg(expr(s"mg_summary(__k, $k)").as("mg"))
+      .selectExpr("explode(mg) AS (item, est)")
+      .collect() // ≤ k rows by construction
+      .filter(_.getLong(1) >= math.max(1L, minHotRows))
+      .map(_.getString(0)).toSeq
+    if (hot.isEmpty) left.join(right, Seq(key), "inner")
+    else {
+      def isHot(df: DataFrame) =
+        df.col(key).cast("string").isin(hot: _*)
+      // null keys: isin yields NULL, so both branches drop them —
+      // the inner join's own null semantics, preserved
+      val cold = left.filter(!isHot(left))
+        .join(right.filter(!isHot(right)), Seq(key), "inner")
+      val saltedLeft = left.filter(isHot(left)).withColumn("__salt",
+        pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      val saltedRight = right.filter(isHot(right)).withColumn("__salt",
+        explode(lit((0 until salts).toArray)))
+      val hotJoin = saltedLeft
+        .join(saltedRight, Seq(key, "__salt"), "inner")
+        .drop("__salt")
+      cold.unionByName(hotJoin)
+    }
+  }
+
   /** Salted two-phase aggregation for skewed group keys: phase 1
     * aggregates (key, salt) — spreading a hot key over `salts` reducers
     * — phase 2 merges the partials per key. `partials` maps a column to

@@ -26,6 +26,35 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(plain == salted)
   }
 
+  test("adaptiveSaltedJoin equals the plain join under heavy skew") {
+    import spark.implicits._
+    // one key carries half the fact table; a null key must vanish in
+    // both forms (inner-join null semantics)
+    val left = ((1 to 500).map(i => (Some(7L), s"hot_$i")) ++
+      (1 to 200).map(i => (Some(i.toLong % 40), s"cold_$i")) ++
+      Seq((None: Option[Long], "null_row")))
+      .toDF("k", "payload")
+    val right = (0 to 40).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "name").orderBy("k", "payload")
+        .collect().map(_.toSeq).toSeq
+    val plain = canon(left.join(right, Seq("k"), "inner"))
+    for ((mk, minHot) <- Seq((4, 1L), (64, 1L), (8, 400L)))
+      assert(canon(Partitioning.adaptiveSaltedJoin(
+        left, right, "k", salts = 8, k = mk, minHotRows = minHot))
+        == plain, s"k=$mk minHotRows=$minHot")
+    // the detection contract: with the threshold above every cold
+    // key's count, ONLY the hot key is salted — the right side's
+    // replicated sliver is 1 key × salts rows, not |right| × salts
+    GraftExtensions.ensure(spark)
+    val hot = left.select(col("k").cast("string").as("__k"))
+      .agg(expr("mg_summary(__k, 8)").as("mg"))
+      .selectExpr("explode(mg) AS (item, est)")
+      .filter(col("est") >= 400L).collect()
+    assert(hot.map(_.getString(0)).toSeq == Seq("7"),
+      "only the genuinely hot key clears the threshold")
+  }
+
   test("saltedCount equals plain groupBy count") {
     val o = Tables(spark, sf, "orders")
     val plain = o.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
