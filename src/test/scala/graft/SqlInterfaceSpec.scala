@@ -67,4 +67,30 @@ class SqlInterfaceSpec extends AnyFunSuite with SharedSpark {
         spark.sql(s"SELECT $bad FROM zin").collect()
       }
   }
+
+  test("mg_summary works from plain SQL, incl. GROUP BY, and rejects bad k") {
+    GraftExtensions.ensure(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("documents")
+    // global aggregate: k above the tiny fixture vocab → exact counts
+    val m = spark.sql(
+      "SELECT mg_summary(lang, 16) FROM documents").head().getMap[
+        String, Long](0)
+    val exact = spark.sql(
+      "SELECT lang, count(*) FROM documents GROUP BY lang").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Map(m.toSeq: _*) == exact)
+    // grouped: one summary per source (the per-partition-of-the-data
+    // shape a skew probe uses)
+    val grouped = spark.sql(
+      "SELECT source, mg_summary(lang, 4) AS mg FROM documents " +
+        "GROUP BY source").collect()
+    assert(grouped.nonEmpty &&
+      grouped.forall(_.getMap[String, Long](1).size <= 4))
+    // k must be a positive integer literal — both rejections happen at
+    // analysis time
+    for (bad <- Seq("mg_summary(lang, 0)", "mg_summary(lang, n_chars)"))
+      intercept[Exception] {
+        spark.sql(s"SELECT $bad FROM documents").collect()
+      }
+  }
 }
