@@ -51,7 +51,9 @@ object Jobs {
     "curate_corpus" -> Seq(
       "dd_curation_pipeline" -> "curated-shards",
       "dd_dup_rate_by_source" -> "dedup-health",
+      "dd_containment" -> "partial-dup-report",
       "dd_leakage_safe_split" -> "split-map",
+      "ta_heavy_hitters" -> "token-health",
       "ta_pii_redact" -> "pii-scrubbed-corpus"))
 
   /** Per-term extracts per job as (key directory, key file base,

@@ -199,4 +199,31 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(twice.exceptAll(df.select(col("clean_text"))).isEmpty,
       "second scrub altered already-clean text")
   }
+
+  test("mg_summary bound holds on arbitrary streams, any k, any layout") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.ensure(spark)
+    // mixed-skew generator: a few celebrity keys, a long uniform tail,
+    // and adversarial duplicates of the empty string
+    val item = Gen.frequency(
+      (5, Gen.const("celeb_a")), (3, Gen.const("celeb_b")),
+      (1, Gen.const("")), (8, Gen.chooseNum(0, 400).map("t_" + _)))
+    for (k <- Seq(3, 17); parts <- Seq(1, 5)) {
+      val rows = Gen.listOfN(3000, item).sample.get
+      val exact = rows.groupBy(identity)
+        .map { case (s, v) => s -> v.size.toLong }
+      val est = rows.toDF("token").repartition(parts)
+        .agg(expr(s"mg_summary(token, $k)").as("mg"))
+        .selectExpr("explode(mg) AS (item, e)")
+        .as[(String, Long)].collect().toMap
+      val slack = rows.size.toLong / (k + 1)
+      assert(est.size <= k)
+      (exact.keySet ++ est.keySet).foreach { it =>
+        val e = est.getOrElse(it, 0L)
+        val ex = exact.getOrElse(it, 0L)
+        assert(e <= ex && ex - e <= slack,
+          s"k=$k parts=$parts item='$it' est=$e exact=$ex slack=$slack")
+      }
+    }
+  }
 }

@@ -136,9 +136,10 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     val dir = Files.createTempDirectory("jobs_curate_spec").toString
     val res = graft.Main.run(spark, "curate_corpus", sf,
       Seq(s"$dir/t1", s"$dir/t2"), "2024-01-01")
-    // 4 extracts × 2 targets, all successful
-    assert(res.size == 8 && res.forall(_._3), s"uploads: $res")
-    for (extract <- Seq("curated-shards", "dedup-health", "split-map",
+    // 6 extracts × 2 targets, all successful
+    assert(res.size == 12 && res.forall(_._3), s"uploads: $res")
+    for (extract <- Seq("curated-shards", "dedup-health",
+        "partial-dup-report", "split-map", "token-health",
         "pii-scrubbed-corpus"); t <- Seq("t1", "t2")) {
       val key = Sinks.dailyKey("2024-01-01", extract)
       assert(new java.io.File(s"$dir/$t/$key").exists(),
