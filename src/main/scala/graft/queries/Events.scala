@@ -589,8 +589,52 @@ object Events extends QueryModule {
       ORDER BY user_id, streak_start""")
   )
 
+  /** Event-path transition matrix — first-order Markov counts and
+    * probabilities over each user's event sequence (the path-analysis
+    * companion of [[funnel]]: the funnel asks "did the prescribed
+    * order happen", this asks "what actually follows what"). One lead
+    * window per user builds the (from, to) pairs, a
+    * |types|²-bounded aggregate counts them, and the row probability
+    * normalizes per from-state with a partitioned window sum — every
+    * double is one division of exact longs, so the oracle
+    * hash-matches.
+    *
+    * Scale (100 TB): one exchange on user_id for the lead; the
+    * transition aggregate and the per-from normalization live on a
+    * |types|²-key table — event-type vocabularies are tens, so both
+    * are broadcast-sized no matter the stream length. */
+  val pathTransitions: Q = Q(
+    "ev_path_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wFrom = Window.partitionBy("from_type")
+      ev(s, dir)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum("n").over(wFrom).cast("double"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH tr AS (
+        SELECT event_type AS from_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE) /
+               CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM c ORDER BY from_type, to_type""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
-    scd2, activityStreaks)
+    scd2, activityStreaks, pathTransitions)
 }

@@ -84,6 +84,26 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"dims probe regressed to a full-table aggregate:\n$plan")
   }
 
+  test("rank-filter top-k shapes keep Spark's partial WindowGroupLimit") {
+    // Spark 3.5+ plans Filter(rank <= k) over a window as a
+    // WindowGroupLimit: each input partition keeps only its k best
+    // rows per key BEFORE the shuffle — at 100 TB that is the
+    // difference between shuffling k·|keys| rows and the whole fact
+    // table. All our top-k faces are written in exactly the shape the
+    // optimizer recognizes; pin it so a refactor (say, to a non-rank
+    // predicate or a computed limit) can't silently fall back to the
+    // full-window plan. This is also why the engine has NO custom
+    // top-k physical operator: the built-in already does the partial
+    // reduction, per the extension-surface policy.
+    for (name <- Seq("ref_latest_order_window", "ss_topk_per_label",
+        "rel_stratified_sample")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit pushdown:\n$plan")
+    }
+  }
+
   test("no undocumented single-partition global window in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
