@@ -686,11 +686,62 @@ object Relational extends QueryModule {
       FROM sz""")
   )
 
+  /** INCREMENTAL VIEW MAINTENANCE — the algebraic delta-merge a
+    * warehouse uses to keep an aggregate view current without
+    * rebuilding it: the last 30 days of orders are treated as the
+    * fresh delta, everything older as the materialized base view, and
+    * the output is base ⊕ delta — per-key full-outer merge with
+    * coalesce-to-zero sums (count and sum are the self-decomposable
+    * aggregates; min/max would need the saltedStats shape). The
+    * certification is the point: the oracle computes the view by FULL
+    * RECOMPUTE over all orders, so the hash match proves the merged
+    * maintenance path equals the rebuild — exactly the invariant an
+    * incremental refresh job must hold. Revenue in exact integer cents
+    * (ref_star_join's parity idiom); the split cutoff anchors to
+    * max(o_orderdate) via the broadcast 1-row attach.
+    *
+    * Scale: in production the base side is an already-materialized
+    * table (no scan of history); here both sides derive from one
+    * orders scan to stay self-contained. The merge itself joins two
+    * |keys|-sized aggregates — broadcast-sized at any fact scale. */
+  val incrementalView: Q = Q(
+    "rel_incremental_view",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val hi = o.agg(max("o_orderdate").as("max_d"))
+      val tagged = o.join(broadcast(hi))
+        .withColumn("is_delta",
+          col("o_orderdate") >= date_sub(col("max_d"), 30))
+      def agg(df: DataFrame) = df.groupBy("status", "priority")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      val base = agg(tagged.filter(!col("is_delta")))
+      val delta = agg(tagged.filter(col("is_delta")))
+      base.as("b").join(delta.as("d"),
+          Seq("status", "priority"), "full_outer")
+        .select(col("status"), col("priority"),
+          (coalesce(col("b.n"), lit(0L)) +
+            coalesce(col("d.n"), lit(0L))).as("n_orders"),
+          (coalesce(col("b.c"), lit(0L)) +
+            coalesce(col("d.c"), lit(0L))).as("sum_cents"))
+        .orderBy("status", "priority")
+    },
+    Some("""
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS sum_cents
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   // sketchAgg is spec-certified (SketchSpec), not catalog-registered —
   // see its scaladoc; sketchBound is the catalog's hash-checked face.
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot,
     sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
     quantileBound, profile, zorder, tableChecksum, saltedJoin,
-    copurchase, copurchaseHealth)
+    copurchase, copurchaseHealth, incrementalView)
 }

@@ -191,4 +191,28 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
         assert(kept.getOrElse(lang, 0L) <= n)
     }
   }
+
+  test("mg_summary and adaptiveSaltedJoin are total on empty/null input") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.ensure(spark)
+    // global aggregate over zero rows yields one row with an EMPTY
+    // map, never null (nullable=false contract)
+    val none = weird.filter(lit(false)).select(col("text").as("token"))
+    val m = none.agg(expr("mg_summary(token, 4)").as("mg")).head()
+    assert(!m.isNullAt(0) && m.getMap[String, Long](0).isEmpty)
+    // all-null column: nulls don't count, summary stays empty
+    val nulls = weird.select(lit(null).cast("string").as("token"))
+    val mn = nulls.agg(expr("mg_summary(token, 4)").as("mg")).head()
+    assert(mn.getMap[String, Long](0).isEmpty)
+    // empty fact side: detection finds nothing, the plain-join path
+    // returns the (empty) inner join rather than throwing
+    val left = weird.filter(lit(false))
+      .select(col("doc_id").as("k"), col("text"))
+    val right = weird.select(col("doc_id").as("k"),
+      col("text").as("name"))
+    val joined = graft.operators.Partitioning
+      .adaptiveSaltedJoin(left, right, "k", salts = 4)
+    assert(joined.count() == 0)
+    assert(joined.columns.toSeq == Seq("k", "text", "name"))
+  }
 }

@@ -31,7 +31,10 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // ta_heavy_hitters broadcast-attaches its 1-row (count, mg
       // summary) aggregate to the per-token exact counts — the
       // ev_watermark scalar-attach pattern
-      "ta_heavy_hitters")
+      "ta_heavy_hitters",
+      // rel_incremental_view broadcast-attaches its 1-row max-date
+      // cutoff for the base/delta split — same scalar-attach pattern
+      "rel_incremental_view")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
