@@ -957,9 +957,71 @@ object Dedup extends QueryModule {
       FROM scored ORDER BY doc_a, doc_b""")
   )
 
+  /** Duplicate-aware TRAINING WEIGHTS — the keep-everything
+    * alternative to [[dedupCorpus]]'s keep-one drop: every document
+    * stays in the corpus but carries weight 1/|its near-dup cluster|,
+    * so a passage duplicated n times contributes one document's worth
+    * of gradient in aggregate instead of n. Composition: the LSH→CC
+    * cluster labels, a cluster-size aggregate, and one left join back
+    * to the corpus — isolated documents default to a singleton cluster
+    * of themselves with weight 1. The weight is a single IEEE division
+    * of exact longs, so the recursive-CTE oracle (the dd_dup_clusters
+    * reachability replay) hash-matches it bit-for-bit.
+    *
+    * Scale: labels/sizes are duplicate-rate-sized; the corpus-side
+    * left join shuffles once on doc_id with the same parallelism
+    * floor as dedupCorpus's anti-join. */
+  val dupWeights: Q = Q(
+    "dd_dup_weights",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cand = graft.operators.TextDedup.lshCandidates(
+        docs, numPerms = 8, nBands = 2)
+      val labels = graft.operators.ConnectedComponents
+        .minLabel(cand, "doc_a", "doc_b")
+      graft.operators.CacheScope.releaseCheckpoint(cand)
+      val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      val lab = labels.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster"), col("sz"))
+      val result = graft.operators.Partitioning
+        .ensureParallelism(docs.select(col("doc_id")), "doc_id")
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          coalesce(col("sz"), lit(1L)).as("csize"),
+          (lit(1.0) / coalesce(col("sz"), lit(1L)).cast("double"))
+            .as("weight"))
+        .orderBy("doc_id")
+      graft.operators.CacheScope.eval(result)(labels)
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSql, $sigSql, $candSql,
+      bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+        WHERE e.b <> r.a),
+      lab AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a),
+      sz AS (SELECT cluster, count(*) AS csize FROM lab GROUP BY 1)
+      SELECT d.doc_id,
+             COALESCE(l.cluster, d.doc_id) AS cluster,
+             COALESCE(s.csize, 1) AS csize,
+             CAST(1 AS DOUBLE) / CAST(COALESCE(s.csize, 1) AS DOUBLE)
+               AS weight
+      FROM documents d
+      LEFT JOIN lab l ON l.doc_id = d.doc_id
+      LEFT JOIN sz s ON s.cluster = l.cluster
+      ORDER BY d.doc_id""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
     dupRateBySource, sourceOverlap, curationPipeline, incremental,
-    leakageSafeSplit, containment)
+    leakageSafeSplit, containment, dupWeights)
 }

@@ -151,4 +151,21 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     val fourBands = pairs(4)
     assert(twoBands.subsetOf(fourBands))
   }
+
+  test("dup weights: every cluster contributes exactly one document of mass") {
+    val w = graft.queries.Dedup.dupWeights
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(w.nonEmpty)
+    // weight is exactly 1/csize and each cluster's weights sum to ~1
+    w.foreach { case (_, sz, wt) => assert(wt == 1.0 / sz) }
+    w.groupBy(_._1).foreach { case (cl, rows) =>
+      val mass = rows.map(_._3).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"cluster $cl mass $mass")
+      // all members agree on the cluster size, and it matches the
+      // member count
+      assert(rows.map(_._2).distinct.size == 1 &&
+        rows.head._2 == rows.size, s"cluster $cl size mismatch")
+    }
+  }
 }
