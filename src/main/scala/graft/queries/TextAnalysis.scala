@@ -1046,16 +1046,19 @@ object TextAnalysis extends QueryModule {
           .join(pairs.as("b"), "doc_id")
           .filter(col("a.domain") =!= col("b.domain"))
           .select(col("a.domain").as("src"), col("b.domain").as("dst"))
-          .distinct().persist()
+          .distinct()
+        // out-degree is static across iterations — fold it into the
+        // edge table ONCE so each iteration joins ranks to a single
+        // prepared (src, dst, deg) table instead of re-joining deg
+        // every round (2 joins/iteration → 1; 5 fewer shuffles total)
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .persist()
+        val edgesDeg = edges.join(deg, "src").persist()
         val nodes = pairs.select("domain").distinct().persist()
         var ranks = nodes.select(col("domain"), lit(S).as("rank"))
         for (_ <- 1 to 5) {
-          val inMass = edges
+          val inMass = edgesDeg
             .join(ranks.select(col("domain").as("src"), col("rank")),
               "src")
-            .join(deg, "src")
             .select(col("dst").as("domain"),
               expr("rank div deg").as("c"))
             .groupBy("domain").agg(sum("c").as("in_mass"))
@@ -1069,7 +1072,7 @@ object TextAnalysis extends QueryModule {
         val result = ranks
           .select(col("domain"), col("rank").as("rank_scaled"))
           .orderBy(col("rank_scaled").desc, col("domain"))
-        CacheScope.eval(result)(edges, deg, nodes)
+        CacheScope.eval(result)(edgesDeg, nodes)
       },
       Some(s"""
         WITH $urlPairsSql,
