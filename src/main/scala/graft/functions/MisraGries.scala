@@ -119,11 +119,20 @@ case class MisraGriesAgg(
       new GenericArrayData(keys.map(buf(_).asInstanceOf[Any])))
   }
 
+  // length-prefixed raw UTF-8, NOT writeUTF: modified-UTF-8 caps a
+  // string at 65535 encoded bytes and throws past it — mg_summary is
+  // a general aggregate and a 64 KB key (a whole document, a long
+  // stringified join key) must serialize, not crash the stage
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    buf.foreach { case (key, c) =>
+      val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -134,7 +143,13 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -350,8 +350,10 @@ object Dedup extends QueryModule {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val sigs = TextDedup.signaturesNarrow(
         Tables(s, dir, "documents"), 8).persist()
+      // cand feeds BOTH the estimate join and the intersection count —
+      // persisted so the band self-join runs once, not once per branch
       val cand = TextDedup.candidates(TextDedup.bands(sigs, 8, 2))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").persist()
       val matches = (0 until 8)
         .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
         .reduce(_ + _)
@@ -380,7 +382,7 @@ object Dedup extends QueryModule {
           col("jaccard"),
           abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
         .orderBy("doc_a", "doc_b")
-      CacheScope.eval(result)(sh, sigs)
+      CacheScope.eval(result)(sh, sigs, cand)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
@@ -931,7 +933,7 @@ object Dedup extends QueryModule {
         .withColumn("is_partial_dup",
           col("containment") >= 0.7 && col("jaccard") < 0.7)
         .orderBy("doc_a", "doc_b")
-      CacheScope.eval(result)(sh, sigs)
+      CacheScope.eval(result)(sh, sigs, cand)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,

@@ -701,9 +701,16 @@ object Relational extends QueryModule {
     * max(o_orderdate) via the broadcast 1-row attach.
     *
     * Scale: in production the base side is an already-materialized
-    * table (no scan of history); here both sides derive from one
-    * orders scan to stay self-contained. The merge itself joins two
-    * |keys|-sized aggregates — broadcast-sized at any fact scale. */
+    * table, so a refresh scans ONLY the delta — the whole point of
+    * the maintenance path. Self-contained against a read-only fixture,
+    * this face derives both sides from the orders table, so the base
+    * and delta branches each scan it (plus the 1-row cutoff aggregate;
+    * Spark does not dedupe common subplans) — that duplicated scan is
+    * the fixture's artifact, not the operator's shape, and is why the
+    * plan keeps the two-aggregate + merge structure instead of a
+    * single-pass pivot that would erase the demonstrated invariant.
+    * The merge itself joins two |keys|-sized aggregates —
+    * broadcast-sized at any fact scale. */
   val incrementalView: Q = Q(
     "rel_incremental_view",
     (s, dir) => {

@@ -807,50 +807,16 @@ object TextAnalysis extends QueryModule {
     * The distinct-doc count per domain is map-side combinable. */
   val urlDomains: Q = Q(
     "ta_url_domains",
-    (s, dir) => {
-      val UrlRe = "https?://[a-z0-9.-]+/[a-z0-9/._-]*"
-      val dirty = concat(
-        col("text"), lit(" see https://"), col("source"),
-        lit(".example.com/"), col("lang"), lit("/"),
-        col("doc_id").cast("string"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit(" http://mirror-"),
-            (col("doc_id") % 3).cast("string"),
-            lit(".example.net/p/"),
-            (col("doc_id") % 50).cast("string")))
-          .otherwise(lit("")))
-      docs(s, dir)
-        .select(col("doc_id"),
-          explode(regexp_extract_all(dirty, lit(UrlRe), lit(0)))
-            .as("url"))
-        .select(col("doc_id"),
-          regexp_extract(col("url"), "^https?://([a-z0-9.-]+)", 1)
-            .as("domain"))
+    (s, dir) =>
+      urlMentions(s, dir)
         .groupBy("domain")
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("doc_id")).as("n_docs"))
-        .orderBy("domain")
-    },
-    Some("""
-      WITH dirty AS (
-        SELECT doc_id,
-               text || ' see https://' || source || '.example.com/' ||
-               lang || '/' || CAST(doc_id AS VARCHAR) ||
-               CASE WHEN doc_id % 2 = 0
-                    THEN ' http://mirror-' ||
-                         CAST(doc_id % 3 AS VARCHAR) ||
-                         '.example.net/p/' ||
-                         CAST(doc_id % 50 AS VARCHAR)
-                    ELSE '' END AS dirty
-        FROM documents),
-      u AS (
-        SELECT doc_id,
-               unnest(regexp_extract_all(dirty,
-                 'https?://[a-z0-9.-]+/[a-z0-9/._-]*')) AS url
-        FROM dirty)
-      SELECT regexp_extract(url, '^https?://([a-z0-9.-]+)', 1) AS domain,
-             count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
-      FROM u GROUP BY 1 ORDER BY 1""")
+        .orderBy("domain"),
+    Some(s"""
+      WITH $urlMentionsSql
+      SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+      FROM mentions GROUP BY 1 ORDER BY 1""")
   )
 
   /** CONSECUTIVE-REPEAT COLLAPSE materialization — the
@@ -945,12 +911,16 @@ object TextAnalysis extends QueryModule {
       ORDER BY d.doc_id""")
   )
 
-  /** Shared oracle CTEs for the URL-bearing fixture: `dirty` (doc text
-    * + synthesized canonical/mirror links, identical to
-    * [[urlDomains]]'s construction) and `pairs` (distinct doc↔domain
-    * mentions). Factored so the link-graph faces can never drift from
-    * the extraction the per-domain report uses. */
-  private val urlPairsSql = """
+  /** THE shared URL-extraction construction — `dirty` (doc text +
+    * synthesized canonical/mirror links), `u` (extracted URLs), and
+    * `mentions` (one (doc_id, domain) row PER extracted URL). Every
+    * URL-derived face builds on this: [[urlDomains]] aggregates the
+    * raw mentions, the link-graph faces take `DISTINCT` pairs on top —
+    * one definition in each dialect, so the fixture's URL shape cannot
+    * drift between faces. `def`s, not `val`s: these are referenced by
+    * Q literals both above and below this point in the object, and a
+    * forward `val` reference would be null at object init. */
+  private def urlMentionsSql = """
       dirty AS (
         SELECT doc_id,
                text || ' see https://' || source || '.example.com/' ||
@@ -967,13 +937,20 @@ object TextAnalysis extends QueryModule {
                unnest(regexp_extract_all(dirty,
                  'https?://[a-z0-9.-]+/[a-z0-9/._-]*')) AS url
         FROM dirty),
-      pairs AS (
-        SELECT DISTINCT doc_id,
+      mentions AS (
+        SELECT doc_id,
                regexp_extract(url, '^https?://([a-z0-9.-]+)', 1) AS domain
         FROM u)"""
 
-  /** Spark twin of [[urlPairsSql]]: distinct (doc_id, domain) mentions. */
-  private def urlPairs(s: SparkSession, dir: String): DataFrame = {
+  /** [[urlMentionsSql]] plus the `pairs` CTE of distinct doc↔domain
+    * mentions the link-graph faces join on. */
+  private def urlPairsSql =
+    s"""$urlMentionsSql,
+      pairs AS (SELECT DISTINCT doc_id, domain FROM mentions)"""
+
+  /** Spark twin of [[urlMentionsSql]]: one (doc_id, domain) row per
+    * extracted URL. */
+  private def urlMentions(s: SparkSession, dir: String): DataFrame = {
     val UrlRe = "https?://[a-z0-9.-]+/[a-z0-9/._-]*"
     val dirty = concat(
       col("text"), lit(" see https://"), col("source"),
@@ -991,8 +968,11 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"),
         regexp_extract(col("url"), "^https?://([a-z0-9.-]+)", 1)
           .as("domain"))
-      .distinct()
   }
+
+  /** Spark twin of [[urlPairsSql]]'s `pairs`: distinct mentions. */
+  private def urlPairs(s: SparkSession, dir: String): DataFrame =
+    urlMentions(s, dir).distinct()
 
   /** LINK-GRAPH PAGERANK over domain co-mentions — the authority
     * signal crawl curation uses for per-domain quality weighting

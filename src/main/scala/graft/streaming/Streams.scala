@@ -200,13 +200,24 @@ object Streams {
           val out = Seq.newBuilder[ScdInterval]
           var cur = state.getOption.orNull
           sorted.foreach { e =>
+            // a cross-batch late event can predate the open run's
+            // start (the in-batch sort can't reorder across batches);
+            // clamp its effective time to the run's valid_from so the
+            // emitted chain stays monotone — the late run collapses to
+            // a zero-length interval instead of inverting valid_to <
+            // valid_from and corrupting a history table that applies
+            // the changelog
+            val ts =
+              if (cur != null && e.ts.compareTo(cur.valid_from) < 0)
+                cur.valid_from
+              else e.ts
             if (cur == null) cur = ScdRunState(e.event_type, e.ts, 1L)
             else if (cur.event_type == e.event_type)
               cur = cur.copy(n = cur.n + 1)
             else {
               out += ScdInterval(userId, cur.event_type, cur.valid_from,
-                e.ts, cur.n)
-              cur = ScdRunState(e.event_type, e.ts, 1L)
+                ts, cur.n)
+              cur = ScdRunState(e.event_type, ts, 1L)
             }
           }
           if (cur != null) state.update(cur)

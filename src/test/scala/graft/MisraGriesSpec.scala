@@ -52,7 +52,10 @@ class MisraGriesSpec extends AnyFunSuite with SharedSpark {
     val agg = graft.functions.MisraGriesAgg(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
     val buf = scala.collection.mutable.HashMap(
-      "a" -> 3L, "b" -> 1L, "ünïcødé" -> 7L)
+      "a" -> 3L, "b" -> 1L, "ünïcødé" -> 7L,
+      // past writeUTF's 65535-byte modified-UTF-8 cap: a document-
+      // sized key must round-trip, not throw at the shuffle boundary
+      "x" * 100000 -> 2L)
     assert(agg.deserialize(agg.serialize(buf)) == buf)
     val empty = agg.createAggregationBuffer()
     assert(agg.deserialize(agg.serialize(empty)).isEmpty)

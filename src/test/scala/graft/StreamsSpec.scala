@@ -484,6 +484,18 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
       assert(b2 == b1 + ((7L, "view", ts("2024-01-01 10:10:00"),
         ts("2024-01-01 10:20:00"), 1L)))
+      // batch 3: a cross-batch LATE event older than the open run —
+      // must clamp to the run's start (zero-length late run), never
+      // emit an inverted interval
+      source.addData(Event(5, ts("2024-01-01 09:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val b3 = spark.table("scd2_test")
+        .as[(Long, String, Timestamp, Timestamp, Long)].collect()
+      b3.foreach { case (_, _, from, to, _) =>
+        assert(!to.before(from), s"inverted interval [$from, $to)")
+      }
+      assert(b3.toSet == b2 + ((7L, "purchase",
+        ts("2024-01-01 10:20:00"), ts("2024-01-01 10:20:00"), 1L)))
     } finally q.stop()
   }
 
