@@ -633,8 +633,53 @@ object Events extends QueryModule {
       FROM c ORDER BY from_type, to_type""")
   )
 
+  /** Last-touch conversion attribution — each purchase credits the
+    * user's most recent preceding non-purchase event (the running
+    * `last(..., ignoreNulls)` as-of idiom from [[asofJoin]]: no join,
+    * no build side), purchases with no preceding touch credit
+    * 'direct', and conversions/revenue aggregate per channel in exact
+    * integer cents. The marketing-analytics face next to
+    * [[funnel]]/[[pathTransitions]].
+    *
+    * Scale: one exchange on user_id for the window, then a
+    * |channels|-bounded aggregate — stream length never touches the
+    * shuffle beyond the per-user sort. */
+  val attribution: Q = Q(
+    "ev_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, dir)
+        .withColumn("last_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("last_touch"), lit("direct")).as("channel"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum("cents").as("revenue_cents"))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH att AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS last_touch
+        FROM events)
+      SELECT COALESCE(last_touch, 'direct') AS channel,
+             count(*) AS n_conversions,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM att WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
-    scd2, activityStreaks, pathTransitions)
+    scd2, activityStreaks, pathTransitions, attribution)
 }
