@@ -70,46 +70,15 @@ case class MisraGriesAgg(
     val v = child.eval(input)
     if (v != null) {
       // copy out of the unsafe row's reusable buffer before keying
-      val key = v.asInstanceOf[UTF8String].toString
-      buf.get(key) match {
-        case Some(c) => buf.update(key, c + 1)
-        case None if buf.size < k => buf.update(key, 1L)
-        case None =>
-          // the classic step: a miss on a full summary decrements ALL
-          // k counters (plus the implicit new item's 1), charging this
-          // row's unit of mass against k+1 distinct items at once —
-          // the source of the N/(k+1) bound
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.keysIterator.foreach { kk =>
-            val c = buf(kk) - 1
-            if (c == 0L) dead += kk else buf.update(kk, c)
-          }
-          dead.foreach(buf.remove)
-      }
+      MisraGries.add(buf, v.asInstanceOf[UTF8String].toString, k)
     }
     buf
   }
 
   override def merge(buf: mutable.HashMap[String, Long],
                      other: mutable.HashMap[String, Long])
-      : mutable.HashMap[String, Long] = {
-    other.foreach { case (key, c) =>
-      buf.update(key, buf.getOrElse(key, 0L) + c)
-    }
-    if (buf.size > k) {
-      // subtract the (k+1)-th largest count and drop what hits zero:
-      // at most k counters survive, and the subtracted mass is again
-      // charged to k+1 items simultaneously
-      val m = buf.values.toArray.sortWith(_ > _).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { kk =>
-        val c = buf(kk) - m
-        if (c <= 0L) dead += kk else buf.update(kk, c)
-      }
-      dead.foreach(buf.remove)
-    }
-    buf
-  }
+      : mutable.HashMap[String, Long] =
+    MisraGries.mergeInto(buf, other, k)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
     val keys = buf.keysIterator.toArray
@@ -162,4 +131,50 @@ case class MisraGriesAgg(
     copy(child = newChildren.head)
 
   override def prettyName: String = "mg_summary"
+}
+
+/** The pure Misra-Gries kernel, shared by the batch aggregate above
+  * and the streaming face (`streaming.Streams.streamingHeavyHitters`)
+  * so both enforce the identical N/(k+1) contract. */
+object MisraGries {
+
+  /** One observation of `key` into a summary of width `k`. */
+  def add(buf: mutable.HashMap[String, Long], key: String, k: Int): Unit =
+    buf.get(key) match {
+      case Some(c) => buf.update(key, c + 1)
+      case None if buf.size < k => buf.update(key, 1L)
+      case None =>
+        // the classic step: a miss on a full summary decrements ALL
+        // k counters (plus the implicit new item's 1), charging this
+        // row's unit of mass against k+1 distinct items at once —
+        // the source of the N/(k+1) bound
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.keysIterator.foreach { kk =>
+          val c = buf(kk) - 1
+          if (c == 0L) dead += kk else buf.update(kk, c)
+        }
+        dead.foreach(buf.remove)
+    }
+
+  /** Fold `other` into `buf`, truncating back to `k` counters. */
+  def mergeInto(buf: mutable.HashMap[String, Long],
+                other: scala.collection.Map[String, Long], k: Int)
+      : mutable.HashMap[String, Long] = {
+    other.foreach { case (key, c) =>
+      buf.update(key, buf.getOrElse(key, 0L) + c)
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest count and drop what hits zero:
+      // at most k counters survive, and the subtracted mass is again
+      // charged to k+1 items simultaneously
+      val m = buf.values.toArray.sortWith(_ > _).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.keysIterator.foreach { kk =>
+        val c = buf(kk) - m
+        if (c <= 0L) dead += kk else buf.update(kk, c)
+      }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
 }

@@ -225,6 +225,49 @@ object Streams {
       }
   }
 
+  /** One heavy-hitter counter of a per-type streaming summary. */
+  final case class HotItem(event_type: String, item: String, est: Long)
+
+  /** Carried MG summary per key (public: Spark codegen instantiates
+    * it). */
+  final case class MgCarry(counters: Map[String, Long])
+
+  /** Streaming heavy hitters — the stream face of the `mg_summary`
+    * aggregate (the trending-items dashboard a 100 TB event stream
+    * actually serves): per event_type, a Misra-Gries summary of width
+    * `k` over user ids is carried as state and re-emitted as a
+    * k-row changelog every micro-batch. The SAME kernel
+    * (`functions.MisraGries.add`) processes every observation, so the
+    * stream inherits the batch face's theorem verbatim: for every
+    * item, est ≤ exact and exact − est ≤ N/(k+1) over the whole
+    * stream so far, regardless of batch boundaries — pinned in
+    * StreamsSpec across a two-batch split.
+    *
+    * State is one ≤k-entry map per event type — bounded by
+    * |types|·k, never by users or stream length; the per-batch group
+    * fold is one pass, never materialized. */
+  def streamingHeavyHitters(events: Dataset[Event], k: Int = 16)
+      : Dataset[HotItem] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MgCarry, HotItem](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (eventType: String, rows: Iterator[Event],
+         state: GroupState[MgCarry]) =>
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.counters.foreach { case (key, c) =>
+            buf.update(key, c)
+          })
+          rows.foreach(e =>
+            graft.functions.MisraGries.add(buf, e.user_id.toString, k))
+          state.update(MgCarry(buf.toMap))
+          buf.toSeq.map { case (item, est) =>
+            HotItem(eventType, item, est)
+          }.iterator
+      }
+  }
+
   /** Streaming exact dedup — the stream face of `dd_exact`: drop rows
     * whose key was already seen, with the watermark bounding the
     * dedup-state retention to the late-data allowance (without it,

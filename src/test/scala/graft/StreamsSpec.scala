@@ -499,6 +499,47 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters keep the MG bound across batch splits") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.streamingHeavyHitters(source.toDS(), k = 4)
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode("update").start()
+    try {
+      def mk(ids: Seq[Long], startId: Long) = ids.zipWithIndex.map {
+        case (u, i) => Event(startId + i,
+          ts("2024-01-01 10:00:00"), u, "click", 1.0)
+      }
+      // skewed stream split across two batches: user 7 dominates,
+      // a long tail of singletons forces decrements at k=4
+      val b1Ids = Seq.fill(30)(7L) ++ (100L to 119L)
+      val b2Ids = Seq.fill(20)(7L) ++ Seq.fill(10)(8L) ++ (200L to 214L)
+      source.addData(mk(b1Ids, 0))
+      q.processAllAvailable()
+      val n1 = spark.table("hh_test").count().toInt
+      source.addData(mk(b2Ids, 1000))
+      q.processAllAvailable()
+      // batch 2 re-emits the complete current summary; the memory
+      // sink appends batches in order, so the rows past the batch-1
+      // snapshot ARE that summary
+      val est = spark.table("hh_test")
+        .as[(String, String, Long)].collect().drop(n1)
+        .map(r => r._2 -> r._3).toMap
+      val all = b1Ids ++ b2Ids
+      val exact = all.groupBy(_.toString).map { case (u, v) =>
+        u -> v.size.toLong }
+      val slack = all.size.toLong / 5 // N/(k+1)
+      (exact.keySet ++ est.keySet).foreach { item =>
+        val e = est.getOrElse(item, 0L)
+        val ex = exact.getOrElse(item, 0L)
+        assert(e <= ex && ex - e <= slack,
+          s"item $item est=$e exact=$ex slack=$slack")
+      }
+      // the dominant user must survive with a near-exact count
+      assert(est.contains("7"), "heavy item evicted")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 replay equals the batch face's closed intervals") {
     implicit val sq = spark.sqlContext
     val events = graft.sources.Tables(spark, "/root/testdata/sf0.001",
