@@ -1021,9 +1021,80 @@ object Dedup extends QueryModule {
       ORDER BY d.doc_id""")
   )
 
+  /** QUALITY-AWARE keeper election — real pipelines don't keep the
+    * lowest doc_id of a near-dup cluster (dd_dedup_corpus's simple
+    * rule), they keep the BEST member: here the one with the most
+    * distinct tokens (richest content), ties broken by lowest id. The
+    * argmax is the sentinel idiom (J3): max over struct(richness,
+    * −doc_id) — one aggregate per cluster, no window, no self-join —
+    * and the richness key is an exact integer so both engines elect
+    * the identical keeper. Output maps every document to its cluster,
+    * the elected keeper, and an is_keeper flag — the replacement map a
+    * downstream rewrite joins on.
+    *
+    * Scale: richness is a narrow per-row map folded before any
+    * shuffle; cluster labels are duplicate-rate-sized; the election is
+    * one |clusters|-key aggregate plus one map-back join on cluster. */
+  val dedupBest: Q = Q(
+    "dd_dedup_best",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cand = graft.operators.TextDedup.lshCandidates(
+        docs, numPerms = 8, nBands = 2)
+      val labels = graft.operators.ConnectedComponents
+        .minLabel(cand, "doc_a", "doc_b")
+      graft.operators.CacheScope.releaseCheckpoint(cand)
+      val lab = graft.operators.Partitioning
+        .ensureParallelism(
+          docs.select(col("doc_id"),
+            size(array_distinct(split(col("text"), " "))).as("rich")),
+          "doc_id")
+        .join(labels.select(col("id").as("doc_id"), col("cluster")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val keepers = lab.groupBy("cluster")
+        .agg(max(struct(col("rich"),
+          (-col("doc_id")).as("neg_id"))).as("m"))
+        .select(col("cluster"), (-col("m.neg_id")).as("keeper"))
+      val result = lab
+        .join(keepers, "cluster")
+        .select(col("doc_id"), col("cluster"), col("keeper"),
+          (col("doc_id") === col("keeper")).as("is_keeper"))
+        .orderBy("doc_id")
+      graft.operators.CacheScope.eval(result)(labels)
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSql, $sigSql, $candSql,
+      bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+        WHERE e.b <> r.a),
+      lab0 AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a),
+      lab AS (
+        SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
+               len(list_distinct(string_split(d.text, ' '))) AS rich
+        FROM documents d LEFT JOIN lab0 l ON l.doc_id = d.doc_id),
+      k AS (
+        SELECT cluster, doc_id AS keeper FROM (
+          SELECT cluster, doc_id,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY rich DESC, doc_id ASC) AS rn
+          FROM lab) WHERE rn = 1)
+      SELECT l.doc_id, l.cluster, k.keeper,
+             l.doc_id = k.keeper AS is_keeper
+      FROM lab l JOIN k USING (cluster)
+      ORDER BY l.doc_id""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
     dupRateBySource, sourceOverlap, curationPipeline, incremental,
-    leakageSafeSplit, containment, dupWeights)
+    leakageSafeSplit, containment, dupWeights, dedupBest)
 }

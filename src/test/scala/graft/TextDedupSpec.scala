@@ -152,6 +152,28 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(twoBands.subsetOf(fourBands))
   }
 
+  test("dedup-best elects exactly one richest member per cluster") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Dedup.dedupBest
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val rich = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).as("rich"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.groupBy(_._2).foreach { case (cluster, rows) =>
+      val keepers = rows.filter(_._4)
+      assert(keepers.size == 1, s"cluster $cluster: ${keepers.size} keepers")
+      val k = keepers.head
+      assert(k._1 == k._3, "is_keeper row must be the elected keeper")
+      val best = rows.map(r => (rich(r._1), -r._1)).max
+      assert((rich(k._1), -k._1) == best,
+        s"cluster $cluster keeper ${k._1} is not the richest member")
+    }
+  }
+
   test("dup weights: every cluster contributes exactly one document of mass") {
     val w = graft.queries.Dedup.dupWeights
       .fn(spark, "/root/testdata/sf0.001")
