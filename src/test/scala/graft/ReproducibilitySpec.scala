@@ -30,7 +30,19 @@ class ReproducibilitySpec extends AnyFunSuite with SharedSpark {
     "ta_temperature_sample", "dd_simhash", "dd_minhash_lsh",
     "ta_shard_assign", "ss_quantize_int8", "dd_dup_clusters",
     "rel_table_checksum", "rel_copurchase", "dd_incremental",
-    "rel_salted_join")
+    "rel_salted_join",
+    // round-9 additions whose docs claim partitioning-independence:
+    // integer PageRank (floor-div power iterations), keeper election
+    // (sentinel argmax on integer keys), dup weights (1/|cluster|),
+    // incremental view merge (exact cents), SCD2 islands + streaks
+    // (tie-broken windows), containment (candidate-bounded rationals)
+    "ta_domain_pagerank", "dd_dedup_best", "dd_dup_weights",
+    "rel_incremental_view", "ev_scd2", "ev_activity_streaks",
+    "dd_containment",
+    // heavy hitters: output columns are exact counts + theorem
+    // booleans (k ≥ fixture vocab, so the summary itself is exact);
+    // the partitioning-dependent survivor SET never reaches the output
+    "ta_heavy_hitters", "ev_path_transitions", "ev_attribution")
 
   test("claimed-deterministic queries are identical across shuffle widths") {
     val conf = spark.conf
