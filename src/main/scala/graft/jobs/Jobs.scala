@@ -274,6 +274,18 @@ object Jobs {
     }
     val enroll = Tables(s, dir, "lineitem")
       .filter(col("l_linestatus") =!= "X")
+    // Fixture-collapse caveat (documented, not a defect): primary
+    // sections are linked through the row's OWN order key, and primMin
+    // only covers keys whose order is 'F' — so for an 'O' order,
+    // prim_grade is NULL by construction and the 'O' branch of the
+    // conditional filter below always drops. In the reference a
+    // non-basis enrollment's primary section is a DIFFERENT section
+    // that can carry a grade; the TPC-H fixture has no
+    // section→primary-section edge to express that, so this face (and
+    // its DuckDB oracle, which encodes the identical shape) certify
+    // the conditional-join PLAN with the 'O' branch collapsed to
+    // always-drop. ref_conditional_join exercises the branch with
+    // live rows on both sides.
     val primMin = enroll
       .join(inTerm.filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"), "left_semi")

@@ -192,7 +192,10 @@ object Codecs {
     while (off + 8 <= b.length) {
       val tag = tagAt(off)
       val len = le32(b, off + 4)
-      require(len >= 0 && off + 8 + len <= b.length,
+      // bound math in Long, as decodeBmp does: a corrupt len near
+      // Int.MaxValue wraps `off + 8 + len` negative in Int arithmetic,
+      // slipping past the guard into a raw ArrayIndexOutOfBounds
+      require(len >= 0 && off.toLong + 8L + len <= b.length.toLong,
         s"chunk '$tag' at $off overruns buffer (len=$len)")
       tag match {
         case "fmt " =>
@@ -342,7 +345,8 @@ object Codecs {
     var sawEnd = false
     while (!sawEnd && off + 12 <= b.length) {
       val len = be32(b, off)
-      require(len >= 0 && off + 12 + len <= b.length,
+      // Long bound math — same overflow trap as the WAV walk above
+      require(len >= 0 && off.toLong + 12L + len <= b.length.toLong,
         s"chunk at $off overruns buffer (len=$len)")
       val tag = new String(b.slice(off + 4, off + 8), "US-ASCII")
       val stored = be32(b, off + 8 + len)
@@ -373,8 +377,13 @@ object Codecs {
     var got = 0
     while (got < raw.length && !infl.finished()) {
       val n = infl.inflate(raw, got, raw.length - got)
-      require(n > 0 || !infl.needsInput,
-        s"truncated IDAT stream: $got of ${raw.length} bytes")
+      // any non-progress iteration is a parse failure: n==0 with
+      // finished()==false means needsInput (truncated stream) or
+      // needsDictionary (preset-dictionary zlib, unsupported) — the
+      // latter previously passed a needsInput-only check and spun the
+      // loop forever on adversarial input
+      require(n > 0,
+        s"truncated or unsupported IDAT stream: $got of ${raw.length} bytes")
       got += n
     }
     infl.end()

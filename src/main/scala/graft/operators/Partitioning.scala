@@ -50,9 +50,20 @@ object Partitioning {
     * — MG false positives merely salt a warm key (harmless), and the
     * MG lower-bound estimate guarantees every key above
     * |left|/(k+1) rows is caught, which is exactly the population that
-    * can skew a reducer. `minHotRows` tightens the cut when the
-    * caller knows its target partition size; the isin(≤k literals)
-    * predicates stay codegen'd and scan-pushable.
+    * can skew a reducer.
+    *
+    * Routing assumption: hot/cold membership is decided on
+    * `cast(key AS string)` (MG sketches strings). For key types whose
+    * string form is injective (integers, strings — every catalog use)
+    * the routing is exact and the isin(≤k literals) predicate pushes
+    * to the scan on a string column. For non-injective casts
+    * (float/decimal: `1.0` vs `1.00`) distinct keys sharing a string
+    * form are co-routed — the RESULT is still the plain inner join
+    * (both branches join on the raw key), but a cast-wrapped isin
+    * neither pushes down nor salts precisely; prefer an integer or
+    * string join key, which is also the right call at 100 TB
+    * independent of this operator. `minHotRows` tightens the cut when
+    * the caller knows its target partition size.
     *
     * This is the explicit, plannable form of AQE's skew-join split —
     * needed when the skew sits UPSTREAM of where AQE can see it

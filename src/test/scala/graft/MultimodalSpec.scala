@@ -116,6 +116,58 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(Codecs.tryDecode(Codecs.decodeBmp(bmp)).isRight)
   }
 
+  test("Codecs: Long-math chunk guards + inflate non-progress rejection") {
+    import graft.multimodal.Codecs
+    // WAV chunk declaring len near Int.MaxValue: Int math wraps
+    // off+8+len negative and slips the guard; the Long-math bound must
+    // reject it as a validated overrun, not AIOOBE/OOM
+    val wav = Codecs.encodeWavPcm16(8000, 1, Array(1, 2, 3))
+    val evilWav = wav.clone()
+    // 'fmt ' chunk length field lives at offset 16 (le32)
+    evilWav(16) = 0xf0.toByte; evilWav(17) = 0xff.toByte
+    evilWav(18) = 0xff.toByte; evilWav(19) = 0x7f.toByte
+    val e1 = intercept[IllegalArgumentException](
+      Codecs.decodeWavPcm16(evilWav))
+    assert(e1.getMessage.contains("overruns"), e1.getMessage)
+    // same trap on PNG's big-endian chunk length (IHDR len at offset 8)
+    val png = Codecs.encodePng(4, 4, (x, y) => x + y)
+    val evilPng = png.clone()
+    evilPng(8) = 0x7f.toByte; evilPng(9) = 0xff.toByte
+    evilPng(10) = 0xff.toByte; evilPng(11) = 0xf0.toByte
+    val e2 = intercept[IllegalArgumentException](Codecs.decodePng(evilPng))
+    assert(e2.getMessage.contains("overruns"), e2.getMessage)
+    // preset-dictionary zlib IDAT: inflate() returns 0 with
+    // needsInput=false and finished=false forever — the decoder must
+    // throw (unsupported), not spin the inflate loop
+    val defl = new java.util.zip.Deflater()
+    defl.setDictionary("graftdict".getBytes("US-ASCII"))
+    defl.setInput(new Array[Byte](4 * 5)); defl.finish()
+    val buf = new Array[Byte](256)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(Array[Byte]((body.length >>> 24).toByte,
+        (body.length >>> 16).toByte, (body.length >>> 8).toByte,
+        body.length.toByte))
+      val payload = tag.getBytes("US-ASCII") ++ body
+      out.write(payload)
+      val c = new java.util.zip.CRC32(); c.update(payload)
+      val v = c.getValue.toInt
+      out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte))
+    }
+    chunk("IHDR", Array[Byte](0, 0, 0, 4, 0, 0, 0, 4, 8, 0, 0, 0, 0))
+    chunk("IDAT", bos.toByteArray)
+    chunk("IEND", Array.empty)
+    val e3 = intercept[IllegalArgumentException](
+      Codecs.decodePng(out.toByteArray))
+    assert(e3.getMessage.contains("IDAT"), e3.getMessage)
+  }
+
   test("decodeStub: fixed feature schema, deterministic values") {
     val payloads = Multimodal.withPayload(Tables(spark, sf, "documents"))
     val f1 = Multimodal.decodeStub(spark, payloads).orderBy("doc_id")
