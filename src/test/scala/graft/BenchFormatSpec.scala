@@ -99,6 +99,40 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.parseDetailQueries("") === Map.empty)
   }
 
+  test("self-arbitration record: reruns + unresolved_flags round-trip") {
+    val reruns = Seq(
+      Bench.Rerun("dd_curation_pipeline", 34.45, 6.02, 5.82,
+        resolved = true),
+      Bench.Rerun("dd_source_overlap", 2.70, 2.55, 0.98,
+        resolved = false))
+    val detail = Bench.detailJson(mk(120), 3, "sf0.1", calib = 0.29,
+      cpus = "32", reruns = reruns, calib2 = 0.26, unresolvedFlags = 1)
+    val js = mapper.readTree(detail)
+    // both medians + prev + verdict, per flagged query
+    val r1 = js.get("reruns").get("dd_curation_pipeline")
+    assert(r1.get("first").asDouble() == 34.45)
+    assert(r1.get("rerun").asDouble() == 6.02)
+    assert(r1.get("prev").asDouble() == 5.82)
+    assert(r1.get("resolved").asBoolean())
+    assert(!js.get("reruns").get("dd_source_overlap").get("resolved")
+      .asBoolean())
+    assert(js.get("calib2").asDouble() == 0.26)
+    assert(js.get("unresolved_flags").asInt() == 1)
+    // the queries map parse is UNAFFECTED by the nested rerun objects
+    // (they serialize after it — parseDetailQueries scans to the first
+    // closing brace past "queries":{)
+    assert(Bench.parseDetailQueries(detail).size == 120)
+    // gate-compared-clean run: flags count present as explicit zero
+    val clean = Bench.detailJson(mk(5), 3, "sf0.1", calib = 0.25,
+      unresolvedFlags = 0)
+    assert(mapper.readTree(clean).get("unresolved_flags").asInt() == 0)
+    assert(!mapper.readTree(clean).has("reruns"))
+    // no comparison happened (first run): both fields absent
+    val first = Bench.detailJson(mk(5), 3, "sf0.1", calib = 0.25)
+    assert(!mapper.readTree(first).has("unresolved_flags"))
+    assert(!mapper.readTree(first).has("reruns"))
+  }
+
   test("calib round-trips through detail and normalizes the gate") {
     // with calib: field present and parseable
     val detail = Bench.detailJson(mk(10), 3, "sf0.1", calib = 0.412,
