@@ -384,22 +384,37 @@ object Events extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
-  /** CDC MERGE (upsert) — apply a change log to a snapshot in one plan,
-    * the maintenance step behind the reference's snapshot/incremental
-    * duality (SURVEY.md T3: `upload_snapshot` rebuilds, `upload_recent_
-    * refresh` patches; jonesy/jobs.py:19,40). The change log is first
-    * reduced to the LATEST change per key — `max(struct(ts, event_id,
-    * value))` is a plain aggregate, so the reduction gets map-side
-    * partial combine and one shuffle, never a per-key window over raw
-    * events; (ts, event_id) is a unique order so the argmax is
-    * deterministic. The merge itself is a single full-outer join on the
-    * key: matched-with-change → 'U' (take the new value),
-    * matched-without-change → 'K' (keep), unmatched change → 'I'
-    * (insert). At 100 TB both sides arrive hash-partitioned on the same
-    * key, so the whole upsert is one reduction + one co-partitioned
-    * join — the standard MERGE INTO plan without a table format.
-    * The snapshot is restricted to keys < 100 so the insert branch is
-    * genuinely exercised (event users run 0..149). */
+  /** CDC MERGE (upsert + tombstone) — apply a change log to a snapshot
+    * in one plan, the maintenance step behind the reference's
+    * snapshot/incremental duality (SURVEY.md T3: `upload_snapshot`
+    * rebuilds, `upload_recent_refresh` patches; jonesy/jobs.py:19,40).
+    * The reference deliberately excludes deletes (queries.py:146,
+    * `change_type IN ('C','U')`) — but every production CDC feed
+    * carries them, so this face shows the COMPLETE pattern (r9 verdict
+    * #2): the fixture's `error` events stand in for tombstones next to
+    * `purchase` upserts (the events table has no change_type column;
+    * the kind is derived from event_type, exactly how a feed without
+    * an op column derives one).
+    *
+    * The change log is first reduced to the LATEST change per key —
+    * `max(struct(ts, event_id, is_delete, value))` is a plain
+    * aggregate, so the reduction gets map-side partial combine and one
+    * shuffle, never a per-key window over raw events; (ts, event_id)
+    * is a unique prefix so the argmax is deterministic and the
+    * appended payload fields never influence the winner. The merge is
+    * a single full-outer join on the key: matched-with-upsert → 'U'
+    * (take the new value), matched-without-change → 'K' (keep),
+    * unmatched upsert → 'I' (insert), matched-with-tombstone → 'D'
+    * (balance nulled; the maintained snapshot is this result minus its
+    * 'D' rows). A tombstone for an absent key is MERGE's
+    * WHEN-NOT-MATCHED-AND-DELETE no-op and emits nothing. At 100 TB
+    * both sides arrive hash-partitioned on the same key, so the whole
+    * upsert is one reduction + one co-partitioned join — the standard
+    * MERGE INTO plan without a table format. The snapshot is
+    * restricted to keys < 100 so the insert, delete, and no-op
+    * branches are all genuinely exercised (event users run 0..149).
+    * Stream face: [[graft.streaming.Streams.streamingUpsert]] with
+    * `deleteTypes` carries the same tombstone semantics. */
   val cdcMerge: Q = Q(
     "ev_cdc_merge",
     (s, dir) => {
@@ -408,19 +423,26 @@ object Events extends QueryModule {
         .select(col("c_custkey").as("s_uid"),
           col("c_acctbal").as("balance"))
       val changes = ev(s, dir)
-        .filter(col("event_type") === "purchase")
+        .filter(col("event_type").isin("purchase", "error"))
         .groupBy("user_id")
-        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .agg(max(struct(col("ts"), col("event_id"),
+          (col("event_type") === "error").as("is_delete"), col("value")))
           .as("last"))
         .select(col("user_id").as("c_uid"),
+          col("last.is_delete").as("is_delete"),
           col("last.value").as("new_value"))
       snap.join(changes, col("s_uid") === col("c_uid"), "full_outer")
         .select(
           coalesce(col("s_uid"), col("c_uid")).as("user_id"),
-          when(col("s_uid").isNull, "I")
-            .when(col("c_uid").isNull, "K")
+          when(col("c_uid").isNull, "K")
+            .when(col("is_delete") && col("s_uid").isNotNull, "D")
+            .when(col("is_delete"), lit(null)) // tombstone, absent key
+            .when(col("s_uid").isNull, "I")
             .otherwise("U").as("op"),
-          coalesce(col("new_value"), col("balance")).as("balance"))
+          when(col("is_delete"), lit(null).cast("double"))
+            .otherwise(coalesce(col("new_value"), col("balance")))
+            .as("balance"))
+        .filter(col("op").isNotNull)
         .orderBy("user_id")
     },
     Some("""
@@ -428,18 +450,24 @@ object Events extends QueryModule {
         SELECT c_custkey AS user_id, c_acctbal AS balance
         FROM customer WHERE c_custkey < 100),
       changes AS (
-        SELECT user_id, value AS new_value FROM (
-          SELECT user_id, value,
+        SELECT user_id, (event_type = 'error') AS is_delete,
+               value AS new_value FROM (
+          SELECT user_id, event_type, value,
                  row_number() OVER (PARTITION BY user_id
                    ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events WHERE event_type = 'purchase')
+          FROM events WHERE event_type IN ('purchase', 'error'))
         WHERE rn = 1)
-      SELECT COALESCE(s.user_id, c.user_id) AS user_id,
-             CASE WHEN s.user_id IS NULL THEN 'I'
-                  WHEN c.user_id IS NULL THEN 'K'
-                  ELSE 'U' END AS op,
-             COALESCE(c.new_value, s.balance) AS balance
-      FROM snap s FULL OUTER JOIN changes c ON s.user_id = c.user_id
+      SELECT user_id, op, balance FROM (
+        SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+               CASE WHEN c.user_id IS NULL THEN 'K'
+                    WHEN c.is_delete AND s.user_id IS NOT NULL THEN 'D'
+                    WHEN c.is_delete THEN NULL
+                    WHEN s.user_id IS NULL THEN 'I'
+                    ELSE 'U' END AS op,
+               CASE WHEN c.is_delete THEN NULL
+                    ELSE COALESCE(c.new_value, s.balance) END AS balance
+        FROM snap s FULL OUTER JOIN changes c ON s.user_id = c.user_id)
+      WHERE op IS NOT NULL
       ORDER BY user_id""")
   )
 

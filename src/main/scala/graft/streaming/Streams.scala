@@ -106,25 +106,39 @@ object Streams {
       }
   }
 
-  /** The maintained latest state per key, emitted as a changelog row. */
+  /** The maintained latest state per key, emitted as a changelog row.
+    * `op` is 'U' (upsert) or 'D' (tombstone — the key is deleted from
+    * the maintained table; `value` carries the tombstone event's
+    * payload for audit, a MERGE sink ignores it on 'D'). */
   final case class KeyState(user_id: Long, ts: Timestamp,
-                            event_id: Long, value: Double)
+                            event_id: Long, value: Double, op: String)
 
-  /** Streaming UPSERT — the stream face of the batch CDC merge
-    * (`ev_cdc_merge`): `mapGroupsWithState` maintains the latest
-    * (ts, event_id)-ordered value per key and emits one changelog row
-    * per key per micro-batch — exactly the stream a MERGE-applying
-    * sink consumes (Update output mode). Latest-wins is enforced
-    * against BOTH the batch (single-pass fold over the group iterator,
-    * never materialized) and the carried state, so an out-of-order
-    * older event can never overwrite newer state — the idempotence
-    * half of the T6 contract on the streaming face.
+  /** Streaming UPSERT with tombstones — the stream face of the batch
+    * CDC merge (`ev_cdc_merge`): `mapGroupsWithState` maintains the
+    * latest (ts, event_id)-ordered change per key and emits one
+    * changelog row per key per micro-batch — exactly the stream a
+    * MERGE-applying sink consumes (Update output mode). Events whose
+    * `event_type` is in `deleteTypes` are tombstones: when the latest
+    * change for a key is a tombstone the emitted row carries op='D'
+    * and the sink drops the key. Latest-wins is enforced against BOTH
+    * the batch (single-pass fold over the group iterator, never
+    * materialized) and the carried state, so an out-of-order older
+    * event can never overwrite newer state — including never
+    * RESURRECTING a deleted key, which is exactly why the tombstone
+    * stays in state instead of clearing it (`state.remove` would
+    * forget the deletion and let a late pre-delete event reinsert);
+    * a newer upsert after the tombstone re-inserts the key, the
+    * standard changelog lifecycle. This is the idempotence half of
+    * the T6 contract on the streaming face.
     *
-    * State is one row per distinct key: bounded by the dimension's
-    * cardinality, not the stream's length — for table maintenance the
-    * state IS the table, so no timeout is set; a TTL variant would
-    * swap in ProcessingTimeTimeout for ephemeral keys. */
-  def streamingUpsert(events: Dataset[Event]): Dataset[KeyState] = {
+    * State is one row per distinct key (tombstones included): bounded
+    * by the dimension's cardinality, not the stream's length — for
+    * table maintenance the state IS the table, so no timeout is set; a
+    * TTL variant would swap in ProcessingTimeTimeout to garbage-collect
+    * tombstones once the feed's lateness horizon passes. */
+  def streamingUpsert(events: Dataset[Event],
+                      deleteTypes: Set[String] = Set.empty)
+      : Dataset[KeyState] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -146,7 +160,8 @@ object Streams {
           rows.foreach { e =>
             if (best == null ||
                 newer(e.ts, e.event_id, best.ts, best.event_id))
-              best = KeyState(userId, e.ts, e.event_id, e.value)
+              best = KeyState(userId, e.ts, e.event_id, e.value,
+                if (deleteTypes(e.event_type)) "D" else "U")
           }
           state.update(best)
           best

@@ -415,11 +415,11 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         Event(3, ts("2024-01-01 10:30:00"), 8, "purchase", 5.0))
       q.processAllAvailable()
       val b1 = spark.table("upsert_test")
-        .as[(Long, Timestamp, Long, Double)].collect().toSet
+        .as[(Long, Timestamp, Long, Double, String)].collect().toSet
       // within one batch, the later event wins for user 7
       assert(b1 == Set(
-        (7L, ts("2024-01-01 11:00:00"), 2L, 20.0),
-        (8L, ts("2024-01-01 10:30:00"), 3L, 5.0)))
+        (7L, ts("2024-01-01 11:00:00"), 2L, 20.0, "U"),
+        (8L, ts("2024-01-01 10:30:00"), 3L, 5.0, "U")))
       // batch 2: an out-of-order OLDER event for 7 (must not
       // overwrite), a genuine update for 8, a brand-new key 9
       source.addData(
@@ -428,18 +428,72 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         Event(6, ts("2024-01-01 12:30:00"), 9, "purchase", 1.0))
       q.processAllAvailable()
       val all = spark.table("upsert_test")
-        .as[(Long, Timestamp, Long, Double)].collect()
+        .as[(Long, Timestamp, Long, Double, String)].collect()
       // the changelog's LAST emission per key is the merged state
       val latest = all.groupBy(_._1).map { case (_, rows) =>
         rows.maxBy(r => (r._2.getTime, r._3))
       }.toSet
       assert(latest == Set(
-        (7L, ts("2024-01-01 11:00:00"), 2L, 20.0),   // old event ignored
-        (8L, ts("2024-01-01 12:00:00"), 5L, 6.0),    // updated
-        (9L, ts("2024-01-01 12:30:00"), 6L, 1.0)))   // inserted
+        (7L, ts("2024-01-01 11:00:00"), 2L, 20.0, "U"), // old ignored
+        (8L, ts("2024-01-01 12:00:00"), 5L, 6.0, "U"),  // updated
+        (9L, ts("2024-01-01 12:30:00"), 6L, 1.0, "U"))) // inserted
       // user 7's batch-2 changelog row re-emits the UNCHANGED state
       // (state write is idempotent), never the stale 09:00 value
-      assert(!all.contains((7L, ts("2024-01-01 09:00:00"), 4L, 99.0)))
+      assert(!all.exists(r => r._1 == 7L && r._3 == 4L))
+    } finally q.stop()
+  }
+
+  test("streamingUpsert tombstones: delete, no resurrection, re-insert; " +
+      "replay-parity with the batch latest-change reduction") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.streamingUpsert(source.toDS(),
+        deleteTypes = Set("error"))
+      .writeStream.format("memory").queryName("upsert_tomb")
+      .outputMode("update").start()
+    // the full feed, delivered across three micro-batches below — the
+    // batch-side expectation is computed over this SAME list with the
+    // ev_cdc_merge reduction (max by (ts, event_id), op from kind)
+    val feed = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "purchase", 10.0),
+      Event(2, ts("2024-01-01 11:00:00"), 8, "purchase", 20.0),
+      // batch 2: tombstone for 7, update for 8
+      Event(3, ts("2024-01-01 12:00:00"), 7, "error", 0.0),
+      Event(4, ts("2024-01-01 12:30:00"), 8, "purchase", 21.0),
+      // batch 3: LATE pre-delete event for 7 (must NOT resurrect),
+      // newer post-delete upsert for 9 then its even newer tombstone
+      Event(5, ts("2024-01-01 11:30:00"), 7, "purchase", 99.0),
+      Event(6, ts("2024-01-01 13:00:00"), 9, "purchase", 1.0),
+      Event(7, ts("2024-01-01 13:30:00"), 9, "error", 0.0))
+    try {
+      source.addData(feed(0), feed(1)); q.processAllAvailable()
+      source.addData(feed(2), feed(3)); q.processAllAvailable()
+      val mid = spark.table("upsert_tomb")
+        .as[(Long, Timestamp, Long, Double, String)].collect()
+        .groupBy(_._1).map { case (_, r) =>
+          r.maxBy(x => (x._2.getTime, x._3)) }.toSet
+      // after batch 2 the changelog's latest rows: 7 deleted, 8 updated
+      assert(mid == Set(
+        (7L, ts("2024-01-01 12:00:00"), 3L, 0.0, "D"),
+        (8L, ts("2024-01-01 12:30:00"), 4L, 21.0, "U")))
+      source.addData(feed(4), feed(5), feed(6)); q.processAllAvailable()
+      val fin = spark.table("upsert_tomb")
+        .as[(Long, Timestamp, Long, Double, String)].collect()
+        .groupBy(_._1).map { case (_, r) =>
+          r.maxBy(x => (x._2.getTime, x._3)) }.toSet
+      // replay parity: the stream's final state per key equals the
+      // batch reduction of the whole feed (ev_cdc_merge's changes
+      // side) — latest (ts, event_id) wins, op derived from its kind
+      val expected = feed.groupBy(_.user_id).map { case (uid, evs) =>
+        val w = evs.maxBy(e => (e.ts.getTime, e.event_id))
+        (uid, w.ts, w.event_id, w.value,
+          if (w.event_type == "error") "D" else "U")
+      }.toSet
+      assert(fin == expected)
+      // and concretely: the late pre-delete event never resurrected 7
+      assert(fin.contains((7L, ts("2024-01-01 12:00:00"), 3L, 0.0, "D")))
+      // 9's lifecycle ended deleted even though it was born after 7 died
+      assert(fin.contains((9L, ts("2024-01-01 13:30:00"), 7L, 0.0, "D")))
     } finally q.stop()
   }
 
