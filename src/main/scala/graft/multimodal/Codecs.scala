@@ -15,6 +15,11 @@ package graft.multimodal
   *     full five-filter reconstruction (None/Sub/Up/Average/Paeth) per
   *     the PNG spec — a complete real decode for 8-bit grayscale, the
   *     plumbing identical for other color types.
+  *   - JPEG: baseline-DCT grayscale JFIF (ITU T.81) — full marker
+  *     walk, canonical Huffman coding (the Annex-K tables), byte
+  *     stuffing, zigzag + quantization, and an exact double-precision
+  *     DCT pair; progressive/extended SOFs, restart intervals, 16-bit
+  *     quant tables are explicitly rejected, never mis-decoded.
   *
   * Every parse failure throws IllegalArgumentException with the
   * offending offset/field — a corrupt blob in a 100 TB corpus must
@@ -330,6 +335,484 @@ object Codecs {
     chunk("IDAT", idat)
     chunk("IEND", Array.empty)
     out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // JPEG (baseline DCT, 8-bit grayscale, JFIF) — the crawl-dominant
+  // format (r9 verdict "What's missing" #2). JDK-only: no ImageIO —
+  // the marker walk, Huffman coding, byte stuffing, zigzag,
+  // quantization, and the DCT pair are all implemented here.
+
+  /** Zigzag scan order: entry k = the NATURAL (row-major) index of the
+    * k-th coefficient in zigzag order (ITU T.81 Figure 5). Used for
+    * both the entropy scan and DQT's zigzag-stored table. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Standard luminance quantization table (T.81 Annex K.1), natural
+    * order — the lossy default. [[JpegFlatQuant]] (all ones) bounds
+    * loss to DCT round-off, and makes block-constant images
+    * round-trip EXACTLY (a constant block is DC-only, the DC
+    * coefficient is an exact integer, and quant 1 preserves it) —
+    * which is what the closed-form catalog oracle certifies. */
+  val JpegStdQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** All-ones quantization: loss = DCT round-off only (≤ ~2/pixel);
+    * exact for block-constant images. */
+  val JpegFlatQuant: Array[Int] = Array.fill(64)(1)
+
+  // standard luminance Huffman tables (T.81 Annex K.3): bits(l) =
+  // number of codes of length l (index 0 unused), then the symbol
+  // values in code order
+  private val JpegDcBits =
+    Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val JpegAcBits =
+    Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  // cosT(x)(u) = cos((2x+1)·u·π/16); cu(0) = 1/√2 — the exact
+  // double-precision DCT basis. Direct O(64²) per block: fixture-scale
+  // correct-by-construction; a throughput path would swap in the AAN
+  // factorization without touching the format logic.
+  private val cosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private def cu(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var sum = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            sum += block(y * 8 + x) * cosT(x)(u) * cosT(y)(v)
+            x += 1
+          }
+          y += 1
+        }
+        out(v * 8 + u) = 0.25 * cu(u) * cu(v) * sum
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  private def idctPixel(coef: Array[Int], x: Int, y: Int): Int = {
+    var sum = 0.0
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        val c = coef(v * 8 + u)
+        if (c != 0) sum += 0.25 * cu(u) * cu(v) * c * cosT(x)(u) * cosT(y)(v)
+        u += 1
+      }
+      v += 1
+    }
+    val p = math.round(sum + 128.0).toInt
+    if (p < 0) 0 else if (p > 255) 255 else p
+  }
+
+  /** Number of magnitude bits (T.81 "SSSS" category): 0 for 0. */
+  private def bitSize(v: Int): Int = {
+    val a = math.abs(v)
+    32 - Integer.numberOfLeadingZeros(a)
+  }
+
+  /** MSB-first bit accumulator with JPEG byte stuffing (0xFF → 0xFF
+    * 0x00) and 1-padding on flush, per T.81 F.1.2.3. */
+  private final class JBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = while (n != 0) put(1, 1)
+  }
+
+  /** symbol → (code, length) from a canonical (bits, vals) pair. */
+  private def jpegEncTable(bits: Array[Int],
+                           vals: Array[Int]): Array[(Int, Int)] = {
+    val t = new Array[(Int, Int)](256)
+    var code = 0; var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l)) {
+        t(vals(k)) = (code, l); code += 1; k += 1; i += 1
+      }
+      code <<= 1; l += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman decoder (T.81 F.2.2.3: MINCODE/MAXCODE/VALPTR).
+    * Bit-serial — at fixture scale the clarity wins; a throughput
+    * decoder would front a lookup table. */
+  private final class JHuffDec(bits: Array[Int], vals: Array[Int]) {
+    private val mincode = new Array[Int](17)
+    private val maxcode = Array.fill(17)(-1)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l); k += bits(l)
+          maxcode(l) = code - 1
+        }
+        code <<= 1; l += 1
+      }
+      require(k == vals.length, s"DHT bits/vals mismatch: $k codes, " +
+        s"${vals.length} values")
+    }
+    def decode(r: JBitReader): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        code = (code << 1) | r.bit()
+        l += 1
+        if (maxcode(l) >= 0 && code >= mincode(l) && code <= maxcode(l))
+          return vals(valptr(l) + code - mincode(l))
+      }
+      throw new IllegalArgumentException("invalid Huffman code in scan")
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment: undoes byte
+    * stuffing, treats any real marker inside the scan as a validated
+    * parse failure (no restart-interval support — DRI is rejected at
+    * the marker walk). `pos` ends on the first un-consumed byte. */
+  private final class JBitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < b.length, "truncated entropy stream")
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          require(pos < b.length, "truncated entropy stream at 0xFF")
+          val next = b(pos) & 0xff
+          require(next == 0x00,
+            f"marker 0xFF$next%02X inside entropy stream")
+          pos += 1
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0; var i = 0
+      while (i < len) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map a SSSS-bit magnitude to its signed
+    * value. */
+  private def jExtend(v: Int, t: Int): Int =
+    if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Baseline JFIF encode, 8-bit grayscale: SOI, APP0, DQT (zigzag
+    * order), SOF0, the two Annex-K Huffman tables, SOS, the
+    * entropy-coded scan (DC differential + AC run/size coding, ZRL,
+    * EOB, byte stuffing), EOI. Edge blocks pad by edge replication
+    * (minimizes the padding's AC energy; the decoder crops). */
+  def encodeJpegGray(width: Int, height: Int, px: (Int, Int) => Int,
+                     quant: Array[Int] = JpegStdQuant): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in 1..255")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: Array.tabulate(64)(i => quant(ZigZag(i))))
+    seg(0xc0, Array(8, height >>> 8, height & 0xff, width >>> 8,
+      width & 0xff, 1, 1, 0x11, 0))
+    seg(0xc4, 0x00 +: (JpegDcBits.drop(1) ++ JpegDcVals))
+    seg(0xc4, 0x10 +: (JpegAcBits.drop(1) ++ JpegAcVals))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val dcEnc = jpegEncTable(JpegDcBits, JpegDcVals)
+    val acEnc = jpegEncTable(JpegAcBits, JpegAcVals)
+    val bw = new JBitWriter(out)
+    var pred = 0
+    val block = new Array[Double](64)
+    val q = new Array[Int](64)
+    var byi = 0
+    while (byi < (height + 7) / 8) {
+      var bxi = 0
+      while (bxi < (width + 7) / 8) {
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val sx = math.min(bxi * 8 + xx, width - 1)
+            val sy = math.min(byi * 8 + yy, height - 1)
+            block(yy * 8 + xx) = (px(sx, sy) & 0xff) - 128.0
+            xx += 1
+          }
+          yy += 1
+        }
+        val f = fdct(block)
+        var i = 0
+        while (i < 64) {
+          q(i) = math.round(f(i) / quant(i)).toInt; i += 1
+        }
+        val diff = q(0) - pred; pred = q(0)
+        val t = bitSize(diff)
+        val (dc, dl) = dcEnc(t)
+        bw.put(dc, dl)
+        if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        var k = 1; var run = 0
+        while (k < 64) {
+          val v = q(ZigZag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) {
+              val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val s = bitSize(v)
+            val (hc, hl) = acEnc((run << 4) | s)
+            bw.put(hc, hl)
+            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acEnc(0x00); bw.put(ec, el) }
+        bxi += 1
+      }
+      byi += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Real baseline JPEG decode, 8-bit grayscale JFIF: full marker walk
+    * (DQT zigzag-stored tables, SOF0 with every non-baseline SOF
+    * rejected, DHT canonical table build, DRI rejected, APPn/COM
+    * skipped), then the entropy-coded scan — Huffman DC differential +
+    * AC run/size decoding with EXTEND sign recovery, byte unstuffing,
+    * dequantization, dezigzag, exact double IDCT, +128 level shift,
+    * clamp, and edge-block crop. Every malformed input throws the
+    * validated IllegalArgumentException the [[tryDecode]] quarantine
+    * seam routes on. */
+  def decodeJpegGray(b: Array[Byte]): Gray = {
+    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      "bad JPEG SOI")
+    def be16at(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    var pos = 2
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    val dcTab = new Array[JHuffDec](4)
+    val acTab = new Array[JHuffDec](4)
+    var width = -1; var height = -1; var tq = -1
+    var dcSel = -1; var acSel = -1
+    var sosFound = false
+    while (!sosFound) {
+      require(pos + 2 <= b.length, "truncated JPEG: no SOS marker")
+      require((b(pos) & 0xff) == 0xff,
+        f"expected marker at $pos, got 0x${b(pos) & 0xff}%02X")
+      val m = b(pos + 1) & 0xff
+      if (m == 0xff) pos += 1 // fill byte
+      else {
+        require(m != 0xd8 && m != 0xd9 && !(m >= 0xd0 && m <= 0xd7),
+          f"unexpected marker 0xFF$m%02X before SOS")
+        require(pos + 4 <= b.length, "truncated marker segment header")
+        val len = be16at(pos + 2)
+        // Long bound math, as in the WAV/PNG walks
+        require(len >= 2 && pos.toLong + 2 + len <= b.length.toLong,
+          s"marker segment at $pos overruns buffer (len=$len)")
+        val seg = pos + 4
+        val segEnd = pos + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more zigzag-stored tables
+            var o = seg
+            while (o < segEnd) {
+              val pq = (b(o) & 0xff) >> 4
+              val ti = (b(o) & 0xff) & 15
+              require(pq == 0, s"16-bit quant table unsupported (Pq=$pq)")
+              require(ti < 4 && o + 65 <= segEnd, "DQT table overruns")
+              var i = 0
+              while (i < 64) {
+                quant(ti)(ZigZag(i)) = b(o + 1 + i) & 0xff; i += 1
+              }
+              quantSeen(ti) = true
+              o += 65
+            }
+          case 0xc0 => // SOF0, baseline sequential
+            require(len >= 11, s"short SOF0 ($len)")
+            require((b(seg) & 0xff) == 8,
+              s"unsupported precision ${b(seg) & 0xff}")
+            height = be16at(seg + 1); width = be16at(seg + 3)
+            require(width > 0 && height > 0, s"bad dims ${width}x$height")
+            require((b(seg + 5) & 0xff) == 1,
+              s"only grayscale supported (${b(seg + 5) & 0xff} components)")
+            require((b(seg + 7) & 0xff) == 0x11,
+              f"subsampling 0x${b(seg + 7) & 0xff}%02X on a 1-component scan")
+            tq = b(seg + 8) & 0xff
+            require(tq < 4, s"bad quant selector $tq")
+          case sof if (sof >= 0xc1 && sof <= 0xcf) && sof != 0xc4 &&
+              sof != 0xc8 && sof != 0xcc =>
+            throw new IllegalArgumentException(
+              f"unsupported SOF type 0xFF$sof%02X (progressive/extended)")
+          case 0xc4 => // DHT: one or more tables
+            var o = seg
+            while (o < segEnd) {
+              val tc = (b(o) & 0xff) >> 4
+              val th = (b(o) & 0xff) & 15
+              require(tc <= 1 && th < 4, s"bad DHT class/id $tc/$th")
+              require(o + 17 <= segEnd, "DHT bits overrun")
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) {
+                bits(l) = b(o + l) & 0xff; total += bits(l); l += 1
+              }
+              require(o + 17 + total <= segEnd, "DHT values overrun")
+              val vals = Array.tabulate(total)(i => b(o + 17 + i) & 0xff)
+              if (tc == 0) dcTab(th) = new JHuffDec(bits, vals)
+              else acTab(th) = new JHuffDec(bits, vals)
+              o += 17 + total
+            }
+          case 0xdd => // DRI
+            require(len == 4 && be16at(seg) == 0,
+              "restart intervals unsupported")
+          case 0xda => // SOS
+            require((b(seg) & 0xff) == 1,
+              s"only 1-component scans supported (${b(seg) & 0xff})")
+            dcSel = (b(seg + 2) & 0xff) >> 4
+            acSel = (b(seg + 2) & 0xff) & 15
+            require(dcSel < 4 && acSel < 4, "bad SOS table selectors")
+            require((b(seg + 3) & 0xff) == 0 && (b(seg + 4) & 0xff) == 63 &&
+              (b(seg + 5) & 0xff) == 0,
+              "non-baseline spectral selection / successive approximation")
+            sosFound = true
+          case _ => () // APPn / COM: skip by declared length
+        }
+        pos = segEnd
+      }
+    }
+    require(width > 0, "no SOF0 before SOS")
+    require(quantSeen(tq), s"missing quant table $tq")
+    require(dcTab(dcSel) != null, s"missing DC Huffman table $dcSel")
+    require(acTab(acSel) != null, s"missing AC Huffman table $acSel")
+    val qt = quant(tq)
+    val r = new JBitReader(b, pos)
+    val px = Array.ofDim[Int](height, width)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var byi = 0
+    while (byi < (height + 7) / 8) {
+      var bxi = 0
+      while (bxi < (width + 7) / 8) {
+        java.util.Arrays.fill(coef, 0)
+        val t = dcTab(dcSel).decode(r)
+        require(t <= 11, s"bad DC category $t")
+        val diff = if (t == 0) 0 else jExtend(r.receive(t), t)
+        pred += diff
+        coef(0) = pred * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = acTab(acSel).decode(r)
+          val run = rs >> 4
+          val size = rs & 15
+          if (size == 0) {
+            if (run == 15) k += 16 else eob = true // ZRL / EOB
+          } else {
+            k += run
+            require(k < 64, "AC coefficient index overruns block")
+            coef(ZigZag(k)) = jExtend(r.receive(size), size) * qt(ZigZag(k))
+            k += 1
+          }
+        }
+        val ymax = math.min(8, height - byi * 8)
+        val xmax = math.min(8, width - bxi * 8)
+        var yy = 0
+        while (yy < ymax) {
+          var xx = 0
+          while (xx < xmax) {
+            px(byi * 8 + yy)(bxi * 8 + xx) = idctPixel(coef, xx, yy)
+            xx += 1
+          }
+          yy += 1
+        }
+        bxi += 1
+      }
+      byi += 1
+    }
+    // trailer: an EOI must follow the scan (pad bits then FFD9)
+    var p = r.pos
+    var eoi = false
+    while (!eoi && p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xd9) eoi = true
+      else p += 1
+    }
+    require(eoi, "no EOI after entropy-coded data")
+    Gray(width, height, px)
   }
 
   /** Real PNG decode: signature, chunk walk with CRC check, zlib

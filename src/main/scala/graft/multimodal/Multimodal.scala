@@ -251,6 +251,40 @@ object Multimodal {
     }(enc)
   }
 
+  def jpegDims(docId: Long): (Int, Int) =
+    ((9 + docId % 14).toInt, (10 + docId % 13).toInt)
+
+  /** Block-constant pixel field: every 8x8 JPEG block carries one
+    * value. Constant blocks are DC-only, so at quant 1 the lossy
+    * format round-trips them EXACTLY (MultimodalSpec proves it) —
+    * which is what lets a closed-form DuckDB oracle hash-match a
+    * genuinely lossy codec. */
+  def jpegBlockPixel(docId: Long)(x: Int, y: Int): Int =
+    ((11L * docId + 13L * (x / 8) + 29L * (y / 8)) % 256).toInt
+
+  /** Partition-wise REAL JPEG decode: the bytes go through actual
+    * baseline-DCT JFIF encoding (Huffman entropy coding, byte
+    * stuffing, zigzag, quantization, FDCT) and the decoder must
+    * marker-walk, Huffman-decode, dequantize, IDCT, and crop to
+    * reconstruct the pixels the oracle's closed form predicts. Narrow
+    * mapPartitions like the other codec faces — raw-format byte work
+    * has no Catalyst expression form. */
+  def jpegDecode(docIds: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(grayFeaturesType)
+    docIds.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = jpegDims(id)
+        val img = Codecs.decodeJpegGray(Codecs.encodeJpegGray(
+          w, h, jpegBlockPixel(id), Codecs.JpegFlatQuant))
+        var s = 0L
+        img.pixels.foreach(_.foreach(s += _))
+        Row(id, img.width, img.height, s)
+      }
+    }(enc)
+  }
+
   /** Partition-wise decode + feature extraction over the PAYLOAD
     * column. Deterministic fake: "dimensions" derive from the payload
     * length, "mean_byte" from the real bytes — stable across runs and

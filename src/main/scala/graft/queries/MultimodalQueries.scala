@@ -288,7 +288,32 @@ object MultimodalQueries extends QueryModule {
       FROM documents ORDER BY doc_id""")
   )
 
+  /** REAL JPEG decode (baseline DCT, grayscale JFIF): marker walk,
+    * canonical Huffman entropy decode, dequantize, IDCT, crop. The
+    * images are block-constant (each 8x8 block one value), which at
+    * quant 1 round-trips the lossy format EXACTLY — the only way a
+    * closed-form arithmetic oracle can hash-match a DCT codec. Dims
+    * are non-multiples of 8 so edge-block padding and crop are live
+    * on every row. */
+  val jpegDecodeQ: Q = Q(
+    "mm_jpeg_decode",
+    (s, dir) =>
+      Multimodal.jpegDecode(Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(9 + doc_id % 14 AS INTEGER) AS width,
+             CAST(10 + doc_id % 13 AS INTEGER) AS height,
+             CAST(list_aggregate(flatten(list_transform(
+                    range(10 + doc_id % 13), y -> list_transform(
+                      range(9 + doc_id % 14),
+                      x -> (11 * doc_id + 13 * (x // 8) + 29 * (y // 8))
+                           % 256))),
+                  'sum') AS BIGINT) AS pixel_sum
+      FROM documents ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(binaryStats, decodeFeatures, resize, frameSample, audioEnergy,
-      imageDecode, imageResize, wavDecode, pngDecodeQ)
+      imageDecode, imageResize, wavDecode, pngDecodeQ, jpegDecodeQ)
 }

@@ -116,6 +116,93 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(Codecs.tryDecode(Codecs.decodeBmp(bmp)).isRight)
   }
 
+  test("Codecs: JPEG block-constant images round-trip EXACTLY at quant 1") {
+    import graft.multimodal.Codecs
+    // a constant 8x8 block is DC-only: the DC coefficient 8*(v-128) is
+    // an exact integer, quant 1 preserves it, and the IDCT of a pure
+    // DC block is exactly flat — so block-constant images survive the
+    // lossy format losslessly. This closed form is also the catalog
+    // face's DuckDB oracle.
+    for ((w, h) <- Seq((8, 8), (9, 10), (16, 13), (22, 17), (7, 5))) {
+      val px = (x: Int, y: Int) => (37 + 11 * (x / 8) + 29 * (y / 8)) % 256
+      val img = Codecs.decodeJpegGray(
+        Codecs.encodeJpegGray(w, h, px, Codecs.JpegFlatQuant))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y)(x) == px(x, y), s"pixel ($x,$y) at ${w}x$h")
+    }
+  }
+
+  test("Codecs: JPEG lossy round-trip bounded; multi-block DC chain; " +
+      "standard table") {
+    import graft.multimodal.Codecs
+    // flat quant: loss = DCT round-off only. 64x48 = 48 blocks, so the
+    // DC differential chain, ZRL, EOB and byte stuffing all run.
+    val w = 64; val h = 48
+    val px = (x: Int, y: Int) => (x * 3 + y * 2 + (x * y) % 5) % 256
+    val img = Codecs.decodeJpegGray(
+      Codecs.encodeJpegGray(w, h, px, Codecs.JpegFlatQuant))
+    assert(img.width == w && img.height == h)
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxErr = math.max(maxErr, math.abs(img.pixels(y)(x) - px(x, y)))
+    assert(maxErr <= 2, s"round-off error $maxErr > 2 at quant 1")
+    // standard Annex-K table on a constant image: DC quant 16 rounds
+    // 8*(v-128) to the nearest 16, so pixels land within ±1
+    val flat = Codecs.decodeJpegGray(
+      Codecs.encodeJpegGray(24, 24, (_, _) => 77))
+    for (y <- 0 until 24; x <- 0 until 24)
+      assert(math.abs(flat.pixels(y)(x) - 77) <= 1)
+  }
+
+  test("Codecs: malformed JPEGs are rejected, never mis-decoded") {
+    import graft.multimodal.Codecs
+    val good = Codecs.encodeJpegGray(16, 16,
+      (x, y) => (x * 7 + y * 13) % 256)
+    // bad SOI
+    intercept[IllegalArgumentException](
+      Codecs.decodeJpegGray("XX".getBytes ++ good.drop(2)))
+    // progressive SOF: patch the SOF0 marker byte 0xC0 -> 0xC2
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    val e1 = intercept[IllegalArgumentException](
+      Codecs.decodeJpegGray(prog))
+    assert(e1.getMessage.contains("SOF"), e1.getMessage)
+    // truncated entropy stream (cut well before EOI)
+    intercept[IllegalArgumentException](
+      Codecs.decodeJpegGray(good.take(good.length - 40)))
+    // lost EOI only
+    intercept[IllegalArgumentException](
+      Codecs.decodeJpegGray(good.take(good.length - 2)))
+    // nonzero restart interval: splice a DRI segment before SOS
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val dri = Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 8)
+    val withDri = good.take(sosAt) ++ dri ++ good.drop(sosAt)
+    val e2 = intercept[IllegalArgumentException](
+      Codecs.decodeJpegGray(withDri))
+    assert(e2.getMessage.contains("restart"), e2.getMessage)
+    // 16-bit quant table: set Pq high nibble in the DQT header byte
+    val dqtAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xdb).get
+    val wideQ = good.clone()
+    wideQ(dqtAt + 4) = 0x10.toByte
+    val e3 = intercept[IllegalArgumentException](
+      Codecs.decodeJpegGray(wideQ))
+    assert(e3.getMessage.contains("16-bit"), e3.getMessage)
+    // Long-math marker-segment guard: huge declared segment length
+    val evil = good.clone()
+    evil(dqtAt + 2) = 0x7f.toByte; evil(dqtAt + 3) = 0xff.toByte
+    val e4 = intercept[IllegalArgumentException](
+      Codecs.decodeJpegGray(evil))
+    assert(e4.getMessage.contains("overruns"), e4.getMessage)
+    // the quarantine seam routes all of these as Left
+    assert(Codecs.tryDecode(Codecs.decodeJpegGray(prog)).isLeft)
+    assert(Codecs.tryDecode(Codecs.decodeJpegGray(good)).isRight)
+  }
+
   test("Codecs: Long-math chunk guards + inflate non-progress rejection") {
     import graft.multimodal.Codecs
     // WAV chunk declaring len near Int.MaxValue: Int math wraps
