@@ -11,6 +11,39 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
   private val sf = "/root/testdata/sf0.001"
   private def docs = Tables(spark, sf, "documents")
 
+  test("paragraph dedup: df>=3 scrubbed, df=2 kept, all-scrubbed doc " +
+      "survives empty, para order stable") {
+    import spark.implicits._
+    // 10-word paragraphs by construction: P appears in 4 docs
+    // (boilerplate), Q in 2 (pair signal — must be KEPT), the rest
+    // unique. doc 40 is ONLY boilerplate and must survive the scrub
+    // as an empty string, not vanish from the corpus.
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")
+    val q = (1 to 10).map(i => s"q$i").mkString(" ")
+    def uniq(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val crafted = Seq(
+      (10L, s"$p ${uniq("a")}"),
+      (20L, s"${uniq("b")} $p ${uniq("c")}"),
+      (30L, s"$q $p ${uniq("d")}"),
+      (40L, p),
+      (50L, s"$q ${uniq("e")}"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("para_dedup")
+      .toString
+    crafted.write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Dedup.paragraphDedup.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(10L) == ((2L, 1L, uniq("a"))))
+    assert(got(20L) == ((3L, 1L, s"${uniq("b")} ${uniq("c")}")),
+      "kept paragraphs rejoin in para_id order across a scrubbed gap")
+    assert(got(30L) == ((3L, 1L, s"$q ${uniq("d")}")),
+      "df=2 paragraph is NOT boilerplate")
+    assert(got(40L) == ((1L, 1L, "")),
+      "an all-boilerplate doc stays in the corpus, scrubbed empty")
+    assert(got(50L) == ((2L, 0L, s"$q ${uniq("e")}")))
+  }
+
   test("lshCandidates works at non-default (numPerms=6, bands=3)") {
     val cand = TextDedup.lshCandidates(docs, numPerms = 6, nBands = 3)
     val rows = cand.collect()
