@@ -38,4 +38,45 @@ class LinkGraphSpec extends AnyFunSuite with SharedSpark {
     assert(ranks.values.sum <= S * ranks.size,
       "rank mass exceeded the initial total — update is not a contraction")
   }
+
+  test("sink graph: redistribution matches the exact integer recurrence " +
+      "and dominates the no-redistribution form") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    // a <-> b cycle plus isolated sink c: the smallest graph where the
+    // two variants diverge every round
+    val nodes = Seq("a", "b", "c").toDF("domain")
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    def run(redis: Boolean): Map[String, Long] =
+      LinkGraph.pageRank(nodes, edges, rounds = 5, redistribute = redis)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = run(redis = false)
+    val redis = run(redis = true)
+    // hand replay of the exact integer recurrence the operator promises
+    val floor = 15L * S / 100
+    var (ra, rb, rc) = (S, S, S)
+    for (_ <- 1 to 5) {
+      val share = rc / 3 // dangling mass div N, floor
+      val na = floor + (85L * (rb + share)) / 100
+      val nb = floor + (85L * (ra + share)) / 100
+      val nc = floor + (85L * share) / 100
+      ra = na; rb = nb; rc = nc
+    }
+    assert(redis == Map("a" -> ra, "b" -> rb, "c" -> rc),
+      s"redistribution recurrence mismatch: $redis")
+    // without redistribution the sink drains to the bare floor...
+    assert(plain("c") == floor)
+    // ...and with it every node holds at least the plain variant's rank
+    // (monotone update + non-negative share, by induction over rounds)
+    assert(Seq("a", "b", "c").forall(d => redis(d) >= plain(d)))
+    assert(redis.values.sum > plain.values.sum,
+      "redistribution must retain strictly more total mass on a sink graph")
+    // a graph with NO dangling nodes: the variants are identical
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val p2 = LinkGraph.pageRank(nodes, cyc, 5, redistribute = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = LinkGraph.pageRank(nodes, cyc, 5, redistribute = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p2 == r2, "no sinks -> zero share -> identical ranks")
+  }
 }
