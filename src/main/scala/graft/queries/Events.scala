@@ -512,6 +512,30 @@ object Events extends QueryModule {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** The 100 TB shape [[windowUsers]]'s doc promises: the SAME windowed
+    * distinct-users aggregate with the exact rider DROPPED. The
+    * certification face's `countDistinct` plans a partial aggregate
+    * keyed by (bucket, type, user_id) — one hash-table entry per
+    * distinct user per window, per-key state that is exactly what one
+    * does NOT carry at scale (with several distinct aggs it would be
+    * an Expand instead). This variant aggregates the sketch alone: one
+    * map-side-combinable pass, constant-space per (bucket, type)
+    * group, no user_id-keyed aggregate and no Expand anywhere in the
+    * plan (PlanAuditSpec pins both), groups and counts identical to
+    * the exact face (SketchSpec pins THAT). Spec face, not a catalog
+    * row: the estimate's value is engine-specific, so a DuckDB hash
+    * oracle cannot exist for it — certification rides on the exact
+    * face, the r8 `rel_sketch_agg` stance. */
+  def windowUsersSketch(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("bucket",
+        (floor(unix_timestamp(col("ts")) / 21600) * 21600).cast("long"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd = 0.02)
+          .as("approx_users"))
+      .orderBy("bucket", "event_type")
+
   /** SCD2 intervalization — collapse each user's event-type stream into
     * type-2 dimension rows `[valid_from, valid_to)` with an `is_current`
     * flag, the history table a warehouse builds from a CDC feed (the

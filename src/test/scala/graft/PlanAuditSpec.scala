@@ -56,6 +56,30 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"undocumented non-equi join shapes in: $offenders")
   }
 
+  test("sketch-only window aggregate carries no per-key aggregation state") {
+    // ev_window_users is the CERTIFICATION face: its countDistinct
+    // rider plans a partial aggregate KEYED BY user_id (one hash-table
+    // entry per distinct user per window — per-key state, the thing
+    // its doc says to drop at 100 TB; with several distinct aggs it
+    // would be an Expand instead). windowUsersSketch is the promised
+    // scale shape: constant-space HLL state only, so NO aggregate in
+    // its plan may key on user_id, and no Expand may appear.
+    def aggKeys(plan: String): Seq[String] =
+      "keys=\\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    val exact = SparkEntry.queries("ev_window_users")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(aggKeys(exact).exists(_.contains("user_id")),
+      "certification face lost its per-user partial aggregate — " +
+        "update this pin")
+    val sketch = graft.queries.Events.windowUsersSketch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(aggKeys(sketch).nonEmpty &&
+      aggKeys(sketch).forall(!_.contains("user_id")),
+      s"scale-path plan must not aggregate per user: ${aggKeys(sketch)}")
+    assert(!sketch.contains("Expand"),
+      "scale-path sketch aggregate must not expand rows")
+  }
+
   test("column pruning reaches the scan: text/embedding never read unused") {
     // the corpus' WIDE columns are text and embedding — a scan that
     // drags one of them for a query that doesn't touch it is the

@@ -46,6 +46,30 @@ class SketchSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("windowUsersSketch: groups/counts identical to the exact face, " +
+      "estimate inside the certification bound") {
+    // the scale-path variant (no exact rider, no Expand — the plan pin
+    // lives in PlanAuditSpec) must be ROWS-STABLE against the
+    // certification face: same (bucket, event_type) groups, same
+    // n_events, and its estimate within the same 15%-or-3 bound the
+    // oracle pins TRUE on the exact face.
+    val exact = graft.queries.Events.windowUsers.fn(spark, sf)
+      .select("bucket", "event_type", "n_events", "exact_users")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val sketch = graft.queries.Events.windowUsersSketch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(sketch.keySet == exact.keySet,
+      "dropping the exact rider must not change the group set")
+    sketch.foreach { case (k, (nEvents, approx)) =>
+      val (nExact, users) = exact(k)
+      assert(nEvents == nExact, s"$k: n_events $nEvents != $nExact")
+      assert(math.abs(approx - users) <= math.max(users * 0.15, 3.0),
+        s"$k: approx=$approx exact=$users")
+    }
+  }
+
   test("percentile_approx median between per-group min and max") {
     val o = Tables(spark, sf, "orders")
     val rows = o.groupBy("o_orderpriority").agg(
