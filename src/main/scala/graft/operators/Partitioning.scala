@@ -138,6 +138,76 @@ object Partitioning {
         min("__mn").as("min_val"), max("__mx").as("max_val"))
   }
 
+  /** Skew-hardened SCD2 intervalization — the salted two-phase form of
+    * the `ev_scd2` plan (r9 verdict #7: the plain face's doc concedes
+    * "skew degrades to one partition's sort" when one user_id carries
+    * the mass). The salt must preserve per-user event ORDER, so it is
+    * a TIME-RANGE bucket (`floor(epoch(ts) / bucketSeconds)`) rather
+    * than a hash: phase 1 computes maximal same-type runs per
+    * (user_id, bucket) — the expensive event-level window sort now
+    * spreads a hot user over its time buckets — and phase 2 stitches
+    * runs that touch across bucket boundaries with the SAME
+    * gaps-and-islands trick over RUN rows, which are bounded by the
+    * user's run count, not its event count. Worst case (a user whose
+    * type alternates every event) leaves runs ≈ events and saves
+    * nothing — the same worst case the salted aggregates have; typical
+    * hot keys have long runs and the event-level sort is the cost that
+    * matters.
+    *
+    * Equality with the plain window (PartitioningSpec pins it
+    * row-for-row): a plain island never straddles a bucket boundary
+    * un-merged, because phase 2 re-merges ADJACENT same-type runs, and
+    * run adjacency is judged in true event order — the merge orders
+    * runs by (valid_from, ord_id) where ord_id is the run's genuinely
+    * FIRST event id (`min(struct(ts, event_id))`), not the plain
+    * face's min(event_id), which under equal-ts ties need not be the
+    * first event and could interleave runs falsely. The output keeps
+    * the plain face's `min(event_id)` as first_event_id and its
+    * (valid_from, first_event_id) lead ordering, so the emitted
+    * interval chain is bit-identical to `ev_scd2`. */
+  def scd2TwoPhase(events: DataFrame, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0)
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy("user_id", "__bkt")
+      .orderBy("ts", "event_id")
+    val wTyp = Window.partitionBy("user_id", "__bkt", "event_type")
+      .orderBy("ts", "event_id")
+    val runs = events
+      .withColumn("__bkt",
+        floor(unix_timestamp(col("ts")) / bucketSeconds))
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("__bkt"),
+        (row_number().over(wAll) - row_number().over(wTyp)).as("grp"))
+      .groupBy("user_id", "__bkt", "event_type", "grp")
+      .agg(min("ts").as("valid_from"),
+        min("event_id").as("first_event_id"),
+        min(struct(col("ts"), col("event_id"))).as("first_ev"),
+        count(lit(1)).as("n_events"))
+      .withColumn("ord_id", col("first_ev.event_id"))
+    val wAll2 = Window.partitionBy("user_id")
+      .orderBy("valid_from", "ord_id")
+    val wTyp2 = Window.partitionBy("user_id", "event_type")
+      .orderBy("valid_from", "ord_id")
+    val merged = runs
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("first_event_id"), col("n_events"),
+        (row_number().over(wAll2) - row_number().over(wTyp2)).as("grp2"))
+      .groupBy("user_id", "event_type", "grp2")
+      .agg(min("valid_from").as("valid_from"),
+        min("first_event_id").as("first_event_id"),
+        sum("n_events").as("n_events"))
+    val wLead = Window.partitionBy("user_id")
+      .orderBy("valid_from", "first_event_id")
+    merged
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        lead(col("valid_from"), 1).over(wLead).as("valid_to"),
+        col("n_events"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("is_current"), col("n_events"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
   /** Exact token-budget shard packing WITHOUT a per-group global sort.
     *
     * Semantics: within each `partCol` group, rows take the

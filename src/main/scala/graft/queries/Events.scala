@@ -554,7 +554,10 @@ object Events extends QueryModule {
     * only user-level co-location (hash(user_id) satisfies every
     * ClusteredDistribution here by the subset rule), so the plan is
     * scan → exchange → sorts/agg/window. No join, no second shuffle;
-    * skew degrades to one partition's sort. */
+    * skew degrades to one partition's sort — for hot user_ids use
+    * `Partitioning.scd2TwoPhase`, the time-bucket-salted two-phase
+    * form whose result PartitioningSpec pins bit-identical to this
+    * face. */
   val scd2: Q = Q(
     "ev_scd2",
     (s, dir) => {

@@ -77,6 +77,29 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(plain == salted)
   }
 
+  test("scd2TwoPhase equals the plain window face row-for-row; " +
+      "phase-1 windows partition on the time bucket") {
+    import graft.operators.Partitioning
+    val events = Tables(spark, sf, "events")
+    val twoPhase = Partitioning.scd2TwoPhase(events, bucketSeconds = 21600)
+    // equality pin: bit-identical interval chain vs the plain window
+    val plain = graft.queries.Events.scd2.fn(spark, sf).collect().toSeq
+    assert(twoPhase.collect().toSeq == plain,
+      "salted two-phase SCD2 diverged from the plain window")
+    // plan pin: the event-level sort (the skew cost) runs under
+    // windows partitioned by (user_id, __bkt) — a hot user spreads
+    // over its time buckets; only run-level windows key on user_id
+    // alone
+    val plan = twoPhase.queryExecution.executedPlan.toString
+    val winSpecs = "Window \\[[^\\n]*\\], \\[([^\\]]*)\\], "
+      .r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.exists(_.contains("__bkt")),
+      s"no bucket-partitioned window in plan: $winSpecs")
+    // a smaller bucket (more salt) must not change the result either
+    assert(Partitioning.scd2TwoPhase(events, 3600).collect().toSeq
+      == plain, "bucket granularity leaked into the result")
+  }
+
   test("packShards equals the single-window reference computation") {
     import org.apache.spark.sql.expressions.Window
     val d = Tables(spark, sf, "documents")
