@@ -178,10 +178,20 @@ object Bench {
         // (nor mask a real one measured on a faster host). Clamped to
         // [0.5, 3] — a calib ratio outside that is itself suspect, and
         // an unclamped ratio could hide a genuine catalog-wide change.
+        // calib only EXCUSES a slower host (scale > 1, current times
+        // divided down); it never inflates them when the probe says
+        // the host got faster (floor at 1.0). Round 10 observed the
+        // pure-CPU probe halving while 32-thread query throughput was
+        // unchanged — the probe doesn't see memory-bandwidth/shuffle
+        // contention — and a 0.52 scale manufactured 16 false
+        // UNRESOLVED flags on raw times equal to the previous record.
+        // Raw parity with the previous run cannot be a regression;
+        // the masking direction (host truly faster AND code slower in
+        // lockstep) is bounded separately by the BASELINE total.
         val scale = parseDetailField(prevTxt, "calib")
           .flatMap(s => scala.util.Try(s.toDouble).toOption)
           .filter(_ > 0)
-          .map(pc => math.max(0.5, math.min(3.0, calib / pc)))
+          .map(pc => calibScale(pc, calib))
           .getOrElse(1.0)
         if (math.abs(scale - 1.0) > 0.3) System.err.println(
           f"[bench] host speed differs from previous run by $scale%.2fx " +
@@ -206,8 +216,8 @@ object Bench {
           val prevCalib = parseDetailField(prevTxt, "calib")
             .flatMap(s => scala.util.Try(s.toDouble).toOption)
             .filter(_ > 0)
-          val scale2 = prevCalib
-            .map(pc => math.max(0.5, math.min(3.0, calib2 / pc)))
+          // same excuse-only floor as the first-pass gate
+          val scale2 = prevCalib.map(pc => calibScale(pc, calib2))
             .getOrElse(1.0)
           reruns = regs.map { case (k, prevVal, _) =>
             val first = results.collectFirst {
@@ -262,6 +272,20 @@ object Bench {
     * past any ratio on JIT/GC noise alone; absolute time is what the
     * total (and the judge) actually feels. */
   val RegressionFloorSec = 0.4
+
+  /** Host-frame normalization factor from two calib probes. Excuse-
+    * only: a slower host (current probe above the previous one)
+    * divides current times down by up to 3×, but a faster probe is
+    * floored at 1.0 — it never inflates raw times into regressions.
+    * Round 10 observed the pure-CPU probe halving while 32-thread
+    * query throughput was unchanged (the probe doesn't see memory-
+    * bandwidth/shuffle contention); a sub-1 scale manufactured 16
+    * false UNRESOLVED flags on raw times equal to the previous
+    * record. Raw parity with the previous run cannot be a regression;
+    * the masking direction (host truly faster AND code slower in
+    * lockstep) is bounded separately by the BASELINE total. */
+  def calibScale(prevCalib: Double, curCalib: Double): Double =
+    math.max(1.0, math.min(3.0, curCalib / prevCalib))
 
   /** Queries in both maps that slowed past both thresholds:
     * (name, previous, current), worst factor first. */

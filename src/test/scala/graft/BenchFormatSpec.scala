@@ -156,4 +156,16 @@ class BenchFormatSpec extends AnyFunSuite {
     val realReg = Map("a" -> 4.0 / (0.88 / 0.4), "b" -> 0.5)
     assert(Bench.regressions(prev, realReg).map(_._1) === Seq("a"))
   }
+
+  test("calib normalization excuses a slower host, never inflates a faster one") {
+    // slower host: probe 0.4 → 0.88 excuses up to 2.2×
+    assert(math.abs(Bench.calibScale(0.4, 0.88) - 2.2) < 1e-9)
+    // excuse capped at 3× — past that the record isn't comparable
+    assert(Bench.calibScale(0.1, 1.0) === 3.0)
+    // faster probe: floored at 1.0 — raw parity with the previous
+    // record must never read as a regression (the round-10 false-flag
+    // mode: probe halved, 32-thread query throughput unchanged)
+    assert(Bench.calibScale(0.254, 0.133) === 1.0)
+    assert(Bench.calibScale(0.2, 0.2) === 1.0)
+  }
 }
