@@ -285,6 +285,42 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-row decode status for the quarantine seam. */
+  val quarantineRowType: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("status", StringType, nullable = false)))
+
+  /** Dead-letter quarantine over the REAL PNG decode path: every 13th
+    * payload is corrupted in flight (one flipped byte in the trailing
+    * chunk CRC — the crawl-corpus reality of truncated/bit-rotted
+    * blobs), and [[Codecs.tryDecode]] routes each row to 'ok' or
+    * 'quarantined' instead of failing the task. VALIDATED parse
+    * failures quarantine; unknown exceptions still kill the job —
+    * silently eating a broken code path is worse than failing.
+    *
+    * Scale (100 TB): narrow map like every codec face — the
+    * corrupt-row fraction never costs a retry storm because the
+    * failure is caught at the row, not the task. */
+  def quarantineReport(docIds: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(quarantineRowType)
+    docIds.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = pngDims(id)
+        val bytes = Codecs.encodePng(w, h, pngPixel(id))
+        if (id % 13 == 0)
+          bytes(bytes.length - 1) =
+            (bytes(bytes.length - 1) ^ 0x5a).toByte
+        val status = Codecs.tryDecode(Codecs.decodePng(bytes)) match {
+          case Right(_) => "ok"
+          case Left(_)  => "quarantined"
+        }
+        Row(id, status)
+      }
+    }(enc)
+  }
+
   /** Partition-wise decode + feature extraction over the PAYLOAD
     * column. Deterministic fake: "dimensions" derive from the payload
     * length, "mean_byte" from the real bytes — stable across runs and

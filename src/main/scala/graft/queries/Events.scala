@@ -733,8 +733,74 @@ object Events extends QueryModule {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Debounce — collapse rapid-fire repeats of the same (user, type)
+    * into one kept event per quiet-gap burst: a burst opens at the
+    * first event and extends while consecutive gaps stay within 10
+    * minutes (the [[sessionWindow]] islands idiom at per-type grain);
+    * only the burst's first event survives, carrying how many repeats
+    * it suppressed. The standard bot-spam / double-click scrub a
+    * training-event pipeline runs before counting anything.
+    *
+    * Burst membership is gap-chained (an event 9 minutes after a kept
+    * neighbour stays suppressed even when it is 25 minutes after the
+    * keeper) — debounce-until-quiet, not a fixed blackout window.
+    * Gaps compare microsecond longs, so both engines decide bursts
+    * with exact integer arithmetic.
+    *
+    * Scale (100 TB): one exchange on (user_id, event_type) serves the
+    * lag, the burst-id running sum, and the per-burst row_number/count
+    * — the output clustering already satisfies them all; nothing else
+    * shuffles. */
+  val debounce: Q = Q(
+    "ev_debounce",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val burstW = Window.partitionBy("user_id", "event_type", "burst")
+      val burstOrd = burstW.orderBy("ts", "event_id")
+      ev(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+        .withColumn("new_burst",
+          when(col("gap_us").isNull || col("gap_us") > 600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("burst", sum("new_burst")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(burstOrd))
+        .withColumn("n_suppressed", count(lit(1)).over(burstW) - 1)
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("n_suppressed"))
+        .orderBy("user_id", "event_type", "ts", "event_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 600000000
+                    THEN 1 ELSE 0 END AS new_burst
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)),
+      b AS (
+        SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst
+        FROM g),
+      r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id, event_type, burst
+                 ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, event_type, burst)
+                 - 1 AS n_suppressed
+        FROM b)
+      SELECT event_id, user_id, event_type, ts, n_suppressed
+      FROM r WHERE rn = 1
+      ORDER BY user_id, event_type, ts, event_id""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
-    scd2, activityStreaks, pathTransitions, attribution)
+    scd2, activityStreaks, pathTransitions, attribution, debounce)
 }

@@ -313,7 +313,32 @@ object MultimodalQueries extends QueryModule {
       FROM documents ORDER BY doc_id""")
   )
 
+  /** Decode-failure quarantine report: every 13th PNG payload is
+    * corrupted in flight (flipped CRC byte) and the decode seam
+    * routes rows to 'ok'/'quarantined' instead of failing the task
+    * (`Multimodal.quarantineReport`). The oracle replays the
+    * corruption RULE, not the decoder — which ids were corrupted is
+    * closed-form; that the decoder catches exactly those is what the
+    * engine side proves (a decoder that misses a corrupt blob or
+    * quarantines a healthy one hash-mismatches). */
+  val quarantineQ: Q = Q(
+    "mm_quarantine",
+    (s, dir) =>
+      Multimodal.quarantineReport(Tables(s, dir, "documents"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("status"),
+    Some("""
+      SELECT CASE WHEN doc_id % 13 = 0 THEN 'quarantined'
+                  ELSE 'ok' END AS status,
+             count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM documents GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] =
     Seq(binaryStats, decodeFeatures, resize, frameSample, audioEnergy,
-      imageDecode, imageResize, wavDecode, pngDecodeQ, jpegDecodeQ)
+      imageDecode, imageResize, wavDecode, pngDecodeQ, jpegDecodeQ,
+      quarantineQ)
 }

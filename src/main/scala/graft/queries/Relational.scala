@@ -744,11 +744,111 @@ object Relational extends QueryModule {
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** Exact distributed median by rank selection — the companion of
+    * [[quantileBound]]: that face certifies the approximate sketch,
+    * this one computes the TRUE per-group median without a
+    * percentile() float path. Row-number the group ordered by the
+    * value, pick the one (odd n) or two (even n) middle order
+    * statistics, and emit their SUM — `med2_cents` = 2×median in
+    * exact integer cents, so no engine ever divides (a .5-cent
+    * median would force a float).
+    *
+    * Scale (100 TB): one exchange on the group key serves the
+    * row_number, the count, and the final aggregate (the grouping
+    * keys are a superset of the window partition). When a single
+    * group outgrows one partition's sort, selection switches to
+    * binary search on the value domain — O(log range) bounded-key
+    * aggregate passes, no global sort; this face is the
+    * per-group-fits form. */
+  val exactMedian: Q = Q(
+    "rel_exact_median",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("cents")
+      val wAll = Window.partitionBy("o_orderpriority")
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(n + 2) div 2"))
+        .groupBy("o_orderpriority")
+        .agg(max("n").as("n_orders"),
+          sum(when((col("n") % 2) === 1, col("cents") * 2)
+            .otherwise(col("cents"))).as("med2_cents"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      WITH c AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      r AS (
+        SELECT o_orderpriority, cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM c)
+      SELECT o_orderpriority, max(n) AS n_orders,
+             sum(CASE WHEN n % 2 = 1 THEN cents * 2 ELSE cents END)
+               AS med2_cents
+      FROM r
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** Compaction planning — the small-file problem as a relational
+    * plan: roll the fact table up to one "file" per ship month
+    * (month → row count stands in for a lake file listing), then
+    * assign files to a fixed number of compaction bins by
+    * round-robin over the size-descending order. Round-robin-
+    * decreasing is the windowable form of LPT list scheduling:
+    * per-bin imbalance is bounded by the largest single file, and
+    * unlike first-fit it needs no sequential bin state, so the same
+    * plan runs over a million-file listing. Output carries each
+    * file's bin plus the bin totals the compactor will write.
+    *
+    * Scale (100 TB): the file listing is metadata — billions of
+    * data rows collapse to |months| listing rows before any window
+    * runs; one bounded-key exchange orders them. This is the
+    * relational analog of a table-maintenance OPTIMIZE planner. */
+  val compactionPlan: Q = Q(
+    "rel_compaction_plan",
+    (s, dir) => {
+      val ord = Window.orderBy(col("n_rows").desc, col("file_month"))
+      val binW = Window.partitionBy("bin_id")
+      Tables(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate"))
+          .cast("date").as("file_month"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("bin_id", (row_number().over(ord) - 1) % 8)
+        .withColumn("bin_total_rows", sum("n_rows").over(binW))
+        .select(col("bin_id"), col("file_month"), col("n_rows"),
+          col("bin_total_rows"))
+        .orderBy("bin_id", "file_month")
+    },
+    Some("""
+      WITH files AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE)
+                 AS file_month,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1),
+      a AS (
+        SELECT file_month, n_rows,
+               (row_number() OVER (ORDER BY n_rows DESC, file_month)
+                 - 1) % 8 AS bin_id
+        FROM files)
+      SELECT bin_id, file_month, n_rows,
+             sum(n_rows) OVER (PARTITION BY bin_id) AS bin_total_rows
+      FROM a ORDER BY bin_id, file_month""")
+  )
+
   // sketchAgg is spec-certified (SketchSpec), not catalog-registered —
   // see its scaladoc; sketchBound is the catalog's hash-checked face.
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot,
     sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
     quantileBound, profile, zorder, tableChecksum, saltedJoin,
-    copurchase, copurchaseHealth, incrementalView)
+    copurchase, copurchaseHealth, incrementalView, exactMedian,
+    compactionPlan)
 }

@@ -39,8 +39,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
     * reference's ROWNUM batching; rel_keyset_pagination next to it is
-    * the scale path. */
-  private val globalWindowAllowed = Set("rel_pagination")
+    * the scale path. rel_compaction_plan's global row_number runs
+    * AFTER the fact table collapses to one row per file/month — a
+    * metadata-sized listing (planning-class), documented in its
+    * scaladoc. */
+  private val globalWindowAllowed =
+    Set("rel_pagination", "rel_compaction_plan")
 
   test("no undocumented cartesian or nested-loop join in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -42,7 +42,12 @@ class ReproducibilitySpec extends AnyFunSuite with SharedSpark {
     // heavy hitters: output columns are exact counts + theorem
     // booleans (k ≥ fixture vocab, so the summary itself is exact);
     // the partitioning-dependent survivor SET never reaches the output
-    "ta_heavy_hitters", "ev_path_transitions", "ev_attribution")
+    "ta_heavy_hitters", "ev_path_transitions", "ev_attribution",
+    // round-10 additions: redistribution PageRank (same floor-div
+    // integer kernel + 1-row dangling aggregate), paragraph scrub
+    // (md5-hash election, deterministic df threshold), CDC merge
+    // (latest-change reduction with total ts+seq tie-break, U/K/I/D)
+    "ta_domain_pagerank2", "dd_paragraph_dedup", "ev_cdc_merge")
 
   test("claimed-deterministic queries are identical across shuffle widths") {
     val conf = spark.conf
