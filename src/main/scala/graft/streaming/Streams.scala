@@ -106,6 +106,98 @@ object Streams {
       }
   }
 
+  /** A debounced keeper: the first event of a quiet-gap burst and how
+    * many rapid-fire repeats it suppressed. */
+  final case class Debounced(user_id: Long, event_type: String,
+                             event_id: Long, ts: Timestamp,
+                             n_suppressed: Long)
+
+  /** Open burst per (user, type) (public: Spark codegen instantiates
+    * it). `last` is MICROSECONDS — the batch face chains gaps on
+    * `unix_micros`, and a millisecond truncation here would classify
+    * a µs-boundary gap differently from the oracle-matched batch
+    * plan; the keeper's original Timestamp rides along so the close
+    * emits the batch face's exact row. */
+  final case class BurstState(keeperId: Long, keeperTs: Timestamp,
+                              last: Long, suppressed: Long)
+
+  /** Streaming debounce — the stream face of `ev_debounce`: one kept
+    * event per quiet-gap burst of the same (user, type), emitted with
+    * its final suppressed count once the WATERMARK passes the burst's
+    * last event + gap (the [[sessionize]] event-time-timeout idiom,
+    * carrying keeper identity instead of min/max). Within a
+    * micro-batch the group is sorted by (ts, event_id) so gap
+    * chaining matches the batch face; across batches a late event
+    * landing inside the open burst's gap horizon is suppressed into
+    * it. One documented divergence under EXTREME lateness: a
+    * cross-batch late event that precedes the open burst's keeper is
+    * counted as suppressed rather than retroactively promoted to
+    * keeper (the batch replay, which sees a total order, would elect
+    * it) — batch/stream parity on splits that respect event order is
+    * pinned in StreamsSpec.
+    *
+    * State is one open burst per active (user, type) — four longs —
+    * and times out at watermark + gap: bounded by the number of keys
+    * active inside the lateness horizon, never by stream length. */
+  def streamingDebounce(events: Dataset[Event], gapMinutes: Int = 10,
+                        allowedLateness: String = "5 days")
+      : Dataset[Debounced] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // µs from a Timestamp, mirroring Spark's unix_micros (the batch
+    // face's gap arithmetic)
+    def us(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[BurstState, Debounced](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[Event],
+         state: GroupState[BurstState]) =>
+          val (userId, eventType) = key
+          if (state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            Iterator(Debounced(userId, eventType, b.keeperId,
+              b.keeperTs, b.suppressed))
+          } else {
+            val sorted = rows.toArray
+            java.util.Arrays.sort(sorted, (a: Event, b: Event) => {
+              val c = a.ts.compareTo(b.ts)
+              if (c != 0) c
+              else java.lang.Long.compare(a.event_id, b.event_id)
+            })
+            val out = Seq.newBuilder[Debounced]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              if (cur == null)
+                cur = BurstState(e.event_id, e.ts, t, 0L)
+              else if (t - cur.last <= gapUs)
+                // includes the cross-batch late case t < cur.last:
+                // inside the burst span is inside the gap chain
+                cur = cur.copy(last = math.max(cur.last, t),
+                  suppressed = cur.suppressed + 1)
+              else {
+                out += Debounced(userId, eventType, cur.keeperId,
+                  cur.keeperTs, cur.suppressed)
+                cur = BurstState(e.event_id, e.ts, t, 0L)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              // timeout API is millis; round the µs horizon UP so the
+              // timeout never fires a fraction early
+              state.setTimeoutTimestamp(
+                math.max(math.floorDiv(cur.last + gapUs + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** The maintained latest state per key, emitted as a changelog row.
     * `op` is 'U' (upsert) or 'D' (tombstone — the key is deleted from
     * the maintained table; `value` carries the tombstone event's

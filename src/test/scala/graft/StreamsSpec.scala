@@ -617,4 +617,62 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         s"stream ${streamed.size} vs batch ${batch.size} closed intervals")
     } finally q.stop()
   }
+
+  test("streaming debounce replay equals the batch face's kept events") {
+    implicit val sq = spark.sqlContext
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "events").as[Event].collect().toSeq
+    val source = MemoryStream[Event]
+    val q = Streams.streamingDebounce(source.toDS())
+      .writeStream.format("memory").queryName("debounce_replay")
+      .outputMode("append").start()
+    try {
+      source.addData(events)
+      q.processAllAvailable()
+      // push the watermark far past every burst's last + gap so every
+      // open burst times out; the sentinel's own burst stays open and
+      // is never emitted
+      source.addData(Event(-1L, ts("2030-01-01 00:00:00"), -1L,
+        "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("debounce_replay")
+        .as[(Long, String, Long, Timestamp, Long)].collect().toSet
+      val batch = graft.queries.Events.debounce
+        .fn(spark, "/root/testdata/sf0.001")
+        .selectExpr("user_id", "event_type", "event_id", "ts",
+          "n_suppressed")
+        .as[(Long, String, Long, Timestamp, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream ${streamed.size} vs batch ${batch.size} kept events")
+    } finally q.stop()
+  }
+
+  test("streaming debounce suppresses a gap-chained late event and " +
+    "closes by event time") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.streamingDebounce(source.toDS(), gapMinutes = 10,
+        allowedLateness = "30 minutes").writeStream
+      .format("memory").queryName("debounce_et")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:08:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // burst open (keeper 1, 1 suppressed); nothing emitted yet
+      assert(spark.table("debounce_et").count() == 0)
+      // late out-of-order row inside the burst span chains into it
+      source.addData(Event(3, ts("2024-01-01 10:04:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("debounce_et").count() == 0)
+      // another user pushes the watermark past 10:18 → burst closes
+      source.addData(Event(4, ts("2024-01-01 11:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("debounce_et")
+        .as[graft.streaming.Streams.Debounced].collect().toSeq
+      assert(rows == Seq(graft.streaming.Streams.Debounced(7, "click",
+        1, ts("2024-01-01 10:00:00"), 2)))
+    } finally q.stop()
+  }
 }
