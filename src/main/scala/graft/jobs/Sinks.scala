@@ -54,6 +54,26 @@ object Sinks {
       .csv(path)
   }
 
+  /** Partitioned parquet sink with DYNAMIC partition overwrite — the
+    * lake-table maintenance write the daily jobs need at scale: a
+    * re-run (or a backfill of one day) replaces ONLY the partitions
+    * present in the incoming batch and leaves every other partition's
+    * files untouched, instead of `overwrite`'s default
+    * truncate-the-whole-table. Same T6 idempotence contract as the
+    * gzip sink — re-delivering a batch lands byte-identical
+    * partitions — but at partition granularity, so a 100 TB table
+    * never rewrites except where data changed.
+    *
+    * The mode is set on the WRITER (not the session) so the contract
+    * travels with this sink and can't leak into unrelated writes. */
+  def partitionedParquet(df: DataFrame, path: String,
+                         partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S5 — multi-target fan-out with per-target error isolation
     * (reference: jonesy/jobs.py:116-132: the query is serialized ONCE
     * into a gzip byte stream, then the SAME bytes upload to each bucket

@@ -843,6 +843,76 @@ object Relational extends QueryModule {
       FROM a ORDER BY bin_id, file_month""")
   )
 
+  /** Equi-width histogram with integer-exact bucketing — the
+    * distribution-shape profiler next to [[profile]]'s scalar stats:
+    * global [min, max] cents come from a 1-row aggregate attached by
+    * broadcast (the `ev_watermark` scalar-attach shape — one DAG, no
+    * driver round-trip), and every row lands in
+    * `(cents−min)·B div (range+1)` — pure long arithmetic, so both
+    * engines bucket identically with no float width anywhere.
+    * Per-bucket actual min/max expose gaps and skew a smooth count
+    * row can hide.
+    *
+    * Scale (100 TB): one scan for bounds, one for bucketing (map-side
+    * partials into B keys); nothing shuffles more than B rows. */
+  val histogram: Q = Q(
+    "rel_histogram",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val bounds = o.agg(min("cents").as("min_c"), max("cents").as("max_c"))
+      o.join(broadcast(bounds))
+        .withColumn("bucket_id",
+          expr("((cents - min_c) * 10) div (max_c - min_c + 1)"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n_orders"),
+          min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+        .orderBy("bucket_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      b AS (SELECT min(cents) AS min_c, max(cents) AS max_c FROM c)
+      SELECT ((cents - min_c) * 10) // (max_c - min_c + 1) AS bucket_id,
+             count(*) AS n_orders,
+             min(cents) AS lo_cents, max(cents) AS hi_cents
+      FROM c, b GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Exact-k deterministic sample — [[hashSample]] keeps a RATE (its
+    * output size drifts with the input); this face keeps exactly k
+    * rows by ranking on a cryptographic hash of the key and taking
+    * the k smallest: a seedless, engine-independent uniform draw
+    * that any replica reproduces bit-for-bit. Spark plans the
+    * ORDER-BY-LIMIT as TakeOrdered — per-partition top-k then one
+    * k-row merge on the driver side of the exchange, never a global
+    * sort of the table.
+    *
+    * Scale (100 TB): top-k is the textbook distributed selection —
+    * every partition forwards ≤ k candidates no matter how many rows
+    * it scanned. */
+  val exactKSample: Q = Q(
+    "rel_exact_k_sample",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          md5(col("o_orderkey").cast("string")).as("draw"))
+        .orderBy("draw")
+        .limit(500)
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, o_custkey, cents
+      FROM (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               md5(CAST(o_orderkey AS VARCHAR)) AS draw
+        FROM orders ORDER BY draw LIMIT 500)
+      ORDER BY o_orderkey""")
+  )
+
   // sketchAgg is spec-certified (SketchSpec), not catalog-registered —
   // see its scaladoc; sketchBound is the catalog's hash-checked face.
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
@@ -850,5 +920,5 @@ object Relational extends QueryModule {
     sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
     quantileBound, profile, zorder, tableChecksum, saltedJoin,
     copurchase, copurchaseHealth, incrementalView, exactMedian,
-    compactionPlan)
+    compactionPlan, histogram, exactKSample)
 }

@@ -1050,16 +1050,29 @@ object TextAnalysis extends QueryModule {
     * verdict "What's wrong" #2: [[domainPagerank]]'s simplified form
     * drops dangling mass, so sink-heavy graphs rank non-standardly).
     * Same `LinkGraph.pageRank` kernel, `redistribute = true`: each
-    * round one 1-row aggregate sums the dangling nodes' rank
-    * (anti-join on out-degree keys) and every node receives
-    * `d_mass div N` before damping — the `ev_watermark` broadcast
-    * scalar-attach shape, so the extra step costs one tiny aggregate
-    * per round, never a shuffle of the rank table. All arithmetic
-    * stays integer (floor divisions), so the unrolled-CTE oracle
-    * replays it bit-for-bit: the CROSS JOIN-attached `share` scalar is
-    * the SQL form of the broadcast. On this fixture the isolated
-    * odd-only domains are exactly the dangling set, so the
-    * redistribution path is live in every round. */
+    * round one 1-row aggregate sums the dangling nodes' rank (over
+    * the static `has_out` flag folded into the node table — no
+    * per-round join) and every node receives `d_mass div N` before
+    * damping — the `ev_watermark` broadcast scalar-attach shape, so
+    * the extra step costs one tiny aggregate per round, never a
+    * shuffle of the rank table. All arithmetic stays integer (floor
+    * divisions), so the unrolled-CTE oracle replays it bit-for-bit:
+    * the CROSS JOIN-attached `share` scalar is the SQL form of the
+    * broadcast. On this fixture the isolated odd-only domains are
+    * exactly the dangling set, so the redistribution path is live in
+    * every round.
+    *
+    * Cost shape vs [[domainPagerank]]: the dangling SCALAR is a
+    * sequencing barrier — round r+1's map cannot start until round
+    * r's ranks are materialized and summed, so the fully-fused
+    * one-action pipeline of the plain variant becomes rounds×2
+    * dependent query stages (aggregate + broadcast each round; the
+    * per-round persist that flattens the double-reference lineage is
+    * what keeps this linear rather than 2^rounds). Every distributed
+    * engine pays this barrier for standard PageRank; on the
+    * tiny-fixture bench it is scheduling-bound and reads as ~3× the
+    * plain face, while at data scale the same stages are a vanishing
+    * fraction of the edge-shuffle work. */
   val domainPagerank2: Q = {
     val S = 1000000000L
     val iterSql = (i: Int) => s"""

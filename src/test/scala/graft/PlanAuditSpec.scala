@@ -34,7 +34,10 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "ta_heavy_hitters",
       // rel_incremental_view broadcast-attaches its 1-row max-date
       // cutoff for the base/delta split — same scalar-attach pattern
-      "rel_incremental_view")
+      "rel_incremental_view",
+      // rel_histogram broadcast-attaches its 1-row [min, max] bounds
+      // before integer bucketing — same scalar-attach pattern
+      "rel_histogram")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the

@@ -109,4 +109,25 @@ class TablesSpec extends AnyFunSuite with SharedSpark {
         s"events $fmt round-trip altered rows")
     }
   }
+
+  test("schema evolution: mergeSchema unions footers; old files read " +
+    "the added column as null") {
+    // a lake table gains a column mid-life — the standard append-only
+    // evolution every long-lived 100 TB table goes through. mergeSchema
+    // pays one footer read per file (metadata, not data) to union the
+    // schemas; rows written before the column existed surface it as
+    // null, and the new files' values come through intact.
+    val dir = Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "name")
+      .write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9L)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq ==
+      Seq("batch", "id", "name", "score"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9L)))
+  }
 }
