@@ -799,8 +799,51 @@ object Events extends QueryModule {
       ORDER BY user_id, event_type, ts, event_id""")
   )
 
+  /** Rolling 1-hour per-user aggregate over a RANGE frame — the one
+    * window-frame family the rest of the catalog doesn't exercise
+    * (ROWS frames: [[asofJoin]]/[[attribution]]; tumbling/sliding
+    * GROUP BYs: [[windowAgg]]/[[slidingWindow]]). RANGE peers are
+    * VALUE-based: every event within the trailing hour counts,
+    * including timestamp ties, regardless of row order — so the frame
+    * is deterministic with no tie-break column, which a ROWS frame
+    * could never guarantee. Ordering key is `unix_micros` and the
+    * measure is cents, so both engines bound and sum the frame in
+    * exact integer arithmetic.
+    *
+    * Scale (100 TB): one exchange on user_id; the running frame is a
+    * per-partition sorted sweep with an eviction pointer — state is
+    * the frame's width in events, never the stream's length. */
+  val rollingValue: Q = Q(
+    "ev_rolling_value",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0)
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("roll_cents", sum("cents").over(w))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("roll_cents"), col("roll_n"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts,
+             sum(cents) OVER w AS roll_cents,
+             count(*) OVER w AS roll_n
+      FROM (
+        SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
-    scd2, activityStreaks, pathTransitions, attribution, debounce)
+    scd2, activityStreaks, pathTransitions, attribution, debounce,
+    rollingValue)
 }

@@ -130,4 +130,31 @@ class TablesSpec extends AnyFunSuite with SharedSpark {
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(rows == Map(1L -> None, 2L -> Some(9L)))
   }
+
+  test("corrupt part file: loud failure by default, explicit skip knob") {
+    // a bit-rotted or half-uploaded part file inside a 100 TB table:
+    // the DEFAULT contract must be a loud failure (silently dropping
+    // data is the worst outcome), with spark.sql.files.ignoreCorruptFiles
+    // as the explicit, operator-chosen degraded-read mode. The schema
+    // is passed explicitly so footer inference doesn't mask which
+    // contract is under test.
+    val dir = Files.createTempDirectory("corrupt").toString + "/t"
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).parquet(dir).count()
+    }
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.files.ignoreCorruptFiles")
+    try {
+      conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      val back = spark.read.schema(schema).parquet(dir)
+      assert(back.count() == 2)
+      assert(back.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L))
+    } finally conf.set("spark.sql.files.ignoreCorruptFiles", orig)
+  }
 }
