@@ -53,21 +53,22 @@ object Ann {
   private val LloydScale = 1048576.0 // 2^20
 
   private def withCents(base: DataFrame,
-                        cents: Array[(Long, Array[Float])]): DataFrame =
+                        cents: Array[(Long, Array[Float])],
+                        prefix: String = "__cc"): DataFrame =
     cents.zipWithIndex.foldLeft(base) {
-      case (df, ((_, v), i)) => df.withColumn(s"__cc$i", typedLit(v))
+      case (df, ((_, v), i)) => df.withColumn(s"$prefix$i", typedLit(v))
     }
 
   /** Per-centroid (cosine, -id) structs; array_max picks max cosine
     * with ties to the LOWEST centroid id (the oracle's ORDER BY c_cos
     * DESC, c_id ASC), array_sort+reverse ranks all cells. */
   private def cellStructs(cents: Array[(Long, Array[Float])],
-                          vecCol: String) =
+                          vecCol: String, prefix: String = "__cc") =
     cents.zipWithIndex.map { case ((cId, _), i) =>
       struct(
-        (expr(s"fvec_dot($vecCol, __cc$i)") /
+        (expr(s"fvec_dot($vecCol, $prefix$i)") /
           (expr(s"sqrt(fvec_dot($vecCol, $vecCol))") *
-            expr(s"sqrt(fvec_dot(__cc$i, __cc$i))"))).as("c"),
+            expr(s"sqrt(fvec_dot($prefix$i, $prefix$i))"))).as("c"),
         lit(-cId).as("nid"))
     }
 
@@ -164,6 +165,70 @@ object Ann {
         col("cell") === col("q_cell") && col(idCol) =!= col("q_id"))
       .withColumn("cosine", VectorFns.cosineNative(s, "q_emb", vecCol))
     rank(scored, k, idCol)
+  }
+
+  // ------------------------------------------------------------------
+  // PQ: product quantization — the memory-compression side of ANN.
+  // The embedding splits into `m` equal subspaces, each trains its
+  // own small codebook with the SAME seed + integer-scaled Lloyd
+  // machinery as IVF, and a vector is stored as m small codes: at
+  // m=2/ksub=4 a 64-dim float vector (256 B) becomes 2 codes + a
+  // shared codebook — the technique that fits 100 TB of embeddings
+  // in executor memory. Search scores queries against per-code
+  // RECONSTRUCTIONS (asymmetric distance: the query stays exact).
+  // ------------------------------------------------------------------
+
+  /** Per-subspace codebooks: `ivfCentroids` over each slice of the
+    * corpus. Deterministic like IVF — id-ordered seeds per subspace,
+    * integer-scaled Lloyd sums — so an oracle can replay training. */
+  def pqCodebooks(s: SparkSession, corpus: DataFrame, m: Int, ksub: Int,
+                  dims: Int, steps: Int = 1, idCol: String = "vec_id",
+                  vecCol: String = "embedding")
+      : Array[Array[(Long, Array[Float])]] = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    Array.tabulate(m) { j =>
+      val subCorpus = corpus.select(col(idCol),
+        expr(s"slice($vecCol, ${j * sub + 1}, $sub)").as(vecCol))
+      ivfCentroids(s, subCorpus, ksub, idCol, vecCol, steps)
+    }
+  }
+
+  /** Narrow PQ encode: one argmax-cosine code per subspace — no join,
+    * no shuffle, mirroring [[ivfAssign]]. Output:
+    * (idCol, code_0 … code_{m−1}) — the compressed corpus. */
+  def pqEncode(corpus: DataFrame, books: Array[Array[(Long, Array[Float])]],
+               dims: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val sub = dims / m
+    var df = corpus
+    val codeCols = (0 until m).map { j =>
+      val sCol = s"__sub$j"
+      val prefix = s"__pq${j}_"
+      df = df.withColumn(sCol,
+        expr(s"slice($vecCol, ${j * sub + 1}, $sub)"))
+      df = withCents(df, books(j), prefix)
+      df = df.withColumn(s"code_$j",
+        -array_max(array(cellStructs(books(j), sCol, prefix)
+          .toIndexedSeq: _*))("nid"))
+      col(s"code_$j")
+    }
+    df.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** Decompress: every code looks up its centroid in a literal map and
+    * the sub-reconstructions concatenate back to a full-width vector —
+    * the asymmetric-distance scoring input. Narrow (the codebook is
+    * m·ksub literals, never a join). */
+  def pqReconstruct(encoded: DataFrame,
+                    books: Array[Array[(Long, Array[Float])]]): DataFrame = {
+    val lookups = books.zipWithIndex.map { case (book, j) =>
+      element_at(
+        typedLit(book.map { case (cId, v) => cId -> v.toSeq }.toMap),
+        col(s"code_$j"))
+    }
+    encoded.withColumn("recon", concat(lookups.toIndexedSeq: _*))
   }
 
   /** SRP-bucketed approximate top-k: corpus and queries bucketed by

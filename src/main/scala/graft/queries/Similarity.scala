@@ -577,7 +577,126 @@ object Similarity extends QueryModule {
       WHERE rank <= $K ORDER BY q_id, rank""")
   )
 
+  /** One subspace's oracle chain: slice → id-ordered seeds → one
+    * integer-scaled Lloyd step (the `lloydStepCte` shapes, renamed
+    * per subspace) → encode with the refined codebook → per-vector
+    * sub-reconstruction. `lo`/`hi` are DuckDB list_slice's inclusive
+    * 1-based bounds. */
+  private def pqSubspaceCtes(j: Int, lo: Int, hi: Int): String = s"""
+      pe$j AS (
+        SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding
+        FROM embeddings),
+      pcents${j}0 AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM pe$j WHERE vec_id < 16),
+      psc$j AS (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ${duckCosine("e.embedding", "c.c_emb")} AS c_cos
+        FROM pe$j e, pcents${j}0 c),
+      pa$j AS (
+        SELECT vec_id, embedding, c_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY c_cos DESC, c_id ASC) AS rn
+          FROM psc$j) WHERE rn = 1),
+      pd$j AS (
+        SELECT cell, unnest(range(1, len(embedding)+1)) AS idx,
+               unnest(embedding) AS x
+        FROM pa$j),
+      ps$j AS (
+        SELECT cell, idx,
+               sum(CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM pd$j GROUP BY 1, 2),
+      pcents$j AS (
+        SELECT c0.c_id,
+               CASE WHEN count(sm.idx) = 0 THEN first(c0.c_emb)
+                    ELSE list(CAST((CAST(sm.s AS DOUBLE) / sm.n)
+                                   / 1048576.0 AS FLOAT) ORDER BY sm.idx)
+               END AS c_emb
+        FROM pcents${j}0 c0 LEFT JOIN ps$j sm ON sm.cell = c0.c_id
+        GROUP BY c0.c_id),
+      pscE$j AS (
+        SELECT e.vec_id, c.c_id,
+               ${duckCosine("e.embedding", "c.c_emb")} AS c_cos
+        FROM pe$j e, pcents$j c),
+      penc$j AS (
+        SELECT vec_id, c_id AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY c_cos DESC, c_id ASC) AS rn
+          FROM pscE$j) WHERE rn = 1),
+      prec$j AS (
+        SELECT a.vec_id, c.c_emb
+        FROM penc$j a JOIN pcents$j c ON c.c_id = a.code)"""
+
+  /** Product-quantization top-k — the memory-compression side of ANN
+    * (`operators.Ann.pqCodebooks/pqEncode/pqReconstruct`): the 64-dim
+    * embedding splits into 4 subspaces, each trains a 16-centroid
+    * codebook with the same id-seeded integer-scaled Lloyd machinery
+    * as IVF, and every corpus vector is stored as FOUR small codes
+    * (16⁴ = 65 536 reconstruction classes). Queries stay exact and score
+    * against the per-code reconstructions (asymmetric distance), so
+    * the whole search runs on the compressed representation — at
+    * 100 TB the codes + a shared codebook fit where the raw vectors
+    * never could (here: 256 B/vector → 4 codes; production: 64–96
+    * subspaces × 256 centroids). Training, encoding, and scoring are
+    * all deterministic, so the oracle replays the full pipeline —
+    * codebooks, codes, reconstructions, ranks — bit-for-bit.
+    *
+    * Scale: codebook training is the IVF planning-class round-trip
+    * per subspace; encode is a narrow per-row argmax (no shuffle —
+    * pinned in SimilaritySpec); scoring is |Q|·N embarrassingly
+    * parallel over the compressed corpus with the query batch
+    * broadcast. */
+  val topkPq: Q = Q(
+    "ss_topk_pq",
+    (s, dir) => {
+      import graft.operators.Ann
+      val emb = Tables(s, dir, "embeddings")
+      val books = Ann.pqCodebooks(s, emb, m = 4, ksub = 16, dims = 64,
+        steps = 1)
+      val recon = Ann.pqReconstruct(
+        Ann.pqEncode(emb, books, dims = 64), books)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      recon
+        .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineNative(s, "q_emb", "recon"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH ${pqSubspaceCtes(0, 1, 16)},
+      ${pqSubspaceCtes(1, 17, 32)},
+      ${pqSubspaceCtes(2, 33, 48)},
+      ${pqSubspaceCtes(3, 49, 64)},
+      precon AS (
+        SELECT r0.vec_id,
+               list_concat(list_concat(r0.c_emb, r1.c_emb),
+                           list_concat(r2.c_emb, r3.c_emb)) AS recon
+        FROM prec0 r0 JOIN prec1 r1 USING (vec_id)
+                      JOIN prec2 r2 USING (vec_id)
+                      JOIN prec3 r3 USING (vec_id)),
+      pquery AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 3),
+      pscored AS (
+        SELECT q.q_id, r.vec_id,
+               ${duckCosine("q.q_emb", "r.recon")} AS cosine
+        FROM precon r JOIN pquery q ON r.vec_id <> q.q_id),
+      pranked AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM pscored)
+      SELECT q_id, rank, vec_id, cosine FROM pranked
+      WHERE rank <= $K ORDER BY q_id, rank""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
-    topkPerLabel)
+    topkPerLabel, topkPq)
 }

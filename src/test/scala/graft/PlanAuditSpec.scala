@@ -37,7 +37,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "rel_incremental_view",
       // rel_histogram broadcast-attaches its 1-row [min, max] bounds
       // before integer bucketing — same scalar-attach pattern
-      "rel_histogram")
+      "rel_histogram",
+      // ss_topk_pq scores the broadcast query batch against every
+      // COMPRESSED corpus vector — PQ's documented shape (asymmetric
+      // distance over reconstructions): |Q|·N like brute, but over m
+      // codes + a literal codebook instead of raw vectors
+      "ss_topk_pq")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the

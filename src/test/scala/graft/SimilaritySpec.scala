@@ -119,4 +119,32 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       graft.operators.CacheScope.releaseCheckpoint(queries)
     } finally spark.sql("DROP TABLE IF EXISTS ivf_index_spec")
   }
+
+  test("PQ encode is a narrow map and its search recalls against brute") {
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val books = Ann.pqCodebooks(spark, emb, m = 4, ksub = 16, dims = 64,
+      steps = 1)
+    // compression is the point: m codes per vector, looked up in an
+    // m·ksub literal codebook — encoding must plan as a pure narrow
+    // map over the scan, no exchange, no join
+    val encoded = Ann.pqEncode(emb, books, dims = 64)
+    val plan = encoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"PQ encode must be narrow:\n$plan")
+    assert(encoded.columns.toSeq ==
+      Seq("vec_id", "code_0", "code_1", "code_2", "code_3"))
+    // 16⁴ reconstruction classes over a 2000-vector fixture: recall
+    // against the exact 10-NN must beat chance by far; the floor sits
+    // well under the observed value while still refuting a broken
+    // encode (a constant or shuffled code map collapses recall
+    // toward k/N).
+    val exact = topSets("ss_topk_brute")
+    val pq = topSets("ss_topk_pq")
+    val recalls = exact.keys.toSeq.map { q =>
+      (pq.getOrElse(q, Set.empty) & exact(q)).size.toDouble / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean PQ recall@10 $mean below floor")
+  }
 }
