@@ -166,6 +166,56 @@ object Dedup extends QueryModule {
       ORDER BY doc_a, doc_b""")
   )
 
+  /** Character-level fuzzy verify over the same LSH candidate pairs —
+    * the edit-distance complement of [[jaccardVerify]]'s token-set
+    * metric. Token Jaccard is blind to WITHIN-token mutations (typo
+    * variants, OCR noise, diff-sized whitespace runs); Levenshtein on
+    * a fixed 120-char prefix catches exactly those. The Spark side
+    * uses the THRESHOLDED `levenshtein(a, b, 20)` (Spark 3.5+): the
+    * banded O(len·k) algorithm that abandons a pair the moment its
+    * distance provably exceeds the cap, returning -1 — so the filter
+    * `>= 0` reproduces the oracle's `levenshtein(...) <= 20` while
+    * doing a fraction of the DP work. Both engines compute codepoint
+    * Levenshtein, an exact integer.
+    *
+    * Scale (100 TB): edit distance is quadratic per pair — the only
+    * affordable shape is candidates-first. Pairs come from the banded
+    * LSH join (never all-pairs), the text join fetches exactly two
+    * 120-char prefixes per candidate, and the banded cap bounds the DP
+    * at O(len·20) per pair. */
+  val fuzzyVerify: Q = Q(
+    "dd_fuzzy_verify",
+    (s, dir) => {
+      import graft.operators.TextDedup
+      val docs = Tables(s, dir, "documents")
+      val cand = TextDedup.candidates(TextDedup.bands(
+          TextDedup.signaturesNarrow(docs, 8), 8, 2))
+        .select("doc_a", "doc_b")
+      val pre = docs.select(col("doc_id"),
+        substring(col("text"), 1, 120).as("prefix"))
+      cand
+        .join(pre.select(col("doc_id").as("doc_a"),
+          col("prefix").as("pa")), "doc_a")
+        .join(pre.select(col("doc_id").as("doc_b"),
+          col("prefix").as("pb")), "doc_b")
+        .withColumn("dist", levenshtein(col("pa"), col("pb"), 20))
+        .filter(col("dist") >= 0)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $shinglesSql, $sigSql, $candSql,
+      pre AS (SELECT doc_id, substr(text, 1, 120) AS prefix
+              FROM documents)
+      SELECT c.doc_a, c.doc_b,
+             levenshtein(a.prefix, b.prefix) AS dist
+      FROM cand c
+      JOIN pre a ON a.doc_id = c.doc_a
+      JOIN pre b ON b.doc_id = c.doc_b
+      WHERE levenshtein(a.prefix, b.prefix) <= 20
+      ORDER BY c.doc_a, c.doc_b""")
+  )
+
   /** SimHash (32-bit, md5-char-parity hash): per-bit majority vote
     * over token occurrences, assembled into a bit-string fingerprint.
     * Linear: |tokens| × 32 exploded rows, one groupBy. Docs sharing a
@@ -1179,5 +1229,5 @@ object Dedup extends QueryModule {
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
     dupRateBySource, sourceOverlap, curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
-    paragraphDedup)
+    paragraphDedup, fuzzyVerify)
 }

@@ -841,9 +841,181 @@ object Events extends QueryModule {
       ORDER BY event_id""")
   )
 
+  /** Peak-concurrency sweep — the classic interval problem ("how many
+    * sessions were live at once?") solved WITHOUT the naive
+    * interval-overlap self-join. Each event becomes an interval
+    * [ts, ts + value seconds); the sweep explodes every interval into
+    * a +1 delta at its start and a -1 delta at its (exclusive) end,
+    * then a running RANGE-framed sum ordered by (time, delta) is the
+    * live count at every boundary: delta ascending puts ends before
+    * starts at the same instant, so back-to-back intervals never
+    * double-count, and RANGE peers (identical (t, delta) rows) enter
+    * the sum together, keeping the running value deterministic without
+    * any tie-break column. Durations are exact integer microseconds
+    * (`round(value*1e6)`), clamped at 0 for any negative measure.
+    *
+    * Scale (100 TB): the self-join formulation is O(n·k) pairs and
+    * shuffles both sides; the sweep is 2n narrow rows, one exchange on
+    * `event_type`, one sorted pass — state is a single counter. The
+    * per-type window parallelizes across types; a single globally-hot
+    * type degrades to one partition's sort (the documented window
+    * trade), not a cross product. */
+  val concurrency: Q = Q(
+    "ev_concurrency",
+    (s, dir) => {
+      val iv = ev(s, dir).select(
+        col("event_type"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          greatest(round(col("value") * 1000000L).cast("long"), lit(0L)))
+          .as("e_us"))
+      val deltas =
+        iv.select(col("event_type"), col("s_us").as("t"),
+            lit(1L).as("delta"))
+          .unionAll(iv.select(col("event_type"), col("e_us").as("t"),
+            lit(-1L).as("delta")))
+      val w = Window.partitionBy("event_type").orderBy("t", "delta")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("live", sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(max("live").as("peak_concurrent"),
+          (count(lit(1)) / 2).cast("long").as("n_intervals"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT event_type, epoch_us(ts) AS s_us,
+               epoch_us(ts) +
+                 greatest(CAST(round(value * 1000000) AS BIGINT), 0) AS e_us
+        FROM events),
+      deltas AS (
+        SELECT event_type, s_us AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        UNION ALL
+        SELECT event_type, e_us AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+      swept AS (
+        SELECT event_type,
+               sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        FROM deltas)
+      SELECT event_type, max(live) AS peak_concurrent,
+             CAST(count(*) / 2 AS BIGINT) AS n_intervals
+      FROM swept GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Per-user covered time — merge overlapping intervals into islands
+    * and sum their lengths, the "total active time" metric dashboards
+    * actually want (summing raw durations double-counts overlap). The
+    * island construction is the standard two-window trick: a row opens
+    * a new island iff its start exceeds the running max end of every
+    * EARLIER interval (ROWS ... 1 PRECEDING — strictly-before frame),
+    * and the running sum of those open-flags numbers the islands.
+    * Ordering is the total order (s, e, event_id), so frames — and
+    * with them island ids — are identical in any engine. All
+    * arithmetic is exact integer microseconds.
+    *
+    * Scale (100 TB): one exchange on `user_id`, two window passes over
+    * the same sort (Spark plans them in a single Window node), one
+    * bounded aggregate — per-user state is one running max. The
+    * interval-merge alternative via self-join is quadratic in overlap
+    * depth; this is linear. */
+  val intervalCoverage: Q = Q(
+    "ev_interval_coverage",
+    (s, dir) => {
+      val iv = ev(s, dir).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          greatest(round(col("value") * 1000000L).cast("long"), lit(0L)))
+          .as("e"))
+      val ord = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+      val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val runn = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("prev_max", max("e").over(prev))
+        .withColumn("flag",
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("flag").over(runn))
+        .groupBy("user_id", "island")
+        .agg(min("s").as("is_"), max("e").as("ie"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ie") - col("is_")).as("covered_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) +
+                 greatest(CAST(round(value * 1000000) AS BIGINT), 0) AS e
+        FROM events),
+      m AS (
+        SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM iv),
+      isl AS (
+        SELECT user_id,
+               sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+               s, e
+        FROM m),
+      g AS (SELECT user_id, island, min(s) AS is_, max(e) AS ie
+            FROM isl GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_islands,
+             sum(ie - is_) AS covered_us
+      FROM g GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Integer-exact 3-sigma outliers per event type. The z-score test
+    * |v-mu| > 3*sigma is algebraically cleared of divisions and square
+    * roots: with per-type n, s = sum(v), ss = sum(v^2) in whole units,
+    * the flag is (n*v - s)^2 > 9*(n*ss - s^2) — every operand a BIGINT,
+    * so Spark and DuckDB agree bit-for-bit where any float pipeline
+    * would diverge in the last ulp of a stddev. Whole units (not
+    * cents) keep the worst term n*ss well under 2^63 at any plausible
+    * per-type cardinality (bound documented in the spec).
+    *
+    * Scale (100 TB): stats are a bounded aggregate (one row per
+    * event_type) broadcast back onto the stream — one scan, one
+    * map-side-combined exchange, no window over the full table, and
+    * the output is only the outliers. */
+  val anomaly: Q = Q(
+    "ev_anomaly",
+    (s, dir) => {
+      val units = ev(s, dir).select(
+        col("event_id"), col("event_type"),
+        round(col("value")).cast("long").as("v"))
+      val stats = units.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      units.join(broadcast(stats), "event_type")
+        .filter((col("n") * col("v") - col("s")) *
+          (col("n") * col("v") - col("s")) >
+          lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+        .select(col("event_id"), col("event_type"), col("v"),
+          col("n").as("type_n"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT event_id, event_type,
+               CAST(round(value) AS BIGINT) AS v
+        FROM events),
+      st AS (
+        SELECT event_type, count(*) AS n, sum(v) AS s, sum(v*v) AS ss
+        FROM u GROUP BY 1)
+      SELECT u.event_id, u.event_type, u.v, st.n AS type_n
+      FROM u JOIN st USING (event_type)
+      WHERE (st.n * u.v - st.s) * (st.n * u.v - st.s)
+            > 9 * (st.n * st.ss - st.s * st.s)
+      ORDER BY u.event_id""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
     scd2, activityStreaks, pathTransitions, attribution, debounce,
-    rollingValue)
+    rollingValue, concurrency, intervalCoverage, anomaly)
 }

@@ -20,23 +20,40 @@ object Tables {
 
   /** Read one table from a scale-factor directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
-    * set at SparkSession build (Verify/Bench/spec harness — NOT mutated
-    * here, per ADVICE r2) it arrives as a nanos long and is rebuilt as a
-    * timestamp. The rewrite is restricted to the `events` table so a
-    * genuine long `ts` column elsewhere is never reinterpreted, and uses
-    * floor division (`(ts - pmod(ts,1000)) div 1000`) so pre-1970 nanos
-    * round toward -∞, not toward zero. Ns longs exceed double's exact
-    * integer range, so integral `div`, never `/`.
+    * `events.ts` normalization — the fixtures have shipped two flavors
+    * and the source layer absorbs both so every query downstream sees
+    * one type, TIMESTAMP (with UTC session semantics):
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects
+    *     it; with `spark.sql.legacy.parquet.nanosAsLong` set at
+    *     SparkSession build (Verify/Bench/spec harness — NOT mutated
+    *     here, per ADVICE r2) it arrives as a nanos long and is rebuilt
+    *     with floor division (`(ts - pmod(ts,1000)) div 1000`) so
+    *     pre-1970 nanos round toward -∞, not toward zero. Ns longs
+    *     exceed double's exact integer range, so integral `div`,
+    *     never `/`.
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): scans as
+    *     TIMESTAMP_NTZ, which `unix_micros`/INTERVAL arithmetic
+    *     reject. Cast to TIMESTAMP — exact under the pinned UTC
+    *     session zone (same wall-clock instant, no offset applied),
+    *     and identical to what DuckDB's `epoch_us(ts)` sees.
+    *
+    * The rewrite is restricted to the `events` table so a genuine long
+    * `ts` column elsewhere is never reinterpreted.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = lowercased(spark.read.parquet(s"$dir/$name.parquet"))
-    if (name == "events" && df.schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** S2 — the production JDBC path the parquet fixtures stand in for:

@@ -116,4 +116,80 @@ class IntervalOpsSpec extends AnyFunSuite with SharedSpark {
     val jaccard = inter.toDouble / sh.select("shingle").distinct().count()
     assert(jaccard < 0.7, "Jaccard alone would miss this pair")
   }
+
+  // ---- interval sweep faces (ev_concurrency / ev_interval_coverage) --
+  // The DuckDB oracle proves cross-engine agreement; these prove the
+  // SEMANTICS against an independent brute-force reimplementation in
+  // plain Scala — the two can only agree if the sweep itself is right.
+
+  private def intervals(): Seq[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables(spark, sf, "events")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          greatest(round(col("value") * 1000000L).cast("long"), lit(0L)))
+          .as("e"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("ev_concurrency peak equals a brute-force boundary scan") {
+    val got = graft.queries.Events.concurrency.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byType = intervals().groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (tpe, ivs) =>
+      // brute force: at every boundary t, live = #started(<=t) - #ended(<=t)
+      // — exactly the sweep's post-point running sum, including its
+      // treatment of zero-length intervals (end delta sorts first).
+      val brute = ivs.flatMap(iv => Seq(iv._3, iv._4)).distinct.map { t =>
+        ivs.count(_._3 <= t) - ivs.count(_._4 <= t)
+      }.max
+      assert(got(tpe)._1 == brute,
+        s"$tpe: sweep peak ${got(tpe)._1} != brute $brute")
+      assert(got(tpe)._2 == ivs.size, s"$tpe: n_intervals")
+    }
+  }
+
+  test("ev_interval_coverage equals brute-force interval merging") {
+    val got = graft.queries.Events.intervalCoverage.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    intervals().groupBy(_._2).foreach { case (user, ivs) =>
+      // classic sequential merge over sorted intervals
+      var islands = 0L; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      ivs.map(iv => (iv._3, iv._4)).sorted.foreach { case (s, e) =>
+        if (islands == 0 || s > curE) {
+          if (islands > 0) covered += curE - curS
+          islands += 1; curS = s; curE = e
+        } else curE = math.max(curE, e)
+      }
+      if (islands > 0) covered += curE - curS
+      assert(got(user) == ((islands, covered)),
+        s"user $user: got ${got(user)}, brute ($islands, $covered)")
+    }
+  }
+
+  test("ev_anomaly flags exactly the |z|>3 rows (BigInt recomputation)") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value")).cast("long").as("v"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val n = BigInt(g.size)
+      val s = g.map(r => BigInt(r._3)).sum
+      val ss = g.map(r => BigInt(r._3) * r._3).sum
+      g.filter { case (_, _, v) =>
+        val d = n * v - s
+        d * d > 9 * (n * ss - s * s)
+      }.map(_._1)
+    }.toSet
+    val got = graft.queries.Events.anomaly.fn(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect, s"flag sets differ: got ${got.size}, expect ${expect.size}")
+    assert(got.nonEmpty, "fixture should contain at least one 3-sigma outlier")
+  }
 }

@@ -31,6 +31,25 @@ class TablesSpec extends AnyFunSuite with SharedSpark {
     assert(micros.toSeq == Seq((1L, 1L), (2L, -2L), (3L, 0L)))
   }
 
+  test("events ts TIMESTAMP_NTZ is cast to TIMESTAMP, value-exact under UTC") {
+    // The regenerated fixtures ship ts as parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) → TIMESTAMP_NTZ, which unix_micros and
+    // INTERVAL arithmetic reject. The source layer casts it to
+    // TIMESTAMP; under the pinned UTC session zone the epoch value is
+    // unchanged — pin both the type and the exact micros.
+    val dir = Files.createTempDirectory("tables_ntz").toString
+    spark.sql("SELECT 1L AS event_id, " +
+        "TIMESTAMP_NTZ'2024-03-01 12:30:45.123456' AS ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables(spark, dir, "events")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val us = df.select(unix_micros($"ts")).as[Long].head()
+    // 2024-03-01T12:30:45.123456Z epoch micros, computed independently
+    val expect = java.time.Instant.parse("2024-03-01T12:30:45.123456Z")
+    assert(us == expect.getEpochSecond * 1000000L + expect.getNano / 1000L)
+  }
+
   test("jdbc source round-trips an embedded Derby table with pushdown") {
     // S2 end-to-end against a real database — embedded Derby (ships
     // with Spark for the Hive metastore): partitioned parallel read,

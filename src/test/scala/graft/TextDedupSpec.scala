@@ -223,4 +223,44 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
         rows.head._2 == rows.size, s"cluster $cl size mismatch")
     }
   }
+
+  test("fuzzy verify: distances match a textbook DP and pairs are a " +
+      "subset of the LSH candidates") {
+    import org.apache.spark.sql.functions.{col, substring}
+    // independent reimplementation — full O(n·m) Wagner–Fischer, no
+    // banding, no threshold shortcut
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val prefix = docs.select(col("doc_id"),
+      substring(col("text"), 1, 120).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cand = TextDedup.candidates(TextDedup.bands(
+        TextDedup.signaturesNarrow(docs, 8), 8, 2))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.queries.Dedup.fuzzyVerify.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.nonEmpty, "sf0.001 has near-dup candidates")
+    assert(got.keySet.subsetOf(cand), "pairs must come from LSH candidates")
+    got.foreach { case ((a, b), dist) =>
+      assert(dist >= 0 && dist <= 20, s"($a,$b) dist $dist out of band")
+      assert(dist == lev(prefix(a), prefix(b)),
+        s"($a,$b): engine $dist != DP ${lev(prefix(a), prefix(b))}")
+    }
+    // and the threshold is REAL: every candidate pair above the cap is absent
+    val above = cand.filter { case (a, b) =>
+      lev(prefix(a), prefix(b)) > 20 }
+    assert(above.forall(p => !got.contains(p)))
+  }
 }
