@@ -1013,9 +1013,84 @@ object Events extends QueryModule {
       ORDER BY u.event_id""")
   )
 
+  /** Time-series resampling with forward-fill — regularize each user's
+    * irregular event stream onto an hourly grid (the shape feature
+    * stores and downstream models expect: one row per user per hour,
+    * gaps filled with the last observation). Three bounded pieces, all
+    * in exact integer arithmetic (hour index = µs div 3.6e9, value in
+    * cents): per-(user, hour) event count + last-in-hour value (total
+    * order (us, event_id) breaks timestamp ties), per-user [first,
+    * last] hour bounds exploded to the grid with `sequence`, and a
+    * running `last(_, ignoreNulls)` carrying values across empty
+    * hours. The grid starts at the user's first ACTIVE hour, so the
+    * fill never reads before its first observation and `filled_cents`
+    * is total.
+    *
+    * Scale (100 TB): everything keys on `user_id` — the hour agg, the
+    * bounds agg, the grid join, and the fill window share one
+    * partitioning. The explode is bounded by each user's active range
+    * in hours (never the corpus timespan × all users), and the fill
+    * state is one value per user. */
+  val resample: Q = Q(
+    "ev_resample",
+    (s, dir) => {
+      val e2 = ev(s, dir).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val rn = Window.partitionBy("user_id", "h")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val hourly = e2
+        .withColumn("rn", row_number().over(rn))
+        .groupBy("user_id", "h")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("rn") === 1, col("cents"))).as("last_cents"))
+      val grid = e2.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+      val fill = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h").as("hour_idx"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("last_cents"), ignoreNulls = true).over(fill)
+            .as("filled_cents"))
+        .orderBy("user_id", "hour_idx")
+    },
+    Some("""
+      WITH e2 AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               epoch_us(ts) // 3600000000 AS h,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      hourly AS (
+        SELECT user_id, h, count(*) AS n_events,
+               max(CASE WHEN rn = 1 THEN cents END) AS last_cents
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, h
+                ORDER BY us DESC, event_id DESC) AS rn FROM e2)
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1)) AS h
+        FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+              FROM e2 GROUP BY 1)),
+      j AS (
+        SELECT g.user_id, g.h, COALESCE(hh.n_events, 0) AS n_events,
+               hh.last_cents
+        FROM grid g LEFT JOIN hourly hh
+          ON hh.user_id = g.user_id AND hh.h = g.h)
+      SELECT user_id, h AS hour_idx, n_events,
+             last_value(last_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_cents
+      FROM j ORDER BY user_id, hour_idx""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
     scd2, activityStreaks, pathTransitions, attribution, debounce,
-    rollingValue, concurrency, intervalCoverage, anomaly)
+    rollingValue, concurrency, intervalCoverage, anomaly, resample)
 }

@@ -198,6 +198,68 @@ object Streams {
       }
   }
 
+  /** Open-interval multiset (end times, ascending) + the running peak.
+    * `ends` is bounded by the CURRENT concurrency — the sweep's whole
+    * point — never by stream length. */
+  final case class SweepState(ends: List[Long], peak: Long)
+
+  /** Live/peak concurrency per event type after each micro-batch. */
+  final case class Concurrency(event_type: String, live: Long, peak: Long)
+
+  /** Streaming concurrency sweep — the stream face of `ev_concurrency`:
+    * each event opens an interval [ts, ts + max(0, value) seconds) and
+    * per-type state maintains the multiset of OPEN interval end-times
+    * plus the running peak, emitting (live, peak) per type per
+    * micro-batch. Within a batch, events are processed in runs of equal
+    * timestamp: open every interval of the run, then close every end
+    * ≤ t (exclusive ends — a zero-length interval closes in its own
+    * run and never counts, and back-to-back intervals never
+    * double-count), then take the peak — exactly the batch sweep's
+    * (t, delta) point semantics, in the same exact-µs arithmetic.
+    * Parity with the batch face on order-respecting batch splits is
+    * pinned in StreamsSpec; a cross-batch late event that should have
+    * closed earlier can only UNDER-count the peak, the same
+    * total-order caveat [[streamingDebounce]] documents.
+    *
+    * State per type is `peak` longs at worst — for a dashboard's "how
+    * many sessions are live right now / what was the max" this is the
+    * entire memory story at any stream length. */
+  def streamingConcurrency(events: Dataset[Event])
+      : Dataset[Concurrency] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[SweepState, Concurrency](
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[Event], state: GroupState[SweepState]) =>
+          val sorted = rows.toArray
+          java.util.Arrays.sort(sorted, (a: Event, b: Event) => {
+            val c = a.ts.compareTo(b.ts)
+            if (c != 0) c else java.lang.Long.compare(a.event_id, b.event_id)
+          })
+          var ends = state.getOption.map(_.ends).getOrElse(Nil)
+          var peak = state.getOption.map(_.peak).getOrElse(0L)
+          var i = 0
+          while (i < sorted.length) {
+            val t = us(sorted(i).ts)
+            // run of equal timestamps: open all, then close all ≤ t
+            var opened = List.empty[Long]
+            while (i < sorted.length && us(sorted(i).ts) == t) {
+              val dur = math.max(0L,
+                math.round(sorted(i).value * 1000000L))
+              opened = (t + dur) :: opened
+              i += 1
+            }
+            ends = (ends ++ opened).sorted.dropWhile(_ <= t)
+            peak = math.max(peak, ends.length.toLong)
+          }
+          state.update(SweepState(ends, peak))
+          Concurrency(tpe, ends.length.toLong, peak)
+      }
+  }
+
   /** The maintained latest state per key, emitted as a changelog row.
     * `op` is 'U' (upsert) or 'D' (tombstone — the key is deleted from
     * the maintained table; `value` carries the tombstone event's

@@ -675,4 +675,32 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         1, ts("2024-01-01 10:00:00"), 2)))
     } finally q.stop()
   }
+
+  test("streamingConcurrency replay-parity: peak matches ev_concurrency " +
+      "over order-respecting batch splits") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the full fixture stream, in event order, split into three batches
+    val feed = graft.sources.Tables(spark, sf, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val chunks = feed.grouped((feed.size + 2) / 3).toSeq
+    val source = MemoryStream[Event]
+    val q = Streams.streamingConcurrency(source.toDS())
+      .writeStream.format("memory").queryName("conc_test")
+      .outputMode("update").start()
+    try {
+      chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+      // peak is monotone across batches, so max(peak) = final peak
+      val got = spark.table("conc_test")
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.max("peak").as("peak"))
+        .as[(String, Long)].collect().toMap
+      val expect = graft.queries.Events.concurrency.fn(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect,
+        s"stream peaks $got != batch sweep $expect")
+    } finally q.stop()
+  }
 }
