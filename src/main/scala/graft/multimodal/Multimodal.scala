@@ -189,6 +189,46 @@ object Multimodal {
     }(enc)
   }
 
+  val imagePhashType: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("phash", StringType, nullable = false)))
+
+  /** Perceptual average-hash over the REAL decode path: synthesize the
+    * doc's BMP, parse it back with the full codec, nearest-neighbor
+    * sample an 8×8 grid (sx = x·w div 8 — the resize kernel
+    * [[imageResize]] certifies), and threshold each sample's channel
+    * sum against the grid mean. The bit test is `64·gray > total` —
+    * the mean comparison cleared of division, so the hash is a pure
+    * integer function of the pixels and the oracle replays it
+    * bit-for-bit. Emitted as a 64-char '0'/'1' string (row-major);
+    * at scale the same bits pack into one long and ride the
+    * dd_simhash Hamming machinery.
+    *
+    * This is the image analog of the text fingerprint family: content
+    * addressing that survives re-encoding (any codec that reproduces
+    * the pixels reproduces the hash), where a byte checksum breaks on
+    * a single header difference. Narrow map, no shuffle. */
+  def imagePhash(docIds: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imagePhashType)
+    docIds.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = bmpDims(id)
+        val img = Codecs.decodeBmp(Codecs.encodeBmp(w, h, bmpPixel(id)))
+        val grays = new Array[Long](64)
+        var i = 0
+        while (i < 64) {
+          val (pr, pg, pb) = img.pixels((i / 8) * h / 8)((i % 8) * w / 8)
+          grays(i) = pr.toLong + pg + pb
+          i += 1
+        }
+        val total = grays.sum
+        Row(id, grays.map(g => if (64L * g > total) '1' else '0').mkString)
+      }
+    }(enc)
+  }
+
   val audioFeaturesType: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

@@ -381,6 +381,49 @@ object Dedup extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** Contamination RATE — the soft decontamination signal next to
+    * [[decontaminate]]'s hard membership join: for every training doc,
+    * the fraction of its distinct 6-grams that appear anywhere in the
+    * eval set (the overlap statistic contamination studies actually
+    * report, where a hard filter would be all-or-nothing). The rate is
+    * one IEEE division of two exact integers, so both engines emit the
+    * identical double. Per-doc output, so the result is bounded by the
+    * corpus, not the gram table.
+    *
+    * Scale (100 TB): grams travel as xxhash64 longs (8 B vs ~40 B of
+    * text); the eval-side gram UNIVERSE (distinct grams, not docs) is
+    * the broadcast — benchmark suites are tiny next to a training
+    * corpus, which makes the contamination probe a map-side join over
+    * the training scan, no exchange of the corpus at all. */
+  val contaminationRate: Q = Q(
+    "dd_contamination_rate",
+    (s, dir) => {
+      val grams = graft.operators.TextDedup
+        .kShingles(Tables(s, dir, "documents"), 6)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+        .select("g").distinct().withColumn("hit", lit(1))
+      grams.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(evalGrams), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("hit")).as("n_contaminated"))
+        .withColumn("contamination_rate",
+          col("n_contaminated").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${grams6Sql("grams")},
+      evg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+      tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 0)
+      SELECT tr.doc_id, count(*) AS n_grams,
+             count(e.gram) AS n_contaminated,
+             CAST(count(e.gram) AS DOUBLE) / count(*)
+               AS contamination_rate
+      FROM tr LEFT JOIN evg e ON e.gram = tr.gram
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   /** MinHash accuracy certification — est-vs-exact Jaccard for every
     * LSH candidate pair, the sketch-quality report that justifies
     * running the cheap estimate at corpus scale (the rel_sketch_bound
@@ -1229,5 +1272,5 @@ object Dedup extends QueryModule {
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
     dupRateBySource, sourceOverlap, curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
-    paragraphDedup, fuzzyVerify)
+    paragraphDedup, fuzzyVerify, contaminationRate)
 }

@@ -337,8 +337,56 @@ object MultimodalQueries extends QueryModule {
       FROM documents GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Perceptual-hash content addressing over the real decode path
+    * (plumbing + hash definition in [[Multimodal.imagePhash]]): every
+    * image gets its 64-bit average-hash and the count of corpus images
+    * sharing it — the image-side analog of `dd_exact`'s fingerprint
+    * grouping, robust to re-encoding where byte checksums are not.
+    * The oracle replays decode + 8×8 sample + threshold in closed
+    * form, so one wrong pixel anywhere in the codec flips a bit and
+    * fails the hash compare.
+    *
+    * Scale (100 TB): the hash is a narrow per-row map over the decode;
+    * the only exchange is the group count on the 8-byte fingerprint
+    * (here a 64-char string for oracle visibility) — never on pixels
+    * or payload bytes. Near-dup at Hamming ≤ k rides the
+    * dd_simhash_hamming bit-flip join unchanged. */
+  val phashQ: Q = Q(
+    "mm_phash",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+      Multimodal.imagePhash(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("phash"),
+          count(lit(1)).over(w).as("n_same"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH px AS (
+        SELECT doc_id, (8 + doc_id % 9) AS w, (8 + (doc_id * 3) % 7) AS h
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               list_transform(range(64), i ->
+                 ((doc_id + 7 * ((i % 8) * w // 8)
+                          + 13 * ((i // 8) * h // 8)) % 256)
+               + ((3 * doc_id + 5 * ((i % 8) * w // 8)
+                             + ((i // 8) * h // 8)) % 256)
+               + ((5 * doc_id + ((i % 8) * w // 8)
+                             + 11 * ((i // 8) * h // 8)) % 256)) AS grays
+        FROM px),
+      ph AS (
+        SELECT doc_id,
+               array_to_string(list_transform(grays, v ->
+                 CASE WHEN 64 * v > list_aggregate(grays, 'sum')
+                      THEN '1' ELSE '0' END), '') AS phash
+        FROM g)
+      SELECT doc_id, phash,
+             count(*) OVER (PARTITION BY phash) AS n_same
+      FROM ph ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(binaryStats, decodeFeatures, resize, frameSample, audioEnergy,
       imageDecode, imageResize, wavDecode, pngDecodeQ, jpegDecodeQ,
-      quarantineQ)
+      quarantineQ, phashQ)
 }

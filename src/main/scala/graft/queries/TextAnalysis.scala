@@ -100,6 +100,47 @@ object TextAnalysis extends QueryModule {
       FROM t ORDER BY doc_id""")
   )
 
+  /** Cross-source quality-score calibration — heterogeneous sources
+    * (web crawl vs books vs code) score on different absolute scales,
+    * so mixing on raw scores over-selects whichever source's scorer
+    * runs hot; the standard fix is rank-normalizing WITHIN source
+    * before any cross-source comparison. Score here is the integer
+    * lexical-diversity proxy (distinct-token count); the calibrated
+    * outputs are `percent_rank` over the injective (score, doc_id)
+    * order — (rank−1)/(n−1), one IEEE division of exact integers, so
+    * both engines emit identical doubles — and the ntile(10)
+    * source-local decile a curriculum sampler buckets by.
+    *
+    * Scale (100 TB): one exchange on `source`; both window functions
+    * share the single sort. A pathologically dominant source degrades
+    * to one partition's sort — at that point swap percent_rank for the
+    * rel_sketch_bound quantile-sketch path (bucket by t-digest
+    * percentile instead of exact rank), the documented trade. */
+  val qualityCalibrate: Q = Q(
+    "ta_quality_calibrate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("score", "doc_id")
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(array_distinct(split(col("text"), " "))).as("score"))
+        .select(col("doc_id"), col("source"), col("score"),
+          percent_rank().over(w).as("src_pct"),
+          ntile(10).over(w).as("src_decile"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH sc AS (
+        SELECT doc_id, source,
+               len(list_distinct(string_split(text, ' '))) AS score
+        FROM documents)
+      SELECT doc_id, source, score,
+             percent_rank() OVER w AS src_pct,
+             ntile(10) OVER w AS src_decile
+      FROM sc WINDOW w AS (PARTITION BY source ORDER BY score, doc_id)
+      ORDER BY doc_id""")
+  )
+
   /** Language-ID n-gram heuristic: score = stopword-token hits per
     * language profile; predict the argmax profile, 'und' when no
     * profile fires. (The fixture corpus is English word-soup, so the
@@ -1178,5 +1219,5 @@ object TextAnalysis extends QueryModule {
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
       shardAssign, lengthQuantiles, piiRedact, urlDomains,
       temperatureSample, collapseRepeats, domainPagerank,
-      domainPagerank2, heavyHitters)
+      domainPagerank2, heavyHitters, qualityCalibrate)
 }
