@@ -1088,9 +1088,70 @@ object Events extends QueryModule {
       FROM j ORDER BY user_id, hour_idx""")
   )
 
+  /** Rank-based winsorization — cap a heavy-tailed measure at its
+    * per-group [p5, p95] before averaging, the standard robustifier
+    * for metrics a single whale would otherwise own. Percentile
+    * BOUNDS are selected by integer rank over the injective
+    * (cents, event_id) order (the `rel_exact_median` selection idiom
+    * generalized to any rank): k_lo = max(1, 5n div 100),
+    * k_hi = min(n, 95n div 100 + 1) — every operand a BIGINT, both
+    * engines pick the identical element, no percentile float path.
+    * The clamp itself is `least(greatest(cents, lo), hi)`.
+    *
+    * Scale (100 TB): one exchange on `event_type` serves the ranking
+    * window; bounds collapse to one 2-value row per type,
+    * broadcast back onto the stream. For groups that outgrow a
+    * partition's sort, the documented swap is the t-digest sketch
+    * bound (rel_quantile_bound) at the cost of exactness. */
+  val winsorize: Q = Q(
+    "ev_winsorize",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy("cents", "event_id")
+      val ranked = Tables(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+      val bounds = ranked
+        .filter(col("rn") === greatest(lit(1L), expr("(5 * n) div 100")) ||
+          col("rn") === least(col("n"), expr("(95 * n) div 100 + 1")))
+        .groupBy("event_type")
+        .agg(min("cents").as("lo"), max("cents").as("hi"))
+      ranked.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("cents"),
+          least(greatest(col("cents"), col("lo")), col("hi"))
+            .as("w_cents"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e),
+      b AS (
+        SELECT event_type, min(cents) AS lo, max(cents) AS hi
+        FROM r
+        WHERE rn = greatest(1, (5 * n) // 100)
+           OR rn = least(n, (95 * n) // 100 + 1)
+        GROUP BY 1)
+      SELECT e.event_id, e.event_type, e.cents,
+             least(greatest(e.cents, b.lo), b.hi) AS w_cents
+      FROM e JOIN b USING (event_type)
+      ORDER BY e.event_id""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
     scd2, activityStreaks, pathTransitions, attribution, debounce,
-    rollingValue, concurrency, intervalCoverage, anomaly, resample)
+    rollingValue, concurrency, intervalCoverage, anomaly, resample,
+    winsorize)
 }

@@ -920,5 +920,66 @@ object Relational extends QueryModule {
     sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
     quantileBound, profile, zorder, tableChecksum, saltedJoin,
     copurchase, copurchaseHealth, incrementalView, exactMedian,
-    compactionPlan, histogram, exactKSample)
+    compactionPlan, histogram, exactKSample, snapshotDiff)
+
+  /** Snapshot diff — the INVERSE of the CDC pipeline's merge
+    * (`ev_cdc_merge` turns a changelog into a snapshot; this turns two
+    * snapshots into the changelog): full-outer join two versions on
+    * the key and classify every key as I (new in v2), D (gone in v2),
+    * or U (present in both with a different value) — the op stream a
+    * MERGE sink or a downstream incremental consumer replays.
+    * Self-contained against the read-only fixture, v1/v2 are derived
+    * deterministically from `orders` (v1 drops keys ≡0 mod 89, v2
+    * drops ≡0 mod 97 and bumps cents by 100 on ≡0 mod 13), giving all
+    * three op kinds real populations; unchanged keys (the vast
+    * majority) are filtered out in the same pass. Cents comparison is
+    * exact integer equality — no float drift can fake a U.
+    *
+    * Scale (100 TB): one shuffle of each snapshot on the key — and in
+    * production both snapshots are bucketed by that key (the
+    * `Partitioning.bucketedTable` path), making the diff a zero-
+    * exchange sort-merge over co-located files. Output is bounded by
+    * the CHANGE volume, not the table. */
+  val snapshotDiff: Q = Q(
+    "rel_snapshot_diff",
+    (s, dir) => {
+      val base = Tables(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = base.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey").as("k1"), col("cents").as("c1"))
+      val v2 = base.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("k2"),
+          (col("cents") + when(col("o_orderkey") % 13 === 0, 100L)
+            .otherwise(0L)).as("c2"))
+      v1.join(v2, col("k1") === col("k2"), "full_outer")
+        .withColumn("op",
+          when(col("k1").isNull, "I")
+            .when(col("k2").isNull, "D")
+            .when(col("c1") =!= col("c2"), "U"))
+        .filter(col("op").isNotNull)
+        .select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+          col("op"), col("c1").as("old_cents"), col("c2").as("new_cents"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      v1 AS (SELECT o_orderkey AS k1, cents AS c1 FROM base
+             WHERE o_orderkey % 89 <> 0),
+      v2 AS (SELECT o_orderkey AS k2,
+                    cents + CASE WHEN o_orderkey % 13 = 0
+                                 THEN 100 ELSE 0 END AS c2
+             FROM base WHERE o_orderkey % 97 <> 0),
+      d AS (
+        SELECT COALESCE(k1, k2) AS o_orderkey,
+               CASE WHEN k1 IS NULL THEN 'I'
+                    WHEN k2 IS NULL THEN 'D'
+                    WHEN c1 <> c2 THEN 'U' END AS op,
+               c1 AS old_cents, c2 AS new_cents
+        FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
+      SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""")
+  )
+
 }
