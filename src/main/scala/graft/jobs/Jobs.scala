@@ -52,9 +52,20 @@ object Jobs {
       "dd_curation_pipeline" -> "curated-shards",
       "dd_dup_rate_by_source" -> "dedup-health",
       "dd_containment" -> "partial-dup-report",
+      "dd_contamination_rate" -> "contamination-report",
       "dd_leakage_safe_split" -> "split-map",
       "ta_heavy_hitters" -> "token-health",
-      "ta_pii_redact" -> "pii-scrubbed-corpus"))
+      "ta_quality_calibrate" -> "quality-calibration",
+      "ta_pii_redact" -> "pii-scrubbed-corpus"),
+    // Extension job: the event-analytics pack — the interval sweeps,
+    // robustified measures, and resampled series a metrics warehouse
+    // serves, through the same dispatch machinery.
+    "event_analytics" -> Seq(
+      "ev_concurrency" -> "peak-concurrency",
+      "ev_interval_coverage" -> "active-time",
+      "ev_anomaly" -> "anomaly-flags",
+      "ev_winsorize" -> "winsorized-values",
+      "ev_resample" -> "hourly-series"))
 
   /** Per-term extracts per job as (key directory, key file base,
     * query). Directory and file base differ for the refresh groups —
