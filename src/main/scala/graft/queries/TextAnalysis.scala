@@ -141,6 +141,59 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id""")
   )
 
+  /** Feature hashing (the "hashing trick") — text to a fixed 64-dim
+    * sparse count vector with NO vocabulary pass: a token's dimension
+    * is a pure hash of the token (here two md5 chars folded mod 64, an
+    * idiom both engines compute identically), so featurization is
+    * stateless, one-pass, and embarrassingly parallel — the property
+    * that makes the trick the default text featurizer at corpus scale,
+    * where a fitted vocabulary would itself be a 100 TB shuffle.
+    * Per doc: nnz, exact squared l2 norm, and the dominant dimension
+    * by sentinel argmax (`cnt·64 + (63−dim)` — max cnt wins, ties to
+    * the smallest dim, decoded back by div/mod; every operand a
+    * BIGINT).
+    *
+    * Scale (100 TB): two map-side-combined exchanges of counter rows
+    * ((doc, dim) then doc — never tokens, never text); state per
+    * reducer is bounded by 64 dims per doc. */
+  val hashEmbed: Q = Q(
+    "ta_hash_embed",
+    (s, dir) => {
+      val dim = (ascii(substring(md5(col("token")), 1, 1)) * 31 +
+        ascii(substring(md5(col("token")), 2, 1))) % 64
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .select(col("doc_id"), dim.cast("long").as("dim"))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"),
+          sum(col("cnt") * col("cnt")).as("l2sq"),
+          max(col("cnt") * 64L + (lit(63L) - col("dim"))).as("enc"))
+        .select(col("doc_id"), col("nnz"), col("l2sq"),
+          (lit(63L) - col("enc") % 64L).as("top_dim"),
+          expr("enc div 64").as("top_cnt"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id,
+               CAST((ascii(substr(md5(token), 1, 1)) * 31
+                     + ascii(substr(md5(token), 2, 1))) % 64 AS BIGINT)
+                 AS dim,
+               count(*) AS cnt
+        FROM tok WHERE token <> '' GROUP BY 1, 2)
+      SELECT doc_id, count(*) AS nnz,
+             CAST(sum(cnt * cnt) AS BIGINT) AS l2sq,
+             63 - max(cnt * 64 + (63 - dim)) % 64 AS top_dim,
+             max(cnt * 64 + (63 - dim)) // 64 AS top_cnt
+      FROM tf GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   /** Language-ID n-gram heuristic: score = stopword-token hits per
     * language profile; predict the argmax profile, 'und' when no
     * profile fires. (The fixture corpus is English word-soup, so the
@@ -1219,5 +1272,5 @@ object TextAnalysis extends QueryModule {
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
       shardAssign, lengthQuantiles, piiRedact, urlDomains,
       temperatureSample, collapseRepeats, domainPagerank,
-      domainPagerank2, heavyHitters, qualityCalibrate)
+      domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed)
 }

@@ -215,4 +215,50 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(joined.count() == 0)
     assert(joined.columns.toSeq == Seq("k", "text", "name"))
   }
+
+  test("sweep/resample/winsorize faces are total on degenerate events") {
+    import org.apache.spark.sql.functions._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val dir = java.nio.file.Files
+      .createTempDirectory("edge_events").toString
+    Seq(
+      // user 1: a single event (1-point grid, 1 interval)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "solo", 60.0, "{}"),
+      // user 2: two events at the SAME instant (tie handling), overlap
+      (2L, ts("2024-01-01 10:00:00"), 2L, "pair", 120.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "pair", 120.0, "{}"),
+      // user 3: zero-duration and negative-duration intervals
+      (4L, ts("2024-01-01 11:00:00"), 3L, "z", 0.0, "{}"),
+      (5L, ts("2024-01-01 12:00:00"), 3L, "z", -5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val peaks = graft.queries.Events.concurrency.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(peaks("pair") == 2, "simultaneous intervals both count")
+    assert(peaks("solo") == 1)
+    assert(peaks("z") == 0, "zero/negative durations never go live")
+
+    val cov = graft.queries.Events.intervalCoverage.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(cov(1L) == ((1L, 60000000L)))
+    assert(cov(2L) == ((1L, 120000000L)), "duplicate intervals merge")
+    assert(cov(3L)._2 == 0L, "degenerate intervals cover nothing")
+
+    val rs = graft.queries.Events.resample.fn(spark, dir)
+      .filter(col("user_id") === 1L).collect()
+    assert(rs.length == 1 && rs.head.getLong(2) == 1L &&
+      rs.head.getLong(3) == 6000L,
+      "single-event user gets a 1-point filled grid")
+
+    val win = graft.queries.Events.winsorize.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(win.values.forall { case (c, w) => c == w },
+      "tiny groups: bounds collapse to the data, clamp is identity")
+
+    assert(graft.queries.Events.anomaly.fn(spark, dir).count() == 0,
+      "zero-variance groups flag nothing (strict inequality)")
+  }
 }
