@@ -920,7 +920,109 @@ object Relational extends QueryModule {
     sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
     quantileBound, profile, zorder, tableChecksum, saltedJoin,
     copurchase, copurchaseHealth, incrementalView, exactMedian,
-    compactionPlan, histogram, exactKSample, snapshotDiff)
+    compactionPlan, histogram, exactKSample, snapshotDiff,
+    shareOfTotal, pareto)
+
+  /** Ratio-to-report WITHOUT the global window: per-segment revenue
+    * share of the corpus total. The naive spelling is
+    * `sum(x) OVER ()` — a single-partition window over the whole
+    * table, the exact shape PlanAuditSpec bans; here the total is a
+    * 1-row aggregate attached by broadcast cross-join (the
+    * ev_watermark scalar idiom), so the plan is two map-side-combined
+    * aggregates and one broadcast, nothing global. The share is one
+    * IEEE division of exact cents.
+    *
+    * Scale (100 TB): the segment aggregate is bounded by |segments|,
+    * the total by 1 row — the report costs one scan regardless of
+    * fact size. */
+  val shareOfTotal: Q = Q(
+    "rel_share_of_total",
+    (s, dir) => {
+      val seg = Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("seg_cents"))
+      val total = seg.agg(sum("seg_cents").as("total_cents"))
+      seg.join(broadcast(total))
+        .select(col("segment"), col("seg_cents"),
+          (col("seg_cents").cast("double") / col("total_cents"))
+            .as("share"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH seg AS (
+        SELECT c_mktsegment AS segment,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS seg_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1)
+      SELECT segment, seg_cents,
+             CAST(seg_cents AS DOUBLE) /
+               (SELECT sum(seg_cents) FROM seg) AS share
+      FROM seg ORDER BY segment""")
+  )
+
+  /** Pareto (80/20) report — cumulative revenue share over nations
+    * ranked by revenue: "how many dimension members cover 80% of the
+    * business". The cumulative window runs over the AGGREGATED
+    * dimension (|nations| rows), never the fact table — the only sound
+    * place for an ordered global window at scale, and the numerator
+    * stays exact integer cents (cum_cents) with the share derived by
+    * one division at the end. Ties in revenue are broken by name for
+    * an engine-independent total order.
+    *
+    * Scale (100 TB): one fact scan into a bounded aggregate; the
+    * window sorts ≤ |nations| rows on one partition by construction —
+    * bounded-dimension, documented, and exactly what PlanAuditSpec's
+    * global-window allowlist is for. */
+  val pareto: Q = Q(
+    "rel_pareto",
+    (s, dir) => {
+      val w = Window.orderBy(col("nation_cents").desc, col("nation"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byNation = Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("nation_cents"))
+      val total = byNation.agg(sum("nation_cents").as("total_cents"))
+      byNation
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("nation_cents").desc, col("nation"))))
+        .withColumn("cum_cents", sum("nation_cents").over(w))
+        .join(broadcast(total))
+        .select(col("rank"), col("nation"), col("nation_cents"),
+          col("cum_cents"),
+          (col("cum_cents").cast("double") / col("total_cents"))
+            .as("cum_share"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH n AS (
+        SELECT n_name AS nation,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS nation_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1)
+      SELECT row_number() OVER w AS rank, nation, nation_cents,
+             sum(nation_cents) OVER (ORDER BY nation_cents DESC, nation
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents,
+             CAST(sum(nation_cents) OVER (ORDER BY nation_cents DESC,
+                 nation ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / (SELECT sum(nation_cents) FROM n) AS cum_share
+      FROM n WINDOW w AS (ORDER BY nation_cents DESC, nation)
+      ORDER BY rank""")
+  )
 
   /** Snapshot diff — the INVERSE of the CDC pipeline's merge
     * (`ev_cdc_merge` turns a changelog into a snapshot; this turns two

@@ -42,7 +42,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // COMPRESSED corpus vector — PQ's documented shape (asymmetric
       // distance over reconstructions): |Q|·N like brute, but over m
       // codes + a literal codebook instead of raw vectors
-      "ss_topk_pq")
+      "ss_topk_pq",
+      // rel_share_of_total and rel_pareto broadcast-attach their
+      // 1-row corpus-total aggregate to a bounded dimension table —
+      // the same scalar-attach pattern, documented at the queries
+      "rel_share_of_total", "rel_pareto")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
@@ -52,7 +56,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     * metadata-sized listing (planning-class), documented in its
     * scaladoc. */
   private val globalWindowAllowed =
-    Set("rel_pagination", "rel_compaction_plan")
+    Set("rel_pagination", "rel_compaction_plan",
+      // rel_pareto's cumulative window runs over the AGGREGATED
+      // nation dimension (≤ |nations| rows) — bounded-dimension by
+      // construction, documented in its scaladoc
+      "rel_pareto")
 
   test("no undocumented cartesian or nested-loop join in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
