@@ -72,6 +72,19 @@ object Ann {
         lit(-cId).as("nid"))
     }
 
+  /** [[ivfAssign]] plus the member→own-centroid cosine the argmax
+    * maximized ("fit") — the per-member input to a clustering-quality
+    * report. Same narrow literal-centroid map, the winning struct
+    * computed once. Output: (idCol, cell, fit). */
+  def ivfAssignScored(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    withCents(corpus, cents)
+      .withColumn("__best",
+        array_max(array(cellStructs(cents, vecCol).toIndexedSeq: _*)))
+      .select(col(idCol), (-col("__best")("nid")).as("cell"),
+        col("__best")("c").as("fit"))
+
   /** Narrow cell assignment: broadcast literal centroids, per-row
     * argmax — no join, no shuffle. Output: (idCol, vecCol, cell). */
   def ivfAssign(corpus: DataFrame, cents: Array[(Long, Array[Float])],

@@ -696,7 +696,49 @@ object Similarity extends QueryModule {
       WHERE rank <= $K ORDER BY q_id, rank""")
   )
 
+  /** Clustering-quality report over the IVF cells — the health check a
+    * team runs before trusting an index: per cell, member count, the
+    * summed member→own-centroid cosine quantized to exact integer
+    * millionths (double sums are order-dependent across partitions;
+    * the e6-quantized sum is not), and the cell's worst member fit
+    * (min of doubles — order-independent). Unbalanced cells and low
+    * worst-fit cells are exactly where probe recall degrades, so this
+    * face is the observability half of the ss_topk_ivf pair. The
+    * centroids are the same 2-step integer-scaled Lloyd machinery the
+    * probe faces use, so the oracle replays the full train → assign →
+    * report pipeline bit-for-bit.
+    *
+    * Scale (100 TB): assignment is the narrow literal-centroid argmax
+    * (no join, no shuffle); the report is one map-side-combined
+    * aggregate to k rows. */
+  val clusterReport: Q = Q(
+    "ss_cluster_report",
+    (s, dir) => {
+      import graft.operators.Ann
+      val emb = Tables(s, dir, "embeddings")
+      val cents1 = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps)
+      Ann.ivfAssignScored(emb, cents1)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(round(col("fit") * 1000000).cast("long")).as("fit_e6"),
+          min("fit").as("worst_fit"))
+        .orderBy("cell")
+    },
+    Some(s"""
+      WITH ${ivfDuckCtes(1)},
+      own AS (
+        SELECT vec_id, c_id AS cell, c_cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY c_cos DESC, c_id ASC) AS rn
+          FROM scored_cells) WHERE rn = 1)
+      SELECT cell, count(*) AS n_members,
+             CAST(sum(CAST(round(c_cos * 1000000) AS BIGINT)) AS BIGINT)
+               AS fit_e6,
+             min(c_cos) AS worst_fit
+      FROM own GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
-    topkPerLabel, topkPq)
+    topkPerLabel, topkPq, clusterReport)
 }
