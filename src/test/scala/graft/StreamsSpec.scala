@@ -703,4 +703,37 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         s"stream peaks $got != batch sweep $expect")
     } finally q.stop()
   }
+
+  test("streamingConcurrency cross-batch lateness only UNDER-counts, " +
+      "as documented") {
+    // Three 1-minute intervals overlap at 10:00:30 → batch peak 3.
+    // Streamed with the third arriving a batch LATE (after the other
+    // two were processed and their ends closed by nothing — still
+    // open, but the late event's overlap window has passed), the
+    // documented divergence direction is an under-count, never an
+    // over-count.
+    implicit val sq = spark.sqlContext
+    val a = Event(1, ts("2024-01-01 10:00:00"), 1, "t", 60.0)
+    val b = Event(2, ts("2024-01-01 10:00:10"), 2, "t", 60.0)
+    val late = Event(3, ts("2024-01-01 10:00:20"), 3, "t", 60.0)
+    val tail = Event(4, ts("2024-01-01 12:00:00"), 4, "t", 1.0)
+    val source = MemoryStream[Event]
+    val q = Streams.streamingConcurrency(source.toDS())
+      .writeStream.format("memory").queryName("conc_late")
+      .outputMode("update").start()
+    try {
+      source.addData(a, b); q.processAllAvailable()
+      // `tail` (far future) closes a and b's intervals BEFORE the
+      // late event is seen — the overlap can no longer be observed
+      source.addData(tail); q.processAllAvailable()
+      source.addData(late); q.processAllAvailable()
+      val peak = spark.table("conc_late")
+        .agg(org.apache.spark.sql.functions.max("peak"))
+        .head().getLong(0)
+      val batchPeak = 3L // a, b, late all live at 10:00:30
+      assert(peak == 2L,
+        s"late replay should observe only a+b overlapping, got $peak")
+      assert(peak <= batchPeak, "divergence must be an under-count")
+    } finally q.stop()
+  }
 }
