@@ -830,7 +830,7 @@ object Events extends QueryModule {
     },
     Some("""
       SELECT event_id, user_id, ts,
-             sum(cents) OVER w AS roll_cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS roll_cents,
              count(*) OVER w AS roll_n
       FROM (
         SELECT event_id, user_id, ts, epoch_us(ts) AS us,
@@ -895,10 +895,12 @@ object Events extends QueryModule {
         SELECT event_type, e_us AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
       swept AS (
         SELECT event_type,
-               sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
-                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+               CAST(sum(delta) OVER (PARTITION BY event_type
+                 ORDER BY t, delta
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS live
         FROM deltas)
-      SELECT event_type, max(live) AS peak_concurrent,
+      SELECT event_type, CAST(max(live) AS BIGINT) AS peak_concurrent,
              CAST(count(*) / 2 AS BIGINT) AS n_intervals
       FROM swept GROUP BY 1 ORDER BY 1""")
   )
@@ -964,7 +966,7 @@ object Events extends QueryModule {
       g AS (SELECT user_id, island, min(s) AS is_, max(e) AS ie
             FROM isl GROUP BY 1, 2)
       SELECT user_id, count(*) AS n_islands,
-             sum(ie - is_) AS covered_us
+             CAST(sum(ie - is_) AS BIGINT) AS covered_us
       FROM g GROUP BY 1 ORDER BY 1""")
   )
 

@@ -790,8 +790,8 @@ object Relational extends QueryModule {
                count(*) OVER (PARTITION BY o_orderpriority) AS n
         FROM c)
       SELECT o_orderpriority, max(n) AS n_orders,
-             sum(CASE WHEN n % 2 = 1 THEN cents * 2 ELSE cents END)
-               AS med2_cents
+             CAST(sum(CASE WHEN n % 2 = 1 THEN cents * 2 ELSE cents END)
+               AS BIGINT) AS med2_cents
       FROM r
       WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
@@ -821,7 +821,8 @@ object Relational extends QueryModule {
         .groupBy(date_trunc("month", col("l_shipdate"))
           .cast("date").as("file_month"))
         .agg(count(lit(1)).as("n_rows"))
-        .withColumn("bin_id", (row_number().over(ord) - 1) % 8)
+        .withColumn("bin_id",
+          ((row_number().over(ord) - 1) % 8).cast("long"))
         .withColumn("bin_total_rows", sum("n_rows").over(binW))
         .select(col("bin_id"), col("file_month"), col("n_rows"),
           col("bin_total_rows"))
@@ -839,7 +840,8 @@ object Relational extends QueryModule {
                  - 1) % 8 AS bin_id
         FROM files)
       SELECT bin_id, file_month, n_rows,
-             sum(n_rows) OVER (PARTITION BY bin_id) AS bin_total_rows
+             CAST(sum(n_rows) OVER (PARTITION BY bin_id) AS BIGINT)
+               AS bin_total_rows
       FROM a ORDER BY bin_id, file_month""")
   )
 
@@ -995,7 +997,8 @@ object Relational extends QueryModule {
       val total = byNation.agg(sum("nation_cents").as("total_cents"))
       byNation
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("nation_cents").desc, col("nation"))))
+          Window.orderBy(col("nation_cents").desc, col("nation")))
+          .cast("long"))
         .withColumn("cum_cents", sum("nation_cents").over(w))
         .join(broadcast(total))
         .select(col("rank"), col("nation"), col("nation_cents"),
@@ -1014,9 +1017,9 @@ object Relational extends QueryModule {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1)
       SELECT row_number() OVER w AS rank, nation, nation_cents,
-             sum(nation_cents) OVER (ORDER BY nation_cents DESC, nation
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_cents,
+             CAST(sum(nation_cents) OVER (ORDER BY nation_cents DESC,
+                 nation ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents,
              CAST(sum(nation_cents) OVER (ORDER BY nation_cents DESC,
                  nation ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) / (SELECT sum(nation_cents) FROM n) AS cum_share
