@@ -63,44 +63,47 @@ object LinkGraph {
     // (in-mass join + dangling aggregate); without a per-round persist
     // that doubles the lineage every round — 2^rounds recompute of
     // round 1, observed as a 4.5× wall-clock blowup at rounds=5. The
-    // persist is lazy (blocks land on the round's first
-    // materialization, the second consumer reads them) and applied
-    // ONLY when redistributing: the plain variant's lineage is
-    // single-reference, and its fully-fused one-action evaluation is
-    // faster than five materialization barriers. All round handles
-    // are released together after the final evaluation.
-    val roundRanks = scala.collection.mutable.Buffer.empty[DataFrame]
+    // dangling mass is collected to the driver as a 1-row
+    // planning-class aggregate (same class as the nNodes count): the
+    // collect is the round's materialization barrier — standard
+    // PageRank pays it in every engine — and taking the scalar
+    // driver-side (a) embeds the share as a literal, keeping each
+    // round's plan free of nested broadcast subtrees, and (b) lets
+    // round N-2's cache be released as soon as round N-1 is
+    // materialized, so at most TWO rank snapshots are ever live
+    // (r10 verdict: holding all `rounds` of them doubled wall-clock
+    // under full-catalog memory pressure). The plain variant's
+    // lineage is single-reference, so it skips persists and barriers
+    // entirely and evaluates as one fused action.
+    var prevRanks: DataFrame = null
     for (_ <- 1 to rounds) {
+      val share: Long =
+        if (!redistribute) 0L
+        else {
+          ranks = ranks.persist()
+          val dMass = ranks
+            .agg(coalesce(sum(when(!col("has_out"), col("rank"))),
+              lit(0L)))
+            .head.getLong(0)
+          if (prevRanks != null) prevRanks.unpersist(blocking = false)
+          prevRanks = ranks
+          dMass / nNodes // both non-negative: Scala / == SQL div
+        }
       val inMass = edgesDeg
         .join(ranks.select(col("domain").as("src"), col("rank")), "src")
         .select(col("dst").as("domain"), expr("rank div deg").as("c"))
         .groupBy("domain").agg(sum("c").as("in_mass"))
-      val base = nodesP.join(inMass, Seq("domain"), "left")
-      ranks =
-        if (!redistribute)
-          base.select(col("domain"),
-            (lit(floor) +
-              expr("(85 * coalesce(in_mass, CAST(0 AS BIGINT))) div 100"))
-              .as("rank"), col("has_out"))
-        else {
-          val dangling = ranks
-            .agg(coalesce(sum(when(!col("has_out"), col("rank"))),
-              lit(0L)).as("d_mass"))
-          base.join(broadcast(dangling))
-            .select(col("domain"),
-              (lit(floor) +
-                expr("(85 * (coalesce(in_mass, CAST(0 AS BIGINT)) + " +
-                  s"d_mass div $nNodes)) div 100")).as("rank"),
-              col("has_out"))
-        }
-      if (redistribute) {
-        ranks = ranks.persist()
-        roundRanks += ranks
-      }
+      ranks = nodesP.join(inMass, Seq("domain"), "left")
+        .select(col("domain"),
+          (lit(floor) +
+            expr("(85 * (coalesce(in_mass, CAST(0 AS BIGINT)) + " +
+              s"${share}L)) div 100")).as("rank"),
+          col("has_out"))
     }
     val result = ranks
       .select(col("domain"), col("rank").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("domain"))
-    CacheScope.eval(result)(edgesDeg +: nodesP +: roundRanks.toSeq: _*)
+    CacheScope.eval(result)(
+      Seq(edgesDeg, nodesP) ++ Option(prevRanks): _*)
   }
 }
