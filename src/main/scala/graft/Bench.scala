@@ -188,20 +188,35 @@ object Bench {
         // Raw parity with the previous run cannot be a regression;
         // the masking direction (host truly faster AND code slower in
         // lockstep) is bounded separately by the BASELINE total.
-        val scale = parseDetailField(prevTxt, "calib")
+        val prevCalib = parseDetailField(prevTxt, "calib")
           .flatMap(s => scala.util.Try(s.toDouble).toOption)
           .filter(_ > 0)
-          .map(pc => calibScale(pc, calib))
-          .getOrElse(1.0)
+        val scale = prevCalib.map(pc => calibScale(pc, calib)).getOrElse(1.0)
         if (math.abs(scale - 1.0) > 0.3) System.err.println(
           f"[bench] host speed differs from previous run by $scale%.2fx " +
             "(calib-normalized gate; absolute totals NOT comparable)")
-        val cur = results.collect { case (k, v, None) => k -> v / scale }
-          .toMap
-        val regs = regressions(prev, cur)
-        regs.foreach { case (k, o, n) =>
+        // monotone floor (same sf/reps/cpus frame only)
+        val floorFile = new java.io.File(floorPath(detailPath))
+        val floor: Map[String, (Double, Double)] =
+          if (!floorFile.exists()) Map.empty
+          else {
+            val txt = new String(
+              java.nio.file.Files.readAllBytes(floorFile.toPath), "UTF-8")
+            if (parseDetailField(txt, "sf").exists(_ != sfName) ||
+                parseDetailField(txt, "reps").exists(_ != reps.toString) ||
+                parseDetailField(txt, "cpus").exists(_ != cpus)) {
+              System.err.println(
+                "[bench] floor file is a different sf/reps/cpus frame " +
+                  "-- floor base skipped")
+              Map.empty
+            } else parseFloorQueries(txt)
+          }
+        val curRaw = results.collect { case (k, v, None) => k -> v }.toMap
+        val regs = regressionsWithFloor(prev, prevCalib, floor, curRaw, calib)
+        regs.foreach { case (k, o, n, _, src) =>
           System.err.println(
-            f"[bench] REGRESSION $k: $o%.2f s -> $n%.2f s (${n / o}%.1fx)") }
+            f"[bench] REGRESSION $k: $o%.2f s -> $n%.2f s " +
+              f"(${n / o}%.1fx vs $src)") }
         unresolvedFlags = 0
         if (regs.nonEmpty) {
           System.err.println(
@@ -213,29 +228,25 @@ object Bench {
           calib2 = Seq.fill(3)(calibOnce()).sorted.apply(1)
           System.err.println(f"[bench] fresh calib: $calib2%.3f s " +
             f"(run-start was $calib%.3f s)")
-          val prevCalib = parseDetailField(prevTxt, "calib")
-            .flatMap(s => scala.util.Try(s.toDouble).toOption)
-            .filter(_ > 0)
-          // same excuse-only floor as the first-pass gate
-          val scale2 = prevCalib.map(pc => calibScale(pc, calib2))
-            .getOrElse(1.0)
-          reruns = regs.map { case (k, prevVal, _) =>
+          reruns = regs.map { case (k, baseVal, _, baseCalib, src) =>
             val first = results.collectFirst {
               case (`k`, v, None) => v }.getOrElse(-1.0)
             val (m, e) = timeQuery(k, " [rerun]")
-            // resolved = the rerun, normalized to the previous run's
-            // host frame via the fresh calib, is NOT a regression by
-            // the gate's own predicate
+            // resolved = the rerun, normalized into the FLAGGING
+            // base's host frame via the fresh calib (excuse-only),
+            // is NOT a regression by the gate's own predicate
+            val scale2 = baseCalib.map(pc => calibScale(pc, calib2))
+              .getOrElse(1.0)
             val resolved = e.isEmpty && m >= 0 && {
               val n = m / scale2
-              !(n > prevVal * RegressionFactor &&
-                n - prevVal > RegressionFloorSec)
+              !(n > baseVal * RegressionFactor &&
+                n - baseVal > RegressionFloorSec)
             }
             System.err.println(f"[bench] rerun $k: first=$first%.2f s " +
-              f"rerun=$m%.2f s prev=$prevVal%.2f s -> " +
+              f"rerun=$m%.2f s $src=$baseVal%.2f s -> " +
               (if (resolved) "RESOLVED (load noise)"
                else "UNRESOLVED (regression persists)"))
-            Rerun(k, first, if (e.nonEmpty) -1.0 else m, prevVal, resolved)
+            Rerun(k, first, if (e.nonEmpty) -1.0 else m, baseVal, resolved)
           }
           unresolvedFlags = reruns.count(!_.resolved)
           System.err.println(
@@ -248,11 +259,38 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] regression gate skipped: $e")
     }
-    if (writeDetail)
+    if (writeDetail) {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detailJson(results, reps, sfName, calib, cpus, reruns, calib2,
           unresolvedFlags) + "\n").getBytes("UTF-8"))
-    else System.err.println(
+      // lower the monotone floor where this run beat it (rerun
+      // medians count: same query, same purge discipline); never
+      // overwrite a floor recorded under a different frame
+      try {
+        val fp = java.nio.file.Paths.get(floorPath(detailPath))
+        val oldTxt =
+          if (java.nio.file.Files.exists(fp))
+            new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
+          else ""
+        val frameOk = oldTxt.isEmpty ||
+          (parseDetailField(oldTxt, "sf").forall(_ == sfName) &&
+            parseDetailField(oldTxt, "reps").forall(_ == reps.toString) &&
+            parseDetailField(oldTxt, "cpus").forall(_ == cpus))
+        if (frameOk) {
+          val withRerun = results.collect { case (k, v, None) if v >= 0 =>
+            k -> math.min(v, reruns.collectFirst {
+              case r if r.name == k && r.rerun > 0 => r.rerun
+            }.getOrElse(v))
+          }.toMap
+          val nf = updatedFloor(parseFloorQueries(oldTxt), withRerun, calib)
+          java.nio.file.Files.write(fp,
+            (floorJson(sfName, reps, cpus, nf) + "\n").getBytes("UTF-8"))
+        } else System.err.println(
+          "[bench] floor file is a different sf/reps/cpus frame -- " +
+            "not updated")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] floor update skipped: $e") }
+    } else System.err.println(
       s"[bench] subset run: $detailPath left untouched (set " +
         "SPARK_GRAFT_BENCH_DETAIL to record subset timings)")
     println(headline(results, reps, sfName, detailPath))
@@ -268,6 +306,79 @@ object Bench {
 
   /** A query regressed when it slowed by more than this factor. */
   val RegressionFactor = 1.5
+
+  /** Monotone floor file beside the detail record: per query, the
+    * best-ever raw median and the host calib of the run that set it.
+    * The last-run detail alone ratchets — two consecutive sub-
+    * threshold slips (r10: ta_domain_pagerank 2.4→4.0 s over two
+    * runs, never >1.5× in one step) re-baseline themselves invisibly.
+    * The floor only ever goes DOWN, so drift accumulated across any
+    * number of runs is still judged against the best the query has
+    * ever done, each comparison normalized into the floor entry's own
+    * host frame (excuse-only, like the prev-record gate). When a face
+    * is intentionally rewritten to do more work, delete its entry
+    * from the floor file — the next run re-seeds it. */
+  def floorPath(detailPath: String): String =
+    if (detailPath.contains("DETAIL"))
+      detailPath.replace("DETAIL", "FLOOR")
+    else detailPath + ".floor"
+
+  /** `"name":[t,calib]` pairs inside the floor file's queries map. */
+  def parseFloorQueries(json: String): Map[String, (Double, Double)] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    "\"([^\"]+)\":\\[(-?[0-9.]+),(-?[0-9.]+)\\]".r
+      .findAllMatchIn(json.substring(start))
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+      .toMap
+  }
+
+  def floorJson(sfName: String, reps: Int, cpus: String,
+                entries: Map[String, (Double, Double)]): String = {
+    val qs = entries.toSeq.sortBy(_._1).map { case (k, (t, c)) =>
+      jsonStr(k) + s":[${fmt(t, 6)},${fmt(c, 6)}]"
+    }.mkString("{", ",", "}")
+    s"""{"sf":"$sfName","reps":$reps,"cpus":"$cpus","queries":$qs}"""
+  }
+
+  /** Lower the floor where this run's raw median (rerun included —
+    * the rerun is the same query under the same purge discipline)
+    * beat it; never raise it. */
+  def updatedFloor(floor: Map[String, (Double, Double)],
+                   cur: Map[String, Double],
+                   calib: Double): Map[String, (Double, Double)] =
+    floor ++ cur.flatMap { case (k, t) =>
+      if (t >= 0 && floor.get(k).forall(_._1 > t)) Some(k -> (t, calib))
+      else None
+    }
+
+  /** Gate predicate against BOTH comparison bases — the previous
+    * detail record and the monotone floor — each in its own host
+    * frame. Returns the worst-triggering base per query, worst ratio
+    * first: (name, baseValue, currentNormalized, baseCalib, source).
+    * A query flags when it fails the (factor, absolute-floor)
+    * predicate against EITHER base; the floor base is what catches
+    * multi-run drift the last-record comparison re-baselines away. */
+  def regressionsWithFloor(
+      prev: Map[String, Double], prevCalib: Option[Double],
+      floor: Map[String, (Double, Double)],
+      curRaw: Map[String, Double], calib: Double)
+      : Seq[(String, Double, Double, Option[Double], String)] =
+    curRaw.toSeq.flatMap { case (k, raw) =>
+      val cands =
+        prev.get(k).map(v => (v, prevCalib, "prev")).toSeq ++
+          floor.get(k).map { case (t, c) =>
+            (t, Some(c).filter(_ > 0), "floor") }
+      val hits = cands.flatMap { case (base, bc, src) =>
+        val sc = bc.map(pc => calibScale(pc, calib)).getOrElse(1.0)
+        val n = raw / sc
+        if (base > 0 && n > base * RegressionFactor &&
+            n - base > RegressionFloorSec)
+          Some((k, base, n, bc, src))
+        else None
+      }
+      hits.sortBy { case (_, o, n, _, _) => -(n / o) }.headOption
+    }.sortBy { case (_, o, n, _, _) => -(n / o) }
   /** …and by more than this many seconds — sub-100ms queries jitter
     * past any ratio on JIT/GC noise alone; absolute time is what the
     * total (and the judge) actually feels. */

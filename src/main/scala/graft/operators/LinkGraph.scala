@@ -47,18 +47,24 @@ object LinkGraph {
     // dangling-ness is static: fold it into the node table ONCE (like
     // the out-degree fold into the edge table), so the per-round
     // dangling mass is a 1-row aggregate over the carried flag — no
-    // per-round anti-join shuffle
-    val nodesP = nodes
-      .join(deg.select(col("src").as("domain"),
-        lit(true).as("has_out")), Seq("domain"), "left")
-      .select(col("domain"),
-        coalesce(col("has_out"), lit(false)).as("has_out"))
-      .persist()
+    // per-round anti-join shuffle. The fold (and its extra column
+    // through every round's projection) is paid ONLY by the
+    // redistribution variant; the plain face keeps the bare node set.
+    val nodesP = (
+      if (!redistribute) nodes.select(col("domain"))
+      else nodes
+        .join(deg.select(col("src").as("domain"),
+          lit(true).as("has_out")), Seq("domain"), "left")
+        .select(col("domain"),
+          coalesce(col("has_out"), lit(false)).as("has_out"))
+      ).persist()
     // static across rounds; only read when redistributing
     lazy val nNodes = math.max(1L, nodesP.count())
     val floor = 15L * scale / 100
-    var ranks =
-      nodesP.select(col("domain"), lit(scale).as("rank"), col("has_out"))
+    val rankCols: Seq[org.apache.spark.sql.Column] =
+      if (!redistribute) Seq(col("domain"))
+      else Seq(col("domain"), col("has_out"))
+    var ranks = nodesP.select(rankCols :+ lit(scale).as("rank"): _*)
     // Redistribution references the previous round's ranks TWICE
     // (in-mass join + dangling aggregate); without a per-round persist
     // that doubles the lineage every round — 2^rounds recompute of
@@ -94,11 +100,10 @@ object LinkGraph {
         .select(col("dst").as("domain"), expr("rank div deg").as("c"))
         .groupBy("domain").agg(sum("c").as("in_mass"))
       ranks = nodesP.join(inMass, Seq("domain"), "left")
-        .select(col("domain"),
+        .select(rankCols :+
           (lit(floor) +
             expr("(85 * (coalesce(in_mass, CAST(0 AS BIGINT)) + " +
-              s"${share}L)) div 100")).as("rank"),
-          col("has_out"))
+              s"${share}L)) div 100")).as("rank"): _*)
     }
     val result = ranks
       .select(col("domain"), col("rank").as("rank_scaled"))

@@ -1115,14 +1115,20 @@ object TextAnalysis extends QueryModule {
     Q(
       "ta_domain_pagerank",
       (s, dir) => {
-        val pairs = urlPairs(s, dir)
+        // pairs feeds three consumers (both self-join sides + nodes);
+        // persist spares two regex re-extractions over documents. The
+        // kernel's eval is eager, so the release here is safe.
+        val pairs = urlPairs(s, dir).persist()
         val edges = pairs.as("a")
           .join(pairs.as("b"), "doc_id")
           .filter(col("a.domain") =!= col("b.domain"))
           .select(col("a.domain").as("src"), col("b.domain").as("dst"))
           .distinct()
         val nodes = pairs.select("domain").distinct()
-        graft.operators.LinkGraph.pageRank(nodes, edges, rounds = 5)
+        val out = graft.operators.LinkGraph.pageRank(nodes, edges,
+          rounds = 5)
+        pairs.unpersist(blocking = false)
+        out
       },
       Some(s"""
         WITH $urlPairsSql,
@@ -1190,15 +1196,19 @@ object TextAnalysis extends QueryModule {
     Q(
       "ta_domain_pagerank2",
       (s, dir) => {
-        val pairs = urlPairs(s, dir)
+        // same three-consumer persist as ta_domain_pagerank
+        val pairs = urlPairs(s, dir).persist()
         val edges = pairs.as("a")
           .join(pairs.as("b"), "doc_id")
           .filter(col("a.domain") =!= col("b.domain"))
           .select(col("a.domain").as("src"), col("b.domain").as("dst"))
           .distinct()
         val nodes = pairs.select("domain").distinct()
-        graft.operators.LinkGraph.pageRank(nodes, edges, rounds = 5,
+        val out = graft.operators.LinkGraph.pageRank(nodes, edges,
+          rounds = 5,
           redistribute = true)
+        pairs.unpersist(blocking = false)
+        out
       },
       Some(s"""
         WITH $urlPairsSql,

@@ -157,6 +157,43 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.regressions(prev, realReg).map(_._1) === Seq("a"))
   }
 
+  test("monotone floor: round-trips, only lowers, and catches multi-run drift") {
+    // round-trip
+    val entries = Map("q1" -> (1.25, 0.14), "q2" -> (0.5, 0.2))
+    val js = Bench.floorJson("sf0.1", 3, "32", entries)
+    assert(Bench.parseFloorQueries(js) === entries)
+    assert(Bench.parseDetailField(js, "sf") === Some("sf0.1"))
+    assert(Bench.parseDetailField(js, "cpus") === Some("32"))
+    assert(Bench.parseFloorQueries("") === Map.empty)
+    assert(Bench.floorPath("BENCH_DETAIL.json") === "BENCH_FLOOR.json")
+    // update: lowers on a faster run, never raises on a slower one,
+    // seeds unseen queries
+    val up = Bench.updatedFloor(entries,
+      Map("q1" -> 0.9, "q2" -> 3.0, "q3" -> 0.7), calib = 0.3)
+    assert(up("q1") === (0.9, 0.3))   // lowered, new calib recorded
+    assert(up("q2") === (0.5, 0.2))   // slower run: floor unchanged
+    assert(up("q3") === (0.7, 0.3))   // seeded
+    // the r10 blind spot: pagerank drifted 2.4 -> 3.3 -> 4.0 in two
+    // sub-1.5x steps; the last-record gate re-baselined each time,
+    // the floor base still flags the accumulated 1.67x
+    val prev = Map("ta_domain_pagerank" -> 3.3)
+    val floor = Map("ta_domain_pagerank" -> (2.4, 0.14))
+    val regs = Bench.regressionsWithFloor(prev, Some(0.14), floor,
+      Map("ta_domain_pagerank" -> 4.0), calib = 0.14)
+    assert(regs.map(r => (r._1, r._2, r._5)) ===
+      Seq(("ta_domain_pagerank", 2.4, "floor")))
+    // excuse-only normalization applies per base: same raw times on a
+    // host whose probe says 2x slower do not flag
+    val slowHost = Bench.regressionsWithFloor(prev, Some(0.14), floor,
+      Map("ta_domain_pagerank" -> 4.0), calib = 0.28)
+    assert(slowHost.isEmpty)
+    // a query with no floor entry still gets the prev-record gate
+    val prevOnly = Bench.regressionsWithFloor(
+      Map("x" -> 1.0), Some(0.2), Map.empty,
+      Map("x" -> 2.1), calib = 0.2)
+    assert(prevOnly.map(r => (r._1, r._5)) === Seq(("x", "prev")))
+  }
+
   test("calib normalization excuses a slower host, never inflates a faster one") {
     // slower host: probe 0.4 → 0.88 excuses up to 2.2×
     assert(math.abs(Bench.calibScale(0.4, 0.88) - 2.2) < 1e-9)
