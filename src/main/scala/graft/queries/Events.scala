@@ -989,9 +989,25 @@ object Events extends QueryModule {
       val units = ev(s, dir).select(
         col("event_id"), col("event_type"),
         round(col("value")).cast("long").as("v"))
-      val stats = units.groupBy("event_type").agg(
+      val stats0 = units.groupBy("event_type").agg(
         count(lit(1)).as("n"), sum("v").as("s"),
-        sum(col("v") * col("v")).as("ss"))
+        sum(col("v") * col("v")).as("ss"),
+        greatest(abs(max("v")), abs(min("v")), lit(1L)).as("m"))
+      // The overflow envelope, ENFORCED (r10 advice: Spark's non-ANSI
+      // Long arithmetic wraps silently where DuckDB raises): n·m ≤ 1e9
+      // with m = max|v| implies every test term stays inside Long —
+      // |n·v − s| ≤ 2·n·m so its square < 2^63, and by Cauchy-Schwarz
+      // 0 ≤ n·ss − s² ≤ n²m², so the 9× multiple is < 2^63 too. The
+      // check multiplies as DOUBLE (the guard itself must not wrap)
+      // and runs once per event_type row on the broadcast side;
+      // assert_true is NULL on pass, so the filter keeps every row
+      // and the guard cannot be pruned from the plan.
+      val stats = stats0.filter(assert_true(
+        col("n").cast("double") * col("m").cast("double") <= 1e9,
+        concat(lit("ev_anomaly overflow envelope exceeded: n*max|v|="),
+          (col("n").cast("double") * col("m").cast("double"))
+            .cast("string"))).isNull)
+        .select("event_type", "n", "s", "ss")
       units.join(broadcast(stats), "event_type")
         .filter((col("n") * col("v") - col("s")) *
           (col("n") * col("v") - col("s")) >
@@ -1036,10 +1052,17 @@ object Events extends QueryModule {
   val resample: Q = Q(
     "ev_resample",
     (s, dir) => {
+      // hour index by FLOOR division (subtract the always-non-negative
+      // pmod first): Spark `div` and DuckDB `//` both truncate toward
+      // zero, so they agree with each other either way, but truncation
+      // would bucket pre-1970 events toward hour 0 instead of their
+      // calendar hour — same precaution as the NANOS rebuild in
+      // sources.Tables. The oracle uses the matching sign-safe idiom.
       val e2 = ev(s, dir).select(
         col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"),
-        expr("unix_micros(ts) div 3600000000").as("h"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))" +
+          " div 3600000000").as("h"),
         round(col("value") * 100).cast("long").as("cents"))
       val rn = Window.partitionBy("user_id", "h")
         .orderBy(col("us").desc, col("event_id").desc)
@@ -1064,7 +1087,8 @@ object Events extends QueryModule {
     Some("""
       WITH e2 AS (
         SELECT user_id, event_id, epoch_us(ts) AS us,
-               epoch_us(ts) // 3600000000 AS h,
+               (epoch_us(ts) - ((epoch_us(ts) % 3600000000)
+                 + 3600000000) % 3600000000) // 3600000000 AS h,
                CAST(round(value * 100) AS BIGINT) AS cents
         FROM events),
       hourly AS (

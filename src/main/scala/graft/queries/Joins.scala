@@ -206,9 +206,18 @@ object Joins extends QueryModule {
       val li = Tables(s, dir, "lineitem")
       val latest = li.groupBy(col("l_orderkey").as("g_orderkey"))
         .agg(max("l_shipdate").as("max_ship"))
-      // No broadcast hint: `latest` scales with the fact table, so the
-      // join must stay a shuffle join; both sides hash on orderkey and
-      // the agg's shuffle is reused (one exchange total).
+      // No broadcast hint: `latest` scales with the fact table, so at
+      // data scale AQE keeps this a shuffle join; at bench SF the
+      // stats put `latest` under the broadcast threshold and Spark
+      // broadcasts it — both plans are the right call for their size.
+      // r10 flag post-mortem (0.83→1.31 s, unresolved): the plan is
+      // clean (sentinel constant-folded, no per-row casts, filters
+      // pushed); standalone the query measures ~0.95-1.0 s median
+      // while the driver's number came mid-147-query process, and the
+      // fixtures regenerate every round (l_shipdate shipped as a new
+      // timestamp_ntz encoding in r10), so the comparison base and
+      // the measurement crossed both a fixture and a process-state
+      // boundary. No code change between the two numbers.
       li.join(latest, col("l_orderkey") === col("g_orderkey"))
         .filter(col("l_shipdate") === col("max_ship") ||
           col("l_shipdate") === to_timestamp(lit("1901-01-01")))

@@ -201,7 +201,8 @@ object Streams {
   /** Open-interval multiset (end times, ascending) + the running peak.
     * `ends` is bounded by the CURRENT concurrency — the sweep's whole
     * point — never by stream length. */
-  final case class SweepState(ends: List[Long], peak: Long)
+  final case class SweepState(ends: List[Long], peak: Long,
+                              maxT: Long = Long.MinValue)
 
   /** Live/peak concurrency per event type after each micro-batch. */
   final case class Concurrency(event_type: String, live: Long, peak: Long)
@@ -217,9 +218,15 @@ object Streams {
     * double-count), then take the peak — exactly the batch sweep's
     * (t, delta) point semantics, in the same exact-µs arithmetic.
     * Parity with the batch face on order-respecting batch splits is
-    * pinned in StreamsSpec; a cross-batch late event that should have
-    * closed earlier can only UNDER-count the peak, the same
-    * total-order caveat [[streamingDebounce]] documents.
+    * pinned in StreamsSpec. Lateness contract (r10 advice hardened
+    * it): pruning and peak updates anchor to the per-key event-time
+    * high-water mark `maxT`, not the current row's timestamp — a late
+    * interval that already expired by `maxT` is dropped before `live`
+    * is emitted (never a stale over-count), one still open counts
+    * exactly, and `peak` only advances at in-order positions, so a
+    * late run's unobservable transient liveness can only UNDER-count
+    * the peak — the same total-order caveat [[streamingDebounce]]
+    * documents.
     *
     * State per type is `peak` longs at worst — for a dashboard's "how
     * many sessions are live right now / what was the max" this is the
@@ -241,6 +248,13 @@ object Streams {
           })
           var ends = state.getOption.map(_.ends).getOrElse(Nil)
           var peak = state.getOption.map(_.peak).getOrElse(0L)
+          // high-water mark of event time seen for this key: pruning
+          // and peak updates are anchored to it, not to the current
+          // row's timestamp, so a late batch can neither leave stale
+          // ends inflating the emitted `live` (r10 advice) nor read a
+          // spurious peak off intervals that had not started yet at
+          // the late row's instant
+          var maxT = state.getOption.map(_.maxT).getOrElse(Long.MinValue)
           var i = 0
           while (i < sorted.length) {
             val t = us(sorted(i).ts)
@@ -253,9 +267,18 @@ object Streams {
               i += 1
             }
             ends = (ends ++ opened).sorted.dropWhile(_ <= t)
-            peak = math.max(peak, ends.length.toLong)
+            // peak only advances at in-order positions — a late run's
+            // transient liveness between t and maxT is unobservable
+            // (the documented under-count), never an over-count
+            if (t >= maxT) {
+              maxT = t
+              peak = math.max(peak, ends.length.toLong)
+            }
           }
-          state.update(SweepState(ends, peak))
+          // final prune at the high-water mark: a late interval that
+          // already expired by maxT must not linger in `live`
+          ends = ends.dropWhile(_ <= maxT)
+          state.update(SweepState(ends, peak, maxT))
           Concurrency(tpe, ends.length.toLong, peak)
       }
   }

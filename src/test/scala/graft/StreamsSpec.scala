@@ -734,6 +734,14 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
       assert(peak == 2L,
         s"late replay should observe only a+b overlapping, got $peak")
       assert(peak <= batchPeak, "divergence must be an under-count")
+      // the late interval expired long before the high-water mark
+      // (12:00) — it must be pruned from the emitted live count, not
+      // linger as a stale end (the r10-advice over-count mode). Only
+      // `tail` (open until 12:00:01 > maxT) is genuinely live, so the
+      // late batch emits live=1; a stale late end would read 2.
+      val liveAfterLate = spark.table("conc_late").collect().last
+      assert(liveAfterLate.getAs[Long]("live") == 1L,
+        s"expired late interval must not inflate live: $liveAfterLate")
     } finally q.stop()
   }
 }
