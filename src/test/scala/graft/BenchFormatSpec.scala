@@ -157,6 +157,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.regressions(prev, realReg).map(_._1) === Seq("a"))
   }
 
+  test("skew_bench evidence serializes after queries and stays valid JSON") {
+    val skew = Map("join_plain_skew" -> 1.605, "scd2_salted_skew" -> 3.463)
+    val detail = Bench.detailJson(mk(120), 3, "sf0.1", calib = 0.2,
+      cpus = "32", skew = skew)
+    val js = mapper.readTree(detail)
+    assert(js.get("skew_bench").get("join_plain_skew").asDouble() === 1.605)
+    // the queries parser must still stop at the queries object
+    assert(Bench.parseDetailQueries(detail).size === 120)
+  }
+
   test("monotone floor: round-trips, only lowers, and catches multi-run drift") {
     // round-trip
     val entries = Map("q1" -> (1.25, 0.14), "q2" -> (0.5, 0.2))
