@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight}
 
-import graft.functions.{BloomMightContain, FloatVectorDot, MinhashSig, MisraGriesAgg, SimhashLong}
+import graft.functions.{BloomMightContain, BpeCount, FloatVectorDot, MinhashSig, MisraGriesAgg, SimhashLong}
 
 /** Engine extension point — registers graft's native Catalyst
   * expressions (callable from SQL and `expr(...)`) and the
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomMightContain)
     ext.injectFunction(GraftExtensions.zorder2)
     ext.injectFunction(GraftExtensions.mgSummary)
+    ext.injectFunction(GraftExtensions.bpeCount)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -49,6 +50,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "simhash_long takes exactly 2 arguments")
       SimhashLong(children.head, children(1))
+    })
+
+  private val bpeCount = (
+    FunctionIdentifier("bpe_count"),
+    new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "bpe_count takes exactly 1 argument")
+      BpeCount(children.head)
     })
 
   private val minhashSig = (
@@ -175,7 +184,7 @@ object GraftExtensions {
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(fvecDot, simhashLong, minhashSig, bloomMightContain, zorder2,
-      mgSummary)
+      mgSummary, bpeCount)
       .foreach { f =>
       if (!reg.functionExists(f._1))
         reg.registerFunction(f._1, f._2, f._3)

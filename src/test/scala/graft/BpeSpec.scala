@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BpeOps
+
+/** [[graft.functions.BpeCount]] — the native BPE apply walk vs an
+  * independent reference implementation and its pinned edge cases. */
+class BpeSpec extends AnyFunSuite with SharedSpark {
+
+  /** Reference BPE apply: the GPT-2 encoder's shape — repeatedly find
+    * the LOWEST-RANK adjacent pair present, merge all its occurrences
+    * leftmost-first, until no ranked pair remains. Deliberately a
+    * different control flow from BpeOps.wordTokens (rank-ordered
+    * sweep): agreement is the equivalence argument, executed. */
+  private def referenceTokens(word: String): Seq[String] = {
+    var toks: Vector[String] = word.map(_.toString).toVector
+    val rank = BpeOps.merges
+    var done = false
+    while (!done && toks.length > 1) {
+      val present = toks.zip(toks.tail).flatMap(p => rank.get(p).map(p -> _))
+      if (present.isEmpty) done = true
+      else {
+        val (x, y) = present.minBy(_._2)._1
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+            out += x + y; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+    }
+    toks
+  }
+
+  test("vocabulary file loads rank-ordered and non-empty") {
+    assert(BpeOps.orderedMerges.nonEmpty)
+    assert(BpeOps.orderedMerges.size == BpeOps.merges.size)
+    // first learned merge has rank 0
+    assert(BpeOps.merges(BpeOps.orderedMerges.head) == 0)
+  }
+
+  test("rank-ordered sweep equals the min-rank-first reference on the corpus vocabulary") {
+    // every distinct word in the fixture corpus, plus adversarial
+    // shapes: repeats, prefixes of merged tokens, unknown chars
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .where("w <> ''").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val adversarial = Seq("erer", "ererer", "rowrow", "xxjoinxx",
+      "q", "zz", "join", "customer", "stst", "inin")
+    (corpus ++ adversarial).foreach { w =>
+      assert(BpeOps.wordTokens(w).toSeq == referenceTokens(w),
+        s"divergence on '$w'")
+    }
+  }
+
+  test("bpe_count sums per-word counts with single-space split semantics") {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val rows = Seq(
+      "",                      // no words -> 0
+      "join",                  // fully merged -> 1
+      "join join",             // 2
+      " join  join ",          // empty segments skipped -> 2
+      "q zz").toDF("text")     // unknown chars stay chars: 1 + 2
+      .selectExpr("bpe_count(text) AS n").as[Long].collect().toSeq
+    val expected = Seq(0L,
+      BpeOps.wordTokens("join").length.toLong,
+      2L * BpeOps.wordTokens("join").length,
+      2L * BpeOps.wordTokens("join").length,
+      (BpeOps.wordTokens("q").length + BpeOps.wordTokens("zz").length).toLong)
+    assert(rows == expected)
+  }
+
+  test("null text yields null, not a crash") {
+    graft.GraftExtensions.ensure(spark)
+    val out = spark.sql("SELECT bpe_count(CAST(NULL AS STRING)) AS n")
+      .collect().head
+    assert(out.isNullAt(0))
+  }
+}
