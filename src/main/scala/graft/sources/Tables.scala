@@ -78,6 +78,56 @@ object Tables {
           .option("numPartitions", numPartitions)
       ) { case (r, (k, v)) => r.option(k, v) }.load())
 
+  /** [[jdbc]] with the partition bounds DERIVED from the data — the
+    * Spark-native replacement for the reference driver's
+    * batch-until-short pagination loop (jonesy/jobs.py:99-114: it has
+    * no idea how big the extract is, so it pages blind until a short
+    * batch). One probe query — `SELECT min(col), max(col)` pushed to
+    * the database as a derived-table scan, a 1-row planning-class
+    * round-trip like the IVF seed collect — yields the exact window,
+    * then the partitioned parallel read proceeds as if the caller had
+    * known the bounds. Stride semantics: Spark's upperBound is treated
+    * as exclusive when striding (rows AT the bound still land in the
+    * last partition — bounds clip stride, never filter rows), so
+    * max+1 keeps the final partition from holding the entire max-value
+    * run plus a stripe.
+    *
+    * Empty table (or all-NULL partition column): no bounds exist, so
+    * the read degrades to a single partition — correct (nothing to
+    * parallelize over) and the same shape Spark itself produces for
+    * an unpartitioned jdbc read. */
+  def jdbcAutoBounds(spark: SparkSession, url: String, table: String,
+                     partitionColumn: String, numPartitions: Int,
+                     props: Map[String, String] = Map.empty): DataFrame = {
+    val probeSql =
+      s"(SELECT MIN($partitionColumn) AS mn, MAX($partitionColumn) AS mx " +
+        s"FROM $table) probe"
+    val probe = props.foldLeft(
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", probeSql)
+    ) { case (r, (k, v)) => r.option(k, v) }.load().head()
+    if (probe.isNullAt(0) || probe.isNullAt(1))
+      lowercased(props.foldLeft(
+        spark.read.format("jdbc")
+          .option("url", url)
+          .option("dbtable", table)
+      ) { case (r, (k, v)) => r.option(k, v) }.load())
+    else {
+      // the probe column arrives as whatever the dialect maps the
+      // database type to — normalize the numeric family to Long
+      def asLong(i: Int): Long = probe.get(i) match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"partitionColumn $partitionColumn must be numeric for " +
+            s"bound derivation, got ${other.getClass.getSimpleName}")
+      }
+      jdbc(spark, url, table, partitionColumn,
+        lowerBound = asLong(0), upperBound = asLong(1) + 1L,
+        numPartitions = numPartitions, props = props)
+    }
+  }
+
   /** S2, Oracle face — the dialect-specific knobs the reference's
     * actual warehouse source needs, layered over [[jdbc]] (which stays
     * database-neutral; TablesSpec proves the shared path end-to-end on

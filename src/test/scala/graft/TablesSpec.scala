@@ -82,6 +82,42 @@ class TablesSpec extends AnyFunSuite with SharedSpark {
       s"filter must reach the database scan:\n$plan")
   }
 
+  test("jdbcAutoBounds derives the partition window from the data") {
+    val dbDir = Files.createTempDirectory("derby_auto").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE EXTRACT (ID INT NOT NULL, V VARCHAR(8))")
+      st.execute("CREATE TABLE EMPTYT (ID INT NOT NULL, V VARCHAR(8))")
+      val ins = conn.prepareStatement("INSERT INTO EXTRACT VALUES (?, ?)")
+      // ids deliberately NOT starting at 1 and not dense: the derived
+      // window must come from the data, not an assumed origin
+      (100 to 219).foreach { i =>
+        ins.setInt(1, i); ins.setString(2, s"v$i"); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+
+    val df = Tables.jdbcAutoBounds(spark, url, "EXTRACT",
+      partitionColumn = "ID", numPartitions = 4)
+    assert(df.columns.toSeq == Seq("id", "v"), "lowercase contract")
+    assert(df.rdd.getNumPartitions == 4, "derived-bounds parallel extract")
+    assert(df.count() == 120)
+    // every partition carries work: the [100, 220) window splits into
+    // 4 strides of 30 ids each — a mis-derived window (e.g. assumed
+    // lower bound 0) would leave partitions empty and pile rows into
+    // the last stride
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.forall(_ == 30), s"uneven strides: ${sizes.toSeq}")
+
+    // no rows -> no window; degrade to a single partition, not a crash
+    val empty = Tables.jdbcAutoBounds(spark, url, "EMPTYT",
+      partitionColumn = "ID", numPartitions = 4)
+    assert(empty.count() == 0)
+    assert(empty.rdd.getNumPartitions == 1)
+  }
+
   test("a long ts column outside events is NOT reinterpreted") {
     val dir = Files.createTempDirectory("tables_spec2").toString
     Seq((1L, 123456789L)).toDF("id", "ts").write.mode("overwrite")
