@@ -463,7 +463,13 @@ object Bench {
     * ever done, each comparison normalized into the floor entry's own
     * host frame (excuse-only, like the prev-record gate). When a face
     * is intentionally rewritten to do more work, delete its entry
-    * from the floor file — the next run re-seeds it. */
+    * from the floor file — the next run re-seeds it. An UNRESOLVED
+    * floor flag demands investigation, not silence; the accepted
+    * discharge is a code-identical A/B (r11: the r9-era PageRank
+    * implementation re-benched IN-PROCESS against the current kernel
+    * tied 3.34 s vs 3.41 s, attributing the 1.76 s floor to a
+    * since-regenerated fixture + idle host), after which the entry is
+    * re-seeded to the measured value with the measuring run's calib. */
   def floorPath(detailPath: String): String =
     if (detailPath.contains("DETAIL"))
       detailPath.replace("DETAIL", "FLOOR")
