@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight}
 
-import graft.functions.{BloomMightContain, BpeCount, FloatVectorDot, MinhashSig, MisraGriesAgg, SimhashLong}
+import graft.functions.{BloomMightContain, BpeCount, BpeTokens, FloatVectorDot, MinhashSig, MisraGriesAgg, SimhashLong}
 
 /** Engine extension point — registers graft's native Catalyst
   * expressions (callable from SQL and `expr(...)`) and the
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.zorder2)
     ext.injectFunction(GraftExtensions.mgSummary)
     ext.injectFunction(GraftExtensions.bpeCount)
+    ext.injectFunction(GraftExtensions.bpeTokens)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -58,6 +59,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "bpe_count takes exactly 1 argument")
       BpeCount(children.head)
+    })
+
+  private val bpeTokens = (
+    FunctionIdentifier("bpe_tokens"),
+    new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "bpe_tokens takes exactly 1 argument")
+      BpeTokens(children.head)
     })
 
   private val minhashSig = (
@@ -184,7 +193,7 @@ object GraftExtensions {
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(fvecDot, simhashLong, minhashSig, bloomMightContain, zorder2,
-      mgSummary, bpeCount)
+      mgSummary, bpeCount, bpeTokens)
       .foreach { f =>
       if (!reg.functionExists(f._1))
         reg.registerFunction(f._1, f._2, f._3)

@@ -67,6 +67,36 @@ case class BpeCount(child: Expression) extends UnaryExpression {
       newChild: Expression): BpeCount = copy(child = newChild)
 }
 
+/** Native BPE tokenization: `bpe_tokens(text)` → array<string> — the
+  * full token sequence in document order, for stages that need the
+  * tokens themselves (context-window chunking, packing) rather than
+  * the count. Same vocabulary, same walk, same word-split semantics
+  * as [[BpeCount]]; `bpe_count(text) = size(bpe_tokens(text))` by
+  * construction. */
+case class BpeTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "bpe_tokens"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeOps.tokens(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.BpeOps.tokens($t)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokens = copy(child = newChild)
+}
+
 /** Static kernel for [[BpeCount]] — standalone object so generated
   * code calls it through the class's static forwarder (the
   * [[SimhashOps]] pattern). */
@@ -96,9 +126,9 @@ object BpeOps {
 
   private val CacheMax = 65536
   private val cache =
-    new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+    new ThreadLocal[java.util.HashMap[String, Array[String]]] {
       override def initialValue() =
-        new java.util.HashMap[String, java.lang.Long]()
+        new java.util.HashMap[String, Array[String]]()
     }
 
   /** Tokens for one word: characters, then each rank's pair merged
@@ -122,14 +152,14 @@ object BpeOps {
     toks
   }
 
-  private def wordCount(word: String): Long = {
+  private def cachedTokens(word: String): Array[String] = {
     val c = cache.get()
     val hit = c.get(word)
-    if (hit != null) hit.longValue()
+    if (hit != null) hit
     else {
-      val n = wordTokens(word).length.toLong
-      if (c.size < CacheMax) c.put(word, java.lang.Long.valueOf(n))
-      n
+      val t = wordTokens(word)
+      if (c.size < CacheMax) c.put(word, t)
+      t
     }
   }
 
@@ -142,11 +172,30 @@ object BpeOps {
     var i = 0
     while (i <= s.length) {
       if (i == s.length || s.charAt(i) == ' ') {
-        if (i > start) total += wordCount(s.substring(start, i))
+        if (i > start) total += cachedTokens(s.substring(start, i)).length
         start = i + 1
       }
       i += 1
     }
     total
+  }
+
+  /** Full BPE token sequence of a document, in order — same split
+    * semantics as [[countTokens]]. */
+  def tokens(text: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) cachedTokens(s.substring(start, i))
+          .foreach(t => out += UTF8String.fromString(t))
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }

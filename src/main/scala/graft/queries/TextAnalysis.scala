@@ -78,15 +78,17 @@ object TextAnalysis extends QueryModule {
     * replace() passes per rank (exactness argued in
     * [[graft.functions.BpeCount]]'s scaladoc). Generated from the
     * same vocabulary file the native expression loads. */
-  private lazy val bpeWalkSql: String = {
+  private def bpeWalkSqlOver(inner: String): String = {
     val charSplit =
-      "' ' || array_to_string(string_split_regex(word, ''), ' ') || ' '"
+      s"' ' || array_to_string(string_split_regex($inner, ''), ' ') || ' '"
     graft.functions.BpeOps.orderedMerges
       .foldLeft(charSplit) { case (e, (x, y)) =>
         val once = s"replace($e, ' $x $y ', ' $x$y ')"
         s"replace($once, ' $x $y ', ' $x$y ')"
       }
   }
+
+  private lazy val bpeWalkSql: String = bpeWalkSqlOver("word")
 
   /** CTE suite computing per-doc BPE counts (`bpe_n(doc_id, n_bpe)`)
     * for any oracle that budgets in BPE tokens. */
@@ -883,6 +885,60 @@ object TextAnalysis extends QueryModule {
       ORDER BY source, shard, doc_id""")
   )
 
+  /** [[chunk]] re-based on REAL tokenizer windows — 32-BPE-token
+    * context windows with stride 24 over the native `bpe_tokens`
+    * sequence ([[graft.functions.BpeTokens]]), completing the
+    * token-budget family (count → stats, shard packing, chunking).
+    * The oracle recovers the SAME in-order token sequence per doc by
+    * running the unrolled merge walk over the WHOLE document at once:
+    * word gaps become a `|` sentinel character first, which sits
+    * outside the vocabulary alphabet, so no merge pair ever spans it
+    * and the per-word segmentation is preserved; splitting the merged
+    * string and filtering the sentinels yields the document's token
+    * list. Same window arithmetic as `ta_chunk`, so the two faces
+    * differ only in what a "token" is. */
+  val bpeChunk: Q = Q(
+    "ta_bpe_chunk",
+    (s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      docs(s, dir)
+        .select(col("doc_id"), expr("bpe_tokens(text)").as("__l"))
+        .select(col("doc_id"), col("__l"),
+          explode(expr(
+            "sequence(0, (greatest(size(__l) - 32, 0) + 23) div 24)"))
+            .as("chunk_id"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          expr("size(slice(__l, chunk_id * 24 + 1, 32))").cast("long")
+            .as("n_tokens"),
+          expr("md5(concat_ws(' ', slice(__l, chunk_id * 24 + 1, 32)))")
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(
+                 string_split(trim(${bpeWalkSqlOver(
+                   "replace(text, ' ', '|')")}), ' '),
+                 x -> x <> '|' AND x <> '') AS l
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               unnest(range(0, ((greatest(len(l) - 32, 0) + 23) // 24) + 1))
+                 AS chunk_id,
+               l
+        FROM t)
+      SELECT doc_id,
+             CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(l[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT)
+               AS n_tokens,
+             md5(array_to_string(l[chunk_id*24+1 : chunk_id*24+32], ' '))
+               AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_id""")
+  )
+
   /** Per-language token-length quantiles (p50/p90/p99) — the length
     * distribution every curation run consults to set its min/max-length
     * filter thresholds. EXACT discrete quantiles (smallest length whose
@@ -1395,5 +1451,5 @@ object TextAnalysis extends QueryModule {
       shardAssign, lengthQuantiles, piiRedact, urlDomains,
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
-      bpeTokenStats, bpeShardAssign)
+      bpeTokenStats, bpeShardAssign, bpeChunk)
 }

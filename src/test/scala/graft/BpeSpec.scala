@@ -76,6 +76,18 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     assert(rows == expected)
   }
 
+  test("bpe_tokens is the ordered token sequence and sizes to bpe_count") {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val df = Seq("join scan", "customer", "", "q zz q").toDF("text")
+    val rows = df.selectExpr("bpe_tokens(text) AS t", "bpe_count(text) AS n")
+      .as[(Seq[String], Long)].collect().toSeq
+    rows.foreach { case (t, n) => assert(t.size.toLong == n) }
+    assert(rows.head._1 ==
+      (BpeOps.wordTokens("join") ++ BpeOps.wordTokens("scan")).toSeq,
+      "document order must be word order")
+  }
+
   test("null text yields null, not a crash") {
     graft.GraftExtensions.ensure(spark)
     val out = spark.sql("SELECT bpe_count(CAST(NULL AS STRING)) AS n")
