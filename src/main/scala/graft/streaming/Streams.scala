@@ -532,6 +532,46 @@ object Streams {
                         textCol: String = "text"): DataFrame =
     graft.operators.Pii.withScrub(docs, textCol)
 
+  /** Running per-source BPE token budget after each micro-batch. */
+  final case class TokenBudget(source: String, docs: Long,
+                               tokens: Long, shard: Long)
+
+  /** Streaming token-budget monitor — the ingest-time face of the
+    * BPE budget family (`ta_bpe_token_stats` / `ta_bpe_shard_assign`):
+    * per source, the running document and BPE-token totals and the
+    * shard index the NEXT document would start in (`tokens div
+    * budget` — the same floor arithmetic as the batch packer). The
+    * tokenizer is the identical [[graft.functions.BpeOps]] kernel the
+    * batch faces run, so a live ingest meter and a batch backfill can
+    * never disagree on token mass. State per source is two longs —
+    * bounded by |sources| at any stream length; totals are sums, so
+    * the emitted numbers are independent of arrival order within and
+    * across batches (StreamsSpec pins batch-split parity against the
+    * batch aggregate). */
+  def streamingTokenBudget(docs: DataFrame, budget: Long = 6000L)
+      : Dataset[TokenBudget] = {
+    require(budget > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source").cast("string"), col("text").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), TokenBudget](
+        GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, String)],
+         state: GroupState[(Long, Long)]) =>
+          var (nDocs, nToks) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, text) =>
+            nDocs += 1
+            if (text != null)
+              nToks += graft.functions.BpeOps.countTokens(
+                org.apache.spark.unsafe.types.UTF8String.fromString(text))
+          }
+          state.update((nDocs, nToks))
+          TokenBudget(src, nDocs, nToks, nToks / budget)
+      }
+  }
+
   /** Stream-stream join: each interaction event paired with error
     * events by the same user in the preceding `lookbackMinutes`. Both
     * sides carry watermarks and the join condition is time-bounded, so
