@@ -192,4 +192,24 @@ class IntervalOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got == expect, s"flag sets differ: got ${got.size}, expect ${expect.size}")
     assert(got.nonEmpty, "fixture should contain at least one 3-sigma outlier")
   }
+
+  test("ev_anomaly overflow envelope guard fires loudly past n*max|v| > 1e9") {
+    // magnitudes that would silently wrap the division-free z-test in
+    // non-ANSI Long arithmetic must throw, not mis-rank (r10 advice)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("anomaly_guard")
+      .toString
+    (1 to 10).map(i => (i.toLong, "t", 2.0e8))
+      .toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] {
+      graft.queries.Events.anomaly.fn(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("overflow envelope")),
+      s"expected the envelope assert, got: ${messages(e).take(3)}")
+  }
 }

@@ -42,6 +42,21 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("BPE segmentation is lossless: tokens concatenate back to the word") {
+    // for ANY word over any alphabet, the merge walk only ever glues
+    // adjacent pieces — token order and content must reassemble the
+    // input exactly, and the count must equal chars minus merges
+    val words = Gen.listOfN(400,
+      Gen.stringOfN(8, Gen.frequency(
+        (8, Gen.oneOf("abcdefghijklmnopqrstuvwy".toSeq)),
+        (1, Gen.oneOf("xz0!".toSeq))))).sample.get
+    words.foreach { w =>
+      val toks = graft.functions.BpeOps.wordTokens(w)
+      assert(toks.mkString == w, s"lossy segmentation of '$w'")
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
   test("exact dedup is idempotent: distinct twice == distinct once") {
     val rows = Gen.listOfN(500, Gen.chooseNum(0, 50)).sample.get
     val df = rows.toDF("k")

@@ -116,6 +116,14 @@ class TablesSpec extends AnyFunSuite with SharedSpark {
       partitionColumn = "ID", numPartitions = 4)
     assert(empty.count() == 0)
     assert(empty.rdd.getNumPartitions == 1)
+
+    // a non-numeric partition column cannot stride: loud failure
+    // naming the column, not a ClassCastException from deep inside
+    val err = intercept[IllegalArgumentException] {
+      Tables.jdbcAutoBounds(spark, url, "EXTRACT",
+        partitionColumn = "V", numPartitions = 4)
+    }
+    assert(err.getMessage.contains("must be numeric"))
   }
 
   test("a long ts column outside events is NOT reinterpreted") {
