@@ -724,6 +724,67 @@ object Dedup extends QueryModule {
       FROM h GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Corpus-level duplicate n-gram rate per source — the memorization-
+    * risk metric sub-document dedup studies report: of ALL 6-gram
+    * OCCURRENCES a source contributes (instances, not per-doc distinct
+    * — a doc repeating its own boilerplate is exactly the signal), the
+    * fraction whose gram appears more than once in the WHOLE corpus.
+    * Complements [[dupRateBySource]] (doc-level exact dup rate) and
+    * [[sourceOverlap]] (pairwise distinct-gram sharing) with the
+    * instance-level number that tracks how much of a source's token
+    * mass is repeated text a model could memorize.
+    *
+    * Shape at 100 TB: gram TEXT never travels — instances collapse
+    * map-side into (xxhash64(gram), source) counts, ONE linear shuffle
+    * on the 8-byte hash; corpus-wide totals are a window PARTITIONED BY
+    * that same hash (hash-distributed, never global); the report is a
+    * bounded-|sources| groupBy. A 64-bit gram-hash collision merging
+    * two grams is the stated resolution (the [[sourceOverlap]] /
+    * decontamination idiom); the oracle replays over the gram text
+    * itself. */
+  val ngramDupRate: Q = Q(
+    "dd_ngram_dup_rate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val inst = graft.operators.Partitioning
+        .ensureParallelism(Tables(s, dir, "documents"), "doc_id")
+        .select(col("source"), split(col("text"), " ").as("__l"))
+        .select(col("source"), explode(expr(
+          """if(size(__l) >= 6,
+                transform(sequence(1, size(__l) - 5),
+                  i -> xxhash64(concat_ws(' ', slice(__l, i, 6)))),
+                cast(array() as array<bigint>))""")).as("g"))
+      inst.groupBy("g", "source").agg(count(lit(1)).as("c"))
+        .withColumn("n_total", sum("c").over(Window.partitionBy("g")))
+        .groupBy("source")
+        .agg(
+          sum("c").as("n_instances"),
+          sum(when(col("n_total") > 1, col("c")).otherwise(0L))
+            .as("n_dup_instances"),
+          count(lit(1)).as("n_distinct_grams"))
+        .withColumn("dup_rate",
+          col("n_dup_instances").cast("double") / col("n_instances"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH inst AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(l) - 6 + 2),
+                 i -> array_to_string(l[i:i+5], ' '))) AS gram
+        FROM (SELECT source, string_split(text, ' ') AS l FROM documents)),
+      g AS (SELECT gram, source, count(*) AS c FROM inst GROUP BY 1, 2),
+      w AS (SELECT source, c,
+                   sum(c) OVER (PARTITION BY gram) AS n_total FROM g)
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_instances,
+             CAST(sum(CASE WHEN n_total > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_instances,
+             CAST(count(*) AS BIGINT) AS n_distinct_grams,
+             CAST(sum(CASE WHEN n_total > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / sum(c) AS dup_rate
+      FROM w GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Cross-source near-duplication overlap matrix — for every source
     * pair, the number of distinct 6-grams BOTH emit: the provenance
     * report that tells a pipeline which feeds mirror each other
@@ -1270,7 +1331,8 @@ object Dedup extends QueryModule {
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
-    dupRateBySource, sourceOverlap, curationPipeline, incremental,
+    dupRateBySource, ngramDupRate, sourceOverlap, curationPipeline,
+    incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
     paragraphDedup, fuzzyVerify, contaminationRate)
 }

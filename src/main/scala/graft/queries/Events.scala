@@ -733,6 +733,105 @@ object Events extends QueryModule {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Multi-touch LINEAR attribution — [[attribution]]'s last-touch
+    * rule gives the whole conversion to one channel; the linear model
+    * splits each purchase's revenue EQUALLY across every touch on its
+    * path (the events since the user's previous purchase), the other
+    * standard report marketing analytics runs on the same event
+    * stream. Exact integer cents throughout: each touch receives
+    * `cents div n`, the division remainder goes to the LAST touch
+    * (deterministic rule — no fractional cents, no float credit), and
+    * a touchless purchase credits `direct` in full, so credited cents
+    * conserve total revenue EXACTLY (pinned against [[attribution]]
+    * in EdgeCaseSpec).
+    *
+    * Path identity without a join: a reverse-cumulative purchase
+    * count (`ROWS CURRENT..UNBOUNDED FOLLOWING`) stamps a purchase
+    * and the touches preceding it with the same path id; trailing
+    * touches after the final purchase get path 0 and drop. One
+    * exchange on `user_id` serves every window (the per-path frames
+    * cluster by (user, path) which user-hash partitioning already
+    * satisfies — Spark adds sorts, never a second shuffle), then one
+    * bounded-|channels| groupBy. */
+  val attributionLinear: Q = Q(
+    "ev_attribution_linear",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val pathW = Window.partitionBy("user_id", "path_id")
+      val touchOrd = Window.partitionBy("user_id", "path_id")
+        .orderBy(col("is_purchase"), col("ts").desc, col("event_id").desc)
+      ev(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("is_purchase",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .withColumn("path_id", sum("is_purchase").over(
+          byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .filter(col("path_id") >= 1)
+        .withColumn("conv_cents",
+          max(when(col("is_purchase") === 1L, col("cents"))).over(pathW))
+        .withColumn("n_touch",
+          sum(lit(1L) - col("is_purchase")).over(pathW))
+        // touches sort before purchases, so rn 1..n_touch are exactly
+        // the path's touches, latest first; purchase rows rank after
+        // and never win the remainder
+        .withColumn("rn_desc", row_number().over(touchOrd))
+        .withColumn("credit",
+          when(col("is_purchase") === 1L && col("n_touch") === 0L,
+            col("cents"))
+            .when(col("is_purchase") === 0L,
+              expr("conv_cents div n_touch") +
+                when(col("rn_desc") === 1,
+                  col("conv_cents") % col("n_touch")).otherwise(0L)))
+        .filter(col("credit").isNotNull)
+        .select(
+          when(col("is_purchase") === 1L, lit("direct"))
+            .otherwise(col("event_type")).as("channel"),
+          col("credit"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credits"),
+          sum("credit").as("credited_cents"))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS is_purchase,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) AS path_id
+        FROM events),
+      p AS (
+        SELECT *,
+               max(CASE WHEN is_purchase = 1 THEN cents END)
+                 OVER (PARTITION BY user_id, path_id) AS conv_cents,
+               sum(1 - is_purchase)
+                 OVER (PARTITION BY user_id, path_id) AS n_touch,
+               row_number()
+                 OVER (PARTITION BY user_id, path_id
+                       ORDER BY is_purchase, ts DESC, event_id DESC)
+                 AS rn_desc
+        FROM e WHERE path_id >= 1),
+      credit AS (
+        SELECT CASE WHEN is_purchase = 1 THEN 'direct'
+                    ELSE event_type END AS channel,
+               CASE WHEN is_purchase = 1 AND n_touch = 0 THEN cents
+                    WHEN is_purchase = 0 THEN
+                      conv_cents // n_touch +
+                      CASE WHEN rn_desc = 1 THEN conv_cents % n_touch
+                           ELSE 0 END
+               END AS c
+        FROM p)
+      SELECT channel,
+             CAST(count(*) AS BIGINT) AS n_credits,
+             CAST(sum(c) AS BIGINT) AS credited_cents
+      FROM credit WHERE c IS NOT NULL
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Debounce — collapse rapid-fire repeats of the same (user, type)
     * into one kept event per quiet-gap burst: a burst opens at the
     * first event and extends while consecutive gaps stay within 10
@@ -1177,7 +1276,8 @@ object Events extends QueryModule {
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
-    scd2, activityStreaks, pathTransitions, attribution, debounce,
+    scd2, activityStreaks, pathTransitions, attribution,
+    attributionLinear, debounce,
     rollingValue, concurrency, intervalCoverage, anomaly, resample,
     winsorize)
 }

@@ -216,6 +216,50 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(joined.columns.toSeq == Seq("k", "text", "name"))
   }
 
+  test("linear attribution: equal split with remainder-to-last-touch, " +
+      "path reset at each purchase, exact revenue conservation") {
+    import org.apache.spark.sql.functions._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val dir = java.nio.file.Files
+      .createTempDirectory("edge_attr").toString
+    Seq(
+      // user 1, path 1: ad + email then a 101-cent purchase →
+      // 101 div 2 = 50 each, remainder 1 to the LAST touch (email)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "ad", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "email", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 1.01, "{}"),
+      // user 1, path 2: the pre-purchase history must NOT leak in —
+      // only the post-purchase ad touch carries this 50-cent sale
+      (4L, ts("2024-01-01 11:00:00"), 1L, "ad", 0.0, "{}"),
+      (5L, ts("2024-01-01 11:10:00"), 1L, "purchase", 0.50, "{}"),
+      // trailing touch converts nothing → credits nothing
+      (6L, ts("2024-01-01 12:00:00"), 1L, "email", 0.0, "{}"),
+      // user 2: touchless purchase → 'direct' in full
+      (7L, ts("2024-01-01 09:00:00"), 2L, "purchase", 2.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = graft.queries.Events.attributionLinear.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      "ad" -> ((2L, 100L)),     // 50 from path 1 + 50 from path 2
+      "email" -> ((1L, 51L)),   // 50 + the 1-cent remainder
+      "direct" -> ((1L, 200L))))
+
+    // exact conservation at fixture scale: the linear split re-credits
+    // precisely the cents the last-touch face attributes
+    val sf = "/root/testdata/sf0.001"
+    def total(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(sum(col(c))).collect().head.getLong(0)
+    assert(
+      total(graft.queries.Events.attributionLinear.fn(spark, sf),
+        "credited_cents") ==
+      total(graft.queries.Events.attribution.fn(spark, sf),
+        "revenue_cents"),
+      "linear credits must conserve total revenue cents exactly")
+  }
+
   test("sweep/resample/winsorize faces are total on degenerate events") {
     import org.apache.spark.sql.functions._
     val ts = java.sql.Timestamp.valueOf(_: String)

@@ -44,6 +44,37 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(got(50L) == ((2L, 0L, s"$q ${uniq("e")}")))
   }
 
+  test("ngram dup rate: instance semantics (intra-doc repeats count), " +
+      "corpus-wide totals, short docs and gram-free sources drop") {
+    import spark.implicits._
+    // Hand-computed corpus: gram "a b c d e f" occurs 4× (doc 1, doc 2,
+    // twice inside doc 3 — the intra-doc repeat MUST count: that's the
+    // memorization signal); every other 6-gram is unique; doc 4 is too
+    // short to emit any gram, so source s3 must be absent entirely.
+    val six = "a b c d e f"
+    val crafted = Seq(
+      (1L, "s1", s"$six g"),
+      (2L, "s1", six),
+      (3L, "s2", s"$six x x $six"),
+      (4L, "s3", "short text"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ngram_rate")
+      .toString
+    crafted.write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Dedup.ngramDupRate.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(got.map(_._1).toSeq == Seq("s1", "s2"),
+      "ordered by source; gram-free s3 absent")
+    val m = got.toMap
+    // s1: doc 1 emits [a..f],[b..g]; doc 2 emits [a..f] → 3 instances,
+    // 2 of them the corpus-duplicated gram, 2 distinct grams.
+    assert(m("s1") == ((3L, 2L, 2L, 2.0 / 3.0)))
+    // s2: doc 3 (14 tokens) emits 9 instances, positions 1 and 9 both
+    // [a..f] → 2 dup instances, 8 distinct grams.
+    assert(m("s2") == ((9L, 2L, 8L, 2.0 / 9.0)))
+  }
+
   test("lshCandidates works at non-default (numPerms=6, bands=3)") {
     val cand = TextDedup.lshCandidates(docs, numPerms = 6, nBands = 3)
     val rows = cand.collect()
