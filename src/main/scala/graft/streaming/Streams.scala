@@ -198,6 +198,107 @@ object Streams {
       }
   }
 
+  /** Open conversion path per user: touch counts per channel since the
+    * last purchase, the most recent touch's channel (remainder rule),
+    * and the per-user event-time high-water mark. Bounded by
+    * |channels| — never by path length or stream length. */
+  final case class PathState(counts: Map[String, Long],
+                             lastChannel: String, nTouch: Long,
+                             maxUs: Long)
+
+  /** Per-purchase per-channel credit emitted by the streaming
+    * attribution twin. `n_credits` mirrors the batch face's count
+    * grain (touch rows credited, or the one direct conversion). */
+  final case class Credit(user_id: Long, channel: String,
+                          n_credits: Long, cents: Long)
+
+  /** Streaming multi-touch linear attribution — the stream face of
+    * `ev_attribution_linear`: per-user state accumulates touch counts
+    * per channel since the previous purchase; a purchase emits each
+    * channel's credit (`cents div n` per touch, division remainder to
+    * the most recent touch's channel, touchless → `direct` in full)
+    * and resets the path, so credited cents conserve the purchase
+    * EXACTLY at emission time — no retro-aggregation needed
+    * downstream. Batches are processed in (ts, event_id) order, the
+    * batch face's total order; a cross-batch late touch arriving
+    * after its path's purchase already settled credits the NEXT
+    * purchase instead (the same total-order caveat
+    * [[streamingDebounce]] documents — credits still conserve, they
+    * shift one path late). Parity on order-respecting splits is
+    * pinned in StreamsSpec against the batch face.
+    *
+    * State per user is one map bounded by |channels| plus two scalars,
+    * and expires `pathTimeoutDays` past the user's last event (an
+    * explicit attribution window — the marketing-standard bound the
+    * batch face's unbounded paths don't need): abandoned paths free
+    * their state, and a purchase after expiry credits `direct`,
+    * exactly like a fresh user. */
+  def streamingAttributionLinear(events: Dataset[Event],
+                                 allowedLateness: String = "5 days",
+                                 pathTimeoutDays: Int = 30)
+      : Dataset[Credit] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, Credit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[PathState]) =>
+          if (state.hasTimedOut) {
+            // abandoned path: trailing touches credit nothing — the
+            // batch face's path-0 drop
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray
+            java.util.Arrays.sort(sorted, (a: Event, b: Event) => {
+              val c = a.ts.compareTo(b.ts)
+              if (c != 0) c
+              else java.lang.Long.compare(a.event_id, b.event_id)
+            })
+            val out = Seq.newBuilder[Credit]
+            var cur = state.getOption
+              .getOrElse(PathState(Map.empty, "", 0L, Long.MinValue))
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              if (e.event_type == "purchase") {
+                // math.round on a non-negative double matches the
+                // batch face's round(value * 100) HALF_UP
+                val cents = math.round(e.value * 100)
+                if (cur.nTouch == 0L)
+                  out += Credit(userId, "direct", 1L, cents)
+                else {
+                  val base = cents / cur.nTouch
+                  val rem = cents % cur.nTouch
+                  // deterministic emission order within the purchase
+                  cur.counts.toSeq.sortBy(_._1).foreach { case (ch, n) =>
+                    out += Credit(userId, ch, n, base * n +
+                      (if (ch == cur.lastChannel) rem else 0L))
+                  }
+                }
+                cur = PathState(Map.empty, "", 0L,
+                  math.max(cur.maxUs, t))
+              } else {
+                cur = PathState(
+                  cur.counts.updated(e.event_type,
+                    cur.counts.getOrElse(e.event_type, 0L) + 1L),
+                  e.event_type, cur.nTouch + 1L,
+                  math.max(cur.maxUs, t))
+              }
+            }
+            state.update(cur)
+            val horizonMs = math.floorDiv(cur.maxUs, 1000L) +
+              pathTimeoutDays * 86400000L
+            state.setTimeoutTimestamp(
+              math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Open-interval multiset (end times, ascending) + the running peak.
     * `ends` is bounded by the CURRENT concurrency — the sweep's whole
     * point — never by stream length. */

@@ -676,6 +676,35 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streamingAttributionLinear replay-parity: per-channel credits " +
+      "match ev_attribution_linear over order-respecting batch splits") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val feed = graft.sources.Tables(spark, sf, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val chunks = feed.grouped((feed.size + 2) / 3).toSeq
+    val source = MemoryStream[Event]
+    val q = Streams.streamingAttributionLinear(source.toDS())
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+      val got = spark.table("attr_test")
+        .groupBy("channel")
+        .agg(org.apache.spark.sql.functions.sum("n_credits").as("n"),
+          org.apache.spark.sql.functions.sum("cents").as("c"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val expect = graft.queries.Events.attributionLinear.fn(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expect,
+        s"stream credits $got != batch attribution $expect")
+    } finally q.stop()
+  }
+
   test("streamingConcurrency replay-parity: peak matches ev_concurrency " +
       "over order-respecting batch splits") {
     implicit val sq = spark.sqlContext
