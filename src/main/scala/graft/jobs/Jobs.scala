@@ -51,6 +51,7 @@ object Jobs {
     "curate_corpus" -> Seq(
       "dd_curation_pipeline" -> "curated-shards",
       "dd_dup_rate_by_source" -> "dedup-health",
+      "dd_ngram_dup_rate" -> "memorization-risk",
       "dd_containment" -> "partial-dup-report",
       "dd_contamination_rate" -> "contamination-report",
       "dd_leakage_safe_split" -> "split-map",
@@ -61,6 +62,7 @@ object Jobs {
     // robustified measures, and resampled series a metrics warehouse
     // serves, through the same dispatch machinery.
     "event_analytics" -> Seq(
+      "ev_attribution_linear" -> "attribution-linear",
       "ev_concurrency" -> "peak-concurrency",
       "ev_interval_coverage" -> "active-time",
       "ev_anomaly" -> "anomaly-flags",

@@ -136,10 +136,11 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     val dir = Files.createTempDirectory("jobs_curate_spec").toString
     val res = graft.Main.run(spark, "curate_corpus", sf,
       Seq(s"$dir/t1", s"$dir/t2"), "2024-01-01")
-    // 8 extracts × 2 targets, all successful
-    assert(res.size == 16 && res.forall(_._3), s"uploads: $res")
+    // 9 extracts × 2 targets, all successful
+    assert(res.size == 18 && res.forall(_._3), s"uploads: $res")
     for (extract <- Seq("curated-shards", "dedup-health",
-        "partial-dup-report", "contamination-report", "split-map",
+        "memorization-risk", "partial-dup-report",
+        "contamination-report", "split-map",
         "token-health", "quality-calibration",
         "pii-scrubbed-corpus"); t <- Seq("t1", "t2")) {
       val key = Sinks.dailyKey("2024-01-01", extract)
@@ -152,9 +153,10 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     val dir = Files.createTempDirectory("jobs_events_spec").toString
     val res = graft.Main.run(spark, "event_analytics", sf,
       Seq(s"$dir/t1"), "2024-01-01")
-    assert(res.size == 5 && res.forall(_._3), s"uploads: $res")
-    for (extract <- Seq("peak-concurrency", "active-time",
-        "anomaly-flags", "winsorized-values", "hourly-series")) {
+    assert(res.size == 6 && res.forall(_._3), s"uploads: $res")
+    for (extract <- Seq("attribution-linear", "peak-concurrency",
+        "active-time", "anomaly-flags", "winsorized-values",
+        "hourly-series")) {
       val key = Sinks.dailyKey("2024-01-01", extract)
       assert(new java.io.File(s"$dir/t1/$key").exists(), s"missing $key")
     }
