@@ -52,6 +52,7 @@ object Jobs {
       "dd_curation_pipeline" -> "curated-shards",
       "dd_dup_rate_by_source" -> "dedup-health",
       "dd_ngram_dup_rate" -> "memorization-risk",
+      "dd_repeated_spans" -> "repeated-span-report",
       "dd_containment" -> "partial-dup-report",
       "dd_contamination_rate" -> "contamination-report",
       "dd_leakage_safe_split" -> "split-map",

@@ -264,6 +264,55 @@ object TextDedup {
               array())"""))).as("shingle"))
   }
 
+  /** Maximal repeated token spans per document — the exact-substring
+    * dedup signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", made scale-shaped): every k-token window
+    * whose token sequence occurs MORE THAN ONCE corpus-wide (any doc,
+    * any position — intra-doc repeats count) marks its start position
+    * repeated; per doc, repeated starts merge into maximal spans when
+    * their covered token ranges touch or overlap (gap in start
+    * positions ≤ k). Returns (idCol, n_spans, rep_tokens) for docs
+    * with ≥1 span; rep_tokens is the exact union length Σ(e − s + k).
+    *
+    * Shape at 100 TB: window instances are (doc, pos, xxhash64)
+    * triples — position arithmetic and an 8-byte hash, never window
+    * text; corpus counts ride ONE hash-partitioned count window on
+    * the gram hash; span merging is the gaps-and-islands idiom inside
+    * a per-doc window (per-partition work bounded by doc length).
+    * Nothing quadratic; a 64-bit collision marking a unique window
+    * repeated is the stated resolution (the [[kShingles]]-consumer
+    * idiom — the oracle replays over window text). */
+  def repeatedSpans(docs: DataFrame, k: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"repeatedSpans: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val inst = Partitioning.ensureParallelism(docs, idCol)
+      .select(col(idCol), split(col(textCol), " ").as("__l"))
+      .select(col(idCol), posexplode(expr(
+        s"""if(size(__l) >= $k,
+              transform(sequence(1, size(__l) - $k + 1),
+                i -> xxhash64(concat_ws(' ', slice(__l, i, $k)))),
+              cast(array() as array<bigint>))""")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("g"))
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    inst
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("cnt") > 1)
+      .withColumn("new_span",
+        when(lag("pos", 1).over(byDoc).isNull ||
+             col("pos") - lag("pos", 1).over(byDoc) > k, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("new_span")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min("pos").as("s"), max("pos").as("e"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(k.toLong)).as("rep_tokens"))
+  }
+
   /** SQL array of `fpCol` XOR'd with every ≤ `maxFlips`-bit mask (the
     * fingerprint itself, all single flips, then all pair flips). Sizes:
     * 1 / 1+bits / 1+bits+C(bits,2). */

@@ -785,6 +785,77 @@ object Dedup extends QueryModule {
       FROM w GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Maximal repeated-span report per document — the exact-substring
+    * dedup signal at sub-paragraph grain ([[ngramDupRate]] gives the
+    * corpus rate; THIS names where the repeats live): every 20-token
+    * window occurring more than once corpus-wide marks its start, and
+    * per doc the marked starts merge into maximal spans (touching or
+    * overlapping covered ranges — gaps-and-islands over positions).
+    * Reports exact span count, repeated-token union length, and the
+    * repeated fraction per doc — what span-level scrubbing
+    * (the Lee et al. 2021 cut-the-substring treatment) would remove.
+    * Physical plan is [[graft.operators.TextDedup.repeatedSpans]]:
+    * position+hash triples only through the shuffles, one count
+    * window on the gram hash, per-doc island merge bounded by doc
+    * length. */
+  val repeatedSpans: Q = Q(
+    "dd_repeated_spans",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sp = graft.operators.TextDedup.repeatedSpans(docs, 20)
+      docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(sp, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_repeated_spans"),
+          coalesce(col("rep_tokens"), lit(0L)).as("repeated_tokens"),
+          (coalesce(col("rep_tokens"), lit(0L)).cast("double")
+            / col("n_tokens")).as("repeated_fraction"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH inst AS (
+        SELECT doc_id, unnest(range(1, len(l) - 20 + 2)) AS pos, l
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents)),
+      g AS (
+        SELECT doc_id, pos,
+               count(*) OVER (
+                 PARTITION BY array_to_string(l[pos:pos+19], ' '))
+                 AS cnt
+        FROM inst),
+      r AS (SELECT doc_id, pos FROM g WHERE cnt > 1),
+      s AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w > 20
+                    THEN 1 ELSE 0 END AS new_span
+        FROM r WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      si AS (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM s),
+      spans AS (
+        SELECT doc_id, span_id, min(pos) AS st, max(pos) AS en
+        FROM si GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, count(*) AS n_spans,
+               sum(en - st + 20) AS rep_tokens
+        FROM spans GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_repeated_spans,
+             CAST(coalesce(a.rep_tokens, 0) AS BIGINT) AS repeated_tokens,
+             CAST(coalesce(a.rep_tokens, 0) AS DOUBLE)
+               / len(string_split(d.text, ' ')) AS repeated_fraction
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""")
+  )
+
   /** Cross-source near-duplication overlap matrix — for every source
     * pair, the number of distinct 6-grams BOTH emit: the provenance
     * report that tells a pipeline which feeds mirror each other
@@ -1331,8 +1402,8 @@ object Dedup extends QueryModule {
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
-    dupRateBySource, ngramDupRate, sourceOverlap, curationPipeline,
-    incremental,
+    dupRateBySource, ngramDupRate, repeatedSpans, sourceOverlap,
+    curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
     paragraphDedup, fuzzyVerify, contaminationRate)
 }

@@ -75,6 +75,30 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(m("s2") == ((9L, 2L, 8L, 2.0 / 9.0)))
   }
 
+  test("repeatedSpans: cross-doc and intra-doc repeats, overlap merge, " +
+      "touching ranges merge, short and clean docs drop") {
+    import spark.implicits._
+    // k=3. "a b c" occurs 3× (doc 1 @1, doc 2 @3 and @9); every other
+    // window is unique. doc 3 repeats its own first half: windows @1
+    // and @5 ([p q r]), @2 and @6 ([q r s]) — starts {1,2,5,6} chain
+    // (5−2 = 3 ≤ k: ranges [2,4] and [5,7] TOUCH) into ONE span
+    // covering the whole 8 tokens.
+    val crafted = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x x a b c y y y a b c"),
+      (3L, "p q r s p q r s"),
+      (4L, "z z"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.repeatedSpans(crafted, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L)),   // one span: the shared [a b c]
+      2L -> ((2L, 6L)),   // starts {3, 9}: gap 6 > k → two 3-token spans
+      3L -> ((1L, 8L))),  // merged into one whole-doc span
+      s"got $got")
+    assert(!got.contains(4L), "short/clean docs yield no span rows")
+  }
+
   test("lshCandidates works at non-default (numPerms=6, bands=3)") {
     val cand = TextDedup.lshCandidates(docs, numPerms = 6, nBands = 3)
     val rows = cand.collect()
