@@ -91,6 +91,42 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("repeatedSpans equals a brute-force span merge on random corpora") {
+    // 3-letter alphabet, docs of 0..12 tokens, k=3: only 27 possible
+    // windows, so repeats and span chains are dense — the merge logic
+    // (touch/overlap vs gap) gets exercised on every draw
+    val k = 3
+    val doc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c"))).map(_.mkString(" "))
+    val docs = Gen.listOfN(40, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.TextDedup
+      .repeatedSpans(docs.toDF("doc_id", "text"), k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute force over the same sample, Spark's split semantics
+    val windows = docs.flatMap { case (id, t) =>
+      val l = t.split(" ", -1)
+      if (l.length >= k)
+        (0 to l.length - k).map(i =>
+          (id, i + 1, l.slice(i, i + k).mkString(" ")))
+      else Seq.empty
+    }
+    val counts = windows.groupBy(_._3).view.mapValues(_.size).toMap
+    val expect = windows.filter(w => counts(w._3) > 1).groupBy(_._1)
+      .view.mapValues { ws =>
+        var spans = List.empty[(Int, Int)]
+        ws.map(_._2).sorted.foreach { p =>
+          spans match {
+            case (s, e) :: tail if p - e <= k => spans = (s, p) :: tail
+            case _ => spans = (p, p) :: spans
+          }
+        }
+        (spans.size.toLong,
+          spans.map { case (s, e) => (e - s + k).toLong }.sum)
+      }.toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
   test("greatest-per-group keeps exactly one row per key (window form)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
