@@ -10,9 +10,21 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
 
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.minLabel(edges.toDF("a", "b"), "a", "b")
+  /** Every case certifies BOTH execution paths: the driver union-find
+    * (fires by default on small edge sets) and the distributed
+    * pointer-doubling loop (forced via driverEdgeLimit = 0) must
+    * agree label-for-label before either answer is trusted. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val fast = ConnectedComponents.minLabel(df, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents
+      .minLabel(df, "a", "b", driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist,
+      s"driver union-find $fast != distributed fixpoint $dist")
+    fast
+  }
 
   test("two components resolve to their minimum ids") {
     val got = cc(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
@@ -40,6 +52,30 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
     assert(got.keySet == Set(4L, 5L, 6L, 9L))
   }
 
+  test("random graphs: both paths match a BFS ground truth") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val got = cc(edges) // asserts driver == distributed internally
+      // ground truth: min reachable id by BFS over the undirected graph
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      got.foreach { case (id, cluster) =>
+        var seen = Set(id)
+        var frontier = Set(id)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(n =>
+            adj.getOrElse(n, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        assert(cluster == seen.min,
+          s"node $id: cluster $cluster != min reachable ${seen.min}")
+      }
+    }
+  }
+
   test("reliable checkpoint knob reaches the same fixpoint") {
     // graft.checkpoint.dir switches every iterative materialization
     // from executor-memory localCheckpoint() to reliable checkpoint()
@@ -64,7 +100,9 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
     // reach the fixpoint and must throw, not return partial labels.
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
     val ex = intercept[IllegalStateException] {
-      ConnectedComponents.minLabel(edges, "a", "b", maxIters = 2).collect()
+      ConnectedComponents
+        .minLabel(edges, "a", "b", maxIters = 2, driverEdgeLimit = 0L)
+        .collect()
     }
     assert(ex.getMessage.contains("no fixpoint"))
   }
