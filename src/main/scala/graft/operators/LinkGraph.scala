@@ -41,9 +41,43 @@ object LinkGraph {
     * scale, so 85·Σ stays inside Long up to ~10^8 nodes. */
   def pageRank(nodes: DataFrame, edges: DataFrame, rounds: Int,
                scale: Long = 1000000000L,
-               redistribute: Boolean = false): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src").persist()
+               redistribute: Boolean = false,
+               driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    // Runtime adaptivity (the ConnectedComponents stance): when the
+    // graph fits comfortably on the driver (≤ driverEdgeLimit edge
+    // rows AND node rows), `rounds` distributed join+agg rounds of
+    // pure scheduling cost collapse into a local replay of the SAME
+    // exact-integer recurrence — bit-identical by construction
+    // (integer sums are order-independent; Scala `/` on non-negative
+    // longs IS SQL `div`). The spec certifies both paths against each
+    // other; pass driverEdgeLimit = 0 to force the distributed loop,
+    // which remains the unbounded-size path a web-scale domain graph
+    // takes.
+    val (edgesIn, nodesIn): (DataFrame, DataFrame) =
+      if (driverEdgeLimit <= 0) (edges, nodes)
+      else {
+        // Materialize both lineages once: the count probe and either
+        // path's reads all hit the checkpointed blocks, never the
+        // caller's (possibly expensive) upstream plan twice.
+        val edgesM = edges.select(col("src"), col("dst"))
+          .transform(CacheScope.materialize)
+        val nodesM = nodes.select(col("domain"))
+          .transform(CacheScope.materialize)
+        if (edgesM.count() <= driverEdgeLimit &&
+            nodesM.count() <= driverEdgeLimit) {
+          val out = pageRankLocal(
+            nodesM.collect().map(_.getString(0)),
+            edgesM.collect().map(r => (r.getString(0), r.getString(1))),
+            rounds, scale, redistribute, nodes.sparkSession)
+          CacheScope.releaseCheckpoint(edgesM)
+          CacheScope.releaseCheckpoint(nodesM)
+          return out
+        }
+        (edgesM, nodesM) // distributed loop reads the blocks; released
+                         // with the other caches in the final eval
+      }
+    val deg = edgesIn.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edgesIn.join(deg, "src").persist()
     // dangling-ness is static: fold it into the node table ONCE (like
     // the out-degree fold into the edge table), so the per-round
     // dangling mass is a 1-row aggregate over the carried flag — no
@@ -51,8 +85,8 @@ object LinkGraph {
     // through every round's projection) is paid ONLY by the
     // redistribution variant; the plain face keeps the bare node set.
     val nodesP = (
-      if (!redistribute) nodes.select(col("domain"))
-      else nodes
+      if (!redistribute) nodesIn.select(col("domain"))
+      else nodesIn
         .join(deg.select(col("src").as("domain"),
           lit(true).as("has_out")), Seq("domain"), "left")
         .select(col("domain"),
@@ -108,7 +142,52 @@ object LinkGraph {
     val result = ranks
       .select(col("domain"), col("rank").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("domain"))
-    CacheScope.eval(result)(
-      Seq(edgesDeg, nodesP) ++ Option(prevRanks): _*)
+    val release = Seq(edgesDeg, nodesP) ++ Option(prevRanks) ++
+      (if (edgesIn ne edges) Seq(edgesIn, nodesIn) else Seq.empty)
+    CacheScope.eval(result)(release: _*)
+  }
+
+  /** Local replay of the identical integer recurrence — bit-for-bit
+    * the distributed rounds' fixpoint: deg counts ALL edge rows per
+    * src; an edge contributes `rank(src) div deg(src)` only when its
+    * src is a node (the ranks join) and lands only when its dst is a
+    * node (the nodes left join); dangling = node without out-edges;
+    * every update is `0.15·S + (85·(in+share)) div 100` in Long. */
+  private def pageRankLocal(nodeArr: Array[String],
+                            edgeArr: Array[(String, String)],
+                            rounds: Int, scale: Long,
+                            redistribute: Boolean,
+                            spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    val deg = collection.mutable.HashMap.empty[String, Long]
+    edgeArr.foreach { case (s, _) =>
+      deg.update(s, deg.getOrElse(s, 0L) + 1L)
+    }
+    val nNodes = math.max(1L, nodeArr.length.toLong)
+    val floor = 15L * scale / 100
+    var rank = collection.mutable.HashMap.empty[String, Long]
+    nodeArr.foreach(n => rank.update(n, scale))
+    for (_ <- 1 to rounds) {
+      val share: Long =
+        if (!redistribute) 0L
+        else nodeArr.iterator
+          .filterNot(deg.contains).map(rank(_)).sum / nNodes
+      val inMass = collection.mutable.HashMap.empty[String, Long]
+      edgeArr.foreach { case (s, d) =>
+        rank.get(s).foreach { r =>
+          if (rank.contains(d))
+            inMass.update(d, inMass.getOrElse(d, 0L) + r / deg(s))
+        }
+      }
+      val next = collection.mutable.HashMap.empty[String, Long]
+      nodeArr.foreach { n =>
+        next.update(n,
+          floor + 85L * (inMass.getOrElse(n, 0L) + share) / 100L)
+      }
+      rank = next
+    }
+    nodeArr.toSeq.map(n => (n, rank(n))).toDF("domain", "rank_scaled")
+      .orderBy(col("rank_scaled").desc, col("domain"))
   }
 }

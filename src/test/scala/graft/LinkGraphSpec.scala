@@ -39,6 +39,32 @@ class LinkGraphSpec extends AnyFunSuite with SharedSpark {
       "rank mass exceeded the initial total — update is not a contraction")
   }
 
+  test("driver replay equals the distributed rounds on random graphs, " +
+      "both variants") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    val rnd = new scala.util.Random(7)
+    val names = (0 until 12).map(i => s"d$i")
+    for (trial <- 1 to 2; redis <- Seq(false, true)) {
+      val nodes = names.toDF("domain")
+      // random sparse graph incl. self-filtered pairs, dangling nodes,
+      // duplicate edges (deg counts rows), and an edge to a NON-node
+      // (must contribute nothing, its src still counts toward deg)
+      val edges = (Seq.fill(20)((names(rnd.nextInt(12)),
+          names(rnd.nextInt(12)))).filter { case (a, b) => a != b } ++
+        Seq(("d0", "d1"), ("d0", "d1"), ("d2", "not-a-node")))
+        .toDF("src", "dst")
+      val fast = LinkGraph.pageRank(nodes, edges, rounds = 4,
+        redistribute = redis)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dist = LinkGraph.pageRank(nodes, edges, rounds = 4,
+        redistribute = redis, driverEdgeLimit = 0L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fast == dist,
+        s"trial $trial redis=$redis: driver $fast != distributed $dist")
+    }
+  }
+
   test("sink graph: redistribution matches the exact integer recurrence " +
       "and dominates the no-redistribution form") {
     import spark.implicits._
