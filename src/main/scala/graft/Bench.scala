@@ -234,20 +234,29 @@ object Bench {
           calib2 = Seq.fill(3)(calibOnce()).sorted.apply(1)
           System.err.println(f"[bench] fresh calib: $calib2%.3f s " +
             f"(run-start was $calib%.3f s)")
-          reruns = regs.map { case (k, baseVal, _, baseCalib, src) =>
+          reruns = regs.map { case (k, baseVal, _, _, src) =>
             val first = results.collectFirst {
               case (`k`, v, None) => v }.getOrElse(-1.0)
             val (m, e) = timeQuery(k, " [rerun]")
-            // resolved = the rerun, normalized into the FLAGGING
-            // base's host frame via the fresh calib (excuse-only),
-            // is NOT a regression by the gate's own predicate
-            val scale2 = baseCalib.map(pc => calibScale(pc, calib2))
-              .getOrElse(1.0)
-            val resolved = e.isEmpty && m >= 0 && {
-              val n = m / scale2
-              !(n > baseVal * RegressionFactor &&
-                n - baseVal > RegressionFloorSec)
-            }
+            // resolved = the rerun is NOT a regression against ANY
+            // base (prev record AND floor), each normalized into its
+            // own host frame via the fresh calib (excuse-only). The
+            // flag report keeps only the worst base per query, but a
+            // rerun excused against that base alone could still fail
+            // the other — e.g. a high fresh probe excusing the floor
+            // frame while the prev record (near-1.0 scale) still
+            // flags; arbitration must re-apply the full predicate.
+            val bases =
+              prev.get(k).map(v => (v, prevCalib)).toSeq ++
+                floor.get(k).map { case (t, c) =>
+                  (t, Some(c).filter(_ > 0)) }
+            val resolved = e.isEmpty && m >= 0 &&
+              bases.forall { case (base, bc) =>
+                val n = m / bc.map(pc => calibScale(pc, calib2))
+                  .getOrElse(1.0)
+                !(base > 0 && n > base * RegressionFactor &&
+                  n - base > RegressionFloorSec)
+              }
             System.err.println(f"[bench] rerun $k: first=$first%.2f s " +
               f"rerun=$m%.2f s $src=$baseVal%.2f s -> " +
               (if (resolved) "RESOLVED (load noise)"
@@ -500,8 +509,25 @@ object Bench {
                    cur: Map[String, Double],
                    calib: Double): Map[String, (Double, Double)] =
     floor ++ cur.flatMap { case (k, t) =>
-      if (t >= 0 && floor.get(k).forall(_._1 > t)) Some(k -> (t, calib))
-      else None
+      // Lower the floor only when the candidate beats it in the FLOOR
+      // entry's own host frame: a noisy-LOW calib probe (host reads
+      // "faster" while query throughput is unchanged) pairs raw
+      // parity with a small calib, and a raw-only comparison would
+      // re-seed a (same-time, tiny-calib) entry whose calibScale then
+      // excuses up to 3x drift on every later run — the gate
+      // silently loosening itself. Scaling the candidate UP by
+      // floorCalib/calib (clamped like calibScale, and only when the
+      // current probe reads faster) blocks that; a slower-probe run
+      // compares raw, since beating the floor on a slower host is
+      // genuinely faster code.
+      val beats = floor.get(k).forall { case (ft, fc) =>
+        val tn =
+          if (fc > 0 && calib > 0)
+            t * math.max(1.0, math.min(3.0, fc / calib))
+          else t
+        tn < ft
+      }
+      if (t >= 0 && beats) Some(k -> (t, calib)) else None
     }
 
   /** Gate predicate against BOTH comparison bases — the previous

@@ -114,7 +114,19 @@ object BpeOps {
           val sep = line.indexOf(' ')
           require(sep > 0 && sep < line.length - 1,
             s"malformed merge line: '$line'")
-          (line.substring(0, sep), line.substring(sep + 1)) -> rank
+          val (l, r) = (line.substring(0, sep), line.substring(sep + 1))
+          // The oracle's unrolled two-replace expansion is exact ONLY
+          // for x != y: a self-pair like "a a" over "aaaaa" merges
+          // leftmost-first to [aa, aa, a] in the kernel but the
+          // replace passes yield [aa, a, aa] — silent kernel/oracle
+          // divergence. Real trained vocabularies do contain
+          // self-pairs ("l l", "s s"), so a retrained merges file
+          // must fail HERE, loudly, not in a hash mismatch later.
+          require(l != r,
+            s"self-pair merge '$line' unsupported: the oracle's " +
+              "two-pass replace expansion diverges from the " +
+              "leftmost-first kernel on runs of the same token")
+          (l, r) -> rank
         }.toMap
     } finally in.close()
   }
@@ -131,10 +143,45 @@ object BpeOps {
         new java.util.HashMap[String, Array[String]]()
     }
 
-  /** Tokens for one word: characters, then each rank's pair merged
-    * leftmost-first in one sweep (a merge never creates a new
-    * occurrence of its own pair, so one sweep per rank is exact). */
+  /** Tokens for one word, by the standard apply walk: repeatedly find
+    * the LOWEST-rank pair present among adjacent tokens and merge all
+    * its occurrences leftmost-first, until no adjacent pair is in the
+    * vocabulary. Identical output to sweeping every rank in order
+    * ([[wordTokensBySweep]], pinned equal in BpeSpec/PropertySpec) —
+    * a merge at rank r only creates pairs learned later, and with
+    * self-pairs rejected at load a sweep never recreates its own pair
+    * — but the cost is O(len · merges-applied) per word instead of
+    * O(|vocabulary| · len): the production-vocab shape (30k–50k
+    * ranks) where a full-rank sweep per cache-missing word would
+    * collapse on the unique-word tail of a web corpus. */
   def wordTokens(word: String): Array[String] = {
+    var toks = word.map(_.toString).toArray
+    while (toks.length > 1) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = merges.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) return toks
+      val (x, y) = orderedMerges(best)
+      val out = Array.newBuilder[String]
+      i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+          out += x + y; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      toks = out.result()
+    }
+    toks
+  }
+
+  /** The rank-order full-sweep form — the mechanical mirror of the
+    * oracle's unrolled replace expansion, kept as the differential
+    * reference [[wordTokens]] is pinned against. */
+  def wordTokensBySweep(word: String): Array[String] = {
     var toks = word.map(_.toString).toArray
     orderedMerges.foreach { case (x, y) =>
       if (toks.length > 1) {

@@ -87,13 +87,19 @@ object ConnectedComponents {
     val longIds = fwd.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longIds && driverEdgeLimit > 0 && fwd.count() <= driverEdgeLimit) {
-      val labels = unionFind(fwd.collect().map(r =>
-        (r.getLong(0), r.getLong(1))))
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val out = labels.toSeq.sortBy(_._1).toDF("id", "cluster")
-      releaseCheckpoint(fwd)
-      return out
+      val rows = fwd.collect()
+      // A NULL endpoint must not change behavior with corpus size
+      // (r11 review): the distributed loop degrades gracefully (null
+      // joins match nothing), so null edges fall through to it
+      // instead of NPE-ing on Row.getLong here.
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val labels = unionFind(rows.map(r => (r.getLong(0), r.getLong(1))))
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val out = labels.toSeq.sortBy(_._1).toDF("id", "cluster")
+        releaseCheckpoint(fwd)
+        return out
+      }
     }
     // No distinct() on the mirrored edge set: the per-round min-
     // aggregation absorbs duplicate edges for free, and a distinct here

@@ -264,6 +264,32 @@ object TextDedup {
               array())"""))).as("shingle"))
   }
 
+  /** Per-position k-gram INSTANCES as 64-bit hashes — the ONE
+    * definition of "hashed gram over the split token list" the
+    * instance-level dedup faces share ([[repeatedSpans]],
+    * `dd_ngram_dup_rate`), so split semantics, the short-doc guard,
+    * and the hash input can never drift apart between their oracles
+    * (r11 review). Returns `carry` columns + 1-based `pos` + `g`
+    * (xxhash64 of the space-joined k-token window); one narrow
+    * projection + posexplode, parallelism re-established on
+    * `parallelismCol` before the fan-out. */
+  def hashedGramInstances(docs: DataFrame, k: Int, carry: Seq[String],
+                          parallelismCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(k >= 1,
+      s"hashedGramInstances: k must be positive, got $k")
+    Partitioning.ensureParallelism(docs, parallelismCol)
+      .select(carry.map(col) :+ split(col(textCol), " ").as("__l"): _*)
+      .select(carry.map(col) :+ posexplode(expr(
+        s"""if(size(__l) >= $k,
+              transform(sequence(1, size(__l) - $k + 1),
+                i -> xxhash64(concat_ws(' ', slice(__l, i, $k)))),
+              cast(array() as array<bigint>))""")): _*)
+      .select(carry.map(col) :+
+        (col("pos") + 1).cast("long").as("pos") :+
+        col("col").as("g"): _*)
+  }
+
   /** Maximal repeated token spans per document — the exact-substring
     * dedup signal (Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better", made scale-shaped): every k-token window
@@ -287,15 +313,8 @@ object TextDedup {
                     textCol: String = "text"): DataFrame = {
     require(k >= 1, s"repeatedSpans: k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
-    val inst = Partitioning.ensureParallelism(docs, idCol)
-      .select(col(idCol), split(col(textCol), " ").as("__l"))
-      .select(col(idCol), posexplode(expr(
-        s"""if(size(__l) >= $k,
-              transform(sequence(1, size(__l) - $k + 1),
-                i -> xxhash64(concat_ws(' ', slice(__l, i, $k)))),
-              cast(array() as array<bigint>))""")))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("g"))
+    val inst = hashedGramInstances(docs, k, Seq(idCol),
+      parallelismCol = idCol, textCol = textCol)
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     inst
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))

@@ -746,14 +746,10 @@ object Dedup extends QueryModule {
     "dd_ngram_dup_rate",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val inst = graft.operators.Partitioning
-        .ensureParallelism(Tables(s, dir, "documents"), "doc_id")
-        .select(col("source"), split(col("text"), " ").as("__l"))
-        .select(col("source"), explode(expr(
-          """if(size(__l) >= 6,
-                transform(sequence(1, size(__l) - 5),
-                  i -> xxhash64(concat_ws(' ', slice(__l, i, 6)))),
-                cast(array() as array<bigint>))""")).as("g"))
+      val inst = graft.operators.TextDedup
+        .hashedGramInstances(Tables(s, dir, "documents"), 6,
+          Seq("source"))
+        .select("source", "g")
       inst.groupBy("g", "source").agg(count(lit(1)).as("c"))
         .withColumn("n_total", sum("c").over(Window.partitionBy("g")))
         .groupBy("source")

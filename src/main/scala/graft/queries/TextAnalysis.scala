@@ -890,13 +890,14 @@ object TextAnalysis extends QueryModule {
     * sequence ([[graft.functions.BpeTokens]]), completing the
     * token-budget family (count → stats, shard packing, chunking).
     * The oracle recovers the SAME in-order token sequence per doc by
-    * running the unrolled merge walk over the WHOLE document at once:
-    * word gaps become a `|` sentinel character first, which sits
-    * outside the vocabulary alphabet, so no merge pair ever spans it
-    * and the per-word segmentation is preserved; splitting the merged
-    * string and filtering the sentinels yields the document's token
-    * list. Same window arithmetic as `ta_chunk`, so the two faces
-    * differ only in what a "token" is. */
+    * walking each word separately (the bpe_count idiom) with its
+    * ordinal carried along — zipped unnest of (word, index) — and
+    * flattening the per-word token lists back in word order. (An
+    * earlier form merged the whole document with a `|` word-gap
+    * sentinel; that silently drops REAL pipe characters from the
+    * token stream — r11 review — so the sentinel is gone.) Same
+    * window arithmetic as `ta_chunk`, so the two faces differ only
+    * in what a "token" is. */
   val bpeChunk: Q = Q(
     "ta_bpe_chunk",
     (s, dir) => {
@@ -918,18 +919,27 @@ object TextAnalysis extends QueryModule {
     },
     Some(s"""
       WITH t AS (
-        SELECT doc_id,
-               list_filter(
-                 string_split(trim(${bpeWalkSqlOver(
-                   "replace(text, ' ', '|')")}), ' '),
-                 x -> x <> '|' AND x <> '') AS l
-        FROM documents),
+        SELECT doc_id, unnest(l) AS word,
+               unnest(range(1, len(l) + 1)) AS wi
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents)),
+      wt AS (
+        SELECT doc_id, wi,
+               list_filter(string_split(trim($bpeWalkSql), ' '),
+                 x -> x <> '') AS wtoks
+        FROM t WHERE word <> ''),
+      seqs AS (
+        SELECT doc_id, flatten(list(wtoks ORDER BY wi)) AS toks
+        FROM wt GROUP BY doc_id),
+      docseq AS (
+        SELECT d.doc_id, coalesce(s.toks, []) AS l
+        FROM documents d LEFT JOIN seqs s USING (doc_id)),
       c AS (
         SELECT doc_id,
                unnest(range(0, ((greatest(len(l) - 32, 0) + 23) // 24) + 1))
                  AS chunk_id,
                l
-        FROM t)
+        FROM docseq)
       SELECT doc_id,
              CAST(chunk_id AS BIGINT) AS chunk_id,
              CAST(len(l[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT)

@@ -265,9 +265,15 @@ object Streams {
             sorted.foreach { e =>
               val t = us(e.ts)
               if (e.event_type == "purchase") {
-                // math.round on a non-negative double matches the
-                // batch face's round(value * 100) HALF_UP
-                val cents = math.round(e.value * 100)
+                // replicate the batch face's round(value * 100)
+                // EXACTLY: Spark's Round on a double is
+                // BigDecimal.valueOf(d).setScale(0, HALF_UP) — away
+                // from zero on halves, so a -12.5-cent refund rounds
+                // to -13 where math.round's floor(x + 0.5) gives -12
+                // (r11 review: replay parity must survive negatives)
+                val cents = java.math.BigDecimal.valueOf(e.value * 100)
+                  .setScale(0, java.math.RoundingMode.HALF_UP)
+                  .longValueExact()
                 if (cur.nTouch == 0L)
                   out += Credit(userId, "direct", 1L, cents)
                 else {

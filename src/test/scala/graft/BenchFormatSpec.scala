@@ -202,6 +202,19 @@ class BenchFormatSpec extends AnyFunSuite {
       Map("x" -> 1.0), Some(0.2), Map.empty,
       Map("x" -> 2.1), calib = 0.2)
     assert(prevOnly.map(r => (r._1, r._5)) === Seq(("x", "prev")))
+    // the cross-frame re-seed hole: a noisy-LOW probe (0.2 -> 0.1,
+    // "host 2x faster") with raw parity must NOT lower the floor —
+    // the (1.9, 0.1) entry it would write excuses 2x drift on every
+    // later 0.2-probe run
+    val noisy = Bench.updatedFloor(Map("q" -> (2.0, 0.2)),
+      Map("q" -> 1.9), calib = 0.1)
+    assert(noisy("q") === (2.0, 0.2),
+      "raw parity under a halved probe must not re-seed the floor")
+    // a genuine win still lowers it once it clears the clamped scale
+    val win = Bench.updatedFloor(Map("q" -> (2.0, 0.2)),
+      Map("q" -> 0.9), calib = 0.1)
+    assert(win("q") === (0.9, 0.1),
+      "0.9 x 2.0 scale = 1.8 < 2.0: beats the floor in its own frame")
   }
 
   test("calib normalization excuses a slower host, never inflates a faster one") {

@@ -54,7 +54,12 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       "q", "zz", "join", "customer", "stst", "inin")
     (corpus ++ adversarial).foreach { w =>
       assert(BpeOps.wordTokens(w).toSeq == referenceTokens(w),
-        s"divergence on '$w'")
+        s"kernel divergence on '$w'")
+      // the rank-order sweep is the mechanical mirror of the oracle's
+      // unrolled replace expansion — its agreement with the min-rank
+      // walk IS the kernel/oracle equivalence argument, executed
+      assert(BpeOps.wordTokensBySweep(w).toSeq == referenceTokens(w),
+        s"sweep (oracle-shape) divergence on '$w'")
     }
   }
 

@@ -54,6 +54,11 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       val toks = graft.functions.BpeOps.wordTokens(w)
       assert(toks.mkString == w, s"lossy segmentation of '$w'")
       assert(toks.forall(_.nonEmpty))
+      // min-rank walk == full-rank sweep on arbitrary input (the
+      // sweep mirrors the oracle's unrolled replace expansion)
+      assert(toks.sameElements(
+        graft.functions.BpeOps.wordTokensBySweep(w)),
+        s"walk/sweep divergence on '$w'")
     }
   }
 
