@@ -53,6 +53,7 @@ object Jobs {
       "dd_dup_rate_by_source" -> "dedup-health",
       "dd_ngram_dup_rate" -> "memorization-risk",
       "dd_repeated_spans" -> "repeated-span-report",
+      "dd_span_scrub" -> "span-scrubbed-corpus",
       "dd_containment" -> "partial-dup-report",
       "dd_contamination_rate" -> "contamination-report",
       "dd_leakage_safe_split" -> "split-map",

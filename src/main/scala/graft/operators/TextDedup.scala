@@ -332,6 +332,62 @@ object TextDedup {
         sum(col("e") - col("s") + lit(k.toLong)).as("rep_tokens"))
   }
 
+  /** APPLY the exact-substring treatment [[repeatedSpans]] reports:
+    * for every repeated k-token window, the FIRST corpus occurrence
+    * (min (doc, pos) — a deterministic election, the paragraph-dedup
+    * keeper idiom at window grain) survives; every other occurrence
+    * marks its token range for removal, per doc the marked ranges
+    * union into maximal spans, and the text is rebuilt from the
+    * surviving positions. Returns (idCol, n_tokens,
+    * n_scrubbed_tokens, scrubbed_text). Greedy by construction: a
+    * keeper window's tokens can still fall inside ANOTHER gram's
+    * scrubbed span — the standard approximation; the output is
+    * deterministic either way.
+    *
+    * Scale shape: [[hashedGramInstances]] + two count/rank windows on
+    * the gram hash (one exchange), the per-doc island merge, and a
+    * doc-keyed join attaching each doc's bounded span list for a
+    * single higher-order-function rebuild pass — no per-token join,
+    * no text through the gram shuffle. */
+  def scrubRepeatedSpans(docs: DataFrame, k: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"scrubRepeatedSpans: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy("g")
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val spans = hashedGramInstances(docs, k, Seq(idCol),
+      parallelismCol = idCol, textCol = textCol)
+      .withColumn("cnt", count(lit(1)).over(byG))
+      .withColumn("rn", row_number().over(byG.orderBy(idCol, "pos")))
+      .filter(col("cnt") > 1 && col("rn") > 1)
+      .withColumn("new_span",
+        when(lag("pos", 1).over(byDoc).isNull ||
+             col("pos") - lag("pos", 1).over(byDoc) > k, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("new_span")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min("pos").as("s"), (max("pos") + (k - 1)).as("e"))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    docs.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("__l", split(col(textCol), " "))
+      .withColumn("__kept", expr(
+        """filter(sequence(1, size(__l)),
+             i -> __spans is null or
+                  size(filter(__spans, sp -> i >= sp.s and i <= sp.e))
+                    = 0)"""))
+      .select(
+        col(idCol),
+        size(col("__l")).cast("long").as("n_tokens"),
+        (size(col("__l")) - size(col("__kept"))).cast("long")
+          .as("n_scrubbed_tokens"),
+        expr("concat_ws(' ', transform(__kept, i -> element_at(__l, i)))")
+          .as("scrubbed_text"))
+  }
+
   /** SQL array of `fpCol` XOR'd with every ≤ `maxFlips`-bit mask (the
     * fingerprint itself, all single flips, then all pair flips). Sizes:
     * 1 / 1+bits / 1+bits+C(bits,2). */

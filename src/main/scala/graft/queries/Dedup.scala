@@ -852,6 +852,74 @@ object Dedup extends QueryModule {
       ORDER BY d.doc_id""")
   )
 
+  /** The exact-substring TREATMENT [[repeatedSpans]] reports on —
+    * scrub every repeated 20-token window except its first corpus
+    * occurrence (min (doc, pos) keeper election, the window-grain
+    * sibling of [[paragraphDedup]]'s df-threshold scrub) and rebuild
+    * each document from the surviving positions. Reports the exact
+    * removed-token count and the scrubbed text per doc; docs shrink
+    * but never vanish, so corpus membership is stable through the
+    * pass. Physical plan is
+    * [[graft.operators.TextDedup.scrubRepeatedSpans]]: gram-hash
+    * windows for election, per-doc island merge, one bounded span
+    * list joined back per doc for a single higher-order rebuild —
+    * token text never rides the gram shuffle. */
+  val spanScrub: Q = Q(
+    "dd_span_scrub",
+    (s, dir) => graft.operators.TextDedup
+      .scrubRepeatedSpans(Tables(s, dir, "documents"), 20)
+      .orderBy("doc_id"),
+    Some("""
+      WITH inst AS (
+        SELECT doc_id, unnest(range(1, len(l) - 20 + 2)) AS pos, l
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents)),
+      gr AS (
+        SELECT doc_id, pos,
+               count(*) OVER (
+                 PARTITION BY array_to_string(l[pos:pos+19], ' '))
+                 AS cnt,
+               row_number() OVER (
+                 PARTITION BY array_to_string(l[pos:pos+19], ' ')
+                 ORDER BY doc_id, pos) AS rn
+        FROM inst),
+      scrub AS (SELECT doc_id, pos FROM gr WHERE cnt > 1 AND rn > 1),
+      s AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w > 20
+                    THEN 1 ELSE 0 END AS ns
+        FROM scrub WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      si AS (
+        SELECT doc_id, pos,
+               sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s),
+      spans AS (
+        SELECT doc_id, sid, min(pos) AS st, max(pos) + 19 AS en
+        FROM si GROUP BY 1, 2),
+      sp AS (
+        SELECT doc_id, list({'s': st, 'e': en}) AS spans
+        FROM spans GROUP BY 1),
+      base AS (
+        SELECT d.doc_id, string_split(d.text, ' ') AS l,
+               coalesce(p.spans,
+                 CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS spans
+        FROM documents d LEFT JOIN sp p USING (doc_id)),
+      reb AS (
+        SELECT doc_id, l,
+               [i FOR i IN range(1, len(l) + 1)
+                  IF len([x FOR x IN spans
+                            IF i >= x.s AND i <= x.e]) = 0] AS kept
+        FROM base)
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(len(l) - len(kept) AS BIGINT) AS n_scrubbed_tokens,
+             coalesce(array_to_string([l[i] FOR i IN kept], ' '), '')
+               AS scrubbed_text
+      FROM reb ORDER BY doc_id""")
+  )
+
   /** Cross-source near-duplication overlap matrix — for every source
     * pair, the number of distinct 6-grams BOTH emit: the provenance
     * report that tells a pipeline which feeds mirror each other
@@ -1398,8 +1466,8 @@ object Dedup extends QueryModule {
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
-    dupRateBySource, ngramDupRate, repeatedSpans, sourceOverlap,
-    curationPipeline, incremental,
+    dupRateBySource, ngramDupRate, repeatedSpans, spanScrub,
+    sourceOverlap, curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
     paragraphDedup, fuzzyVerify, contaminationRate)
 }

@@ -136,11 +136,11 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     val dir = Files.createTempDirectory("jobs_curate_spec").toString
     val res = graft.Main.run(spark, "curate_corpus", sf,
       Seq(s"$dir/t1", s"$dir/t2"), "2024-01-01")
-    // 10 extracts × 2 targets, all successful
-    assert(res.size == 20 && res.forall(_._3), s"uploads: $res")
+    // 11 extracts × 2 targets, all successful
+    assert(res.size == 22 && res.forall(_._3), s"uploads: $res")
     for (extract <- Seq("curated-shards", "dedup-health",
         "memorization-risk", "repeated-span-report",
-        "partial-dup-report",
+        "span-scrubbed-corpus", "partial-dup-report",
         "contamination-report", "split-map",
         "token-health", "quality-calibration",
         "pii-scrubbed-corpus"); t <- Seq("t1", "t2")) {

@@ -99,6 +99,33 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(!got.contains(4L), "short/clean docs yield no span rows")
   }
 
+  test("scrubRepeatedSpans: keeper survives, non-keepers cut, " +
+      "self-repeat collapses to one copy, clean docs untouched") {
+    import spark.implicits._
+    // same k=3 corpus as the repeatedSpans spec. Keeper of the
+    // 3x-repeated [a b c] is doc 1 @1 (min (doc, pos)) — doc 1 is
+    // untouched; doc 2 loses both its occurrences (positions 3-5 and
+    // 9-11); doc 3's second [p q r s] half is the non-keeper of both
+    // its repeated windows — spans {5},{6} merge and cover [5,8], so
+    // the doc collapses to ONE copy of the repeated run.
+    val six = "a b c d e f"
+    val crafted = Seq(
+      (1L, six),
+      (2L, s"x x $six x y"),
+      (3L, "p q r s p q r s"),
+      (4L, "z z"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.scrubRepeatedSpans(crafted, 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((6L, 0L, six)), "keeper doc untouched")
+    assert(got(2L) == ((10L, 6L, "x x x y")),
+      "all six tokens of the repeated run cut from the non-keeper")
+    assert(got(3L) == ((8L, 4L, "p q r s")),
+      "self-repeat collapses to a single copy")
+    assert(got(4L) == ((2L, 0L, "z z")), "short docs pass through")
+  }
+
   test("lshCandidates works at non-default (numPerms=6, bands=3)") {
     val cand = TextDedup.lshCandidates(docs, numPerms = 6, nBands = 3)
     val rows = cand.collect()
