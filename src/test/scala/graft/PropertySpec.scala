@@ -132,6 +132,45 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(got == expect, s"got $got want $expect")
   }
 
+  test("scrubRepeatedSpans equals a brute-force treatment on random " +
+      "corpora") {
+    // same dense-collision regime as the repeatedSpans property; here
+    // the brute force also replays the keeper ELECTION (min (doc,pos)
+    // per gram) and the coverage union, so the whole treatment —
+    // not just span arithmetic — is pinned
+    val k = 3
+    val doc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c"))).map(_.mkString(" "))
+    val docs = Gen.listOfN(40, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.TextDedup
+      .scrubRepeatedSpans(docs.toDF("doc_id", "text"), k).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val windows = docs.flatMap { case (id, t) =>
+      val l = t.split(" ", -1)
+      if (l.length >= k)
+        (0 to l.length - k).map(i =>
+          (id, i + 1, l.slice(i, i + k).mkString(" ")))
+      else Seq.empty
+    }
+    val counts = windows.groupBy(_._3).view.mapValues(_.size).toMap
+    val keeper = windows.groupBy(_._3).view
+      .mapValues(ws => ws.map(w => (w._1, w._2)).min).toMap
+    val covered = windows
+      .filter(w => counts(w._3) > 1 && (w._1, w._2) != keeper(w._3))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(w => w._2 until w._2 + k).toSet).toMap
+    val expect = docs.map { case (id, t) =>
+      val l = t.split(" ", -1)
+      val cov = covered.getOrElse(id, Set.empty[Int])
+      val kept = (1 to l.length).filterNot(cov)
+      id -> ((l.length.toLong, (l.length - kept.size).toLong,
+        kept.map(i => l(i - 1)).mkString(" ")))
+    }.toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
   test("greatest-per-group keeps exactly one row per key (window form)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
