@@ -1273,11 +1273,95 @@ object Events extends QueryModule {
       ORDER BY e.event_id""")
   )
 
+  /** RFM segmentation — the classic customer-value report over the
+    * purchase stream: per user, Recency (days since last purchase,
+    * anchored at the corpus max so the report is reproducible),
+    * Frequency (purchase count) and Monetary (exact cents), each
+    * scored into quintiles (5 = most recent / most frequent / highest
+    * spend) and concatenated into the three-digit RFM segment label.
+    *
+    * Scoring is COHORT-ADJUSTED: quintiles are taken within the
+    * user's first-activity week, not globally — a user who joined
+    * last week never competes on recency with a two-year account
+    * (standard practice), and, just as importantly for this engine,
+    * it replaces the global `ntile` sort (one partition holding every
+    * user — the shape PlanAuditSpec bans) with a PARTITIONED window
+    * keyed by cohort week. All three quintile windows share one
+    * partitioning, so the plan is a single exchange on cohort_week
+    * with three in-partition sorts.
+    *
+    * Determinism: every ntile ordering ends in `user_id`, so the
+    * quintile assignment is a total order both engines agree on;
+    * recency division is floor-exact (both operands non-negative).
+    *
+    * Scale (100 TB): the fact table collapses to one row per user
+    * before any window; the anchor is a 1-row broadcast (the
+    * ev_watermark scalar idiom, no global window); cohort partitions
+    * are |users-per-week|-sized, not |users|-sized. */
+  val rfm: Q = Q(
+    "ev_rfm",
+    (s, dir) => {
+      val p = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"),
+          date_trunc("week", col("ts")).as("week"))
+      val perUser = p.groupBy("user_id")
+        .agg(max("us").as("last_us"), count(lit(1)).as("frequency"),
+          sum("cents").as("monetary_cents"),
+          min("week").as("cohort_week"))
+      val anchor = perUser.agg(max("last_us").as("now_us"))
+      def quintile(metric: org.apache.spark.sql.Column) =
+        ntile(5).over(Window.partitionBy("cohort_week")
+          .orderBy(metric, col("user_id"))).cast("long")
+      perUser.join(broadcast(anchor))
+        .withColumn("recency_days",
+          expr("(now_us - last_us) div 86400000000"))
+        .withColumn("r_score", quintile(col("last_us")))
+        .withColumn("f_score", quintile(col("frequency")))
+        .withColumn("m_score", quintile(col("monetary_cents")))
+        .select(col("user_id"), col("cohort_week"), col("recency_days"),
+          col("frequency"), col("monetary_cents"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score").cast("string"),
+            col("f_score").cast("string"),
+            col("m_score").cast("string")).as("segment"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               date_trunc('week', ts) AS week
+        FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, max(us) AS last_us, count(*) AS frequency,
+               CAST(sum(cents) AS BIGINT) AS monetary_cents,
+               min(week) AS cohort_week
+        FROM p GROUP BY 1),
+      sc AS (
+        SELECT user_id, cohort_week,
+               ((SELECT max(last_us) FROM u) - last_us) // 86400000000
+                 AS recency_days,
+               frequency, monetary_cents,
+               ntile(5) OVER (PARTITION BY cohort_week
+                 ORDER BY last_us, user_id) AS r_score,
+               ntile(5) OVER (PARTITION BY cohort_week
+                 ORDER BY frequency, user_id) AS f_score,
+               ntile(5) OVER (PARTITION BY cohort_week
+                 ORDER BY monetary_cents, user_id) AS m_score
+        FROM u)
+      SELECT user_id, cohort_week, recency_days, frequency,
+             monetary_cents, r_score, f_score, m_score,
+             r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+               AS segment
+      FROM sc ORDER BY user_id""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
     scd2, activityStreaks, pathTransitions, attribution,
     attributionLinear, debounce,
     rollingValue, concurrency, intervalCoverage, anomaly, resample,
-    winsorize)
+    winsorize, rfm)
 }

@@ -923,7 +923,72 @@ object Relational extends QueryModule {
     quantileBound, profile, zorder, tableChecksum, saltedJoin,
     copurchase, copurchaseHealth, incrementalView, exactMedian,
     compactionPlan, histogram, exactKSample, snapshotDiff,
-    shareOfTotal, pareto)
+    shareOfTotal, pareto, skyline)
+
+  /** 2-D skyline (Pareto-optimal set) over `part` — every part no
+    * other part dominates (cheaper-or-equal price AND larger-or-equal
+    * size, at least one strict): the multi-objective shortlist query
+    * (best price/size trade-offs) the cumulative-share [[pareto]]
+    * face does NOT cover. The oracle states the semantics as the
+    * quadratic NOT EXISTS dominance test; the engine computes the
+    * same set in O(n log n) as two sort-based passes:
+    *
+    *   - a row survives iff no strictly-cheaper row has size ≥ its
+    *     own (`max(sz) RANGE UNBOUNDED..1 PRECEDING` on price — a
+    *     range frame so price TIES stay out of the running max) and
+    *     no same-price row has size strictly greater (a per-price
+    *     partition max). Equal (price, sz) duplicates survive
+    *     together — no strict coordinate, no dominance.
+    *
+    * and runs the pass TWICE — the published distributed-skyline
+    * recipe: pass 1 partitions by `pmod(p_partkey, 16)` (any
+    * partitioning works — dominance within a bucket implies dominance
+    * globally, and dominance is transitive, so every globally-
+    * dominated row is eliminated by some bucket survivor), pass 2
+    * merges the ≤16 local staircases with the same window globally.
+    *
+    * Scale (100 TB): pass 1 is embarrassingly parallel over arbitrary
+    * partitions; only LOCAL SKYLINE SURVIVORS (a staircase, ≤
+    * |distinct prices in bucket| rows, typically orders of magnitude
+    * below the table) reach the pass-2 global sort — the documented
+    * reason this face sits in PlanAuditSpec's global-window allowlist
+    * next to rel_compaction_plan's metadata-sized listing. */
+  val skyline: Q = Q(
+    "rel_skyline",
+    (s, dir) => {
+      val base = Tables(s, dir, "part").select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("sz"))
+      def pass(df: DataFrame, parts: Seq[org.apache.spark.sql.Column])
+          : DataFrame = {
+        val wLower = Window.partitionBy(parts: _*)
+          .orderBy(col("price_cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wSame = Window.partitionBy(parts :+ col("price_cents"): _*)
+        df.withColumn("max_sz_cheaper", max(col("sz")).over(wLower))
+          .withColumn("max_sz_same", max(col("sz")).over(wSame))
+          .filter((col("max_sz_cheaper").isNull ||
+              col("max_sz_cheaper") < col("sz")) &&
+            col("max_sz_same") <= col("sz"))
+          .drop("max_sz_cheaper", "max_sz_same")
+      }
+      val local = pass(base, Seq(pmod(col("p_partkey"), lit(16))))
+      pass(local, Seq.empty)
+        .orderBy("p_partkey")
+    },
+    Some("""
+      WITH p AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS sz
+        FROM part)
+      SELECT p_partkey, price_cents, sz FROM p a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents AND b.sz >= a.sz
+          AND (b.price_cents < a.price_cents OR b.sz > a.sz))
+      ORDER BY p_partkey""")
+  )
 
   /** Ratio-to-report WITHOUT the global window: per-segment revenue
     * share of the corpus total. The naive spelling is

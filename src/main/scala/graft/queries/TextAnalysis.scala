@@ -1454,6 +1454,64 @@ object TextAnalysis extends QueryModule {
     )
   }
 
+  /** Linear quality-classifier INFERENCE over hashed features — the
+    * model-based filtering step of a curation pipeline (a
+    * fastText/logistic-regression quality model applied corpus-wide),
+    * with the [[hashEmbed]] hashing trick as the featurizer: token →
+    * dim ∈ [0,64) by the same md5 formula, per-(doc, dim) counts, and
+    * a logit `Σ cnt·w(dim)` against a 64-entry weight vector. Here
+    * the weights are the fixed integer formula
+    * `w(d) = (37d + 11) mod 21 − 10` (range [−10, 10]) so the DuckDB
+    * oracle replays inference bit-for-bit; in production they arrive
+    * as a broadcast model array — the PLAN is identical, only the
+    * literal changes. Everything stays in exact BIGINT (counts ×
+    * integer weights), so there is no float drift between engines;
+    * the verdict thresholds the logit at 0 like [[quality]]'s
+    * rule-based verdict, making the two faces directly comparable.
+    *
+    * Scale (100 TB): identical shape to ta_hash_embed — tokens
+    * collapse map-side into (doc, dim) counter rows, then one
+    * exchange on doc_id; the weight lookup is a pure projection, no
+    * join, no model shuffle. */
+  val classifierScore: Q = Q(
+    "ta_classifier_score",
+    (s, dir) => {
+      val dim = (ascii(substring(md5(col("token")), 1, 1)) * 31 +
+        ascii(substring(md5(col("token")), 2, 1))) % 64
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .select(col("doc_id"), dim.cast("long").as("dim"))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
+        .withColumn("w", (col("dim") * 37 + 11) % 21 - 10)
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"),
+          sum(col("cnt") * col("w")).as("logit"))
+        .select(col("doc_id"), col("n_tokens"), col("logit"),
+          when(col("logit") > 0, "keep").otherwise("drop").as("verdict"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id,
+               CAST((ascii(substr(md5(token), 1, 1)) * 31
+                     + ascii(substr(md5(token), 2, 1))) % 64 AS BIGINT)
+                 AS dim,
+               count(*) AS cnt
+        FROM tok WHERE token <> '' GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(sum(cnt * ((dim * 37 + 11) % 21 - 10)) AS BIGINT)
+               AS logit,
+             CASE WHEN sum(cnt * ((dim * 37 + 11) % 21 - 10)) > 0
+                  THEN 'keep' ELSE 'drop' END AS verdict
+      FROM tf GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
@@ -1461,5 +1519,5 @@ object TextAnalysis extends QueryModule {
       shardAssign, lengthQuantiles, piiRedact, urlDomains,
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
-      bpeTokenStats, bpeShardAssign, bpeChunk)
+      bpeTokenStats, bpeShardAssign, bpeChunk, classifierScore)
 }

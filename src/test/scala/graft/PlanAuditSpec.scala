@@ -60,7 +60,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // rel_pareto's cumulative window runs over the AGGREGATED
       // nation dimension (≤ |nations| rows) — bounded-dimension by
       // construction, documented in its scaladoc
-      "rel_pareto")
+      "rel_pareto",
+      // rel_skyline's pass-2 merge window runs over the LOCAL SKYLINE
+      // SURVIVORS only (≤16 per-bucket staircases), never the base
+      // table — the distributed-skyline merge step, documented in its
+      // scaladoc
+      "rel_skyline")
 
   test("no undocumented cartesian or nested-loop join in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
