@@ -738,7 +738,167 @@ object Similarity extends QueryModule {
       FROM own GROUP BY 1 ORDER BY 1""")
   )
 
+  /** IVF+PQ top-k — the two scale levers COMPOSED the way a production
+    * index composes them (the FAISS IVFPQ layout): the IVF coarse
+    * quantizer prunes the search to nprobe=2 cells per query, and
+    * inside those cells scoring runs against the PQ-RECONSTRUCTED
+    * corpus (4×16 codebooks, 16 bytes/vector) instead of the raw
+    * floats — queries stay exact (asymmetric distance). Both halves
+    * are the already-certified kernels ([[topkIvf2]]'s probe,
+    * [[topkPq]]'s codebooks); the composition is what's new, and the
+    * index row is (vec_id, cell, codes) built in ONE narrow chain: the
+    * cell assignment rides through the PQ encoder packed in a struct
+    * id, so corpus vectors are scanned once and never joined back to
+    * themselves — at 100 TB the index build is a single pass and the
+    * probe reads 16-byte codes, not 256-byte vectors.
+    *
+    * Scale (100 TB): probe cost = |Q|·nprobe·(corpus/k cells) rows of
+    * 16-byte codes; reconstruction is a literal-map lookup (no
+    * codebook join); ranking shuffles only the map-side-pruned top-k
+    * candidates per query. */
+  val topkIvfPq: Q = Q(
+    "ss_topk_ivfpq",
+    (s, dir) => {
+      import graft.operators.Ann
+      val emb = Tables(s, dir, "embeddings")
+      val cents1 = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps)
+      val books = Ann.pqCodebooks(s, emb, m = 4, ksub = 16, dims = 64,
+        steps = 1)
+      // one-pass index: assign the cell, then thread (vec_id, cell)
+      // through the PQ encoder as a struct id (pqEncode keeps only its
+      // id column + codes — the struct carries both without a re-join)
+      val indexed = Ann.pqEncode(
+        Ann.ivfAssign(emb, cents1)
+          .withColumn("vid_cell", struct(col("vec_id"), col("cell"))),
+        books, dims = 64, idCol = "vid_cell")
+      val recon = Ann.pqReconstruct(indexed, books)
+        .select(col("vid_cell.vec_id").as("vec_id"),
+          col("vid_cell.cell").as("cell"), col("recon"))
+      val queries = Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3), cents1, nprobe = 2)
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      recon
+        .join(broadcast(queries),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineNative(s, "q_emb", "recon"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH ${ivfDuckCtes(2)},
+      ${pqSubspaceCtes(0, 1, 16)},
+      ${pqSubspaceCtes(1, 17, 32)},
+      ${pqSubspaceCtes(2, 33, 48)},
+      ${pqSubspaceCtes(3, 49, 64)},
+      precon AS (
+        SELECT r0.vec_id,
+               list_concat(list_concat(r0.c_emb, r1.c_emb),
+                           list_concat(r2.c_emb, r3.c_emb)) AS recon
+        FROM prec0 r0 JOIN prec1 r1 USING (vec_id)
+                      JOIN prec2 r2 USING (vec_id)
+                      JOIN prec3 r3 USING (vec_id)),
+      ipq AS (
+        SELECT iq.q_id, a.vec_id,
+               ${duckCosine("iq.q_emb", "r.recon")} AS cosine
+        FROM assigned a
+        JOIN iq ON a.cell = iq.q_cell AND a.vec_id <> iq.q_id
+        JOIN precon r ON r.vec_id = a.vec_id),
+      ipqranked AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM ipq)
+      SELECT q_id, rank, vec_id, cosine FROM ipqranked
+      WHERE rank <= $K ORDER BY q_id, rank""")
+  )
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023 — public) — the
+    * embedding-space complement of the token-level MinHash family:
+    * k-means-cluster the corpus embeddings, then prune near-duplicate
+    * pairs WITHIN each cluster only, which is what makes the method
+    * tractable (pair generation costs Σ cell², never corpus² — the
+    * same banding argument as LSH, with the clusters as data-adaptive
+    * bands). A vector is dropped when some same-cell neighbor at
+    * cosine ≥ 0.3 ranks ahead of it under the paper's keep rule —
+    * keep the member FARTHEST from the centroid (lowest fit;
+    * vec_id breaks exact fit ties), retaining the cluster's most
+    * peripheral, most diverse exemplars. Output labels every vector
+    * keep/drop with its cell and e6-quantized fit so the face doubles
+    * as the audit report.
+    *
+    * Centroids are the certified 2-step Lloyd kernel shared with the
+    * IVF faces; fits and pair cosines are bit-identical across
+    * engines (VectorFns), so the keep/drop partition hash-matches
+    * exactly.
+    *
+    * Scale (100 TB): assignment is the narrow literal-centroid argmax
+    * (no shuffle); the pair join shuffles once on cell with
+    * Σ cell²-bounded work; the drop set joins back by vec_id. The
+    * oracle states the same semantics over the replayed Lloyd
+    * pipeline. */
+  val semanticDedup: Q = Q(
+    "dd_semantic_dedup",
+    (s, dir) => {
+      import graft.operators.{Ann, CacheScope}
+      val emb = Tables(s, dir, "embeddings")
+      val cents1 = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps)
+      val centMap = typedLit(
+        cents1.map { case (id, v) => id -> v.toSeq }.toMap)
+      // persisted lazily once: the cell self-join reads own twice and
+      // the verdict projection a third time (the embedSrp discipline)
+      val own = Ann.ivfAssign(emb, cents1)
+        .withColumn("c_emb", element_at(centMap, col("cell")))
+        .withColumn("fit", cosineNative(s, "embedding", "c_emb"))
+        .select("vec_id", "embedding", "cell", "fit")
+        .persist()
+      val a = own.select(col("vec_id").as("x_id"),
+        col("embedding").as("xe"), col("cell"), col("fit").as("x_fit"))
+      val b = own.select(col("vec_id").as("y_id"),
+        col("embedding").as("ye"), col("cell").as("y_cell"),
+        col("fit").as("y_fit"))
+      val dropped = a.join(b,
+          col("cell") === col("y_cell") && col("x_id") =!= col("y_id") &&
+            (col("y_fit") < col("x_fit") ||
+              (col("y_fit") === col("x_fit") &&
+                col("y_id") < col("x_id"))))
+        .withColumn("cos", cosineNative(s, "xe", "ye"))
+        .filter(col("cos") >= 0.3)
+        .select(col("x_id").as("vec_id")).distinct()
+        .withColumn("is_drop", lit(1))
+      val result = own.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          round(col("fit") * 1000000).cast("long").as("fit_e6"),
+          when(col("is_drop").isNull, "keep").otherwise("drop")
+            .as("verdict"))
+        .orderBy("vec_id")
+      CacheScope.eval(result)(own)
+    },
+    Some(s"""
+      WITH ${ivfDuckCtes(1)},
+      own2 AS (
+        SELECT vec_id, embedding, c_id AS cell, c_cos AS fit FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY c_cos DESC, c_id ASC) AS rn
+          FROM scored_cells) WHERE rn = 1),
+      sdropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM own2 x JOIN own2 y
+          ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         AND (y.fit < x.fit
+              OR (y.fit = x.fit AND y.vec_id < x.vec_id))
+        WHERE ${duckCosine("x.embedding", "y.embedding")} >= 0.3)
+      SELECT o.vec_id, o.cell,
+             CAST(round(o.fit * 1000000) AS BIGINT) AS fit_e6,
+             CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END
+               AS verdict
+      FROM own2 o LEFT JOIN sdropped d ON o.vec_id = d.vec_id
+      ORDER BY o.vec_id""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
-    topkPerLabel, topkPq, clusterReport)
+    topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup)
 }
