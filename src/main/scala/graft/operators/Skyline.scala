@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 2-D skyline (Pareto-optimal set): the rows no other row dominates,
+  * where A dominates B iff `A.x ≤ B.x AND A.y ≥ B.y` with at least one
+  * strict (minimize x, maximize y). The naive semantics is the
+  * quadratic pairwise dominance test (the catalog face's DuckDB
+  * oracle states exactly that); this operator computes the same set
+  * in O(n log n) per pass with the sort-based staircase filter, run
+  * twice in the published distributed-skyline shape:
+  *
+  *   pass 1 — local skylines under ANY partitioning of the rows
+  *     (dominance within a bucket implies dominance globally, and
+  *     dominance is transitive, so every globally-dominated row is
+  *     eliminated by some bucket survivor that itself survives or is
+  *     dominated by one that does);
+  *   pass 2 — the same filter globally over the union of local
+  *     staircases, which is all that remains.
+  *
+  * Staircase filter: a row survives iff no strictly-cheaper row has
+  * y ≥ its own (`max(y) RANGE UNBOUNDED..1 PRECEDING` over x — a
+  * RANGE frame so x-ties stay out of the running max) and no same-x
+  * row has y strictly greater (a per-x partition max). Equal (x, y)
+  * duplicates survive together — no strict coordinate, no dominance.
+  *
+  * Scale (100 TB): pass 1 is embarrassingly parallel; only local
+  * survivors (≤ |distinct x in bucket| rows each — a staircase) reach
+  * the pass-2 global sort. PropertySpec pins equality with the brute
+  * force on random tie-heavy data.
+  */
+object Skyline {
+
+  /** One staircase pass: keep the rows not dominated within their
+    * partition. `parts` empty = global. */
+  private def pass(df: DataFrame, xCol: String, yCol: String,
+                   parts: Seq[Column]): DataFrame = {
+    val wLower = Window.partitionBy(parts: _*)
+      .orderBy(col(xCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(parts :+ col(xCol): _*)
+    df.withColumn("__max_y_cheaper", max(col(yCol)).over(wLower))
+      .withColumn("__max_y_same", max(col(yCol)).over(wSame))
+      .filter((col("__max_y_cheaper").isNull ||
+          col("__max_y_cheaper") < col(yCol)) &&
+        col("__max_y_same") <= col(yCol))
+      .drop("__max_y_cheaper", "__max_y_same")
+  }
+
+  /** The skyline of `df` minimizing `xCol` and maximizing `yCol`.
+    * Both must be numeric (the RANGE frame needs a numeric order).
+    * `bucket` is the pass-1 partitioning expression — any expression
+    * works (correctness is partitioning-invariant); pick one that
+    * spreads rows evenly. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                bucket: Column): DataFrame =
+    pass(pass(df, xCol, yCol, Seq(bucket)), xCol, yCol, Seq.empty)
+}

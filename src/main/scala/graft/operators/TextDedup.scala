@@ -438,4 +438,47 @@ object TextDedup {
           .as("dist"))
       .distinct()
   }
+
+  /** Content-defined chunking: split each document into variable-size
+    * token chunks whose boundaries fall where the rolling hash of the
+    * local `window`-gram hits `≡ 0 (mod mask)` — the public
+    * CDC/rsync recipe at token granularity. Because a boundary
+    * depends ONLY on the `window` tokens ending at it, an edit
+    * invalidates at most the boundaries whose grams overlap it:
+    * chunks re-align `window` tokens after the edit (the locality
+    * property PropertySpec pins), which fixed-stride windows cannot
+    * do. Expected chunk length is `mask` tokens.
+    *
+    * Output: (idCol, chunk, ctext) — chunk ids are 0-based running
+    * boundary counts, ctext the space-joined tokens. Flags are
+    * computed INSIDE the token array (one `transform`), so exploded
+    * rows carry one token and one bit, never the array; the running
+    * sum is one exchange on the doc id, and the chunk groupBy reuses
+    * that partitioning. Hash is the repo's md5-ascii formula so a
+    * SQL oracle replays it. */
+  def cdcChunks(docs: DataFrame, window: Int = 4, mask: Int = 8,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = s"array_join(slice(__toks, p - ${window - 1}, $window), ' ')"
+    val hashGram = s"(ascii(substring(md5($g), 1, 1)) * 31" +
+      s" + ascii(substring(md5($g), 2, 1))) % $mask"
+    val t = docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol),
+        posexplode(expr(
+          "transform(sequence(1, size(__toks)), p -> " +
+            "named_struct('token', element_at(__toks, p), " +
+            s"'b', CASE WHEN p >= $window AND $hashGram = 0 " +
+            "THEN 1L ELSE 0L END))")).as(Seq("pos0", "z")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"),
+        col("z.token").as("token"), col("z.b").as("b"))
+    val wRun = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("chunk", coalesce(sum("b").over(wRun), lit(0L)))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(pos, token))), x -> x.token), ' ')")
+        .as("ctext"))
+  }
 }

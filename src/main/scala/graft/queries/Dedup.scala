@@ -1463,11 +1463,91 @@ object Dedup extends QueryModule {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Content-defined chunking (CDC) duplication report — the
+    * variable-boundary complement of [[paragraphDedup]]'s fixed
+    * 10-token windows: chunk boundaries fall where a rolling hash of
+    * the local 4-gram hits `≡ 0 (mod 8)` (the public CDC/rsync
+    * recipe, token-granular), so an insertion near the start of a
+    * document shifts ONE chunk, not every window after it — the
+    * property that makes CDC the right sub-document dedup signal for
+    * crawl snapshots that drift a few lines between captures.
+    * Per document: chunk count, chunks whose exact text recurs in
+    * some OTHER document, and the duplicated-chunk fraction in exact
+    * millis.
+    *
+    * Mechanics: per-position boundary flags are computed INSIDE the
+    * token array (one `transform` — the exploded rows carry a token
+    * and a bit, never the array, so exploding stays linear in
+    * tokens); the chunk id is the running boundary count (break
+    * AFTER position p → a token's chunk is the flag-sum strictly
+    * before it); chunk text reassembles with the paragraphDedup
+    * sort-struct idiom. The cross-doc frequency join runs on
+    * xxhash64(chunk) — 64-bit collisions are negligible at catalog
+    * scale and the oracle joins on the chunk TEXT itself, so a
+    * collision would surface as a hash mismatch (same discipline as
+    * dd_paragraph_dedup).
+    *
+    * Scale (100 TB): one exchange on doc_id for the running sum (the
+    * chunk groupBy reuses that partitioning), one exchange of
+    * (hash, doc) pairs for the frequency count, one hash join back —
+    * all keys bounded by chunk counts, never corpus². */
+  val cdcChunkDup: Q = Q(
+    "dd_cdc_chunk_dup",
+    (s, dir) => {
+      val ch = graft.operators.TextDedup
+        .cdcChunks(Tables(s, dir, "documents"), window = 4, mask = 8)
+        .select(col("doc_id"), col("chunk"), xxhash64(col("ctext")).as("h"))
+      val freq = ch.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+      ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          expr("(n_dup_chunks * 1000) div n_chunks").as("dup_millis"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tp AS (
+        SELECT doc_id, toks,
+               unnest(range(1, len(toks) + 1)) AS pos,
+               unnest(toks) AS token
+        FROM d),
+      tb AS (
+        SELECT doc_id, pos, token,
+               CASE WHEN pos >= 4 AND
+                 (ascii(substr(md5(array_to_string(toks[pos-3:pos], ' ')), 1, 1)) * 31
+                  + ascii(substr(md5(array_to_string(toks[pos-3:pos], ' ')), 2, 1))) % 8 = 0
+               THEN 1 ELSE 0 END AS b
+        FROM tp),
+      cpos AS (
+        SELECT doc_id, pos, token,
+               COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk
+        FROM tb),
+      ch AS (
+        SELECT doc_id, chunk,
+               string_agg(token, ' ' ORDER BY pos) AS ctext
+        FROM cpos GROUP BY 1, 2),
+      cfreq AS (
+        SELECT ctext, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000
+                  // count(*) AS BIGINT) AS dup_millis
+      FROM ch JOIN cfreq USING (ctext)
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
     dupRateBySource, ngramDupRate, repeatedSpans, spanScrub,
     sourceOverlap, curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
-    paragraphDedup, fuzzyVerify, contaminationRate)
+    paragraphDedup, fuzzyVerify, contaminationRate, cdcChunkDup)
 }

@@ -931,7 +931,9 @@ object Relational extends QueryModule {
     * (best price/size trade-offs) the cumulative-share [[pareto]]
     * face does NOT cover. The oracle states the semantics as the
     * quadratic NOT EXISTS dominance test; the engine computes the
-    * same set in O(n log n) as two sort-based passes:
+    * same set in O(n log n) via `operators.Skyline.skyline2d`
+    * (brute-equivalence also property-pinned on tie-heavy random
+    * data in PropertySpec) as two sort-based passes:
     *
     *   - a row survives iff no strictly-cheaper row has size ≥ its
     *     own (`max(sz) RANGE UNBOUNDED..1 PRECEDING` on price — a
@@ -959,21 +961,9 @@ object Relational extends QueryModule {
       val base = Tables(s, dir, "part").select(col("p_partkey"),
         round(col("p_retailprice") * 100).cast("long").as("price_cents"),
         col("p_size").cast("long").as("sz"))
-      def pass(df: DataFrame, parts: Seq[org.apache.spark.sql.Column])
-          : DataFrame = {
-        val wLower = Window.partitionBy(parts: _*)
-          .orderBy(col("price_cents"))
-          .rangeBetween(Window.unboundedPreceding, -1)
-        val wSame = Window.partitionBy(parts :+ col("price_cents"): _*)
-        df.withColumn("max_sz_cheaper", max(col("sz")).over(wLower))
-          .withColumn("max_sz_same", max(col("sz")).over(wSame))
-          .filter((col("max_sz_cheaper").isNull ||
-              col("max_sz_cheaper") < col("sz")) &&
-            col("max_sz_same") <= col("sz"))
-          .drop("max_sz_cheaper", "max_sz_same")
-      }
-      val local = pass(base, Seq(pmod(col("p_partkey"), lit(16))))
-      pass(local, Seq.empty)
+      graft.operators.Skyline
+        .skyline2d(base, "price_cents", "sz",
+          bucket = pmod(col("p_partkey"), lit(16)))
         .orderBy("p_partkey")
     },
     Some("""

@@ -1512,6 +1512,63 @@ object TextAnalysis extends QueryModule {
       FROM tf GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Unigram-LM surprisal scoring — the language-model quality signal
+    * (the CCNet/Wikipedia-LM perplexity filter) in EXACT integer
+    * arithmetic: train a unigram model on the corpus itself (token →
+    * count, one aggregate), then score each document by its mean
+    * per-token surprisal. Real perplexity needs floating logs, whose
+    * libm rounding differs across engines — so the surprisal of a
+    * token is quantized to whole bits as
+    * `floorlog2(N) − floorlog2(cnt)` where `floorlog2(x) =
+    * length(bin(x)) − 1` — the BINARY-STRING length, exact in both
+    * engines for any BIGINT (no double log anywhere). Monotone in
+    * 1/p(token), so document ranking by "how surprising is this text
+    * under the corpus LM" is preserved: low mean bits = common-token
+    * boilerplate, high mean bits = rare-token noise — the two tails a
+    * perplexity filter cuts.
+    *
+    * Scale (100 TB): the model is one map-combined aggregate (|vocab|
+    * rows); scoring joins tokens to counts on the token key (the
+    * tf-idf shuffle shape) and collapses per doc; the corpus total
+    * attaches as a 1-row broadcast (ev_watermark scalar idiom). */
+  val unigramSurprisal: Q = Q(
+    "ta_unigram_surprisal",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("n_total"))
+      tok.join(counts, "token")
+        .join(broadcast(total))
+        .withColumn("bits",
+          ((length(bin(col("n_total"))) - 1) -
+            (length(bin(col("cnt"))) - 1)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("bits").as("total_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+          expr("(total_bits * 1000) div n_tokens").as("mean_millibits"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, token FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents) WHERE token <> ''),
+      c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum((length(bin(n_total)) - 1)
+                      - (length(bin(cnt)) - 1)) AS BIGINT) AS total_bits,
+             CAST(sum((length(bin(n_total)) - 1)
+                      - (length(bin(cnt)) - 1)) * 1000 // count(*)
+               AS BIGINT) AS mean_millibits
+      FROM tk JOIN c USING (token), tot
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
@@ -1519,5 +1576,6 @@ object TextAnalysis extends QueryModule {
       shardAssign, lengthQuantiles, piiRedact, urlDomains,
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
-      bpeTokenStats, bpeShardAssign, bpeChunk, classifierScore)
+      bpeTokenStats, bpeShardAssign, bpeChunk, classifierScore,
+      unigramSurprisal)
 }

@@ -46,7 +46,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // rel_share_of_total and rel_pareto broadcast-attach their
       // 1-row corpus-total aggregate to a bounded dimension table —
       // the same scalar-attach pattern, documented at the queries
-      "rel_share_of_total", "rel_pareto")
+      "rel_share_of_total", "rel_pareto",
+      // ev_rfm broadcast-attaches its 1-row recency anchor (the
+      // ev_watermark scalar-attach pattern) to the per-user aggregate
+      "ev_rfm",
+      // ta_unigram_surprisal broadcast-attaches the 1-row corpus
+      // token total to the token-count join — same scalar-attach
+      "ta_unigram_surprisal")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the

@@ -321,4 +321,71 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("skyline2d equals brute-force dominance on tie-heavy random data") {
+    // coordinates in 0..6 so x-ties, y-ties and exact (x, y)
+    // duplicates are all dense — the RANGE-frame strictness and the
+    // duplicates-survive-together rule get exercised on every draw
+    val rows = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0L, 6L)))
+      .sample.get.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+    val df = rows.toDF("id", "x", "y")
+    val got = graft.operators.Skyline
+      .skyline2d(df, "x", "y",
+        bucket = org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.lit(7)))
+      .select("id").as[Long].collect().toSet
+    val expect = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y)
+      }
+    }.map(_._1).toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("cdcChunks: reassembly is lossless and boundaries are local") {
+    // reassembly: chunks in id order, space-joined, rebuild the text
+    // exactly — for ANY doc including those shorter than the window
+    // and the empty string (split('') = [''], one empty-token chunk).
+    // locality: prepending tokens shifts every original boundary by
+    // the prefix length but can only create/destroy boundaries whose
+    // 4-gram overlaps the seam — boundary positions beyond
+    // prefix+window−1 must be exactly the original ones shifted.
+    val w = 4
+    val prefix = List("p", "q", "r", "s", "t")
+    val doc = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+    val bases = Gen.listOfN(30, doc).sample.get
+    val docs = bases.zipWithIndex.flatMap { case (toks, i) =>
+      Seq((i.toLong * 2, toks.mkString(" ")),
+        (i.toLong * 2 + 1, (prefix ++ toks).mkString(" ")))
+    } :+ (9999L, "")
+    val ch = graft.operators.TextDedup
+      .cdcChunks(docs.toDF("doc_id", "text"), window = w, mask = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    docs.foreach { case (id, text) =>
+      assert(ch(id).mkString(" ") == text, s"doc $id reassembly")
+    }
+    // boundary positions = cumulative token counts of all but the
+    // last chunk (a break follows each chunk's final token)
+    def bounds(chunks: List[String]): List[Int] =
+      chunks.init.scanLeft(0)(_ + _.split(" ", -1).length).tail
+    bases.indices.foreach { i =>
+      val b0 = bounds(ch(i.toLong * 2))
+      val b1 = bounds(ch(i.toLong * 2 + 1))
+      // every base boundary sits at p ≥ w, so its shift lands at
+      // p + |prefix| ≥ |prefix| + w — exactly the region where a
+      // shifted-doc boundary's gram cannot overlap the seam
+      val stable0 = b0.map(_ + prefix.length)
+      val stable1 = b1.filter(_ >= prefix.length + w)
+      assert(stable1 == stable0,
+        s"doc $i late boundaries moved: base=$b0 shifted=$b1")
+    }
+  }
 }

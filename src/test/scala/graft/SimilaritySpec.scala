@@ -147,4 +147,50 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"mean PQ recall@10 $mean below floor")
   }
+
+  test("IVF+PQ results stay inside the probe cells and recall against brute") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Ann
+    // candidate containment: the composition must inherit topkIvf2's
+    // pruning — every returned vector lives in one of its query's
+    // nprobe=2 probe cells (same certified centroids)
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val cents = Ann.ivfCentroids(spark, emb, 8,
+      steps = graft.queries.Similarity.IvfSteps)
+    val cellOf = Ann.ivfAssign(emb, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = Ann.ivfProbeCells(
+      emb.filter(col("vec_id") < 3), cents, nprobe = 2)
+      .select("q_id", "q_cell").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val ivfpq = topSets("ss_topk_ivfpq")
+    for ((q, ids) <- ivfpq; id <- ids)
+      assert(probes(q).contains(cellOf(id)),
+        s"query $q returned vec $id outside its probe cells")
+    // and scoring 16-byte codes instead of floats must still beat
+    // chance decisively (same floor as the flat-PQ face)
+    val exact = topSets("ss_topk_brute")
+    val recalls = exact.keys.toSeq.map { q =>
+      (ivfpq.getOrElse(q, Set.empty) & exact(q)).size.toDouble / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean IVF+PQ recall@10 $mean below floor")
+  }
+
+  test("semantic dedup: the most peripheral member of every cell survives") {
+    // SemDeDup's keep rule orders by (fit asc, vec_id asc) — the
+    // cell's minimum under that order has no neighbor ranking ahead
+    // of it, so it can never be dropped, whatever the threshold; and
+    // the verdict partitions the corpus exactly
+    val rows = SparkEntry.queries("dd_semantic_dedup")(spark, sf)
+      .select("vec_id", "cell", "fit_e6", "verdict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_._4).forall(v => v == "keep" || v == "drop"))
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val champion = members.minBy(m => (m._3, m._1))
+      assert(champion._4 == "keep",
+        s"cell $cell: min-fit member ${champion._1} was dropped")
+    }
+  }
 }
