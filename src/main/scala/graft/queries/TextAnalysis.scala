@@ -1476,15 +1476,14 @@ object TextAnalysis extends QueryModule {
   val classifierScore: Q = Q(
     "ta_classifier_score",
     (s, dir) => {
-      val dim = (ascii(substring(md5(col("token")), 1, 1)) * 31 +
-        ascii(substring(md5(col("token")), 2, 1))) % 64
+      import graft.operators.QualityModel
       docs(s, dir)
         .select(col("doc_id"),
           explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
-        .select(col("doc_id"), dim.cast("long").as("dim"))
+        .select(col("doc_id"), QualityModel.dimOf(col("token")).as("dim"))
         .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
-        .withColumn("w", (col("dim") * 37 + 11) % 21 - 10)
+        .withColumn("w", QualityModel.weightOfDim(col("dim")))
         .groupBy("doc_id")
         .agg(sum("cnt").as("n_tokens"),
           sum(col("cnt") * col("w")).as("logit"))

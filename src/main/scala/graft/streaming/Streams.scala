@@ -679,6 +679,63 @@ object Streams {
       }
   }
 
+  /** Streaming classifier admission gate — the ingest-time face of
+    * `ta_classifier_score`: every arriving document is scored by the
+    * shared [[graft.operators.QualityModel]] kernel (one per-row
+    * fold over its tokens — the batch face's two-level aggregation
+    * flattened, equality pinned in EdgeCaseSpec) and only positive-
+    * logit documents pass. Stateless (pure per-row expression): no
+    * state store, no watermark, safe at any stream rate — the same
+    * admission-filter family as [[streamingDecontaminationGate]] and
+    * [[streamingPiiScrub]], composable with both. */
+  def streamingClassifierGate(docs: DataFrame,
+                              textCol: String = "text"): DataFrame =
+    docs.filter(
+      coalesce(graft.operators.QualityModel.logitOf(col(textCol)),
+        lit(0L)) > 0)
+
+  /** Running RFM state after each micro-batch. */
+  final case class RfmState(user_id: Long, last_us: Long,
+                            frequency: Long, monetary_cents: Long)
+
+  /** Streaming RFM accumulator — the live half of `ev_rfm`: per user,
+    * the running (last-purchase timestamp, purchase count, exact
+    * cents) triple the batch face aggregates before scoring. Quintile
+    * scores need the cross-user distribution, so scoring stays a
+    * report-time batch step over this state (exactly how the batch
+    * face scores its per-user aggregate); the stream maintains the
+    * expensive part — the fact-table collapse — incrementally.
+    * State per user is three longs; last/count/sum are
+    * arrival-order-independent, so emitted rows match the batch
+    * aggregate under ANY batch split (StreamsSpec pins replay
+    * parity). */
+  def streamingRfm(events: Dataset[Event]): Dataset[RfmState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), RfmState](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (lastUs, freq, cents) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          rows.foreach { e =>
+            // sign-safe micros and Spark-exact HALF_UP cents — the
+            // streamingAttributionLinear replay-parity idioms
+            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+            if (us > lastUs) lastUs = us
+            freq += 1
+            cents += java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .longValueExact()
+          }
+          state.update((lastUs, freq, cents))
+          RfmState(user, lastUs, freq, cents)
+      }
+  }
+
   /** Stream-stream join: each interaction event paired with error
     * events by the same user in the preceding `lookbackMinutes`. Both
     * sides carry watermarks and the join condition is time-bounded, so

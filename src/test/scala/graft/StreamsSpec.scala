@@ -773,4 +773,70 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         s"expired late interval must not inflate live: $liveAfterLate")
     } finally q.stop()
   }
+
+  test("streamingRfm state matches the batch RFM aggregate across batch splits") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val (b1, b2) = ev.splitAt(ev.size / 3)
+    val source = MemoryStream[Event]
+    val q = Streams.streamingRfm(source.toDS())
+      .writeStream.format("memory").queryName("rfm_state")
+      .outputMode("update").start()
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      // last emission per user = final running state; must equal the
+      // batch face's per-user collapse (the ev_rfm pre-quintile
+      // stage, same unix_micros / HALF_UP-cents expressions) under
+      // this arbitrary batch split
+      val streamed = spark.table("rfm_state")
+        .groupBy("user_id")
+        .agg(max("last_us").as("last_us"),
+          max("frequency").as("frequency"),
+          max("monetary_cents").as("monetary_cents"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val batch = graft.sources.Tables(
+          spark, "/root/testdata/sf0.001", "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("value") * 100).cast("long"))
+            .as("monetary_cents"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streamingClassifierGate admits exactly the batch keep verdicts") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+    val keep = SparkEntry.queries("ta_classifier_score")(
+        spark, "/root/testdata/sf0.001")
+      .filter(col("verdict") === "keep")
+      .select("doc_id").as[Long].collect().toSet
+    val source = MemoryStream[(Long, String)]
+    val q = Streams.streamingClassifierGate(
+        source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clf_gate")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      val admitted = spark.table("clf_gate")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == keep,
+        s"gate/batch disagree: gateOnly=${admitted -- keep} " +
+          s"batchOnly=${keep -- admitted}")
+    } finally q.stop()
+  }
 }
