@@ -34,19 +34,26 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** One staircase pass: keep the rows not dominated within their
-    * partition. `parts` empty = global. */
+    * partition. `parts` empty = global. Both running maxes ride ONE
+    * window spec (same partitioning, same x order, two RANGE frames),
+    * which Catalyst collapses into a single Window node — one
+    * exchange + one sort per pass, not two:
+    *   max over x' <  x  ≥ y  → dominated by a strictly-cheaper row;
+    *   max over x' ≤ x  >  y  → dominated by a same-or-cheaper row
+    *                            with strictly larger y (covers the
+    *                            same-x case; equal (x, y) duplicates
+    *                            give max = y and survive together). */
   private def pass(df: DataFrame, xCol: String, yCol: String,
                    parts: Seq[Column]): DataFrame = {
-    val wLower = Window.partitionBy(parts: _*)
-      .orderBy(col(xCol))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wSame = Window.partitionBy(parts :+ col(xCol): _*)
+    val byX = Window.partitionBy(parts: _*).orderBy(col(xCol))
+    val wLower = byX.rangeBetween(Window.unboundedPreceding, -1)
+    val wLe = byX.rangeBetween(Window.unboundedPreceding, 0)
     df.withColumn("__max_y_cheaper", max(col(yCol)).over(wLower))
-      .withColumn("__max_y_same", max(col(yCol)).over(wSame))
+      .withColumn("__max_y_le", max(col(yCol)).over(wLe))
       .filter((col("__max_y_cheaper").isNull ||
           col("__max_y_cheaper") < col(yCol)) &&
-        col("__max_y_same") <= col(yCol))
-      .drop("__max_y_cheaper", "__max_y_same")
+        col("__max_y_le") <= col(yCol))
+      .drop("__max_y_cheaper", "__max_y_le")
   }
 
   /** The skyline of `df` minimizing `xCol` and maximizing `yCol`.
@@ -56,5 +63,11 @@ object Skyline {
     * spreads rows evenly. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
                 bucket: Column): DataFrame =
-    pass(pass(df, xCol, yCol, Seq(bucket)), xCol, yCol, Seq.empty)
+    // materialize the bucket once: handing the raw expression to both
+    // window specs would re-alias it per withColumn, and CollapseWindow
+    // only merges Window nodes over the SAME partition attribute —
+    // with a named column each pass is one exchange + one sort
+    pass(pass(df.withColumn("__bucket", bucket),
+        xCol, yCol, Seq(col("__bucket"))).drop("__bucket"),
+      xCol, yCol, Seq.empty)
 }
