@@ -100,6 +100,54 @@ object Dedup extends QueryModule {
       SELECT doc_a, doc_b, shared_bands FROM cand ORDER BY doc_a, doc_b""")
   )
 
+  /** LSH bucket-health report — the observability face behind every
+    * "cost is Σ bucket², never corpus²" claim in this module: per
+    * band, the bucket count, banded doc count, the LARGEST bucket
+    * (the straggler task an operator would feel first), and the
+    * PREDICTED candidate-pair volume `Σ m·(m−1)/2` — computable from
+    * bucket sizes alone, BEFORE paying for the self-join. This is
+    * the number an operator checks when tuning (numPerms, bands) on
+    * a new corpus: if pred_pairs explodes, shrink buckets; the
+    * actual dd_minhash_lsh join cost is bounded by it by
+    * construction (shared-band pairs dedupe, so the join emits ≤
+    * the prediction).
+    *
+    * Scale (100 TB): two map-side-combined aggregates — (band,
+    * bucket) then band — over the banded signature rows; output is
+    * |bands| rows. Nothing here touches pairs. */
+  val lshBucketStats: Q = Q(
+    "dd_lsh_bucket_stats",
+    (s, dir) => {
+      import graft.operators.TextDedup
+      val b = TextDedup.bands(
+        TextDedup.signaturesNarrow(Tables(s, dir, "documents"), 8),
+        numPerms = 8, nBands = 2)
+      b.groupBy("band", "bucket").agg(count(lit(1)).as("m"))
+        .groupBy("band").agg(
+          count(lit(1)).as("n_buckets"),
+          sum("m").as("n_docs"),
+          max("m").as("max_bucket"),
+          sum(expr("(m * (m - 1)) div 2")).as("pred_pairs"))
+        .select(col("band").cast("long").as("band"), col("n_buckets"),
+          col("n_docs"), col("max_bucket"), col("pred_pairs"))
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH $shinglesSql, $sigSql,
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h4||h5||h6||h7) AS bucket FROM sig),
+      per AS (
+        SELECT band, bucket, count(*) AS m FROM bands GROUP BY 1, 2)
+      SELECT CAST(band AS BIGINT) AS band,
+             count(*) AS n_buckets,
+             CAST(sum(m) AS BIGINT) AS n_docs,
+             CAST(max(m) AS BIGINT) AS max_bucket,
+             CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS pred_pairs
+      FROM per GROUP BY 1 ORDER BY 1""")
+  )
+
   /** Exact n-gram Jaccard, computed ONLY on LSH candidates — the
     * verify step of the LSH pipeline. Cost is |candidates| × shingle
     * overlap, independent of corpus²; the all-pairs variant this
@@ -1549,5 +1597,6 @@ object Dedup extends QueryModule {
     dupRateBySource, ngramDupRate, repeatedSpans, spanScrub,
     sourceOverlap, curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
-    paragraphDedup, fuzzyVerify, contaminationRate, cdcChunkDup)
+    paragraphDedup, fuzzyVerify, contaminationRate, cdcChunkDup,
+    lshBucketStats)
 }
