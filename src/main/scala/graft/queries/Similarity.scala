@@ -898,7 +898,46 @@ object Similarity extends QueryModule {
       ORDER BY o.vec_id""")
   )
 
+  /** Radius (range) search — the OTHER retrieval API next to top-k:
+    * every corpus vector within cosine ≥ 0.25 of each query, however
+    * many or few there are. Top-k answers "the best k whatever their
+    * quality"; range search answers "everything above a quality bar"
+    * — the right call for dedup-style gates (cf. dd_semantic_dedup's
+    * τ) and recall-sensitive retrieval where a fixed k truncates.
+    * Runs over the same certified IVF machinery as [[topkIvf2]]
+    * (nprobe=2 probe cells, bit-identical cosines), so the only new
+    * code is the predicate: no rank window at all — the result is
+    * filter-bounded, not k-bounded, and the plan has no top-k sort.
+    *
+    * Scale (100 TB): probe cost identical to ss_topk_ivf2; output is
+    * bounded by the radius selectivity — the face to prefer when k
+    * would be either truncating (dense neighborhoods) or padding
+    * (sparse ones). */
+  val rangeSearch: Q = Q(
+    "ss_range_search",
+    (s, dir) => {
+      import graft.operators.Ann
+      val emb = Tables(s, dir, "embeddings")
+      val cents1 = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps)
+      val assigned = Ann.ivfAssign(emb, cents1)
+      val queries = Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3), cents1, nprobe = 2)
+      assigned
+        .join(broadcast(queries),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
+        .filter(col("cosine") >= 0.25)
+        .select(col("q_id"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    Some(s"""
+      WITH ${ivfDuckCtes(2)}
+      SELECT q_id, vec_id, cosine FROM iscored
+      WHERE cosine >= 0.25 ORDER BY q_id, vec_id""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
-    topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup)
+    topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup,
+    rangeSearch)
 }
