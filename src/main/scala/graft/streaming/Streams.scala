@@ -736,6 +736,54 @@ object Streams {
       }
   }
 
+  /** Frontier summary after each micro-batch: the live skyline's
+    * size and exact integer digests (min x, max y, coordinate sums —
+    * enough for StreamsSpec to pin set-level parity against the
+    * batch operator without shipping the frontier itself). */
+  final case class Frontier(key: String, size: Long, min_x: Long,
+                            max_y: Long, x_sum: Long, y_sum: Long)
+
+  /** Streaming Pareto-frontier monitor — the live face of
+    * `operators.Skyline`: per key, the running 2-D skyline (minimize
+    * x, maximize y) of every point seen so far, maintained by
+    * incremental insertion (a point enters iff nothing dominates it
+    * and evicts whatever it dominates — the fold form of the batch
+    * staircase; skylines are insertion-order independent, so emitted
+    * state matches the batch operator under ANY batch split,
+    * duplicates-survive-together included). The best-trade-off
+    * monitor a pipeline runs live: cheapest price per quality tier,
+    * best quality per price so far.
+    *
+    * State per key is the frontier itself — bounded by |distinct x|
+    * in the worst case, typically far smaller (the staircase); NOT
+    * watermark-bounded, so keys with unbounded distinct-x streams
+    * need a coordinate quantization upstream. */
+  def streamingSkyline(points: DataFrame): Dataset[Frontier] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.select(col("key").cast("string"), col("x").cast("long"),
+        col("y").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[List[(Long, Long)], Frontier](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[List[(Long, Long)]]) =>
+          var st = state.getOption.getOrElse(Nil)
+          rows.foreach { case (_, x, y) =>
+            val dominated = st.exists(q =>
+              q._1 <= x && q._2 >= y && (q._1 < x || q._2 > y))
+            if (!dominated)
+              st = (x, y) :: st.filterNot(q =>
+                x <= q._1 && y >= q._2 && (x < q._1 || y > q._2))
+          }
+          state.update(st)
+          Frontier(key, st.size.toLong,
+            st.map(_._1).min, st.map(_._2).max,
+            st.map(_._1).sum, st.map(_._2).sum)
+      }
+  }
+
   /** Stream-stream join: each interaction event paired with error
     * events by the same user in the preceding `lookbackMinutes`. Both
     * sides carry watermarks and the join condition is time-bounded, so

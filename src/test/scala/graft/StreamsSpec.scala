@@ -813,6 +813,44 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streamingSkyline frontier matches the batch skyline across batch splits") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // tie-heavy coordinates so equal-x, equal-y and exact-duplicate
+    // cases all occur; two keys to prove state isolation
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 200).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        rnd.nextInt(7).toLong, rnd.nextInt(7).toLong))
+    val (b1, b2) = pts.splitAt(70)
+    val source = MemoryStream[(String, Long, Long)]
+    val q = Streams.streamingSkyline(
+        source.toDF().toDF("key", "x", "y"))
+      .writeStream.format("memory").queryName("sky_state")
+      .outputMode("update").start()
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("sky_state")
+        .orderBy("key").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) =>
+          val last = rs.last
+          k -> ((last.getLong(1), last.getLong(2), last.getLong(3),
+            last.getLong(4), last.getLong(5)))
+        }
+      for (k <- Seq("a", "b")) {
+        val batch = graft.operators.Skyline.skyline2d(
+            pts.filter(_._1 == k).map(p => (p._2, p._3)).toDF("x", "y"),
+            "x", "y", bucket = pmod(col("x") + col("y"), lit(3)))
+          .as[(Long, Long)].collect()
+        val expect = (batch.length.toLong, batch.map(_._1).min,
+          batch.map(_._2).max, batch.map(_._1).sum, batch.map(_._2).sum)
+        assert(streamed(k) == expect,
+          s"key $k: streamed=${streamed(k)} batch=$expect")
+      }
+    } finally q.stop()
+  }
+
   test("streamingClassifierGate admits exactly the batch keep verdicts") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.col
