@@ -70,7 +70,28 @@ object Bench {
     }
     calibOnce() // absorb the calib shape's own codegen
     val calib = Seq.fill(3)(calibOnce()).sorted.apply(1)
-    System.err.println(f"[bench] host calib: $calib%.3f s")
+    // second probe, SHUFFLE-bound: the pure-CPU probe misses
+    // exchange/memory-bandwidth host changes in BOTH directions —
+    // r10 saw it halve while query throughput was unchanged (false
+    // flags from a sub-1 scale, hence the 1.0 floor), and r11 saw a
+    // reboot land the same VM image on a host whose CPU probe was
+    // IDENTICAL while every shuffle-heavy query ran uniformly
+    // ~1.4-1.8× slower (a false UNRESOLVED flag on the query with
+    // the largest proportional drift). One fixed groupBy over 30M
+    // rows into 2M keys prices the exchange path; the gate excuses
+    // against the WORSE of the two probes.
+    def calibShuffleOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 10000000L, 1, cpus.toInt)
+        .selectExpr("pmod(id * 2654435761, 1000000) AS k")
+        .groupBy("k").count()
+        .selectExpr("bit_xor(k * count) AS x").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibShuffleOnce() // absorb this shape's codegen too
+    val calibSh = Seq.fill(3)(calibShuffleOnce()).sorted.apply(1)
+    System.err.println(
+      f"[bench] host calib: cpu $calib%.3f s, shuffle $calibSh%.3f s")
     // optional args = subset of query names, for local iteration on one
     // query without paying for the whole catalog
     // SPARK_GRAFT_SKEW_BENCH=only: run just the skew-evidence section
@@ -160,6 +181,7 @@ object Bench {
     // unresolved). -1 = gate never compared (no/foreign previous file).
     var reruns: Seq[Rerun] = Nil
     var calib2 = -1.0
+    var calibSh2 = -1.0
     var unresolvedFlags = -1
     if (writeDetail && prevFile.exists()) try {
       val prevTxt = new String(
@@ -197,13 +219,16 @@ object Bench {
         val prevCalib = parseDetailField(prevTxt, "calib")
           .flatMap(s => scala.util.Try(s.toDouble).toOption)
           .filter(_ > 0)
-        val scale = prevCalib.map(pc => calibScale(pc, calib)).getOrElse(1.0)
+        val prevCalibSh = parseDetailField(prevTxt, "calib_sh")
+          .flatMap(s => scala.util.Try(s.toDouble).toOption)
+          .filter(_ > 0)
+        val scale = dualScale(prevCalib, prevCalibSh, calib, calibSh)
         if (math.abs(scale - 1.0) > 0.3) System.err.println(
           f"[bench] host speed differs from previous run by $scale%.2fx " +
             "(calib-normalized gate; absolute totals NOT comparable)")
         // monotone floor (same sf/reps/cpus frame only)
         val floorFile = new java.io.File(floorPath(detailPath))
-        val floor: Map[String, (Double, Double)] =
+        val floor: Map[String, (Double, Double, Double)] =
           if (!floorFile.exists()) Map.empty
           else {
             val txt = new String(
@@ -218,7 +243,8 @@ object Bench {
             } else parseFloorQueries(txt)
           }
         val curRaw = results.collect { case (k, v, None) => k -> v }.toMap
-        val regs = regressionsWithFloor(prev, prevCalib, floor, curRaw, calib)
+        val regs = regressionsWithFloor(prev, prevCalib, prevCalibSh,
+          floor, curRaw, calib, calibSh)
         regs.foreach { case (k, o, n, _, src) =>
           System.err.println(
             f"[bench] REGRESSION $k: $o%.2f s -> $n%.2f s " +
@@ -228,32 +254,33 @@ object Bench {
           System.err.println(
             s"[bench] ${regs.size} queries regressed >${RegressionFactor}x " +
               s"vs $detailPath -- self-arbitrating with an in-process rerun")
-          // fresh calib first: if the host slowed mid-run (the r8/r9
+          // fresh calibs first: if the host slowed mid-run (the r8/r9
           // signature), the rerun must be judged in the CURRENT host
           // frame, not the one measured before 100+ queries of load
           calib2 = Seq.fill(3)(calibOnce()).sorted.apply(1)
-          System.err.println(f"[bench] fresh calib: $calib2%.3f s " +
-            f"(run-start was $calib%.3f s)")
+          calibSh2 = Seq.fill(3)(calibShuffleOnce()).sorted.apply(1)
+          System.err.println(f"[bench] fresh calib: cpu $calib2%.3f s, " +
+            f"shuffle $calibSh2%.3f s " +
+            f"(run-start was $calib%.3f / $calibSh%.3f s)")
           reruns = regs.map { case (k, baseVal, _, _, src) =>
             val first = results.collectFirst {
               case (`k`, v, None) => v }.getOrElse(-1.0)
             val (m, e) = timeQuery(k, " [rerun]")
             // resolved = the rerun is NOT a regression against ANY
             // base (prev record AND floor), each normalized into its
-            // own host frame via the fresh calib (excuse-only). The
+            // own host frame via the fresh calibs (excuse-only). The
             // flag report keeps only the worst base per query, but a
             // rerun excused against that base alone could still fail
             // the other — e.g. a high fresh probe excusing the floor
             // frame while the prev record (near-1.0 scale) still
             // flags; arbitration must re-apply the full predicate.
             val bases =
-              prev.get(k).map(v => (v, prevCalib)).toSeq ++
-                floor.get(k).map { case (t, c) =>
-                  (t, Some(c).filter(_ > 0)) }
+              prev.get(k).map(v => (v, prevCalib, prevCalibSh)).toSeq ++
+                floor.get(k).map { case (t, c, cs) =>
+                  (t, Some(c).filter(_ > 0), Some(cs).filter(_ > 0)) }
             val resolved = e.isEmpty && m >= 0 &&
-              bases.forall { case (base, bc) =>
-                val n = m / bc.map(pc => calibScale(pc, calib2))
-                  .getOrElse(1.0)
+              bases.forall { case (base, bc, bcs) =>
+                val n = m / dualScale(bc, bcs, calib2, calibSh2)
                 !(base > 0 && n > base * RegressionFactor &&
                   n - base > RegressionFloorSec)
               }
@@ -284,7 +311,8 @@ object Bench {
     if (writeDetail) {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detailJson(results, reps, sfName, calib, cpus, reruns, calib2,
-          unresolvedFlags, skew) + "\n").getBytes("UTF-8"))
+          unresolvedFlags, skew, calibSh, calibSh2) + "\n")
+          .getBytes("UTF-8"))
       // lower the monotone floor where this run beat it (rerun
       // medians count: same query, same purge discipline); never
       // overwrite a floor recorded under a different frame
@@ -304,7 +332,8 @@ object Bench {
               case r if r.name == k && r.rerun > 0 => r.rerun
             }.getOrElse(v))
           }.toMap
-          val nf = updatedFloor(parseFloorQueries(oldTxt), withRerun, calib)
+          val nf = updatedFloor(parseFloorQueries(oldTxt), withRerun,
+            calib, calibSh)
           java.nio.file.Files.write(fp,
             (floorJson(sfName, reps, cpus, nf) + "\n").getBytes("UTF-8"))
         } else System.err.println(
@@ -484,20 +513,24 @@ object Bench {
       detailPath.replace("DETAIL", "FLOOR")
     else detailPath + ".floor"
 
-  /** `"name":[t,calib]` pairs inside the floor file's queries map. */
-  def parseFloorQueries(json: String): Map[String, (Double, Double)] = {
+  /** `"name":[t,calib]` or `"name":[t,calib,calibSh]` pairs inside
+    * the floor file's queries map — the 2-element form predates the
+    * shuffle probe and parses with calibSh = −1 (cpu-only
+    * normalization, the old behavior). */
+  def parseFloorQueries(json: String): Map[String, (Double, Double, Double)] = {
     val start = json.indexOf("\"queries\":{")
     if (start < 0) return Map.empty
-    "\"([^\"]+)\":\\[(-?[0-9.]+),(-?[0-9.]+)\\]".r
+    "\"([^\"]+)\":\\[(-?[0-9.]+),(-?[0-9.]+)(?:,(-?[0-9.]+))?\\]".r
       .findAllMatchIn(json.substring(start))
-      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+      .map(m => m.group(1) -> ((m.group(2).toDouble, m.group(3).toDouble,
+        Option(m.group(4)).map(_.toDouble).getOrElse(-1.0))))
       .toMap
   }
 
   def floorJson(sfName: String, reps: Int, cpus: String,
-                entries: Map[String, (Double, Double)]): String = {
-    val qs = entries.toSeq.sortBy(_._1).map { case (k, (t, c)) =>
-      jsonStr(k) + s":[${fmt(t, 6)},${fmt(c, 6)}]"
+                entries: Map[String, (Double, Double, Double)]): String = {
+    val qs = entries.toSeq.sortBy(_._1).map { case (k, (t, c, cs)) =>
+      jsonStr(k) + s":[${fmt(t, 6)},${fmt(c, 6)},${fmt(cs, 6)}]"
     }.mkString("{", ",", "}")
     s"""{"sf":"$sfName","reps":$reps,"cpus":"$cpus","queries":$qs}"""
   }
@@ -505,9 +538,10 @@ object Bench {
   /** Lower the floor where this run's raw median (rerun included —
     * the rerun is the same query under the same purge discipline)
     * beat it; never raise it. */
-  def updatedFloor(floor: Map[String, (Double, Double)],
+  def updatedFloor(floor: Map[String, (Double, Double, Double)],
                    cur: Map[String, Double],
-                   calib: Double): Map[String, (Double, Double)] =
+                   calib: Double, calibSh: Double = -1.0)
+      : Map[String, (Double, Double, Double)] =
     floor ++ cur.flatMap { case (k, t) =>
       // Lower the floor only when the candidate beats it in the FLOOR
       // entry's own host frame: a noisy-LOW calib probe (host reads
@@ -516,18 +550,22 @@ object Bench {
       // re-seed a (same-time, tiny-calib) entry whose calibScale then
       // excuses up to 3x drift on every later run — the gate
       // silently loosening itself. Scaling the candidate UP by
-      // floorCalib/calib (clamped like calibScale, and only when the
-      // current probe reads faster) blocks that; a slower-probe run
-      // compares raw, since beating the floor on a slower host is
-      // genuinely faster code.
-      val beats = floor.get(k).forall { case (ft, fc) =>
-        val tn =
+      // floorCalib/calib (clamped like calibScale, per probe channel,
+      // and only when the current probe reads faster) blocks that; a
+      // slower-probe run compares raw, since beating the floor on a
+      // slower host is genuinely faster code.
+      val beats = floor.get(k).forall { case (ft, fc, fcs) =>
+        val upCpu =
           if (fc > 0 && calib > 0)
-            t * math.max(1.0, math.min(3.0, fc / calib))
-          else t
-        tn < ft
+            math.max(1.0, math.min(3.0, fc / calib))
+          else 1.0
+        val upSh =
+          if (fcs > 0 && calibSh > 0)
+            math.max(1.0, math.min(3.0, fcs / calibSh))
+          else 1.0
+        t * math.max(upCpu, upSh) < ft
       }
-      if (t >= 0 && beats) Some(k -> (t, calib)) else None
+      if (t >= 0 && beats) Some(k -> ((t, calib, calibSh))) else None
     }
 
   /** Gate predicate against BOTH comparison bases — the previous
@@ -539,17 +577,17 @@ object Bench {
     * multi-run drift the last-record comparison re-baselines away. */
   def regressionsWithFloor(
       prev: Map[String, Double], prevCalib: Option[Double],
-      floor: Map[String, (Double, Double)],
-      curRaw: Map[String, Double], calib: Double)
+      prevCalibSh: Option[Double],
+      floor: Map[String, (Double, Double, Double)],
+      curRaw: Map[String, Double], calib: Double, calibSh: Double = -1.0)
       : Seq[(String, Double, Double, Option[Double], String)] =
     curRaw.toSeq.flatMap { case (k, raw) =>
       val cands =
-        prev.get(k).map(v => (v, prevCalib, "prev")).toSeq ++
-          floor.get(k).map { case (t, c) =>
-            (t, Some(c).filter(_ > 0), "floor") }
-      val hits = cands.flatMap { case (base, bc, src) =>
-        val sc = bc.map(pc => calibScale(pc, calib)).getOrElse(1.0)
-        val n = raw / sc
+        prev.get(k).map(v => (v, prevCalib, prevCalibSh, "prev")).toSeq ++
+          floor.get(k).map { case (t, c, cs) =>
+            (t, Some(c).filter(_ > 0), Some(cs).filter(_ > 0), "floor") }
+      val hits = cands.flatMap { case (base, bc, bcs, src) =>
+        val n = raw / dualScale(bc, bcs, calib, calibSh)
         if (base > 0 && n > base * RegressionFactor &&
             n - base > RegressionFloorSec)
           Some((k, base, n, bc, src))
@@ -575,6 +613,27 @@ object Bench {
     * lockstep) is bounded separately by the BASELINE total. */
   def calibScale(prevCalib: Double, curCalib: Double): Double =
     math.max(1.0, math.min(3.0, curCalib / prevCalib))
+
+  /** Two-channel host normalization: the worse (larger-excuse) of the
+    * CPU and SHUFFLE probe ratios, each excuse-only and clamped like
+    * [[calibScale]]. A base without a recorded shuffle calib (older
+    * detail/floor files) degrades to the cpu-only behavior. The max —
+    * not a blend — because a query is gated by whichever resource the
+    * host got slower at; r11's reboot changed shuffle throughput
+    * 1.4-1.8× with the CPU probe identical, and cpu-only
+    * normalization manufactured an UNRESOLVED flag on identical
+    * code. */
+  def dualScale(prevCpu: Option[Double], prevSh: Option[Double],
+                curCpu: Double, curSh: Double): Double = {
+    val c = prevCpu.filter(_ > 0)
+      .map(pc => calibScale(pc, curCpu)).getOrElse(1.0)
+    val s =
+      if (curSh > 0)
+        prevSh.filter(_ > 0).map(ps => calibScale(ps, curSh))
+          .getOrElse(1.0)
+      else 1.0
+    math.max(c, s)
+  }
 
   /** Queries in both maps that slowed past both thresholds:
     * (name, previous, current), worst factor first. */
@@ -653,11 +712,14 @@ object Bench {
                  cpus: String = "", reruns: Seq[Rerun] = Nil,
                  calib2: Double = -1.0,
                  unresolvedFlags: Int = -1,
-                 skew: Map[String, Double] = Map.empty): String = {
+                 skew: Map[String, Double] = Map.empty,
+                 calibSh: Double = -1.0,
+                 calibSh2: Double = -1.0): String = {
     val total = results.collect { case (_, v, None) => v }.sum
     val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, 6) }
       .mkString("{", ",", "}")
-    val calibPart = if (calib > 0) s""","calib":${fmt(calib, 6)}""" else ""
+    val calibPart = (if (calib > 0) s""","calib":${fmt(calib, 6)}""" else "") +
+      (if (calibSh > 0) s""","calib_sh":${fmt(calibSh, 6)}""" else "")
     val cpusPart = if (cpus.nonEmpty) s""","cpus":"$cpus"""" else ""
     // reruns AFTER queries: parseDetailQueries scans to the first '}'
     // past "queries":{ — nested objects must not precede it
@@ -669,7 +731,9 @@ object Bench {
             fmt(r.rerun, 6)},"prev":${fmt(r.prev, 6)},"resolved":${
             r.resolved}}"""
         }.mkString("{", ",", "}")
-        val c2 = if (calib2 > 0) s""","calib2":${fmt(calib2, 6)}""" else ""
+        val c2 = (if (calib2 > 0) s""","calib2":${fmt(calib2, 6)}"""
+          else "") +
+          (if (calibSh2 > 0) s""","calib_sh2":${fmt(calibSh2, 6)}""" else "")
         s""","reruns":$body$c2"""
       }
     val flagsPart =

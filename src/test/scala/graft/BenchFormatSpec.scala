@@ -168,52 +168,76 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("monotone floor: round-trips, only lowers, and catches multi-run drift") {
-    // round-trip
-    val entries = Map("q1" -> (1.25, 0.14), "q2" -> (0.5, 0.2))
+    // round-trip (3-element entries: [t, calibCpu, calibShuffle])
+    val entries = Map("q1" -> ((1.25, 0.14, 0.5)), "q2" -> ((0.5, 0.2, 0.6)))
     val js = Bench.floorJson("sf0.1", 3, "32", entries)
     assert(Bench.parseFloorQueries(js) === entries)
     assert(Bench.parseDetailField(js, "sf") === Some("sf0.1"))
     assert(Bench.parseDetailField(js, "cpus") === Some("32"))
     assert(Bench.parseFloorQueries("") === Map.empty)
     assert(Bench.floorPath("BENCH_DETAIL.json") === "BENCH_FLOOR.json")
+    // pre-shuffle-probe files (2-element entries) parse with the
+    // shuffle calib absent — cpu-only normalization, the old behavior
+    val legacy = """{"sf":"sf0.1","reps":3,"cpus":"32",""" +
+      """"queries":{"q1":[1.25,0.14]}}"""
+    assert(Bench.parseFloorQueries(legacy) === Map("q1" -> ((1.25, 0.14, -1.0))))
     // update: lowers on a faster run, never raises on a slower one,
     // seeds unseen queries
     val up = Bench.updatedFloor(entries,
-      Map("q1" -> 0.9, "q2" -> 3.0, "q3" -> 0.7), calib = 0.3)
-    assert(up("q1") === (0.9, 0.3))   // lowered, new calib recorded
-    assert(up("q2") === (0.5, 0.2))   // slower run: floor unchanged
-    assert(up("q3") === (0.7, 0.3))   // seeded
+      Map("q1" -> 0.9, "q2" -> 3.0, "q3" -> 0.7), calib = 0.3, calibSh = 0.7)
+    assert(up("q1") === ((0.9, 0.3, 0.7)))   // lowered, new calibs recorded
+    assert(up("q2") === ((0.5, 0.2, 0.6)))   // slower run: floor unchanged
+    assert(up("q3") === ((0.7, 0.3, 0.7)))   // seeded
     // the r10 blind spot: pagerank drifted 2.4 -> 3.3 -> 4.0 in two
     // sub-1.5x steps; the last-record gate re-baselined each time,
     // the floor base still flags the accumulated 1.67x
     val prev = Map("ta_domain_pagerank" -> 3.3)
-    val floor = Map("ta_domain_pagerank" -> (2.4, 0.14))
-    val regs = Bench.regressionsWithFloor(prev, Some(0.14), floor,
+    val floor = Map("ta_domain_pagerank" -> ((2.4, 0.14, -1.0)))
+    val regs = Bench.regressionsWithFloor(prev, Some(0.14), None, floor,
       Map("ta_domain_pagerank" -> 4.0), calib = 0.14)
     assert(regs.map(r => (r._1, r._2, r._5)) ===
       Seq(("ta_domain_pagerank", 2.4, "floor")))
     // excuse-only normalization applies per base: same raw times on a
     // host whose probe says 2x slower do not flag
-    val slowHost = Bench.regressionsWithFloor(prev, Some(0.14), floor,
+    val slowHost = Bench.regressionsWithFloor(prev, Some(0.14), None, floor,
       Map("ta_domain_pagerank" -> 4.0), calib = 0.28)
     assert(slowHost.isEmpty)
     // a query with no floor entry still gets the prev-record gate
     val prevOnly = Bench.regressionsWithFloor(
-      Map("x" -> 1.0), Some(0.2), Map.empty,
+      Map("x" -> 1.0), Some(0.2), None, Map.empty,
       Map("x" -> 2.1), calib = 0.2)
     assert(prevOnly.map(r => (r._1, r._5)) === Seq(("x", "prev")))
+    // the r11 blind spot: host reboot leaves the CPU probe IDENTICAL
+    // while shuffle throughput drops 1.7x — the shuffle channel must
+    // excuse the uniform drift on identical code...
+    val shFloor = Map("q" -> ((0.71, 0.17, 0.5)))
+    val shExcused = Bench.regressionsWithFloor(
+      Map.empty, None, None, shFloor,
+      Map("q" -> 1.29), calib = 0.17, calibSh = 0.9)
+    assert(shExcused.isEmpty,
+      "shuffle-probe excuse must clear the identical-code reboot drift")
+    // ...but with BOTH probes flat, the same drift is a real
+    // regression and still flags
+    val shFlags = Bench.regressionsWithFloor(
+      Map.empty, None, None, shFloor,
+      Map("q" -> 1.29), calib = 0.17, calibSh = 0.5)
+    assert(shFlags.map(r => (r._1, r._5)) === Seq(("q", "floor")))
     // the cross-frame re-seed hole: a noisy-LOW probe (0.2 -> 0.1,
     // "host 2x faster") with raw parity must NOT lower the floor —
     // the (1.9, 0.1) entry it would write excuses 2x drift on every
-    // later 0.2-probe run
-    val noisy = Bench.updatedFloor(Map("q" -> (2.0, 0.2)),
+    // later 0.2-probe run; the shuffle channel guards the same hole
+    val noisy = Bench.updatedFloor(Map("q" -> ((2.0, 0.2, -1.0))),
       Map("q" -> 1.9), calib = 0.1)
-    assert(noisy("q") === (2.0, 0.2),
+    assert(noisy("q") === ((2.0, 0.2, -1.0)),
       "raw parity under a halved probe must not re-seed the floor")
+    val noisySh = Bench.updatedFloor(Map("q" -> ((2.0, 0.2, 0.6))),
+      Map("q" -> 1.9), calib = 0.2, calibSh = 0.3)
+    assert(noisySh("q") === ((2.0, 0.2, 0.6)),
+      "raw parity under a halved SHUFFLE probe must not re-seed either")
     // a genuine win still lowers it once it clears the clamped scale
-    val win = Bench.updatedFloor(Map("q" -> (2.0, 0.2)),
+    val win = Bench.updatedFloor(Map("q" -> ((2.0, 0.2, -1.0))),
       Map("q" -> 0.9), calib = 0.1)
-    assert(win("q") === (0.9, 0.1),
+    assert(win("q") === ((0.9, 0.1, -1.0)),
       "0.9 x 2.0 scale = 1.8 < 2.0: beats the floor in its own frame")
   }
 
@@ -227,5 +251,15 @@ class BenchFormatSpec extends AnyFunSuite {
     // mode: probe halved, 32-thread query throughput unchanged)
     assert(Bench.calibScale(0.254, 0.133) === 1.0)
     assert(Bench.calibScale(0.2, 0.2) === 1.0)
+    // dual-channel: the excuse is the WORSE of the two probes, each
+    // channel independently excuse-only and degrading gracefully when
+    // a base predates the shuffle probe
+    assert(math.abs(Bench.dualScale(Some(0.2), Some(0.5), 0.2, 0.85)
+      - 1.7) < 1e-9)
+    assert(math.abs(Bench.dualScale(Some(0.2), Some(0.5), 0.3, 0.5)
+      - 1.5) < 1e-9)
+    assert(Bench.dualScale(Some(0.2), None, 0.4, 0.9) === 2.0)
+    assert(Bench.dualScale(None, None, 0.4, 0.9) === 1.0)
+    assert(Bench.dualScale(Some(0.2), Some(0.5), 0.1, 0.25) === 1.0)
   }
 }
