@@ -459,26 +459,32 @@ object TextDedup {
   def cdcChunks(docs: DataFrame, window: Int = 4, mask: Int = 8,
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = s"array_join(slice(__toks, p - ${window - 1}, $window), ' ')"
     val hashGram = s"(ascii(substring(md5($g), 1, 1)) * 31" +
       s" + ascii(substring(md5($g), 2, 1))) % $mask"
-    val t = docs
+    // the whole chunking runs INSIDE the token array — cut positions
+    // by one filter, chunk texts by one transform over (start, end)
+    // pairs — so the only exploded rows are the CHUNKS (~tokens/mask
+    // of them), and there is no per-token explode, no running-sum
+    // window, no exchange at all in the chunk stage: embarrassingly
+    // parallel per document. A cut AFTER the last token opens no new
+    // chunk (nothing follows it), hence the strict `p < size` bound.
+    docs
       .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__cuts", expr(
+        s"filter(sequence(1, size(__toks)), p -> p >= $window" +
+          s" AND p < size(__toks) AND $hashGram = 0)"))
+      .withColumn("__starts",
+        expr("concat(array(1), transform(__cuts, b -> b + 1))"))
+      .withColumn("__ends",
+        expr("concat(__cuts, array(size(__toks)))"))
       .select(col(idCol),
         posexplode(expr(
-          "transform(sequence(1, size(__toks)), p -> " +
-            "named_struct('token', element_at(__toks, p), " +
-            s"'b', CASE WHEN p >= $window AND $hashGram = 0 " +
-            "THEN 1L ELSE 0L END))")).as(Seq("pos0", "z")))
-      .select(col(idCol), (col("pos0") + 1).as("pos"),
-        col("z.token").as("token"), col("z.b").as("b"))
-    val wRun = Window.partitionBy(idCol).orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t.withColumn("chunk", coalesce(sum("b").over(wRun), lit(0L)))
-      .groupBy(col(idCol), col("chunk"))
-      .agg(expr("array_join(transform(array_sort(" +
-        "collect_list(struct(pos, token))), x -> x.token), ' ')")
-        .as("ctext"))
+          "transform(sequence(1, size(__starts)), i -> " +
+            "array_join(slice(__toks, element_at(__starts, i), " +
+            "element_at(__ends, i) - element_at(__starts, i) + 1), ' '))"))
+          .as(Seq("chunk0", "ctext")))
+      .select(col(idCol), col("chunk0").cast("long").as("chunk"),
+        col("ctext"))
   }
 }
