@@ -351,17 +351,9 @@ object MultimodalQueries extends QueryModule {
     * (here a 64-char string for oracle visibility) — never on pixels
     * or payload bytes. Near-dup at Hamming ≤ k rides the
     * dd_simhash_hamming bit-flip join unchanged. */
-  val phashQ: Q = Q(
-    "mm_phash",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
-      Multimodal.imagePhash(Tables(s, dir, "documents"))
-        .select(col("doc_id"), col("phash"),
-          count(lit(1)).over(w).as("n_same"))
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH px AS (
+  /** The oracle's closed-form replay of decode → 8×8 average-hash,
+    * shared by the exact-match face and the Hamming near-dup face. */
+  private val phashCtes = """px AS (
         SELECT doc_id, (8 + doc_id % 9) AS w, (8 + (doc_id * 3) % 7) AS h
         FROM documents),
       g AS (
@@ -379,14 +371,78 @@ object MultimodalQueries extends QueryModule {
                array_to_string(list_transform(grays, v ->
                  CASE WHEN 64 * v > list_aggregate(grays, 'sum')
                       THEN '1' ELSE '0' END), '') AS phash
-        FROM g)
+        FROM g)"""
+
+  val phashQ: Q = Q(
+    "mm_phash",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+      Multimodal.imagePhash(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("phash"),
+          count(lit(1)).over(w).as("n_same"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $phashCtes
       SELECT doc_id, phash,
              count(*) OVER (PARTITION BY phash) AS n_same
       FROM ph ORDER BY doc_id""")
   )
 
+  /** Perceptual NEAR-duplicate pairs — the claim [[phashQ]]'s scaladoc
+    * makes ("near-dup at Hamming ≤ k rides the dd_simhash_hamming
+    * bit-flip join unchanged"), DEMONSTRATED: the 64-char phash packs
+    * into one BIGINT (a left fold of shifted bits — wrap into the
+    * sign bit is fine on the Spark side, which is exactly why the
+    * oracle replays the SEMANTICS with a half-split band join on the
+    * bit STRINGS instead of replaying the packing: distance ≤ 1
+    * implies one 32-bit half is untouched, so candidates share a
+    * half and verification counts differing chars). Re-encoded or
+    * slightly-corrupted images land within a bit or two of their
+    * original — the image-side retrieval exact matching misses.
+    *
+    * Scale (100 TB): identical to dd_simhash_hamming — 65 variant
+    * keys per image per side at d≤1, 8-byte longs through the
+    * shuffle, never pixels. */
+  val phashNearDup: Q = Q(
+    "mm_phash_neardup",
+    (s, dir) => {
+      import graft.operators.CacheScope
+      val fp = Multimodal.imagePhash(Tables(s, dir, "documents"))
+        .select(col("doc_id"), expr(
+          "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | " +
+            "IF(substring(phash, i + 1, 1) = '1', " +
+            "shiftleft(1L, 63 - i), 0L))").as("fp"))
+        .persist()
+      val result = graft.operators.TextDedup
+        .hammingPairs(fp, bits = 64, maxDistance = 1, fpCol = "fp")
+        .orderBy("doc_a", "doc_b")
+      CacheScope.eval(result)(fp)
+    },
+    Some(s"""
+      WITH $phashCtes,
+      halves AS (
+        SELECT doc_id, phash, substr(phash, 1, 32) AS h1,
+               substr(phash, 33, 32) AS h2
+        FROM ph),
+      pcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.phash AS pa, b.phash AS pb
+        FROM halves a JOIN halves b
+          ON a.doc_id < b.doc_id AND (a.h1 = b.h1 OR a.h2 = b.h2)),
+      pscored AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(range(64), i ->
+                 substr(pa, CAST(i AS INT) + 1, 1)
+                   <> substr(pb, CAST(i AS INT) + 1, 1))) AS BIGINT)
+                 AS dist
+        FROM pcand)
+      SELECT doc_a, doc_b, dist FROM pscored
+      WHERE dist <= 1 ORDER BY doc_a, doc_b""")
+  )
+
   def all: Seq[Q] =
     Seq(binaryStats, decodeFeatures, resize, frameSample, audioEnergy,
       imageDecode, imageResize, wavDecode, pngDecodeQ, jpegDecodeQ,
-      quarantineQ, phashQ)
+      quarantineQ, phashQ, phashNearDup)
 }
