@@ -1357,11 +1357,51 @@ object Events extends QueryModule {
       FROM sc ORDER BY user_id""")
   )
 
+  /** Hour-of-day seasonality profile — per (event_type, hour-of-day),
+    * the event count plus its deviation from the type's flat-profile
+    * expectation in exact permille: `dev = (24·n − total)·1000 div
+    * total`, positive for peak hours, negative for quiet ones. The
+    * traffic-shape report behind capacity planning and bot detection
+    * (a genuinely diurnal signal has large |dev|; machine traffic is
+    * flat), kept in pure integer arithmetic so both engines agree
+    * bit-for-bit — no doubles, no ratios until the reader divides by
+    * 1000. The per-type total attaches by a partitioned window over
+    * the AGGREGATED 24-row profile, not the fact table.
+    *
+    * Scale (100 TB): one map-side-combined aggregate to
+    * |types|×24 rows; everything after is windowing over that
+    * bounded profile. */
+  val seasonality: Q = Q(
+    "ev_seasonality",
+    (s, dir) => {
+      val byHour = ev(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n_events"))
+      val wType = Window.partitionBy("event_type")
+      byHour
+        .withColumn("type_total", sum("n_events").over(wType))
+        .select(col("event_type"), col("hod").cast("long").as("hod"),
+          col("n_events"),
+          expr("(24 * n_events - type_total) * 1000 div type_total")
+            .as("dev_permille"))
+        .orderBy("event_type", "hod")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type, hour(ts) AS hod, count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, CAST(hod AS BIGINT) AS hod, n_events,
+             CAST((24 * n_events - sum(n_events) OVER w) * 1000
+               // sum(n_events) OVER w AS BIGINT) AS dev_permille
+      FROM p WINDOW w AS (PARTITION BY event_type)
+      ORDER BY event_type, hod""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
     scd2, activityStreaks, pathTransitions, attribution,
     attributionLinear, debounce,
     rollingValue, concurrency, intervalCoverage, anomaly, resample,
-    winsorize, rfm)
+    winsorize, rfm, seasonality)
 }

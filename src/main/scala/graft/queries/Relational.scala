@@ -923,7 +923,101 @@ object Relational extends QueryModule {
     quantileBound, profile, zorder, tableChecksum, saltedJoin,
     copurchase, copurchaseHealth, incrementalView, exactMedian,
     compactionPlan, histogram, exactKSample, snapshotDiff,
-    shareOfTotal, pareto, skyline)
+    shareOfTotal, pareto, skyline, fkCheck)
+
+  /** Referential-integrity audit — the data-quality report a lake
+    * needs BECAUSE nothing enforces foreign keys there: for every
+    * relationship in the star schema, the child row count, how many
+    * child keys are NULL (not a violation — SQL FK semantics), and
+    * how many non-null child rows point at a missing parent
+    * (orphans, found by a left-anti join). On healthy data every
+    * orphan count is 0 — that all-zeros column IS the report; the
+    * row/null counts keep the hash check substantive. The fix-up
+    * step after a bad backfill starts from exactly this query.
+    *
+    * Scale (100 TB): each relationship is one anti-join — dimension
+    * parents broadcast; the lineitem→orders fact-fact check shuffles
+    * once on the key (bucketed co-location removes even that in
+    * production). Output is |relationships| rows. */
+  val fkCheck: Q = Q(
+    "rel_fk_check",
+    (s, dir) => {
+      def audit(name: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String, bcast: Boolean)
+          : DataFrame = {
+        val keys = child.select(col(key).cast("long").as("k"))
+        val par = parent.select(col(pkey).cast("long").as("pk"))
+        val orphans = keys.filter(col("k").isNotNull)
+          .join(if (bcast) broadcast(par) else par,
+            col("k") === col("pk"), "left_anti")
+        val base = keys.agg(count(lit(1)).as("n_child"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+        base.join(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+          .select(lit(name).as("fk"), col("n_child"),
+            col("n_null_keys"), col("n_orphans"))
+      }
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      val nat = Tables(s, dir, "nation")
+      Seq(
+        audit("customer.c_nationkey->nation", cust, "c_nationkey",
+          nat, "n_nationkey", bcast = true),
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey", bcast = false),
+        audit("lineitem.l_partkey->part", li, "l_partkey",
+          Tables(s, dir, "part"), "p_partkey", bcast = true),
+        audit("nation.n_regionkey->region", nat, "n_regionkey",
+          Tables(s, dir, "region"), "r_regionkey", bcast = true),
+        audit("orders.o_custkey->customer", ord, "o_custkey",
+          cust, "c_custkey", bcast = true))
+        .reduce(_.unionAll(_))
+        .orderBy("fk")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer.c_nationkey->nation' AS fk,
+               count(*) AS n_child,
+               CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null_keys,
+               CAST((SELECT count(*) FROM customer WHERE c_nationkey
+                 IS NOT NULL AND c_nationkey NOT IN
+                 (SELECT n_nationkey FROM nation)) AS BIGINT) AS n_orphans
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders', count(*),
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem WHERE l_orderkey
+                 IS NOT NULL AND l_orderkey NOT IN
+                 (SELECT o_orderkey FROM orders)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', count(*),
+               CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem WHERE l_partkey
+                 IS NOT NULL AND l_partkey NOT IN
+                 (SELECT p_partkey FROM part)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'nation.n_regionkey->region', count(*),
+               CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST((SELECT count(*) FROM nation WHERE n_regionkey
+                 IS NOT NULL AND n_regionkey NOT IN
+                 (SELECT r_regionkey FROM region)) AS BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', count(*),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST((SELECT count(*) FROM orders WHERE o_custkey
+                 IS NOT NULL AND o_custkey NOT IN
+                 (SELECT c_custkey FROM customer)) AS BIGINT)
+        FROM orders)
+      ORDER BY fk""")
+  )
 
   /** 2-D skyline (Pareto-optimal set) over `part` — every part no
     * other part dominates (cheaper-or-equal price AND larger-or-equal

@@ -52,7 +52,10 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "ev_rfm",
       // ta_unigram_surprisal broadcast-attaches the 1-row corpus
       // token total to the token-count join — same scalar-attach
-      "ta_unigram_surprisal")
+      "ta_unigram_surprisal",
+      // rel_fk_check attaches each relationship's 1-row orphan count
+      // to its 1-row child aggregate — five 1×1 scalar attaches
+      "rel_fk_check")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
