@@ -470,7 +470,10 @@ object TextDedup {
     // parallel per document. A cut AFTER the last token opens no new
     // chunk (nothing follows it), hence the strict `p < size` bound.
     docs
-      .withColumn("__toks", split(col(textCol), " "))
+      // NULL text normalizes to '' (one empty-token chunk) instead of
+      // silently dropping the document at the posexplode — a corpus
+      // report must account for every input row (EdgeCaseSpec)
+      .withColumn("__toks", split(coalesce(col(textCol), lit("")), " "))
       .withColumn("__cuts", expr(
         s"filter(sequence(1, size(__toks)), p -> p >= $window" +
           s" AND p < size(__toks) AND $hashGram = 0)"))

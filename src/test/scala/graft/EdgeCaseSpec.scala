@@ -54,6 +54,42 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(got.length == 1 && got.head.getLong(2) == 0L)
   }
 
+  test("cdcChunks is total on degenerate docs, including NULL text") {
+    val withNull = weird.union(
+      Seq((6L, null: String)).toDF("doc_id", "text"))
+    val ch = TextDedup.cdcChunks(withNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    assert(ch.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "every input doc appears in the chunk report")
+    // short docs (< window tokens) are one whole-text chunk; NULL
+    // normalizes to the empty doc's single empty chunk
+    assert(ch(1L) == List("") && ch(6L) == List(""))
+    assert(ch(2L) == List("one") && ch(4L) == List("a  b"))
+    assert(ch(5L).mkString(" ") == "normal text with several words in it")
+  }
+
+  test("classifier logit fold equals the batch face and is null-total") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // per-row fold == the catalog face's two-level aggregation,
+    // row for row on the fixture corpus
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("ta_classifier_score")(spark, sf)
+      .select("doc_id", "logit")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.QualityModel.logitOf(col("text")).as("logit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == batch, "fold and aggregation disagree")
+    // NULL text: logit is NULL, the gate's coalesce drops the doc —
+    // pinned so the admission behavior can't drift silently
+    val g = graft.streaming.Streams.streamingClassifierGate(
+      Seq((1L, null: String), (2L, "")).toDF("doc_id", "text"))
+    assert(g.count() == 0, "null/empty text must not pass the gate")
+  }
+
   test("bloom gate and streaming gate are total on degenerate docs") {
     import org.apache.spark.sql.functions._
     // empty member set: build over zero rows must still gate soundly

@@ -47,7 +47,15 @@ class ReproducibilitySpec extends AnyFunSuite with SharedSpark {
     // integer kernel + 1-row dangling aggregate), paragraph scrub
     // (md5-hash election, deterministic df threshold), CDC merge
     // (latest-change reduction with total ts+seq tie-break, U/K/I/D)
-    "ta_domain_pagerank2", "dd_paragraph_dedup", "ev_cdc_merge")
+    "ta_domain_pagerank2", "dd_paragraph_dedup", "ev_cdc_merge",
+    // round-11 additions: two-pass skyline (partitioning-INVARIANT by
+    // the distributivity argument its doc makes — the strongest claim
+    // here), SemDeDup (literal-centroid fits + pair pruning),
+    // cohort-quintile RFM (user_id tie-broken ntiles), CDC chunking
+    // (per-row narrow), classifier logits (integer sums), phash
+    // near-dup (bit-flip join), bucket stats (map-combined counts)
+    "rel_skyline", "dd_semantic_dedup", "ev_rfm", "dd_cdc_chunk_dup",
+    "ta_classifier_score", "mm_phash_neardup", "dd_lsh_bucket_stats")
 
   test("claimed-deterministic queries are identical across shuffle widths") {
     val conf = spark.conf
