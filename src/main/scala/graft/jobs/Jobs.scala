@@ -59,7 +59,16 @@ object Jobs {
       "dd_leakage_safe_split" -> "split-map",
       "ta_heavy_hitters" -> "token-health",
       "ta_quality_calibrate" -> "quality-calibration",
-      "ta_pii_redact" -> "pii-scrubbed-corpus"),
+      "ta_pii_redact" -> "pii-scrubbed-corpus",
+      // round-11 signals: embedding-space dedup map (SemDeDup),
+      // sub-document chunk duplication, LSH tuning health, and the
+      // two model-based quality scores (classifier logits, LM
+      // surprisal) — the complete curation evidence pack
+      "dd_semantic_dedup" -> "semantic-dedup-map",
+      "dd_cdc_chunk_dup" -> "chunk-dup-report",
+      "dd_lsh_bucket_stats" -> "lsh-bucket-health",
+      "ta_classifier_score" -> "classifier-verdicts",
+      "ta_unigram_surprisal" -> "lm-surprisal"),
     // Extension job: the event-analytics pack — the interval sweeps,
     // robustified measures, and resampled series a metrics warehouse
     // serves, through the same dispatch machinery.
@@ -69,7 +78,9 @@ object Jobs {
       "ev_interval_coverage" -> "active-time",
       "ev_anomaly" -> "anomaly-flags",
       "ev_winsorize" -> "winsorized-values",
-      "ev_resample" -> "hourly-series"))
+      "ev_resample" -> "hourly-series",
+      "ev_rfm" -> "rfm-segments",
+      "ev_seasonality" -> "hourly-seasonality"))
 
   /** Per-term extracts per job as (key directory, key file base,
     * query). Directory and file base differ for the refresh groups —

@@ -136,14 +136,16 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     val dir = Files.createTempDirectory("jobs_curate_spec").toString
     val res = graft.Main.run(spark, "curate_corpus", sf,
       Seq(s"$dir/t1", s"$dir/t2"), "2024-01-01")
-    // 11 extracts × 2 targets, all successful
-    assert(res.size == 22 && res.forall(_._3), s"uploads: $res")
+    // 16 extracts × 2 targets, all successful
+    assert(res.size == 32 && res.forall(_._3), s"uploads: $res")
     for (extract <- Seq("curated-shards", "dedup-health",
         "memorization-risk", "repeated-span-report",
         "span-scrubbed-corpus", "partial-dup-report",
         "contamination-report", "split-map",
         "token-health", "quality-calibration",
-        "pii-scrubbed-corpus"); t <- Seq("t1", "t2")) {
+        "pii-scrubbed-corpus", "semantic-dedup-map",
+        "chunk-dup-report", "lsh-bucket-health",
+        "classifier-verdicts", "lm-surprisal"); t <- Seq("t1", "t2")) {
       val key = Sinks.dailyKey("2024-01-01", extract)
       assert(new java.io.File(s"$dir/$t/$key").exists(),
         s"missing $t/$key")
@@ -154,10 +156,10 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     val dir = Files.createTempDirectory("jobs_events_spec").toString
     val res = graft.Main.run(spark, "event_analytics", sf,
       Seq(s"$dir/t1"), "2024-01-01")
-    assert(res.size == 6 && res.forall(_._3), s"uploads: $res")
+    assert(res.size == 8 && res.forall(_._3), s"uploads: $res")
     for (extract <- Seq("attribution-linear", "peak-concurrency",
         "active-time", "anomaly-flags", "winsorized-values",
-        "hourly-series")) {
+        "hourly-series", "rfm-segments", "hourly-seasonality")) {
       val key = Sinks.dailyKey("2024-01-01", extract)
       assert(new java.io.File(s"$dir/t1/$key").exists(), s"missing $key")
     }
