@@ -1555,8 +1555,24 @@ object Dedup extends QueryModule {
           expr("(n_dup_chunks * 1000) div n_chunks").as("dup_millis"))
         .orderBy("doc_id")
     },
-    Some("""
-      WITH d AS (
+    Some(s"""
+      WITH $cdcChunkSql
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000
+                  // count(*) AS BIGINT) AS dup_millis
+      FROM ch JOIN cfreq USING (ctext)
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** The DuckDB replay of TextDedup.cdcChunks (window=4, mask=8) plus
+    * the cross-doc chunk frequency — ends in `ch (doc_id, chunk,
+    * ctext)` and `cfreq (ctext, nd)`. Shared by dd_cdc_chunk_dup and
+    * the composed quality-gate pipeline. */
+  // def, not val: referenced by Q vals declared ABOVE it (object vals
+  // initialize in declaration order; a forward val reference is null)
+  private def cdcChunkSql: String = """d AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       tp AS (
         SELECT doc_id, toks,
@@ -1581,14 +1597,118 @@ object Dedup extends QueryModule {
                string_agg(token, ' ' ORDER BY pos) AS ctext
         FROM cpos GROUP BY 1, 2),
       cfreq AS (
-        SELECT ctext, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
-      SELECT doc_id, count(*) AS n_chunks,
-             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dup_chunks,
-             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000
-                  // count(*) AS BIGINT) AS dup_millis
-      FROM ch JOIN cfreq USING (ctext)
-      GROUP BY doc_id ORDER BY doc_id""")
+        SELECT ctext, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)"""
+
+  /** The composed QUALITY GATE — the round-11 signals as ONE plan,
+    * the way a production curation run would actually apply them
+    * (the dd_curation_pipeline discipline, model-scored edition): a
+    * document survives iff the linear classifier votes keep
+    * (logit > 0), its LM surprisal sits inside the fluency band
+    * (4800–5400 millibits — cuts both boilerplate and noise tails),
+    * and less than half its CDC chunks are corpus-duplicated
+    * (dup_millis < 500); survivors pack into per-source shards on
+    * the whitespace token budget. Every signal is the already-
+    * certified kernel (QualityModel fold, corpus-unigram bits,
+    * TextDedup.cdcChunks + frequency join, Partitioning.packShards),
+    * and the oracle replays the whole composition — gate predicates
+    * AND shard prefix-sum — in one WITH chain.
+    *
+    * Scale (100 TB): the classifier fold is narrow; surprisal and
+    * chunk-dup are the token-key and chunk-key exchanges their
+    * standalone faces pay; the three signals then meet in two
+    * doc_id-key joins and the shard pass is the two-level prefix sum.
+    * Nothing here is more than the sum of its certified parts. */
+  val qualityGatePipeline: Q = Q(
+    "dd_quality_gate_pipeline",
+    (s, dir) => {
+      import graft.operators.{QualityModel, TextDedup}
+      val docsDf = Tables(s, dir, "documents")
+      val base = docsDf.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        QualityModel.logitOf(col("text")).as("logit"))
+      val tok = docsDf.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("n_total"))
+      val surp = tok.join(counts, "token")
+        .join(broadcast(total))
+        .withColumn("bits",
+          ((length(bin(col("n_total"))) - 1) -
+            (length(bin(col("cnt"))) - 1)).cast("long"))
+        .groupBy("doc_id")
+        .agg(expr("(sum(bits) * 1000) div count(1)")
+          .as("mean_millibits"))
+      val ch = TextDedup.cdcChunks(docsDf)
+        .select(col("doc_id"), xxhash64(col("ctext")).as("h"))
+      val freq = ch.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+      val dup = ch.join(freq, "h").groupBy("doc_id")
+        .agg(expr("(sum(CASE WHEN nd > 1 THEN 1L ELSE 0L END) * 1000)" +
+          " div count(1)").as("dup_millis"))
+      val gated = base.join(surp, Seq("doc_id"))
+        .join(dup, Seq("doc_id"))
+        .filter(col("logit") > 0 &&
+          col("mean_millibits").between(4800, 5400) &&
+          col("dup_millis") < 500)
+      graft.operators.Partitioning
+        .packShards(gated, "source", "doc_id", "n_tokens",
+          budget = 500L)
+        .select("source", "doc_id", "n_tokens", "logit",
+          "mean_millibits", "dup_millis", "shard")
+        .orderBy("source", "shard", "doc_id")
+    },
+    Some(s"""
+      WITH $cdcChunkSql,
+      tk AS (
+        SELECT doc_id, token FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents) WHERE token <> ''),
+      uc AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+      utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uc),
+      surp AS (
+        SELECT doc_id,
+               CAST(sum((length(bin(n_total)) - 1)
+                        - (length(bin(cnt)) - 1)) * 1000 // count(*)
+                 AS BIGINT) AS mean_millibits
+        FROM tk JOIN uc USING (token), utot GROUP BY doc_id),
+      logits AS (
+        SELECT doc_id,
+               CAST(sum(cnt2 * ((dim * 37 + 11) % 21 - 10)) AS BIGINT)
+                 AS logit
+        FROM (
+          SELECT doc_id,
+                 CAST((ascii(substr(md5(token), 1, 1)) * 31
+                       + ascii(substr(md5(token), 2, 1))) % 64
+                   AS BIGINT) AS dim,
+                 count(*) AS cnt2
+          FROM tk GROUP BY 1, 2) GROUP BY doc_id),
+      dupm AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000
+                    // count(*) AS BIGINT) AS dup_millis
+        FROM ch JOIN cfreq USING (ctext) GROUP BY doc_id),
+      gated AS (
+        SELECT dd.doc_id, dd.source,
+               CAST(len(string_split(dd.text, ' ')) AS BIGINT)
+                 AS n_tokens,
+               logit, mean_millibits, dup_millis
+        FROM documents dd
+        JOIN logits USING (doc_id)
+        JOIN surp USING (doc_id)
+        JOIN dupm USING (doc_id)
+        WHERE logit > 0 AND mean_millibits BETWEEN 4800 AND 5400
+          AND dup_millis < 500),
+      sh AS (
+        SELECT *, sum(n_tokens) OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM gated)
+      SELECT source, doc_id, n_tokens, logit, mean_millibits,
+             dup_millis,
+             CAST(floor((cum - n_tokens) / 500) AS BIGINT) AS shard
+      FROM sh ORDER BY source, shard, doc_id""")
   )
 
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
@@ -1598,5 +1718,5 @@ object Dedup extends QueryModule {
     sourceOverlap, curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
     paragraphDedup, fuzzyVerify, contaminationRate, cdcChunkDup,
-    lshBucketStats)
+    lshBucketStats, qualityGatePipeline)
 }
