@@ -77,9 +77,9 @@ object Bench {
     // reboot land the same VM image on a host whose CPU probe was
     // IDENTICAL while every shuffle-heavy query ran uniformly
     // ~1.4-1.8× slower (a false UNRESOLVED flag on the query with
-    // the largest proportional drift). One fixed groupBy over 30M
-    // rows into 2M keys prices the exchange path; the gate excuses
-    // against the WORSE of the two probes.
+    // the largest proportional drift). One fixed groupBy over 10M
+    // rows into 1M keys prices the exchange path (~0.8 s at 32
+    // threads); the gate excuses against the WORSE of the two probes.
     def calibShuffleOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 10000000L, 1, cpus.toInt)

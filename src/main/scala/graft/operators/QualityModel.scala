@@ -35,4 +35,35 @@ object QualityModel {
       filter(split(textCol, " "), t => t =!= ""),
       lit(0L),
       (acc, t) => acc + weightOfDim(dimOf(t)))
+
+  /** The corpus-unigram surprisal kernel behind `ta_unigram_surprisal`
+    * and the composed quality gate — ONE builder so the two faces
+    * cannot drift (the same discipline as [[logitOf]]): train the
+    * unigram model (token → count, one aggregate), score every
+    * document by exact whole-bit surprisal `floorlog2(N) −
+    * floorlog2(cnt)` via binary-string lengths (no libm logs), and
+    * collapse per document. Output: (idCol, n_tokens, total_bits,
+    * mean_millibits). Documents with no non-empty token produce no
+    * row (nothing to score). The corpus total attaches as a 1-row
+    * broadcast — callers appear in PlanAuditSpec's scalar-attach
+    * allowlist. */
+  def surprisalPerDoc(docs: org.apache.spark.sql.DataFrame,
+                      idCol: String = "doc_id",
+                      textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    tok.join(counts, "token")
+      .join(broadcast(total))
+      .withColumn("bits",
+        ((length(bin(col("n_total"))) - 1) -
+          (length(bin(col("cnt"))) - 1)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("total_bits"))
+      .withColumn("mean_millibits",
+        expr("(total_bits * 1000) div n_tokens"))
+  }
 }

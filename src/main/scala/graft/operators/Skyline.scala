@@ -57,12 +57,26 @@ object Skyline {
   }
 
   /** The skyline of `df` minimizing `xCol` and maximizing `yCol`.
-    * Both must be numeric (the RANGE frame needs a numeric order).
-    * `bucket` is the pass-1 partitioning expression — any expression
-    * works (correctness is partitioning-invariant); pick one that
-    * spreads rows evenly. */
+    * `xCol` must be an INTEGRAL type — enforced, not just documented:
+    * the strictly-cheaper frame is `RANGE UNBOUNDED..−1 PRECEDING`,
+    * and a −1 offset only means "strictly less" when x values are
+    * whole numbers (with doubles, a dominator at x−0.5 would fall
+    * outside the frame and a dominated row would silently survive —
+    * quantize fractional measures to integer cents first, as the
+    * catalog face does). `bucket` is the pass-1 partitioning
+    * expression — any expression works (correctness is
+    * partitioning-invariant); pick one that spreads rows evenly. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
-                bucket: Column): DataFrame =
+                bucket: Column): DataFrame = {
+    val xt = df.schema(xCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(xt),
+      s"skyline2d: $xCol must be integral (got $xt) — the RANGE -1 " +
+        "frame is only a strict bound on whole numbers; quantize " +
+        "first (e.g. cents)")
     // materialize the bucket once: handing the raw expression to both
     // window specs would re-alias it per withColumn, and CollapseWindow
     // only merges Window nodes over the SAME partition attribute —
@@ -70,4 +84,5 @@ object Skyline {
     pass(pass(df.withColumn("__bucket", bucket),
         xCol, yCol, Seq(col("__bucket"))).drop("__bucket"),
       xCol, yCol, Seq.empty)
+  }
 }

@@ -490,4 +490,27 @@ object TextDedup {
       .select(col(idCol), col("chunk0").cast("long").as("chunk"),
         col("ctext"))
   }
+
+  /** Per-document chunk-duplication stats over [[cdcChunks]] — the
+    * shared kernel behind `dd_cdc_chunk_dup` and the composed quality
+    * gate: chunk count, chunks whose exact text recurs in some OTHER
+    * document (frequency join on xxhash64(chunk) — collisions
+    * negligible, and the oracle joins on the text itself so one would
+    * surface as a hash mismatch), and the duplicated fraction in
+    * exact millis. Output: (idCol, n_chunks, n_dup_chunks,
+    * dup_millis). */
+  def chunkDupStats(docs: DataFrame, window: Int = 4, mask: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val ch = cdcChunks(docs, window, mask, idCol, textCol)
+      .select(col(idCol), col("chunk"), xxhash64(col("ctext")).as("h"))
+    val freq = ch.select("h", idCol).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    ch.join(freq, "h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_millis",
+        expr("(n_dup_chunks * 1000) div n_chunks"))
+  }
 }

@@ -1541,20 +1541,11 @@ object Dedup extends QueryModule {
     * all keys bounded by chunk counts, never corpus². */
   val cdcChunkDup: Q = Q(
     "dd_cdc_chunk_dup",
-    (s, dir) => {
-      val ch = graft.operators.TextDedup
-        .cdcChunks(Tables(s, dir, "documents"), window = 4, mask = 8)
-        .select(col("doc_id"), col("chunk"), xxhash64(col("ctext")).as("h"))
-      val freq = ch.select("h", "doc_id").distinct()
-        .groupBy("h").agg(count(lit(1)).as("nd"))
-      ch.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
-        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
-          expr("(n_dup_chunks * 1000) div n_chunks").as("dup_millis"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      graft.operators.TextDedup
+        .chunkDupStats(Tables(s, dir, "documents"), window = 4, mask = 8)
+        .select("doc_id", "n_chunks", "n_dup_chunks", "dup_millis")
+        .orderBy("doc_id"),
     Some(s"""
       WITH $cdcChunkSql
       SELECT doc_id, count(*) AS n_chunks,
@@ -1573,7 +1564,8 @@ object Dedup extends QueryModule {
   // def, not val: referenced by Q vals declared ABOVE it (object vals
   // initialize in declaration order; a forward val reference is null)
   private def cdcChunkSql: String = """d AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+        FROM documents),
       tp AS (
         SELECT doc_id, toks,
                unnest(range(1, len(toks) + 1)) AS pos,
@@ -1621,42 +1613,33 @@ object Dedup extends QueryModule {
   val qualityGatePipeline: Q = Q(
     "dd_quality_gate_pipeline",
     (s, dir) => {
-      import graft.operators.{QualityModel, TextDedup}
+      import graft.operators.{CacheScope, QualityModel, TextDedup}
       val docsDf = Tables(s, dir, "documents")
       val base = docsDf.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         QualityModel.logitOf(col("text")).as("logit"))
-      val tok = docsDf.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
-      val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-      val total = counts.agg(sum("cnt").as("n_total"))
-      val surp = tok.join(counts, "token")
-        .join(broadcast(total))
-        .withColumn("bits",
-          ((length(bin(col("n_total"))) - 1) -
-            (length(bin(col("cnt"))) - 1)).cast("long"))
-        .groupBy("doc_id")
-        .agg(expr("(sum(bits) * 1000) div count(1)")
-          .as("mean_millibits"))
-      val ch = TextDedup.cdcChunks(docsDf)
-        .select(col("doc_id"), xxhash64(col("ctext")).as("h"))
-      val freq = ch.select("h", "doc_id").distinct()
-        .groupBy("h").agg(count(lit(1)).as("nd"))
-      val dup = ch.join(freq, "h").groupBy("doc_id")
-        .agg(expr("(sum(CASE WHEN nd > 1 THEN 1L ELSE 0L END) * 1000)" +
-          " div count(1)").as("dup_millis"))
+      val surp = QualityModel.surprisalPerDoc(docsDf)
+        .select("doc_id", "mean_millibits")
+      val dup = TextDedup.chunkDupStats(docsDf)
+        .select("doc_id", "dup_millis")
+      // gated's lineage carries all three signal pipelines and feeds
+      // BOTH packShards jobs (the bucket-offset collect, then the
+      // window) — persist lazily so the offsets job fills the cache
+      // and the result job replays none of it (the curationPipeline
+      // discipline)
       val gated = base.join(surp, Seq("doc_id"))
         .join(dup, Seq("doc_id"))
         .filter(col("logit") > 0 &&
           col("mean_millibits").between(4800, 5400) &&
           col("dup_millis") < 500)
-      graft.operators.Partitioning
+        .persist()
+      val result = graft.operators.Partitioning
         .packShards(gated, "source", "doc_id", "n_tokens",
           budget = 500L)
         .select("source", "doc_id", "n_tokens", "logit",
           "mean_millibits", "dup_millis", "shard")
         .orderBy("source", "shard", "doc_id")
+      CacheScope.eval(result)(gated)
     },
     Some(s"""
       WITH $cdcChunkSql,

@@ -982,7 +982,7 @@ object Relational extends QueryModule {
                  AS BIGINT) AS n_null_keys,
                CAST((SELECT count(*) FROM customer WHERE c_nationkey
                  IS NOT NULL AND c_nationkey NOT IN
-                 (SELECT n_nationkey FROM nation)) AS BIGINT) AS n_orphans
+                 (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)) AS BIGINT) AS n_orphans
         FROM customer
         UNION ALL
         SELECT 'lineitem.l_orderkey->orders', count(*),
@@ -990,7 +990,7 @@ object Relational extends QueryModule {
                  AS BIGINT),
                CAST((SELECT count(*) FROM lineitem WHERE l_orderkey
                  IS NOT NULL AND l_orderkey NOT IN
-                 (SELECT o_orderkey FROM orders)) AS BIGINT)
+                 (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'lineitem.l_partkey->part', count(*),
@@ -998,7 +998,7 @@ object Relational extends QueryModule {
                  AS BIGINT),
                CAST((SELECT count(*) FROM lineitem WHERE l_partkey
                  IS NOT NULL AND l_partkey NOT IN
-                 (SELECT p_partkey FROM part)) AS BIGINT)
+                 (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'nation.n_regionkey->region', count(*),
@@ -1006,7 +1006,7 @@ object Relational extends QueryModule {
                  AS BIGINT),
                CAST((SELECT count(*) FROM nation WHERE n_regionkey
                  IS NOT NULL AND n_regionkey NOT IN
-                 (SELECT r_regionkey FROM region)) AS BIGINT)
+                 (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL)) AS BIGINT)
         FROM nation
         UNION ALL
         SELECT 'orders.o_custkey->customer', count(*),
@@ -1014,7 +1014,7 @@ object Relational extends QueryModule {
                  AS BIGINT),
                CAST((SELECT count(*) FROM orders WHERE o_custkey
                  IS NOT NULL AND o_custkey NOT IN
-                 (SELECT c_custkey FROM customer)) AS BIGINT)
+                 (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) AS BIGINT)
         FROM orders)
       ORDER BY fk""")
   )

@@ -1532,25 +1532,10 @@ object TextAnalysis extends QueryModule {
     * attaches as a 1-row broadcast (ev_watermark scalar idiom). */
   val unigramSurprisal: Q = Q(
     "ta_unigram_surprisal",
-    (s, dir) => {
-      val tok = docs(s, dir)
-        .select(col("doc_id"),
-          explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
-      val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-      val total = counts.agg(sum("cnt").as("n_total"))
-      tok.join(counts, "token")
-        .join(broadcast(total))
-        .withColumn("bits",
-          ((length(bin(col("n_total"))) - 1) -
-            (length(bin(col("cnt"))) - 1)).cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum("bits").as("total_bits"))
-        .select(col("doc_id"), col("n_tokens"), col("total_bits"),
-          expr("(total_bits * 1000) div n_tokens").as("mean_millibits"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      graft.operators.QualityModel.surprisalPerDoc(docs(s, dir))
+        .select("doc_id", "n_tokens", "total_bits", "mean_millibits")
+        .orderBy("doc_id"),
     Some("""
       WITH tk AS (
         SELECT doc_id, token FROM (

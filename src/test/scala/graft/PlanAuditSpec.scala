@@ -55,7 +55,10 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "ta_unigram_surprisal",
       // rel_fk_check attaches each relationship's 1-row orphan count
       // to its 1-row child aggregate — five 1×1 scalar attaches
-      "rel_fk_check")
+      "rel_fk_check",
+      // dd_quality_gate_pipeline inherits the surprisal stage's 1-row
+      // corpus-total scalar attach
+      "dd_quality_gate_pipeline")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
