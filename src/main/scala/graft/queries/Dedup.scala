@@ -1694,6 +1694,96 @@ object Dedup extends QueryModule {
       FROM sh ORDER BY source, shard, doc_id""")
   )
 
+  /** Dedup-method AGREEMENT matrix — the comparative report behind
+    * method selection: every document flagged (or not) by each of the
+    * three independent near-dup modalities — MinHash/LSH candidate
+    * membership (token-set similarity), SimHash Hamming ≤2 pair
+    * membership (distributional similarity), and CDC chunk
+    * duplication (exact sub-document reuse) — rolled up into the 2³
+    * agreement cells. Where the modalities agree, dedup decisions
+    * are robust; the off-diagonal cells are exactly the documents
+    * whose fate depends on which method a pipeline happens to run —
+    * the number a team reviews before switching methods. All three
+    * signals are the certified kernels of their standalone faces.
+    *
+    * Scale (100 TB): the three flag sets cost what their faces cost
+    * (banded/bit-flip/bucketed — nothing all-pairs); the rollup is
+    * three left joins on doc_id and an 8-row aggregate. */
+  val methodAgreement: Q = Q(
+    "dd_method_agreement",
+    (s, dir) => {
+      import graft.operators.TextDedup
+      val docsDf = Tables(s, dir, "documents")
+      def members(pairs: DataFrame, a: String, b: String): DataFrame =
+        pairs.select(explode(array(col(a), col(b))).as("doc_id"))
+          .distinct()
+      val mh = members(
+        TextDedup.lshCandidates(docsDf, numPerms = 8, nBands = 2),
+        "doc_a", "doc_b").withColumn("mh", lit(1))
+      val fp = TextDedup.simhashInt(docsDf, 32).persist()
+      val sh = members(TextDedup.hammingPairs(fp, 32, maxDistance = 2),
+        "doc_a", "doc_b").withColumn("sh", lit(1))
+      val cdc = TextDedup.chunkDupStats(docsDf)
+        .filter(col("n_dup_chunks") > 0)
+        .select("doc_id").withColumn("cdc", lit(1))
+      def yn(c: String) = when(col(c).isNotNull, "y").otherwise("n")
+      val result = docsDf.select("doc_id")
+        .join(mh, Seq("doc_id"), "left")
+        .join(sh, Seq("doc_id"), "left")
+        .join(cdc, Seq("doc_id"), "left")
+        .groupBy(yn("mh").as("minhash"), yn("sh").as("simhash"),
+          yn("cdc").as("cdc_chunk"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("minhash", "simhash", "cdc_chunk")
+      graft.operators.CacheScope.eval(result)(fp)
+    },
+    Some(s"""
+      WITH $shinglesSql, $sigSql, $candSql,
+      $cdcChunkSql,
+      stoks AS (
+        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        FROM documents),
+      sbits AS (
+        SELECT doc_id, b,
+               CASE WHEN sum(CASE WHEN ascii(substr(h, b, 1)) % 2 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM stoks, (SELECT unnest(range(1, 33)) AS b)
+        GROUP BY 1, 2),
+      sfp AS (
+        SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+        FROM sbits GROUP BY 1),
+      mhdocs AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_a AS doc_id FROM cand
+          UNION ALL SELECT doc_b FROM cand)),
+      shdocs AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT a.doc_id FROM sfp a JOIN sfp b
+            ON a.doc_id < b.doc_id
+           AND hamming(a.simhash, b.simhash) <= 2
+          UNION ALL
+          SELECT b.doc_id FROM sfp a JOIN sfp b
+            ON a.doc_id < b.doc_id
+           AND hamming(a.simhash, b.simhash) <= 2)),
+      cdcdocs AS (
+        SELECT doc_id FROM ch JOIN cfreq USING (ctext)
+        GROUP BY doc_id
+        HAVING sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0)
+      SELECT CASE WHEN m.doc_id IS NOT NULL THEN 'y' ELSE 'n' END
+               AS minhash,
+             CASE WHEN s.doc_id IS NOT NULL THEN 'y' ELSE 'n' END
+               AS simhash,
+             CASE WHEN c.doc_id IS NOT NULL THEN 'y' ELSE 'n' END
+               AS cdc_chunk,
+             count(*) AS n_docs
+      FROM documents dd
+      LEFT JOIN mhdocs m ON dd.doc_id = m.doc_id
+      LEFT JOIN shdocs s ON dd.doc_id = s.doc_id
+      LEFT JOIN cdcdocs c ON dd.doc_id = c.doc_id
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
@@ -1701,5 +1791,5 @@ object Dedup extends QueryModule {
     sourceOverlap, curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
     paragraphDedup, fuzzyVerify, contaminationRate, cdcChunkDup,
-    lshBucketStats, qualityGatePipeline)
+    lshBucketStats, qualityGatePipeline, methodAgreement)
 }
