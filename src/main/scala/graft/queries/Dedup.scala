@@ -1694,6 +1694,45 @@ object Dedup extends QueryModule {
       FROM sh ORDER BY source, shard, doc_id""")
   )
 
+  /** Corpus n-gram NOVELTY — per document, the fraction of its
+    * distinct 6-grams whose FIRST corpus occurrence (minimum doc_id —
+    * ingestion order in this fixture) is the document itself: the
+    * marginal-contribution signal a streaming curation loop uses to
+    * decide whether the next crawl batch still adds information or
+    * just re-serves what the corpus already holds. Low novelty =
+    * redundant document, even when no single near-dup partner exists
+    * (mirror-heavy crawls decay novelty long before pairwise dedup
+    * fires). Exact integers end to end.
+    *
+    * Scale (100 TB): the gram → min(doc) aggregate and the join back
+    * are the decontamination family's gram-key exchanges; per-doc
+    * rollup is one more bounded aggregate. */
+  val ngramNovelty: Q = Q(
+    "dd_ngram_novelty",
+    (s, dir) => {
+      val g = graft.operators.TextDedup
+        .kShingles(Tables(s, dir, "documents"), 6)
+      val first = g.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      g.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L)
+            .otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(n_novel * 1000) div n_grams").as("novelty_millis"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${grams6Sql("g")},
+      f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  * 1000 // count(*) AS BIGINT) AS novelty_millis
+      FROM g JOIN f USING (gram) GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   /** Dedup-method AGREEMENT matrix — the comparative report behind
     * method selection: every document flagged (or not) by each of the
     * three independent near-dup modalities — MinHash/LSH candidate
@@ -1791,5 +1830,5 @@ object Dedup extends QueryModule {
     sourceOverlap, curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
     paragraphDedup, fuzzyVerify, contaminationRate, cdcChunkDup,
-    lshBucketStats, qualityGatePipeline, methodAgreement)
+    lshBucketStats, qualityGatePipeline, methodAgreement, ngramNovelty)
 }

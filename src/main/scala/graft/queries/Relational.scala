@@ -923,7 +923,40 @@ object Relational extends QueryModule {
     quantileBound, profile, zorder, tableChecksum, saltedJoin,
     copurchase, copurchaseHealth, incrementalView, exactMedian,
     compactionPlan, histogram, exactKSample, snapshotDiff,
-    shareOfTotal, pareto, skyline, fkCheck)
+    shareOfTotal, pareto, skyline, fkCheck, kAnonymity)
+
+  /** k-anonymity audit — the privacy-compliance complement of
+    * `ta_pii_redact`'s direct-identifier scrub: group the table by its
+    * QUASI-identifier tuple (here nation × market segment — the
+    * columns that re-identify by combination, not alone) and report
+    * every equivalence class with its size and whether it clears the
+    * k=5 bar. A released dataset is k-anonymous at the MINIMUM class
+    * size; the `at_risk` rows are exactly the records a release
+    * process must generalize or suppress first. Pure integer counts —
+    * the hash check is exact.
+    *
+    * Scale (100 TB): one map-side-combined aggregate to
+    * |quasi-identifier combinations| rows; no joins, no windows. */
+  val kAnonymity: Q = Q(
+    "rel_k_anonymity",
+    (s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("class_size"))
+        .select(col("nationkey"), col("segment"), col("class_size"),
+          when(col("class_size") < 5, "at_risk")
+            .otherwise("anonymous").as("verdict"))
+        .orderBy("nationkey", "segment"),
+    Some("""
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             c_mktsegment AS segment,
+             count(*) AS class_size,
+             CASE WHEN count(*) < 5 THEN 'at_risk'
+                  ELSE 'anonymous' END AS verdict
+      FROM customer GROUP BY 1, 2
+      ORDER BY nationkey, segment""")
+  )
 
   /** Referential-integrity audit — the data-quality report a lake
     * needs BECAUSE nothing enforces foreign keys there: for every
