@@ -57,6 +57,26 @@ object Dedup extends QueryModule {
                  AS gram
         FROM documents)"""
 
+  /** The 32-bit SimHash fingerprint CTE chain (md5-parity per-bit
+    * majority vote), ending in `sfp (doc_id, simhash)` — ONE text
+    * shared by dd_simhash, both Hamming faces and the method-
+    * agreement matrix, so the formula (bit count, parity rule, >0
+    * vote tie-break) cannot drift between their certifications. */
+  private def simhashSql: String = """
+    stoks AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      FROM documents),
+    sbits AS (
+      SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN ascii(substr(h, b, 1)) % 2 = 1
+                                THEN 1 ELSE -1 END) > 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM stoks, (SELECT unnest(range(1, 33)) AS b)
+      GROUP BY 1, 2),
+    sfp AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+      FROM sbits GROUP BY 1)"""
+
   private val candSql = """
     bands AS (
       SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS bucket FROM sig
@@ -274,19 +294,9 @@ object Dedup extends QueryModule {
       graft.operators.TextDedup.simhash(Tables(s, dir, "documents"), 32)
         .select(col("doc_id"), col("simhash"))
         .orderBy("doc_id"),
-    Some("""
-      WITH toks AS (
-        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-        FROM documents),
-      bits AS (
-        SELECT doc_id, b,
-               CASE WHEN sum(CASE WHEN ascii(substr(h, b, 1)) % 2 = 1
-                                  THEN 1 ELSE -1 END) > 0
-                    THEN '1' ELSE '0' END AS bit
-        FROM toks, (SELECT unnest(range(1, 33)) AS b)
-        GROUP BY 1, 2)
-      SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
-      FROM bits GROUP BY 1 ORDER BY doc_id""")
+    Some(s"""
+      WITH $simhashSql
+      SELECT doc_id, simhash FROM sfp ORDER BY doc_id""")
   )
 
   /** SimHash near-dup retrieval at Hamming distance ≤ 1 via the
@@ -324,20 +334,8 @@ object Dedup extends QueryModule {
         .orderBy("doc_a", "doc_b")
       CacheScope.eval(result)(fp)
     },
-    Some("""
-      WITH toks AS (
-        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-        FROM documents),
-      bits AS (
-        SELECT doc_id, b,
-               CASE WHEN sum(CASE WHEN ascii(substr(h, b, 1)) % 2 = 1
-                                  THEN 1 ELSE -1 END) > 0
-                    THEN '1' ELSE '0' END AS bit
-        FROM toks, (SELECT unnest(range(1, 33)) AS b)
-        GROUP BY 1, 2),
-      fp AS (
-        SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
-        FROM bits GROUP BY 1),
+    Some(s"""
+      WITH $simhashSql,
       variants AS (
         SELECT doc_id,
                unnest(list_distinct(list_append(
@@ -346,10 +344,10 @@ object Dedup extends QueryModule {
                             THEN '1' ELSE '0' END)
                    || substr(simhash, CAST(i AS INT)+1, 32-CAST(i AS INT))),
                  simhash))) AS variant
-        FROM fp)
+        FROM sfp)
       SELECT DISTINCT v.doc_id AS doc_a, f.doc_id AS doc_b
       FROM variants v
-      JOIN fp f ON v.variant = f.simhash AND v.doc_id < f.doc_id
+      JOIN sfp f ON v.variant = f.simhash AND v.doc_id < f.doc_id
       ORDER BY doc_a, doc_b""")
   )
 
@@ -373,23 +371,11 @@ object Dedup extends QueryModule {
         .orderBy("doc_a", "doc_b")
       CacheScope.eval(result)(fp)
     },
-    Some("""
-      WITH toks AS (
-        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-        FROM documents),
-      bits AS (
-        SELECT doc_id, b,
-               CASE WHEN sum(CASE WHEN ascii(substr(h, b, 1)) % 2 = 1
-                                  THEN 1 ELSE -1 END) > 0
-                    THEN '1' ELSE '0' END AS bit
-        FROM toks, (SELECT unnest(range(1, 33)) AS b)
-        GROUP BY 1, 2),
-      fp AS (
-        SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
-        FROM bits GROUP BY 1)
+    Some(s"""
+      WITH $simhashSql
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              hamming(a.simhash, b.simhash) AS dist
-      FROM fp a JOIN fp b
+      FROM sfp a JOIN sfp b
         ON a.doc_id < b.doc_id AND hamming(a.simhash, b.simhash) <= 2
       ORDER BY doc_a, doc_b""")
   )
@@ -1710,10 +1696,18 @@ object Dedup extends QueryModule {
   val ngramNovelty: Q = Q(
     "dd_ngram_novelty",
     (s, dir) => {
+      // gram strings collapse to xxhash64 keys before either exchange
+      // (8 bytes instead of ~40 — the decontaminate discipline; the
+      // hash never reaches the output and the oracle replays on the
+      // strings, so a collision would surface as a hash mismatch),
+      // and the twice-consumed gram table persists lazily across the
+      // min-aggregate and the join probe
       val g = graft.operators.TextDedup
         .kShingles(Tables(s, dir, "documents"), 6)
-      val first = g.groupBy("shingle").agg(min("doc_id").as("first_doc"))
-      g.join(first, "shingle")
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .persist()
+      val first = g.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val result = g.join(first, "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("first_doc") === col("doc_id"), 1L)
@@ -1721,6 +1715,7 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), col("n_grams"), col("n_novel"),
           expr("(n_novel * 1000) div n_grams").as("novelty_millis"))
         .orderBy("doc_id")
+      graft.operators.CacheScope.eval(result)(g)
     },
     Some(s"""
       WITH ${grams6Sql("g")},
@@ -1766,61 +1761,68 @@ object Dedup extends QueryModule {
         .filter(col("n_dup_chunks") > 0)
         .select("doc_id").withColumn("cdc", lit(1))
       def yn(c: String) = when(col(c).isNotNull, "y").otherwise("n")
-      val result = docsDf.select("doc_id")
+      val counts = docsDf.select("doc_id")
         .join(mh, Seq("doc_id"), "left")
         .join(sh, Seq("doc_id"), "left")
         .join(cdc, Seq("doc_id"), "left")
         .groupBy(yn("mh").as("minhash"), yn("sh").as("simhash"),
           yn("cdc").as("cdc_chunk"))
         .agg(count(lit(1)).as("n_docs"))
+      // zero-fill: an empty cell is a REPORTED zero, not a missing
+      // row — the reader must distinguish "no documents there" from
+      // "cell not computed"
+      import s.implicits._
+      val yesNo = Seq("y", "n")
+      val cells = (for { a <- yesNo; b <- yesNo; c <- yesNo }
+        yield (a, b, c)).toDF("minhash", "simhash", "cdc_chunk")
+      val result = cells
+        .join(counts, Seq("minhash", "simhash", "cdc_chunk"), "left")
+        .select(col("minhash"), col("simhash"), col("cdc_chunk"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
         .orderBy("minhash", "simhash", "cdc_chunk")
       graft.operators.CacheScope.eval(result)(fp)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
       $cdcChunkSql,
-      stoks AS (
-        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-        FROM documents),
-      sbits AS (
-        SELECT doc_id, b,
-               CASE WHEN sum(CASE WHEN ascii(substr(h, b, 1)) % 2 = 1
-                                  THEN 1 ELSE -1 END) > 0
-                    THEN '1' ELSE '0' END AS bit
-        FROM stoks, (SELECT unnest(range(1, 33)) AS b)
-        GROUP BY 1, 2),
-      sfp AS (
-        SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
-        FROM sbits GROUP BY 1),
+      $simhashSql,
       mhdocs AS (
         SELECT DISTINCT doc_id FROM (
           SELECT doc_a AS doc_id FROM cand
           UNION ALL SELECT doc_b FROM cand)),
+      shpairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM sfp a JOIN sfp b
+          ON a.doc_id < b.doc_id
+         AND hamming(a.simhash, b.simhash) <= 2),
       shdocs AS (
-        SELECT DISTINCT doc_id FROM (
-          SELECT a.doc_id FROM sfp a JOIN sfp b
-            ON a.doc_id < b.doc_id
-           AND hamming(a.simhash, b.simhash) <= 2
-          UNION ALL
-          SELECT b.doc_id FROM sfp a JOIN sfp b
-            ON a.doc_id < b.doc_id
-           AND hamming(a.simhash, b.simhash) <= 2)),
+        SELECT DISTINCT unnest([da, db]) AS doc_id FROM shpairs),
       cdcdocs AS (
         SELECT doc_id FROM ch JOIN cfreq USING (ctext)
         GROUP BY doc_id
-        HAVING sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0)
-      SELECT CASE WHEN m.doc_id IS NOT NULL THEN 'y' ELSE 'n' END
-               AS minhash,
-             CASE WHEN s.doc_id IS NOT NULL THEN 'y' ELSE 'n' END
-               AS simhash,
-             CASE WHEN c.doc_id IS NOT NULL THEN 'y' ELSE 'n' END
-               AS cdc_chunk,
-             count(*) AS n_docs
-      FROM documents dd
-      LEFT JOIN mhdocs m ON dd.doc_id = m.doc_id
-      LEFT JOIN shdocs s ON dd.doc_id = s.doc_id
-      LEFT JOIN cdcdocs c ON dd.doc_id = c.doc_id
-      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+        HAVING sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0),
+      agcells AS (
+        SELECT a.v AS minhash, b.v AS simhash, c.v AS cdc_chunk
+        FROM (VALUES ('y'), ('n')) a(v), (VALUES ('y'), ('n')) b(v),
+             (VALUES ('y'), ('n')) c(v)),
+      agcounts AS (
+        SELECT CASE WHEN m.doc_id IS NOT NULL THEN 'y' ELSE 'n' END
+                 AS minhash,
+               CASE WHEN s.doc_id IS NOT NULL THEN 'y' ELSE 'n' END
+                 AS simhash,
+               CASE WHEN c.doc_id IS NOT NULL THEN 'y' ELSE 'n' END
+                 AS cdc_chunk,
+               count(*) AS n_docs
+        FROM documents dd
+        LEFT JOIN mhdocs m ON dd.doc_id = m.doc_id
+        LEFT JOIN shdocs s ON dd.doc_id = s.doc_id
+        LEFT JOIN cdcdocs c ON dd.doc_id = c.doc_id
+        GROUP BY 1, 2, 3)
+      SELECT g.minhash, g.simhash, g.cdc_chunk,
+             COALESCE(n_docs, 0) AS n_docs
+      FROM agcells g
+      LEFT JOIN agcounts USING (minhash, simhash, cdc_chunk)
+      ORDER BY minhash, simhash, cdc_chunk""")
   )
 
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
