@@ -499,6 +499,35 @@ object TextDedup {
     * surface as a hash mismatch), and the duplicated fraction in
     * exact millis. Output: (idCol, n_chunks, n_dup_chunks,
     * dup_millis). */
+  /** Per-document k-gram NOVELTY: the fraction (exact millis) of a
+    * doc's distinct k-grams whose FIRST corpus occurrence (minimum
+    * id) is the doc itself — the marginal-contribution signal behind
+    * `dd_ngram_novelty`, factored here so TextDedupSpec can pin its
+    * invariants (an exact copy of an earlier doc always scores 0) on
+    * synthetic corpora through the production code. Gram strings
+    * collapse to xxhash64 keys before either exchange (collisions
+    * negligible; the catalog oracle replays on the strings, so one
+    * would surface as a hash mismatch); the twice-consumed gram
+    * table persists lazily across the min-aggregate and the probe.
+    * Docs with fewer than k tokens have no grams and produce no row.
+    * Output: (idCol, n_grams, n_novel, novelty_millis), unordered. */
+  def ngramNovelty(docs: DataFrame, k: Int = 6,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val g = kShingles(docs, k, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("g"))
+      .persist()
+    val first = g.groupBy("g").agg(min(idCol).as("first_doc"))
+    val result = g.join(first, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col(idCol), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_millis",
+        expr("(n_novel * 1000) div n_grams"))
+    CacheScope.eval(result)(g)
+  }
+
   def chunkDupStats(docs: DataFrame, window: Int = 4, mask: Int = 8,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {

@@ -1695,28 +1695,11 @@ object Dedup extends QueryModule {
     * rollup is one more bounded aggregate. */
   val ngramNovelty: Q = Q(
     "dd_ngram_novelty",
-    (s, dir) => {
-      // gram strings collapse to xxhash64 keys before either exchange
-      // (8 bytes instead of ~40 — the decontaminate discipline; the
-      // hash never reaches the output and the oracle replays on the
-      // strings, so a collision would surface as a hash mismatch),
-      // and the twice-consumed gram table persists lazily across the
-      // min-aggregate and the join probe
-      val g = graft.operators.TextDedup
-        .kShingles(Tables(s, dir, "documents"), 6)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
-        .persist()
-      val first = g.groupBy("g").agg(min("doc_id").as("first_doc"))
-      val result = g.join(first, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L)
-            .otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          expr("(n_novel * 1000) div n_grams").as("novelty_millis"))
-        .orderBy("doc_id")
-      graft.operators.CacheScope.eval(result)(g)
-    },
+    (s, dir) =>
+      graft.operators.TextDedup
+        .ngramNovelty(Tables(s, dir, "documents"), 6)
+        .select("doc_id", "n_grams", "n_novel", "novelty_millis")
+        .orderBy("doc_id"),
     Some(s"""
       WITH ${grams6Sql("g")},
       f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)

@@ -345,4 +345,43 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
       lev(prefix(a), prefix(b)) > 20 }
     assert(above.forall(p => !got.contains(p)))
   }
+
+  test("bucket stats bound the LSH join: actual pairs <= predicted volume") {
+    // dd_lsh_bucket_stats claims its pred_pairs (computed from bucket
+    // sizes ALONE, before any join) upper-bounds what dd_minhash_lsh
+    // actually emits — shared-band pairs dedupe, so the join can only
+    // come in at or under the per-band sum
+    val pred = SparkEntry.queries("dd_lsh_bucket_stats")(spark, sf)
+      .select("pred_pairs").collect().map(_.getLong(0)).sum
+    val actual = SparkEntry.queries("dd_minhash_lsh")(spark, sf).count()
+    assert(actual <= pred,
+      s"LSH emitted $actual pairs above the predicted $pred")
+    assert(actual > 0 && pred > 0, "fixture must exercise the bound")
+  }
+
+  test("ngramNovelty: exact copies score 0, all-fresh docs score 1000, " +
+      "sub-gram docs produce no row") {
+    // the production kernel on a corpus with planted exact copies
+    // (the fixture has none): an exact copy shares every 6-gram with
+    // its keeper and the keeper has the smaller id, so no gram's
+    // first occurrence is the copy
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // keeper
+      (2L, "a b c d e f g h"),            // exact copy → 0
+      (3L, "p q r s t u v w x"),          // all-fresh → 1000
+      (4L, "a b c d e f g h extra tail"), // shares a prefix run → mixed
+      (5L, "short doc"),                  // < 6 tokens → no row
+      (9L, "a b c d e f g h")             // second copy → 0
+    ).toDF("doc_id", "text")
+    val got = TextDedup.ngramNovelty(docs, 6)
+      .select("doc_id", "novelty_millis").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 9L), "doc 5 has no gram")
+    assert(got(1L) == 1000L && got(3L) == 1000L)
+    assert(got(2L) == 0L && got(9L) == 0L,
+      "exact copies of an earlier doc must score zero")
+    assert(got(4L) > 0L && got(4L) < 1000L,
+      "partial-overlap doc must score strictly between")
+  }
 }
