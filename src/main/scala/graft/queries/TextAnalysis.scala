@@ -1553,6 +1553,42 @@ object TextAnalysis extends QueryModule {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Token frequency SPECTRUM — the Zipf-curve health signature
+    * without the Zipf regression: distinct-token and occurrence
+    * counts per `floorlog2(count)` bucket (exact binary-string
+    * arithmetic, the ta_unigram_surprisal idiom — no global
+    * rank window, no doubles). Bucket 0 is the hapax legomena —
+    * their share is the classic corpus-health number (too high =
+    * noise/OCR garbage, too low = heavy duplication), and the
+    * bucket decay visualizes how Zipfian the corpus is. One
+    * aggregate over the vocabulary, ~log2(max count) output rows.
+    *
+    * Scale (100 TB): token counts are one map-combined exchange;
+    * the spectrum is a second aggregate over |vocab| rows to a
+    * handful of buckets — nothing global, nothing sorted. */
+  val freqSpectrum: Q = Q(
+    "ta_freq_spectrum",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .groupBy((length(bin(col("cnt"))) - 1).cast("long")
+          .as("log2_count"))
+        .agg(count(lit(1)).as("n_types"),
+          sum("cnt").as("n_occurrences"))
+        .orderBy("log2_count"),
+    Some("""
+      WITH c AS (
+        SELECT token, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents) WHERE token <> '' GROUP BY 1)
+      SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS log2_count,
+             count(*) AS n_types,
+             CAST(sum(cnt) AS BIGINT) AS n_occurrences
+      FROM c GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
@@ -1561,5 +1597,5 @@ object TextAnalysis extends QueryModule {
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
       bpeTokenStats, bpeShardAssign, bpeChunk, classifierScore,
-      unigramSurprisal)
+      unigramSurprisal, freqSpectrum)
 }
