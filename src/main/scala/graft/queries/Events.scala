@@ -1397,11 +1397,80 @@ object Events extends QueryModule {
       ORDER BY event_type, hod""")
   )
 
+  /** CUSUM change-point detection — per event type, the point in the
+    * stream where the cumulative deviation from the type's mean value
+    * peaks: the classic level-shift detector ([[anomaly]] flags
+    * outlier POINTS; this finds where the distribution MOVED — a
+    * price change, a bug altering purchase values). Division-free
+    * integer form: `S_k = n·P_k − k·total` (P_k the exact-cents
+    * prefix sum) is n times the textbook Σ(x_i − mean) cusum, so the
+    * argmax over |S_k| is the same k; every operand is BIGINT and the
+    * envelope is bounded by n·total ≈ 4·10¹⁷ even at sf=1 (n ≈ 6·10⁵
+    * events/type × cents sums ≈ 6·10¹¹) — well inside Long.
+    * Reported: the change point's 1-based position, its signed S
+    * (positive = values ran ABOVE the mean before the peak), and its
+    * microsecond timestamp; ties on |S| break to the earliest k via
+    * the sentinel struct-max (the argmax idiom of the J3 family).
+    *
+    * Scale (100 TB): one exchange on event_type for the ordered
+    * prefix window (the ev_scd2 shape), then a map-combined argmax
+    * aggregate to |types| rows. */
+  val cusumChangepoint: Q = Q(
+    "ev_cusum_changepoint",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val e = ev(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      e.withColumn("pk", sum("cents").over(wOrd))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("event_type").orderBy("us", "event_id"))
+          .cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum("cents").over(wAll))
+        .withColumn("s", col("n") * col("pk") - col("k") * col("tot"))
+        .groupBy("event_type")
+        .agg(max(struct(abs(col("s")).as("a"), (-col("k")).as("nk"),
+          col("s").as("s"), col("us").as("us"))).as("peak"))
+        .select(col("event_type"), (-col("peak.nk")).as("k_star"),
+          col("peak.s").as("s_star"), col("peak.us").as("us_star"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      st AS (
+        SELECT event_type, us,
+               sum(cents) OVER (PARTITION BY event_type
+                 ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS pk,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY us, event_id) AS BIGINT) AS k,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               CAST(sum(cents) OVER (PARTITION BY event_type)
+                 AS BIGINT) AS tot
+        FROM e),
+      scored AS (
+        SELECT event_type, k, us, n * pk - k * tot AS s,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(n * pk - k * tot) DESC, k ASC) AS rn
+        FROM st)
+      SELECT event_type, k AS k_star, CAST(s AS BIGINT) AS s_star,
+             us AS us_star
+      FROM scored WHERE rn = 1 ORDER BY event_type""")
+  )
+
   def all: Seq[Q] = Seq(cdcFilter, watermarkIncremental, jsonExtract,
     windowAgg, asofJoin, sessionWindow, slidingWindow, lagLead,
     rankStats, timeParts, funnel, retention, cdcMerge, windowUsers,
     scd2, activityStreaks, pathTransitions, attribution,
     attributionLinear, debounce,
     rollingValue, concurrency, intervalCoverage, anomaly, resample,
-    winsorize, rfm, seasonality)
+    winsorize, rfm, seasonality, cusumChangepoint)
 }
