@@ -1589,6 +1589,49 @@ object TextAnalysis extends QueryModule {
       FROM c GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Token BURSTINESS — Church & Gale's dispersion signature: a
+    * token's collection frequency divided by its document frequency
+    * (mean occurrences per CONTAINING doc, exact millis). Function
+    * words spread evenly (ratio ≈ corpus mean); bursty content terms
+    * and boilerplate artifacts concentrate (high ratio) — the signal
+    * that separates topical vocabulary from glue, and spots template
+    * spam that repeats a phrase hundreds of times in few docs. Top-20
+    * by (burstiness, token) keeps the report bounded, the ta_word_freq
+    * top-k discipline; cf ≥ 10 cuts hapax noise.
+    *
+    * Scale (100 TB): one (doc, token) dedup exchange + one token
+    * aggregate, then a distributed top-k (TakeOrdered) — no global
+    * sort. */
+  val burstiness: Q = Q(
+    "ta_burstiness",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      tok.groupBy("token")
+        .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
+        .filter(col("cf") >= 10)
+        .select(col("token"), col("cf"), col("df"),
+          expr("(cf * 1000) div df").as("per_doc_milli"))
+        .orderBy(col("per_doc_milli").desc, col("token"))
+        .limit(20)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, token FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents) WHERE token <> ''),
+      agg AS (
+        SELECT token, count(*) AS cf,
+               count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY 1)
+      SELECT token, cf, df, CAST(cf * 1000 // df AS BIGINT)
+               AS per_doc_milli
+      FROM agg WHERE cf >= 10
+      ORDER BY per_doc_milli DESC, token LIMIT 20""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
@@ -1597,5 +1640,5 @@ object TextAnalysis extends QueryModule {
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
       bpeTokenStats, bpeShardAssign, bpeChunk, classifierScore,
-      unigramSurprisal, freqSpectrum)
+      unigramSurprisal, freqSpectrum, burstiness)
 }

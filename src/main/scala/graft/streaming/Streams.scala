@@ -784,6 +784,52 @@ object Streams {
       }
   }
 
+  /** Online CUSUM state after each micro-batch. */
+  final case class CusumState(event_type: String, n: Long,
+                              s_cents: Long, alarmed: Boolean)
+
+  /** Online CUSUM level-shift detector — the STREAMING half of
+    * `ev_cusum_changepoint`: the batch face locates a past change
+    * point retrospectively (it needs the stream's own mean); the
+    * live detector tracks the running deviation from a KNOWN
+    * reference level `targetCents` (the production setup — the
+    * reference comes from history or an SLA) and latches `alarmed`
+    * once |S| crosses `thresholdCents`. State per type is two longs
+    * and a flag; S is a plain sum of (cents − target), so the
+    * emitted (n, S) equals the batch fold under ANY batch split
+    * (StreamsSpec pins replay parity). The latch tests the running
+    * sum per event, so WHEN it fires can shift with within-batch
+    * arrival order (the detection-delay artifact every online
+    * detector has — never the (n, S) values); once latched it stays
+    * latched until the query restarts — an alert, not a gauge.
+    *
+    * Scale: |types|-bounded state, one shuffle per micro-batch on
+    * the type key. */
+  def streamingCusum(events: Dataset[Event], targetCents: Long,
+                     thresholdCents: Long): Dataset[CusumState] = {
+    require(thresholdCents > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, Long, Boolean), CusumState](
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[Event],
+         state: GroupState[(Long, Long, Boolean)]) =>
+          var (n, sCents, alarmed) =
+            state.getOption.getOrElse((0L, 0L, false))
+          rows.foreach { e =>
+            n += 1
+            sCents += java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .longValueExact() - targetCents
+            if (math.abs(sCents) > thresholdCents) alarmed = true
+          }
+          state.update((n, sCents, alarmed))
+          CusumState(tpe, n, sCents, alarmed)
+      }
+  }
+
   /** Stream-stream join: each interaction event paired with error
     * events by the same user in the preceding `lookbackMinutes`. Both
     * sides carry watermarks and the join condition is time-bounded, so

@@ -851,6 +851,51 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streamingCusum (n, S) matches the batch fold; monotone drift alarms") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    // target 0: every event's cents are positive, so S is strictly
+    // increasing and crossing the bar is arrival-order-independent
+    val target = 0L
+    val (b1, b2) = ev.splitAt(ev.size / 4)
+    val source = MemoryStream[Event]
+    val q = Streams.streamingCusum(source.toDS(), target,
+        thresholdCents = 100000L)
+      .writeStream.format("memory").queryName("cusum_state")
+      .outputMode("update").start()
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("cusum_state")
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max_by(col("s_cents"), col("n")).as("s_cents"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = graft.sources.Tables(
+          spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long") - target)
+            .as("s"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed == batch)
+      // with target 0 the drift is strictly one-sided (all cents
+      // positive), every type's final S is ~1M cents >> the bar, and
+      // any arrival order crosses — the latch must be set everywhere
+      val alarms = spark.table("cusum_state")
+        .groupBy("event_type")
+        .agg(max_by(col("alarmed"), col("n")).as("alarmed"))
+        .as[(String, Boolean)].collect().toMap
+      assert(alarms.values.forall(identity),
+        s"expected all types latched: $alarms")
+    } finally q.stop()
+  }
+
   test("streamingClassifierGate admits exactly the batch keep verdicts") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.col
