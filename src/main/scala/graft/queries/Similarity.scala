@@ -936,8 +936,55 @@ object Similarity extends QueryModule {
       WHERE cosine >= 0.25 ORDER BY q_id, vec_id""")
   )
 
+  /** Lloyd convergence report — [[IvfSteps]]' "the catalog stops
+    * where the recall report stops improving" claim, MEASURED: per
+    * centroid, the e6-quantized cosine alignment between its step-1
+    * and step-2 versions. Alignment ≈ 1e6 everywhere = the second
+    * step barely moved anything and a third would buy less — the
+    * one-table justification for freezing the training depth. Both
+    * trainings are the certified distributed kernel (each step a
+    * corpus pass with integer-scaled sums); the 8-row comparison is
+    * driver-side planning-class arithmetic replicating the fvec_dot
+    * fold and Spark's HALF_UP rounding exactly, so the oracle — the
+    * same two Lloyd chains replayed — hash-matches bit-for-bit.
+    *
+    * Scale (100 TB): two training passes (shared in production),
+    * k rows of driver math — nothing else. */
+  val centroidDrift: Q = Q(
+    "ss_centroid_drift",
+    (s, dir) => {
+      import graft.operators.Ann
+      val emb = Tables(s, dir, "embeddings")
+      val c1 = Ann.ivfCentroids(s, emb, 8, steps = 1)
+      val c2 = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps).toMap
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val rows = c1.toSeq.map { case (id, v1) =>
+        val v2 = c2(id)
+        val cos = dot(v1, v2) /
+          (math.sqrt(dot(v1, v1)) * math.sqrt(dot(v2, v2)))
+        (id, java.math.BigDecimal.valueOf(cos * 1000000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+      }
+      import s.implicits._
+      rows.toDF("cell", "align_e6").orderBy("cell")
+    },
+    Some(s"""
+      WITH ${ivfDuckCtes(1)}
+      SELECT a.c_id AS cell,
+             CAST(round(${duckCosine("a.c_emb", "b.c_emb")} * 1000000)
+               AS BIGINT) AS align_e6
+      FROM cents1 a JOIN cents2 b ON a.c_id = b.c_id
+      ORDER BY cell""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
     topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup,
-    rangeSearch)
+    rangeSearch, centroidDrift)
 }
