@@ -491,14 +491,6 @@ object TextDedup {
         col("ctext"))
   }
 
-  /** Per-document chunk-duplication stats over [[cdcChunks]] — the
-    * shared kernel behind `dd_cdc_chunk_dup` and the composed quality
-    * gate: chunk count, chunks whose exact text recurs in some OTHER
-    * document (frequency join on xxhash64(chunk) — collisions
-    * negligible, and the oracle joins on the text itself so one would
-    * surface as a hash mismatch), and the duplicated fraction in
-    * exact millis. Output: (idCol, n_chunks, n_dup_chunks,
-    * dup_millis). */
   /** Per-document k-gram NOVELTY: the fraction (exact millis) of a
     * doc's distinct k-grams whose FIRST corpus occurrence (minimum
     * id) is the doc itself — the marginal-contribution signal behind
@@ -528,18 +520,35 @@ object TextDedup {
     CacheScope.eval(result)(g)
   }
 
+  /** Per-document chunk-duplication stats over [[cdcChunks]] — the
+    * shared kernel behind `dd_cdc_chunk_dup` and the composed quality
+    * gate: chunk count, chunks whose exact text recurs in some OTHER
+    * document (frequency join on xxhash64(chunk) — collisions
+    * negligible, and the oracle joins on the text itself so one would
+    * surface as a hash mismatch), and the duplicated fraction in
+    * exact millis. Output: (idCol, n_chunks, n_dup_chunks,
+    * dup_millis).
+    *
+    * The chunk table feeds BOTH the frequency aggregate and the join
+    * probe — persisted lazily so the one materializing job chunks each
+    * document once instead of twice (r12: the double lineage was the
+    * bulk of `dd_cdc_chunk_dup`'s cost and a third of
+    * `dd_method_agreement`'s); blocks are released as soon as the
+    * doc-grain result — |docs| rows — is materialized. */
   def chunkDupStats(docs: DataFrame, window: Int = 4, mask: Int = 8,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val ch = cdcChunks(docs, window, mask, idCol, textCol)
       .select(col(idCol), col("chunk"), xxhash64(col("ctext")).as("h"))
+      .persist()
     val freq = ch.select("h", idCol).distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
-    ch.join(freq, "h")
+    val result = ch.join(freq, "h")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
       .withColumn("dup_millis",
         expr("(n_dup_chunks * 1000) div n_chunks"))
+    CacheScope.eval(result)(ch)
   }
 }

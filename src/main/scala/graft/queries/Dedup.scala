@@ -1729,8 +1729,8 @@ object Dedup extends QueryModule {
   val methodAgreement: Q = Q(
     "dd_method_agreement",
     (s, dir) => {
-      import graft.operators.TextDedup
-      val docsDf = Tables(s, dir, "documents")
+      import graft.operators.{CacheScope, TextDedup}
+      val docsDf = Tables(s, dir, "documents").select("doc_id", "text")
       def members(pairs: DataFrame, a: String, b: String): DataFrame =
         pairs.select(explode(array(col(a), col(b))).as("doc_id"))
           .distinct()
@@ -1763,7 +1763,7 @@ object Dedup extends QueryModule {
         .select(col("minhash"), col("simhash"), col("cdc_chunk"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"))
         .orderBy("minhash", "simhash", "cdc_chunk")
-      graft.operators.CacheScope.eval(result)(fp)
+      CacheScope.eval(result)(fp)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
