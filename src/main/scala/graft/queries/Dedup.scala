@@ -1559,7 +1559,7 @@ object Dedup extends QueryModule {
         FROM d),
       tb AS (
         SELECT doc_id, pos, token,
-               CASE WHEN pos >= 4 AND
+               CASE WHEN pos >= 4 AND pos < len(toks) AND
                  (ascii(substr(md5(array_to_string(toks[pos-3:pos], ' ')), 1, 1)) * 31
                   + ascii(substr(md5(array_to_string(toks[pos-3:pos], ' ')), 2, 1))) % 8 = 0
                THEN 1 ELSE 0 END AS b

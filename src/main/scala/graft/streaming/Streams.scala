@@ -754,8 +754,13 @@ object Streams {
     * monitor a pipeline runs live: cheapest price per quality tier,
     * best quality per price so far.
     *
-    * State per key is the frontier itself — bounded by |distinct x|
-    * in the worst case, typically far smaller (the staircase); NOT
+    * State per key is the frontier as (x, y, count) entries — exact
+    * duplicates fold into the count (batch parity keeps
+    * duplicates-survive-together semantics in the DIGESTS while the
+    * stored list stays one entry per distinct point; r11 advice: the
+    * plain-list form grew state linearly on a stream repeating one
+    * frontier point), so state is bounded by |distinct x on the
+    * frontier| entries regardless of arrivals; NOT
     * watermark-bounded, so keys with unbounded distinct-x streams
     * need a coordinate quantization upstream. */
   def streamingSkyline(points: DataFrame): Dataset[Frontier] = {
@@ -765,22 +770,28 @@ object Streams {
         col("y").cast("long"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[List[(Long, Long)], Frontier](
+      .mapGroupsWithState[List[(Long, Long, Long)], Frontier](
         GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, Long, Long)],
-         state: GroupState[List[(Long, Long)]]) =>
+         state: GroupState[List[(Long, Long, Long)]]) =>
           var st = state.getOption.getOrElse(Nil)
           rows.foreach { case (_, x, y) =>
             val dominated = st.exists(q =>
               q._1 <= x && q._2 >= y && (q._1 < x || q._2 > y))
-            if (!dominated)
-              st = (x, y) :: st.filterNot(q =>
-                x <= q._1 && y >= q._2 && (x < q._1 || y > q._2))
+            if (!dominated) {
+              if (st.exists(q => q._1 == x && q._2 == y))
+                st = st.map(q =>
+                  if (q._1 == x && q._2 == y) (q._1, q._2, q._3 + 1)
+                  else q)
+              else
+                st = (x, y, 1L) :: st.filterNot(q =>
+                  x <= q._1 && y >= q._2 && (x < q._1 || y > q._2))
+            }
           }
           state.update(st)
-          Frontier(key, st.size.toLong,
+          Frontier(key, st.map(_._3).sum,
             st.map(_._1).min, st.map(_._2).max,
-            st.map(_._1).sum, st.map(_._2).sum)
+            st.map(q => q._1 * q._3).sum, st.map(q => q._2 * q._3).sum)
       }
   }
 

@@ -813,6 +813,28 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streamingSkyline folds exact duplicates into counts (bounded state)") {
+    implicit val sq = spark.sqlContext
+    // one frontier point arriving 5 times across 2 batches: the
+    // digests must count all 5 arrivals (batch duplicates-survive
+    // parity) while state holds one (x, y, count) entry — the r11
+    // unbounded-growth hazard was exactly this stream
+    val source = MemoryStream[(String, Long, Long)]
+    val q = Streams.streamingSkyline(
+        source.toDF().toDF("key", "x", "y"))
+      .writeStream.format("memory").queryName("sky_dup")
+      .outputMode("update").start()
+    try {
+      source.addData(("k", 2L, 9L), ("k", 2L, 9L), ("k", 2L, 9L))
+      q.processAllAvailable()
+      source.addData(("k", 2L, 9L), ("k", 2L, 9L))
+      q.processAllAvailable()
+      val last = spark.table("sky_dup").collect().last
+      assert((last.getLong(1), last.getLong(2), last.getLong(3),
+        last.getLong(4), last.getLong(5)) == ((5L, 2L, 9L, 10L, 45L)))
+    } finally q.stop()
+  }
+
   test("streamingSkyline frontier matches the batch skyline across batch splits") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{col, lit, pmod}
