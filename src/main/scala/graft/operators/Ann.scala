@@ -107,11 +107,28 @@ object Ann {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    steps: Int = 1)
       : Array[(Long, Array[Float])] = {
-    graft.GraftExtensions.ensure(s)
-    var cents = corpus.filter(col(idCol) < k)
+    val seeds = corpus.filter(col(idCol) < k)
       .select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    ivfCentroidsFrom(s, corpus, seeds, steps, idCol, vecCol)
+  }
+
+  /** Continue Lloyd refinement from an EXISTING centroid set —
+    * `steps` additional corpus passes with the same integer-scaled,
+    * deterministic update as [[ivfCentroids]] (whose k-step training
+    * is seed extraction + this with `steps` passes). Two callers
+    * need the split: `ss_centroid_drift` reuses its step-1 training
+    * as the deeper chain's seed (one corpus pass saved per
+    * comparison), and an incremental-maintenance retrain can resume
+    * from the production centroids instead of re-seeding. */
+  def ivfCentroidsFrom(s: SparkSession, corpus: DataFrame,
+                       seed: Array[(Long, Array[Float])], steps: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding")
+      : Array[(Long, Array[Float])] = {
+    graft.GraftExtensions.ensure(s)
+    var cents = seed
     for (_ <- 1 to steps) {
       val sums = ivfAssign(corpus, cents, idCol, vecCol)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("idx", "x")))
@@ -160,6 +177,30 @@ object Ann {
                     vecCol: String = "embedding"): Unit =
     Partitioning.writeBucketed(
       ivfAssign(corpus, cents, idCol, vecCol), table, "cell", nBuckets)
+
+  /** APPEND face of the build-once index — the daily-crawl
+    * maintenance path [[buildIvfIndex]] lacks: assign a NEW batch to
+    * the EXISTING serving centroids (the same narrow argmax — no
+    * retrain, no Lloyd pass, resident rows untouched) and append the
+    * assignment into the bucketed table. Spark bucketed appends add
+    * per-job files hashed by the same bucket spec, so probe-side
+    * bucket pruning and the exchange-free join are unchanged, and
+    * the table after any number of appends probes identically to one
+    * built from scratch on the union corpus under the same centroids
+    * (SimilaritySpec pins result equality and the pruned plan).
+    * Retraining is a separate, gated decision — `ss_ivf_append`
+    * reports the per-cell growth and post-append centroid drift that
+    * trigger it. */
+  def appendIvfIndex(batch: DataFrame,
+                     cents: Array[(Long, Array[Float])], table: String,
+                     nBuckets: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit =
+    ivfAssign(batch, cents, idCol, vecCol)
+      .write.mode("append")
+      .bucketBy(nBuckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
 
   /** PROBE-many face against a prebuilt index table: the probe-cell
     * list (k·nprobe values, driver-known) lands on the scan as an IN

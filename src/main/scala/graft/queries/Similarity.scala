@@ -182,34 +182,40 @@ object Similarity extends QueryModule {
     * (q_id, vec_id, cosine)`. Shared by the ivf top-k oracles and the
     * recall report (whose WITH-clause also carries the brute and SRP
     * chains, hence the collision-free i-prefixed names). */
-  private def lloydStepCte(i: Int): String = {
-    val prev = s"cents${i - 1}"
+  /** `src` is the corpus the step assigns/averages over and `pfx`
+    * namespaces the CTEs, so one WITH-clause can carry several Lloyd
+    * chains (the append face trains on the base split, then runs one
+    * step over the full table from the trained seeds). Defaults
+    * reproduce the original single-chain names exactly. */
+  private def lloydStepCte(i: Int, src: String = "embeddings",
+                           pfx: String = ""): String = {
+    val prev = s"${pfx}cents${i - 1}"
     s"""
-      isc$i AS (
+      ${pfx}isc$i AS (
         SELECT e.vec_id, e.embedding, c.c_id,
                ${duckCosine("e.embedding", "c.c_emb")} AS c_cos
-        FROM embeddings e, $prev c),
-      ia$i AS (
+        FROM $src e, $prev c),
+      ${pfx}ia$i AS (
         SELECT vec_id, embedding, c_id AS cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY c_cos DESC, c_id ASC) AS rn
-          FROM isc$i) WHERE rn = 1),
-      idims$i AS (
+          FROM ${pfx}isc$i) WHERE rn = 1),
+      ${pfx}idims$i AS (
         SELECT cell, unnest(range(1, len(embedding)+1)) AS idx,
                unnest(embedding) AS x
-        FROM ia$i),
-      isums$i AS (
+        FROM ${pfx}ia$i),
+      ${pfx}isums$i AS (
         SELECT cell, idx,
                sum(CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
                count(*) AS n
-        FROM idims$i GROUP BY 1, 2),
-      cents$i AS (
+        FROM ${pfx}idims$i GROUP BY 1, 2),
+      ${pfx}cents$i AS (
         SELECT c0.c_id,
                CASE WHEN count(sm.idx) = 0 THEN first(c0.c_emb)
                     ELSE list(CAST((CAST(sm.s AS DOUBLE) / sm.n)
                                    / 1048576.0 AS FLOAT) ORDER BY sm.idx)
                END AS c_emb
-        FROM $prev c0 LEFT JOIN isums$i sm ON sm.cell = c0.c_id
+        FROM $prev c0 LEFT JOIN ${pfx}isums$i sm ON sm.cell = c0.c_id
         GROUP BY c0.c_id)"""
   }
 
@@ -217,7 +223,7 @@ object Similarity extends QueryModule {
       cents0 AS (
         SELECT vec_id AS c_id, embedding AS c_emb
         FROM embeddings WHERE vec_id < 8),
-      ${(1 to IvfSteps).map(lloydStepCte).mkString(",")},
+      ${(1 to IvfSteps).map(lloydStepCte(_)).mkString(",")},
       cents AS (SELECT c_id, c_emb FROM cents$IvfSteps),
       scored_cells AS (
         SELECT e.vec_id, e.embedding, c.c_id,
@@ -956,20 +962,12 @@ object Similarity extends QueryModule {
       import graft.operators.Ann
       val emb = Tables(s, dir, "embeddings")
       val c1 = Ann.ivfCentroids(s, emb, 8, steps = 1)
-      val c2 = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps).toMap
-      def dot(a: Array[Float], b: Array[Float]): Double = {
-        var acc = 0.0
-        var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-        acc
-      }
+      // the deeper chain RESUMES from c1 (identical math — step
+      // IvfSteps's input is exactly step 1's output), so the face
+      // costs IvfSteps corpus passes, not 1 + IvfSteps (r11 advice)
+      val c2 = Ann.ivfCentroidsFrom(s, emb, c1, IvfSteps - 1).toMap
       val rows = c1.toSeq.map { case (id, v1) =>
-        val v2 = c2(id)
-        val cos = dot(v1, v2) /
-          (math.sqrt(dot(v1, v1)) * math.sqrt(dot(v2, v2)))
-        (id, java.math.BigDecimal.valueOf(cos * 1000000)
-          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        (id, alignE6(v1, c2(id)))
       }
       import s.implicits._
       rows.toDF("cell", "align_e6").orderBy("cell")
@@ -983,8 +981,99 @@ object Similarity extends QueryModule {
       ORDER BY cell""")
   )
 
+  /** e6-quantized cosine alignment between two float vectors —
+    * driver-side planning-class math replicating the fvec_dot fold
+    * and Spark's HALF_UP rounding exactly, so the DuckDB oracles'
+    * `round(cosine * 1e6)` hash-matches bit-for-bit. Shared by
+    * `ss_centroid_drift` and `ss_ivf_append`. */
+  private def alignE6(a: Array[Float], b: Array[Float]): Long = {
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    val cos = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    java.math.BigDecimal.valueOf(cos * 1000000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+  }
+
+  /** INCREMENTAL index maintenance — the vector-side analogue of
+    * `dd_incremental`'s daily-crawl pattern (r11 "What's missing" #1):
+    * the serving centroids were trained on the resident corpus
+    * (vec_id % 7 ≠ 0 — the `dd_incremental` split idiom); a new crawl
+    * batch (vec_id % 7 = 0) is assigned to those EXISTING cells by the
+    * narrow argmax — no retrain, no Lloyd pass; at 100 TB re-running
+    * Lloyd per batch is exactly what a pipeline cannot afford. The
+    * report is the retrain GATE: per cell, resident size, appended
+    * size, and the e6 alignment between the serving centroid and the
+    * would-be centroid after ONE Lloyd step over the augmented corpus
+    * — alignment ≈ 1e6 everywhere means the append barely moved the
+    * cells and the index keeps serving; a drifted cell is the
+    * retrain trigger (then [[Ann.ivfCentroidsFrom]] resumes from the
+    * serving centroids instead of re-seeding). The physical append —
+    * bucketed-table files probing identically to a from-scratch build
+    * — is [[Ann.appendIvfIndex]], pinned in SimilaritySpec.
+    *
+    * Scale (100 TB): batch assignment is narrow (broadcast literal
+    * centroids); the gate costs one counting pass and one Lloyd pass
+    * over the union — both linear, both shared with the retrain if it
+    * then fires; k rows of driver math. */
+  val ivfAppend: Q = Q(
+    "ss_ivf_append",
+    (s, dir) => {
+      import graft.operators.Ann
+      val emb = Tables(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 7 =!= 0)
+      // k=10 seeds from the resident split: ids {1..6, 8, 9} — 8 cells
+      val cents = Ann.ivfCentroids(s, base, 10, steps = IvfSteps)
+      val counts = Ann.ivfAssign(emb, cents)
+        .groupBy("cell")
+        .agg(sum(when(col("vec_id") % 7 =!= 0, 1L).otherwise(0L))
+          .as("n_base"),
+          sum(when(col("vec_id") % 7 === 0, 1L).otherwise(0L))
+            .as("n_new"))
+      val updated = Ann.ivfCentroidsFrom(s, emb, cents, steps = 1).toMap
+      val align = cents.toSeq.map { case (id, v1) =>
+        (id, alignE6(v1, updated(id)))
+      }
+      import s.implicits._
+      align.toDF("cell", "align_e6")
+        .join(counts, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          col("align_e6"))
+        .orderBy("cell")
+    },
+    Some(s"""
+      WITH b_corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+      apcents0 AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM b_corpus WHERE vec_id < 10),
+      ${(1 to IvfSteps)
+        .map(lloydStepCte(_, "b_corpus", "ap")).mkString(",")},
+      ${lloydStepCte(IvfSteps + 1, "embeddings", "ap")},
+      nb AS (
+        SELECT cell,
+               sum(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS n_base,
+               sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS n_new
+        FROM apia${IvfSteps + 1} GROUP BY 1)
+      SELECT c.c_id AS cell,
+             CAST(coalesce(nb.n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(nb.n_new, 0) AS BIGINT) AS n_new,
+             CAST(round(${duckCosine("c.c_emb", "u.c_emb")} * 1000000)
+               AS BIGINT) AS align_e6
+      FROM apcents$IvfSteps c
+      JOIN apcents${IvfSteps + 1} u ON c.c_id = u.c_id
+      LEFT JOIN nb ON nb.cell = c.c_id
+      ORDER BY cell""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
     topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup,
-    rangeSearch, centroidDrift)
+    rangeSearch, centroidDrift, ivfAppend)
 }

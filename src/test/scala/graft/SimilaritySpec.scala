@@ -120,6 +120,43 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_index_spec")
   }
 
+  test("IVF append: appended index probes identically to a union rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, CacheScope}
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    // the ss_ivf_append split: resident corpus trains the serving
+    // centroids, the crawl batch is appended with NO retrain
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val batch = emb.filter(col("vec_id") % 7 === 0)
+    val cents = Ann.ivfCentroids(spark, base, 10,
+      steps = graft.queries.Similarity.IvfSteps)
+    Ann.buildIvfIndex(spark, base, cents, "ivf_append_spec", nBuckets = 8)
+    Ann.appendIvfIndex(batch, cents, "ivf_append_spec", nBuckets = 8)
+    Ann.buildIvfIndex(spark, emb, cents, "ivf_union_spec", nBuckets = 8)
+    try {
+      val queries = Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3), cents, nprobe = 2)
+        .transform(CacheScope.materialize)
+      val appended =
+        Ann.probeIvfIndex(spark, "ivf_append_spec", queries, 10)
+      // the append must not cost the probe its pruned, exchange-free
+      // shape: bucket files written by a second job hash on the same
+      // spec, so SelectedBucketsCount still gates the scan
+      val plan = appended.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"appended-index probe scan is not bucket-pruned:\n$plan")
+      val a = appended.collect().map(_.toSeq).toSeq
+      val u = Ann.probeIvfIndex(spark, "ivf_union_spec", queries, 10)
+        .collect().map(_.toSeq).toSeq
+      assert(a == u,
+        "append-then-probe diverged from the union rebuild's probe")
+      CacheScope.releaseCheckpoint(queries)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_append_spec")
+      spark.sql("DROP TABLE IF EXISTS ivf_union_spec")
+    }
+  }
+
   test("PQ encode is a narrow map and its search recalls against brute") {
     import graft.operators.Ann
     import org.apache.spark.sql.functions.col
