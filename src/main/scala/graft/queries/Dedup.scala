@@ -1808,6 +1808,156 @@ object Dedup extends QueryModule {
       ORDER BY minhash, simhash, cdc_chunk""")
   )
 
+  /** CANONICAL-URL dedup — the cheapest first pass every crawl
+    * pipeline runs BEFORE content dedup (r11 "What's missing" #2):
+    * the same page is re-crawled under scheme/host case variants,
+    * default ports, fragments, tracking params, and trailing
+    * slashes; normalizing to a canonical form and exact-deduping by
+    * it removes that whole class for the price of per-row string
+    * ops + one groupBy, no shingling. Fixture stance as
+    * `ta_url_domains`/`ta_pii_redact`: each doc contributes one
+    * crawl URL synthesized deterministically in BOTH engines, cycling
+    * five real-world variants of a shared page key (host-case +
+    * explicit :443, trailing slash, utm_* params, #fragment, and an
+    * upper-case scheme with a MEANINGFUL id= param that must
+    * survive), so every normalization rule is genuinely exercised —
+    * variants 0–3 of one page key collapse, variant 4 keeps its id.
+    *
+    * The canonical form (stated rule, replayed verbatim by the
+    * oracle): lowercase scheme and host; strip default ports 80/443,
+    * the #fragment, and tracking params (utm_*, fbclid, gclid —
+    * other params survive in order); drop one trailing slash.
+    *
+    * Output is the per-domain dedup report: mentions, distinct
+    * canonical pages, the dup count the normalization removed, and
+    * distinct contributing docs.
+    *
+    * Scale (100 TB): per-row built-in string expressions (narrow,
+    * codegen'd — no UDF), then one aggregate keyed by domain with a
+    * distinct-count on the canonical key; output bounded by
+    * |domains|. */
+  val urlDedup: Q = Q(
+    "dd_url_dedup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .withColumn("__host",
+          concat(col("source"), lit(".example.com")))
+        .withColumn("__path",
+          concat(lit("/"), col("lang"), lit("/"),
+            (col("doc_id") % 25).cast("string")))
+        .withColumn("url",
+          when(col("doc_id") % 5 === 0,
+            concat(lit("https://"), upper(col("source")),
+              lit(".Example.com:443"), col("__path")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("https://"), col("__host"), col("__path"),
+              lit("/")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("https://"), col("__host"), col("__path"),
+              lit("?utm_source=feed&utm_campaign=c"),
+              (col("doc_id") % 3).cast("string")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("https://"), col("__host"), col("__path"),
+              lit("#sec")))
+          .otherwise(
+            concat(lit("HTTPS://"), col("__host"), col("__path"),
+              lit("?id="), (col("doc_id") % 4).cast("string"),
+              lit("&utm_medium=rss"))))
+      val canon = d
+        .withColumn("__nofrag", substring_index(col("url"), "#", 1))
+        .withColumn("__base", substring_index(col("__nofrag"), "?", 1))
+        .withColumn("__q",
+          when(col("__nofrag").contains("?"),
+            substring_index(col("__nofrag"), "?", -1)).otherwise(""))
+        .withColumn("__scheme",
+          lower(substring_index(col("__base"), "://", 1)))
+        .withColumn("__hostport",
+          substring_index(substring_index(col("__base"), "://", -1),
+            "/", 1))
+        .withColumn("__cleanhost",
+          regexp_replace(lower(col("__hostport")), ":(443|80)$", ""))
+        .withColumn("__rawpath",
+          regexp_replace(col("__base"), "^[a-zA-Z]+://[^/]*", ""))
+        .withColumn("__cleanpath",
+          regexp_replace(col("__rawpath"), "/$", ""))
+        .withColumn("__kept", expr(
+          """array_join(filter(split(__q, '&'),
+               p -> p != '' AND NOT
+                 p rlike '^(utm_[a-z]+|fbclid|gclid)='), '&')"""))
+        .withColumn("canon_url",
+          concat(col("__scheme"), lit("://"), col("__cleanhost"),
+            col("__cleanpath"),
+            when(col("__kept") =!= "",
+              concat(lit("?"), col("__kept"))).otherwise("")))
+      canon
+        .groupBy(col("__cleanhost").as("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canon_url")).as("n_canon_urls"),
+          (count(lit(1)) - countDistinct(col("canon_url")))
+            .as("n_dup_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, lang,
+               source || '.example.com' AS host,
+               '/' || lang || '/' || CAST(doc_id % 25 AS VARCHAR) AS path
+        FROM documents),
+      raw AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'https://' || upper(source) ||
+                   '.Example.com:443' || path
+                 WHEN 1 THEN 'https://' || host || path || '/'
+                 WHEN 2 THEN 'https://' || host || path ||
+                   '?utm_source=feed&utm_campaign=c' ||
+                   CAST(doc_id % 3 AS VARCHAR)
+                 WHEN 3 THEN 'https://' || host || path || '#sec'
+                 ELSE 'HTTPS://' || host || path || '?id=' ||
+                   CAST(doc_id % 4 AS VARCHAR) || '&utm_medium=rss'
+               END AS url
+        FROM d),
+      parts AS (
+        SELECT doc_id,
+               split_part(url, '#', 1) AS nofrag
+        FROM raw),
+      pieces AS (
+        SELECT doc_id,
+               split_part(nofrag, '?', 1) AS base,
+               CASE WHEN contains(nofrag, '?')
+                    THEN split_part(nofrag, '?', 2) ELSE '' END AS q
+        FROM parts),
+      norm AS (
+        SELECT doc_id,
+               lower(split_part(base, '://', 1)) AS scheme,
+               regexp_replace(
+                 lower(split_part(split_part(base, '://', 2), '/', 1)),
+                 ':(443|80)$', '') AS cleanhost,
+               regexp_replace(
+                 regexp_replace(base, '^[a-zA-Z]+://[^/]*', ''),
+                 '/$', '') AS cleanpath,
+               array_to_string(
+                 list_filter(string_split(q, '&'),
+                   p -> p <> '' AND NOT
+                     regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=')),
+                 '&') AS kept
+        FROM pieces),
+      canon AS (
+        SELECT doc_id, cleanhost AS domain,
+               scheme || '://' || cleanhost || cleanpath ||
+                 CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+                 AS canon_url
+        FROM norm)
+      SELECT domain,
+             count(*) AS n_urls,
+             count(DISTINCT canon_url) AS n_canon_urls,
+             count(*) - count(DISTINCT canon_url) AS n_dup_urls,
+             count(DISTINCT doc_id) AS n_docs
+      FROM canon GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
@@ -1815,5 +1965,6 @@ object Dedup extends QueryModule {
     sourceOverlap, curationPipeline, incremental,
     leakageSafeSplit, containment, dupWeights, dedupBest,
     paragraphDedup, fuzzyVerify, contaminationRate, cdcChunkDup,
-    lshBucketStats, qualityGatePipeline, methodAgreement, ngramNovelty)
+    lshBucketStats, qualityGatePipeline, methodAgreement, ngramNovelty,
+    urlDedup)
 }
