@@ -100,6 +100,55 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
       == plain, "bucket granularity leaked into the result")
   }
 
+  test("prefixSumTwoPhase equals the single-window running sum and index") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Partitioning
+    val e = Tables(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    val ref = e
+      .withColumn("cum", sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .select("event_type", "event_id", "cum", "k")
+      .orderBy("event_type", "k").collect().toSeq
+    // hour buckets: many per type, so phase-2 offsets genuinely stitch
+    val got = Partitioning.prefixSumTwoPhase(e, "event_type", "us",
+        "event_id", "cents", bucketSize = 3600L * 1000000L)
+      .select("event_type", "event_id", "cum", "k")
+      .orderBy("event_type", "k").collect().toSeq
+    assert(got == ref,
+      "two-phase running sum diverged from the single window")
+  }
+
+  test("cusumTwoPhase equals ev_cusum_changepoint; windows partition " +
+      "on the time bucket") {
+    import graft.operators.Partitioning
+    val e = Tables(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val plain = SparkEntry.queries("ev_cusum_changepoint")(spark, sf)
+      .collect().toSeq
+    val twoPhase = Partitioning.cusumTwoPhase(e, bucketSeconds = 21600)
+    assert(twoPhase.collect().toSeq == plain,
+      "two-phase cusum diverged from the plain-window face")
+    // the skew cost — the event-level ordered window — must key on
+    // (event_type, __bkt), never event_type alone; per-type totals
+    // arrive by broadcast join, so NO window in the plan sees a whole
+    // type's history in one partition
+    val plan = twoPhase.queryExecution.executedPlan.toString
+    val winSpecs = "Window \\[[^\\n]*\\], \\[([^\\]]*)\\], "
+      .r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("__bkt")),
+      s"event-level window not bucket-partitioned: $winSpecs")
+    // a different salt granularity must not change the answer
+    assert(Partitioning.cusumTwoPhase(e, 3600).collect().toSeq == plain,
+      "bucket granularity leaked into the cusum result")
+  }
+
   test("packShards equals the single-window reference computation") {
     import org.apache.spark.sql.expressions.Window
     val d = Tables(spark, sf, "documents")
