@@ -152,6 +152,22 @@ object Bench {
         if (err.nonEmpty || ts.isEmpty) -1.0 else ts(ts.size / 2)
       (median, err)
     }
+    // skew evidence runs BEFORE the catalog loop (r11 verdict #2):
+    // measured after 500+ query executions the same cells read 2-6×
+    // slower with the distortion landing UNEVENLY — the highly
+    // parallel salted/uniform cells absorb the loaded JVM's GC and
+    // code-cache pressure while the single-task plain-skew sort
+    // barely moves, which inverted the salted-wins-on-skew result
+    // the fixture actually shows in a controlled context (r11:
+    // scd2 5.79 vs 5.87 "tie" in the driver record; 3.0 vs 5.3 in a
+    // fresh JVM). The host calib above has already absorbed JVM
+    // warm-up, so this position is the controlled frame.
+    val skew: Map[String, Double] =
+      if (args.nonEmpty && !skewOnly) Map.empty
+      else if (sys.env.get("SPARK_GRAFT_SKEW_BENCH").contains("0"))
+        Map.empty
+      else try skewBench(spark) catch { case e: Exception =>
+        System.err.println(s"[bench] skew bench skipped: $e"); Map.empty }
     val results = selected.map { case (name, _) =>
       val (median, err) = timeQuery(name)
       (name, median, err)
@@ -301,13 +317,6 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] regression gate skipped: $e")
     }
-    // skew evidence: full-catalog runs only (the per-round record the
-    // judge reads); a failure here must not void the catalog timings
-    val skew: Map[String, Double] =
-      if ((args.nonEmpty && !skewOnly) ||
-          sys.env.get("SPARK_GRAFT_SKEW_BENCH").contains("0")) Map.empty
-      else try skewBench(spark) catch { case e: Exception =>
-        System.err.println(s"[bench] skew bench skipped: $e"); Map.empty }
     if (writeDetail) {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detailJson(results, reps, sfName, calib, cpus, reruns, calib2,
@@ -372,18 +381,34 @@ object Bench {
     * results land in the detail record under `skew_bench` and are
     * NOT part of the catalog total or the regression gate.
     *
-    * Expected reading (first measured run, local[32]): the JOIN cells
-    * certify layer 1 — AQE's runtime skew split already serves the
-    * 90%-hot join well (plain ≈ 1.6 s vs salted ≈ 3.1 s: the MG
-    * sketch pass plus hot-sliver replication is pure overhead when
-    * AQE can see the skew), and salted ties plain on uniform data.
-    * The SCD2 cells certify layer 2 — window-partition skew gets NO
-    * runtime split, and the time-bucket salt wins there (≈ 3.5 s vs
-    * ≈ 5.4 s at 95%-hot; the gap widens with the hot user's mass as
-    * the plain form's single-task sort grows while the salted form
-    * stays parallel) at the documented ~2× cost on uniform data.
-    * That asymmetry — use AQE where it sees, salt where it cannot —
-    * is exactly the Partitioning layer's contract. */
+    * Expected reading (r12 controlled-context run, local[32] —
+    * the section now executes BEFORE the catalog loop; r11's
+    * post-catalog position read the same cells 2-6× slower with the
+    * distortion inverting the scd2 result):
+    *
+    *   - JOIN cells, layer 1: AQE's runtime skew split already
+    *     serves the 90%-hot join (plain ≈ 1.3 s vs salted ≈ 2.3 s —
+    *     the MG sketch pass plus hot-sliver replication is pure
+    *     overhead when AQE can see the skew); salted ties plain on
+    *     uniform data. Salting a shuffle JOIN is for engines/configs
+    *     without AQE skew-join, not for Spark with it on.
+    *   - SCD2 cells, layer 2: window-partition skew gets NO runtime
+    *     split, and the time-bucket salt WINS on the wide-row,
+    *     windows-heavy shape (≈ 3.0 s vs ≈ 5.3 s at 95%-hot; the gap
+    *     widens with the hot user's mass) at the documented ~2× cost
+    *     on uniform data.
+    *   - CUSUM cells, layer 2's crossover: for NARROW rows in
+    *     realistic rough time order, the plain window stays ahead at
+    *     every in-memory hot-partition mass (≈ 0.5 s vs ≈ 2 s even
+    *     with 7.9M rows in one task — a nearly-sorted narrow
+    *     partition sorts faster than the two-phase's extra corpus
+    *     passes); prefixSumTwoPhase is the FEASIBILITY shape for a
+    *     hot key whose history outgrows one task, not an in-memory
+    *     win. Salt where the partition would spill, not before.
+    *
+    * That asymmetry — use AQE where it sees, salt where it cannot
+    * and only past the crossover — is exactly the Partitioning
+    * layer's contract. */
   def skewBench(spark: SparkSession): Map[String, Double] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -458,6 +483,58 @@ object Bench {
       }
       name -> sec
     }
+    // ---- cusum fixture: the ordered PREFIX-SUM family (r12's
+    // prefixSumTwoPhase twin) — 8M events, one type carrying 99% ≈
+    // 7.9M rows in ONE window task. Deliberately kept NARROW rows
+    // (three longs + a short type string — the real ev_cusum shape)
+    // and realistic roughly-time-ordered arrival, both of which favor
+    // the plain window (a narrow nearly-sorted hot partition sorts in
+    // well under a second), so these cells measure the HONEST
+    // crossover: the two-phase's ~two extra corpus passes do NOT pay
+    // at any in-memory hot-partition mass — it is the feasibility
+    // shape for when a dominant key's history outgrows one task
+    // (spill/OOM at 100 TB), not an in-memory speedup. Bucket size
+    // 50 000 s → ~160 buckets; |types|·|buckets| ≈ 32k offset rows
+    // stays a planning-class collect/broadcast (the first cut's
+    // 3600 s buckets shipped 223k offset rows and that alone cost
+    // more than the salt saved).
+    def cuDf(skewed: Boolean) = spark.range(0, 8000000L, 1, 32)
+      .selectExpr(
+        if (skewed)
+          "CASE WHEN id % 100 < 99 THEN 'hot' ELSE concat('t', id % 200) END AS event_type"
+        else "concat('t', id % 200) AS event_type",
+        "1700000000000000 + id * 1000000 AS us",
+        "id AS event_id",
+        "(id % 1000) - 500 AS cents")
+    def plainCusum(e: org.apache.spark.sql.DataFrame) = {
+      val wOrd = Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      e.withColumn("pk", sum("cents").over(wOrd))
+        .withColumn("k", row_number().over(Window
+          .partitionBy("event_type").orderBy("us", "event_id"))
+          .cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum("cents").over(wAll))
+        .withColumn("s", col("n") * col("pk") - col("k") * col("tot"))
+        .groupBy("event_type")
+        .agg(max(struct(abs(col("s")).as("a"), (-col("k")).as("nk"),
+          col("s").as("s"), col("us").as("us"))).as("peak"))
+        .select(col("event_type"), (-col("peak.nk")).as("k_star"),
+          col("peak.s").as("s_star"), col("peak.us").as("us_star"))
+    }
+    def cusumCell(name: String, skewed: Boolean, salted: Boolean): (String, Double) = {
+      val e = cuDf(skewed)
+      val sec = timed {
+        val r =
+          if (salted)
+            graft.operators.Partitioning.cusumTwoPhase(e, 50000L)
+          else plainCusum(e)
+        counts += name -> r.count()
+      }
+      name -> sec
+    }
     val cells = Seq(
       joinCell("join_plain_skew", skewed = true, salted = false),
       joinCell("join_salted_skew", skewed = true, salted = true),
@@ -466,12 +543,18 @@ object Bench {
       scd2Cell("scd2_plain_skew", skewed = true, salted = false),
       scd2Cell("scd2_salted_skew", skewed = true, salted = true),
       scd2Cell("scd2_plain_uniform", skewed = false, salted = false),
-      scd2Cell("scd2_salted_uniform", skewed = false, salted = true))
+      scd2Cell("scd2_salted_uniform", skewed = false, salted = true),
+      cusumCell("cusum_plain_skew", skewed = true, salted = false),
+      cusumCell("cusum_salted_skew", skewed = true, salted = true),
+      cusumCell("cusum_plain_uniform", skewed = false, salted = false),
+      cusumCell("cusum_salted_uniform", skewed = false, salted = true))
     // result-equality sanity: plain and salted must agree per fixture
     for (base <- Seq("join_plain_skew" -> "join_salted_skew",
         "join_plain_uniform" -> "join_salted_uniform",
         "scd2_plain_skew" -> "scd2_salted_skew",
-        "scd2_plain_uniform" -> "scd2_salted_uniform")) {
+        "scd2_plain_uniform" -> "scd2_salted_uniform",
+        "cusum_plain_skew" -> "cusum_salted_skew",
+        "cusum_plain_uniform" -> "cusum_salted_uniform")) {
       val (p, s) = base
       require(counts(p) == counts(s),
         s"skew bench mismatch: $p=${counts(p)} vs $s=${counts(s)}")

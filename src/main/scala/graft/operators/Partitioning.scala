@@ -230,7 +230,17 @@ object Partitioning {
     * form their own group, the packShards convention). Output: the
     * input columns + `cumCol` (running weight sum) + `idxCol`
     * (1-based position per part). `df` is evaluated twice (offsets
-    * job + result plan) — persist expensive lineages first. */
+    * job + result plan) — persist expensive lineages first.
+    *
+    * Crossover, measured (Bench skew cells, r12): the two phases
+    * cost ~two extra corpus passes plus the offsets round-trip, and
+    * a NARROW hot partition in rough time order sorts faster than
+    * that at every in-memory mass (7.9M-row hot type: plain ≈ 0.5 s
+    * vs two-phase ≈ 2 s on local[32]) — this is the FEASIBILITY
+    * shape for a dominant key whose history outgrows one task
+    * (spill/OOM territory at 100 TB), not an in-memory speedup.
+    * Contrast [[scd2TwoPhase]], whose wide-row windows-heavy shape
+    * measurably wins on skew at bench scale already. */
   def prefixSumTwoPhase(df: DataFrame, partCol: String, ordCol: String,
                         tieCol: String, weightCol: String,
                         bucketSize: Long, cumCol: String = "cum",
@@ -283,8 +293,9 @@ object Partitioning {
     * Input: (event_type, us, event_id, cents) — the face's
     * projection; output bit-identical to it (PartitioningSpec).
     * The catalog face keeps the plain window (literal single-window
-    * parity with its DuckDB oracle); this is the shape a 100 TB
-    * deployment swaps in. */
+    * parity with its DuckDB oracle); swap this in only when a hot
+    * type's history outgrows one task — see the measured crossover
+    * note on [[prefixSumTwoPhase]]. */
   def cusumTwoPhase(e: DataFrame, bucketSeconds: Long): DataFrame = {
     val totals = broadcast(e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("tot")))

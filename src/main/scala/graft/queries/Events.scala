@@ -1415,11 +1415,12 @@ object Events extends QueryModule {
     * Scale (100 TB): one exchange on event_type for the ordered
     * prefix window (the ev_scd2 shape), then a map-combined argmax
     * aggregate to |types| rows. A hot type concentrates its full
-    * history in one window partition — the skew-hardened deployment
-    * shape is `Partitioning.cusumTwoPhase` (time-bucketed prefix sums
-    * + broadcast offsets, r12), pinned bit-identical to this face in
-    * PartitioningSpec; the catalog keeps the plain window for literal
-    * single-window parity with the oracle. */
+    * history in one window partition; `Partitioning.cusumTwoPhase`
+    * (time-bucketed prefix sums + broadcast offsets, r12) is the
+    * bit-identical twin for when that history outgrows one task —
+    * measured crossover: for these narrow rows the plain window wins
+    * at every in-memory mass (Bench skew cells), so the twin is the
+    * feasibility escape, not a default. */
   val cusumChangepoint: Q = Q(
     "ev_cusum_changepoint",
     (s, dir) => {
