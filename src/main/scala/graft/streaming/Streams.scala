@@ -859,6 +859,26 @@ object Streams {
         col("i.ts").as("ts"), col("e.ts").as("error_ts"))
   }
 
+  /** Streaming IVF cell assignment — the SERVING path of
+    * `ss_ivf_append` when crawl batches arrive as a stream: each
+    * arriving embedding is assigned to its cell against the FROZEN
+    * serving centroids via the same literal-centroid narrow argmax as
+    * the batch face (`Ann.ivfAssign` — stateless, zero shuffle, no
+    * state store), so it composes with watermarks, dropDuplicates,
+    * and any downstream stateful op. Retraining stays a gated BATCH
+    * decision — the `ss_ivf_append` report over the accumulated
+    * corpus — after which the query restarts with the new centroid
+    * literals (the standard serve-frozen / retrain-offline split).
+    * Batch parity is definitional (one expression tree, no state) and
+    * pinned across batch splits in StreamsSpec. */
+  def streamingIvfAssign(emb: DataFrame,
+                         cents: Array[(Long, Array[Float])],
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    graft.GraftExtensions.ensure(emb.sparkSession)
+    graft.operators.Ann.ivfAssign(emb, cents, idCol, vecCol)
+  }
+
   /** Streaming fan-out — the reference's multi-target S3 sink
     * (SURVEY.md S5) on the streaming face: every micro-batch is written
     * gzip-CSV to each target under a per-batch key via `foreachBatch`,

@@ -813,6 +813,32 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streamingIvfAssign matches the batch assignment across batch splits") {
+    implicit val sq = spark.sqlContext
+    val emb = graft.sources.Tables(
+      spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = graft.operators.Ann.ivfCentroids(spark, emb, 8,
+      steps = graft.queries.Similarity.IvfSteps)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 3)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.streamingIvfAssign(
+        source.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("ivf_assign_state")
+      .outputMode("append").start()
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("ivf_assign_state")
+        .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+      val batch = graft.operators.Ann.ivfAssign(emb, cents)
+        .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        "streamed cell assignment diverged from the batch argmax")
+    } finally q.stop()
+  }
+
   test("streamingSkyline folds exact duplicates into counts (bounded state)") {
     implicit val sq = spark.sqlContext
     // one frontier point arriving 5 times across 2 batches: the
