@@ -1823,10 +1823,11 @@ object Dedup extends QueryModule {
     * survive), so every normalization rule is genuinely exercised —
     * variants 0–3 of one page key collapse, variant 4 keeps its id.
     *
-    * The canonical form (stated rule, replayed verbatim by the
-    * oracle): lowercase scheme and host; strip default ports 80/443,
-    * the #fragment, and tracking params (utm_*, fbclid, gclid —
-    * other params survive in order); drop one trailing slash.
+    * The canonical form is `operators.UrlCanon.canonicalize` (stated
+    * rule there, replayed verbatim by the oracle, idempotence
+    * property-pinned): lowercase scheme and host; strip default ports
+    * 80/443, the #fragment, and tracking params (utm_*, fbclid,
+    * gclid — other params survive in order); drop one trailing slash.
     *
     * Output is the per-domain dedup report: mentions, distinct
     * canonical pages, the dup count the normalization removed, and
@@ -1865,33 +1866,12 @@ object Dedup extends QueryModule {
               lit("?id="), (col("doc_id") % 4).cast("string"),
               lit("&utm_medium=rss"))))
       val canon = d
-        .withColumn("__nofrag", substring_index(col("url"), "#", 1))
-        .withColumn("__base", substring_index(col("__nofrag"), "?", 1))
-        .withColumn("__q",
-          when(col("__nofrag").contains("?"),
-            substring_index(col("__nofrag"), "?", -1)).otherwise(""))
-        .withColumn("__scheme",
-          lower(substring_index(col("__base"), "://", 1)))
-        .withColumn("__hostport",
-          substring_index(substring_index(col("__base"), "://", -1),
-            "/", 1))
-        .withColumn("__cleanhost",
-          regexp_replace(lower(col("__hostport")), ":(443|80)$", ""))
-        .withColumn("__rawpath",
-          regexp_replace(col("__base"), "^[a-zA-Z]+://[^/]*", ""))
-        .withColumn("__cleanpath",
-          regexp_replace(col("__rawpath"), "/$", ""))
-        .withColumn("__kept", expr(
-          """array_join(filter(split(__q, '&'),
-               p -> p != '' AND NOT
-                 p rlike '^(utm_[a-z]+|fbclid|gclid)='), '&')"""))
+        .withColumn("__domain",
+          graft.operators.UrlCanon.domainOf(col("url")))
         .withColumn("canon_url",
-          concat(col("__scheme"), lit("://"), col("__cleanhost"),
-            col("__cleanpath"),
-            when(col("__kept") =!= "",
-              concat(lit("?"), col("__kept"))).otherwise("")))
+          graft.operators.UrlCanon.canonicalize(col("url")))
       canon
-        .groupBy(col("__cleanhost").as("domain"))
+        .groupBy(col("__domain").as("domain"))
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("canon_url")).as("n_canon_urls"),
           (count(lit(1)) - countDistinct(col("canon_url")))

@@ -62,6 +62,48 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("URL canonicalization is idempotent on adversarial variants") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.UrlCanon
+    // generated URLs stack every normalization trigger: mixed-case
+    // scheme/host, optional default + NON-default ports (the latter
+    // must survive), optional path with/without trailing slash,
+    // shuffled tracking + real params, optional fragment
+    val gen = for {
+      up <- Gen.oneOf("https", "HTTPS", "Https", "http", "HTTP")
+      host <- Gen.oneOf("Example.COM", "a.example.com", "M.Site.ORG")
+      port <- Gen.oneOf("", ":443", ":80", ":8443")
+      path <- Gen.oneOf("", "/x", "/x/y", "/x/", "/")
+      params <- Gen.someOf(Seq("utm_source=a", "id=7", "gclid=z",
+        "q=term", "utm_campaign=c", "fbclid=f"))
+      frag <- Gen.oneOf("", "#top", "#sec-2")
+    } yield up + "://" + host + port + path +
+      (if (params.isEmpty) "" else "?" + params.mkString("&")) + frag
+    val urls = Gen.listOfN(400, gen).sample.get
+    val once = urls.toDF("url")
+      .select(UrlCanon.canonicalize(col("url")).as("c"))
+      .as[String].collect().toSeq
+    val twice = once.toDF("c")
+      .select(UrlCanon.canonicalize(col("c")).as("c2"))
+      .as[String].collect().toSeq
+    assert(twice == once, "canonicalize is not a fixed point")
+    // spot invariants: no fragment, no tracking params, no default
+    // port, lowercase scheme+host survive in every canonical form
+    once.foreach { u =>
+      assert(!u.contains("#") && !u.contains("utm_") &&
+        !u.contains("fbclid") && !u.contains("gclid") &&
+        !u.contains(":443") && !u.contains(":80"), u)
+      val host = u.drop(u.indexOf("://") + 3)
+        .takeWhile(c => c != '/' && c != '?')
+      assert(u.takeWhile(_ != '/').forall(c => !c.isUpper), u)
+      assert(host.forall(c => !c.isUpper), u)
+    }
+    // non-default ports and real params must SURVIVE
+    assert(once.exists(_.contains(":8443")),
+      "non-default port was stripped")
+    assert(once.exists(_.contains("id=7")), "real param was stripped")
+  }
+
   test("exact dedup is idempotent: distinct twice == distinct once") {
     val rows = Gen.listOfN(500, Gen.chooseNum(0, 50)).sample.get
     val df = rows.toDF("k")
