@@ -1938,6 +1938,111 @@ object Dedup extends QueryModule {
       FROM canon GROUP BY 1 ORDER BY 1""")
   )
 
+  /** LSH RECALL/PRECISION certification — the dedup analogue of
+    * `ss_recall_report`: against exact ground truth (every pair with
+    * shingle-set Jaccard ≥ 0.5, the integer test 3·|A∩B| ≥ |A|+|B|),
+    * what fraction did banding (numPerms=8, nBands=2 — the catalog
+    * parameters) actually catch, and what fraction of its candidates
+    * are true pairs? The two numbers a team reads before trusting
+    * banded dedup at scale, and the measured backing for the
+    * band-tuning guidance in `dd_lsh_bucket_stats`.
+    *
+    * Ground truth needs pairwise exact Jaccard, so this is a
+    * CERTIFICATION face in the `ss_recall_report` sense: its input IS
+    * the certification corpus, and truth pairs come from the SPARSE
+    * gram join (only pairs sharing ≥1 shingle can reach J ≥ 0.5 —
+    * never an all-pairs product), whose fan-out is Σ m_g·(m_g−1)/2
+    * over shingle frequencies. That is the dominant cost (~36M pair
+    * rows at sf0.1, the catalog's most expensive single face) and it
+    * is the honest price of exact truth here: the classic
+    * prefix-filtering join (Bayardo et al. 2007, "Scaling Up All
+    * Pairs Similarity Search" — emit each doc's rarest
+    * ⌊|d|/2⌋+1 grams, verify only prefix collisions) is the
+    * production shape for Zipfian gram spaces, but this fixture's
+    * ~931-gram vocabulary defeats it (measured: the prefix join still
+    * generates 16.5M pair rows and 7.9M candidates, making exact
+    * verification COSTLIER than the direct join), so the face keeps
+    * the direct form. At 100 TB a team feeds this face a
+    * pair-preserving subset — a `dd_leakage_safe_split` component
+    * slice or an SF-scale fixture — and runs production banding
+    * WITHOUT it; a mod-sample is exactly wrong here (it splits the
+    * very pairs being certified — measured: a 1-in-10 id sample of
+    * the fixture holds ZERO of its 25 true pairs). Candidates are the
+    * certified lshCandidates kernel over the same corpus; the three
+    * 1-row aggregates meet in scalar-attach cross joins (the
+    * ev_watermark pattern, PlanAuditSpec-allowlisted). */
+  val lshRecall: Q = Q(
+    "dd_lsh_recall",
+    (s, dir) => {
+      import graft.operators.{CacheScope, TextDedup}
+      val corpus = Tables(s, dir, "documents")
+      // gram strings collapse to xxhash64 keys before the self-join
+      // (the dd_decontaminate idiom — the oracle joins on the text, so
+      // a collision would surface as a hash mismatch): the pair
+      // fan-out is Σ m·(m−1)/2 either way, but each joined row is
+      // three longs instead of carrying the gram string
+      val sh = TextDedup.shingles(corpus).distinct()
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("doc_id").as("da"), col("g"))
+        .join(sh.select(col("doc_id").as("db"), col("g")), Seq("g"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("i"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")),
+          "da")
+        .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")),
+          "db")
+        .filter(col("i") * 3 >= col("sa") + col("sb"))
+        .select("da", "db")
+        .persist()
+      val cand = TextDedup.lshCandidates(corpus, numPerms = 8, nBands = 2)
+        .select(col("doc_a").as("da"), col("doc_b").as("db"))
+        .persist()
+      val caught = truth.join(cand, Seq("da", "db"), "left_semi")
+      val result = truth.agg(count(lit(1)).as("n_true_pairs"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .select(col("n_true_pairs"), col("n_candidates"), col("n_caught"),
+          expr("""CASE WHEN n_true_pairs = 0 THEN CAST(1000 AS BIGINT)
+                       ELSE (n_caught * 1000) div n_true_pairs END""")
+            .as("recall_millis"),
+          expr("""CASE WHEN n_candidates = 0 THEN CAST(1000 AS BIGINT)
+                       ELSE (n_caught * 1000) div n_candidates END""")
+            .as("precision_millis"))
+      CacheScope.eval(result)(sh, truth, cand)
+    },
+    Some(s"""
+      WITH $shinglesSql, $sigSql, $candSql,
+      rsizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      rinter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      rtruth AS (
+        SELECT da, db FROM rinter
+        JOIN rsizes sa ON sa.doc_id = rinter.da
+        JOIN rsizes sb ON sb.doc_id = rinter.db
+        WHERE 3 * i >= sa.sz + sb.sz),
+      rcaught AS (
+        SELECT t.da, t.db FROM rtruth t
+        JOIN cand c ON t.da = c.doc_a AND t.db = c.doc_b)
+      SELECT CAST(t.n AS BIGINT) AS n_true_pairs,
+             CAST(c.n AS BIGINT) AS n_candidates,
+             CAST(g.n AS BIGINT) AS n_caught,
+             CAST(CASE WHEN t.n = 0 THEN 1000
+                       ELSE g.n * 1000 // t.n END AS BIGINT)
+               AS recall_millis,
+             CAST(CASE WHEN c.n = 0 THEN 1000
+                       ELSE g.n * 1000 // c.n END AS BIGINT)
+               AS precision_millis
+      FROM (SELECT count(*) AS n FROM rtruth) t,
+           (SELECT count(*) AS n FROM cand) c,
+           (SELECT count(*) AS n FROM rcaught) g""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
@@ -1946,5 +2051,5 @@ object Dedup extends QueryModule {
     leakageSafeSplit, containment, dupWeights, dedupBest,
     paragraphDedup, fuzzyVerify, contaminationRate, cdcChunkDup,
     lshBucketStats, qualityGatePipeline, methodAgreement, ngramNovelty,
-    urlDedup)
+    urlDedup, lshRecall)
 }

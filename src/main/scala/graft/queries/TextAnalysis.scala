@@ -898,6 +898,52 @@ object TextAnalysis extends QueryModule {
     * token stream — r11 review — so the sentinel is gone.) Same
     * window arithmetic as `ta_chunk`, so the two faces differ only
     * in what a "token" is. */
+  /** Tokenizer FERTILITY per language — BPE tokens per whitespace
+    * word, the standard multilingual budget diagnostic (how many
+    * subword tokens the tokenizer spends per word of each language):
+    * a language with high fertility is under-served by the merge
+    * vocabulary and consumes disproportionate context window and
+    * compute per word — the number a team reads before setting
+    * per-language mix weights (`ta_corpus_mix`) or revisiting the
+    * merge file. Integer-exact millis (1000 = one token per word);
+    * both counts ride the same certified kernels as
+    * `ta_bpe_token_stats` (native `bpe_count`, empty-token-filtered
+    * whitespace words), aggregated per lang.
+    *
+    * Scale (100 TB): one fused narrow kernel per row, one
+    * map-combined aggregate to |langs| rows — nothing else. */
+  val bpeFertility: Q = Q(
+    "ta_bpe_fertility",
+    (s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      docs(s, dir)
+        .select(col("lang"),
+          size(expr("filter(split(text, ' '), x -> x <> '')"))
+            .cast("long").as("nw"),
+          expr("bpe_count(text)").as("nb"))
+        .groupBy("lang")
+        .agg(sum("nw").as("n_words"), sum("nb").as("n_bpe_tokens"))
+        .withColumn("fertility_millis",
+          expr("(n_bpe_tokens * 1000) div n_words"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH $bpeCountCtes,
+      wc AS (
+        SELECT doc_id, count(*) AS nw FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) WHERE word <> '' GROUP BY doc_id)
+      SELECT d.lang,
+             CAST(sum(coalesce(w.nw, 0)) AS BIGINT) AS n_words,
+             CAST(sum(b.n_bpe) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(b.n_bpe) * 1000 // sum(coalesce(w.nw, 0))
+               AS BIGINT) AS fertility_millis
+      FROM documents d
+      JOIN bpe_n b USING (doc_id)
+      LEFT JOIN wc w USING (doc_id)
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   val bpeChunk: Q = Q(
     "ta_bpe_chunk",
     (s, dir) => {
@@ -1639,6 +1685,6 @@ object TextAnalysis extends QueryModule {
       shardAssign, lengthQuantiles, piiRedact, urlDomains,
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
-      bpeTokenStats, bpeShardAssign, bpeChunk, classifierScore,
-      unigramSurprisal, freqSpectrum, burstiness)
+      bpeTokenStats, bpeShardAssign, bpeChunk, bpeFertility,
+      classifierScore, unigramSurprisal, freqSpectrum, burstiness)
 }

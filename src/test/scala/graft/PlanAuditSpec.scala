@@ -58,7 +58,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "rel_fk_check",
       // dd_quality_gate_pipeline inherits the surprisal stage's 1-row
       // corpus-total scalar attach
-      "dd_quality_gate_pipeline")
+      "dd_quality_gate_pipeline",
+      // dd_lsh_recall cross-joins its three 1-row count aggregates
+      // (truth / candidates / caught) into the one-row certification
+      // report — the same scalar-attach pattern
+      "dd_lsh_recall")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the
