@@ -598,6 +598,26 @@ object Streams {
       .withWatermark("ts", "5 days")
       .dropDuplicatesWithinWatermark(Seq("simhash_int"))
 
+  /** Streaming canonical-URL dedup — the stream face of
+    * `dd_url_dedup`, and the FIRST gate of a streaming crawl ingest
+    * (before fingerprint near-dedup and the decontamination probe):
+    * each arriving URL is canonicalized by the stateless
+    * `UrlCanon.canonicalize` kernel — the exact rule the batch face
+    * certifies, idempotence property-pinned — and re-crawls of the
+    * same canonical page inside the watermark are dropped.
+    * `dropDuplicatesWithinWatermark` keys on the canonical form
+    * ALONE (a later crawl of the same page at a new timestamp is
+    * still a duplicate) while the watermark expires seen-URL state —
+    * the same retention contract as [[streamingNearDedup]]. Expects
+    * (ts, `urlCol`) columns; emits the input plus `canon_url`. */
+  def streamingUrlDedup(pages: DataFrame,
+                        urlCol: String = "url"): DataFrame =
+    pages
+      .withColumn("canon_url",
+        graft.operators.UrlCanon.canonicalize(col(urlCol)))
+      .withWatermark("ts", "5 days")
+      .dropDuplicatesWithinWatermark(Seq("canon_url"))
+
   /** Streaming decontamination gate — the stream face of
     * `dd_decontaminate_bloom`: documents arriving on the stream are
     * checked against a Bloom filter of the eval corpus's gram hashes

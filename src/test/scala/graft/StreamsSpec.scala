@@ -265,6 +265,32 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming URL dedup drops canonical re-crawls across batches") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val pages = source.toDF().toDF("page_id", "ts", "url")
+    val q = Streams.streamingUrlDedup(pages)
+      .select("page_id")
+      .writeStream.format("memory").queryName("url_dedup")
+      .outputMode("append").start()
+    try {
+      // pages 2 and 3 are the SAME canonical page as 1 (tracking
+      // params / host case + default port / fragment variants), page 3
+      // arriving in a later batch; page 4 differs by a REAL param
+      source.addData(
+        (1L, ts("2024-01-01 10:00:00"), "https://a.example.com/x"),
+        (2L, ts("2024-01-01 10:05:00"),
+          "https://a.example.com/x?utm_source=feed"))
+      q.processAllAvailable()
+      source.addData(
+        (3L, ts("2024-01-01 10:10:00"), "HTTPS://A.Example.COM:443/x#top"),
+        (4L, ts("2024-01-01 10:11:00"), "https://a.example.com/x?id=7"))
+      q.processAllAvailable()
+      val kept = spark.table("url_dedup").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("streaming near-dedup drops same-fingerprint docs across batches") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp, String)]
