@@ -1273,6 +1273,33 @@ object Events extends QueryModule {
       ORDER BY e.event_id""")
   )
 
+  /** The 100 TB shape [[winsorize]]'s doc promises for groups that
+    * outgrow a partition's sort: the SAME [p5, p95] clamp with bounds
+    * from the mergeable `percentile_approx` sketch instead of the
+    * exact rank window — one map-side-combinable pass collapses each
+    * type to a 2-value bounds row (constant sketch space per type,
+    * never a whole-partition sort), broadcast back onto the stream.
+    * NO ordering window anywhere in the plan (SketchSpec pins the
+    * plan, brackets each sketch bound inside the exact p1–p10 /
+    * p90–p99 rank neighborhood, and checks in-band rows pass through
+    * unclamped). Spec face, not a catalog row: sketch bounds are
+    * engine-specific, so a DuckDB hash oracle cannot exist — the
+    * `rel_sketch_agg` / [[windowUsersSketch]] stance. */
+  def winsorizeSketch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val bounds = e.groupBy("event_type")
+      .agg(
+        percentile_approx(col("cents"), lit(0.05), lit(10000)).as("lo"),
+        percentile_approx(col("cents"), lit(0.95), lit(10000)).as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        least(greatest(col("cents"), col("lo")), col("hi"))
+          .as("w_cents"))
+      .orderBy("event_id")
+  }
+
   /** RFM segmentation — the classic customer-value report over the
     * purchase stream: per user, Recency (days since last purchase,
     * anchored at the corpus max so the report is reproducible),

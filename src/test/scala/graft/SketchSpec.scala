@@ -70,6 +70,54 @@ class SketchSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("winsorizeSketch: no ordering window, bounds in the exact rank " +
+      "neighborhood, in-band rows pass through") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sketch = graft.queries.Events.winsorizeSketch(spark, sf)
+    // the whole point of the swap: the plan must carry NO window —
+    // the exact face's per-type rank sort is what dominant groups
+    // cannot afford
+    val plan = sketch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"sketch winsorize still plans a window:\n$plan")
+    // sketch [lo, hi] per type must land inside the exact p1–p10 /
+    // p90–p99 rank neighborhood of the same cents column
+    val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    val ranked = Tables(spark, sf, "events").select(
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("event_type")))
+    def rankVal(pct: Int) = ranked
+      .filter(col("rn") ===
+        greatest(lit(1L), expr(s"($pct * n) div 100")))
+      .groupBy("event_type").agg(min("cents").as(s"p$pct"))
+    val bands = rankVal(1).join(rankVal(10), "event_type")
+      .join(rankVal(90), "event_type").join(rankVal(99), "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = sketch.groupBy("event_type")
+      .agg(min("w_cents").as("lo"), max("w_cents").as("hi"))
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.foreach { case (tpe, (lo, hi)) =>
+      val (p1, p10, p90, p99) = bands(tpe)
+      assert(lo >= p1 && lo <= p10, s"$tpe: lo=$lo outside [$p1, $p10]")
+      assert(hi >= p90 && hi <= p99, s"$tpe: hi=$hi outside [$p90, $p99]")
+    }
+    // conservation: a row inside its type's band is never altered
+    val altered = sketch
+      .filter(col("cents") =!= col("w_cents"))
+      .join(sketch.groupBy("event_type")
+        .agg(min("w_cents").as("blo"), max("w_cents").as("bhi")),
+        "event_type")
+      .filter(col("cents") >= col("blo") && col("cents") <= col("bhi"))
+      .count()
+    assert(altered == 0, s"$altered in-band rows were clamped")
+  }
+
   test("percentile_approx median between per-group min and max") {
     val o = Tables(spark, sf, "orders")
     val rows = o.groupBy("o_orderpriority").agg(
