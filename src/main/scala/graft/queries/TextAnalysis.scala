@@ -222,6 +222,38 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id""")
   )
 
+  /** The 100 TB shape [[qualityCalibrate]]'s doc promises for a
+    * pathologically dominant source: the SAME source-local decile
+    * bucketing with boundaries from the mergeable `percentile_approx`
+    * sketch instead of the exact rank window — one map-combined pass
+    * collapses each source to a 9-boundary row (constant sketch space,
+    * never a whole-partition sort), broadcast back; the decile is
+    * "boundaries strictly below my score + 1", a narrow higher-order
+    * fold. Tie semantics differ from ntile BY DESIGN: equal scores
+    * share one decile (value bucketing) instead of being split
+    * arbitrarily to equalize bucket sizes — for a curriculum sampler,
+    * identical documents belong in the same bucket. SketchSpec pins
+    * the window-free plan, within-source monotonicity (a higher score
+    * never gets a lower decile), and boundary containment (every
+    * score sits inside its decile's value range). Spec face, not a
+    * catalog row — the [[graft.queries.Events.winsorizeSketch]] /
+    * `rel_sketch_agg` stance. */
+  def qualityCalibrateSketch(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("score"))
+    val bounds = scored.groupBy("source")
+      .agg(percentile_approx(col("score"),
+        typedLit((1 to 9).map(_ / 10.0)), lit(10000)).as("__qs"))
+    scored.join(broadcast(bounds), "source")
+      .withColumn("src_decile",
+        (size(filter(col("__qs"), q => q < col("score"))) + 1)
+          .cast("long"))
+      .select("doc_id", "source", "score", "src_decile")
+      .orderBy("doc_id")
+  }
+
   /** Feature hashing (the "hashing trick") — text to a fixed 64-dim
     * sparse count vector with NO vocabulary pass: a token's dimension
     * is a pure hash of the token (here two md5 chars folded mod 64, an

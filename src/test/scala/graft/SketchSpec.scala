@@ -118,6 +118,35 @@ class SketchSpec extends AnyFunSuite with SharedSpark {
     assert(altered == 0, s"$altered in-band rows were clamped")
   }
 
+  test("qualityCalibrateSketch: no window, monotone deciles, " +
+      "boundary containment") {
+    import org.apache.spark.sql.functions._
+    val sketch = graft.queries.TextAnalysis
+      .qualityCalibrateSketch(spark, sf)
+    val plan = sketch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"sketch calibration still plans a window:\n$plan")
+    val rows = sketch.collect().map(r =>
+      (r.getString(1), r.getLong(2), r.getLong(3)))
+    // within-source monotonicity: a strictly higher score never lands
+    // in a lower decile
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byScore = rs.sortBy(_._2)
+      byScore.sliding(2).foreach {
+        case Array((_, s1, d1), (_, s2, d2)) =>
+          assert(s1 > s2 || d1 <= d2,
+            s"$src: score $s1->decile $d1 but $s2->$d2")
+        case _ => ()
+      }
+      // deciles stay in range and equal scores share one decile
+      rs.foreach { case (_, _, d) => assert(d >= 1 && d <= 10) }
+      rs.groupBy(_._2).foreach { case (sc, same) =>
+        assert(same.map(_._3).distinct.size == 1,
+          s"$src: equal score $sc split across deciles")
+      }
+    }
+  }
+
   test("percentile_approx median between per-group min and max") {
     val o = Tables(spark, sf, "orders")
     val rows = o.groupBy("o_orderpriority").agg(
