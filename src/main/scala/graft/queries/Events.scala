@@ -1226,8 +1226,9 @@ object Events extends QueryModule {
     * Scale (100 TB): one exchange on `event_type` serves the ranking
     * window; bounds collapse to one 2-value row per type,
     * broadcast back onto the stream. For groups that outgrow a
-    * partition's sort, the documented swap is the t-digest sketch
-    * bound (rel_quantile_bound) at the cost of exactness. */
+    * partition's sort, the swap is [[winsorizeSketch]] (r12): the
+    * same clamp with percentile_approx bounds and NO ordering window,
+    * SketchSpec-certified, at the cost of exactness. */
   val winsorize: Q = Q(
     "ev_winsorize",
     (s, dir) => {

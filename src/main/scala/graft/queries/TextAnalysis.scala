@@ -194,9 +194,9 @@ object TextAnalysis extends QueryModule {
     *
     * Scale (100 TB): one exchange on `source`; both window functions
     * share the single sort. A pathologically dominant source degrades
-    * to one partition's sort — at that point swap percent_rank for the
-    * rel_sketch_bound quantile-sketch path (bucket by t-digest
-    * percentile instead of exact rank), the documented trade. */
+    * to one partition's sort — at that point swap to
+    * [[qualityCalibrateSketch]] (r12): sketch-boundary decile
+    * bucketing with no ordering window, SketchSpec-certified. */
   val qualityCalibrate: Q = Q(
     "ta_quality_calibrate",
     (s, dir) => {
