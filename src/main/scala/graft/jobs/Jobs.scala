@@ -68,7 +68,14 @@ object Jobs {
       "dd_cdc_chunk_dup" -> "chunk-dup-report",
       "dd_lsh_bucket_stats" -> "lsh-bucket-health",
       "ta_classifier_score" -> "classifier-verdicts",
-      "ta_unigram_surprisal" -> "lm-surprisal"),
+      "ta_unigram_surprisal" -> "lm-surprisal",
+      // round-12 signals: the pre-content URL dedup report, the
+      // banding recall/precision certification, and the per-language
+      // tokenizer-fertility budget — the remaining evidence a
+      // curation review reads before trusting the shard map
+      "dd_url_dedup" -> "url-dedup-report",
+      "dd_lsh_recall" -> "lsh-recall-certification",
+      "ta_bpe_fertility" -> "tokenizer-fertility"),
     // Extension job: the event-analytics pack — the interval sweeps,
     // robustified measures, and resampled series a metrics warehouse
     // serves, through the same dispatch machinery.

@@ -136,8 +136,8 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     val dir = Files.createTempDirectory("jobs_curate_spec").toString
     val res = graft.Main.run(spark, "curate_corpus", sf,
       Seq(s"$dir/t1", s"$dir/t2"), "2024-01-01")
-    // 16 extracts × 2 targets, all successful
-    assert(res.size == 32 && res.forall(_._3), s"uploads: $res")
+    // 19 extracts × 2 targets, all successful
+    assert(res.size == 38 && res.forall(_._3), s"uploads: $res")
     for (extract <- Seq("curated-shards", "dedup-health",
         "memorization-risk", "repeated-span-report",
         "span-scrubbed-corpus", "partial-dup-report",
@@ -145,7 +145,9 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
         "token-health", "quality-calibration",
         "pii-scrubbed-corpus", "semantic-dedup-map",
         "chunk-dup-report", "lsh-bucket-health",
-        "classifier-verdicts", "lm-surprisal"); t <- Seq("t1", "t2")) {
+        "classifier-verdicts", "lm-surprisal", "url-dedup-report",
+        "lsh-recall-certification", "tokenizer-fertility");
+        t <- Seq("t1", "t2")) {
       val key = Sinks.dailyKey("2024-01-01", extract)
       assert(new java.io.File(s"$dir/$t/$key").exists(),
         s"missing $t/$key")
