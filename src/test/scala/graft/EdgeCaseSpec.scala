@@ -19,6 +19,33 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     (5L, "normal text with several words in it"))
     .toDF("doc_id", "text")
 
+  test("URL canonicalization is total on degenerate inputs") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.UrlCanon
+    // NULL propagates (concat null-semantics); everything else passes
+    // through the same string ops deterministically — no exceptions,
+    // stable outputs, run-to-run identical
+    val urls = Seq((1L, null), (2L, ""), (3L, "not a url"),
+      (4L, "https://h"), (5L, "FTP://X.Y:80/p/"), (6L, "a://b#"),
+      (7L, "https://h/?utm_source=x")).toDF("id", "url")
+    def run() = urls
+      .select(col("id"), UrlCanon.canonicalize(col("url")).as("c"),
+        UrlCanon.domainOf(col("url")).as("d"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), Option(r.getString(2)))).toSeq
+    val once = run()
+    assert(once == run(), "canonicalization is not deterministic")
+    assert(once.head == ((1L, None, None)), s"NULL must propagate: $once")
+    // a bare host canonicalizes to itself; default port strips even
+    // on a non-http scheme (the stated 80/443 rule); trailing slash
+    // and empty fragment/tracking params vanish
+    val byId = once.collect { case (id, Some(c), _) => id -> c }.toMap
+    assert(byId(4L) == "https://h", byId(4L))
+    assert(byId(5L) == "ftp://x.y/p", byId(5L))
+    assert(byId(6L) == "a://b", byId(6L))
+    assert(byId(7L) == "https://h", byId(7L))
+  }
+
   test("kShingles drops short docs, keeps the rest") {
     val got = TextDedup.kShingles(weird, 3)
       .groupBy("doc_id").count()
