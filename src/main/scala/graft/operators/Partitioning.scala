@@ -225,12 +225,16 @@ object Partitioning {
     * (PartitioningSpec pins it), so any engine replays it as one
     * plain window.
     *
-    * `ord` must be numeric and non-negative (floor-div bucketing —
-    * unix micros/seconds qualify); `part` a string key (NULL keys
-    * form their own group, the packShards convention). Output: the
-    * input columns + `cumCol` (running weight sum) + `idxCol`
-    * (1-based position per part). `df` is evaluated twice (offsets
-    * job + result plan) — persist expensive lineages first.
+    * `ord` must be numeric, non-negative and non-null (floor-div
+    * bucketing — unix micros/seconds qualify); `part` a string key
+    * (NULL keys form their own group, the packShards convention);
+    * `weight` must be an INTEGRAL, NON-NULL column (the offsets
+    * collect reads longs, and a bucket whose first rows are all-null
+    * would locally sum to NULL where the single window's running sum
+    * skips nulls — `coalesce` upstream if the source is nullable).
+    * Output: the input columns + `cumCol` (running weight sum) +
+    * `idxCol` (1-based position per part). `df` is evaluated twice
+    * (offsets job + result plan) — persist expensive lineages first.
     *
     * Crossover, measured (Bench skew cells, r12): the two phases
     * cost ~two extra corpus passes plus the offsets round-trip, and
@@ -299,9 +303,14 @@ object Partitioning {
   def cusumTwoPhase(e: DataFrame, bucketSeconds: Long): DataFrame = {
     val totals = broadcast(e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("tot")))
-    prefixSumTwoPhase(e, "event_type", "us", "event_id", "cents",
-        bucketSeconds * 1000000L, cumCol = "pk", idxCol = "k")
-      .join(totals, Seq("event_type"))
+    val cum = prefixSumTwoPhase(e, "event_type", "us", "event_id",
+      "cents", bucketSeconds * 1000000L, cumCol = "pk", idxCol = "k")
+    // null-safe equality — a NULL event_type forms its own group in
+    // BOTH the window face and prefixSumTwoPhase, so a plain equi-join
+    // here would silently drop that group (r12 review)
+    cum
+      .join(totals, cum("event_type") <=> totals("event_type"))
+      .drop(totals("event_type"))
       .withColumn("s", col("n") * col("pk") - col("k") * col("tot"))
       .groupBy("event_type")
       .agg(max(struct(abs(col("s")).as("a"), (-col("k")).as("nk"),

@@ -8,19 +8,25 @@ import org.apache.spark.sql.functions._
   * pass), factored so any pipeline column can be canonicalized with
   * the exact rule the catalog face certifies against DuckDB.
   *
-  * The rule, stated once: lowercase the scheme and host; strip a
-  * default port (`:80`/`:443`), the `#fragment`, and tracking params
-  * (`utm_*`, `fbclid`, `gclid` — all other params survive in their
-  * original order); drop ONE trailing slash from the path. Pure
-  * built-in expressions — narrow, codegen'd, no UDF — so the
-  * normalization runs inside whole-stage codegen and any SQL engine
-  * replays it with string functions.
+  * The rule, stated once: lowercase the scheme and host; split the
+  * authority at the FIRST `://` (a URL whose path embeds another URL
+  * — unencoded redirect targets are common in crawls — must keep the
+  * OUTER host); strip default ports (`:80`/`:443`, repeated), the
+  * `#fragment`, and tracking params (`utm_*`, `fbclid`, `gclid` —
+  * all other params survive in their original order; the query is
+  * everything after the FIRST `?`, so embedded `?` characters,
+  * legal per RFC 3986, stay inside it); drop ALL trailing slashes
+  * from the path. Pure built-in expressions — narrow, codegen'd, no
+  * UDF — so the normalization runs inside whole-stage codegen and
+  * any SQL engine replays it with string functions.
   *
   * Idempotent by construction (canonicalize ∘ canonicalize =
-  * canonicalize — every rule's output is a fixed point of that rule;
-  * PropertySpec pins it on adversarial variants), which is what lets
-  * incremental crawls canonicalize re-crawled URLs without tracking
-  * whether a string was already normalized. */
+  * canonicalize — every rule's output is a fixed point of that rule,
+  * which is why the port/slash strips are greedy `+` repeats rather
+  * than single-occurrence; PropertySpec pins it on adversarial
+  * variants including `//`-tailed paths and stacked default ports),
+  * which is what lets incremental crawls canonicalize re-crawled
+  * URLs without tracking whether a string was already normalized. */
 object UrlCanon {
 
   /** Tracking-parameter pattern — a query-string `k=v` pair whose key
@@ -28,28 +34,42 @@ object UrlCanon {
     * the catalog face's baseline visible. */
   val TrackingParamRe = "^(utm_[a-z]+|fbclid|gclid)="
 
-  /** Host (lowercased, default port stripped) of a URL column —
-    * the per-domain grouping key `dd_url_dedup` reports on. */
+  /** Everything after the FIRST occurrence of `delim`, or '' when the
+    * delimiter is absent — the split_part(col, delim, 2)-compatible
+    * behavior for a 1-field string, except it keeps LATER duplicate
+    * delimiters inside the remainder (split_part would truncate). */
+  private def afterFirst(c: Column, delim: String): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .when(c.contains(delim),
+        c.substr(instr(c, delim) + lit(delim.length), length(c)))
+      .otherwise("")
+
+  /** Host (lowercased, default ports stripped) of a URL column —
+    * the per-domain grouping key `dd_url_dedup` reports on. The
+    * authority is whatever sits between the FIRST `://` and the next
+    * `/` (or `?`, already cut by the caller-side base split). */
   def domainOf(url: Column): Column = {
     val base = substring_index(substring_index(url, "#", 1), "?", 1)
     regexp_replace(
-      lower(substring_index(substring_index(base, "://", -1), "/", 1)),
-      ":(443|80)$", "")
+      lower(substring_index(afterFirst(base, "://"), "/", 1)),
+      "(:(443|80))+$", "")
   }
 
   /** The canonical form of a URL column (see object doc for the
     * rule). Input is expected to be `scheme://host[:port][/path]
     * [?query][#fragment]`-shaped; anything else passes through the
-    * same string ops deterministically. */
+    * same string ops deterministically (no `://` → empty host, the
+    * split_part convention the oracle shares). */
   def canonicalize(url: Column): Column = {
     val nofrag = substring_index(url, "#", 1)
     val base = substring_index(nofrag, "?", 1)
-    val q = when(nofrag.contains("?"), substring_index(nofrag, "?", -1))
-      .otherwise("")
+    val q = afterFirst(nofrag, "?")
     val scheme = lower(substring_index(base, "://", 1))
     val cleanHost = domainOf(url)
-    val cleanPath = regexp_replace(
-      regexp_replace(base, "^[a-zA-Z]+://[^/]*", ""), "/$", "")
+    val rawPath = when(base.contains("://"),
+      regexp_replace(afterFirst(base, "://"), "^[^/]*", ""))
+      .otherwise("")
+    val cleanPath = regexp_replace(rawPath, "/+$", "")
     // array_join(filter(...)) keeps surviving params in input order
     val kept = array_join(
       filter(split(q, "&"), p =>

@@ -1825,9 +1825,11 @@ object Dedup extends QueryModule {
     *
     * The canonical form is `operators.UrlCanon.canonicalize` (stated
     * rule there, replayed verbatim by the oracle, idempotence
-    * property-pinned): lowercase scheme and host; strip default ports
-    * 80/443, the #fragment, and tracking params (utm_*, fbclid,
-    * gclid — other params survive in order); drop one trailing slash.
+    * property-pinned): lowercase scheme and host (authority split at
+    * the FIRST `://` — URLs embedding other URLs keep the outer
+    * host); strip default ports 80/443, the #fragment, and tracking
+    * params (utm_*, fbclid, gclid — other params survive in order;
+    * query = everything after the FIRST `?`); drop trailing slashes.
     *
     * Output is the per-domain dedup report: mentions, distinct
     * canonical pages, the dup count the normalization removed, and
@@ -1840,25 +1842,35 @@ object Dedup extends QueryModule {
   val urlDedup: Q = Q(
     "dd_url_dedup",
     (s, dir) => {
+      // The variant selector must be INDEPENDENT of anything the page
+      // key or the source lattice determines (r12 review: with
+      // variant = doc_id % 5, the fixture's source = doc_id % 20
+      // assignment meant two docs of one source could never differ in
+      // variant, so no cross-variant collapse ever happened and the
+      // certification was blind to a one-engine normalization bug).
+      // variant = (doc_id div 25) % 5 with page = doc_id % 25: docs
+      // sharing (source, page) sit 100 ids apart and sweep ALL FIVE
+      // variants, so every normalization rule is exercised
+      // cross-variant in every group.
       val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("lang"))
+        .select(col("doc_id"), col("source"))
+        .withColumn("__v", expr("(doc_id div 25) % 5"))
         .withColumn("__host",
           concat(col("source"), lit(".example.com")))
         .withColumn("__path",
-          concat(lit("/"), col("lang"), lit("/"),
-            (col("doc_id") % 25).cast("string")))
+          concat(lit("/p/"), (col("doc_id") % 25).cast("string")))
         .withColumn("url",
-          when(col("doc_id") % 5 === 0,
+          when(col("__v") === 0,
             concat(lit("https://"), upper(col("source")),
               lit(".Example.com:443"), col("__path")))
-          .when(col("doc_id") % 5 === 1,
+          .when(col("__v") === 1,
             concat(lit("https://"), col("__host"), col("__path"),
               lit("/")))
-          .when(col("doc_id") % 5 === 2,
+          .when(col("__v") === 2,
             concat(lit("https://"), col("__host"), col("__path"),
               lit("?utm_source=feed&utm_campaign=c"),
               (col("doc_id") % 3).cast("string")))
-          .when(col("doc_id") % 5 === 3,
+          .when(col("__v") === 3,
             concat(lit("https://"), col("__host"), col("__path"),
               lit("#sec")))
           .otherwise(
@@ -1881,13 +1893,13 @@ object Dedup extends QueryModule {
     },
     Some("""
       WITH d AS (
-        SELECT doc_id, source, lang,
+        SELECT doc_id, source,
                source || '.example.com' AS host,
-               '/' || lang || '/' || CAST(doc_id % 25 AS VARCHAR) AS path
+               '/p/' || CAST(doc_id % 25 AS VARCHAR) AS path
         FROM documents),
       raw AS (
         SELECT doc_id,
-               CASE doc_id % 5
+               CASE (doc_id // 25) % 5
                  WHEN 0 THEN 'https://' || upper(source) ||
                    '.Example.com:443' || path
                  WHEN 1 THEN 'https://' || host || path || '/'
@@ -1907,23 +1919,30 @@ object Dedup extends QueryModule {
         SELECT doc_id,
                split_part(nofrag, '?', 1) AS base,
                CASE WHEN contains(nofrag, '?')
-                    THEN split_part(nofrag, '?', 2) ELSE '' END AS q
+                    THEN substr(nofrag, strpos(nofrag, '?') + 1)
+                    ELSE '' END AS q
         FROM parts),
+      auths AS (
+        SELECT doc_id, base, q,
+               CASE WHEN contains(base, '://')
+                    THEN substr(base, strpos(base, '://') + 3)
+                    ELSE '' END AS auth
+        FROM pieces),
       norm AS (
         SELECT doc_id,
                lower(split_part(base, '://', 1)) AS scheme,
                regexp_replace(
-                 lower(split_part(split_part(base, '://', 2), '/', 1)),
-                 ':(443|80)$', '') AS cleanhost,
+                 lower(split_part(auth, '/', 1)),
+                 '(:(443|80))+$', '') AS cleanhost,
                regexp_replace(
-                 regexp_replace(base, '^[a-zA-Z]+://[^/]*', ''),
-                 '/$', '') AS cleanpath,
+                 regexp_replace(auth, '^[^/]*', ''),
+                 '/+$', '') AS cleanpath,
                array_to_string(
                  list_filter(string_split(q, '&'),
                    p -> p <> '' AND NOT
                      regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=')),
                  '&') AS kept
-        FROM pieces),
+        FROM auths),
       canon AS (
         SELECT doc_id, cleanhost AS domain,
                scheme || '://' || cleanhost || cleanpath ||
@@ -1980,8 +1999,9 @@ object Dedup extends QueryModule {
       // (the dd_decontaminate idiom — the oracle joins on the text, so
       // a collision would surface as a hash mismatch): the pair
       // fan-out is Σ m·(m−1)/2 either way, but each joined row is
-      // three longs instead of carrying the gram string
-      val sh = TextDedup.shingles(corpus).distinct()
+      // three longs instead of carrying the gram string. shingles()
+      // already emits per-doc-distinct rows — no extra distinct pass.
+      val sh = TextDedup.shingles(corpus)
         .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
         .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))

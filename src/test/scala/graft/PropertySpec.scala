@@ -72,10 +72,16 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     val gen = for {
       up <- Gen.oneOf("https", "HTTPS", "Https", "http", "HTTP")
       host <- Gen.oneOf("Example.COM", "a.example.com", "M.Site.ORG")
-      port <- Gen.oneOf("", ":443", ":80", ":8443")
-      path <- Gen.oneOf("", "/x", "/x/y", "/x/", "/")
+      // stacked default ports: one-strip-per-pass would not be a
+      // fixed point (r12 review)
+      port <- Gen.oneOf("", ":443", ":80", ":8443", ":80:80")
+      // multi-slash tails and an EMBEDDED URL in the path (unencoded
+      // redirect target — the outer host must win); '?' legal inside
+      // a query per RFC 3986
+      path <- Gen.oneOf("", "/x", "/x/y", "/x/", "/", "/x//",
+        "/r/https://inner.example.org/p")
       params <- Gen.someOf(Seq("utm_source=a", "id=7", "gclid=z",
-        "q=term", "utm_campaign=c", "fbclid=f"))
+        "q=a?b", "utm_campaign=c", "fbclid=f"))
       frag <- Gen.oneOf("", "#top", "#sec-2")
     } yield up + "://" + host + port + path +
       (if (params.isEmpty) "" else "?" + params.mkString("&")) + frag
