@@ -1993,15 +1993,21 @@ object Dedup extends QueryModule {
   val lshRecall: Q = Q(
     "dd_lsh_recall",
     (s, dir) => {
-      import graft.operators.{CacheScope, TextDedup}
+      import graft.operators.{CacheScope, Partitioning, TextDedup}
       val corpus = Tables(s, dir, "documents")
       // gram strings collapse to xxhash64 keys before the self-join
       // (the dd_decontaminate idiom — the oracle joins on the text, so
       // a collision would surface as a hash mismatch): the pair
       // fan-out is Σ m·(m−1)/2 either way, but each joined row is
       // three longs instead of carrying the gram string. shingles()
-      // already emits per-doc-distinct rows — no extra distinct pass.
-      val sh = TextDedup.shingles(corpus)
+      // already emits per-doc-distinct rows, so no distinct pass —
+      // but the narrow lineage then inherits the parquet scan's
+      // partition count, and the 36M-row pair fan-out runs at that
+      // parallelism (measured: 3× slower than the accidental
+      // re-shuffle the removed distinct provided); ensureParallelism
+      // restores the floor the explode needs.
+      val sh = Partitioning.ensureParallelism(corpus, "doc_id")
+        .transform(TextDedup.shingles(_))
         .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
         .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
