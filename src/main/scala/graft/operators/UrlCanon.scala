@@ -66,9 +66,9 @@ object UrlCanon {
     val q = afterFirst(nofrag, "?")
     val scheme = lower(substring_index(base, "://", 1))
     val cleanHost = domainOf(url)
-    val rawPath = when(base.contains("://"),
-      regexp_replace(afterFirst(base, "://"), "^[^/]*", ""))
-      .otherwise("")
+    // afterFirst is already '' when '://' is absent, so no guard —
+    // the exact unguarded shape the DuckDB oracle replays
+    val rawPath = regexp_replace(afterFirst(base, "://"), "^[^/]*", "")
     val cleanPath = regexp_replace(rawPath, "/+$", "")
     // array_join(filter(...)) keeps surviving params in input order
     val kept = array_join(

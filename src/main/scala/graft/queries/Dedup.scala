@@ -1999,16 +1999,18 @@ object Dedup extends QueryModule {
       // (the dd_decontaminate idiom — the oracle joins on the text, so
       // a collision would surface as a hash mismatch): the pair
       // fan-out is Σ m·(m−1)/2 either way, but each joined row is
-      // three longs instead of carrying the gram string. shingles()
-      // already emits per-doc-distinct rows, so no distinct pass —
-      // but the narrow lineage then inherits the parquet scan's
-      // partition count, and the 36M-row pair fan-out runs at that
-      // parallelism (measured: 3× slower than the accidental
-      // re-shuffle the removed distinct provided); ensureParallelism
-      // restores the floor the explode needs.
+      // three longs instead of carrying the gram string. The distinct
+      // runs on the two-long projection — it keeps (doc_id, gram)
+      // parity with the oracle's SELECT DISTINCT even on dirty input
+      // (a repeated doc_id row would otherwise double sz and i and
+      // flip the truth inequality) at a fraction of the string-row
+      // cost — and ensureParallelism keeps the 36M-row pair fan-out
+      // from inheriting the parquet scan's partition count (measured:
+      // 3× slower nearly-serial explode without it).
       val sh = Partitioning.ensureParallelism(corpus, "doc_id")
         .transform(TextDedup.shingles(_))
         .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .distinct()
         .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.select(col("doc_id").as("da"), col("g"))
