@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Events,
     graft.queries.Relational,
     graft.queries.Similarity,
-    graft.queries.MultimodalQueries)
+    graft.queries.MultimodalQueries,
+    graft.queries.Curation)
 
   private lazy val catalog: Seq[Q] = modules.flatMap(_.all)
 

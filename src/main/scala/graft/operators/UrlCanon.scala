@@ -77,4 +77,20 @@ object UrlCanon {
     concat(scheme, lit("://"), cleanHost, cleanPath,
       when(kept =!= "", concat(lit("?"), kept)).otherwise(""))
   }
+
+  /** Every dot-suffix of a hostname, longest first — the join key
+    * set for suffix-rule blocklists (`ta_domain_filter`):
+    * `a.b.example.net` → [`a.b.example.net`, `b.example.net`,
+    * `example.net`, `net`]. A blocklist entry matches a host iff it
+    * equals one of these suffixes — the registrable-domain
+    * convention (never a substring match, so `notexample.net` does
+    * NOT match `example.net`). Bounded by the label count (≤127 per
+    * RFC 1035), so exploding it is a constant-factor fan-out; a
+    * million-entry blocklist then joins on the exploded key instead
+    * of scanning patterns per row. */
+  def domainSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
 }

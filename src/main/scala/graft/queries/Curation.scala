@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.operators.{GopherRules, HtmlText}
+import graft.sources.Tables
+
+/** Corpus-curation faces (r12) — the three standard pre-training
+  * passes that complete the crawl-to-training-batch story: the
+  * published Gopher quality gate, raw-HTML text extraction, and
+  * sequence packing of BPE tokens into fixed training windows.
+  * Kernels live in [[graft.operators.GopherRules]] /
+  * [[graft.operators.HtmlText]]; every face is hash-checked against
+  * a DuckDB replay of the identical integer arithmetic.
+  */
+object Curation extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** GOPHER QUALITY RULES (Rae et al. 2021, A1) — the published
+    * repetition/length gate every large crawl corpus runs: top
+    * 2/3/4-gram character share, duplicated 5..10-gram excess mass,
+    * word count and mean word length, all exact permille/milli
+    * integers, plus the composed keep verdict. Rule statement and
+    * the 100 TB shape argument live on
+    * [[graft.operators.GopherRules.metrics]]. */
+  val gopherRules: Q = Q(
+    "ta_gopher_rules",
+    (s, dir) => GopherRules.metrics(docs(s, dir)).orderBy("doc_id"),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               CAST(len(replace(text, ' ', '')) AS BIGINT) AS nc,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS BIGINT) AS nw
+        FROM documents),
+      grams AS (
+        SELECT doc_id, n, nc,
+               unnest(list_transform(range(1, len(t) - n + 2),
+                 i -> array_to_string(t[i:i+n-1], ' '))) AS gram
+        FROM base, (SELECT unnest(range(2, 11)) AS n)
+        WHERE len(t) >= n),
+      gc AS (
+        SELECT doc_id, n, max(nc) AS nc, gram, count(*) AS cnt,
+               CAST(len(gram) - (n - 1) AS BIGINT) AS cl
+        FROM grams GROUP BY doc_id, n, gram),
+      per AS (
+        SELECT doc_id, n, max(nc) AS nc,
+               max(CASE WHEN n <= 4 THEN cnt * 100000 + cl END)
+                 AS topcode,
+               sum(CASE WHEN n >= 5 AND cnt > 1 THEN (cnt - 1) * cl
+                        ELSE 0 END) AS dupmass
+        FROM gc GROUP BY doc_id, n),
+      pm AS (
+        SELECT doc_id, n,
+               ((topcode // 100000) * (topcode % 100000) * 1000)
+                 // greatest(nc, 1) AS top_pm,
+               (dupmass * 1000) // greatest(nc, 1) AS dup_pm
+        FROM per),
+      piv AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN n = 2 THEN top_pm END), 0) AS t2,
+               coalesce(max(CASE WHEN n = 3 THEN top_pm END), 0) AS t3,
+               coalesce(max(CASE WHEN n = 4 THEN top_pm END), 0) AS t4,
+               coalesce(max(CASE WHEN n = 5 THEN dup_pm END), 0) AS d5,
+               coalesce(max(CASE WHEN n = 6 THEN dup_pm END), 0) AS d6,
+               coalesce(max(CASE WHEN n = 7 THEN dup_pm END), 0) AS d7,
+               coalesce(max(CASE WHEN n = 8 THEN dup_pm END), 0) AS d8,
+               coalesce(max(CASE WHEN n = 9 THEN dup_pm END), 0) AS d9,
+               coalesce(max(CASE WHEN n = 10 THEN dup_pm END), 0) AS d10
+        FROM pm GROUP BY doc_id),
+      fin AS (
+        SELECT b.doc_id, b.nw AS n_words,
+               (b.nc * 1000) // greatest(b.nw, 1) AS mean_wlen_milli,
+               coalesce(p.t2, 0) AS top2_pm, coalesce(p.t3, 0) AS top3_pm,
+               coalesce(p.t4, 0) AS top4_pm, coalesce(p.d5, 0) AS dup5_pm,
+               coalesce(p.d6, 0) AS dup6_pm, coalesce(p.d7, 0) AS dup7_pm,
+               coalesce(p.d8, 0) AS dup8_pm, coalesce(p.d9, 0) AS dup9_pm,
+               coalesce(p.d10, 0) AS dup10_pm
+        FROM base b LEFT JOIN piv p USING (doc_id))
+      SELECT doc_id, n_words,
+             CAST(mean_wlen_milli AS BIGINT) AS mean_wlen_milli,
+             CAST(top2_pm AS BIGINT) AS top2_pm,
+             CAST(top3_pm AS BIGINT) AS top3_pm,
+             CAST(top4_pm AS BIGINT) AS top4_pm,
+             CAST(dup5_pm AS BIGINT) AS dup5_pm,
+             CAST(dup6_pm AS BIGINT) AS dup6_pm,
+             CAST(dup7_pm AS BIGINT) AS dup7_pm,
+             CAST(dup8_pm AS BIGINT) AS dup8_pm,
+             CAST(dup9_pm AS BIGINT) AS dup9_pm,
+             CAST(dup10_pm AS BIGINT) AS dup10_pm,
+             CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                        AND mean_wlen_milli BETWEEN 3000 AND 10000
+                        AND top2_pm <= 200 AND top3_pm <= 180
+                        AND top4_pm <= 160 AND dup5_pm <= 150
+                        AND dup6_pm <= 140 AND dup7_pm <= 130
+                        AND dup8_pm <= 120 AND dup9_pm <= 110
+                        AND dup10_pm <= 100
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM fin ORDER BY doc_id""")
+  )
+
+  /** HTML TEXT EXTRACTION — the step between a raw crawl record and
+    * every text face: title pull, script/style drop, tag strip,
+    * entity decode, whitespace collapse, plus the outgoing href
+    * count (rule statement on [[graft.operators.HtmlText]]). The
+    * fixture synthesizes an HTML wrapper from doc fields in BOTH
+    * engines — title, styled head, a script block that must vanish,
+    * the five standard entities that must decode, one canonical link
+    * plus a mirror link on even ids — so every rule is genuinely
+    * exercised, the [[TextAnalysis]] URL-fixture stance.
+    *
+    * Scale: one narrow per-row regex chain inside whole-stage
+    * codegen; no shuffle beyond the verify-order sort. */
+  val htmlExtract: Q = Q(
+    "ta_html_extract",
+    (s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" - "), col("source"),
+        lit("</title><style>p { color: #333; }</style></head>" +
+          "<body><h1 class=\"hd\">"), col("lang"),
+        lit("</h1><script type=\"text/javascript\">var n = "),
+        col("doc_id").cast("string"), lit(";</script><p>"),
+        col("text"),
+        lit(" &amp; more &lt;tags&gt; &quot;q&quot; &#39;s&#39;" +
+          "</p><a href=\"https://"), col("source"),
+        lit(".example.com/"), col("doc_id").cast("string"),
+        lit("\">ref</a>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<a href=\"http://mirror-"),
+            (col("doc_id") % 3).cast("string"),
+            lit(".example.net/p/"),
+            (col("doc_id") % 50).cast("string"), lit("\">m</a>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      docs(s, dir)
+        .withColumn("__h", html)
+        .select(col("doc_id"),
+          HtmlText.title(col("__h")).as("title"),
+          size(HtmlText.hrefs(col("__h"))).cast("long").as("n_links"),
+          HtmlText.cleanText(col("__h")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+               ' - ' || source ||
+               '</title><style>p { color: #333; }</style></head>' ||
+               '<body><h1 class="hd">' || lang ||
+               '</h1><script type="text/javascript">var n = ' ||
+               CAST(doc_id AS VARCHAR) || ';</script><p>' || text ||
+               ' &amp; more &lt;tags&gt; &quot;q&quot; &#39;s&#39;' ||
+               '</p><a href="https://' || source || '.example.com/' ||
+               CAST(doc_id AS VARCHAR) || '">ref</a>' ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN '<a href="http://mirror-' ||
+                         CAST(doc_id % 3 AS VARCHAR) ||
+                         '.example.net/p/' ||
+                         CAST(doc_id % 50 AS VARCHAR) || '">m</a>'
+                    ELSE '' END ||
+               '</body></html>' AS html
+        FROM documents)
+      SELECT doc_id,
+             regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+             CAST(len(regexp_extract_all(html, 'href="([^"]+)"', 1))
+               AS BIGINT) AS n_links,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(html,
+                             '<(script|style)[^>]*>.*?</(script|style)>',
+                             ' ', 'g'),
+                           '<[^>]*>', ' ', 'g'),
+                         '&lt;', '<', 'g'),
+                       '&gt;', '>', 'g'),
+                     '&quot;', '"', 'g'),
+                   '&#39;', '''', 'g'),
+                 '&amp;', '&', 'g'),
+               ' +', ' ', 'g')) AS clean_text
+      FROM h ORDER BY doc_id""")
+  )
+
+  /** SEQUENCE PACKING — the LAST op of a training-data pipeline:
+    * concatenate each source's documents (one EOS token between
+    * docs) and cut the stream into fixed 256-BPE-token training
+    * sequences; report, per document, which sequences it lands in
+    * (`seq_first`..`seq_last`), its offset inside the first one, and
+    * how many it spans — the map a data loader consumes to build
+    * batches without re-tokenizing. Weights are the REAL tokenizer
+    * counts (native `bpe_count` + 1 EOS), riding the same certified
+    * kernel as `ta_bpe_shard_assign`.
+    *
+    * Scale (100 TB): one narrow BPE kernel pass, then a per-source
+    * running sum. The catalog face keeps the plain per-source window
+    * (literal single-window parity with the oracle); a source whose
+    * history outgrows one task swaps in
+    * [[graft.operators.Partitioning.prefixSumTwoPhase]] — pinned
+    * bit-identical on exactly this plan in CurationSpec. */
+  val packSequences: Q = Q(
+    "ta_pack_sequences",
+    (s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          (expr("bpe_count(text)") + lit(1L)).as("n_bpe"))
+        .withColumn("cum", sum("n_bpe").over(w))
+        .select(col("source"), col("doc_id"), col("n_bpe"),
+          expr("(cum - n_bpe) div 256").as("seq_first"),
+          expr("(cum - 1) div 256").as("seq_last"),
+          expr("(cum - n_bpe) % 256").as("seq_offset"))
+        .withColumn("n_seqs",
+          col("seq_last") - col("seq_first") + lit(1L))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""
+      WITH ${TextAnalysis.bpeCountCtes},
+      c AS (
+        SELECT d.source, d.doc_id, b.n_bpe + 1 AS n_bpe,
+               sum(b.n_bpe + 1) OVER (PARTITION BY d.source
+                 ORDER BY d.doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents d JOIN bpe_n b USING (doc_id))
+      SELECT source, doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
+             CAST((cum - n_bpe) // 256 AS BIGINT) AS seq_first,
+             CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
+             CAST((cum - n_bpe) % 256 AS BIGINT) AS seq_offset,
+             CAST((cum - 1) // 256 - (cum - n_bpe) // 256 + 1
+               AS BIGINT) AS n_seqs
+      FROM c ORDER BY source, doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(gopherRules, htmlExtract, packSequences)
+}

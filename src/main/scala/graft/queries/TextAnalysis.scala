@@ -92,7 +92,7 @@ object TextAnalysis extends QueryModule {
 
   /** CTE suite computing per-doc BPE counts (`bpe_n(doc_id, n_bpe)`)
     * for any oracle that budgets in BPE tokens. */
-  private lazy val bpeCountCtes: String = s"""
+  private[queries] lazy val bpeCountCtes: String = s"""
       bpe_w AS (
         SELECT doc_id, $bpeWalkSql AS m
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -1169,6 +1169,62 @@ object TextAnalysis extends QueryModule {
       FROM mentions GROUP BY 1 ORDER BY 1""")
   )
 
+  /** DOMAIN-BLOCKLIST FILTERING (r12) — the other half of the URL
+    * curation pass next to `dd_url_dedup`: a suffix-rule blocklist
+    * (the UT1/adult-list convention every crawl pipeline applies)
+    * marks a URL blocked iff its host EQUALS an entry or ends with
+    * `.entry` — never a substring match, so `notexample.net` is not
+    * caught by `example.net`. Per doc: URL mentions, blocked
+    * mentions, and the keep verdict (no blocked URL).
+    *
+    * Scale shape ([[graft.operators.UrlCanon.domainSuffixes]]): the
+    * DISTINCT domains — |domains|-bounded, not corpus-bounded —
+    * explode into their ≤127 dot-suffixes and semi-join the
+    * blocklist on the suffix KEY; a million-entry blocklist is a
+    * plain shuffled (or broadcast) equi-join instead of a
+    * regex-per-pattern scan of every row. The blocked-domain set
+    * then joins back to mentions on the domain key. */
+  val domainFilter: Q = Q(
+    "ta_domain_filter",
+    (s, dir) => {
+      import s.implicits._
+      val blocklist = Seq("example.net", "src3.example.com")
+      val m = urlMentions(s, dir)
+      val blocked = m.select("domain").distinct()
+        .select(col("domain"),
+          explode(graft.operators.UrlCanon.domainSuffixes(col("domain")))
+            .as("suf"))
+        .join(broadcast(blocklist.toDF("suf")), Seq("suf"), "left_semi")
+        .select("domain").distinct()
+        .withColumn("__blocked", lit(1L))
+      m.join(broadcast(blocked), Seq("domain"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(coalesce(col("__blocked"), lit(0L))).as("n_blocked"))
+        .withColumn("kept",
+          when(col("n_blocked") === 0, 1L).otherwise(0L))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $urlMentionsSql,
+      bl AS (SELECT * FROM (VALUES ('example.net'),
+             ('src3.example.com')) AS t(b)),
+      bd AS (
+        SELECT DISTINCT m.domain
+        FROM mentions m JOIN bl
+          ON m.domain = bl.b OR m.domain LIKE '%.' || bl.b),
+      agg AS (
+        SELECT m.doc_id, count(*) AS n_urls,
+               sum(CASE WHEN bd.domain IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_blocked
+        FROM mentions m LEFT JOIN bd USING (domain)
+        GROUP BY 1)
+      SELECT doc_id, n_urls, CAST(n_blocked AS BIGINT) AS n_blocked,
+             CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS kept
+      FROM agg ORDER BY doc_id""")
+  )
+
   /** CONSECUTIVE-REPEAT COLLAPSE materialization — the
     * sequence-aware cleaning pass (distinct from [[normalize]]'s
     * per-char canonicalization and [[stopwordStrip]]'s vocabulary
@@ -1714,7 +1770,7 @@ object TextAnalysis extends QueryModule {
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
-      shardAssign, lengthQuantiles, piiRedact, urlDomains,
+      shardAssign, lengthQuantiles, piiRedact, urlDomains, domainFilter,
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
       bpeTokenStats, bpeShardAssign, bpeChunk, bpeFertility,

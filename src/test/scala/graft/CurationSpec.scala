@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GopherRules, HtmlText, Partitioning, UrlCanon}
+
+/** r12 curation kernels: Gopher rule arithmetic vs a brute Scala
+  * reference, HtmlText totality on malformed input, domainSuffixes
+  * suffix-rule semantics, and the packSequences ↔ prefixSumTwoPhase
+  * scale-path equality the `ta_pack_sequences` scaladoc promises. */
+class CurationSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  // ---- GopherRules ------------------------------------------------
+
+  /** Brute reference of the exact rule stated on GopherRules.metrics. */
+  private def bruteGopher(text: String): (Long, Long, Map[Int, Long], Map[Int, Long]) = {
+    val t = text.split(" ", -1).toSeq
+    val nc = text.replace(" ", "").length.toLong
+    val nw = t.count(_.nonEmpty).toLong
+    val top = (2 to 4).map { n =>
+      val grams = t.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq
+      val pm =
+        if (grams.isEmpty) 0L
+        else {
+          val byG = grams.groupBy(identity).view
+            .mapValues(_.size.toLong).toMap
+          val (cnt, cl) = byG.toSeq.map { case (g, c) =>
+            (c, (g.length - (n - 1)).toLong) }
+            .maxBy { case (c, l) => c * 100000L + l }
+          cnt * cl * 1000L / math.max(nc, 1L)
+        }
+      n -> pm
+    }.toMap
+    val dup = (5 to 10).map { n =>
+      val grams = t.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq
+      val mass = grams.groupBy(identity).collect {
+        case (g, occ) if occ.size > 1 =>
+          (occ.size - 1).toLong * (g.length - (n - 1))
+      }.sum
+      n -> mass * 1000L / math.max(nc, 1L)
+    }.toMap
+    (nw, nc * 1000L / math.max(nw, 1L), top, dup)
+  }
+
+  test("gopher metrics match the brute reference, ties to longer gram") {
+    val docs = Seq(
+      // 60 tokens of pure repetition: every rule fires
+      (0L, Seq.fill(30)("spam ham").mkString(" ")),
+      // count tie between 2-grams ("aa bb" and "cc dddd" twice each):
+      // witness must be the LONGER gram
+      (1L, "aa bb x aa bb y cc dddd z cc dddd w " +
+        "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"),
+      // shorter than n for high orders: 3 tokens → no 5..10-grams
+      (2L, "one two three"),
+      // empty text: nc=0, nw=0 — totality, no divide-by-zero
+      (3L, ""),
+      // clean 55-token doc, no repeats, ~5.5-char words: keep = 1
+      (4L, (1 to 55).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = GopherRules.metrics(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (d <- docs.collect().map(r => (r.getLong(0), r.getString(1)))) {
+      val (id, text) = d
+      val (nw, mw, top, dup) = bruteGopher(text)
+      val r = out(id)
+      assert(r.getAs[Long]("n_words") == nw, s"doc $id n_words")
+      assert(r.getAs[Long]("mean_wlen_milli") == mw, s"doc $id mwl")
+      for (n <- 2 to 4)
+        assert(r.getAs[Long](s"top${n}_pm") == top(n), s"doc $id top$n")
+      for (n <- 5 to 10)
+        assert(r.getAs[Long](s"dup${n}_pm") == dup(n), s"doc $id dup$n")
+    }
+    // the all-repetition doc fails the gate; the clean 55-token doc passes
+    assert(out(0L).getAs[Long]("keep") == 0L)
+    assert(out(4L).getAs[Long]("keep") == 1L)
+    // short docs fail on word count alone
+    assert(out(2L).getAs[Long]("keep") == 0L)
+  }
+
+  // ---- HtmlText ---------------------------------------------------
+
+  test("html extraction is total on malformed input and decodes after stripping") {
+    val rows = Seq(
+      // well-formed: script/style vanish, entities decode
+      (0L, "<html><head><title>T</title><style a=b>x{}</style></head>" +
+        "<body><script>var a;</script><p>A &amp;lt; B &quot;q&quot;</p></body></html>"),
+      // adjacent script blocks: non-greedy — the text between survives
+      (1L, "<script>a</script>KEEP<script>b</script>"),
+      // unclosed tag swallows to end; bare < with no > survives as text
+      (2L, "x <b unclosed y"),
+      // empty + entity-only
+      (3L, ""),
+      (4L, "&amp;&lt;&gt;"))
+      .toDF("id", "h")
+    val out = rows.select(col("id"),
+        HtmlText.cleanText(col("h")).as("c"),
+        HtmlText.title(col("h")).as("t"))
+      .orderBy("id").as[(Long, String, String)].collect()
+    // the <title>'s text survives tag-stripping (only script/style
+    // subtrees are dropped wholesale), then entities decode:
+    // "&amp;lt;" → literal "&lt;" (amp decodes LAST, manufacturing
+    // no new entity to strip)
+    assert(out(0) == ((0L, "T A &lt; B \"q\"", "T")))
+    assert(out(1)._2 == "KEEP")
+    // "<b unclosed y" has no closing > — the tag regex finds no match,
+    // so the bare remainder survives verbatim
+    assert(out(2)._2 == "x <b unclosed y")
+    assert(out(3)._2 == "")
+    assert(out(4)._2 == "&<>")
+  }
+
+  test("href extraction returns targets in document order") {
+    val out = Seq("a <a href=\"u1\">x</a> b <a href=\"u2\">y</a>")
+      .toDF("h").select(HtmlText.hrefs(col("h")))
+      .as[Seq[String]].head()
+    assert(out == Seq("u1", "u2"))
+  }
+
+  // ---- domainSuffixes --------------------------------------------
+
+  test("domainSuffixes lists dot-suffixes; matching is never substring") {
+    val sufs = Seq("a.b.example.net").toDF("d")
+      .select(UrlCanon.domainSuffixes(col("d"))).as[Seq[String]].head()
+    assert(sufs == Seq("a.b.example.net", "b.example.net",
+      "example.net", "net"))
+    // the face's semi-join rule: notexample.net must NOT be caught
+    val domains = Seq("notexample.net", "sub.example.net",
+      "example.net").toDF("domain")
+    val blocked = domains
+      .select(col("domain"),
+        explode(UrlCanon.domainSuffixes(col("domain"))).as("suf"))
+      .join(Seq("example.net").toDF("suf"), Seq("suf"), "left_semi")
+      .select("domain").distinct().as[String].collect().toSet
+    assert(blocked == Set("sub.example.net", "example.net"))
+  }
+
+  // ---- packSequences scale path ----------------------------------
+
+  test("pack-sequences window equals prefixSumTwoPhase bit-for-bit") {
+    val df = (0L until 400L).map { i =>
+      (s"src${i % 3}", i, 1L + (i * 7) % 90)
+    }.toDF("source", "doc_id", "n_bpe")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def derive(c: org.apache.spark.sql.DataFrame) = c
+      .select(col("source"), col("doc_id"), col("n_bpe"),
+        expr("(cum - n_bpe) div 256").as("seq_first"),
+        expr("(cum - 1) div 256").as("seq_last"),
+        expr("(cum - n_bpe) % 256").as("seq_offset"))
+      .orderBy("source", "doc_id")
+    val plain = derive(df.withColumn("cum", sum("n_bpe").over(w)))
+    val twoPhase = derive(Partitioning.prefixSumTwoPhase(
+      df, "source", "doc_id", "doc_id", "n_bpe", bucketSize = 64L))
+    assert(plain.collect().toSeq == twoPhase.collect().toSeq)
+  }
+}
