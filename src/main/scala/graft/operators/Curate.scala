@@ -116,6 +116,105 @@ object GopherRules {
       .withColumn("keep",
         when(keepCond.reduce(_ && _), 1L).otherwise(0L))
   }
+
+  /** ZERO-SHUFFLE twin of [[metrics]] — identical output, no gram
+    * exchange: every per-(doc, n) statistic only needs run lengths of
+    * EQUAL grams within one document, so the whole rule set computes
+    * in-row with higher-order array functions (sort the doc's n-gram
+    * array, mark run boundaries, zip each boundary with the next to
+    * get (count, charlen) runs, then max/fold the runs). CPU is
+    * O(Σₙ Gₙ log Gₙ) per doc versus the grouped twin's shuffled
+    * (doc, n, gram) stream — at 100 TB this is the shape to run (the
+    * catalog face does; [[metrics]] stays as the map-side-combinable
+    * differential reference, equality pinned in CurationSpec), and
+    * it is stateless per row, so the SAME kernel is the streaming
+    * admission gate (`Streams.streamingGopherGate`).
+    *
+    * Measured trade (sf0.1, local[32]): narrow ≈ 0.48 s vs grouped
+    * ≈ 0.17 s — higher-order folds run interpreted (no codegen), a
+    * ~3× CPU constant, while the grouped twin's explode+hash-agg is
+    * codegen'd and its shuffle is cheap at bench scale. The trade
+    * inverts at scale: the grouped shape exchanges ~9× the corpus
+    * token bytes as (doc, n, gram) rows, the narrow shape exchanges
+    * NOTHING — a constant-factor CPU tax against a corpus-sized
+    * shuffle. */
+  def metricsNarrow(docs: DataFrame): DataFrame =
+    withMetricsNarrow(docs).select(
+      Seq(col("doc_id"), col("n_words"), col("mean_wlen_milli")) ++
+        (2 to 4).map(n => col(s"top${n}_pm")) ++
+        (5 to 10).map(n => col(s"dup${n}_pm")) :+ col("keep"): _*)
+
+  /** [[metricsNarrow]] as a column-appending transform: every input
+    * column passes through (the admission-gate shape —
+    * `Streams.streamingGopherGate` filters on `keep` and drops the
+    * diagnostics), with the metric columns added. Pure per-row
+    * expressions: legal on a streaming DataFrame, no state store.
+    *
+    * Implementation note: all per-n work happens inside ONE
+    * `aggregate` fold per n (sort the gram array, then a linear
+    * run-length fold carrying (prev, run, top, dup) — the finish
+    * lambda closes the last run), so each n costs exactly one sort +
+    * one pass however the optimizer rewrites the projection. An
+    * earlier staged form (separate boundary/run-array columns) was
+    * correct but let projection collapse inline the intermediate
+    * arrays into each lambda ELEMENT reference, turning the
+    * per-row cost super-linear — hence the single-binding fold. */
+  def withMetricsNarrow(docs: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    var df = docs
+      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("__nc",
+        length(regexp_replace(col(textCol), " ", "")).cast("long"))
+      .withColumn("__nw",
+        size(filter(split(col(textCol), " "), x => x =!= ""))
+          .cast("long"))
+
+    for (n <- 2 to 10) {
+      // charlen of the run being CLOSED (its gram is s.prev)
+      val cl = s"cast(length(s.prev) - ${n - 1} as bigint)"
+      val close =
+        s"'top', greatest(s.top, if(s.prev is null, 0L, " +
+          s"s.run * 100000L + $cl)), " +
+        s"'dup', s.dup + if(s.prev is not null and s.run > 1L, " +
+          s"(s.run - 1L) * $cl, 0L)"
+      df = df.withColumn(s"__m$n", expr(
+        s"aggregate(" +
+          s"if(size(__t) < $n, cast(array() as array<string>), " +
+          s"array_sort(transform(sequence(1, size(__t) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(__t, i, $n))))), " +
+          s"named_struct('prev', cast(null as string), 'run', 0L, " +
+          s"'top', 0L, 'dup', 0L), " +
+          s"(s, g) -> if(s.prev is not null and g = s.prev, " +
+          s"named_struct('prev', g, 'run', s.run + 1L, " +
+          s"'top', s.top, 'dup', s.dup), " +
+          s"named_struct('prev', g, 'run', 1L, $close)), " +
+          s"s -> named_struct($close))"))
+    }
+
+    def topPm(n: Int): Column =
+      expr(s"((__m$n.top div 100000) * (__m$n.top % 100000) * 1000)" +
+        s" div greatest(__nc, 1L)")
+    def dupPm(n: Int): Column =
+      expr(s"(__m$n.dup * 1000) div greatest(__nc, 1L)")
+    val nWords = col("__nw")
+    val meanWlen = expr("(__nc * 1000) div greatest(__nw, 1L)")
+
+    val keepCond = (Seq(
+      nWords >= MinWords, nWords <= MaxWords,
+      meanWlen >= MinWlenMilli, meanWlen <= MaxWlenMilli) ++
+      TopThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
+        topPm(n) <= t } ++
+      DupThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
+        dupPm(n) <= t }).reduce(_ && _)
+
+    // ONE projection for every derived column, so each __m struct is
+    // an attribute of the child projection, never re-inlined per use
+    df.select(docs.columns.map(col) ++
+      Seq(nWords.as("n_words"), meanWlen.as("mean_wlen_milli")) ++
+      (2 to 4).map(n => topPm(n).as(s"top${n}_pm")) ++
+      (5 to 10).map(n => dupPm(n).as(s"dup${n}_pm")) :+
+      when(keepCond, 1L).otherwise(0L).as("keep"): _*)
+  }
 }
 
 /** Tag-strip HTML → text extraction as pure built-in expressions —

@@ -25,12 +25,16 @@ object Curation extends QueryModule {
     * repetition/length gate every large crawl corpus runs: top
     * 2/3/4-gram character share, duplicated 5..10-gram excess mass,
     * word count and mean word length, all exact permille/milli
-    * integers, plus the composed keep verdict. Rule statement and
-    * the 100 TB shape argument live on
-    * [[graft.operators.GopherRules.metrics]]. */
+    * integers, plus the composed keep verdict. The face runs the
+    * ZERO-SHUFFLE kernel ([[graft.operators.GopherRules.metricsNarrow]]
+    * — in-row run-length analysis of each doc's sorted n-gram
+    * arrays, no gram exchange at all); the grouped map-side-combinable
+    * twin ([[graft.operators.GopherRules.metrics]]) is the
+    * differential reference, equality pinned in CurationSpec. Rule
+    * statement lives on [[graft.operators.GopherRules.metrics]]. */
   val gopherRules: Q = Q(
     "ta_gopher_rules",
-    (s, dir) => GopherRules.metrics(docs(s, dir)).orderBy("doc_id"),
+    (s, dir) => GopherRules.metricsNarrow(docs(s, dir)).orderBy("doc_id"),
     Some("""
       WITH base AS (
         SELECT doc_id, string_split(text, ' ') AS t,

@@ -618,6 +618,25 @@ object Streams {
       .withWatermark("ts", "5 days")
       .dropDuplicatesWithinWatermark(Seq("canon_url"))
 
+  /** Streaming Gopher admission gate — the stream face of
+    * `ta_gopher_rules`: every arriving document is scored in-row by
+    * the ZERO-SHUFFLE rule kernel
+    * ([[graft.operators.GopherRules.withMetricsNarrow]] — sorted
+    * n-gram run-length analysis as pure higher-order array
+    * expressions) and only documents passing the full published gate
+    * survive; the metric diagnostics are dropped, input columns pass
+    * through. Stateless (no state store, no watermark), the same
+    * admission-filter family as [[streamingClassifierGate]] /
+    * [[streamingDecontaminationGate]] / [[streamingPiiScrub]] and
+    * composable with all of them — batch-verdict parity is pinned in
+    * StreamsSpec. */
+  def streamingGopherGate(docs: DataFrame,
+                          textCol: String = "text"): DataFrame = {
+    val scored =
+      graft.operators.GopherRules.withMetricsNarrow(docs, textCol)
+    scored.filter(col("keep") === 1L).select(docs.columns.map(col): _*)
+  }
+
   /** Streaming decontamination gate — the stream face of
     * `dd_decontaminate_bloom`: documents arriving on the stream are
     * checked against a Bloom filter of the eval corpus's gram hashes

@@ -83,6 +83,32 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out(2L).getAs[Long]("keep") == 0L)
   }
 
+  test("metricsNarrow equals the grouped metrics on crafted and random docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "bb", "gamma7", "x", "delta", "ee")
+    val random = (100L until 400L).map { id =>
+      // repetition-heavy streams: small vocab + occasional copied runs
+      val len = 1 + rnd.nextInt(120)
+      val toks = scala.collection.mutable.ArrayBuffer[String]()
+      while (toks.size < len) {
+        if (rnd.nextInt(4) == 0 && toks.nonEmpty) {
+          val s = rnd.nextInt(toks.size)
+          toks ++= toks.slice(s, math.min(toks.size, s + 1 + rnd.nextInt(12)))
+        } else toks += vocab(rnd.nextInt(vocab.size))
+      }
+      (id, toks.take(len).mkString(" "))
+    }
+    val crafted = Seq(
+      (0L, Seq.fill(30)("spam ham").mkString(" ")),
+      (1L, "aa bb x aa bb y cc dddd z cc dddd w"),
+      (2L, "one two three"),
+      (3L, ""))
+    val docs = (crafted ++ random).toDF("doc_id", "text")
+    val grouped = GopherRules.metrics(docs).orderBy("doc_id").collect().toSeq
+    val narrow = GopherRules.metricsNarrow(docs).orderBy("doc_id").collect().toSeq
+    assert(narrow.map(_.toSeq) == grouped.map(_.toSeq))
+  }
+
   // ---- HtmlText ---------------------------------------------------
 
   test("html extraction is total on malformed input and decodes after stripping") {

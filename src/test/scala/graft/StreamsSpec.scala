@@ -996,4 +996,35 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
           s"batchOnly=${keep -- admitted}")
     } finally q.stop()
   }
+
+  test("streamingGopherGate admits exactly the batch keep verdicts") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+    val keep = graft.operators.GopherRules
+      .metricsNarrow(docs.toDF("doc_id", "text"))
+      .filter(col("keep") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep.nonEmpty && keep.size < docs.size,
+      "fixture must split on the gate for the parity check to bite")
+    val source = MemoryStream[(Long, String)]
+    val q = Streams.streamingGopherGate(
+        source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_gate")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      val admitted = spark.table("gopher_gate")
+      assert(admitted.columns.toSeq == Seq("doc_id", "text"),
+        "gate must pass input columns through, diagnostics dropped")
+      val ids = admitted.select("doc_id").as[Long].collect().toSet
+      assert(ids == keep,
+        s"gate/batch disagree: gateOnly=${ids -- keep} " +
+          s"batchOnly=${keep -- ids}")
+    } finally q.stop()
+  }
 }
