@@ -130,7 +130,18 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         try {
-          q(spark, sfDir).count()
+          // FULL materialization, not count(): df.count() lets the
+          // optimizer prune every column, so a face whose cost lives
+          // in its output projection was billed for its scan alone
+          // (measured r12: ta_gopher_rules 0.13 s counted vs 9.9 s
+          // materialized pre-native-kernel; ta_html_extract 0.20 vs
+          // 1.47; ta_token_stats 0.10 vs 0.55 — aggregation-tail
+          // faces like mm_jpeg_decode were unaffected). toRdd.count()
+          // executes the face's ACTUAL output plan on the executors
+          // without collecting rows to the driver. Detail/floor
+          // records carry meas="full"; pre-change records are a
+          // different measurement frame and never compare.
+          q(spark, sfDir).queryExecution.toRdd.count()
           val dt = (System.nanoTime() - t0) / 1e9
           times += dt
           // per-rep time to stderr (stdout carries only the JSON
@@ -207,13 +218,18 @@ object Bench {
       // cpus too: both raw times and the calib depend on thread count,
       // so cross-cpu comparisons are meaningless even normalized
       val prevCpus = parseDetailField(prevTxt, "cpus")
+      // measurement mode too: records timed with the pre-r12 count()
+      // semantics (meas field absent) under-billed projection-tail
+      // faces and cannot be compared to full-materialization times
+      val prevMeas = parseDetailField(prevTxt, "meas").getOrElse("count")
       if (prevSf.exists(_ != sfName) ||
           prevReps.exists(_ != reps.toString) ||
-          prevCpus.exists(_ != cpus)) {
+          prevCpus.exists(_ != cpus) ||
+          prevMeas != Meas) {
         System.err.println(s"[bench] previous detail is sf=" +
           s"${prevSf.getOrElse("?")}/reps=${prevReps.getOrElse("?")}" +
-          s"/cpus=${prevCpus.getOrElse("?")}, " +
-          s"this run is sf=$sfName/reps=$reps/cpus=$cpus -- " +
+          s"/cpus=${prevCpus.getOrElse("?")}/meas=$prevMeas, " +
+          s"this run is sf=$sfName/reps=$reps/cpus=$cpus/meas=$Meas -- " +
           "regression gate skipped")
       } else {
         val prev = parseDetailQueries(prevTxt)
@@ -251,10 +267,11 @@ object Bench {
               java.nio.file.Files.readAllBytes(floorFile.toPath), "UTF-8")
             if (parseDetailField(txt, "sf").exists(_ != sfName) ||
                 parseDetailField(txt, "reps").exists(_ != reps.toString) ||
-                parseDetailField(txt, "cpus").exists(_ != cpus)) {
+                parseDetailField(txt, "cpus").exists(_ != cpus) ||
+                parseDetailField(txt, "meas").getOrElse("count") != Meas) {
               System.err.println(
-                "[bench] floor file is a different sf/reps/cpus frame " +
-                  "-- floor base skipped")
+                "[bench] floor file is a different sf/reps/cpus/meas " +
+                  "frame -- floor base skipped")
               Map.empty
             } else parseFloorQueries(txt)
           }
@@ -331,18 +348,29 @@ object Bench {
           if (java.nio.file.Files.exists(fp))
             new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
           else ""
-        val frameOk = oldTxt.isEmpty ||
+        val sameHw = oldTxt.isEmpty ||
           (parseDetailField(oldTxt, "sf").forall(_ == sfName) &&
             parseDetailField(oldTxt, "reps").forall(_ == reps.toString) &&
             parseDetailField(oldTxt, "cpus").forall(_ == cpus))
-        if (frameOk) {
+        val sameMeas = oldTxt.isEmpty ||
+          parseDetailField(oldTxt, "meas").getOrElse("count") == Meas
+        if (sameHw) {
           val withRerun = results.collect { case (k, v, None) if v >= 0 =>
             k -> math.min(v, reruns.collectFirst {
               case r if r.name == k && r.rerun > 0 => r.rerun
             }.getOrElse(v))
           }.toMap
-          val nf = updatedFloor(parseFloorQueries(oldTxt), withRerun,
-            calib, calibSh)
+          // a measurement-mode change RESETS the floor to this run:
+          // count()-era floors under-billed projection-tail faces and
+          // would flag every honest full-materialization time forever
+          val base =
+            if (sameMeas) parseFloorQueries(oldTxt)
+            else {
+              System.err.println("[bench] measurement mode changed " +
+                "-- floor reset to this run")
+              Map.empty[String, (Double, Double, Double)]
+            }
+          val nf = updatedFloor(base, withRerun, calib, calibSh)
           java.nio.file.Files.write(fp,
             (floorJson(sfName, reps, cpus, nf) + "\n").getBytes("UTF-8"))
         } else System.err.println(
@@ -610,12 +638,18 @@ object Bench {
       .toMap
   }
 
+  /** Measurement mode stamped into detail/floor records: "full" =
+    * the timed run materializes the face's whole output plan
+    * (queryExecution.toRdd.count). Records without the field are
+    * pre-r12 count()-semantics and never compare. */
+  val Meas = "full"
+
   def floorJson(sfName: String, reps: Int, cpus: String,
                 entries: Map[String, (Double, Double, Double)]): String = {
     val qs = entries.toSeq.sortBy(_._1).map { case (k, (t, c, cs)) =>
       jsonStr(k) + s":[${fmt(t, 6)},${fmt(c, 6)},${fmt(cs, 6)}]"
     }.mkString("{", ",", "}")
-    s"""{"sf":"$sfName","reps":$reps,"cpus":"$cpus","queries":$qs}"""
+    s"""{"sf":"$sfName","reps":$reps,"cpus":"$cpus","meas":"$Meas","queries":$qs}"""
   }
 
   /** Lower the floor where this run's raw median (rerun included —
@@ -829,7 +863,7 @@ object Bench {
       else skew.toSeq.sorted.map { case (k, v) =>
         jsonStr(k) + ":" + fmt(v, 3)
       }.mkString(""","skew_bench":{""", ",", "}")
-    s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","reps":$reps$calibPart$cpusPart,"queries":$qs$rerunPart$flagsPart$skewPart${errPart(results)},"sf":"$sfName"}"""
+    s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","reps":$reps$calibPart$cpusPart,"meas":"$Meas","queries":$qs$rerunPart$flagsPart$skewPart${errPart(results)},"sf":"$sfName"}"""
   }
 
   /** The stdout line: precision coarsens 3→2→1, then the query map

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight}
 
-import graft.functions.{BloomMightContain, BpeCount, BpeTokens, FloatVectorDot, MinhashSig, MisraGriesAgg, SimhashLong}
+import graft.functions.{BloomMightContain, BpeCount, BpeTokens, FloatVectorDot, GopherStats, MinhashSig, MisraGriesAgg, SimhashLong}
 
 /** Engine extension point — registers graft's native Catalyst
   * expressions (callable from SQL and `expr(...)`) and the
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.mgSummary)
     ext.injectFunction(GraftExtensions.bpeCount)
     ext.injectFunction(GraftExtensions.bpeTokens)
+    ext.injectFunction(GraftExtensions.gopherStats)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -59,6 +60,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "bpe_count takes exactly 1 argument")
       BpeCount(children.head)
+    })
+
+  private val gopherStats = (
+    FunctionIdentifier("gopher_stats"),
+    new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "gopher_stats takes exactly 1 argument")
+      GopherStats(children.head)
     })
 
   private val bpeTokens = (
@@ -193,7 +202,7 @@ object GraftExtensions {
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(fvecDot, simhashLong, minhashSig, bloomMightContain, zorder2,
-      mgSummary, bpeCount, bpeTokens)
+      mgSummary, bpeCount, bpeTokens, gopherStats)
       .foreach { f =>
       if (!reg.functionExists(f._1))
         reg.registerFunction(f._1, f._2, f._3)

@@ -130,14 +130,14 @@ object GopherRules {
     * it is stateless per row, so the SAME kernel is the streaming
     * admission gate (`Streams.streamingGopherGate`).
     *
-    * Measured trade (sf0.1, local[32]): narrow ≈ 0.48 s vs grouped
-    * ≈ 0.17 s — higher-order folds run interpreted (no codegen), a
-    * ~3× CPU constant, while the grouped twin's explode+hash-agg is
-    * codegen'd and its shuffle is cheap at bench scale. The trade
-    * inverts at scale: the grouped shape exchanges ~9× the corpus
-    * token bytes as (doc, n, gram) rows, the narrow shape exchanges
-    * NOTHING — a constant-factor CPU tax against a corpus-sized
-    * shuffle. */
+    * Measured (sf0.1, local[32], FULL materialization — count()
+    * prunes these projections, see BENCH_NOTES): grouped ≈ 6.6 s,
+    * this fold ≈ 5.1 s — it wins the shuffle back but pays
+    * interpreted lambda dispatch and a 4-field struct allocation per
+    * gram. The production rung is [[metricsNative]] (fused JVM
+    * kernel, ≈ 0.5 s, zero per-gram allocation); this fold stays as
+    * the pure-built-in differential reference between the grouped
+    * and native forms. */
   def metricsNarrow(docs: DataFrame): DataFrame =
     withMetricsNarrow(docs).select(
       Seq(col("doc_id"), col("n_words"), col("mean_wlen_milli")) ++
@@ -209,6 +209,53 @@ object GopherRules {
 
     // ONE projection for every derived column, so each __m struct is
     // an attribute of the child projection, never re-inlined per use
+    df.select(docs.columns.map(col) ++
+      Seq(nWords.as("n_words"), meanWlen.as("mean_wlen_milli")) ++
+      (2 to 4).map(n => topPm(n).as(s"top${n}_pm")) ++
+      (5 to 10).map(n => dupPm(n).as(s"dup${n}_pm")) :+
+      when(keepCond, 1L).otherwise(0L).as("keep"): _*)
+  }
+
+  /** The NATIVE rung of the kernel ladder — identical output to
+    * [[metrics]]/[[metricsNarrow]], computed by the fused
+    * [[graft.functions.GopherStats]] expression (`gopher_stats`):
+    * split once, per-n index sort + run-length walk in plain JVM
+    * code, no per-gram allocation, no lambda dispatch, no shuffle.
+    * Measured at sf0.1 full evaluation (warm): grouped ≈ 6.6 s,
+    * in-row HOF fold ≈ 5.1 s, native ≈ 0.5 s — the §2.9 preference
+    * order (native Expression > built-in composition > anything
+    * else) demonstrated on one kernel, 3-way equality pinned in
+    * CurationSpec. This is what the catalog face, the streaming
+    * gate, and the composed ingest pipeline run. */
+  def metricsNative(docs: DataFrame): DataFrame =
+    withMetricsNative(docs).select(
+      Seq(col("doc_id"), col("n_words"), col("mean_wlen_milli")) ++
+        (2 to 4).map(n => col(s"top${n}_pm")) ++
+        (5 to 10).map(n => col(s"dup${n}_pm")) :+ col("keep"): _*)
+
+  /** [[metricsNative]] as a column-appending transform (the
+    * admission-gate shape, like [[withMetricsNarrow]]). */
+  def withMetricsNative(docs: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    graft.GraftExtensions.ensure(docs.sparkSession)
+    val df = docs.withColumn("__g", expr(s"gopher_stats(`$textCol`)"))
+
+    def topPm(n: Int): Column =
+      expr(s"((__g.top$n div 100000) * (__g.top$n % 100000) * 1000)" +
+        s" div greatest(__g.nc, 1L)")
+    def dupPm(n: Int): Column =
+      expr(s"(__g.dup$n * 1000) div greatest(__g.nc, 1L)")
+    val nWords = col("__g.n_words")
+    val meanWlen = expr("(__g.nc * 1000) div greatest(__g.n_words, 1L)")
+
+    val keepCond = (Seq(
+      nWords >= MinWords, nWords <= MaxWords,
+      meanWlen >= MinWlenMilli, meanWlen <= MaxWlenMilli) ++
+      TopThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
+        topPm(n) <= t } ++
+      DupThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
+        dupPm(n) <= t }).reduce(_ && _)
+
     df.select(docs.columns.map(col) ++
       Seq(nWords.as("n_words"), meanWlen.as("mean_wlen_milli")) ++
       (2 to 4).map(n => topPm(n).as(s"top${n}_pm")) ++

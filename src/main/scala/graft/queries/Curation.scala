@@ -32,40 +32,45 @@ object Curation extends QueryModule {
     * twin ([[graft.operators.GopherRules.metrics]]) is the
     * differential reference, equality pinned in CurationSpec. Rule
     * statement lives on [[graft.operators.GopherRules.metrics]]. */
-  val gopherRules: Q = Q(
-    "ta_gopher_rules",
-    (s, dir) => GopherRules.metricsNarrow(docs(s, dir)).orderBy("doc_id"),
-    Some("""
-      WITH base AS (
-        SELECT doc_id, string_split(text, ' ') AS t,
-               CAST(len(replace(text, ' ', '')) AS BIGINT) AS nc,
-               CAST(len(list_filter(string_split(text, ' '),
+  /** The Gopher rule replay as a parameterized CTE chain over any
+    * `(doc_id, <textExpr>)` relation, ending in
+    * `gfin (doc_id, n_words, mean_wlen_milli, top*_pm, dup*_pm,
+    * keep)` — ONE text in the dialect, shared by [[gopherRules]]
+    * (over raw documents) and [[ingestPipeline]] (over the cleaned
+    * extraction), so the rule arithmetic cannot drift between the
+    * standalone and composed certifications. */
+  private def gopherCtesOver(srcRel: String, textExpr: String): String =
+    s"""
+      gbase AS (
+        SELECT doc_id, string_split($textExpr, ' ') AS t,
+               CAST(len(replace($textExpr, ' ', '')) AS BIGINT) AS nc,
+               CAST(len(list_filter(string_split($textExpr, ' '),
                  x -> x <> '')) AS BIGINT) AS nw
-        FROM documents),
-      grams AS (
+        FROM $srcRel),
+      ggrams AS (
         SELECT doc_id, n, nc,
                unnest(list_transform(range(1, len(t) - n + 2),
                  i -> array_to_string(t[i:i+n-1], ' '))) AS gram
-        FROM base, (SELECT unnest(range(2, 11)) AS n)
+        FROM gbase, (SELECT unnest(range(2, 11)) AS n)
         WHERE len(t) >= n),
-      gc AS (
+      ggc AS (
         SELECT doc_id, n, max(nc) AS nc, gram, count(*) AS cnt,
                CAST(len(gram) - (n - 1) AS BIGINT) AS cl
-        FROM grams GROUP BY doc_id, n, gram),
-      per AS (
+        FROM ggrams GROUP BY doc_id, n, gram),
+      gper AS (
         SELECT doc_id, n, max(nc) AS nc,
                max(CASE WHEN n <= 4 THEN cnt * 100000 + cl END)
                  AS topcode,
                sum(CASE WHEN n >= 5 AND cnt > 1 THEN (cnt - 1) * cl
                         ELSE 0 END) AS dupmass
-        FROM gc GROUP BY doc_id, n),
-      pm AS (
+        FROM ggc GROUP BY doc_id, n),
+      gpm AS (
         SELECT doc_id, n,
                ((topcode // 100000) * (topcode % 100000) * 1000)
                  // greatest(nc, 1) AS top_pm,
                (dupmass * 1000) // greatest(nc, 1) AS dup_pm
-        FROM per),
-      piv AS (
+        FROM gper),
+      gpiv AS (
         SELECT doc_id,
                coalesce(max(CASE WHEN n = 2 THEN top_pm END), 0) AS t2,
                coalesce(max(CASE WHEN n = 3 THEN top_pm END), 0) AS t3,
@@ -76,36 +81,47 @@ object Curation extends QueryModule {
                coalesce(max(CASE WHEN n = 8 THEN dup_pm END), 0) AS d8,
                coalesce(max(CASE WHEN n = 9 THEN dup_pm END), 0) AS d9,
                coalesce(max(CASE WHEN n = 10 THEN dup_pm END), 0) AS d10
-        FROM pm GROUP BY doc_id),
-      fin AS (
-        SELECT b.doc_id, b.nw AS n_words,
-               (b.nc * 1000) // greatest(b.nw, 1) AS mean_wlen_milli,
-               coalesce(p.t2, 0) AS top2_pm, coalesce(p.t3, 0) AS top3_pm,
-               coalesce(p.t4, 0) AS top4_pm, coalesce(p.d5, 0) AS dup5_pm,
-               coalesce(p.d6, 0) AS dup6_pm, coalesce(p.d7, 0) AS dup7_pm,
-               coalesce(p.d8, 0) AS dup8_pm, coalesce(p.d9, 0) AS dup9_pm,
-               coalesce(p.d10, 0) AS dup10_pm
-        FROM base b LEFT JOIN piv p USING (doc_id))
-      SELECT doc_id, n_words,
-             CAST(mean_wlen_milli AS BIGINT) AS mean_wlen_milli,
-             CAST(top2_pm AS BIGINT) AS top2_pm,
-             CAST(top3_pm AS BIGINT) AS top3_pm,
-             CAST(top4_pm AS BIGINT) AS top4_pm,
-             CAST(dup5_pm AS BIGINT) AS dup5_pm,
-             CAST(dup6_pm AS BIGINT) AS dup6_pm,
-             CAST(dup7_pm AS BIGINT) AS dup7_pm,
-             CAST(dup8_pm AS BIGINT) AS dup8_pm,
-             CAST(dup9_pm AS BIGINT) AS dup9_pm,
-             CAST(dup10_pm AS BIGINT) AS dup10_pm,
-             CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-                        AND mean_wlen_milli BETWEEN 3000 AND 10000
-                        AND top2_pm <= 200 AND top3_pm <= 180
-                        AND top4_pm <= 160 AND dup5_pm <= 150
-                        AND dup6_pm <= 140 AND dup7_pm <= 130
-                        AND dup8_pm <= 120 AND dup9_pm <= 110
-                        AND dup10_pm <= 100
-                   THEN 1 ELSE 0 END AS BIGINT) AS keep
-      FROM fin ORDER BY doc_id""")
+        FROM gpm GROUP BY doc_id),
+      gfin AS (
+        SELECT doc_id, n_words,
+               CAST(mean_wlen_milli AS BIGINT) AS mean_wlen_milli,
+               CAST(top2_pm AS BIGINT) AS top2_pm,
+               CAST(top3_pm AS BIGINT) AS top3_pm,
+               CAST(top4_pm AS BIGINT) AS top4_pm,
+               CAST(dup5_pm AS BIGINT) AS dup5_pm,
+               CAST(dup6_pm AS BIGINT) AS dup6_pm,
+               CAST(dup7_pm AS BIGINT) AS dup7_pm,
+               CAST(dup8_pm AS BIGINT) AS dup8_pm,
+               CAST(dup9_pm AS BIGINT) AS dup9_pm,
+               CAST(dup10_pm AS BIGINT) AS dup10_pm,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND mean_wlen_milli BETWEEN 3000 AND 10000
+                          AND top2_pm <= 200 AND top3_pm <= 180
+                          AND top4_pm <= 160 AND dup5_pm <= 150
+                          AND dup6_pm <= 140 AND dup7_pm <= 130
+                          AND dup8_pm <= 120 AND dup9_pm <= 110
+                          AND dup10_pm <= 100
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM (
+          SELECT b.doc_id, b.nw AS n_words,
+                 (b.nc * 1000) // greatest(b.nw, 1) AS mean_wlen_milli,
+                 coalesce(p.t2, 0) AS top2_pm,
+                 coalesce(p.t3, 0) AS top3_pm,
+                 coalesce(p.t4, 0) AS top4_pm,
+                 coalesce(p.d5, 0) AS dup5_pm,
+                 coalesce(p.d6, 0) AS dup6_pm,
+                 coalesce(p.d7, 0) AS dup7_pm,
+                 coalesce(p.d8, 0) AS dup8_pm,
+                 coalesce(p.d9, 0) AS dup9_pm,
+                 coalesce(p.d10, 0) AS dup10_pm
+          FROM gbase b LEFT JOIN gpiv p USING (doc_id)))"""
+
+  val gopherRules: Q = Q(
+    "ta_gopher_rules",
+    (s, dir) => GopherRules.metricsNative(docs(s, dir)).orderBy("doc_id"),
+    Some(s"""
+      WITH ${gopherCtesOver("documents", "text")}
+      SELECT * FROM gfin ORDER BY doc_id""")
   )
 
   /** HTML TEXT EXTRACTION — the step between a raw crawl record and
@@ -120,39 +136,37 @@ object Curation extends QueryModule {
     *
     * Scale: one narrow per-row regex chain inside whole-stage
     * codegen; no shuffle beyond the verify-order sort. */
-  val htmlExtract: Q = Q(
-    "ta_html_extract",
-    (s, dir) => {
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit(" - "), col("source"),
-        lit("</title><style>p { color: #333; }</style></head>" +
-          "<body><h1 class=\"hd\">"), col("lang"),
-        lit("</h1><script type=\"text/javascript\">var n = "),
-        col("doc_id").cast("string"), lit(";</script><p>"),
-        col("text"),
-        lit(" &amp; more &lt;tags&gt; &quot;q&quot; &#39;s&#39;" +
-          "</p><a href=\"https://"), col("source"),
-        lit(".example.com/"), col("doc_id").cast("string"),
-        lit("\">ref</a>"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("<a href=\"http://mirror-"),
-            (col("doc_id") % 3).cast("string"),
-            lit(".example.net/p/"),
-            (col("doc_id") % 50).cast("string"), lit("\">m</a>")))
-          .otherwise(lit("")),
-        lit("</body></html>"))
-      docs(s, dir)
-        .withColumn("__h", html)
-        .select(col("doc_id"),
-          HtmlText.title(col("__h")).as("title"),
-          size(HtmlText.hrefs(col("__h"))).cast("long").as("n_links"),
-          HtmlText.cleanText(col("__h")).as("clean_text"))
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH h AS (
-        SELECT doc_id,
+  /** THE shared HTML-fixture construction — one definition per
+    * dialect (the [[TextAnalysis]] urlMentions stance): a
+    * deterministic HTML wrapper synthesized from doc fields, used by
+    * both [[htmlExtract]] and the composed [[ingestPipeline]] so the
+    * fixture's markup shape cannot drift between their
+    * certifications. */
+  private def htmlFixture: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit(" - "), col("source"),
+    lit("</title><style>p { color: #333; }</style></head>" +
+      "<body><h1 class=\"hd\">"), col("lang"),
+    lit("</h1><script type=\"text/javascript\">var n = "),
+    col("doc_id").cast("string"), lit(";</script><p>"),
+    col("text"),
+    lit(" &amp; more &lt;tags&gt; &quot;q&quot; &#39;s&#39;" +
+      "</p><a href=\"https://"), col("source"),
+    lit(".example.com/"), col("doc_id").cast("string"),
+    lit("\">ref</a>"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("<a href=\"http://mirror-"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".example.net/p/"),
+        (col("doc_id") % 50).cast("string"), lit("\">m</a>")))
+      .otherwise(lit("")),
+    lit("</body></html>"))
+
+  /** DuckDB twin of [[htmlFixture]]: the `h (doc_id, source, html)`
+    * CTE body. */
+  private def htmlFixtureSql: String = """
+      h AS (
+        SELECT doc_id, source,
                '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
                ' - ' || source ||
                '</title><style>p { color: #333; }</style></head>' ||
@@ -169,11 +183,11 @@ object Curation extends QueryModule {
                          CAST(doc_id % 50 AS VARCHAR) || '">m</a>'
                     ELSE '' END ||
                '</body></html>' AS html
-        FROM documents)
-      SELECT doc_id,
-             regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
-             CAST(len(regexp_extract_all(html, 'href="([^"]+)"', 1))
-               AS BIGINT) AS n_links,
+        FROM documents)"""
+
+  /** DuckDB twin of [[graft.operators.HtmlText.cleanText]] over any
+    * inner expression — shared by both html-consuming oracles. */
+  private def cleanTextSqlOver(inner: String): String = s"""
              trim(regexp_replace(
                regexp_replace(
                  regexp_replace(
@@ -181,7 +195,7 @@ object Curation extends QueryModule {
                      regexp_replace(
                        regexp_replace(
                          regexp_replace(
-                           regexp_replace(html,
+                           regexp_replace($inner,
                              '<(script|style)[^>]*>.*?</(script|style)>',
                              ' ', 'g'),
                            '<[^>]*>', ' ', 'g'),
@@ -190,7 +204,25 @@ object Curation extends QueryModule {
                      '&quot;', '"', 'g'),
                    '&#39;', '''', 'g'),
                  '&amp;', '&', 'g'),
-               ' +', ' ', 'g')) AS clean_text
+               ' +', ' ', 'g'))"""
+
+  val htmlExtract: Q = Q(
+    "ta_html_extract",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("__h", htmlFixture)
+        .select(col("doc_id"),
+          HtmlText.title(col("__h")).as("title"),
+          size(HtmlText.hrefs(col("__h"))).cast("long").as("n_links"),
+          HtmlText.cleanText(col("__h")).as("clean_text"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $htmlFixtureSql
+      SELECT doc_id,
+             regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+             CAST(len(regexp_extract_all(html, 'href="([^"]+)"', 1))
+               AS BIGINT) AS n_links,
+             ${cleanTextSqlOver("html")} AS clean_text
       FROM h ORDER BY doc_id""")
   )
 
@@ -245,5 +277,92 @@ object Curation extends QueryModule {
       FROM c ORDER BY source, doc_id""")
   )
 
-  def all: Seq[Q] = Seq(gopherRules, htmlExtract, packSequences)
+  /** THE COMPOSED CRAWL-INGEST PIPELINE — raw HTML-shaped records to
+    * training sequences as ONE Catalyst plan: extract
+    * ([[graft.operators.HtmlText.cleanText]]) → Gopher admission gate
+    * ([[graft.operators.GopherRules.withMetricsNarrow]] on the CLEAN
+    * text, keep = 1 survivors only) → sequence packing of the
+    * survivors' real BPE budgets (+1 EOS, 256-token windows). The
+    * extraction output is MATERIALIZED once
+    * ([[graft.operators.CacheScope.materialize]]) before the gate —
+    * deliberately, and not only because extraction output is the
+    * artifact a production ingest keeps: left as one lazy plan,
+    * predicate pushdown substitutes the gate's keep condition below
+    * the extraction projection, and each of its 13 conjuncts
+    * re-inlines the scorer over its OWN copy of the full clean-text
+    * regex chain — measured 27 s/rep at sf0.1 with the HOF-fold
+    * kernel versus well under a second materialized, a tax for
+    * re-deriving the same string 13 times per scanned row that no
+    * kernel speed makes principled. Downstream of the barrier the
+    * plan is the one you'd want at 100 TB: stored-column gate
+    * filter, then the per-source packing window as the only
+    * exchange.
+    *
+    * The oracle composes the SAME certified dialect fragments
+    * ([[htmlFixtureSql]], [[cleanTextSqlOver]], [[gopherCtesOver]],
+    * the unrolled BPE walk) — drift in any piece breaks BOTH the
+    * standalone face and this composition. */
+  val ingestPipeline: Q = Q(
+    "ta_ingest_pipeline",
+    (s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val cleaned = docs(s, dir)
+        .withColumn("__h", htmlFixture)
+        .select(col("doc_id"), col("source"),
+          HtmlText.cleanText(col("__h")).as("clean_text"))
+      val scored = graft.operators.CacheScope.materialize(
+        GopherRules.withMetricsNative(cleaned, "clean_text")
+          .select("source", "doc_id", "clean_text", "keep"))
+      val gated = scored.filter(col("keep") === 1L)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      gated
+        .select(col("source"), col("doc_id"),
+          (expr("bpe_count(clean_text)") + lit(1L)).as("n_bpe"))
+        .withColumn("cum", sum("n_bpe").over(w))
+        .select(col("source"), col("doc_id"), col("n_bpe"),
+          expr("(cum - n_bpe) div 256").as("seq_first"),
+          expr("(cum - 1) div 256").as("seq_last"),
+          expr("(cum - n_bpe) % 256").as("seq_offset"))
+        .withColumn("n_seqs",
+          col("seq_last") - col("seq_first") + lit(1L))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""
+      WITH $htmlFixtureSql,
+      c AS (
+        SELECT doc_id, source,
+               ${cleanTextSqlOver("html")} AS clean_text
+        FROM h),
+      ${gopherCtesOver("c", "clean_text")},
+      keepers AS (SELECT doc_id FROM gfin WHERE keep = 1),
+      kbpe_w AS (
+        SELECT doc_id, ${TextAnalysis.bpeWalkSqlOver("word")} AS m
+        FROM (SELECT c.doc_id,
+                     unnest(string_split(c.clean_text, ' ')) AS word
+              FROM c JOIN keepers USING (doc_id))
+        WHERE word <> ''),
+      kbpe_n AS (
+        SELECT k.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bpe
+        FROM keepers k LEFT JOIN (
+          SELECT doc_id,
+                 sum(length(m) - length(replace(m, ' ', '')) - 1) AS nb
+          FROM kbpe_w GROUP BY doc_id) a USING (doc_id)),
+      packed AS (
+        SELECT c.source, c.doc_id, b.n_bpe + 1 AS n_bpe,
+               sum(b.n_bpe + 1) OVER (PARTITION BY c.source
+                 ORDER BY c.doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM c JOIN kbpe_n b USING (doc_id))
+      SELECT source, doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
+             CAST((cum - n_bpe) // 256 AS BIGINT) AS seq_first,
+             CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
+             CAST((cum - n_bpe) % 256 AS BIGINT) AS seq_offset,
+             CAST((cum - 1) // 256 - (cum - n_bpe) // 256 + 1
+               AS BIGINT) AS n_seqs
+      FROM packed ORDER BY source, doc_id""")
+  )
+
+  def all: Seq[Q] =
+    Seq(gopherRules, htmlExtract, packSequences, ingestPipeline)
 }

@@ -78,7 +78,7 @@ object TextAnalysis extends QueryModule {
     * replace() passes per rank (exactness argued in
     * [[graft.functions.BpeCount]]'s scaladoc). Generated from the
     * same vocabulary file the native expression loads. */
-  private def bpeWalkSqlOver(inner: String): String = {
+  private[queries] def bpeWalkSqlOver(inner: String): String = {
     val charSplit =
       s"' ' || array_to_string(string_split_regex($inner, ''), ' ') || ' '"
     graft.functions.BpeOps.orderedMerges

@@ -620,20 +620,19 @@ object Streams {
 
   /** Streaming Gopher admission gate — the stream face of
     * `ta_gopher_rules`: every arriving document is scored in-row by
-    * the ZERO-SHUFFLE rule kernel
-    * ([[graft.operators.GopherRules.withMetricsNarrow]] — sorted
-    * n-gram run-length analysis as pure higher-order array
-    * expressions) and only documents passing the full published gate
-    * survive; the metric diagnostics are dropped, input columns pass
-    * through. Stateless (no state store, no watermark), the same
-    * admission-filter family as [[streamingClassifierGate]] /
-    * [[streamingDecontaminationGate]] / [[streamingPiiScrub]] and
-    * composable with all of them — batch-verdict parity is pinned in
-    * StreamsSpec. */
+    * the ZERO-SHUFFLE native rule kernel
+    * ([[graft.operators.GopherRules.withMetricsNative]], the fused
+    * `gopher_stats` run-length expression) and only documents
+    * passing the full published gate survive; the metric diagnostics
+    * are dropped, input columns pass through. Stateless (no state
+    * store, no watermark), the same admission-filter family as
+    * [[streamingClassifierGate]] / [[streamingDecontaminationGate]] /
+    * [[streamingPiiScrub]] and composable with all of them —
+    * batch-verdict parity is pinned in StreamsSpec. */
   def streamingGopherGate(docs: DataFrame,
                           textCol: String = "text"): DataFrame = {
     val scored =
-      graft.operators.GopherRules.withMetricsNarrow(docs, textCol)
+      graft.operators.GopherRules.withMetricsNative(docs, textCol)
     scored.filter(col("keep") === 1L).select(docs.columns.map(col): _*)
   }
 

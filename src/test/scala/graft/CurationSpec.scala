@@ -107,6 +107,9 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     val grouped = GopherRules.metrics(docs).orderBy("doc_id").collect().toSeq
     val narrow = GopherRules.metricsNarrow(docs).orderBy("doc_id").collect().toSeq
     assert(narrow.map(_.toSeq) == grouped.map(_.toSeq))
+    val native = GopherRules.metricsNative(docs).orderBy("doc_id").collect().toSeq
+    assert(native.map(_.toSeq) == grouped.map(_.toSeq),
+      "native gopher_stats kernel diverges from the grouped reference")
   }
 
   // ---- HtmlText ---------------------------------------------------
