@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight}
 
-import graft.functions.{BloomMightContain, BpeCount, BpeTokens, FloatVectorDot, GopherStats, MinhashSig, MisraGriesAgg, SimhashLong}
+import graft.functions.{BloomMightContain, BpeCount, BpeTokens, FloatVectorDot, GopherStats, MinWindowMd5, MinhashSig, MisraGriesAgg, SimhashLong}
 
 /** Engine extension point — registers graft's native Catalyst
   * expressions (callable from SQL and `expr(...)`) and the
@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bpeCount)
     ext.injectFunction(GraftExtensions.bpeTokens)
     ext.injectFunction(GraftExtensions.gopherStats)
+    ext.injectFunction(GraftExtensions.minWindowMd5)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -60,6 +61,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "bpe_count takes exactly 1 argument")
       BpeCount(children.head)
+    })
+
+  private val minWindowMd5 = (
+    FunctionIdentifier("min_window_md5"),
+    new ExpressionInfo(classOf[MinWindowMd5].getName, "min_window_md5"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "min_window_md5 takes exactly 2 arguments")
+      MinWindowMd5(children.head, children(1))
     })
 
   private val gopherStats = (
@@ -202,7 +211,7 @@ object GraftExtensions {
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(fvecDot, simhashLong, minhashSig, bloomMightContain, zorder2,
-      mgSummary, bpeCount, bpeTokens, gopherStats)
+      mgSummary, bpeCount, bpeTokens, gopherStats, minWindowMd5)
       .foreach { f =>
       if (!reg.functionExists(f._1))
         reg.registerFunction(f._1, f._2, f._3)

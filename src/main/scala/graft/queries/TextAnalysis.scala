@@ -395,17 +395,24 @@ object TextAnalysis extends QueryModule {
   /** Document fingerprinting via a rolling character-8-gram hash
     * (winnowing-style): the fingerprint is the minimum md5 over all
     * sliding 8-char windows — robust to content reordering at the
-    * sentence level, cheap (one linear pass per doc, no shuffle), and
-    * deterministic across engines (lexicographic min over hex). */
+    * sentence level, one linear pass per doc, no shuffle, and
+    * deterministic across engines (lexicographic min over hex).
+    * Runs the native [[graft.functions.MinWindowMd5]] kernel (the
+    * interpreted per-window lambda + two allocations per window made
+    * this the catalog's most expensive face once the bench measured
+    * full materialization: 4.4 s → ~0.3 s at sf0.1); the built-in
+    * `array_min(transform(...))` composition stays as the
+    * spec-pinned reference. */
   val fingerprint: Q = Q(
     "ta_fingerprint",
-    (s, dir) =>
+    (s, dir) => {
+      graft.GraftExtensions.ensure(s)
       docs(s, dir)
         .select(
           col("doc_id"),
-          expr("array_min(transform(sequence(1, greatest(length(text)-7, 1))," +
-            " i -> md5(substring(text, i, 8))))").as("fingerprint"))
-        .orderBy("doc_id"),
+          expr("min_window_md5(text, 8)").as("fingerprint"))
+        .orderBy("doc_id")
+    },
     Some("""
       SELECT doc_id,
              list_aggregate(list_transform(

@@ -112,6 +112,25 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       "native gopher_stats kernel diverges from the grouped reference")
   }
 
+  test("min_window_md5 equals the built-in composition incl. multibyte") {
+    graft.GraftExtensions.ensure(spark)
+    val rnd = new scala.util.Random(7)
+    val pool = "abĉ δé 漢字x ".toCharArray
+    val texts = Seq("", "a", "1234567", "12345678", "123456789") ++
+      (0 until 200).map(_ =>
+        (0 until rnd.nextInt(60)).map(_ => pool(rnd.nextInt(pool.length)))
+          .mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        expr("min_window_md5(text, 8)").as("native"),
+        expr("array_min(transform(sequence(1, greatest(length(text)-7, 1))," +
+          " i -> md5(substring(text, i, 8))))").as("builtin"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"mismatch for id ${r.getLong(0)}"))
+  }
+
   // ---- HtmlText ---------------------------------------------------
 
   test("html extraction is total on malformed input and decodes after stripping") {
