@@ -369,6 +369,46 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("composed streaming ingest: html extract → gopher gate → near-dedup") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the stream face of ta_ingest_pipeline's composition argument:
+    // extraction and the gate are stateless per-row kernels, dedup
+    // carries the fingerprint state — ONE query chaining them
+    val body = (1 to 55).map(i => s"word$i").mkString(" ")
+    val body2 = (100 to 160).map(i => s"item$i").mkString(" ")
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "html")
+    val composed = Streams.streamingNearDedup(
+      Streams.streamingGopherGate(
+        docs.withColumn("text",
+          graft.operators.HtmlText.cleanText(col("html"))),
+        "text"))
+    val q = composed.select("doc_id", "text")
+      .writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      source.addData(
+        // passes: clean 55-word body survives extraction and gate
+        (1L, t, s"<html><body><script>var x;</script><p>$body</p></body></html>"),
+        // DIFFERENT markup, same body → same clean text → dropped by
+        // the fingerprint dedup even though raw html differs
+        (2L, t, s"<div class='a'><b>$body</b><style>p{}</style></div>"),
+        // repetition-heavy body → gate drops (top-2-gram share)
+        (3L, t, "<p>" + Seq.fill(30)("spam ham").mkString(" ") + "</p>"),
+        // too short → gate drops on word count
+        (4L, t, "<p>only a few words here</p>"),
+        // passes: distinct clean long body
+        (5L, t, s"<p>$body2</p>"))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 5L), s"kept ${rows.keySet}")
+      assert(rows(1L) == body, "extraction must strip to the bare body")
+    } finally q.stop()
+  }
+
   test("streaming PII scrub redacts in-flight and stays stateless") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[(Long, String)]
