@@ -466,7 +466,7 @@ object Bench {
             graft.operators.Partitioning
               .adaptiveSaltedJoin(l, rightDf, "k", salts = 32)
           else l.join(rightDf, Seq("k"), "inner")
-        counts += name -> j.count()
+        counts += name -> j.queryExecution.toRdd.count()
       }
       name -> sec
     }
@@ -507,7 +507,7 @@ object Bench {
           if (salted)
             graft.operators.Partitioning.scd2TwoPhase(ev, 3600L)
           else plainScd2(ev)
-        counts += name -> r.count()
+        counts += name -> r.queryExecution.toRdd.count()
       }
       name -> sec
     }
@@ -559,7 +559,7 @@ object Bench {
           if (salted)
             graft.operators.Partitioning.cusumTwoPhase(e, 50000L)
           else plainCusum(e)
-        counts += name -> r.count()
+        counts += name -> r.queryExecution.toRdd.count()
       }
       name -> sec
     }

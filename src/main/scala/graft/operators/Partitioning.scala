@@ -236,15 +236,20 @@ object Partitioning {
     * `idxCol` (1-based position per part). `df` is evaluated twice
     * (offsets job + result plan) — persist expensive lineages first.
     *
-    * Crossover, measured (Bench skew cells, r12): the two phases
-    * cost ~two extra corpus passes plus the offsets round-trip, and
-    * a NARROW hot partition in rough time order sorts faster than
-    * that at every in-memory mass (7.9M-row hot type: plain ≈ 0.5 s
-    * vs two-phase ≈ 2 s on local[32]) — this is the FEASIBILITY
-    * shape for a dominant key whose history outgrows one task
-    * (spill/OOM territory at 100 TB), not an in-memory speedup.
-    * Contrast [[scd2TwoPhase]], whose wide-row windows-heavy shape
-    * measurably wins on skew at bench scale already. */
+    * Measured (Bench skew cells, r12, FULL materialization): on the
+    * 8M-row fixture with one type carrying 99% of the mass the
+    * two-phase form wins ≈ 2.8× (plain ≈ 10.5 s vs two-phase
+    * ≈ 3.7 s on local[32]) — the hot key's single-task ordered sort
+    * is the bottleneck, and bucketing spreads it; on the uniform
+    * fixture the two extra passes cost ≈ 1.7× (2.4 vs 4.2 s), so
+    * this is a skew tool, not a default. An earlier r12 reading
+    * ("plain stays ahead at every in-memory mass") was a
+    * count()-forcing artifact: the pruner deleted the plain
+    * window's prefix-sum projection while the two-phase variant's
+    * join structure kept its work billed — the honest meter
+    * (meas=full, BENCH_NOTES) inverted the cells. At 100 TB the win
+    * compounds: past task-memory the plain form doesn't slow down,
+    * it spills or dies. */
   def prefixSumTwoPhase(df: DataFrame, partCol: String, ordCol: String,
                         tieCol: String, weightCol: String,
                         bucketSize: Long, cumCol: String = "cum",
@@ -297,9 +302,9 @@ object Partitioning {
     * Input: (event_type, us, event_id, cents) — the face's
     * projection; output bit-identical to it (PartitioningSpec).
     * The catalog face keeps the plain window (literal single-window
-    * parity with its DuckDB oracle); swap this in only when a hot
-    * type's history outgrows one task — see the measured crossover
-    * note on [[prefixSumTwoPhase]]. */
+    * parity with its DuckDB oracle, and the sf0.1 fixture has no
+    * dominant type); swap this in when one does — measured ≈ 2.8×
+    * ahead on the 99%-hot fixture, see [[prefixSumTwoPhase]]. */
   def cusumTwoPhase(e: DataFrame, bucketSeconds: Long): DataFrame = {
     val totals = broadcast(e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("tot")))

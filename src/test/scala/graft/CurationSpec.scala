@@ -60,6 +60,8 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       (2L, "one two three"),
       // empty text: nc=0, nw=0 — totality, no divide-by-zero
       (3L, ""),
+      // multibyte: charlen counts CODEPOINTS in every engine/kernel
+      (5L, "漢字δ ab 漢字δ ab ĉé 漢字δ ab x"),
       // clean 55-token doc, no repeats, ~5.5-char words: keep = 1
       (4L, (1 to 55).map(i => s"word$i").mkString(" ")))
       .toDF("doc_id", "text")
