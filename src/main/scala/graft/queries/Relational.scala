@@ -536,6 +536,132 @@ object Relational extends QueryModule {
       FROM z GROUP BY 1 ORDER BY 1""")
   )
 
+  /** ZONE-MAP PRUNING QUANTIFIED (r12) — the payoff measurement for
+    * [[zorder]]: the same 16-bucket scaling builds per-chunk
+    * (min, max) zone maps under TWO layouts — z-ordered chunks
+    * (`zkey >> 4`, both dimensions bounded per chunk) and a LINEAR
+    * single-column sort (chunks = custkey buckets) — and a fixed
+    * bounds-relative 2-D predicate box (middle 25% of custkey ×
+    * 6-value nationkey band) is tested against every chunk's bounds.
+    * A chunk is SCANNED iff its rectangle intersects the box — the
+    * exact skipping rule parquet row-group min/max stats give a
+    * reader. Per layout: chunk counts, scanned chunks, scanned rows,
+    * matching rows (identical across layouts by construction — the
+    * layout changes what you READ, never what you FIND), and the
+    * skip permille. The linear layout prunes one dimension
+    * perfectly and the other not at all; z-order bounds both, which
+    * is the whole case for Morton layout stated as data.
+    *
+    * Scale shape: one scan → two bounded groupBys (≤ 16/256 chunk
+    * rows) → two 2-row summaries. The 1-row bounds attach is the
+    * histogram idiom. */
+  val zonemapPrune: Q = Q(
+    "rel_zonemap_prune",
+    (s, dir) => {
+      import graft.operators.ZOrder
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val bounds = c.agg(
+        min("c_custkey").as("min_c"), max("c_custkey").as("max_c"),
+        min("c_nationkey").as("min_n"), max("c_nationkey").as("max_n"))
+      val scaled = c.crossJoin(broadcast(bounds))
+        .withColumn("a_s", floor((col("c_custkey") - col("min_c")) * 16 /
+          (col("max_c") - col("min_c") + 1)))
+        .withColumn("b_s", floor((col("c_nationkey") - col("min_n")) * 16 /
+          (col("max_n") - col("min_n") + 1)))
+        // the predicate box, bounds-relative so every sf exercises it
+        .withColumn("clo",
+          col("min_c") + expr("(max_c - min_c + 1) div 4"))
+        .withColumn("chi",
+          col("min_c") + expr("(max_c - min_c + 1) div 2"))
+        .withColumn("nlo", col("min_n") + 2)
+        .withColumn("nhi", col("min_n") + 7)
+        .withColumn("matches",
+          when(col("c_custkey").between(col("clo"), col("chi")) &&
+            col("c_nationkey").between(col("nlo"), col("nhi")), 1L)
+            .otherwise(0L))
+      def layout(name: String, chunk: org.apache.spark.sql.Column) =
+        scaled
+          .withColumn("chunk", chunk)
+          .groupBy("chunk")
+          .agg(count(lit(1)).as("n_rows"), sum("matches").as("n_match"),
+            min("c_custkey").as("lo_c"), max("c_custkey").as("hi_c"),
+            min("c_nationkey").as("lo_n"), max("c_nationkey").as("hi_n"),
+            max("clo").as("clo"), max("chi").as("chi"),
+            max("nlo").as("nlo"), max("nhi").as("nhi"))
+          .withColumn("scanned",
+            when(col("hi_c") >= col("clo") && col("lo_c") <= col("chi") &&
+              col("hi_n") >= col("nlo") && col("lo_n") <= col("nhi"), 1L)
+              .otherwise(0L))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum("scanned").as("n_chunks_scanned"),
+            sum(col("scanned") * col("n_rows")).as("rows_scanned"),
+            sum("n_match").as("rows_matching"),
+            sum("n_rows").as("n_rows_total"))
+          .select(lit(name).as("layout"), col("n_chunks"),
+            col("n_chunks_scanned"), col("rows_scanned"),
+            col("rows_matching"),
+            expr("((n_rows_total - rows_scanned) * 1000)" +
+              " div n_rows_total").as("skip_permille"))
+      layout("linear_custkey", col("a_s"))
+        .unionAll(layout("zorder",
+          shiftright(ZOrder.key2(col("a_s"), col("b_s"), 4), 4)))
+        .orderBy("layout")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT min(c_custkey) AS min_c, max(c_custkey) AS max_c,
+               min(c_nationkey) AS min_n, max(c_nationkey) AS max_n
+        FROM customer),
+      scaled AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(floor((c_custkey - min_c) * 16
+                 / (max_c - min_c + 1)) AS BIGINT) AS a_s,
+               CAST(floor((c_nationkey - min_n) * 16
+                 / (max_n - min_n + 1)) AS BIGINT) AS b_s,
+               min_c + (max_c - min_c + 1) // 4 AS clo,
+               min_c + (max_c - min_c + 1) // 2 AS chi,
+               min_n + 2 AS nlo, min_n + 7 AS nhi,
+               CASE WHEN c_custkey
+                      BETWEEN min_c + (max_c - min_c + 1) // 4
+                          AND min_c + (max_c - min_c + 1) // 2
+                     AND c_nationkey
+                      BETWEEN min_n + 2 AND min_n + 7
+                    THEN 1 ELSE 0 END AS matches
+        FROM customer, b),
+      chunks AS (
+        SELECT layout, chunk, count(*) AS n_rows,
+               sum(matches) AS n_match,
+               min(c_custkey) AS lo_c, max(c_custkey) AS hi_c,
+               min(c_nationkey) AS lo_n, max(c_nationkey) AS hi_n,
+               max(clo) AS clo, max(chi) AS chi,
+               max(nlo) AS nlo, max(nhi) AS nhi
+        FROM (
+          SELECT 'linear_custkey' AS layout, a_s AS chunk, *
+          FROM scaled
+          UNION ALL
+          SELECT 'zorder' AS layout,
+                 (${graft.operators.ZOrder.duckKeyExpr2(
+                    "a_s", "b_s", 4)}) >> 4 AS chunk, *
+          FROM scaled)
+        GROUP BY 1, 2),
+      flags AS (
+        SELECT layout, n_rows, n_match,
+               CASE WHEN hi_c >= clo AND lo_c <= chi
+                     AND hi_n >= nlo AND lo_n <= nhi
+                    THEN 1 ELSE 0 END AS scanned
+        FROM chunks)
+      SELECT layout,
+             count(*) AS n_chunks,
+             CAST(sum(scanned) AS BIGINT) AS n_chunks_scanned,
+             CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+             CAST(sum(n_match) AS BIGINT) AS rows_matching,
+             CAST((sum(n_rows) - sum(scanned * n_rows)) * 1000
+               // sum(n_rows) AS BIGINT) AS skip_permille
+      FROM flags GROUP BY 1 ORDER BY 1""")
+  )
+
   /** ORDER-INDEPENDENT TABLE CHECKSUM — the migration-validation op:
     * after any copy/convert/re-partition of a 100 TB table, one number
     * per side answers "did every row survive, byte-identical?" without
@@ -920,7 +1046,8 @@ object Relational extends QueryModule {
   def all: Seq[Q] = Seq(union, intersect, except, rollup, cube,
     distinctAgg, pagination, keysetPagination, pivot,
     sketchBound, groupingSets, hashSample, stratifiedSample, saltedAgg,
-    quantileBound, profile, zorder, tableChecksum, saltedJoin,
+    quantileBound, profile, zorder, zonemapPrune, tableChecksum,
+    saltedJoin,
     copurchase, copurchaseHealth, incrementalView, exactMedian,
     compactionPlan, histogram, exactKSample, snapshotDiff,
     shareOfTotal, pareto, skyline, fkCheck, kAnonymity)

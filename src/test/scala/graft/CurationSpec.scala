@@ -104,7 +104,10 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       (0L, Seq.fill(30)("spam ham").mkString(" ")),
       (1L, "aa bb x aa bb y cc dddd z cc dddd w"),
       (2L, "one two three"),
-      (3L, ""))
+      (3L, ""),
+      // supplementary-plane chars (surrogate pairs in UTF-16): all
+      // three kernels must count CODEPOINTS, not code units
+      (4L, "😀😀a b 😀😀a b 漢x 漢x 漢x c d e"))
     val docs = (crafted ++ random).toDF("doc_id", "text")
     val grouped = GopherRules.metrics(docs).orderBy("doc_id").collect().toSeq
     val narrow = GopherRules.metricsNarrow(docs).orderBy("doc_id").collect().toSeq
