@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight}
 
-import graft.functions.{BloomMightContain, BpeCount, BpeTokens, FloatVectorDot, GopherStats, MinWindowMd5, MinhashSig, MisraGriesAgg, SimhashLong}
+import graft.functions.{BloomMightContain, BpeCount, BpeTokens, FloatVectorDot, GopherStats, MinWindowMd5, MinhashSig, MisraGriesAgg, Pcm16WindowSs, SimhashLong}
 
 /** Engine extension point — registers graft's native Catalyst
   * expressions (callable from SQL and `expr(...)`) and the
@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bpeTokens)
     ext.injectFunction(GraftExtensions.gopherStats)
     ext.injectFunction(GraftExtensions.minWindowMd5)
+    ext.injectFunction(GraftExtensions.pcm16WindowSs)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -61,6 +62,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "bpe_count takes exactly 1 argument")
       BpeCount(children.head)
+    })
+
+  private val pcm16WindowSs = (
+    FunctionIdentifier("pcm16_window_ss"),
+    new ExpressionInfo(classOf[Pcm16WindowSs].getName, "pcm16_window_ss"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "pcm16_window_ss takes exactly 2 arguments")
+      Pcm16WindowSs(children.head, children(1))
     })
 
   private val minWindowMd5 = (
@@ -211,7 +220,8 @@ object GraftExtensions {
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(fvecDot, simhashLong, minhashSig, bloomMightContain, zorder2,
-      mgSummary, bpeCount, bpeTokens, gopherStats, minWindowMd5)
+      mgSummary, bpeCount, bpeTokens, gopherStats, minWindowMd5,
+      pcm16WindowSs)
       .foreach { f =>
       if (!reg.functionExists(f._1))
         reg.registerFunction(f._1, f._2, f._3)

@@ -126,31 +126,24 @@ object MultimodalQueries extends QueryModule {
     * codec swaps in at the same seam); the windowing, the per-window
     * integer reduction, and the schema are the production shape.
     *
-    * Scale shape: one scan, a bounded explode (windows per doc =
-    * bytes/128), and a per-window fold over 64 integers — narrow
-    * end-to-end, no shuffle before the verify sort. Exactness: sample
-    * extraction is hex-slice + integer parse, the energy sum is exact
-    * BIGINT (≤ 64·32768² < 2⁴¹), and the only float ops are one
-    * divide + one sqrt — both IEEE correctly-rounded, so DuckDB
-    * replays the doubles bit-for-bit. */
+    * Scale shape: one scan, one native per-row kernel
+    * ([[graft.functions.Pcm16WindowSs]] — the hex-conv lambda form
+    * allocated twice per SAMPLE and cost 2.4 s at sf0.1 under full
+    * materialization; the byte-walk kernel is spec-pinned equal), a
+    * bounded posexplode — narrow end-to-end, no shuffle before the
+    * verify sort. Exactness: the energy sum is exact BIGINT
+    * (≤ 64·32768² < 2⁴¹), and the only float ops are one divide +
+    * one sqrt — both IEEE correctly-rounded, so DuckDB replays the
+    * doubles bit-for-bit. */
   val audioEnergy: Q = Q(
     "mm_audio_energy",
     (s, dir) => {
+      graft.GraftExtensions.ensure(s)
       val W = 64 // samples per window; 2 bytes per sample
       Multimodal.withPayload(Tables(s, dir, "documents"))
-        .withColumn("h", hex(col("payload")))
-        .withColumn("n_win",
-          (octet_length(col("payload")) / 2 / W).cast("int"))
-        .filter(col("n_win") > 0)
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), col("n_win") - 1)).as("win"))
-        .withColumn("ss", expr(s"""
-          aggregate(
-            transform(sequence(0, ${W - 1}),
-              j -> CAST(conv(substr(h, (win*$W + j)*4 + 1, 4), 16, 10)
-                   AS BIGINT) - 32768),
-            CAST(0 AS BIGINT),
-            (acc, v) -> acc + v * v)"""))
+        .withColumn("sss", expr(s"pcm16_window_ss(payload, $W)"))
+        .select(col("doc_id"),
+          posexplode(col("sss")).as(Seq("win", "ss")))
         .select(col("doc_id"), col("win"),
           sqrt(col("ss").cast("double") / lit(W.toDouble)).as("rms"))
         .orderBy("doc_id", "win")

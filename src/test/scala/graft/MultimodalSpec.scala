@@ -269,4 +269,43 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(r.getInt(1) >= 16 && r.getInt(1) < 32) // fake width bounds
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 255.0)
   }
+
+  test("pcm16_window_ss equals the hex-conv composition on adversarial payloads") {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // empty, sub-window, odd byte count, exact 1/2/3 windows, random
+    val payloads: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray,
+        Array.fill(7)(rnd.nextInt.toByte),
+        Array.fill(127)(rnd.nextInt.toByte),
+        Array.fill(128)(rnd.nextInt.toByte),
+        Array.fill(129)(rnd.nextInt.toByte),
+        Array.fill(256)(rnd.nextInt.toByte),
+        Array.fill(384)(rnd.nextInt.toByte)) ++
+        (0 until 40).map(_ => Array.fill(rnd.nextInt(600))(rnd.nextInt.toByte))
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+    val out = df
+      .withColumn("h", hex(col("payload")))
+      .withColumn("n_win", (octet_length(col("payload")) / 2 / 64).cast("int"))
+      .withColumn("native", expr("pcm16_window_ss(payload, 64)"))
+      .withColumn("builtin", expr("""
+        transform(sequence(0, n_win - 1),
+          win -> aggregate(
+            transform(sequence(0, 63),
+              j -> CAST(conv(substr(h, (win*64 + j)*4 + 1, 4), 16, 10)
+                   AS BIGINT) - 32768),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v * v))"""))
+      .select(col("id"), col("n_win"), col("native"), col("builtin"))
+      .collect()
+    out.foreach { r =>
+      val native = r.getSeq[Long](2)
+      // sequence(0, -1) descends: the builtin form needs the n_win>0
+      // guard the face applies — normalize here
+      val builtin = if (r.getInt(1) <= 0) Seq.empty[Long] else r.getSeq[Long](3)
+      assert(native == builtin, s"payload ${r.getLong(0)}")
+    }
+  }
 }
