@@ -38,6 +38,9 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // rel_histogram broadcast-attaches its 1-row [min, max] bounds
       // before integer bucketing — same scalar-attach pattern
       "rel_histogram",
+      // rel_zonemap_prune broadcast-attaches the same 1-row scaling
+      // bounds as rel_zorder before its chunk zone maps
+      "rel_zonemap_prune",
       // ss_topk_pq scores the broadcast query batch against every
       // COMPRESSED corpus vector — PQ's documented shape (asymmetric
       // distance over reconstructions): |Q|·N like brute, but over m
