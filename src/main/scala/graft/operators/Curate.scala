@@ -161,12 +161,15 @@ object GopherRules {
     * per-row cost super-linear — hence the single-binding fold. */
   def withMetricsNarrow(docs: DataFrame,
                         textCol: String = "text"): DataFrame = {
+    // NULL text ≡ empty text (keep = 0 via the word-count gate) — the
+    // grouped reference's behavior, pinned across all three kernels
+    val txt = coalesce(col(textCol), lit(""))
     var df = docs
-      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("__t", split(txt, " "))
       .withColumn("__nc",
-        length(regexp_replace(col(textCol), " ", "")).cast("long"))
+        length(regexp_replace(txt, " ", "")).cast("long"))
       .withColumn("__nw",
-        size(filter(split(col(textCol), " "), x => x =!= ""))
+        size(filter(split(txt, " "), x => x =!= ""))
           .cast("long"))
 
     for (n <- 2 to 10) {
@@ -238,7 +241,9 @@ object GopherRules {
   def withMetricsNative(docs: DataFrame,
                         textCol: String = "text"): DataFrame = {
     graft.GraftExtensions.ensure(docs.sparkSession)
-    val df = docs.withColumn("__g", expr(s"gopher_stats(`$textCol`)"))
+    // NULL ≡ empty, as in withMetricsNarrow
+    val df = docs.withColumn("__g",
+      expr(s"gopher_stats(coalesce(`$textCol`, ''))"))
 
     def topPm(n: Int): Column =
       expr(s"((__g.top$n div 100000) * (__g.top$n % 100000) * 1000)" +

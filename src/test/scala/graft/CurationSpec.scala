@@ -107,7 +107,9 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       (3L, ""),
       // supplementary-plane chars (surrogate pairs in UTF-16): all
       // three kernels must count CODEPOINTS, not code units
-      (4L, "😀😀a b 😀😀a b 漢x 漢x 漢x c d e"))
+      (4L, "😀😀a b 😀😀a b 漢x 漢x 漢x c d e"),
+      // NULL text ≡ empty text in every kernel (all-zero row, keep 0)
+      (6L, null.asInstanceOf[String]))
     val docs = (crafted ++ random).toDF("doc_id", "text")
     val grouped = GopherRules.metrics(docs).orderBy("doc_id").collect().toSeq
     val narrow = GopherRules.metricsNarrow(docs).orderBy("doc_id").collect().toSeq
