@@ -34,6 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * sort order cannot change any count. Cost: O(Σₙ Gₙ log Gₙ · n)
   * token comparisons per doc, zero shuffle, zero per-gram
   * allocation.
+  *
+  * Whale documents: per-row transient memory is O(tokens) boxed
+  * index Integers (×9 sequentially, not at once). The A1 gate
+  * itself rejects anything over 100k words, so a pipeline that cuts
+  * obvious whales on the cheap word count first (one split, no
+  * grams) bounds this kernel's per-row footprint to ~a few MB; the
+  * grouped [[graft.operators.GopherRules.metrics]] twin distributes
+  * even a single document's grams if that is ever the constraint.
   */
 case class GopherStats(child: Expression) extends UnaryExpression {
 

@@ -151,7 +151,8 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       (2L, "x <b unclosed y"),
       // empty + entity-only
       (3L, ""),
-      (4L, "&amp;&lt;&gt;"))
+      (4L, "&amp;&lt;&gt;"),
+      (5L, null.asInstanceOf[String]))
       .toDF("id", "h")
     val out = rows.select(col("id"),
         HtmlText.cleanText(col("h")).as("c"),
@@ -168,6 +169,8 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out(2)._2 == "x <b unclosed y")
     assert(out(3)._2 == "")
     assert(out(4)._2 == "&<>")
+    // NULL propagates as NULL (never an exception)
+    assert(out(5)._2 == null && out(5)._3 == null)
   }
 
   test("href extraction returns targets in document order") {
