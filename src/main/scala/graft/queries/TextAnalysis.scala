@@ -1191,28 +1191,13 @@ object TextAnalysis extends QueryModule {
     * plain shuffled (or broadcast) equi-join instead of a
     * regex-per-pattern scan of every row. The blocked-domain set
     * then joins back to mentions on the domain key. */
-  val domainFilter: Q = Q(
-    "ta_domain_filter",
-    (s, dir) => {
-      import s.implicits._
-      val blocklist = Seq("example.net", "src3.example.com")
-      val m = urlMentions(s, dir)
-      val blocked = m.select("domain").distinct()
-        .select(col("domain"),
-          explode(graft.operators.UrlCanon.domainSuffixes(col("domain")))
-            .as("suf"))
-        .join(broadcast(blocklist.toDF("suf")), Seq("suf"), "left_semi")
-        .select("domain").distinct()
-        .withColumn("__blocked", lit(1L))
-      m.join(broadcast(blocked), Seq("domain"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_urls"),
-          sum(coalesce(col("__blocked"), lit(0L))).as("n_blocked"))
-        .withColumn("kept",
-          when(col("n_blocked") === 0, 1L).otherwise(0L))
-        .orderBy("doc_id")
-    },
-    Some(s"""
+  private val DomainBlocklist = Seq("example.net", "src3.example.com")
+
+  /** THE domain-filter oracle, shared verbatim by [[domainFilter]]
+    * and [[domainFilterBloom]] — the dd_decontaminate_bloom
+    * certification stance: the gated face's proof is that it matches
+    * the ungated oracle, which must therefore BE the same text. */
+  private def domainFilterOracleSql: String = s"""
       WITH $urlMentionsSql,
       bl AS (SELECT * FROM (VALUES ('example.net'),
              ('src3.example.com')) AS t(b)),
@@ -1229,7 +1214,69 @@ object TextAnalysis extends QueryModule {
       SELECT doc_id, n_urls, CAST(n_blocked AS BIGINT) AS n_blocked,
              CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS BIGINT)
                AS kept
-      FROM agg ORDER BY doc_id""")
+      FROM agg ORDER BY doc_id"""
+
+  /** The doc-level rollup shared by both filter faces: mentions ⋈
+    * blocked-domain set → per-doc counts + keep verdict. */
+  private def domainFilterRollup(m: DataFrame,
+                                 blocked: DataFrame): DataFrame =
+    m.join(broadcast(blocked.withColumn("__blocked", lit(1L))),
+        Seq("domain"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(coalesce(col("__blocked"), lit(0L))).as("n_blocked"))
+      .withColumn("kept",
+        when(col("n_blocked") === 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+
+  val domainFilter: Q = Q(
+    "ta_domain_filter",
+    (s, dir) => {
+      import s.implicits._
+      val m = urlMentions(s, dir)
+      val blocked = m.select("domain").distinct()
+        .select(col("domain"),
+          explode(graft.operators.UrlCanon.domainSuffixes(col("domain")))
+            .as("suf"))
+        .join(broadcast(DomainBlocklist.toDF("suf")), Seq("suf"),
+          "left_semi")
+        .select("domain").distinct()
+      domainFilterRollup(m, blocked)
+    },
+    Some(domainFilterOracleSql)
+  )
+
+  /** Bloom-gated [[domainFilter]] — the shape the suffix join takes
+    * when the blocklist is too large to broadcast as exact rows (the
+    * UT1 adult list alone is millions of entries; curated corporate
+    * blocklists run larger): build a Bloom filter over the entry
+    * hashes ONCE (~1.2 MB per million entries), drop the ~99% of
+    * exploded suffixes that cannot match with a narrow codegen'd
+    * probe BEFORE any join, and verify the survivors against the
+    * exact list with the shuffle-hash join broadcast can't do.
+    * No false negatives → bit-identical verdicts: this face runs
+    * against [[domainFilter]]'s oracle VERBATIM, which is the
+    * certification (the [[graft.queries.Dedup]] decontaminate-bloom
+    * stance). */
+  val domainFilterBloom: Q = Q(
+    "ta_domain_filter_bloom",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Bloom
+      val blDf = DomainBlocklist.toDF("suf")
+      val bits = Bloom.buildLong(
+        blDf.select(xxhash64(col("suf")).as("bh")), "bh")
+      val m = urlMentions(s, dir)
+      val blocked = m.select("domain").distinct()
+        .select(col("domain"),
+          explode(graft.operators.UrlCanon.domainSuffixes(col("domain")))
+            .as("suf"))
+        .filter(Bloom.gateLong(s, bits, xxhash64(col("suf"))))
+        .join(blDf.hint("shuffle_hash"), Seq("suf"), "left_semi")
+        .select("domain").distinct()
+      domainFilterRollup(m, blocked)
+    },
+    Some(domainFilterOracleSql)
   )
 
   /** CONSECUTIVE-REPEAT COLLAPSE materialization — the
@@ -1778,6 +1825,7 @@ object TextAnalysis extends QueryModule {
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
       oovRate, stopwordStrip, normalize, corpusMix, topTermsPerLang,
       shardAssign, lengthQuantiles, piiRedact, urlDomains, domainFilter,
+      domainFilterBloom,
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
       bpeTokenStats, bpeShardAssign, bpeChunk, bpeFertility,
