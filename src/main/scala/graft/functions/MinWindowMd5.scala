@@ -36,7 +36,13 @@ case class MinWindowMd5(left: Expression, right: Expression)
     else if (right.dataType != IntegerType || !right.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a literal int window length")
-    else TypeCheckResult.TypeCheckSuccess
+    else right.eval() match {
+      // analysis-time range check, the simhash_long/minhash_sig
+      // convention: a bad literal fails the QUERY, never a task
+      case w: Integer if w > 0 => TypeCheckResult.TypeCheckSuccess
+      case w => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName window length must be a positive int, got $w")
+    }
 
   override def dataType: DataType = StringType
 

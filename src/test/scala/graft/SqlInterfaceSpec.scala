@@ -47,6 +47,25 @@ class SqlInterfaceSpec extends AnyFunSuite with SharedSpark {
     assert(ok.length == 1)
   }
 
+  test("r12 natives work from plain SQL; bad window literals fail analysis") {
+    GraftExtensions.ensure(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("documents")
+    val row = spark.sql("""
+      SELECT gopher_stats(text).n_words AS nw,
+             min_window_md5(text, 8) AS fp,
+             size(pcm16_window_ss(encode(text, 'utf-8'), 64)) AS nwin
+      FROM documents WHERE doc_id = 0""").head()
+    assert(row.getLong(0) > 0)
+    assert(row.getString(1).length == 32)
+    assert(row.getInt(2) >= 0)
+    for (bad <- Seq("min_window_md5(text, 0)",
+                    "min_window_md5(text, -3)",
+                    "pcm16_window_ss(encode(text, 'utf-8'), 0)"))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $bad FROM documents").collect()
+      }
+  }
+
   test("SQL zorder2 equals the Column-level ZOrder.key2 expansion") {
     import org.apache.spark.sql.functions._
     GraftExtensions.ensure(spark)
