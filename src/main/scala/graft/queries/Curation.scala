@@ -363,6 +363,163 @@ object Curation extends QueryModule {
       FROM packed ORDER BY source, doc_id""")
   )
 
+  /** QUALITY-DISTRIBUTION DRIFT MONITOR (r12) — the corpus-refresh QA
+    * report next to `ss_centroid_drift`'s embedding-side signal: did
+    * the classifier-score DISTRIBUTION move between two corpus
+    * slices? Per source, the reference slice (even doc ids — the
+    * deterministic stand-in for "last crawl") defines exact decile
+    * boundaries by rank; the comparison slice (odd ids) is bucketed
+    * against those FROZEN boundaries; the report is the per-source L1
+    * distance between the two decile share vectors in permille, plus
+    * the worst-shifted decile. A refresh that quietly skews quality
+    * (spam wave, extractor regression, source drift) shows up here
+    * before any mean would move.
+    *
+    * Exactness: scores are the exact-BIGINT `ta_classifier_score`
+    * logit; deciles are ntile(10) over the injective (score, doc_id)
+    * order (the `ta_quality_calibrate` idiom, hash-certified
+    * cross-engine); each boundary is elected by the SAME two-step
+    * both dialects share (max score per decile, then max doc_id at
+    * that score — the (score, doc_id) pair max without struct
+    * ordering); the worst decile rides the integer-code sentinel
+    * argmax `|Δ|·16 + (10 − decile)` (|Δ| ≤ 1000, ties break to the
+    * LOWEST decile). Shares are floor permille.
+    *
+    * Scale shape: one scan for scores, per-source rank windows over
+    * the reference slice only, a ≤10-row-per-source boundary table
+    * joined to the comparison slice (bounded fan-out ≤ 9×), and
+    * |sources|-bounded aggregates. */
+  val qualityDrift: Q = Q(
+    "ta_quality_drift",
+    (s, dir) => {
+      import graft.operators.QualityModel
+      val sc = docs(s, dir).select(col("source"), col("doc_id"),
+        QualityModel.logitOf(col("text")).as("score"),
+        (col("doc_id") % 2).as("half"))
+      val old = sc.filter(col("half") === 0)
+      val w = Window.partitionBy("source").orderBy("score", "doc_id")
+      val od = old.withColumn("decile", ntile(10).over(w))
+      val ob = od.groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_old_k"), max("score").as("b_score"))
+      val ob2 = ob.join(od.withColumnRenamed("score", "b_score"),
+          Seq("source", "decile", "b_score"))
+        .groupBy("source", "decile", "n_old_k", "b_score")
+        .agg(max("doc_id").as("b_doc"))
+      val nb = sc.filter(col("half") === 1)
+        .join(ob2, Seq("source"), "left")
+        .groupBy("source", "doc_id")
+        .agg((lit(1L) + sum(
+          when(col("decile") <= 9 &&
+            (col("b_score") < col("score") ||
+              (col("b_score") === col("score") &&
+                col("b_doc") < sc("doc_id"))), 1L)
+            .otherwise(0L))).as("n_decile"))
+      val nk = nb.groupBy("source", "n_decile")
+        .agg(count(lit(1)).as("n_new_k"))
+        .withColumnRenamed("n_decile", "decile")
+      val tt = sc.groupBy("source").agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_new"))
+      tt.select(col("source"), col("n_old"), col("n_new"),
+          explode(expr("sequence(1L, 10L)")).as("decile"))
+        .join(ob2.select("source", "decile", "n_old_k"),
+          Seq("source", "decile"), "left")
+        .join(nk, Seq("source", "decile"), "left")
+        .withColumn("so", expr(
+          "(coalesce(n_old_k, 0L) * 1000) div greatest(n_old, 1L)"))
+        .withColumn("sn", expr(
+          "(coalesce(n_new_k, 0L) * 1000) div greatest(n_new, 1L)"))
+        .withColumn("ad", abs(col("so") - col("sn")))
+        .groupBy("source")
+        .agg(max("n_old").as("n_old"), max("n_new").as("n_new"),
+          sum("ad").as("l1_permille"),
+          max(col("ad") * 16 + (lit(10L) - col("decile"))).as("__code"))
+        .select(col("source"), col("n_old"), col("n_new"),
+          col("l1_permille"),
+          expr("__code div 16").as("max_shift_permille"),
+          expr("10 - __code % 16").as("drift_decile"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id,
+               CAST((ascii(substr(md5(token), 1, 1)) * 31
+                     + ascii(substr(md5(token), 2, 1))) % 64 AS BIGINT)
+                 AS dim,
+               count(*) AS cnt
+        FROM tok WHERE token <> '' GROUP BY 1, 2),
+      lg AS (
+        SELECT doc_id,
+               CAST(sum(cnt * ((dim * 37 + 11) % 21 - 10)) AS BIGINT)
+                 AS score
+        FROM tf GROUP BY 1),
+      sc AS (
+        SELECT d.source, d.doc_id, coalesce(l.score, 0) AS score,
+               d.doc_id % 2 AS half
+        FROM documents d LEFT JOIN lg l USING (doc_id)),
+      od AS (
+        SELECT source, doc_id, score,
+               CAST(ntile(10) OVER (PARTITION BY source
+                 ORDER BY score, doc_id) AS BIGINT) AS decile
+        FROM sc WHERE half = 0),
+      ob AS (
+        SELECT source, decile, count(*) AS n_old_k,
+               max(score) AS b_score
+        FROM od GROUP BY 1, 2),
+      ob2 AS (
+        SELECT o.source, o.decile, o.n_old_k, o.b_score,
+               max(d.doc_id) AS b_doc
+        FROM ob o JOIN od d
+          ON d.source = o.source AND d.decile = o.decile
+         AND d.score = o.b_score
+        GROUP BY 1, 2, 3, 4),
+      nb AS (
+        SELECT n.source, n.doc_id,
+               1 + sum(CASE WHEN b.decile <= 9
+                             AND (b.b_score < n.score OR
+                                  (b.b_score = n.score
+                                   AND b.b_doc < n.doc_id))
+                            THEN 1 ELSE 0 END) AS decile
+        FROM (SELECT * FROM sc WHERE half = 1) n
+        LEFT JOIN ob2 b ON b.source = n.source
+        GROUP BY 1, 2),
+      nk AS (
+        SELECT source, decile, count(*) AS n_new_k
+        FROM nb GROUP BY 1, 2),
+      tt AS (
+        SELECT source,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_old,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_new
+        FROM sc GROUP BY 1),
+      fr AS (
+        SELECT source, n_old, n_new, unnest(range(1, 11)) AS decile
+        FROM tt),
+      df AS (
+        SELECT f.source, f.decile, f.n_old, f.n_new,
+               (coalesce(o.n_old_k, 0) * 1000)
+                 // greatest(f.n_old, 1) AS so,
+               (coalesce(k.n_new_k, 0) * 1000)
+                 // greatest(f.n_new, 1) AS sn
+        FROM fr f
+        LEFT JOIN ob2 o
+          ON o.source = f.source AND o.decile = f.decile
+        LEFT JOIN nk k
+          ON k.source = f.source AND k.decile = f.decile)
+      SELECT source,
+             CAST(max(n_old) AS BIGINT) AS n_old,
+             CAST(max(n_new) AS BIGINT) AS n_new,
+             CAST(sum(abs(so - sn)) AS BIGINT) AS l1_permille,
+             CAST(max(abs(so - sn) * 16 + (10 - decile)) // 16
+               AS BIGINT) AS max_shift_permille,
+             CAST(10 - max(abs(so - sn) * 16 + (10 - decile)) % 16
+               AS BIGINT) AS drift_decile
+      FROM df GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] =
-    Seq(gopherRules, htmlExtract, packSequences, ingestPipeline)
+    Seq(gopherRules, htmlExtract, packSequences, ingestPipeline,
+      qualityDrift)
 }
