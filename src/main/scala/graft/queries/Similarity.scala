@@ -1072,8 +1072,143 @@ object Similarity extends QueryModule {
       ORDER BY cell""")
   )
 
+  /** SPARSE LEXICAL RETRIEVAL — BM25 top-k over an inverted-index
+    * join (r12): the lexical complement of the dense `ss_topk_*`
+    * family, and the operator behind decontamination-by-retrieval and
+    * hard-negative mining. Terms are the dd_* family's 2-shingles
+    * (adjacent-token word bigrams — the fixture's unigram vocabulary
+    * is ~30 tokens with df ≈ 0.8N, so unigrams carry no idf signal;
+    * real decontamination retrieval uses word n-grams for the same
+    * reason). Query bag = the DISTINCT 2-shingles of every 250th
+    * document, searched against the whole corpus minus the query doc
+    * itself.
+    *
+    * Shape (the scale story): postings are the (token, doc, tf)
+    * aggregate of one tokenize pass — the inverted index as a
+    * DataFrame; query terms equi-join the postings on the TERM key,
+    * so per-query cost is Σ posting-list length over its terms, never
+    * |corpus|. The rare-term cap (df·20 ≤ N) is impact-style pruning:
+    * it drops stopword-grade terms whose posting lists are both
+    * longest and least informative, bounding join fan-out — at 100 TB
+    * the df table IS the tuning observability, same role as
+    * `dd_lsh_bucket_stats`. Corpus stats attach as a broadcast 1-row
+    * aggregate at the VOCABULARY grain (the `ta_heavy_hitters`
+    * scalar-attach pattern, allowlisted in PlanAuditSpec); the
+    * per-query top-10 is a rank window on the ≤ |matched docs| scored
+    * rows, partitioned by query — never a global sort.
+    *
+    * Exactness (Okapi k1 = 1.2, b = 0.75 as exact rationals): with
+    * avgdl frozen to exact floor millis `A = (1000·ΣT) div N`, each
+    * matched term contributes
+    * `floor(idf_b · 22000 · tf · A / (10·A·tf + 3·A + 9000·dl))`
+    * milli-points — numerator/denominator are the real BM25 term
+    * (2.2·tf)/(tf + 1.2·(0.25 + 0.75·dl/avgdl)) multiplied through by
+    * 10·A, so the integer result is the true score floored per term.
+    * idf is the repo's whole-bit floor-log2 (`ta_unigram_surprisal`
+    * idiom): `idf_b = length(bin((2N − 2df + 1) div (2df + 1))) − 1`,
+    * the Robertson–Spärck Jones idf in whole bits, which bin('0')
+    * clamps to 0 exactly where BM25's idf goes negative (df ≳ N/2).
+    * All BIGINT-bounded at ANY corpus size: the numerator is
+    * ≤ idf_b·22000·tf·A — independent of corpus token count, unlike
+    * the naive ·ΣT scaling which overflows past ~10¹³ tokens.
+    * Ranking ties break on doc_id, so ranks hash-match. */
+  val bm25Topk: Q = Q(
+    "ss_bm25_topk",
+    (s, dir) => {
+      import graft.operators.CacheScope
+      val docsT = Tables(s, dir, "documents")
+      val gramsOf = // instance-grain 2-shingles, the dd_* convention
+        "if(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
+          "i -> concat_ws(' ', slice(__l, i, 2))), array())"
+      val tf = docsT
+        .select(col("doc_id"), split(col("text"), " ").as("__l"))
+        .select(col("doc_id"), explode(expr(gramsOf)).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist()
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        expr("(1000 * sum(dl)) div count(*)").as("avgdl_m"))
+      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_b", expr(
+          "length(bin((2*n_docs - 2*df + 1) div (2*df + 1))) - 1"))
+      val qterms = docsT.filter(col("doc_id") % 250 === 0)
+        .select(col("doc_id").as("q_id"),
+          split(col("text"), " ").as("__l"))
+        .select(col("q_id"),
+          explode(array_distinct(expr(gramsOf))).as("token"))
+        .join(idf, "token")
+        .filter(col("df") * 20 <= col("n_docs"))
+        .select("q_id", "token", "idf_b", "avgdl_m")
+      val scored = qterms.join(tf, "token")
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dl, "doc_id")
+        .withColumn("contrib", expr(
+          "(idf_b * 22000 * tf * avgdl_m) div " +
+            "(10 * avgdl_m * tf + 3 * avgdl_m + 9000 * dl)"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum("contrib").as("score_milli"),
+          count(lit(1)).as("n_terms"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score_milli").desc, col("doc_id"))
+      val out = scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "rnk", "doc_id", "score_milli", "n_terms")
+        .orderBy("q_id", "rnk")
+      CacheScope.eval(out)(tf)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_transform(l[1:len(l)-1],
+                 (x, i) -> x || ' ' || l[i+1])) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents)),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM tok GROUP BY 1, 2),
+      dl AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      st AS (
+        SELECT count(*) AS n_docs,
+               (1000 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_m
+        FROM dl),
+      idf AS (
+        SELECT f.token, f.df, s.n_docs, s.avgdl_m,
+               length(bin((2*s.n_docs - 2*f.df + 1) // (2*f.df + 1)))
+                 - 1 AS idf_b
+        FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1) f, st s),
+      qt AS (
+        SELECT DISTINCT q.q_id, q.token, i.idf_b, i.avgdl_m
+        FROM (SELECT doc_id AS q_id,
+                     unnest(list_transform(l[1:len(l)-1],
+                       (x, i) -> x || ' ' || l[i+1])) AS token
+              FROM (SELECT doc_id, string_split(text, ' ') AS l
+                    FROM documents WHERE doc_id % 250 = 0)) q
+        JOIN idf i ON i.token = q.token
+        WHERE i.df * 20 <= i.n_docs),
+      sc AS (
+        SELECT qt.q_id, f.doc_id,
+               CAST(sum((qt.idf_b * 22000 * f.tf * qt.avgdl_m) //
+                   (10 * qt.avgdl_m * f.tf + 3 * qt.avgdl_m
+                    + 9000 * d.dl)) AS BIGINT) AS score_milli,
+               count(*) AS n_terms
+        FROM qt
+        JOIN tf f ON f.token = qt.token AND f.doc_id <> qt.q_id
+        JOIN dl d ON d.doc_id = f.doc_id
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT q_id, doc_id, score_milli, n_terms,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rnk
+        FROM sc)
+      SELECT q_id, rnk, doc_id, score_milli, n_terms
+      FROM rk WHERE rnk <= 10 ORDER BY q_id, rnk""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
     topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup,
-    rangeSearch, centroidDrift, ivfAppend)
+    rangeSearch, centroidDrift, ivfAppend, bm25Topk)
 }
