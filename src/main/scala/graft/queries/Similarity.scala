@@ -1111,55 +1111,60 @@ object Similarity extends QueryModule {
     * All BIGINT-bounded at ANY corpus size: the numerator is
     * ≤ idf_b·22000·tf·A — independent of corpus token count, unlike
     * the naive ·ΣT scaling which overflows past ~10¹³ tokens.
-    * Ranking ties break on doc_id, so ranks hash-match. */
-  val bm25Topk: Q = Q(
-    "ss_bm25_topk",
-    (s, dir) => {
-      import graft.operators.CacheScope
-      val docsT = Tables(s, dir, "documents")
-      val gramsOf = // instance-grain 2-shingles, the dd_* convention
-        "if(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
-          "i -> concat_ws(' ', slice(__l, i, 2))), array())"
-      val tf = docsT
-        .select(col("doc_id"), split(col("text"), " ").as("__l"))
-        .select(col("doc_id"), explode(expr(gramsOf)).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .persist()
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        expr("(1000 * sum(dl)) div count(*)").as("avgdl_m"))
-      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .withColumn("idf_b", expr(
-          "length(bin((2*n_docs - 2*df + 1) div (2*df + 1))) - 1"))
-      val qterms = docsT.filter(col("doc_id") % 250 === 0)
-        .select(col("doc_id").as("q_id"),
-          split(col("text"), " ").as("__l"))
-        .select(col("q_id"),
-          explode(array_distinct(expr(gramsOf))).as("token"))
-        .join(idf, "token")
-        .filter(col("df") * 20 <= col("n_docs"))
-        .select("q_id", "token", "idf_b", "avgdl_m")
-      val scored = qterms.join(tf, "token")
-        .filter(col("doc_id") =!= col("q_id"))
-        .join(dl, "doc_id")
-        .withColumn("contrib", expr(
-          "(idf_b * 22000 * tf * avgdl_m) div " +
-            "(10 * avgdl_m * tf + 3 * avgdl_m + 9000 * dl)"))
-        .groupBy("q_id", "doc_id")
-        .agg(sum("contrib").as("score_milli"),
-          count(lit(1)).as("n_terms"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("score_milli").desc, col("doc_id"))
-      val out = scored
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
-        .select("q_id", "rnk", "doc_id", "score_milli", "n_terms")
-        .orderBy("q_id", "rnk")
-      CacheScope.eval(out)(tf)
-    },
-    Some("""
-      WITH tok AS (
+    * Ranking ties break on doc_id, so ranks hash-match.
+    *
+    * Shared by `ss_bm25_topk` and `ss_rrf_fusion`: returns (per-query
+    * top-10 with scores — q_id, rnk, doc_id, score_milli, n_terms —
+    * unordered across queries) plus the persisted postings table the
+    * caller must release via `CacheScope.eval`. */
+  private def bm25Ranked(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docsT = Tables(s, dir, "documents")
+    val gramsOf = // instance-grain 2-shingles, the dd_* convention
+      "if(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
+        "i -> concat_ws(' ', slice(__l, i, 2))), array())"
+    val tf = docsT
+      .select(col("doc_id"), split(col("text"), " ").as("__l"))
+      .select(col("doc_id"), explode(expr(gramsOf)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("(1000 * sum(dl)) div count(*)").as("avgdl_m"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_b", expr(
+        "length(bin((2*n_docs - 2*df + 1) div (2*df + 1))) - 1"))
+    val qterms = docsT.filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("q_id"),
+        split(col("text"), " ").as("__l"))
+      .select(col("q_id"),
+        explode(array_distinct(expr(gramsOf))).as("token"))
+      .join(idf, "token")
+      .filter(col("df") * 20 <= col("n_docs"))
+      .select("q_id", "token", "idf_b", "avgdl_m")
+    val scored = qterms.join(tf, "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id")
+      .withColumn("contrib", expr(
+        "(idf_b * 22000 * tf * avgdl_m) div " +
+          "(10 * avgdl_m * tf + 3 * avgdl_m + 9000 * dl)"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("contrib").as("score_milli"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    val ranked = scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("q_id", "rnk", "doc_id", "score_milli", "n_terms")
+    (ranked, tf)
+  }
+
+  /** The BM25 oracle WITH-chain (tok → tf → dl → st → idf → qt → sc
+    * → rk) shared by both lexical faces; `rk` holds every query's
+    * full ranking. */
+  private val bm25Ctes = """tok AS (
         SELECT doc_id,
                unnest(list_transform(l[1:len(l)-1],
                  (x, i) -> x || ' ' || l[i+1])) AS token
@@ -1202,13 +1207,111 @@ object Similarity extends QueryModule {
         SELECT q_id, doc_id, score_milli, n_terms,
                CAST(row_number() OVER (PARTITION BY q_id
                  ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rnk
-        FROM sc)
+        FROM sc)"""
+
+  /** Catalog face of [[bm25Ranked]] — the ordered per-query top-10. */
+  val bm25Topk: Q = Q(
+    "ss_bm25_topk",
+    (s, dir) => {
+      import graft.operators.CacheScope
+      val (ranked, tf) = bm25Ranked(s, dir)
+      CacheScope.eval(ranked.orderBy("q_id", "rnk"))(tf)
+    },
+    Some(s"""
+      WITH $bm25Ctes
       SELECT q_id, rnk, doc_id, score_milli, n_terms
       FROM rk WHERE rnk <= 10 ORDER BY q_id, rnk""")
+  )
+
+  /** HYBRID RANK FUSION — reciprocal-rank fusion (Cormack et al.
+    * 2009, the standard hybrid-retrieval combiner) of the BM25
+    * lexical top-10 with the exact dense-cosine top-10, for the query
+    * docs that exist in BOTH stores (vec_id ≡ doc_id, the
+    * `ss_hybrid_search` convention). Each list contributes
+    * `1000000 div (60 + rank)` micro-points — the published k = 60
+    * as exact integer floor, so fused scores hash cross-engine — and
+    * a doc absent from a list contributes 0 via the full-outer
+    * candidate union. Output carries in_lex/in_dense provenance
+    * flags: the report ALSO measures how much the two retrievers
+    * agree, the observability a hybrid deployment tunes on.
+    *
+    * Scale shape: both input rankings are per-query top-10, so the
+    * fusion joins two ≤ 10·|Q|-row tables on (q_id, doc_id) — fusion
+    * cost is rank-list-sized regardless of corpus size; the expensive
+    * parts are the certified BM25 and brute pipelines it composes. */
+  val rrfFusion: Q = Q(
+    "ss_rrf_fusion",
+    (s, dir) => {
+      import graft.operators.{Ann, CacheScope}
+      val emb = Tables(s, dir, "embeddings")
+      val (lexAll, tf) = bm25Ranked(s, dir)
+      val lex = lexAll.join(
+        emb.select(col("vec_id").as("q_id")), Seq("q_id"), "left_semi")
+        .select(col("q_id"), col("doc_id"), col("rnk").as("l_rnk"))
+      val dq = emb.filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dense = Ann.topkBrute(s, emb, dq, K)
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          col("rank").cast("long").as("d_rnk"))
+      val fused = lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"),
+          (coalesce(expr("1000000 div (60 + l_rnk)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + d_rnk)"), lit(0L)))
+            .as("rrf_micro"),
+          when(col("l_rnk").isNull, 0L).otherwise(1L).as("in_lex"),
+          when(col("d_rnk").isNull, 0L).otherwise(1L).as("in_dense"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+      val out = fused
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "rnk", "doc_id", "rrf_micro", "in_lex",
+          "in_dense")
+        .orderBy("q_id", "rnk")
+      CacheScope.eval(out)(tf)
+    },
+    Some(s"""
+      WITH $bm25Ctes,
+      lex AS (
+        SELECT q_id, doc_id, rnk AS l_rnk FROM rk
+        WHERE rnk <= 10
+          AND q_id IN (SELECT vec_id FROM embeddings)),
+      dq AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id % 250 = 0),
+      dsc AS (
+        SELECT q.q_id, e.vec_id AS doc_id,
+               ${graft.functions.VectorFns.duckCosine(
+                 "q.q_emb", "e.embedding")} AS cosine
+        FROM embeddings e JOIN dq q ON e.vec_id <> q.q_id),
+      dtop AS (
+        SELECT q_id, doc_id, d_rnk FROM (
+          SELECT q_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, doc_id) AS BIGINT) AS d_rnk
+          FROM dsc)
+        WHERE d_rnk <= 10),
+      fus AS (
+        SELECT coalesce(l.q_id, d.q_id) AS q_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               CAST(coalesce(1000000 // (60 + l.l_rnk), 0)
+                  + coalesce(1000000 // (60 + d.d_rnk), 0)
+                 AS BIGINT) AS rrf_micro,
+               CAST(CASE WHEN l.l_rnk IS NULL THEN 0 ELSE 1 END
+                 AS BIGINT) AS in_lex,
+               CAST(CASE WHEN d.d_rnk IS NULL THEN 0 ELSE 1 END
+                 AS BIGINT) AS in_dense
+        FROM lex l FULL OUTER JOIN dtop d
+          ON d.q_id = l.q_id AND d.doc_id = l.doc_id)
+      SELECT q_id, rnk, doc_id, rrf_micro, in_lex, in_dense FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+        FROM fus)
+      WHERE rnk <= 10 ORDER BY q_id, rnk""")
   )
 
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
     topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup,
-    rangeSearch, centroidDrift, ivfAppend, bm25Topk)
+    rangeSearch, centroidDrift, ivfAppend, bm25Topk, rrfFusion)
 }
