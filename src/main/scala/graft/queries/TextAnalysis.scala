@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule}
@@ -1820,6 +1821,113 @@ object TextAnalysis extends QueryModule {
       ORDER BY per_doc_milli DESC, token LIMIT 20""")
   )
 
+  /** UNIMAX BUDGET ALLOCATION (Chung et al. 2023) — the published
+    * multilingual mixing algorithm: give every language up to an
+    * epoch cap N of repeats, then water-fill the remaining token
+    * budget uniformly over the languages whose capacity exceeds the
+    * water level. The closed form makes it one bounded plan: with
+    * capacities k_l = N·c_l sorted ascending, language at rank rn is
+    * CAPPED iff `k_rn·(K − rn) + P_rn < B` (even filling every later
+    * language at level k_rn leaves budget) — the predicate is monotone
+    * in rn, so the un-capped suffix shares the level
+    * `t = (B − P_capped) div (K − n_capped)`, with the mod remainder
+    * going one token each to the first `rem` un-capped languages in
+    * (capacity, lang) order. All exact BIGINT; Σ alloc = B whenever
+    * the corpus can absorb it (B ≤ Σ k_l), pinned by the oracle hash.
+    * Fixture frame: B = (3·Σc) div 2, N = 2 — the tail languages hit
+    * the 2-epoch cap while the head language is undersampled at
+    * ~0.4 epochs, the exact skew UniMax exists to fix (temperature
+    * sampling's failure mode measured next to `ta_temperature_sample`).
+    *
+    * Scale shape: one corpus scan folds to |langs| rows; every window
+    * after that runs on the |langs|-bounded dimension (global windows
+    * allowlisted in PlanAuditSpec as bounded, the rel_pareto class).
+    * Output per language: corpus tokens, capacity, allocated budget,
+    * capped flag, achieved epochs in exact millis. */
+  val unimaxMix: Q = Q(
+    "ta_unimax_mix",
+    (s, dir) => {
+      val perLang = docs(s, dir)
+        .select(col("lang"), expr(
+          "size(filter(split(text, ' '), x -> x <> ''))").as("n_toks"))
+        .groupBy("lang")
+        .agg(sum("n_toks").as("c"), count(lit(1)).as("n_docs"))
+      val tot = perLang.agg(
+        expr("(3 * sum(c)) div 2").as("b"),
+        count(lit(1)).as("k"))
+      val w = Window.orderBy("cap", "lang")
+      val ranked = perLang.crossJoin(broadcast(tot))
+        .withColumn("cap", expr("2 * c"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("p", sum("cap").over(w))
+        .withColumn("capped", expr("cap * (k - rn) + p < b"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val leveled = ranked
+        .withColumn("n_capped",
+          sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+        .withColumn("p_capped",
+          sum(when(col("capped"), col("cap")).otherwise(0L)).over(wAll))
+        .withColumn("t", expr(
+          "(b - p_capped) div greatest(k - n_capped, 1)"))
+        .withColumn("rem", expr(
+          "(b - p_capped) % greatest(k - n_capped, 1)"))
+        .withColumn("budget", expr(
+          "CASE WHEN capped THEN cap " +
+            "ELSE t + (CASE WHEN rn - n_capped <= rem THEN 1 " +
+            "ELSE 0 END) END"))
+      leveled.select(col("lang"), col("n_docs"),
+          col("c").as("n_tokens"), col("cap").as("capacity"),
+          col("budget"),
+          when(col("capped"), 1L).otherwise(0L).as("at_cap"),
+          expr("(1000 * budget) div c").as("epochs_milli"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH pl AS (
+        SELECT lang,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                 x -> x <> ''))) AS BIGINT) AS c,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1),
+      tot AS (
+        SELECT (3 * CAST(sum(c) AS BIGINT)) // 2 AS b,
+               count(*) AS k
+        FROM pl),
+      rkd AS (
+        SELECT pl.*, tot.b, tot.k, 2 * pl.c AS cap,
+               CAST(row_number() OVER (ORDER BY 2 * pl.c, lang)
+                 AS BIGINT) AS rn,
+               CAST(sum(2 * pl.c) OVER (ORDER BY 2 * pl.c, lang
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        FROM pl, tot),
+      cp AS (
+        SELECT *, cap * (k - rn) + p < b AS capped FROM rkd),
+      lv AS (
+        SELECT *,
+               CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+                 AS BIGINT) AS n_capped,
+               CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+                 AS BIGINT) AS p_capped
+        FROM cp),
+      al AS (
+        SELECT *,
+               (b - p_capped) // greatest(k - n_capped, 1) AS t,
+               (b - p_capped) % greatest(k - n_capped, 1) AS rem
+        FROM lv)
+      SELECT lang, n_docs, c AS n_tokens, cap AS capacity,
+             CAST(CASE WHEN capped THEN cap
+                  ELSE t + (CASE WHEN rn - n_capped <= rem THEN 1
+                            ELSE 0 END) END AS BIGINT) AS budget,
+             CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT)
+               AS at_cap,
+             (1000 * CAST(CASE WHEN capped THEN cap
+                  ELSE t + (CASE WHEN rn - n_capped <= rem THEN 1
+                            ELSE 0 END) END AS BIGINT)) // c
+               AS epochs_milli
+      FROM al ORDER BY lang""")
+  )
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langId, wordFreq, bigramFreq, fingerprint,
       boilerplate, intraRepetition, qualitySample, chunk, tfidfTopTerms,
@@ -1829,5 +1937,6 @@ object TextAnalysis extends QueryModule {
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
       bpeTokenStats, bpeShardAssign, bpeChunk, bpeFertility,
-      classifierScore, unigramSurprisal, freqSpectrum, burstiness)
+      classifierScore, unigramSurprisal, freqSpectrum, burstiness,
+      unimaxMix)
 }

@@ -50,6 +50,10 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // 1-row corpus-total aggregate to a bounded dimension table —
       // the same scalar-attach pattern, documented at the queries
       "rel_share_of_total", "rel_pareto",
+      // ta_unimax_mix broadcast-attaches its 1-row (budget, lang
+      // count) aggregate to the |langs|-bounded dimension — same
+      // scalar-attach pattern
+      "ta_unimax_mix",
       // ev_rfm broadcast-attaches its 1-row recency anchor (the
       // ev_watermark scalar-attach pattern) to the per-user aggregate
       "ev_rfm",
@@ -84,7 +88,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // SURVIVORS only (≤16 per-bucket staircases), never the base
       // table — the distributed-skyline merge step, documented in its
       // scaladoc
-      "rel_skyline")
+      "rel_skyline",
+      // ta_unimax_mix's water-fill windows run over the AGGREGATED
+      // language dimension (≤ |langs| rows) — the rel_pareto
+      // bounded-dimension class, documented in its scaladoc
+      "ta_unimax_mix")
 
   test("no undocumented cartesian or nested-loop join in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
