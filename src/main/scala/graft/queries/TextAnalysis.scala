@@ -1852,31 +1852,8 @@ object TextAnalysis extends QueryModule {
           "size(filter(split(text, ' '), x -> x <> ''))").as("n_toks"))
         .groupBy("lang")
         .agg(sum("n_toks").as("c"), count(lit(1)).as("n_docs"))
-      val tot = perLang.agg(
-        expr("(3 * sum(c)) div 2").as("b"),
-        count(lit(1)).as("k"))
-      val w = Window.orderBy("cap", "lang")
-      val ranked = perLang.crossJoin(broadcast(tot))
-        .withColumn("cap", expr("2 * c"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("p", sum("cap").over(w))
-        .withColumn("capped", expr("cap * (k - rn) + p < b"))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val leveled = ranked
-        .withColumn("n_capped",
-          sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
-        .withColumn("p_capped",
-          sum(when(col("capped"), col("cap")).otherwise(0L)).over(wAll))
-        .withColumn("t", expr(
-          "(b - p_capped) div greatest(k - n_capped, 1)"))
-        .withColumn("rem", expr(
-          "(b - p_capped) % greatest(k - n_capped, 1)"))
-        .withColumn("budget", expr(
-          "CASE WHEN capped THEN cap " +
-            "ELSE t + (CASE WHEN rn - n_capped <= rem THEN 1 " +
-            "ELSE 0 END) END"))
-      leveled.select(col("lang"), col("n_docs"),
+      graft.operators.Mixing.unimaxAllocate(perLang, "lang")
+        .select(col("lang"), col("n_docs"),
           col("c").as("n_tokens"), col("cap").as("capacity"),
           col("budget"),
           when(col("capped"), 1L).otherwise(0L).as("at_cap"),
