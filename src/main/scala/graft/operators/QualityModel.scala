@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The shared linear quality-model kernel behind `ta_classifier_score`
@@ -65,5 +66,53 @@ object QualityModel {
       .agg(count(lit(1)).as("n_tokens"), sum("bits").as("total_bits"))
       .withColumn("mean_millibits",
         expr("(total_bits * 1000) div n_tokens"))
+  }
+
+  /** The frozen reference artifact of `ta_quality_drift`, per source:
+    * the even-slice size, its decile boundaries ((decile ≤ 9,
+    * b_score, b_doc) — only deciles the slice actually populates),
+    * and its decile shares in floor permille (index k−1 holds decile
+    * k, 0 for empty deciles). Small by construction — ≤ 10 rows per
+    * source — this is what a deployment persists after a reference
+    * pass and broadcasts to the live monitor. */
+  final case class DriftRef(nOld: Long, bounds: Seq[(Int, Long, Long)],
+                            oldPermille: IndexedSeq[Long])
+
+  /** Build [[DriftRef]]s from a corpus — the EXACT boundary election
+    * of the `ta_quality_drift` catalog face (md5-parity-0 doc ids are
+    * the reference slice; ntile(10) over the injective (score,
+    * doc_id) order; boundary = max score per decile, then max doc_id
+    * at that score), collected driver-side at the ≤ 10·|sources|
+    * grain so `Streams.streamingQualityDrift` can replay the batch
+    * face row-for-row (StreamsSpec pins it). */
+  def driftRef(docs: DataFrame): Map[String, DriftRef] = {
+    val sc = docs
+      .select(col("source"), col("doc_id"),
+        logitOf(col("text")).as("score"))
+      .filter(expr(
+        "ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 2") === 0)
+    val w = Window.partitionBy("source").orderBy("score", "doc_id")
+    val od = sc.withColumn("decile", ntile(10).over(w))
+    val ob = od.groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_old_k"), max("score").as("b_score"))
+    val ob2 = ob
+      .join(od.withColumnRenamed("score", "b_score"),
+        Seq("source", "decile", "b_score"))
+      .groupBy("source", "decile", "n_old_k", "b_score")
+      .agg(max("doc_id").as("b_doc"))
+      .select("source", "decile", "n_old_k", "b_score", "b_doc")
+    ob2.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+      .map { case (src, rows) =>
+        val nOld = rows.map(_._3).sum
+        val shares = Array.fill(10)(0L)
+        rows.foreach { case (_, d, nk, _, _) =>
+          shares(d - 1) = nk * 1000 / math.max(nOld, 1L) }
+        val bounds = rows.filter(_._2 <= 9).sortBy(_._2)
+          .map { case (_, d, _, bs, bd) => (d, bs, bd) }.toSeq
+        src -> DriftRef(nOld, bounds, shares.toIndexedSeq)
+      }
   }
 }

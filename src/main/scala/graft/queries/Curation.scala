@@ -366,9 +366,12 @@ object Curation extends QueryModule {
   /** QUALITY-DISTRIBUTION DRIFT MONITOR (r12) — the corpus-refresh QA
     * report next to `ss_centroid_drift`'s embedding-side signal: did
     * the classifier-score DISTRIBUTION move between two corpus
-    * slices? Per source, the reference slice (even doc ids — the
-    * deterministic stand-in for "last crawl") defines exact decile
-    * boundaries by rank; the comparison slice (odd ids) is bucketed
+    * slices? Per source, the reference slice (md5-parity of the doc
+    * id — a deterministic ~50/50 split INSIDE every source, where
+    * plain doc_id parity would collapse onto the fixture's
+    * source-parity alignment and leave one slice empty everywhere)
+    * defines exact decile boundaries by rank; the comparison slice
+    * (the other parity) is bucketed
     * against those FROZEN boundaries; the report is the per-source L1
     * distance between the two decile share vectors in permille, plus
     * the worst-shifted decile. A refresh that quietly skews quality
@@ -395,7 +398,8 @@ object Curation extends QueryModule {
       import graft.operators.QualityModel
       val sc = docs(s, dir).select(col("source"), col("doc_id"),
         QualityModel.logitOf(col("text")).as("score"),
-        (col("doc_id") % 2).as("half"))
+        expr("ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 2")
+          .as("half"))
       val old = sc.filter(col("half") === 0)
       val w = Window.partitionBy("source").orderBy("score", "doc_id")
       val od = old.withColumn("decile", ntile(10).over(w))
@@ -458,7 +462,8 @@ object Curation extends QueryModule {
         FROM tf GROUP BY 1),
       sc AS (
         SELECT d.source, d.doc_id, coalesce(l.score, 0) AS score,
-               d.doc_id % 2 AS half
+               ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) % 2
+                 AS half
         FROM documents d LEFT JOIN lg l USING (doc_id)),
       od AS (
         SELECT source, doc_id, score,

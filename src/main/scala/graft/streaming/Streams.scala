@@ -917,6 +917,74 @@ object Streams {
     graft.operators.Ann.ivfAssign(emb, cents, idCol, vecCol)
   }
 
+  /** Drift report after each micro-batch — the `ta_quality_drift`
+    * row shape (n_old from the frozen reference, the rest from the
+    * running comparison-slice state). */
+  final case class DriftReport(source: String, n_old: Long,
+                               n_new: Long, l1_permille: Long,
+                               max_shift_permille: Long,
+                               drift_decile: Long)
+
+  /** Streaming quality-distribution drift monitor — the live face of
+    * `ta_quality_drift`: score each arriving doc with the shared
+    * QualityModel kernel, bucket it against the FROZEN reference
+    * decile boundaries (built once by `QualityModel.driftRef`, a
+    * ≤ 10-rows-per-source driver artifact — the thing a deployment
+    * persists after a reference pass), and keep ten decile counters
+    * per source. Every emission recomputes the batch face's exact
+    * integer report from the counters: floor-permille shares, L1
+    * distance, worst decile by the `|Δ|·16 + (10 − k)` sentinel
+    * argmax. State is 10 longs per source — bounded by |sources|,
+    * not stream length — and counts are arrival-order independent,
+    * so the final emission equals the batch face under ANY batch
+    * split (StreamsSpec pins row parity against the catalog face).
+    *
+    * The corpus-refresh QA signal, live: a spam wave or extractor
+    * regression moves decile shares mid-ingest, before any mean
+    * moves and long before the nightly batch report. */
+  def streamingQualityDrift(docs: DataFrame,
+      ref: Map[String, graft.operators.QualityModel.DriftRef])
+      : Dataset[DriftReport] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val emptyRef = graft.operators.QualityModel.DriftRef(
+      0L, Seq.empty, IndexedSeq.fill(10)(0L))
+    docs
+      .select(col("source"), col("doc_id").cast("long"),
+        coalesce(graft.operators.QualityModel.logitOf(col("text")),
+          lit(0L)).as("score"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], DriftReport](
+        GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Array[Long]]) =>
+          val r = ref.getOrElse(src, emptyRef)
+          val counts = state.getOption.getOrElse(Array.fill(10)(0L))
+          rows.foreach { case (_, docId, score) =>
+            // the batch face's bucketing sum: 1 + |boundaries below
+            // (score, doc_id)| over the existing deciles <= 9
+            val d = 1 + r.bounds.count { case (_, bs, bd) =>
+              bs < score || (bs == score && bd < docId) }
+            counts(d - 1) += 1
+          }
+          state.update(counts)
+          val nNew = counts.sum
+          var l1 = 0L
+          var code = Long.MinValue
+          var k = 1
+          while (k <= 10) {
+            val sn = if (nNew > 0) counts(k - 1) * 1000 / nNew else 0L
+            val ad = math.abs(r.oldPermille(k - 1) - sn)
+            l1 += ad
+            val c = ad * 16 + (10L - k)
+            if (c > code) code = c
+            k += 1
+          }
+          DriftReport(src, r.nOld, nNew, l1, code / 16, 10 - code % 16)
+      }
+  }
+
   /** Streaming fan-out — the reference's multi-target S3 sink
     * (SURVEY.md S5) on the streaming face: every micro-batch is written
     * gzip-CSV to each target under a per-batch key via `foreachBatch`,

@@ -1067,4 +1067,54 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
           s"batchOnly=${keep -- ids}")
     } finally q.stop()
   }
+
+  test("streamingQualityDrift's final state replays the batch " +
+    "ta_quality_drift rows across batch splits") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val sf = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val ref = graft.operators.QualityModel.driftRef(docsDf)
+    assert(ref.nonEmpty && ref.values.forall(_.bounds.nonEmpty),
+      "every fixture source must have a reference slice")
+    assert(ref.values.exists(_.bounds.size == 9),
+      "some reference slice must populate all nine boundaries")
+    // the comparison slice (md5-parity 1), streamed in two batches
+    val odd = docsDf.filter(org.apache.spark.sql.functions.expr(
+        "ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 2") === 1)
+      .selectExpr("source", "doc_id", "text")
+      .as[(String, Long, String)].collect().toSeq
+    val source = MemoryStream[(String, Long, String)]
+    val q = Streams.streamingQualityDrift(
+        source.toDF().toDF("source", "doc_id", "text"), ref)
+      .writeStream.format("memory").queryName("qdrift")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = odd.splitAt(odd.size / 3)
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      // last emission per source = final running report
+      val streamed = spark.table("qdrift")
+        .groupBy("source")
+        .agg(max(struct(col("n_new"), col("n_old"), col("l1_permille"),
+          col("max_shift_permille"), col("drift_decile"))).as("s"))
+        .selectExpr("source", "s.*")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(1),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val batch = SparkEntry.queries("ta_quality_drift")(spark, sf)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // a live monitor reports the sources that ARRIVED; the batch
+      // face also rows sources whose comparison slice is empty
+      // (fixture sources hold a single doc-id parity) — for those
+      // the only check is that there was indeed nothing to stream
+      assert(streamed == batch.filter(_._2._2 > 0),
+        s"stream/batch drift reports disagree:\n  stream=$streamed\n" +
+          s"  batch=$batch")
+      assert(batch.values.forall(v => v._2 > 0 || v._1 > 0),
+        "batch face must never row a source with neither slice")
+    } finally q.stop()
+  }
 }
