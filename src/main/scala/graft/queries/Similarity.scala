@@ -1310,8 +1310,82 @@ object Similarity extends QueryModule {
       WHERE rnk <= 10 ORDER BY q_id, rnk""")
   )
 
+  /** INVERTED-INDEX HEALTH — the posting-list observability behind
+    * `ss_bm25_topk`'s df-cap claim (the `dd_lsh_bucket_stats` role
+    * for lexical retrieval): per floor-log2(df) bucket, vocabulary
+    * size, posting mass Σdf (index entries) and collection mass Σcf
+    * (token instances), the whole-bit idf range, and what the
+    * `df·20 ≤ N` impact cap prunes — terms and posting mass. At
+    * 100 TB this ≤ log2(N)-row report is how the cap is tuned: it
+    * shows the head buckets carrying most of the posting mass at
+    * zero idf (join fan-out with no scoring signal) before anyone
+    * pays for a query. One tokenize pass, two map-side-combined
+    * aggregates, output bounded by log2(max df). */
+  val bm25IndexStats: Q = Q(
+    "ss_bm25_index_stats",
+    (s, dir) => {
+      val docsT = Tables(s, dir, "documents")
+      val gramsOf =
+        "if(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
+          "i -> concat_ws(' ', slice(__l, i, 2))), array())"
+      val tf = docsT
+        .select(col("doc_id"), split(col("text"), " ").as("__l"))
+        .select(col("doc_id"), explode(expr(gramsOf)).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      val nd = docsT.agg(count(lit(1)).as("n_docs"))
+      vocab.crossJoin(broadcast(nd))
+        .withColumn("idf_b", expr(
+          "length(bin((2*n_docs - 2*df + 1) div (2*df + 1))) - 1"))
+        .groupBy(expr("length(bin(df)) - 1").cast("long")
+          .as("log2_df"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum("df").as("n_postings"),
+          sum("cf").as("n_instances"),
+          min("idf_b").cast("long").as("idf_min"),
+          max("idf_b").cast("long").as("idf_max"),
+          sum(when(col("df") * 20 > col("n_docs"), 1L).otherwise(0L))
+            .as("n_pruned"),
+          sum(when(col("df") * 20 > col("n_docs"), col("df"))
+            .otherwise(0L)).as("pruned_postings"))
+        .orderBy("log2_df")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_transform(l[1:len(l)-1],
+                 (x, i) -> x || ' ' || l[i+1])) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents)),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM tok GROUP BY 1, 2),
+      vocab AS (
+        SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      vi AS (
+        SELECT v.*, n.n_docs,
+               length(bin((2*n.n_docs - 2*v.df + 1) // (2*v.df + 1)))
+                 - 1 AS idf_b
+        FROM vocab v, nd n)
+      SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+             count(*) AS n_terms,
+             CAST(sum(df) AS BIGINT) AS n_postings,
+             CAST(sum(cf) AS BIGINT) AS n_instances,
+             CAST(min(idf_b) AS BIGINT) AS idf_min,
+             CAST(max(idf_b) AS BIGINT) AS idf_max,
+             CAST(sum(CASE WHEN df * 20 > n_docs THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pruned,
+             CAST(sum(CASE WHEN df * 20 > n_docs THEN df ELSE 0 END)
+               AS BIGINT) AS pruned_postings
+      FROM vi GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
     topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup,
-    rangeSearch, centroidDrift, ivfAppend, bm25Topk, rrfFusion)
+    rangeSearch, centroidDrift, ivfAppend, bm25Topk, rrfFusion,
+    bm25IndexStats)
 }

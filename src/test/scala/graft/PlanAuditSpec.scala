@@ -54,6 +54,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // count) aggregate to the |langs|-bounded dimension — same
       // scalar-attach pattern
       "ta_unimax_mix",
+      // ss_bm25_index_stats broadcast-attaches its 1-row doc count to
+      // the vocabulary aggregate before idf bucketing — same
+      // scalar-attach pattern (ss_bm25_topk's identical attach folds
+      // into a later equi-join and never plans a BNLJ)
+      "ss_bm25_index_stats",
       // ev_rfm broadcast-attaches its 1-row recency anchor (the
       // ev_watermark scalar-attach pattern) to the per-user aggregate
       "ev_rfm",
