@@ -524,7 +524,110 @@ object Curation extends QueryModule {
       FROM df GROUP BY 1 ORDER BY 1""")
   )
 
+  /** DATASET CARD (r12) — the per-source datasheet a corpus release
+    * ships (Gebru et al. 2021's "datasheets for datasets", the
+    * quantitative half): docs, whitespace tokens, characters, exact
+    * text-level duplication (md5 fingerprint groups, `dd_exact`'s
+    * rule scoped per source), the exact total quality logit (the
+    * SHARED QualityModel kernel — a sum, never a mean, because Spark
+    * `div` truncates where DuckDB `//` floors and the logit total can
+    * be negative), language count, and the dominant language by the
+    * repo's two-step election (max count, then min lang). ONE
+    * doc-grain projection persisted and folded three ways — per
+    * source, per (source, fingerprint), per (source, lang) — then
+    * joined back at the |sources| grain.
+    *
+    * Scale shape: one corpus scan; all three folds are map-side
+    * combined aggregates; every join after them is on the bounded
+    * source dimension. */
+  val datasetCard: Q = Q(
+    "ta_dataset_card",
+    (s, dir) => {
+      import graft.operators.{CacheScope, QualityModel}
+      val base = docs(s, dir).select(col("source"), col("lang"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))")
+          .as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        QualityModel.logitOf(col("text")).as("score"),
+        md5(col("text")).as("fp")).persist()
+      val core = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("n_chars"), sum("score").as("total_logit"))
+      val uniq = base.groupBy("source", "fp")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(count(lit(1)).as("n_uniq_texts"))
+      val lc = base.groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+      val lm = lc.groupBy("source")
+        .agg(max("c").as("mc"), count(lit(1)).as("n_langs"))
+      val top = lc.join(lm, "source").filter(col("c") === col("mc"))
+        .groupBy("source", "n_langs", "mc")
+        .agg(min("lang").as("top_lang"))
+      val out = core.join(uniq, "source").join(top, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_uniq_texts"),
+          expr("((n_docs - n_uniq_texts) * 1000) div n_docs")
+            .as("dup_permille"),
+          col("total_logit"), col("n_langs"), col("top_lang"),
+          expr("(mc * 1000) div n_docs").as("top_lang_permille"))
+        .orderBy("source")
+      CacheScope.eval(out)(base)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      tfd AS (
+        SELECT doc_id,
+               CAST((ascii(substr(md5(token), 1, 1)) * 31
+                     + ascii(substr(md5(token), 2, 1))) % 64 AS BIGINT)
+                 AS dim,
+               count(*) AS cnt
+        FROM tok WHERE token <> '' GROUP BY 1, 2),
+      lg AS (
+        SELECT doc_id,
+               CAST(sum(cnt * ((dim * 37 + 11) % 21 - 10)) AS BIGINT)
+                 AS score
+        FROM tfd GROUP BY 1),
+      base AS (
+        SELECT d.source, d.lang,
+               len(list_filter(string_split(d.text, ' '),
+                 x -> x <> '')) AS n_toks,
+               length(d.text) AS n_chars,
+               coalesce(l.score, 0) AS score,
+               md5(d.text) AS fp
+        FROM documents d LEFT JOIN lg l USING (doc_id)),
+      core AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(score) AS BIGINT) AS total_logit
+        FROM base GROUP BY 1),
+      uq AS (
+        SELECT source, count(*) AS n_uniq_texts
+        FROM (SELECT source, fp FROM base GROUP BY 1, 2) GROUP BY 1),
+      lc AS (
+        SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+      lm AS (
+        SELECT source, max(c) AS mc, count(*) AS n_langs
+        FROM lc GROUP BY 1),
+      tp AS (
+        SELECT l.source, m.n_langs, m.mc, min(l.lang) AS top_lang
+        FROM lc l JOIN lm m ON m.source = l.source AND l.c = m.mc
+        GROUP BY 1, 2, 3)
+      SELECT c.source, c.n_docs, c.n_tokens, c.n_chars,
+             u.n_uniq_texts,
+             ((c.n_docs - u.n_uniq_texts) * 1000) // c.n_docs
+               AS dup_permille,
+             c.total_logit, t.n_langs, t.top_lang,
+             (t.mc * 1000) // c.n_docs AS top_lang_permille
+      FROM core c
+      JOIN uq u ON u.source = c.source
+      JOIN tp t ON t.source = c.source
+      ORDER BY c.source""")
+  )
+
   def all: Seq[Q] =
     Seq(gopherRules, htmlExtract, packSequences, ingestPipeline,
-      qualityDrift)
+      qualityDrift, datasetCard)
 }
