@@ -1113,13 +1113,17 @@ object Similarity extends QueryModule {
     * the naive ·ΣT scaling which overflows past ~10¹³ tokens.
     * Ranking ties break on doc_id, so ranks hash-match.
     *
-    * Shared by `ss_bm25_topk` and `ss_rrf_fusion`: returns (per-query
-    * top-10 with scores — q_id, rnk, doc_id, score_milli, n_terms —
+    * Shared by `ss_bm25_topk` and `ss_rrf_fusion` (and pinned on
+    * synthetic corpora by SimilaritySpec): returns (per-query top-10
+    * with scores — q_id, rnk, doc_id, score_milli, n_terms —
     * unordered across queries) plus the persisted postings table the
-    * caller must release via `CacheScope.eval`. */
-  private def bm25Ranked(s: SparkSession, dir: String)
+    * caller must release via `CacheScope.eval`. Queries are the docs
+    * matching `queryPred` on doc_id. */
+  private[graft] def bm25Ranked(docsT: DataFrame,
+      queryPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ % 250 === 0,
+      dfCapDen: Int = 20)
       : (DataFrame, DataFrame) = {
-    val docsT = Tables(s, dir, "documents")
     val gramsOf = // instance-grain 2-shingles, the dd_* convention
       "if(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
         "i -> concat_ws(' ', slice(__l, i, 2))), array())"
@@ -1135,13 +1139,13 @@ object Similarity extends QueryModule {
       .crossJoin(broadcast(stats))
       .withColumn("idf_b", expr(
         "length(bin((2*n_docs - 2*df + 1) div (2*df + 1))) - 1"))
-    val qterms = docsT.filter(col("doc_id") % 250 === 0)
+    val qterms = docsT.filter(queryPred(col("doc_id")))
       .select(col("doc_id").as("q_id"),
         split(col("text"), " ").as("__l"))
       .select(col("q_id"),
         explode(array_distinct(expr(gramsOf))).as("token"))
       .join(idf, "token")
-      .filter(col("df") * 20 <= col("n_docs"))
+      .filter(col("df") * dfCapDen <= col("n_docs"))
       .select("q_id", "token", "idf_b", "avgdl_m")
     val scored = qterms.join(tf, "token")
       .filter(col("doc_id") =!= col("q_id"))
@@ -1214,7 +1218,7 @@ object Similarity extends QueryModule {
     "ss_bm25_topk",
     (s, dir) => {
       import graft.operators.CacheScope
-      val (ranked, tf) = bm25Ranked(s, dir)
+      val (ranked, tf) = bm25Ranked(Tables(s, dir, "documents"))
       CacheScope.eval(ranked.orderBy("q_id", "rnk"))(tf)
     },
     Some(s"""
@@ -1244,7 +1248,7 @@ object Similarity extends QueryModule {
     (s, dir) => {
       import graft.operators.{Ann, CacheScope}
       val emb = Tables(s, dir, "embeddings")
-      val (lexAll, tf) = bm25Ranked(s, dir)
+      val (lexAll, tf) = bm25Ranked(Tables(s, dir, "documents"))
       val lex = lexAll.join(
         emb.select(col("vec_id").as("q_id")), Seq("q_id"), "left_semi")
         .select(col("q_id"), col("doc_id"), col("rnk").as("l_rnk"))

@@ -230,4 +230,89 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
         s"cell $cell: min-fit member ${champion._1} was dropped")
     }
   }
+
+  /** Independent in-memory BM25 over the same integer contract —
+    * plain Scala, no Spark — so the DataFrame plan is certified
+    * against a second implementation (the oracle being the third). */
+  private def bm25Gold(corpus: Seq[(Long, String)], qIds: Set[Long],
+                       dfCapDen: Int): Map[Long, Seq[(Long, Long, Long)]] = {
+    def grams(t: String): Seq[String] = {
+      val l = t.split(" ", -1).toSeq
+      if (l.size < 2) Seq.empty
+      else l.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val docGrams = corpus.map { case (id, t) => id -> grams(t) }
+      .filter(_._2.nonEmpty)
+    val tf = docGrams.flatMap { case (id, gs) =>
+      gs.groupBy(identity).map { case (g, o) => (id, g, o.size.toLong) }
+    }
+    val dl = docGrams.map { case (id, gs) => id -> gs.size.toLong }.toMap
+    val n = dl.size.toLong
+    val avgdlM = 1000L * dl.values.sum / n
+    val df = tf.groupBy(_._2).map { case (g, rows) => g -> rows.size.toLong }
+    def idfB(d: Long): Long =
+      java.lang.Long.toBinaryString((2 * n - 2 * d + 1) / (2 * d + 1))
+        .length - 1L
+    val qGrams = corpus.filter(c => qIds(c._1))
+      .map { case (id, t) => id -> grams(t).distinct
+        .filter(g => df(g) * dfCapDen <= n) }
+    qGrams.map { case (q, gs) =>
+      val scored = tf
+        .filter { case (d, g, _) => d != q && gs.contains(g) }
+        .groupBy(_._1)
+        .map { case (d, rows) =>
+          val s = rows.map { case (_, g, t) =>
+            (idfB(df(g)) * 22000L * t * avgdlM) /
+              (10L * avgdlM * t + 3L * avgdlM + 9000L * dl(d))
+          }.sum
+          (d, s, rows.size.toLong)
+        }.toSeq
+      q -> scored.sortBy { case (d, s, _) => (-s, d) }.take(10)
+        .zipWithIndex
+        .map { case ((d, s, _), i) => (i + 1L, d, s) }
+    }.toMap
+  }
+
+  test("bm25Ranked matches an independent in-memory scorer on a " +
+    "synthetic corpus with degenerate docs, duplicates, and ties") {
+    import spark.implicits._
+    val corpus = Seq(
+      0L -> "alpha beta gamma delta",
+      1L -> "alpha beta alpha beta epsilon",
+      2L -> "alpha beta gamma",
+      3L -> "beta gamma delta epsilon zeta eta theta",
+      4L -> "solo",              // one token: no grams, invisible
+      5L -> "",                  // empty: invisible
+      6L -> "alpha beta gamma delta", // exact dup of 0: tie on score
+      7L -> "zeta eta theta iota kappa",
+      8L -> "iota kappa lambda mu nu") ++
+      // unique-gram filler so query grams are RARE (non-zero
+      // whole-bit idf) in a corpus this small
+      (9L to 24L).map(i => i -> s"f${i}a f${i}b f${i}c f${i}d")
+    val docs = corpus.toDF("doc_id", "text")
+    val qIds = Set(0L, 1L, 4L)
+    val (ranked, tf) =
+      graft.queries.Similarity.bm25Ranked(docs, c => c < 2 || c === 4L,
+        dfCapDen = 1)
+    val got = ranked.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (q, rows) => q ->
+        rows.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq }
+    tf.unpersist()
+    val gold = bm25Gold(corpus, qIds, dfCapDen = 1)
+      .filter(_._2.nonEmpty)
+    assert(got == gold,
+      s"plan/gold disagree:\n  plan=$got\n  gold=$gold")
+    // the gramless query doc produced no ranking at all
+    assert(!got.contains(4L))
+    // the exact duplicate ties and breaks to the lower doc_id
+    val q1 = got(1L)
+    val i0 = q1.indexWhere(_._2 == 0L)
+    val i6 = q1.indexWhere(_._2 == 6L)
+    assert(i0 >= 0 && i6 == i0 + 1 && q1(i0)._3 == q1(i6)._3,
+      s"duplicate docs 0/6 must tie adjacently, lower id first: $q1")
+    // self-exclusion: no query ranks itself
+    assert(got.forall { case (q, rows) => rows.forall(_._2 != q) })
+  }
 }
