@@ -1844,24 +1844,10 @@ object TextAnalysis extends QueryModule {
     * allowlisted in PlanAuditSpec as bounded, the rel_pareto class).
     * Output per language: corpus tokens, capacity, allocated budget,
     * capped flag, achieved epochs in exact millis. */
-  val unimaxMix: Q = Q(
-    "ta_unimax_mix",
-    (s, dir) => {
-      val perLang = docs(s, dir)
-        .select(col("lang"), expr(
-          "size(filter(split(text, ' '), x -> x <> ''))").as("n_toks"))
-        .groupBy("lang")
-        .agg(sum("n_toks").as("c"), count(lit(1)).as("n_docs"))
-      graft.operators.Mixing.unimaxAllocate(perLang, "lang")
-        .select(col("lang"), col("n_docs"),
-          col("c").as("n_tokens"), col("cap").as("capacity"),
-          col("budget"),
-          when(col("capped"), 1L).otherwise(0L).as("at_cap"),
-          expr("(1000 * budget) div c").as("epochs_milli"))
-        .orderBy("lang")
-    },
-    Some("""
-      WITH pl AS (
+  /** The UniMax oracle WITH-chain (pl → tot → rkd → cp → lv → al),
+    * shared by `ta_unimax_mix` and `ta_mix_schedule`; `al` holds one
+    * row per language with every water-fill intermediate. */
+  private val unimaxCtes = """pl AS (
         SELECT lang,
                CAST(sum(len(list_filter(string_split(text, ' '),
                  x -> x <> ''))) AS BIGINT) AS c,
@@ -1891,18 +1877,98 @@ object TextAnalysis extends QueryModule {
         SELECT *,
                (b - p_capped) // greatest(k - n_capped, 1) AS t,
                (b - p_capped) % greatest(k - n_capped, 1) AS rem
-        FROM lv)
+        FROM lv)"""
+
+  /** The per-language allocated budget off the `al` CTE. */
+  private val unimaxBudgetSql =
+    """CAST(CASE WHEN capped THEN cap
+            ELSE t + (CASE WHEN rn - n_capped <= rem THEN 1
+                      ELSE 0 END) END AS BIGINT)"""
+
+  val unimaxMix: Q = Q(
+    "ta_unimax_mix",
+    (s, dir) => {
+      val perLang = docs(s, dir)
+        .select(col("lang"), expr(
+          "size(filter(split(text, ' '), x -> x <> ''))").as("n_toks"))
+        .groupBy("lang")
+        .agg(sum("n_toks").as("c"), count(lit(1)).as("n_docs"))
+      graft.operators.Mixing.unimaxAllocate(perLang, "lang")
+        .select(col("lang"), col("n_docs"),
+          col("c").as("n_tokens"), col("cap").as("capacity"),
+          col("budget"),
+          when(col("capped"), 1L).otherwise(0L).as("at_cap"),
+          expr("(1000 * budget) div c").as("epochs_milli"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH $unimaxCtes
       SELECT lang, n_docs, c AS n_tokens, cap AS capacity,
-             CAST(CASE WHEN capped THEN cap
-                  ELSE t + (CASE WHEN rn - n_capped <= rem THEN 1
-                            ELSE 0 END) END AS BIGINT) AS budget,
+             $unimaxBudgetSql AS budget,
              CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT)
                AS at_cap,
-             (1000 * CAST(CASE WHEN capped THEN cap
-                  ELSE t + (CASE WHEN rn - n_capped <= rem THEN 1
-                            ELSE 0 END) END AS BIGINT)) // c
-               AS epochs_milli
+             (1000 * $unimaxBudgetSql) // c AS epochs_milli
       FROM al ORDER BY lang""")
+  )
+
+  /** MIX-TO-SCHEDULE (r12) — the consumption ORDER that realizes the
+    * UniMax budgets: a deterministic weighted interleave (the
+    * Bresenham / low-discrepancy schedule of weighted round-robin)
+    * over the whole corpus. Each doc's key is its language-local
+    * token-span MIDPOINT scaled by the language's allocated budget —
+    * `((2·prev + n_toks) · 1000) div (2·budget)` ≈ milli-epochs
+    * consumed of that language at this doc — so reading in key order
+    * interleaves languages in budget proportion at every prefix: the
+    * thing a data loader actually wants from a mixing spec, and the
+    * artifact `ta_unimax_mix` only sizes.
+    *
+    * Exactness/scale: the ×1000 midpoint keeps every key within
+    * BIGINT to ~4.6·10¹⁵ corpus tokens (the avgdl_m overflow lesson);
+    * key collisions inside a language are broken by (lang, doc_id),
+    * giving a total deterministic order. Per-language prefix sums are
+    * partitioned windows (the skew caveat and two-phase swap of
+    * `ta_pack_sequences` apply); budgets attach as a broadcast
+    * |langs|-row table; the final key order is a range-partitioned
+    * sort, not a single-partition window. PlanAuditSpec allowlists
+    * the bounded unimax sub-plan it composes. */
+  val mixSchedule: Q = Q(
+    "ta_mix_schedule",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))")
+          .cast("long").as("n_toks"))
+      val perLang = d.groupBy("lang")
+        .agg(sum("n_toks").as("c"), count(lit(1)).as("n_docs"))
+      val bdg = graft.operators.Mixing.unimaxAllocate(perLang, "lang")
+        .select(col("lang"), col("budget"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      d.withColumn("cum", sum("n_toks").over(w))
+        .join(broadcast(bdg), "lang")
+        .withColumn("sched_key", expr(
+          "((2 * (cum - n_toks) + n_toks) * 1000) div " +
+            "(2 * greatest(budget, 1))"))
+        .select("doc_id", "lang", "n_toks", "sched_key")
+        .orderBy("sched_key", "lang", "doc_id")
+    },
+    Some(s"""
+      WITH $unimaxCtes,
+      bdg AS (
+        SELECT lang, $unimaxBudgetSql AS budget FROM al),
+      dt AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS n_toks
+        FROM documents),
+      ps AS (
+        SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM dt)
+      SELECT p.doc_id, p.lang, p.n_toks,
+             ((2 * (p.cum - p.n_toks) + p.n_toks) * 1000)
+               // (2 * greatest(b.budget, 1)) AS sched_key
+      FROM ps p JOIN bdg b USING (lang)
+      ORDER BY sched_key, lang, doc_id""")
   )
 
   def all: Seq[Q] =
@@ -1915,5 +1981,5 @@ object TextAnalysis extends QueryModule {
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
       bpeTokenStats, bpeShardAssign, bpeChunk, bpeFertility,
       classifierScore, unigramSurprisal, freqSpectrum, burstiness,
-      unimaxMix)
+      unimaxMix, mixSchedule)
 }

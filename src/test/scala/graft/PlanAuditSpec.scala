@@ -53,7 +53,7 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // ta_unimax_mix broadcast-attaches its 1-row (budget, lang
       // count) aggregate to the |langs|-bounded dimension — same
       // scalar-attach pattern
-      "ta_unimax_mix",
+      "ta_unimax_mix", "ta_mix_schedule",
       // ss_bm25_index_stats broadcast-attaches its 1-row doc count to
       // the vocabulary aggregate before idf bucketing — same
       // scalar-attach pattern (ss_bm25_topk's identical attach folds
@@ -96,8 +96,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "rel_skyline",
       // ta_unimax_mix's water-fill windows run over the AGGREGATED
       // language dimension (≤ |langs| rows) — the rel_pareto
-      // bounded-dimension class, documented in its scaladoc
-      "ta_unimax_mix")
+      // bounded-dimension class, documented in its scaladoc;
+      // ta_mix_schedule composes the same bounded sub-plan (its own
+      // prefix sums are lang-partitioned, its key order a
+      // range-partitioned sort)
+      "ta_unimax_mix", "ta_mix_schedule")
 
   test("no undocumented cartesian or nested-loop join in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
