@@ -1050,7 +1050,7 @@ object Relational extends QueryModule {
     saltedJoin,
     copurchase, copurchaseHealth, incrementalView, exactMedian,
     compactionPlan, histogram, exactKSample, snapshotDiff,
-    shareOfTotal, pareto, skyline, fkCheck, kAnonymity)
+    shareOfTotal, pareto, skyline, fkCheck, kAnonymity, lDiversity)
 
   /** k-anonymity audit — the privacy-compliance complement of
     * `ta_pii_redact`'s direct-identifier scrub: group the table by its
@@ -1082,6 +1082,57 @@ object Relational extends QueryModule {
              CASE WHEN count(*) < 5 THEN 'at_risk'
                   ELSE 'anonymous' END AS verdict
       FROM customer GROUP BY 1, 2
+      ORDER BY nationkey, segment""")
+  )
+
+  /** l-diversity audit — the attack k-anonymity misses: a class of
+    * 50 identical-looking records is still a disclosure if they all
+    * share one SENSITIVE value (homogeneity attack, Machanavajjhala
+    * et al. 2007). Same quasi-identifier classes as
+    * `rel_k_anonymity`; the sensitive attribute is the account
+    * standing bucketed to {negative, low, high} (cents-exact
+    * thresholds, no float compare); a class is distinct-l-diverse at
+    * l = 3 iff all three buckets occur. The k and l reports together
+    * are the release gate: generalize/suppress until both clear.
+    *
+    * Scale (100 TB): one aggregate to the class grain carrying a
+    * distinct-count — Spark plans the classic two-phase partial
+    * distinct (Expand-free here: a single count(distinct) keyed by
+    * the class tuple); |classes| output rows. */
+  val lDiversity: Q = Q(
+    "rel_l_diversity",
+    (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("segment"),
+          when(expr("CAST(round(c_acctbal * 100) AS BIGINT)") < 0L,
+            "negative")
+            .when(expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+              < 500000L, "low")
+            .otherwise("high").as("standing"))
+        .groupBy("nationkey", "segment")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("standing")).as("n_sensitive"))
+        .select(col("nationkey"), col("segment"), col("class_size"),
+          col("n_sensitive"),
+          when(col("n_sensitive") < 3, "homogeneous")
+            .otherwise("diverse").as("verdict"))
+        .orderBy("nationkey", "segment"),
+    Some("""
+      WITH b AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               c_mktsegment AS segment,
+               CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+                    THEN 'negative'
+                    WHEN CAST(round(c_acctbal * 100) AS BIGINT)
+                         < 500000 THEN 'low'
+                    ELSE 'high' END AS standing
+        FROM customer)
+      SELECT nationkey, segment, count(*) AS class_size,
+             CAST(count(DISTINCT standing) AS BIGINT) AS n_sensitive,
+             CASE WHEN count(DISTINCT standing) < 3
+                  THEN 'homogeneous' ELSE 'diverse' END AS verdict
+      FROM b GROUP BY 1, 2
       ORDER BY nationkey, segment""")
   )
 

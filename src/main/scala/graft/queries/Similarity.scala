@@ -1093,7 +1093,10 @@ object Similarity extends QueryModule {
     * the df table IS the tuning observability, same role as
     * `dd_lsh_bucket_stats`. Corpus stats attach as a broadcast 1-row
     * aggregate at the VOCABULARY grain (the `ta_heavy_hitters`
-    * scalar-attach pattern, allowlisted in PlanAuditSpec); the
+    * scalar-attach pattern — here it folds into the downstream
+    * equi-join and never plans a nested loop; the sibling
+    * `ss_bm25_index_stats`, which aggregates straight off the attach,
+    * carries the PlanAuditSpec allowlist entry); the
     * per-query top-10 is a rank window on the ≤ |matched docs| scored
     * rows, partitioned by query — never a global sort.
     *
