@@ -171,6 +171,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"dims probe regressed to a full-table aggregate:\n$plan")
   }
 
+  test("l-diversity's single distinct aggregate plans without Expand") {
+    // rel_l_diversity's scaladoc claims the one count(DISTINCT)
+    // plus count(*) pair avoids the multi-distinct Expand rewrite
+    // (Spark plans it as a two-phase partial distinct keyed by the
+    // class tuple) — pin it so an added distinct agg can't silently
+    // multiply the scan
+    val plan = SparkEntry.queries("rel_l_diversity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "rel_l_diversity now expands rows — update its scaladoc and " +
+        "this pin, or split the aggregates")
+  }
+
   test("rank-filter top-k shapes keep Spark's partial WindowGroupLimit") {
     // Spark 3.5+ plans Filter(rank <= k) over a window as a
     // WindowGroupLimit: each input partition keeps only its k best
