@@ -952,6 +952,118 @@ object TextAnalysis extends QueryModule {
     *
     * Scale (100 TB): one fused narrow kernel per row, one
     * map-combined aggregate to |langs| rows — nothing else. */
+  /** BPE TOKENIZER TRAINING (r12) — the merge-LEARNING step the
+    * `bpe_*` apply faces consume (Sennrich et al. 2016), as a
+    * distributed job: collapse the corpus to the word-frequency
+    * table ONCE (the classic trainer optimization — every later pass
+    * touches |vocab| rows, never the corpus), then each round counts
+    * adjacent symbol pairs weighted by word frequency (one
+    * map-side-combined aggregate), elects the max-count pair with the
+    * merges-file tie-break (count desc, then lexicographic — a 1-row
+    * argmax collect, the IVF-seed planning-class precedent), and
+    * applies the merge to the vocab's space-separated symbol strings
+    * via TWO replace passes — exact leftmost-first by the BpeOps
+    * argument, and like BpeOps it REJECTS a self-pair argmax loudly
+    * rather than silently diverging from the replay (the fixture
+    * elects none at any SF). Output: the learned merge table
+    * (rank, left_sym, right_sym, pair_count) — the artifact
+    * `graft/bpe_merges.txt` ships, reproduced by the engine itself.
+    *
+    * Scale (100 TB): one corpus scan; 5 fixed rounds over the
+    * language-bounded vocab with a broadcast-literal merge each
+    * round; lineage flattened per round via CacheScope.materialize
+    * (the LinkGraph loop discipline). The DuckDB oracle replays all
+    * 5 rounds as an unrolled CTE chain. */
+  val bpeTrain: Q = {
+    val Rounds = 5
+    Q(
+      "ta_bpe_train",
+      (s, dir) => {
+        import graft.operators.CacheScope
+        var vocab = docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token").agg(count(lit(1)).as("c"))
+          .select(concat(lit(" "),
+            array_join(split(col("token"), ""), " "), lit(" "))
+            .as("w"), col("c"))
+        val learned = Seq.newBuilder[(Long, String, String, Long)]
+        val staged = Seq.newBuilder[DataFrame]
+        for (r <- 1 to Rounds) {
+          val v = CacheScope.materialize(vocab)
+          staged += v
+          val top = v
+            .select(split(trim(col("w")), " ").as("s"), col("c"))
+            .filter(size(col("s")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, size(s) - 1), " +
+                "i -> struct(element_at(s, i) AS l, " +
+                "element_at(s, i + 1) AS r))")).as("p"), col("c"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum("c").as("cnt"))
+            .orderBy(col("cnt").desc, col("l"), col("r"))
+            .limit(1).collect()
+          require(top.nonEmpty, "bpe_train: vocabulary exhausted")
+          val (l, rt, cnt) =
+            (top(0).getString(0), top(0).getString(1),
+              top(0).getLong(2))
+          require(l != rt,
+            s"bpe_train: self-pair argmax '$l $rt' unsupported — " +
+              "the two-pass replace application (and its oracle) " +
+              "diverges from leftmost-first on same-token runs")
+          require((l + rt).forall(_.isLetterOrDigit),
+            s"bpe_train: non-alphanumeric merge symbol '$l$rt'")
+          learned += ((r.toLong, l, rt, cnt))
+          vocab = v.select(expr(
+            s"replace(replace(w, ' $l $rt ', ' $l$rt '), " +
+              s"' $l $rt ', ' $l$rt ')").as("w"), col("c"))
+        }
+        staged.result().foreach(CacheScope.releaseCheckpoint)
+        import s.implicits._
+        learned.result()
+          .toDF("rank", "left_sym", "right_sym", "pair_count")
+          .orderBy("rank")
+      },
+      Some {
+        val rounds = (1 to Rounds).map { r =>
+          s"""
+      p$r AS (
+        SELECT s[i] AS l, s[i+1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+        FROM (SELECT string_split(trim(w), ' ') AS s, c
+              FROM w${r - 1}) t,
+             unnest(range(1, len(t.s))) u(i)
+        GROUP BY 1, 2),
+      a$r AS (SELECT l, r, cnt FROM p$r
+              ORDER BY cnt DESC, l, r LIMIT 1),
+      w$r AS (
+        SELECT replace(replace(t.w,
+                 ' '||a.l||' '||a.r||' ', ' '||a.l||a.r||' '),
+                 ' '||a.l||' '||a.r||' ', ' '||a.l||a.r||' ') AS w,
+               t.c
+        FROM w${r - 1} t, a$r a)"""
+        }.mkString(",")
+        val out = (1 to Rounds).map { r =>
+          val rank = if (r == 1) s"CAST($r AS BIGINT) AS rank" else s"$r"
+          val cols = if (r == 1)
+            "l AS left_sym, r AS right_sym, cnt AS pair_count"
+          else "l, r, cnt"
+          s"SELECT $rank, $cols FROM a$r"
+        }.mkString("\n      UNION ALL ")
+        s"""
+      WITH w0 AS (
+        SELECT ' ' || array_to_string(string_split_regex(token, ''),
+                 ' ') || ' ' AS w,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> '' GROUP BY 1),$rounds
+      SELECT * FROM (
+      $out)
+      ORDER BY rank"""
+      }
+    )
+  }
+
   val bpeFertility: Q = Q(
     "ta_bpe_fertility",
     (s, dir) => {
@@ -1979,7 +2091,7 @@ object TextAnalysis extends QueryModule {
       domainFilterBloom,
       temperatureSample, collapseRepeats, domainPagerank,
       domainPagerank2, heavyHitters, qualityCalibrate, hashEmbed,
-      bpeTokenStats, bpeShardAssign, bpeChunk, bpeFertility,
+      bpeTokenStats, bpeShardAssign, bpeChunk, bpeFertility, bpeTrain,
       classifierScore, unigramSurprisal, freqSpectrum, burstiness,
       unimaxMix, mixSchedule)
 }
