@@ -140,4 +140,16 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       .collect().head
     assert(out.isNullAt(0))
   }
+
+  test("ta_bpe_train reproduces the shipped vocabulary's first " +
+    "merges — the train->ship->apply loop closes") {
+    val learned = SparkEntry.queries("ta_bpe_train")(
+        spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(learned.nonEmpty)
+    assert(learned == graft.functions.BpeOps.orderedMerges
+        .take(learned.length),
+      "the engine's trainer and graft/bpe_merges.txt disagree on " +
+        "the fixture's top merges")
+  }
 }
