@@ -88,7 +88,7 @@ object QualityModel {
   def driftRef(docs: DataFrame): Map[String, DriftRef] = {
     val sc = docs
       .select(col("source"), col("doc_id"),
-        logitOf(col("text")).as("score"))
+        coalesce(logitOf(col("text")), lit(0L)).as("score"))
       .filter(expr(
         "ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 2") === 0)
     val w = Window.partitionBy("source").orderBy("score", "doc_id")

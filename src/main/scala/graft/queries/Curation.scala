@@ -396,8 +396,13 @@ object Curation extends QueryModule {
     "ta_quality_drift",
     (s, dir) => {
       import graft.operators.QualityModel
+      // coalesce pins the NULL-text contract to the oracle's
+      // COALESCE(score, 0): without it a regenerated fixture with a
+      // NULL text would score NULL here (sorting FIRST in the rank
+      // window) but 0 in DuckDB — the r11 silent-divergence class
       val sc = docs(s, dir).select(col("source"), col("doc_id"),
-        QualityModel.logitOf(col("text")).as("score"),
+        coalesce(QualityModel.logitOf(col("text")), lit(0L))
+          .as("score"),
         expr("ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 2")
           .as("half"))
       val old = sc.filter(col("half") === 0)
