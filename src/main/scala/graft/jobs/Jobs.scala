@@ -76,6 +76,21 @@ object Jobs {
       "dd_url_dedup" -> "url-dedup-report",
       "dd_lsh_recall" -> "lsh-recall-certification",
       "ta_bpe_fertility" -> "tokenizer-fertility"),
+    // Extension job (r12 second pass): the RELEASE evidence pack —
+    // the artifacts a corpus release ships NEXT TO the data: the
+    // per-source datasheet, the distribution-drift QA, the mixing
+    // budgets plus the loader consumption order that realizes them,
+    // the learned tokenizer merges, and both privacy audits. One
+    // JOB=release_corpus run turns a curated corpus into a
+    // publishable dataset.
+    "release_corpus" -> Seq(
+      "ta_dataset_card" -> "dataset-card",
+      "ta_quality_drift" -> "quality-drift",
+      "ta_unimax_mix" -> "mix-budgets",
+      "ta_mix_schedule" -> "consumption-schedule",
+      "ta_bpe_train" -> "learned-merges",
+      "rel_k_anonymity" -> "k-anonymity-audit",
+      "rel_l_diversity" -> "l-diversity-audit"),
     // Extension job: the event-analytics pack — the interval sweeps,
     // robustified measures, and resampled series a metrics warehouse
     // serves, through the same dispatch machinery.

@@ -154,6 +154,19 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("release_corpus job ships the card/drift/mix/merges/privacy pack") {
+    val dir = Files.createTempDirectory("jobs_release_spec").toString
+    val res = graft.Main.run(spark, "release_corpus", sf,
+      Seq(s"$dir/t1"), "2024-01-01")
+    assert(res.size == 7 && res.forall(_._3), s"uploads: $res")
+    for (extract <- Seq("dataset-card", "quality-drift", "mix-budgets",
+        "consumption-schedule", "learned-merges", "k-anonymity-audit",
+        "l-diversity-audit")) {
+      val key = Sinks.dailyKey("2024-01-01", extract)
+      assert(new java.io.File(s"$dir/t1/$key").exists(), s"missing $key")
+    }
+  }
+
   test("event_analytics job ships the sweep/anomaly/resample pack") {
     val dir = Files.createTempDirectory("jobs_events_spec").toString
     val res = graft.Main.run(spark, "event_analytics", sf,
