@@ -813,7 +813,6 @@ object Relational extends QueryModule {
   val copurchaseTriangles: Q = Q(
     "rel_copurchase_triangles",
     (s, dir) => {
-      import graft.operators.CacheScope
       val und = t(s, dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(collect_set(col("l_partkey")).as("basket"))
@@ -825,42 +824,10 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
         .select("u", "v")
-      val degs = und.select(col("u").as("part"))
-        .union(und.select(col("v").as("part")))
-        .groupBy("part").agg(count(lit(1)).as("deg"))
-      val lower = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val e = und
-        .join(degs.select(col("part").as("u"), col("deg").as("du")),
-          "u")
-        .join(degs.select(col("part").as("v"), col("deg").as("dv")),
-          "v")
-        .select(when(lower, col("u")).otherwise(col("v")).as("src"),
-          when(lower, col("v")).otherwise(col("u")).as("dst"),
-          when(lower, col("dv")).otherwise(col("du")).as("ddeg"))
-        .persist()
-      val w = e.as("x").join(e.as("y"),
-        col("x.src") === col("y.src") &&
-          (col("x.ddeg") < col("y.ddeg") ||
-            (col("x.ddeg") === col("y.ddeg") &&
-              col("x.dst") < col("y.dst"))))
-        .select(col("x.src").as("a"), col("x.dst").as("b"),
-          col("y.dst").as("c"))
-      val tri = w.join(
-        e.select(col("src").as("b"), col("dst").as("c")),
-        Seq("b", "c"), "left_semi")
-      val perPart = tri
-        .select(explode(array(col("a"), col("b"), col("c")))
-          .as("part"))
-        .groupBy("part").agg(count(lit(1)).as("t"))
-      val out = degs.join(perPart, Seq("part"), "left")
-        .select(col("part").cast("long").as("part"), col("deg"),
-          coalesce(col("t"), lit(0L)).as("n_triangles"),
-          expr("CASE WHEN deg >= 2 THEN (2000 * coalesce(t, 0L)) " +
-            "div (deg * (deg - 1)) ELSE 0L END")
-            .as("clustering_permille"))
+      graft.operators.Graph.triangleStats(und)
+        .select(col("vertex").cast("long").as("part"), col("deg"),
+          col("n_triangles"), col("clustering_permille"))
         .orderBy("part")
-      CacheScope.eval(out)(e)
     },
     Some(s"""
       WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
