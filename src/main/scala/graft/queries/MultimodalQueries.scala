@@ -434,8 +434,110 @@ object MultimodalQueries extends QueryModule {
       WHERE dist <= 1 ORDER BY doc_a, doc_b""")
   )
 
+  /** AUDIO FINGERPRINT + BAND COLLISIONS — the audio twin of
+    * [[phashQ]]/[[phashNearDup]]: the Haitsma–Kalker (2002) robust
+    * fingerprint simplified to one energy band — bit j is the SIGN of
+    * the energy delta between consecutive 2-sample windows, a feature
+    * invariant to amplitude scaling (gain changes preserve every
+    * delta's sign) — packed to a 20-bit BIGINT via the same native
+    * `pcm16_window_ss` kernel as `mm_audio_energy`. Retrieval rides
+    * LSH banding rather than a Hamming join: 4 bands × 5 bits, keyed
+    * by the (fp_bits, band) CLASS so fingerprints truncated by short
+    * payloads only ever compare against equally-truncated ones, with
+    * each doc reporting how many OTHER docs share any of its band
+    * buckets — the candidate-pair observability, `dd_lsh_bucket_stats`
+    * style, that sizes a full audio-dedup pass before anyone runs it.
+    *
+    * Exactness: window energies are exact BIGINT (native kernel,
+    * hex-conv-replayed by the oracle); the fingerprint is an integer
+    * fold of strict `>` comparisons — no floats anywhere. Scale: one
+    * narrow kernel pass, a 4×-bounded band explode, and a
+    * (fp_bits, band, bucket)-keyed count — map-side combined. */
+  val audioFingerprint: Q = Q(
+    "mm_audio_fingerprint",
+    (s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val base = Multimodal.withPayload(Tables(s, dir, "documents"))
+        .withColumn("sss", expr("pcm16_window_ss(payload, 2)"))
+        .select(col("doc_id"), size(col("sss")).cast("long")
+          .as("n_win"), col("sss"))
+        .withColumn("fp", expr(
+          "CASE WHEN n_win >= 2 THEN aggregate(" +
+            "sequence(0, int(least(n_win - 2, 19L))), 0L, " +
+            "(acc, j) -> acc + CASE WHEN element_at(sss, j + 2) > " +
+            "element_at(sss, j + 1) THEN shiftleft(1L, j) " +
+            "ELSE 0L END) ELSE 0L END"))
+        .withColumn("fp_bits",
+          greatest(least(col("n_win") - 1, lit(20L)), lit(0L)))
+        .drop("sss")
+      val bands = base.select(col("doc_id"), col("fp_bits"),
+          col("fp"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bucket",
+          expr("shiftright(fp, band * 5) & 31"))
+      val bc = bands.groupBy("fp_bits", "band", "bucket")
+        .agg(count(lit(1)).as("c"))
+      val coll = bands.join(bc, Seq("fp_bits", "band", "bucket"))
+        .groupBy("doc_id")
+        .agg(sum(col("c") - 1).as("n_band_collisions"))
+      base.join(coll, "doc_id")
+        .select("doc_id", "n_win", "fp_bits", "fp",
+          "n_band_collisions")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) // 2 // 2 AS BIGINT)
+                 AS n_win
+        FROM documents),
+      e AS (
+        SELECT doc_id, n_win, win,
+               list_aggregate(list_transform(range(2),
+                 j -> (CAST('0x' || substr(h, (win*2 + j)*4 + 1, 4)
+                        AS BIGINT) - 32768)
+                      * (CAST('0x' || substr(h, (win*2 + j)*4 + 1, 4)
+                         AS BIGINT) - 32768)),
+                 'sum') AS ss
+        FROM (SELECT doc_id, n_win, h, unnest(range(n_win)) AS win
+              FROM p WHERE n_win > 0)),
+      fl AS (
+        SELECT doc_id, n_win, list(ss ORDER BY win) AS l
+        FROM e GROUP BY 1, 2),
+      fp AS (
+        SELECT d.doc_id, coalesce(f.n_win, 0) AS n_win,
+               greatest(least(coalesce(f.n_win, 0) - 1, 20), 0)
+                 AS fp_bits,
+               coalesce(CASE WHEN f.n_win >= 2 THEN
+                 list_aggregate(list_transform(
+                   range(least(f.n_win - 1, 20)),
+                   j -> CASE WHEN f.l[j + 2] > f.l[j + 1]
+                        THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                        ELSE 0 END), 'sum') END, 0) AS fp
+        FROM p d LEFT JOIN fl f USING (doc_id)),
+      bands AS (
+        SELECT doc_id, fp_bits, fp, unnest(range(4)) AS band
+        FROM fp),
+      b2 AS (
+        SELECT doc_id, fp_bits, band,
+               (fp >> CAST(band * 5 AS INTEGER)) & 31 AS bucket
+        FROM bands),
+      bc AS (
+        SELECT fp_bits, band, bucket, count(*) AS c
+        FROM b2 GROUP BY 1, 2, 3),
+      coll AS (
+        SELECT b.doc_id, CAST(sum(bc.c - 1) AS BIGINT)
+                 AS n_band_collisions
+        FROM b2 b JOIN bc ON bc.fp_bits = b.fp_bits
+                         AND bc.band = b.band AND bc.bucket = b.bucket
+        GROUP BY 1)
+      SELECT f.doc_id, f.n_win, CAST(f.fp_bits AS BIGINT) AS fp_bits,
+             CAST(f.fp AS BIGINT) AS fp, c.n_band_collisions
+      FROM fp f JOIN coll c USING (doc_id)
+      ORDER BY f.doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(binaryStats, decodeFeatures, resize, frameSample, audioEnergy,
       imageDecode, imageResize, wavDecode, pngDecodeQ, jpegDecodeQ,
-      quarantineQ, phashQ, phashNearDup)
+      quarantineQ, phashQ, phashNearDup, audioFingerprint)
 }
