@@ -14,9 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   `(n_words, nc, top2, top3, top4, dup5 … dup10)`
   *
   * where `nc` is the non-space character count, `top{n}` is the
-  * packed witness `count·10⁵ + charlen` of the most frequent n-gram
-  * (tie on count → longer gram, the same single-max encoding the
-  * SQL replay uses), and `dup{n}` is the duplicated-gram excess mass
+  * packed witness `count·10⁵ + min(charlen, 99999)` of the most
+  * frequent n-gram (tie on count → longer gram; charlen clamps below
+  * the radix so a whale gram can never bleed into the count units —
+  * the same single-max encoding the SQL replay uses), and `dup{n}`
+  * is the duplicated-gram excess mass
   * Σ (count−1)·charlen. The permille arithmetic and thresholds stay
   * OUTSIDE the expression (plain codegen'd long math in
   * [[graft.operators.GopherRules]]), so this kernel states only the
@@ -163,7 +165,13 @@ object GopherOps {
             var j = 0
             while (j < nn) { cl += charLen(s + j); j += 1 }
             if (n <= TopMaxN) {
-              val code = cnt * 100000L + cl
+              // clamp charlen below the 10⁵ radix: a whale gram
+              // (≥100k chars — base64 blobs, minified JS are real in
+              // crawl data) must NOT bleed into the count units and
+              // corrupt "tie on count → longer gram" into "higher
+              // count". Same clamp in all four kernels (grouped, HOF
+              // fold, this, and the DuckDB replay).
+              val code = cnt * 100000L + math.min(cl, 99999L)
               if (code > top) top = code
             } else if (cnt > 1L) {
               dup += (cnt - 1L) * cl

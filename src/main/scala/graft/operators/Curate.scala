@@ -38,11 +38,17 @@ object GopherRules {
     *  - `top{2,3,4}_pm`: characters of the MOST FREQUENT n-gram
     *    (count × its non-space char length) as a permille of the
     *    doc's non-space chars. Tie on count breaks to the LONGER
-    *    gram — encoded as one max over `count·10⁵ + charlen`, so
-    *    both engines pick the identical witness without a rank
-    *    window (charlen < 10⁵ is guaranteed: a gram's chars are
-    *    bounded by its doc, and a 10⁵-char doc-spanning gram would
-    *    be the whole text — still one witness, still exact);
+    *    gram — encoded as one max over
+    *    `count·10⁵ + min(charlen, 99999)`, so both engines pick the
+    *    identical witness without a rank window. The clamp keeps a
+    *    whale gram (a few ~25k-char tokens — base64 blobs, minified
+    *    JS are real in crawl data) from bleeding into the count
+    *    units: ordering stays count-first always; only the tie-break
+    *    saturates at 99 999 chars (grams past the cap tie, and the
+    *    reported top_pm charge caps there too — such a doc fails the
+    *    gate on other rules regardless). All four kernels (this
+    *    grouped form, the HOF fold, the native expression, the
+    *    DuckDB replay) clamp identically;
     *  - `dup{5..10}_pm`: EXCESS occurrence mass Σ (count−1)·charlen
     *    over grams with count > 1, permille of non-space chars —
     *    the "fraction of characters in duplicated n-grams" rule
@@ -80,7 +86,8 @@ object GopherRules {
 
     val per = gc.groupBy("doc_id", "n")
       .agg(max("nc").as("nc"),
-        max(when(col("n") <= 4, col("cnt") * 100000L + col("cl")))
+        max(when(col("n") <= 4,
+          col("cnt") * 100000L + least(col("cl"), lit(99999L))))
           .as("topcode"),
         sum(when(col("n") >= 5 && col("cnt") > 1,
           (col("cnt") - 1) * col("cl")).otherwise(0L)).as("dupmass"))
@@ -177,7 +184,7 @@ object GopherRules {
       val cl = s"cast(length(s.prev) - ${n - 1} as bigint)"
       val close =
         s"'top', greatest(s.top, if(s.prev is null, 0L, " +
-          s"s.run * 100000L + $cl)), " +
+          s"s.run * 100000L + least($cl, 99999L))), " +
         s"'dup', s.dup + if(s.prev is not null and s.run > 1L, " +
           s"(s.run - 1L) * $cl, 0L)"
       df = df.withColumn(s"__m$n", expr(
@@ -292,11 +299,18 @@ object HtmlText {
     regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))
 
   /** Drop script/style subtrees (non-greedy, so adjacent blocks
-    * survive independently), then every remaining tag → one space. */
+    * survive independently), then every remaining tag → one space.
+    * `(?s)` makes `.` span newlines — real-world script/style blocks
+    * are multi-line, and without DOTALL their inner code would leak
+    * into the clean text. Two full-block alternatives (not a
+    * backreferenced `</\1>`) so a `<script>…</style>` mismatch is
+    * NOT treated as a closed block, and because the DuckDB oracle's
+    * RE2 engine has no backreferences — the alternation is the one
+    * spelling both engines execute identically. */
   def stripTags(html: Column): Column =
     regexp_replace(
       regexp_replace(html,
-        "<(script|style)[^>]*>.*?</(script|style)>", " "),
+        "(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " "),
       "<[^>]*>", " ")
 
   /** The five standard entities; `&amp;` last (see object doc). The

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * The rule, stated once: lowercase the scheme and host; split the
   * authority at the FIRST `://` (a URL whose path embeds another URL
   * — unencoded redirect targets are common in crawls — must keep the
-  * OUTER host); strip default ports (`:80`/`:443`, repeated), the
+  * OUTER host); strip the SCHEME'S OWN default port (`:80` for http,
+  * `:443` for https, repeated; other schemes keep their ports —
+  * `http://h:443/x` is not `http://h/x`), the
   * `#fragment`, and tracking params (`utm_*`, `fbclid`, `gclid` —
   * all other params survive in their original order; the query is
   * everything after the FIRST `?`, so embedded `?` characters,
@@ -44,15 +46,22 @@ object UrlCanon {
         c.substr(instr(c, delim) + lit(delim.length), length(c)))
       .otherwise("")
 
-  /** Host (lowercased, default ports stripped) of a URL column —
-    * the per-domain grouping key `dd_url_dedup` reports on. The
-    * authority is whatever sits between the FIRST `://` and the next
-    * `/` (or `?`, already cut by the caller-side base split). */
+  /** Host (lowercased, the scheme's own default port stripped) of a
+    * URL column — the per-domain grouping key `dd_url_dedup` reports
+    * on. The authority is whatever sits between the FIRST `://` and
+    * the next `/` (or `?`, already cut by the caller-side base
+    * split). Port stripping is SCHEME-AWARE: `:80` is only a default
+    * for http and `:443` only for https — `http://host:443/x` names a
+    * genuinely different resource than `http://host/x` and must NOT
+    * collapse into it (r12 advice); any other scheme keeps its port
+    * untouched. */
   def domainOf(url: Column): Column = {
     val base = substring_index(substring_index(url, "#", 1), "?", 1)
-    regexp_replace(
-      lower(substring_index(afterFirst(base, "://"), "/", 1)),
-      "(:(443|80))+$", "")
+    val scheme = lower(substring_index(base, "://", 1))
+    val host = lower(substring_index(afterFirst(base, "://"), "/", 1))
+    when(scheme === "http", regexp_replace(host, "(:80)+$", ""))
+      .when(scheme === "https", regexp_replace(host, "(:443)+$", ""))
+      .otherwise(host)
   }
 
   /** The canonical form of a URL column (see object doc for the

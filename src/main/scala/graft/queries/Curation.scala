@@ -59,7 +59,8 @@ object Curation extends QueryModule {
         FROM ggrams GROUP BY doc_id, n, gram),
       gper AS (
         SELECT doc_id, n, max(nc) AS nc,
-               max(CASE WHEN n <= 4 THEN cnt * 100000 + cl END)
+               max(CASE WHEN n <= 4
+                        THEN cnt * 100000 + least(cl, 99999) END)
                  AS topcode,
                sum(CASE WHEN n >= 5 AND cnt > 1 THEN (cnt - 1) * cl
                         ELSE 0 END) AS dupmass
@@ -129,7 +130,9 @@ object Curation extends QueryModule {
     * entity decode, whitespace collapse, plus the outgoing href
     * count (rule statement on [[graft.operators.HtmlText]]). The
     * fixture synthesizes an HTML wrapper from doc fields in BOTH
-    * engines — title, styled head, a script block that must vanish,
+    * engines — title, a MULTI-LINE styled head and a MULTI-LINE
+    * script block that must vanish wholesale (newlines inside, so the
+    * DOTALL block-strip is genuinely load-bearing),
     * the five standard entities that must decode, one canonical link
     * plus a mirror link on even ids — so every rule is genuinely
     * exercised, the [[TextAnalysis]] URL-fixture stance.
@@ -145,10 +148,10 @@ object Curation extends QueryModule {
   private def htmlFixture: org.apache.spark.sql.Column = concat(
     lit("<html><head><title>Doc "), col("doc_id").cast("string"),
     lit(" - "), col("source"),
-    lit("</title><style>p { color: #333; }</style></head>" +
+    lit("</title><style>\np { color: #333; }\n</style></head>" +
       "<body><h1 class=\"hd\">"), col("lang"),
-    lit("</h1><script type=\"text/javascript\">var n = "),
-    col("doc_id").cast("string"), lit(";</script><p>"),
+    lit("</h1><script type=\"text/javascript\">\nvar n = "),
+    col("doc_id").cast("string"), lit(";\n</script><p>"),
     col("text"),
     lit(" &amp; more &lt;tags&gt; &quot;q&quot; &#39;s&#39;" +
       "</p><a href=\"https://"), col("source"),
@@ -169,10 +172,13 @@ object Curation extends QueryModule {
         SELECT doc_id, source,
                '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
                ' - ' || source ||
-               '</title><style>p { color: #333; }</style></head>' ||
+               '</title><style>' || chr(10) ||
+               'p { color: #333; }' || chr(10) || '</style></head>' ||
                '<body><h1 class="hd">' || lang ||
-               '</h1><script type="text/javascript">var n = ' ||
-               CAST(doc_id AS VARCHAR) || ';</script><p>' || text ||
+               '</h1><script type="text/javascript">' || chr(10) ||
+               'var n = ' ||
+               CAST(doc_id AS VARCHAR) || ';' || chr(10) ||
+               '</script><p>' || text ||
                ' &amp; more &lt;tags&gt; &quot;q&quot; &#39;s&#39;' ||
                '</p><a href="https://' || source || '.example.com/' ||
                CAST(doc_id AS VARCHAR) || '">ref</a>' ||
@@ -196,7 +202,7 @@ object Curation extends QueryModule {
                        regexp_replace(
                          regexp_replace(
                            regexp_replace($inner,
-                             '<(script|style)[^>]*>.*?</(script|style)>',
+                             '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
                              ' ', 'g'),
                            '<[^>]*>', ' ', 'g'),
                          '&lt;', '<', 'g'),

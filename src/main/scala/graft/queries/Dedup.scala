@@ -1827,7 +1827,8 @@ object Dedup extends QueryModule {
     * rule there, replayed verbatim by the oracle, idempotence
     * property-pinned): lowercase scheme and host (authority split at
     * the FIRST `://` — URLs embedding other URLs keep the outer
-    * host); strip default ports 80/443, the #fragment, and tracking
+    * host); strip the scheme's own default port (:80 http / :443
+    * https only — other schemes keep ports), the #fragment, and tracking
     * params (utm_*, fbclid, gclid — other params survive in order;
     * query = everything after the FIRST `?`); drop trailing slashes.
     *
@@ -1931,9 +1932,13 @@ object Dedup extends QueryModule {
       norm AS (
         SELECT doc_id,
                lower(split_part(base, '://', 1)) AS scheme,
-               regexp_replace(
-                 lower(split_part(auth, '/', 1)),
-                 '(:(443|80))+$', '') AS cleanhost,
+               CASE lower(split_part(base, '://', 1))
+                 WHEN 'http' THEN regexp_replace(
+                   lower(split_part(auth, '/', 1)), '(:80)+$', '')
+                 WHEN 'https' THEN regexp_replace(
+                   lower(split_part(auth, '/', 1)), '(:443)+$', '')
+                 ELSE lower(split_part(auth, '/', 1))
+               END AS cleanhost,
                regexp_replace(
                  regexp_replace(auth, '^[^/]*', ''),
                  '/+$', '') AS cleanpath,

@@ -1445,10 +1445,16 @@ object Events extends QueryModule {
     * aggregate to |types| rows. A hot type concentrates its full
     * history in one window partition; `Partitioning.cusumTwoPhase`
     * (time-bucketed prefix sums + broadcast offsets, r12) is the
-    * bit-identical twin for when that history outgrows one task —
-    * measured crossover: for these narrow rows the plain window wins
-    * at every in-memory mass (Bench skew cells), so the twin is the
-    * feasibility escape, not a default. */
+    * bit-identical twin for that case — measured under the honest
+    * full-materialization meter (Bench skew cells, post-841cc66):
+    * two-phase wins ≈ 2.8× on the 99%-hot fixture (plain ≈ 10.5 s vs
+    * ≈ 3.7 s) and costs ≈ 1.7× on uniform data, so swap it in when
+    * one type dominates, keep the plain window otherwise. (An
+    * earlier "plain wins at every in-memory mass" reading was a
+    * count()-pruning artifact — see prefixSumTwoPhase's scaladoc.)
+    * The catalog face keeps the plain window because the sf0.1
+    * fixture is uniform and the single window is literally the
+    * oracle's plan. */
   val cusumChangepoint: Q = Q(
     "ev_cusum_changepoint",
     (s, dir) => {

@@ -30,7 +30,7 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
           val byG = grams.groupBy(identity).view
             .mapValues(_.size.toLong).toMap
           val (cnt, cl) = byG.toSeq.map { case (g, c) =>
-            (c, (g.length - (n - 1)).toLong) }
+            (c, math.min((g.length - (n - 1)).toLong, 99999L)) }
             .maxBy { case (c, l) => c * 100000L + l }
           cnt * cl * 1000L / math.max(nc, 1L)
         }
@@ -62,6 +62,11 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       (3L, ""),
       // multibyte: charlen counts CODEPOINTS in every engine/kernel
       (5L, "漢字δ ab 漢字δ ab ĉé 漢字δ ab x"),
+      // WHALE gram: the 2-gram "W W" (120k chars, count 2) must NOT
+      // beat "p q" (count 3) — unclamped packing would let charlen
+      // bleed into the count units and flip the winner
+      (6L, { val w = "a" * 60000
+             s"$w $w z $w $w p q r p q s p q" }),
       // clean 55-token doc, no repeats, ~5.5-char words: keep = 1
       (4L, (1 to 55).map(i => s"word$i").mkString(" ")))
       .toDF("doc_id", "text")
@@ -109,7 +114,11 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       // three kernels must count CODEPOINTS, not code units
       (4L, "😀😀a b 😀😀a b 漢x 漢x 漢x c d e"),
       // NULL text ≡ empty text in every kernel (all-zero row, keep 0)
-      (6L, null.asInstanceOf[String]))
+      (6L, null.asInstanceOf[String]),
+      // whale gram (120k chars): all three kernels clamp the packed
+      // witness charlen at 99 999 identically
+      (7L, { val w = "b" * 60000
+             s"$w $w z $w $w p q r p q s p q" }))
     val docs = (crafted ++ random).toDF("doc_id", "text")
     val grouped = GopherRules.metrics(docs).orderBy("doc_id").collect().toSeq
     val narrow = GopherRules.metricsNarrow(docs).orderBy("doc_id").collect().toSeq
@@ -152,7 +161,15 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       // empty + entity-only
       (3L, ""),
       (4L, "&amp;&lt;&gt;"),
-      (5L, null.asInstanceOf[String]))
+      (5L, null.asInstanceOf[String]),
+      // MULTI-LINE script/style blocks (the real-world shape): DOTALL
+      // must drop the whole block, newlines and all
+      (6L, "<script>\nvar x = 1;\nif (x < 2) { x++; }\n</script>A" +
+        "<style>\nbody { margin: 0; }\n</style>B"),
+      // mismatched pair <script>…</style> is NOT a closed script
+      // block: the block regex finds no match (unclosed script), so
+      // the tag pass strips the two tags and the inner text survives
+      (7L, "<script>x</style> KEEP"))
       .toDF("id", "h")
     val out = rows.select(col("id"),
         HtmlText.cleanText(col("h")).as("c"),
@@ -171,6 +188,10 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out(4)._2 == "&<>")
     // NULL propagates as NULL (never an exception)
     assert(out(5)._2 == null && out(5)._3 == null)
+    // multi-line blocks vanish wholesale — no inner js/css leaks
+    assert(out(6)._2 == "A B")
+    // mismatched pair degrades to tag-stripping, never block-drop
+    assert(out(7)._2 == "x KEEP")
   }
 
   test("href extraction returns targets in document order") {

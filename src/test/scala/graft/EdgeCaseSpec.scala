@@ -27,7 +27,10 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     // stable outputs, run-to-run identical
     val urls = Seq((1L, null), (2L, ""), (3L, "not a url"),
       (4L, "https://h"), (5L, "FTP://X.Y:80/p/"), (6L, "a://b#"),
-      (7L, "https://h/?utm_source=x")).toDF("id", "url")
+      (7L, "https://h/?utm_source=x"),
+      // cross-scheme "default" ports are NOT defaults — must survive
+      (8L, "http://h:443/x"), (9L, "https://h:80/x"),
+      (10L, "http://h:80:80/x")).toDF("id", "url")
     def run() = urls
       .select(col("id"), UrlCanon.canonicalize(col("url")).as("c"),
         UrlCanon.domainOf(col("url")).as("d"))
@@ -36,14 +39,18 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     val once = run()
     assert(once == run(), "canonicalization is not deterministic")
     assert(once.head == ((1L, None, None)), s"NULL must propagate: $once")
-    // a bare host canonicalizes to itself; default port strips even
-    // on a non-http scheme (the stated 80/443 rule); trailing slash
-    // and empty fragment/tracking params vanish
+    // a bare host canonicalizes to itself; port stripping is
+    // SCHEME-AWARE (:80 is only a default for http, :443 for https —
+    // ftp keeps its :80, http keeps a :443); trailing slash and
+    // empty fragment/tracking params vanish
     val byId = once.collect { case (id, Some(c), _) => id -> c }.toMap
     assert(byId(4L) == "https://h", byId(4L))
-    assert(byId(5L) == "ftp://x.y/p", byId(5L))
+    assert(byId(5L) == "ftp://x.y:80/p", byId(5L))
     assert(byId(6L) == "a://b", byId(6L))
     assert(byId(7L) == "https://h", byId(7L))
+    assert(byId(8L) == "http://h:443/x", byId(8L))
+    assert(byId(9L) == "https://h:80/x", byId(9L))
+    assert(byId(10L) == "http://h/x", byId(10L))
   }
 
   test("kShingles drops short docs, keeps the rest") {

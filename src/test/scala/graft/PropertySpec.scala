@@ -93,20 +93,29 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       .select(UrlCanon.canonicalize(col("c")).as("c2"))
       .as[String].collect().toSeq
     assert(twice == once, "canonicalize is not a fixed point")
-    // spot invariants: no fragment, no tracking params, no default
-    // port, lowercase scheme+host survive in every canonical form
+    // spot invariants: no fragment, no tracking params, no port
+    // that is the SCHEME'S OWN default (scheme-aware: :80 default
+    // for http only, :443 for https only), lowercase scheme+host
+    // survive in every canonical form
     once.foreach { u =>
       assert(!u.contains("#") && !u.contains("utm_") &&
-        !u.contains("fbclid") && !u.contains("gclid") &&
-        !u.contains(":443") && !u.contains(":80"), u)
+        !u.contains("fbclid") && !u.contains("gclid"), u)
       val host = u.drop(u.indexOf("://") + 3)
         .takeWhile(c => c != '/' && c != '?')
+      if (u.startsWith("https://"))
+        assert(!host.endsWith(":443"), u)
+      if (u.startsWith("http://"))
+        assert(!host.endsWith(":80"), u)
       assert(u.takeWhile(_ != '/').forall(c => !c.isUpper), u)
       assert(host.forall(c => !c.isUpper), u)
     }
-    // non-default ports and real params must SURVIVE
+    // non-default ports and real params must SURVIVE — including a
+    // cross-scheme "default" (:443 on http is NOT a default port)
     assert(once.exists(_.contains(":8443")),
       "non-default port was stripped")
+    assert(once.exists(u => u.startsWith("http://") &&
+      u.dropWhile(_ != '/').takeWhile(c => c != '?').contains(":443")),
+      "cross-scheme :443 on http was stripped")
     assert(once.exists(_.contains("id=7")), "real param was stripped")
   }
 
