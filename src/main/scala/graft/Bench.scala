@@ -2,12 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness: every catalog query timed as the median of
-  * `SPARK_GRAFT_BENCH_REPS` (default 3) back-to-back runs, cache
-  * cleared before each run. Single-shot timings proved unable to
-  * arbitrate regressions — r4 saw ±13s swings on unchanged code — so
-  * the median is the reported number. A query that throws is reported
-  * with value -1 and its message in the `errors` map rather than
-  * silently recording a fast time.
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) runs, cache cleared before
+  * each run. Single-shot timings proved unable to arbitrate
+  * regressions — r4 saw ±13s swings on unchanged code — so the
+  * median is the reported number. Every rep is a full rebuild (the
+  * honest frame — see timeQuery for why plan reuse would under-bill
+  * shuffle faces); the detail record additionally carries per-query
+  * `cold` (rep 1: first-compile + eager construction included) and
+  * `warm` (a post-reps probe with plan, code and shuffle outputs
+  * all reused) maps, the r12-verdict-#5 separation of compile from
+  * execute. A query that throws is reported with value -1 and its
+  * message in the `errors` map rather than silently recording a
+  * fast time.
   *
   * The regression gate is SELF-ARBITRATING (r9 verdict #1: a 5.9×
   * flag on dd_curation_pipeline could not be settled because the
@@ -114,11 +120,39 @@ object Bench {
     // saw a 2-9× regression cluster on unchanged dedup queries with
     // exactly that signature. The synchronous removal is charged to
     // inter-rep housekeeping, not the measured query.
+    // COLD/WARM SEPARATION (r12 verdict #5, amended by measurement):
+    // every rep REBUILDS the DataFrame — that stays the recorded
+    // semantics, because the obvious "build the plan once, re-execute
+    // toRdd for warm reps" design under-bills any face with an
+    // exchange: ShuffleExchangeExec caches its ShuffledRowRDD, so a
+    // re-count of the same physical plan reuses rep 1's shuffle map
+    // outputs and bills only the result stage (measured at sf0.1:
+    // ev_window_agg 1.32 s rebuilt vs 0.04 s re-counted;
+    // ta_gopher_rules 0.047 s re-counted against its honest 0.63 s
+    // floor — 13× under-billed). Fresh ShuffleDependencies per rep ⇒
+    // every exchange genuinely re-executes; generated-code COMPILES
+    // are still shared across adjacent reps through Spark's
+    // source-keyed codegen cache, so the rebuild reps re-pay only
+    // analysis/optimization, not javac.
+    //
+    // What the verdict actually needed — a number that separates
+    // plan/compile overhead from execution when arbitrating a flag —
+    // is measured HONESTLY as one extra, untimed-loop WARM PROBE
+    // after the reps: re-count the LAST rep's physical plan (shuffle
+    // outputs warm, code compiled, plan built). It lands in the
+    // detail record's `warm` map next to `cold` (= rep 1, which
+    // additionally pays first-compile + any eager construction) and
+    // NEVER enters the median or the floor: `median - warm` ≈ the
+    // face's real per-run execution, `cold - median` ≈ its
+    // first-compile cost, and a flagged query whose rerun moved but
+    // whose warm probe didn't is load noise in the execute path, not
+    // a plan change.
     def timeQuery(name: String, tag: String = "")
-        : (Double, Option[String]) = {
+        : (Double, Option[String], Double, Double) = {
       val q = SparkEntry.queries(name)
       var err: Option[String] = None
       val times = Seq.newBuilder[Double]
+      var df: org.apache.spark.sql.DataFrame = null
       var r = 0
       while (r < reps && err.isEmpty) {
         spark.catalog.clearCache()
@@ -134,14 +168,12 @@ object Bench {
           // optimizer prune every column, so a face whose cost lives
           // in its output projection was billed for its scan alone
           // (measured r12: ta_gopher_rules 0.13 s counted vs 9.9 s
-          // materialized pre-native-kernel; ta_html_extract 0.20 vs
-          // 1.47; ta_token_stats 0.10 vs 0.55 — aggregation-tail
-          // faces like mm_jpeg_decode were unaffected). toRdd.count()
-          // executes the face's ACTUAL output plan on the executors
-          // without collecting rows to the driver. Detail/floor
-          // records carry meas="full"; pre-change records are a
-          // different measurement frame and never compare.
-          q(spark, sfDir).queryExecution.toRdd.count()
+          // materialized pre-native-kernel). toRdd.count() executes
+          // the face's ACTUAL output plan on the executors without
+          // collecting rows to the driver. Detail/floor records
+          // carry meas="full"; pre-change records never compare.
+          df = q(spark, sfDir)
+          df.queryExecution.toRdd.count()
           val dt = (System.nanoTime() - t0) / 1e9
           times += dt
           // per-rep time to stderr (stdout carries only the JSON
@@ -161,7 +193,22 @@ object Bench {
       val ts = times.result().sorted
       val median =
         if (err.nonEmpty || ts.isEmpty) -1.0 else ts(ts.size / 2)
-      (median, err)
+      val cold =
+        if (err.nonEmpty) -1.0 else times.result().headOption.getOrElse(-1.0)
+      // the warm probe: everything reusable reused (plan, generated
+      // code, shuffle map outputs). Diagnostic only — a failure here
+      // (e.g. a plan over purged localCheckpoint blocks) just leaves
+      // warm absent, it can never void the query
+      var warm = -1.0
+      if (err.isEmpty && df != null) {
+        try {
+          val t0 = System.nanoTime()
+          df.queryExecution.toRdd.count()
+          warm = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name$tag warm probe: $warm%.3f s")
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
+      (median, err, cold, warm)
     }
     // skew evidence runs BEFORE the catalog loop (r11 verdict #2):
     // measured after 500+ query executions the same cells read 2-6×
@@ -173,19 +220,88 @@ object Bench {
     // scd2 5.79 vs 5.87 "tie" in the driver record; 3.0 vs 5.3 in a
     // fresh JVM). The host calib above has already absorbed JVM
     // warm-up, so this position is the controlled frame.
-    val skew: Map[String, Double] =
-      if (args.nonEmpty && !skewOnly) Map.empty
-      else if (sys.env.get("SPARK_GRAFT_SKEW_BENCH").contains("0"))
-        Map.empty
-      else try skewBench(spark) catch { case e: Exception =>
-        System.err.println(s"[bench] skew bench skipped: $e"); Map.empty }
-    val results = selected.map { case (name, _) =>
-      val (median, err) = timeQuery(name)
-      (name, median, err)
-    }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
     val sfName = new java.io.File(sfDir).getName
+    def readText(p: String): Option[String] =
+      try {
+        val f = new java.io.File(p)
+        if (f.exists())
+          Some(new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        else None
+      } catch { case _: Exception => None }
+    // SKEW-MATRIX GUARD (r12 verdict #1): the skew cells carry the
+    // repo's measured salting claims, and three rounds running a
+    // loaded-host closing refresh could overwrite the controlled
+    // matrix with physically-backwards noise (r12: scd2_plain_uniform
+    // 13.6 s vs plain_skew 6.5 s at calib_sh 2.4× the builder's).
+    // The run's calib probes are compared against the floor file's
+    // frame (median of the per-query calibs recorded when each floor
+    // was set — the best-evidenced picture of this host unloaded);
+    // past SkewCalibGuard× on either probe the host is LOADED and
+    // the previous record's controlled cells are CARRIED FORWARD
+    // verbatim (context "carried") instead of re-measured. A loaded
+    // host with no controlled matrix to carry still measures, but
+    // the record says "loaded" so the cells can never be quoted as
+    // controlled evidence. skewPlan is the pure decision kernel
+    // (BenchFormatSpec pins it).
+    val floorFrame: Option[(Double, Double)] =
+      readText(floorPath(detailPath)).flatMap { txt =>
+        if (parseDetailField(txt, "sf").exists(_ != sfName) ||
+            parseDetailField(txt, "cpus").exists(_ != cpus) ||
+            parseDetailField(txt, "meas").getOrElse("count") != Meas)
+          None
+        else {
+          def med(xs: Seq[Double]): Double =
+            if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+          val es = parseFloorQueries(txt).values.toSeq
+          val fc = med(es.map(_._2).filter(_ > 0))
+          val fs = med(es.map(_._3).filter(_ > 0))
+          if (fc > 0 || fs > 0) Some((fc, fs)) else None
+        }
+      }
+    val loadedHost = hostLoaded(floorFrame, calib, calibSh)
+    if (loadedHost) System.err.println(
+      f"[bench] host is LOADED: calib $calib%.2f/$calibSh%.2f s vs " +
+        f"floor frame ${floorFrame.map(_._1).getOrElse(-1.0)}%.2f/" +
+        f"${floorFrame.map(_._2).getOrElse(-1.0)}%.2f s " +
+        f"(guard ${SkewCalibGuard}x)")
+    val prevSkewTxt = readText(detailPath)
+    val prevSkewCells =
+      prevSkewTxt.map(parseSkewBench).getOrElse(Map.empty)
+    val prevSkewCtx = prevSkewTxt
+      .flatMap(t => parseDetailField(t, "skew_bench_context"))
+      .getOrElse("controlled")
+    val skewReps =
+      sys.env.getOrElse("SPARK_GRAFT_SKEW_REPS", "3").toInt
+    val (skew, skewCtx): (Map[String, Double], String) =
+      if (args.nonEmpty && !skewOnly) (Map.empty, "")
+      else if (sys.env.get("SPARK_GRAFT_SKEW_BENCH").contains("0"))
+        (Map.empty, "")
+      else skewPlan(loadedHost, prevSkewCells, prevSkewCtx) match {
+        case (false, ctx) =>
+          System.err.println(
+            s"[bench] skew bench NOT re-measured (host loaded): " +
+              s"carrying the previous controlled matrix, context=$ctx")
+          (prevSkewCells, ctx)
+        case (true, ctx) =>
+          try (skewBench(spark, skewReps), ctx)
+          catch { case e: Exception =>
+            System.err.println(s"[bench] skew bench skipped: $e")
+            (Map.empty, "")
+          }
+      }
+    var coldMap = Map.empty[String, Double]
+    var warmMap = Map.empty[String, Double]
+    val results = selected.map { case (name, _) =>
+      val (median, err, cold, warmMedian) = timeQuery(name)
+      if (err.isEmpty) {
+        if (cold >= 0) coldMap += name -> cold
+        if (warmMedian >= 0) warmMap += name -> warmMedian
+      }
+      (name, median, err)
+    }
     // a subset run may NOT touch the default detail file: overwriting
     // the full-catalog record with a 3-query map would silently
     // destroy the regression baseline for everything else. Subset
@@ -298,7 +414,7 @@ object Bench {
           reruns = regs.map { case (k, baseVal, _, _, src) =>
             val first = results.collectFirst {
               case (`k`, v, None) => v }.getOrElse(-1.0)
-            val (m, e) = timeQuery(k, " [rerun]")
+            val (m, e, _, _) = timeQuery(k, " [rerun]")
             // resolved = the rerun is NOT a regression against ANY
             // base (prev record AND floor), each normalized into its
             // own host frame via the fresh calibs (excuse-only). The
@@ -337,7 +453,8 @@ object Bench {
     if (writeDetail) {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detailJson(results, reps, sfName, calib, cpus, reruns, calib2,
-          unresolvedFlags, skew, calibSh, calibSh2) + "\n")
+          unresolvedFlags, skew, calibSh, calibSh2, skewCtx,
+          coldMap, warmMap) + "\n")
           .getBytes("UTF-8"))
       // lower the monotone floor where this run beat it (rerun
       // medians count: same query, same purge discipline); never
@@ -425,19 +542,30 @@ object Bench {
     *     windows-heavy shape (≈ 3.0 s vs ≈ 5.3 s at 95%-hot; the gap
     *     widens with the hot user's mass) at the documented ~2× cost
     *     on uniform data.
-    *   - CUSUM cells, layer 2's crossover: for NARROW rows in
-    *     realistic rough time order, the plain window stays ahead at
-    *     every in-memory hot-partition mass (≈ 0.5 s vs ≈ 2 s even
-    *     with 7.9M rows in one task — a nearly-sorted narrow
-    *     partition sorts faster than the two-phase's extra corpus
-    *     passes); prefixSumTwoPhase is the FEASIBILITY shape for a
-    *     hot key whose history outgrows one task, not an in-memory
-    *     win. Salt where the partition would spill, not before.
+    *   - CUSUM cells, layer 2 again: under the honest FULL-
+    *     materialization meter the two-phase form WINS ≈ 2.8× on the
+    *     99%-hot fixture (plain ≈ 10.5 s vs ≈ 3.7 s — the hot type's
+    *     single-task ordered sort is the bottleneck) and pays ≈ 1.7×
+    *     on uniform data. An earlier "plain wins at every in-memory
+    *     mass" reading was a count()-forcing artifact — the pruner
+    *     deleted the plain window's prefix-sum projection while the
+    *     two-phase join kept its work billed (see
+    *     Partitioning.prefixSumTwoPhase and BENCH_NOTES).
     *
-    * That asymmetry — use AQE where it sees, salt where it cannot
-    * and only past the crossover — is exactly the Partitioning
-    * layer's contract. */
-  def skewBench(spark: SparkSession): Map[String, Double] = {
+    * That asymmetry — use AQE where it sees, salt where it cannot —
+    * is exactly the Partitioning layer's contract.
+    *
+    * MEASUREMENT DISCIPLINE (r12 verdict #1 — third round in which a
+    * loaded-host refresh could overwrite a controlled matrix with
+    * physically-backwards cells): each cell is now the MEDIAN of
+    * `reps` (default 3) INTERLEAVED passes — the full cell sequence
+    * runs end-to-end `reps` times, so a monotone host drift lands
+    * evenly across cells instead of inflating whichever ran last —
+    * and the caller (main) refuses to overwrite a controlled matrix
+    * at all when the run's calib probes exceed [[SkewCalibGuard]]×
+    * the floor-file frame (the previous record's cells are carried
+    * forward, tagged `"skew_bench_context":"carried"`). */
+  def skewBench(spark: SparkSession, reps: Int = 3): Map[String, Double] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     def timed(f: => Unit): Double = {
@@ -516,12 +644,12 @@ object Bench {
     // 7.9M rows in ONE window task. Deliberately kept NARROW rows
     // (three longs + a short type string — the real ev_cusum shape)
     // and realistic roughly-time-ordered arrival, both of which favor
-    // the plain window (a narrow nearly-sorted hot partition sorts in
-    // well under a second), so these cells measure the HONEST
-    // crossover: the two-phase's ~two extra corpus passes do NOT pay
-    // at any in-memory hot-partition mass — it is the feasibility
-    // shape for when a dominant key's history outgrows one task
-    // (spill/OOM at 100 TB), not an in-memory speedup. Bucket size
+    // the plain window, so the cells measure the honest floor of the
+    // comparison — and under FULL materialization the two-phase form
+    // still wins ≈ 2.8× on the hot fixture (plain ≈ 10.5 s vs
+    // ≈ 3.7 s; a pre-841cc66 count()-forcing read had the pruner
+    // deleting the plain window's projection and inverted the cells —
+    // see prefixSumTwoPhase's scaladoc). Bucket size
     // 50 000 s → ~160 buckets; |types|·|buckets| ≈ 32k offset rows
     // stays a planning-class collect/broadcast (the first cut's
     // 3600 s buckets shipped 223k offset rows and that alone cost
@@ -563,20 +691,32 @@ object Bench {
       }
       name -> sec
     }
-    val cells = Seq(
-      joinCell("join_plain_skew", skewed = true, salted = false),
-      joinCell("join_salted_skew", skewed = true, salted = true),
-      joinCell("join_plain_uniform", skewed = false, salted = false),
-      joinCell("join_salted_uniform", skewed = false, salted = true),
-      scd2Cell("scd2_plain_skew", skewed = true, salted = false),
-      scd2Cell("scd2_salted_skew", skewed = true, salted = true),
-      scd2Cell("scd2_plain_uniform", skewed = false, salted = false),
-      scd2Cell("scd2_salted_uniform", skewed = false, salted = true),
-      cusumCell("cusum_plain_skew", skewed = true, salted = false),
-      cusumCell("cusum_salted_skew", skewed = true, salted = true),
-      cusumCell("cusum_plain_uniform", skewed = false, salted = false),
-      cusumCell("cusum_salted_uniform", skewed = false, salted = true))
-    // result-equality sanity: plain and salted must agree per fixture
+    val cellDefs: Seq[() => (String, Double)] = Seq(
+      () => joinCell("join_plain_skew", skewed = true, salted = false),
+      () => joinCell("join_salted_skew", skewed = true, salted = true),
+      () => joinCell("join_plain_uniform", skewed = false, salted = false),
+      () => joinCell("join_salted_uniform", skewed = false, salted = true),
+      () => scd2Cell("scd2_plain_skew", skewed = true, salted = false),
+      () => scd2Cell("scd2_salted_skew", skewed = true, salted = true),
+      () => scd2Cell("scd2_plain_uniform", skewed = false, salted = false),
+      () => scd2Cell("scd2_salted_uniform", skewed = false, salted = true),
+      () => cusumCell("cusum_plain_skew", skewed = true, salted = false),
+      () => cusumCell("cusum_salted_skew", skewed = true, salted = true),
+      () => cusumCell("cusum_plain_uniform", skewed = false, salted = false),
+      () => cusumCell("cusum_salted_uniform", skewed = false, salted = true))
+    // INTERLEAVED reps (r12 verdict #1): the whole cell sequence runs
+    // end-to-end `reps` times so a monotone host drift spreads over
+    // every cell instead of landing on whichever cell ran last — the
+    // failure shape of the single-rep matrix was exactly a
+    // pair-of-cells ratio inverted by when each happened to run.
+    var samples = Map.empty[String, List[Double]].withDefaultValue(Nil)
+    for (r <- 1 to math.max(1, reps); cell <- cellDefs) {
+      val (name, sec) = cell()
+      samples += name -> (sec :: samples(name))
+      System.err.println(f"[bench] skew $name rep $r: $sec%.3f s")
+      // result-equality sanity EVERY rep: plain and salted must agree
+      // (counts holds this rep's values for cells already run)
+    }
     for (base <- Seq("join_plain_skew" -> "join_salted_skew",
         "join_plain_uniform" -> "join_salted_uniform",
         "scd2_plain_skew" -> "scd2_salted_skew",
@@ -587,9 +727,13 @@ object Bench {
       require(counts(p) == counts(s),
         s"skew bench mismatch: $p=${counts(p)} vs $s=${counts(s)}")
     }
+    val cells = samples.map { case (k, ts) =>
+      val sorted = ts.sorted
+      k -> sorted(sorted.size / 2)
+    }
     cells.foreach { case (k, v) =>
-      System.err.println(f"[bench] skew $k: $v%.3f s") }
-    cells.toMap
+      System.err.println(f"[bench] skew $k median: $v%.3f s") }
+    cells
   }
 
   /** One self-arbitration record: the flagged query's first median,
@@ -601,6 +745,51 @@ object Bench {
 
   /** A query regressed when it slowed by more than this factor. */
   val RegressionFactor = 1.5
+
+  /** The skew matrix may only be re-measured when the host's calib
+    * probes are within this factor of the floor-file frame — past it
+    * the host is loaded and a refresh would record noise. */
+  val SkewCalibGuard = 1.5
+
+  /** Is the host loaded relative to the floor-file frame? Frame is
+    * (cpuCalib, shuffleCalib) medians from the floor file (≤0 =
+    * channel not recorded); loaded when EITHER probe exceeds
+    * [[SkewCalibGuard]]× its frame value. No frame (first run, or a
+    * foreign sf/cpus/meas floor) → never loaded: there is no
+    * controlled evidence to protect yet. */
+  def hostLoaded(frame: Option[(Double, Double)],
+                 calib: Double, calibSh: Double): Boolean =
+    frame.exists { case (fc, fs) =>
+      (fc > 0 && calib > 0 && calib > fc * SkewCalibGuard) ||
+        (fs > 0 && calibSh > 0 && calibSh > fs * SkewCalibGuard)
+    }
+
+  /** The skew-section decision kernel: (reMeasure?, contextTag).
+    * Controlled host → measure, tag "controlled". Loaded host with a
+    * previous matrix that is itself controlled evidence (context
+    * "controlled" — including pre-guard records, which are the
+    * builder's committed controlled runs — or an earlier "carried")
+    * → do NOT measure; carry the previous cells forward tagged
+    * "carried", so a loaded refresh can never replace controlled
+    * numbers. Loaded host with nothing worth carrying (no previous
+    * cells, or a previous record already tagged "loaded") → measure
+    * but tag "loaded": recorded, never quotable as controlled. */
+  def skewPlan(loadedHost: Boolean, prevCells: Map[String, Double],
+               prevCtx: String): (Boolean, String) =
+    if (!loadedHost) (true, "controlled")
+    else if (prevCells.nonEmpty && prevCtx != "loaded") (false, "carried")
+    else (true, "loaded")
+
+  /** The flat `"name":number` map inside `"skew_bench":{...}` of a
+    * detail line, tolerant like [[parseDetailQueries]]. */
+  def parseSkewBench(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"skew_bench\":{")
+    val end = if (start < 0) -1 else json.indexOf('}', start)
+    if (start < 0 || end < 0) return Map.empty
+    val body = json.substring(start + "\"skew_bench\":{".length, end)
+    "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
 
   /** Monotone floor file beside the detail record: per query, the
     * best-ever raw median and the host calib of the run that set it.
@@ -831,7 +1020,10 @@ object Bench {
                  unresolvedFlags: Int = -1,
                  skew: Map[String, Double] = Map.empty,
                  calibSh: Double = -1.0,
-                 calibSh2: Double = -1.0): String = {
+                 calibSh2: Double = -1.0,
+                 skewCtx: String = "",
+                 coldMap: Map[String, Double] = Map.empty,
+                 warmMap: Map[String, Double] = Map.empty): String = {
     val total = results.collect { case (_, v, None) => v }.sum
     val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, 6) }
       .mkString("{", ",", "}")
@@ -859,11 +1051,25 @@ object Bench {
     // skew evidence AFTER queries (parseDetailQueries scans to the
     // first '}' past "queries":{ — nested objects must not precede it)
     val skewPart =
-      if (skew.isEmpty) ""
-      else skew.toSeq.sorted.map { case (k, v) =>
-        jsonStr(k) + ":" + fmt(v, 3)
-      }.mkString(""","skew_bench":{""", ",", "}")
-    s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","reps":$reps$calibPart$cpusPart,"meas":"$Meas","queries":$qs$rerunPart$flagsPart$skewPart${errPart(results)},"sf":"$sfName"}"""
+      (if (skew.isEmpty) ""
+       else skew.toSeq.sorted.map { case (k, v) =>
+         jsonStr(k) + ":" + fmt(v, 3)
+       }.mkString(""","skew_bench":{""", ",", "}")) +
+        (if (skew.nonEmpty && skewCtx.nonEmpty)
+          s""","skew_bench_context":${jsonStr(skewCtx)}"""
+         else "")
+    // cold (rep-1: build + first-compile + eager work + execute) and
+    // warm (the post-reps probe: plan, generated code and shuffle
+    // outputs reused — diagnostic only, never in the median) per
+    // query, AFTER queries for the same parse reason; absent entries
+    // mean the query errored or the probe failed
+    def auxMap(tag: String, m: Map[String, Double]): String =
+      if (m.isEmpty) ""
+      else m.toSeq.sortBy(_._1).map { case (k, v) =>
+        jsonStr(k) + ":" + fmt(v, 6)
+      }.mkString(s""","$tag":{""", ",", "}")
+    val repsPart = auxMap("cold", coldMap) + auxMap("warm", warmMap)
+    s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","reps":$reps$calibPart$cpusPart,"meas":"$Meas","queries":$qs$rerunPart$flagsPart$skewPart$repsPart${errPart(results)},"sf":"$sfName"}"""
   }
 
   /** The stdout line: precision coarsens 3→2→1, then the query map

@@ -167,6 +167,64 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.parseDetailQueries(detail).size === 120)
   }
 
+  test("skew context + cold/warm maps serialize, round-trip, stay parseable") {
+    val skew = Map("cusum_plain_skew" -> 10.5, "cusum_salted_skew" -> 3.7)
+    val cold = Map("dd_some_catalog_query_name_001" -> 1.9)
+    val warm = Map("dd_some_catalog_query_name_001" -> 0.8)
+    val detail = Bench.detailJson(mk(120), 3, "sf0.1", calib = 0.2,
+      cpus = "32", skew = skew, skewCtx = "carried",
+      coldMap = cold, warmMap = warm)
+    val js = mapper.readTree(detail)
+    assert(js.get("skew_bench_context").asText() === "carried")
+    assert(js.get("cold").get("dd_some_catalog_query_name_001")
+      .asDouble() === 1.9)
+    assert(js.get("warm").get("dd_some_catalog_query_name_001")
+      .asDouble() === 0.8)
+    // the queries parser still stops at the queries object, and the
+    // skew parser round-trips its own section
+    assert(Bench.parseDetailQueries(detail).size === 120)
+    assert(Bench.parseSkewBench(detail) === skew)
+    assert(Bench.parseDetailField(detail, "skew_bench_context")
+      === Some("carried"))
+    // no context tag without cells; no tag requested → absent
+    val bare = Bench.detailJson(mk(5), 3, "sf0.1", skew = skew)
+    assert(!mapper.readTree(bare).has("skew_bench_context"))
+    assert(Bench.parseSkewBench("{\"queries\":{\"a\":1}}") === Map.empty)
+  }
+
+  test("skew guard: loaded host can never overwrite a controlled matrix") {
+    val frame = Some((0.7, 0.9))
+    // within guard on both probes → controlled re-measure
+    assert(!Bench.hostLoaded(frame, 0.9, 1.2))
+    assert(Bench.skewPlan(loadedHost = false, Map("c" -> 1.0), "controlled")
+      === ((true, "controlled")))
+    // either probe past 1.5× its frame → loaded
+    assert(Bench.hostLoaded(frame, 1.1, 0.9))   // cpu 1.57×
+    assert(Bench.hostLoaded(frame, 0.7, 1.4))   // shuffle 1.56×
+    // no frame (first run / foreign floor) → never loaded
+    assert(!Bench.hostLoaded(None, 99.0, 99.0))
+    // unrecorded channel (-1) never triggers
+    assert(!Bench.hostLoaded(Some((-1.0, 0.9)), 99.0, 1.2))
+    // loaded + previous controlled cells → CARRY, do not re-measure
+    // (the r12 failure: a 2.4×-loaded closing refresh overwrote the
+    // builder's controlled matrix with physically-backwards cells)
+    assert(Bench.skewPlan(loadedHost = true,
+      Map("scd2_plain_uniform" -> 2.4), "controlled")
+      === ((false, "carried")))
+    // a pre-guard record (no context field → caller defaults to
+    // "controlled") is the builder's committed controlled run: carried
+    assert(Bench.skewPlan(loadedHost = true, Map("c" -> 1.0), "controlled")
+      === ((false, "carried")))
+    // an already-carried matrix keeps being carried under load
+    assert(Bench.skewPlan(loadedHost = true, Map("c" -> 1.0), "carried")
+      === ((false, "carried")))
+    // nothing worth protecting: measure, but the record says "loaded"
+    assert(Bench.skewPlan(loadedHost = true, Map.empty, "controlled")
+      === ((true, "loaded")))
+    assert(Bench.skewPlan(loadedHost = true, Map("c" -> 1.0), "loaded")
+      === ((true, "loaded")))
+  }
+
   test("monotone floor: round-trips, only lowers, and catches multi-run drift") {
     // round-trip (3-element entries: [t, calibCpu, calibShuffle])
     val entries = Map("q1" -> ((1.25, 0.14, 0.5)), "q2" -> ((0.5, 0.2, 0.6)))
