@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental BM25 inverted-index maintenance — the LEXICAL member
+  * of the incremental trio (fingerprints `dd_incremental`, vectors
+  * `Ann.appendIvfIndex` / `ss_ivf_append`, and this): at 100 TB the
+  * posting build dominates lexical retrieval cost, and re-tokenizing
+  * the resident corpus for every daily crawl batch is exactly what a
+  * pipeline cannot afford. The index is three artifacts a warehouse
+  * persists — the postings table `(doc_id, token, tf)`, the
+  * vocabulary table `(token, df)`, and the two corpus scalars
+  * `(n_docs, Σdl)` — and appending a batch touches the resident
+  * corpus ZERO times:
+  *
+  *   - batch postings: one tokenize pass over the BATCH only;
+  *   - postings' = postings ∪ batch postings (batches are doc-
+  *     disjoint from the resident corpus by construction — a crawl
+  *     batch is new doc_ids — so per-doc term counts never merge);
+  *   - df' = df +_token batch-df (full-outer add; new tokens enter
+  *     with their batch df);
+  *   - n_docs' / Σdl' add the batch scalars.
+  *
+  * Every merge is exact integer addition, so the appended index is
+  * BIT-IDENTICAL to a from-scratch rebuild over the union corpus —
+  * [[rankedFromIndex]] over the appended bundle returns the same
+  * rankings as the full-rebuild `bm25Ranked` (SimilaritySpec pins
+  * probe parity and the df/scalar merges). Re-tuning (the df-cap,
+  * band structure) is a separate gated decision — `ss_bm25_append`
+  * reports the per-term posting growth that triggers it, the
+  * `ss_ivf_append` / `dd_lsh_bucket_stats` role.
+  *
+  * Terms are the repo's word-2-shingle convention (see
+  * `ss_bm25_topk`'s rationale: the synthetic unigram vocabulary is
+  * too dense for unigram idf). Scalars live as driver longs — a
+  * 1-row planning-class collect per build/append, the
+  * `ta_heavy_hitters` scalar-attach stance.
+  */
+object Lexical {
+
+  /** Instance-grain word-2-shingles of a split-token array `__l` —
+    * the one term definition shared by the index build, the append
+    * path and the query side (the `dd_*` shingle convention). */
+  val GramsOf: String =
+    "if(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
+      "i -> concat_ws(' ', slice(__l, i, 2))), array())"
+
+  /** One tokenize pass → the postings relation `(doc_id, token, tf)`
+    * — the inverted index as a DataFrame, map-side combinable. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("__l"))
+      .select(col("doc_id"), explode(expr(GramsOf)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  /** The persisted-index bundle. `nDocs` counts docs WITH at least
+    * one posting (the `bm25Ranked` convention — a one-token doc has
+    * no 2-shingles and no dl); `sumDl` is the total posting mass
+    * Σtf, so `avgdl_m = (1000·sumDl) div nDocs` exactly as the
+    * full-rebuild scorer freezes it. */
+  final case class Bm25Index(tf: DataFrame, df: DataFrame,
+                             nDocs: Long, sumDl: Long)
+
+  /** From-scratch build: one tokenize pass + one vocabulary
+    * aggregate + a 1-row scalar collect. */
+  def buildIndex(docs: DataFrame): Bm25Index = {
+    val tf = postings(docs)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val r = tf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
+    Bm25Index(tf, df, r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The append: tokenize the BATCH only, union postings, add df per
+    * token, add the scalars. The batch must be doc-disjoint from the
+    * resident corpus (new doc_ids — the crawl-batch invariant); a
+    * re-crawled doc_id must be deleted from the resident postings
+    * first, which is a filter, not a rebuild. */
+  def appendIndex(idx: Bm25Index, batch: DataFrame): Bm25Index = {
+    val btf = postings(batch)
+    val bdf = btf.groupBy("token").agg(count(lit(1)).as("df"))
+    val r = btf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
+    val mergedDf = idx.df.withColumnRenamed("df", "__base")
+      .join(bdf.withColumnRenamed("df", "__new"),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("__base"), lit(0L)) +
+          coalesce(col("__new"), lit(0L))).as("df"))
+    Bm25Index(idx.tf.unionByName(btf), mergedDf,
+      idx.nDocs + r.getLong(0),
+      idx.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+  }
+
+  /** The probe against a prebuilt/appended index — arithmetic
+    * identical to the full-rebuild `bm25Ranked` (exact-rational
+    * Okapi k1=1.2 b=0.75, whole-bit floor-log2 idf, df·dfCapDen ≤ N
+    * impact pruning, ties to doc_id), with the corpus stats taken
+    * from the index SCALARS instead of a 1-row aggregate — the
+    * serving shape: stats are literals in the plan, the query batch
+    * equi-joins the vocabulary then the postings on the TERM key, so
+    * per-query cost is Σ posting-list length over its terms, never
+    * |corpus|. SimilaritySpec pins output equality with the
+    * full-rebuild scorer on the union corpus. */
+  def rankedFromIndex(idx: Bm25Index, queryDocs: DataFrame,
+                      dfCapDen: Int = 20, k: Int = 10): DataFrame = {
+    require(idx.nDocs > 0, "empty index")
+    val avgdlM = (1000L * idx.sumDl) / idx.nDocs
+    val idf = idx.df.withColumn("idf_b", expr(
+      s"length(bin((2*${idx.nDocs}L - 2*df + 1) div (2*df + 1))) - 1"))
+    val qterms = queryDocs
+      .select(col("doc_id").as("q_id"), split(col("text"), " ").as("__l"))
+      .select(col("q_id"),
+        explode(array_distinct(expr(GramsOf))).as("token"))
+      .join(idf, "token")
+      .filter(col("df") * dfCapDen <= lit(idx.nDocs))
+      .select("q_id", "token", "idf_b")
+    val dl = idx.tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val scored = qterms.join(idx.tf, "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id")
+      .withColumn("contrib", expr(
+        s"(idf_b * 22000 * tf * ${avgdlM}L) div " +
+          s"(10 * ${avgdlM}L * tf + 3 * ${avgdlM}L + 9000 * dl)"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("contrib").as("score_milli"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id", "score_milli", "n_terms")
+  }
+}

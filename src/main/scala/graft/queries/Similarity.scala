@@ -1127,14 +1127,11 @@ object Similarity extends QueryModule {
         _ % 250 === 0,
       dfCapDen: Int = 20)
       : (DataFrame, DataFrame) = {
-    val gramsOf = // instance-grain 2-shingles, the dd_* convention
-      "if(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
-        "i -> concat_ws(' ', slice(__l, i, 2))), array())"
-    val tf = docsT
-      .select(col("doc_id"), split(col("text"), " ").as("__l"))
-      .select(col("doc_id"), explode(expr(gramsOf)).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .persist()
+    // instance-grain 2-shingles, the dd_* convention — the shared
+    // term/postings kernel also drives the incremental index path
+    // (operators.Lexical, `ss_bm25_append`)
+    val gramsOf = graft.operators.Lexical.GramsOf
+    val tf = graft.operators.Lexical.postings(docsT).persist()
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       expr("(1000 * sum(dl)) div count(*)").as("avgdl_m"))
@@ -1332,13 +1329,7 @@ object Similarity extends QueryModule {
     "ss_bm25_index_stats",
     (s, dir) => {
       val docsT = Tables(s, dir, "documents")
-      val gramsOf =
-        "if(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
-          "i -> concat_ws(' ', slice(__l, i, 2))), array())"
-      val tf = docsT
-        .select(col("doc_id"), split(col("text"), " ").as("__l"))
-        .select(col("doc_id"), explode(expr(gramsOf)).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val tf = graft.operators.Lexical.postings(docsT)
       val vocab = tf.groupBy("token")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       val nd = docsT.agg(count(lit(1)).as("n_docs"))
@@ -1390,9 +1381,78 @@ object Similarity extends QueryModule {
       FROM vi GROUP BY 1 ORDER BY 1""")
   )
 
+  /** INCREMENTAL LEXICAL-INDEX MAINTENANCE — the third member of the
+    * incremental trio (fingerprints `dd_incremental`, vectors
+    * `ss_ivf_append`, and this, r12 "What's missing" #1): a crawl
+    * batch (doc_id % 7 = 0, the `dd_incremental` split idiom) is
+    * appended into the resident BM25 index WITHOUT re-tokenizing the
+    * resident corpus — postings union, per-token df add, scalar
+    * n_docs/Σdl add ([[graft.operators.Lexical.appendIndex]]; exact
+    * integer merges, so the appended bundle probes bit-identically
+    * to a from-scratch rebuild on the union — probe parity pinned in
+    * SimilaritySpec the way `ss_ivf_append` pins the IVF append).
+    *
+    * This face is the RETUNE GATE the append path needs: the top-20
+    * terms by batch document-frequency growth (`df_new` desc, token
+    * tie-break), each with its resident df, batch df and batch
+    * posting mass. A term whose posting list grows past the
+    * `df·20 ≤ N` impact cap between retunes is exactly what this
+    * surfaces — the `ss_bm25_index_stats` observability, focused on
+    * the delta instead of the whole index.
+    *
+    * Scale (100 TB): one tokenize pass over the BATCH only, one
+    * vocabulary-grain aggregate, a broadcast-size left join of the
+    * batch vocabulary against the resident df table, then a top-k.
+    * Nothing touches resident postings. */
+  val bm25Append: Q = Q(
+    "ss_bm25_append",
+    (s, dir) => {
+      import graft.operators.Lexical
+      val docsT = Tables(s, dir, "documents")
+      val baseDf = Lexical.postings(docsT.filter(col("doc_id") % 7 =!= 0))
+        .groupBy("token").agg(count(lit(1)).as("df_base"))
+      val batchAgg = Lexical.postings(docsT.filter(col("doc_id") % 7 === 0))
+        .groupBy("token")
+        .agg(count(lit(1)).as("df_new"), sum("tf").as("tf_new"))
+      batchAgg.join(baseDf, Seq("token"), "left")
+        .select(col("token"),
+          coalesce(col("df_base"), lit(0L)).as("df_base"),
+          col("df_new"), col("tf_new"))
+        .orderBy(col("df_new").desc, col("token"))
+        .limit(20)
+    },
+    Some("""
+      WITH btok AS (
+        SELECT doc_id,
+               unnest(list_transform(l[1:len(l)-1],
+                 (x, i) -> x || ' ' || l[i+1])) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents WHERE doc_id % 7 <> 0)),
+      btf AS (
+        SELECT doc_id, token, count(*) AS tf FROM btok GROUP BY 1, 2),
+      bdf AS (SELECT token, count(*) AS df_base FROM btf GROUP BY 1),
+      ntok AS (
+        SELECT doc_id,
+               unnest(list_transform(l[1:len(l)-1],
+                 (x, i) -> x || ' ' || l[i+1])) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents WHERE doc_id % 7 = 0)),
+      ntf AS (
+        SELECT doc_id, token, count(*) AS tf FROM ntok GROUP BY 1, 2),
+      ndf AS (
+        SELECT token, count(*) AS df_new,
+               CAST(sum(tf) AS BIGINT) AS tf_new
+        FROM ntf GROUP BY 1)
+      SELECT n.token,
+             CAST(coalesce(b.df_base, 0) AS BIGINT) AS df_base,
+             n.df_new, n.tf_new
+      FROM ndf n LEFT JOIN bdf b USING (token)
+      ORDER BY n.df_new DESC, n.token LIMIT 20""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
     topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup,
     rangeSearch, centroidDrift, ivfAppend, bm25Topk, rrfFusion,
-    bm25IndexStats)
+    bm25IndexStats, bm25Append)
 }

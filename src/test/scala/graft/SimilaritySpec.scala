@@ -157,6 +157,44 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("BM25 append: appended index probes identically to a union rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    // the incremental split idiom shared with dd_incremental /
+    // ss_ivf_append: resident corpus builds the index, the crawl
+    // batch appends without touching it
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val appended = Lexical.appendIndex(Lexical.buildIndex(base), batch)
+    // 1) the merged df table and scalars are exactly what a
+    //    from-scratch build over the union computes
+    val rebuilt = Lexical.buildIndex(docs)
+    assert(appended.nDocs == rebuilt.nDocs &&
+      appended.sumDl == rebuilt.sumDl,
+      s"scalar merge drifted: appended (${appended.nDocs}, " +
+        s"${appended.sumDl}) vs rebuilt (${rebuilt.nDocs}, " +
+        s"${rebuilt.sumDl})")
+    def dfMap(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMap(appended.df) == dfMap(rebuilt.df),
+      "df add diverged from the union recompute")
+    // 2) probe parity: the appended bundle ranks every query exactly
+    //    as the full-rebuild scorer does on the union corpus (the
+    //    ss_ivf_append pin, lexical edition)
+    val queries = docs.filter(col("doc_id") % 250 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      d.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    val viaIndex = rows(Lexical.rankedFromIndex(appended, queries))
+    val (full, tfFull) =
+      graft.queries.Similarity.bm25Ranked(docs)
+    val viaRebuild = rows(full)
+    tfFull.unpersist()
+    assert(viaIndex == viaRebuild,
+      "append-then-probe diverged from the union rebuild's ranking")
+    assert(viaIndex.nonEmpty, "parity vacuous: no ranked rows")
+  }
+
   test("PQ encode is a narrow map and its search recalls against brute") {
     import graft.operators.Ann
     import org.apache.spark.sql.functions.col
