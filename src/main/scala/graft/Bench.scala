@@ -189,12 +189,15 @@ object Bench {
         r += 1
       }
       // any recorded error voids the whole query: -1, never a
-      // valid-looking median of the reps that happened to succeed
-      val ts = times.result().sorted
+      // valid-looking median of the reps that happened to succeed.
+      // result() exactly once — the Builder contract leaves the
+      // builder undefined after it (r13 advice #4)
+      val recorded = times.result()
+      val ts = recorded.sorted
       val median =
         if (err.nonEmpty || ts.isEmpty) -1.0 else ts(ts.size / 2)
       val cold =
-        if (err.nonEmpty) -1.0 else times.result().headOption.getOrElse(-1.0)
+        if (err.nonEmpty) -1.0 else recorded.headOption.getOrElse(-1.0)
       // the warm probe: everything reusable reused (plan, generated
       // code, shuffle map outputs). Diagnostic only — a failure here
       // (e.g. a plan over purged localCheckpoint blocks) just leaves
@@ -268,13 +271,29 @@ object Bench {
         f"${floorFrame.map(_._2).getOrElse(-1.0)}%.2f s " +
         f"(guard ${SkewCalibGuard}x)")
     val prevSkewTxt = readText(detailPath)
+    // the carried cells are only controlled evidence in THEIR frame:
+    // a previous record measured under a different sf/cpus/meas must
+    // not be carried forward as if it were this run's configuration
+    // (r13 advice #3 — floorFrame is frame-checked, the carry wasn't)
+    val prevSkewFrameOk = prevSkewTxt.exists { t =>
+      parseDetailField(t, "sf").forall(_ == sfName) &&
+        parseDetailField(t, "cpus").forall(_ == cpus) &&
+        parseDetailField(t, "meas").getOrElse("count") == Meas
+    }
     val prevSkewCells =
-      prevSkewTxt.map(parseSkewBench).getOrElse(Map.empty)
-    val prevSkewCtx = prevSkewTxt
+      if (prevSkewFrameOk)
+        prevSkewTxt.map(parseSkewBench).getOrElse(Map.empty)
+      else Map.empty[String, Double]
+    // None = the record predates the context tag entirely — r13
+    // verdict #1: the ONE such incumbent is the r12 loaded-closing-
+    // host matrix (physically-backwards cells at calib_sh 2.4× the
+    // builder frame), so "no tag" must read UNTRUSTED, not controlled
+    val prevSkewCtx: Option[String] = prevSkewTxt
       .flatMap(t => parseDetailField(t, "skew_bench_context"))
-      .getOrElse("controlled")
-    val skewReps =
-      sys.env.getOrElse("SPARK_GRAFT_SKEW_REPS", "3").toInt
+    val skewReps = math.max(1,
+      sys.env.get("SPARK_GRAFT_SKEW_REPS")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .getOrElse(3))
     val (skew, skewCtx): (Map[String, Double], String) =
       if (args.nonEmpty && !skewOnly) (Map.empty, "")
       else if (sys.env.get("SPARK_GRAFT_SKEW_BENCH").contains("0"))
@@ -292,6 +311,29 @@ object Bench {
             (Map.empty, "")
           }
       }
+    // SPARK_GRAFT_SKEW_BENCH=only exists to SEED the controlled
+    // matrix from an idle host without paying for the catalog: the
+    // measured cells are spliced into the existing detail record
+    // (everything else untouched) so the next loaded-host closing
+    // refresh has sound controlled evidence to carry. A loaded host
+    // never splices — skewPlan already refused to measure fresh.
+    if (skewOnly) {
+      if (skew.nonEmpty && skewCtx == "controlled") {
+        prevSkewTxt.flatMap(spliceSkewBench(_, skew, skewCtx)) match {
+          case Some(patched) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(detailPath),
+              (patched + "\n").getBytes("UTF-8"))
+            System.err.println(
+              s"[bench] controlled skew matrix spliced into $detailPath")
+          case None => System.err.println(
+            s"[bench] $detailPath has no skew_bench section to " +
+              "splice -- controlled cells printed above only")
+        }
+      } else System.err.println(
+        s"[bench] skew-only run NOT spliced (context=$skewCtx): " +
+          "an idle host is required to seed controlled evidence")
+    }
     var coldMap = Map.empty[String, Double]
     var warmMap = Map.empty[String, Double]
     val results = selected.map { case (name, _) =>
@@ -498,7 +540,7 @@ object Bench {
     } else System.err.println(
       s"[bench] subset run: $detailPath left untouched (set " +
         "SPARK_GRAFT_BENCH_DETAIL to record subset timings)")
-    println(headline(results, reps, sfName, detailPath))
+    println(headline(results, reps, sfName, detailPath, reruns))
     spark.stop()
   }
 
@@ -526,31 +568,35 @@ object Bench {
     * results land in the detail record under `skew_bench` and are
     * NOT part of the catalog total or the regression gate.
     *
-    * Expected reading (r12 controlled-context run, local[32] —
-    * the section now executes BEFORE the catalog loop; r11's
-    * post-catalog position read the same cells 2-6× slower with the
-    * distortion inverting the scd2 result):
+    * Expected reading (r14 controlled idle-host run, local[32],
+    * median of 3 interleaved reps, calib 0.229/0.835 vs floor frame
+    * 0.215/0.873 — the section executes BEFORE the catalog loop;
+    * r11's post-catalog position read the same cells 2-6× slower
+    * with the distortion inverting the scd2 result):
     *
-    *   - JOIN cells, layer 1: AQE's runtime skew split already
-    *     serves the 90%-hot join (plain ≈ 1.3 s vs salted ≈ 2.3 s —
-    *     the MG sketch pass plus hot-sliver replication is pure
-    *     overhead when AQE can see the skew); salted ties plain on
-    *     uniform data. Salting a shuffle JOIN is for engines/configs
-    *     without AQE skew-join, not for Spark with it on.
+    *   - JOIN cells, layer 1: AQE's runtime skew split serves the
+    *     90%-hot join well enough that plain and salted land within
+    *     rep noise of each other (plain 2.95 s vs salted 2.40 s
+    *     medians, rep spreads overlapping — the MG sketch pass plus
+    *     hot-sliver replication roughly cancels against the split
+    *     AQE already does); salted pays a small constant on uniform
+    *     data (1.31 vs 1.00 s). Salting a shuffle JOIN buys little
+    *     on Spark with AQE skew-join on — it is for window/ordered
+    *     shapes AQE cannot split.
     *   - SCD2 cells, layer 2: window-partition skew gets NO runtime
     *     split, and the time-bucket salt WINS on the wide-row,
-    *     windows-heavy shape (≈ 3.0 s vs ≈ 5.3 s at 95%-hot; the gap
+    *     windows-heavy shape (4.34 vs 5.53 s at 95%-hot; the gap
     *     widens with the hot user's mass) at the documented ~2× cost
-    *     on uniform data.
+    *     on uniform data (4.69 vs 2.02 s).
     *   - CUSUM cells, layer 2 again: under the honest FULL-
     *     materialization meter the two-phase form WINS ≈ 2.8× on the
-    *     99%-hot fixture (plain ≈ 10.5 s vs ≈ 3.7 s — the hot type's
-    *     single-task ordered sort is the bottleneck) and pays ≈ 1.7×
-    *     on uniform data. An earlier "plain wins at every in-memory
-    *     mass" reading was a count()-forcing artifact — the pruner
-    *     deleted the plain window's prefix-sum projection while the
-    *     two-phase join kept its work billed (see
-    *     Partitioning.prefixSumTwoPhase and BENCH_NOTES).
+    *     99%-hot fixture (plain 11.75 s vs 4.20 s — the hot type's
+    *     single-task ordered sort is the bottleneck) and pays ≈ 2.5×
+    *     on uniform data (5.34 vs 2.11 s). An earlier "plain wins at
+    *     every in-memory mass" reading was a count()-forcing
+    *     artifact — the pruner deleted the plain window's prefix-sum
+    *     projection while the two-phase join kept its work billed
+    *     (see Partitioning.prefixSumTwoPhase and BENCH_NOTES).
     *
     * That asymmetry — use AQE where it sees, salt where it cannot —
     * is exactly the Partitioning layer's contract.
@@ -710,22 +756,24 @@ object Bench {
     // failure shape of the single-rep matrix was exactly a
     // pair-of-cells ratio inverted by when each happened to run.
     var samples = Map.empty[String, List[Double]].withDefaultValue(Nil)
-    for (r <- 1 to math.max(1, reps); cell <- cellDefs) {
-      val (name, sec) = cell()
-      samples += name -> (sec :: samples(name))
-      System.err.println(f"[bench] skew $name rep $r: $sec%.3f s")
-      // result-equality sanity EVERY rep: plain and salted must agree
-      // (counts holds this rep's values for cells already run)
-    }
-    for (base <- Seq("join_plain_skew" -> "join_salted_skew",
-        "join_plain_uniform" -> "join_salted_uniform",
-        "scd2_plain_skew" -> "scd2_salted_skew",
-        "scd2_plain_uniform" -> "scd2_salted_uniform",
-        "cusum_plain_skew" -> "cusum_salted_skew",
-        "cusum_plain_uniform" -> "cusum_salted_uniform")) {
-      val (p, s) = base
-      require(counts(p) == counts(s),
-        s"skew bench mismatch: $p=${counts(p)} vs $s=${counts(s)}")
+    val agreePairs = Seq("join_plain_skew" -> "join_salted_skew",
+      "join_plain_uniform" -> "join_salted_uniform",
+      "scd2_plain_skew" -> "scd2_salted_skew",
+      "scd2_plain_uniform" -> "scd2_salted_uniform",
+      "cusum_plain_skew" -> "cusum_salted_skew",
+      "cusum_plain_uniform" -> "cusum_salted_uniform")
+    for (r <- 1 to math.max(1, reps)) {
+      for (cell <- cellDefs) {
+        val (name, sec) = cell()
+        samples += name -> (sec :: samples(name))
+        System.err.println(f"[bench] skew $name rep $r: $sec%.3f s")
+      }
+      // result-equality sanity EVERY rep (counts is overwritten each
+      // rep, so the check must run before the next pass — r13 advice
+      // #1 caught the post-loop placement verifying the last rep only)
+      for ((p, s) <- agreePairs)
+        require(counts(p) == counts(s),
+          s"skew bench mismatch (rep $r): $p=${counts(p)} vs $s=${counts(s)}")
     }
     val cells = samples.map { case (k, ts) =>
       val sorted = ts.sorted
@@ -767,18 +815,50 @@ object Bench {
   /** The skew-section decision kernel: (reMeasure?, contextTag).
     * Controlled host → measure, tag "controlled". Loaded host with a
     * previous matrix that is itself controlled evidence (context
-    * "controlled" — including pre-guard records, which are the
-    * builder's committed controlled runs — or an earlier "carried")
-    * → do NOT measure; carry the previous cells forward tagged
-    * "carried", so a loaded refresh can never replace controlled
-    * numbers. Loaded host with nothing worth carrying (no previous
-    * cells, or a previous record already tagged "loaded") → measure
-    * but tag "loaded": recorded, never quotable as controlled. */
+    * literally "controlled", or an earlier "carried" of one) → do NOT
+    * measure; carry the previous cells forward tagged "carried", so a
+    * loaded refresh can never replace controlled numbers. Everything
+    * else on a loaded host — no previous cells, a record already
+    * tagged "loaded", or a PRE-GUARD record with no context tag at
+    * all — → measure but tag "loaded": recorded, never quotable as
+    * controlled. The untagged case is the r13 verdict-#1 fix: the one
+    * contextless incumbent in history is the r12 loaded-closing-host
+    * matrix (scd2_plain_uniform 13.6 s vs plain_skew 6.5 s —
+    * physically backwards), and the previous "default to controlled"
+    * reading laundered it into quotable evidence for two rounds. An
+    * untagged matrix has unknown provenance and is carried NOWHERE;
+    * it gets replaced the first time any host qualifies to measure. */
   def skewPlan(loadedHost: Boolean, prevCells: Map[String, Double],
-               prevCtx: String): (Boolean, String) =
+               prevCtx: Option[String]): (Boolean, String) =
     if (!loadedHost) (true, "controlled")
-    else if (prevCells.nonEmpty && prevCtx != "loaded") (false, "carried")
+    else if (prevCells.nonEmpty &&
+        prevCtx.exists(c => c == "controlled" || c == "carried"))
+      (false, "carried")
     else (true, "loaded")
+
+  /** Replace the `"skew_bench":{...}` cells and the
+    * `"skew_bench_context"` tag inside an existing detail line,
+    * leaving every other byte untouched — the skew-only seeding path
+    * (a fresh controlled matrix must not discard the catalog record
+    * it rides in). None when the line has no skew section to replace
+    * (nothing is guessed about where one would belong). */
+  def spliceSkewBench(detailTxt: String, cells: Map[String, Double],
+                      ctx: String): Option[String] = {
+    val start = detailTxt.indexOf("\"skew_bench\":{")
+    val end = if (start < 0) -1 else detailTxt.indexOf('}', start)
+    val ctxRe = "\"skew_bench_context\":\"[^\"]*\"".r
+    if (start < 0 || end < 0 || cells.isEmpty ||
+        ctxRe.findFirstIn(detailTxt).isEmpty) None
+    else {
+      val body = cells.toSeq.sorted.map { case (k, v) =>
+        jsonStr(k) + ":" + fmt(v, 3) }.mkString(",")
+      val withCells = detailTxt.substring(0, start) +
+        "\"skew_bench\":{" + body + detailTxt.substring(end)
+      Some(ctxRe.replaceFirstIn(withCells,
+        "\"skew_bench_context\":" +
+          java.util.regex.Matcher.quoteReplacement(jsonStr(ctx))))
+    }
+  }
 
   /** The flat `"name":number` map inside `"skew_bench":{...}` of a
     * detail line, tolerant like [[parseDetailQueries]]. */
@@ -1025,6 +1105,7 @@ object Bench {
                  coldMap: Map[String, Double] = Map.empty,
                  warmMap: Map[String, Double] = Map.empty): String = {
     val total = results.collect { case (_, v, None) => v }.sum
+    val resolvedPart = resolvedTotalPart(results, reruns, 6)
     val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, 6) }
       .mkString("{", ",", "}")
     val calibPart = (if (calib > 0) s""","calib":${fmt(calib, 6)}""" else "") +
@@ -1069,16 +1150,39 @@ object Bench {
         jsonStr(k) + ":" + fmt(v, 6)
       }.mkString(s""","$tag":{""", ",", "}")
     val repsPart = auxMap("cold", coldMap) + auxMap("warm", warmMap)
-    s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","reps":$reps$calibPart$cpusPart,"meas":"$Meas","queries":$qs$rerunPart$flagsPart$skewPart$repsPart${errPart(results)},"sf":"$sfName"}"""
+    s"""{"metric":"total","value":${fmt(total, 6)}$resolvedPart,"unit":"sec","reps":$reps$calibPart$cpusPart,"meas":"$Meas","queries":$qs$rerunPart$flagsPart$skewPart$repsPart${errPart(results)},"sf":"$sfName"}"""
+  }
+
+  /** `,"value_resolved":N` when any flag was rerun-arbitrated to load
+    * noise: the catalog total with each RESOLVED query's recorded
+    * median replaced by its rerun median (r13 verdict #6 — the r13
+    * headline carried dd_curation_pipeline at its flagged 16.7 s even
+    * though the record's own arbitration had settled it at 5.7 s, so
+    * a cross-round total comparison inherited ~11 s of acknowledged
+    * noise). `value` stays the as-measured sum — this field is the
+    * self-consistent companion, absent when there is nothing to
+    * resolve (no flags, or every flag UNRESOLVED and therefore real). */
+  def resolvedTotalPart(results: Seq[(String, Double, Option[String])],
+                        reruns: Seq[Rerun], prec: Int): String = {
+    val resolved = reruns.collect {
+      case r if r.resolved && r.rerun > 0 => r.name -> r.rerun }.toMap
+    if (resolved.isEmpty) ""
+    else {
+      val t = results.collect { case (k, v, None) =>
+        resolved.getOrElse(k, v) }.sum
+      s""","value_resolved":${fmt(t, prec)}"""
+    }
   }
 
   /** The stdout line: precision coarsens 3→2→1, then the query map
     * degrades to the slowest K entries, until the line fits
     * [[StdoutBudget]]. Always valid JSON. */
   def headline(results: Seq[(String, Double, Option[String])],
-               reps: Int, sfName: String, detailPath: String): String = {
+               reps: Int, sfName: String, detailPath: String,
+               reruns: Seq[Rerun] = Nil): String = {
     val total = results.collect { case (_, v, None) => v }.sum
     def line(prec: Int, keep: Int): String = {
+      val resolvedPart = resolvedTotalPart(results, reruns, prec)
       val (shown, omitted) =
         if (keep >= results.size) (results, 0)
         else {
@@ -1090,7 +1194,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omitPart = if (omitted == 0) ""
         else s""","q_omitted":$omitted,"detail":${jsonStr(detailPath)}"""
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","reps":$reps,"queries":$qs$omitPart${errPart(results)},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, prec)}$resolvedPart,"unit":"sec","reps":$reps,"queries":$qs$omitPart${errPart(results)},"sf":"$sfName"}"""
     }
     val candidates =
       Seq(3, 2, 1).map(line(_, Int.MaxValue)) ++

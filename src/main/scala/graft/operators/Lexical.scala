@@ -75,8 +75,12 @@ object Lexical {
   /** The append: tokenize the BATCH only, union postings, add df per
     * token, add the scalars. The batch must be doc-disjoint from the
     * resident corpus (new doc_ids — the crawl-batch invariant); a
-    * re-crawled doc_id must be deleted from the resident postings
-    * first, which is a filter, not a rebuild. */
+    * re-crawled doc_id goes through [[removeDocs]] first — NOT a bare
+    * postings filter, which would leave `df`/`nDocs`/`sumDl` counting
+    * the ghost doc and silently shift idf and avgdl away from the
+    * rebuild the bit-identical contract promises. The true delete
+    * cost is the filter plus ONE bounded aggregate over the removed
+    * slice (see removeDocs), still never a corpus re-tokenize. */
   def appendIndex(idx: Bm25Index, batch: DataFrame): Bm25Index = {
     val btf = postings(batch)
     val bdf = btf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -90,6 +94,68 @@ object Lexical {
     Bm25Index(idx.tf.unionByName(btf), mergedDf,
       idx.nDocs + r.getLong(0),
       idx.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+  }
+
+  /** The delete: remove a doc_id set (re-crawl supersession, takedown)
+    * from the index without touching the surviving corpus. Cost is
+    * the maintenance mirror of append: an anti-join filter over the
+    * postings plus ONE aggregate over the REMOVED slice only — the
+    * per-token df decrement (each (doc, token) appears once in the
+    * postings, so the decrement is a row count) and the two scalar
+    * subtractions (distinct removed docs for `nDocs`, Σtf for
+    * `sumDl`, matching buildIndex's docs-with-postings convention).
+    * Tokens whose df reaches zero LEAVE the vocabulary — exactly
+    * what a from-scratch rebuild over the remainder computes, so the
+    * result is bit-identical to `buildIndex(corpus minus ids)`
+    * (SimilaritySpec pins df-map, scalar and probe parity). Ids
+    * absent from the index are no-ops. The removed-slice aggregate
+    * is bounded by the deleted docs' posting mass, never corpus
+    * size — the crawl-maintenance invariant shared with
+    * [[appendIndex]]. */
+  def removeDocs(idx: Bm25Index, ids: DataFrame): Bm25Index = {
+    val rm = ids.select(col("doc_id")).distinct()
+    val removed = idx.tf.join(rm, Seq("doc_id"), "left_semi")
+    val dec = removed.groupBy("token").agg(count(lit(1)).as("__dec"))
+    val r = removed.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
+    val newDf = idx.df.join(dec, Seq("token"), "left_outer")
+      .select(col("token"),
+        (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    Bm25Index(idx.tf.join(rm, Seq("doc_id"), "left_anti"), newDf,
+      idx.nDocs - r.getLong(0),
+      idx.sumDl - (if (r.isNullAt(1)) 0L else r.getLong(1)))
+  }
+
+  /** Persist the bundle as three parquet datasets under `path`
+    * (`postings/`, `vocab/`, `scalars/` — the last a 1-row table) via
+    * the T6 dynamic-overwrite sink, so the index survives the session
+    * the way the IVF bucketed table does (`Ann.appendIvfIndex`):
+    * build once, probe from any later job. Re-delivery overwrites in
+    * place — idempotent like every other sink in `jobs.Sinks`. */
+  def writeIndex(idx: Bm25Index, path: String): Unit = {
+    graft.jobs.Sinks.partitionedParquet(idx.tf, s"$path/postings", Nil)
+    graft.jobs.Sinks.partitionedParquet(idx.df, s"$path/vocab", Nil)
+    val spark = idx.tf.sparkSession
+    import spark.implicits._
+    graft.jobs.Sinks.partitionedParquet(
+      Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl"),
+      s"$path/scalars", Nil)
+  }
+
+  /** Reload a [[writeIndex]] bundle. The scalar read is a 1-row
+    * planning-class collect (the `ta_heavy_hitters` stance); the
+    * postings/vocab come back as lazy scans, so a reload-then-probe
+    * reads only the posting lists the query's terms touch — the
+    * serving shape, corpus never rescanned. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): Bm25Index = {
+    import graft.sources.Tables
+    val sc = Tables.readLake(spark, s"$path/scalars", "parquet")
+      .select("n_docs", "sum_dl").collect()(0)
+    Bm25Index(
+      Tables.readLake(spark, s"$path/postings", "parquet"),
+      Tables.readLake(spark, s"$path/vocab", "parquet"),
+      sc.getLong(0), sc.getLong(1))
   }
 
   /** The probe against a prebuilt/appended index — arithmetic

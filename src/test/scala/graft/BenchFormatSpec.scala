@@ -196,8 +196,8 @@ class BenchFormatSpec extends AnyFunSuite {
     val frame = Some((0.7, 0.9))
     // within guard on both probes → controlled re-measure
     assert(!Bench.hostLoaded(frame, 0.9, 1.2))
-    assert(Bench.skewPlan(loadedHost = false, Map("c" -> 1.0), "controlled")
-      === ((true, "controlled")))
+    assert(Bench.skewPlan(loadedHost = false, Map("c" -> 1.0),
+      Some("controlled")) === ((true, "controlled")))
     // either probe past 1.5× its frame → loaded
     assert(Bench.hostLoaded(frame, 1.1, 0.9))   // cpu 1.57×
     assert(Bench.hostLoaded(frame, 0.7, 1.4))   // shuffle 1.56×
@@ -209,20 +209,72 @@ class BenchFormatSpec extends AnyFunSuite {
     // (the r12 failure: a 2.4×-loaded closing refresh overwrote the
     // builder's controlled matrix with physically-backwards cells)
     assert(Bench.skewPlan(loadedHost = true,
-      Map("scd2_plain_uniform" -> 2.4), "controlled")
-      === ((false, "carried")))
-    // a pre-guard record (no context field → caller defaults to
-    // "controlled") is the builder's committed controlled run: carried
-    assert(Bench.skewPlan(loadedHost = true, Map("c" -> 1.0), "controlled")
+      Map("scd2_plain_uniform" -> 2.4), Some("controlled"))
       === ((false, "carried")))
     // an already-carried matrix keeps being carried under load
-    assert(Bench.skewPlan(loadedHost = true, Map("c" -> 1.0), "carried")
-      === ((false, "carried")))
+    assert(Bench.skewPlan(loadedHost = true, Map("c" -> 1.0),
+      Some("carried")) === ((false, "carried")))
+    // a record with NO context tag has unknown provenance (r13
+    // verdict #1: the one such incumbent was the r12 loaded-host
+    // matrix with physically-backwards cells, and defaulting it to
+    // "controlled" laundered it into quotable evidence) — it is
+    // carried NOWHERE: the loaded host re-measures and says "loaded"
+    assert(Bench.skewPlan(loadedHost = true, Map("c" -> 1.0), None)
+      === ((true, "loaded")))
     // nothing worth protecting: measure, but the record says "loaded"
-    assert(Bench.skewPlan(loadedHost = true, Map.empty, "controlled")
-      === ((true, "loaded")))
-    assert(Bench.skewPlan(loadedHost = true, Map("c" -> 1.0), "loaded")
-      === ((true, "loaded")))
+    assert(Bench.skewPlan(loadedHost = true, Map.empty,
+      Some("controlled")) === ((true, "loaded")))
+    assert(Bench.skewPlan(loadedHost = true, Map("c" -> 1.0),
+      Some("loaded")) === ((true, "loaded")))
+  }
+
+  test("skew-only splice replaces cells + context, touches nothing else") {
+    val orig = Bench.detailJson(mk(20), 3, "sf0.1", calib = 0.3,
+      cpus = "32", skew = Map("scd2_plain_uniform" -> 13.641,
+        "scd2_plain_skew" -> 6.458), skewCtx = "carried")
+    val fresh = Map("scd2_plain_uniform" -> 5.8, "scd2_plain_skew" -> 11.2)
+    val patched = Bench.spliceSkewBench(orig, fresh, "controlled").get
+    val js = mapper.readTree(patched)
+    assert(js.get("skew_bench").get("scd2_plain_uniform").asDouble() === 5.8)
+    assert(js.get("skew_bench").size() === 2)
+    assert(js.get("skew_bench_context").asText() === "controlled")
+    // the catalog record around the splice is byte-identical
+    assert(js.get("queries").size() === 20)
+    assert(js.get("calib").asDouble() === 0.3)
+    assert(Bench.parseSkewBench(patched) === fresh)
+    // no skew section / no context tag → refuse rather than guess
+    val bare = Bench.detailJson(mk(5), 3, "sf0.1")
+    assert(Bench.spliceSkewBench(bare, fresh, "controlled") === None)
+    assert(Bench.spliceSkewBench(orig, Map.empty, "controlled") === None)
+  }
+
+  test("value_resolved: resolved flags replace their medians in the companion total") {
+    val results = mk(10)  // q_i = i * 0.037
+    val reruns = Seq(
+      Bench.Rerun("dd_some_catalog_query_name_010", 0.37, 0.05, 0.06,
+        resolved = true),
+      // UNRESOLVED flags keep their measured value — a real
+      // regression must not be laundered out of the total
+      Bench.Rerun("dd_some_catalog_query_name_009", 0.333, 0.30, 0.10,
+        resolved = false))
+    val detail = Bench.detailJson(results, 3, "sf0.1", calib = 0.3,
+      reruns = reruns, unresolvedFlags = 1)
+    val js = mapper.readTree(detail)
+    val expect = results.map(_._2).sum - 0.37 + 0.05
+    assert(math.abs(js.get("value_resolved").asDouble() - expect) < 1e-6)
+    assert(math.abs(js.get("value").asDouble() -
+      results.map(_._2).sum) < 1e-6)
+    // stdout line carries the same companion and stays in budget
+    val line = Bench.headline(results, 3, "sf0.1", "d.json", reruns)
+    val hjs = mapper.readTree(line)
+    assert(math.abs(hjs.get("value_resolved").asDouble() - expect) < 0.01)
+    assert(line.length <= Bench.StdoutBudget)
+    // absent when nothing resolved (no flags, or all real)
+    val none = Bench.detailJson(results, 3, "sf0.1",
+      reruns = reruns.filterNot(_.resolved), unresolvedFlags = 1)
+    assert(!mapper.readTree(none).has("value_resolved"))
+    assert(!mapper.readTree(Bench.detailJson(results, 3, "sf0.1"))
+      .has("value_resolved"))
   }
 
   test("monotone floor: round-trips, only lowers, and catches multi-run drift") {

@@ -195,6 +195,71 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(viaIndex.nonEmpty, "parity vacuous: no ranked rows")
   }
 
+  test("BM25 removeDocs: deleted index is bit-identical to a rebuild " +
+      "on the remainder") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val full = Lexical.buildIndex(docs)
+    // the re-crawl shape: a slice of resident doc_ids is superseded;
+    // include ids that are NOT in the corpus (no-op contract) too
+    val victims = docs.filter(col("doc_id") % 11 === 3)
+      .select("doc_id")
+      .unionByName(spark.range(900000000L, 900000005L)
+        .selectExpr("id AS doc_id"))
+    val deleted = Lexical.removeDocs(full, victims)
+    val rebuilt =
+      Lexical.buildIndex(docs.filter(col("doc_id") % 11 =!= 3))
+    assert(deleted.nDocs == rebuilt.nDocs &&
+      deleted.sumDl == rebuilt.sumDl,
+      s"scalar decrement drifted: deleted (${deleted.nDocs}, " +
+        s"${deleted.sumDl}) vs rebuilt (${rebuilt.nDocs}, " +
+        s"${rebuilt.sumDl})")
+    def dfMap(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dm = dfMap(deleted.df)
+    assert(dm == dfMap(rebuilt.df),
+      "df decrement diverged from the rebuild (zero-df tokens must " +
+        "leave the vocabulary)")
+    assert(dm.values.forall(_ > 0), "zero/negative df survived delete")
+    // probe parity on the survivors — idf and avgdl both moved, so a
+    // stale scalar would show up here even with equal posting sets
+    val queries = docs.filter(col("doc_id") % 250 === 0 &&
+      col("doc_id") % 11 =!= 3)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      d.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    val viaDeleted = rows(Lexical.rankedFromIndex(deleted, queries))
+    assert(viaDeleted == rows(Lexical.rankedFromIndex(rebuilt, queries)),
+      "delete-then-probe diverged from the remainder rebuild's ranking")
+    assert(viaDeleted.nonEmpty, "parity vacuous: no ranked rows")
+  }
+
+  test("BM25 bundle round-trips through the lake and probes " +
+      "identically to the in-session index") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val idx = Lexical.buildIndex(docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25_bundle_spec").toString
+    Lexical.writeIndex(idx, s"$dir/bm25")
+    val reloaded = Lexical.readIndex(spark, s"$dir/bm25")
+    assert(reloaded.nDocs == idx.nDocs && reloaded.sumDl == idx.sumDl)
+    val queries = docs.filter(col("doc_id") % 250 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      d.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    val viaReload = rows(Lexical.rankedFromIndex(reloaded, queries))
+    assert(viaReload == rows(Lexical.rankedFromIndex(idx, queries)),
+      "reloaded-bundle probe diverged from the in-session index")
+    assert(viaReload.nonEmpty, "parity vacuous: no ranked rows")
+    // idempotent re-delivery (the T6 sink contract): a second write
+    // lands an equivalent bundle, not a doubled one
+    Lexical.writeIndex(idx, s"$dir/bm25")
+    val again = Lexical.readIndex(spark, s"$dir/bm25")
+    assert(again.tf.count() == idx.tf.count())
+    assert(again.nDocs == idx.nDocs)
+  }
+
   test("PQ encode is a narrow map and its search recalls against brute") {
     import graft.operators.Ann
     import org.apache.spark.sql.functions.col
