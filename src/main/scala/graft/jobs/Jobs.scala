@@ -90,7 +90,8 @@ object Jobs {
       "ta_mix_schedule" -> "consumption-schedule",
       "ta_bpe_train" -> "learned-merges",
       "rel_k_anonymity" -> "k-anonymity-audit",
-      "rel_l_diversity" -> "l-diversity-audit"),
+      "rel_l_diversity" -> "l-diversity-audit",
+      "rel_t_closeness" -> "t-closeness-audit"),
     // Extension job: the event-analytics pack — the interval sweeps,
     // robustified measures, and resampled series a metrics warehouse
     // serves, through the same dispatch machinery.

@@ -2076,6 +2076,168 @@ object Dedup extends QueryModule {
            (SELECT count(*) AS n FROM rcaught) g""")
   )
 
+  /** SAMPLED LSH recall certification — the production-scale face of
+    * [[lshRecall]]. The full face's exact ground truth is the sparse
+    * gram self-join, Σ m_g·(m_g−1)/2 over shingle frequencies —
+    * affordable on a certification corpus, never on a production one.
+    * This face estimates banding recall ON the production corpus by
+    * restricting exact truth to the pairs INCIDENT to a
+    * deterministic doc sample:
+    *
+    *   - sample S = docs with `ascii(md5(doc_id)[0]) % SampleMod = 0`
+    *     (md5-residue, the ta_quality_drift split idiom — stable
+    *     across runs and engines, independent of the banding hashes,
+    *     which seed on shingle TEXT, not doc_id);
+    *   - truth_S = every pair with Jaccard ≥ 0.5 (the integer test
+    *     3·|A∩B| ≥ |A|+|B|) whose endpoints include ≥1 sampled doc.
+    *     The gram join keeps ONE side restricted to S, so its
+    *     fan-out is Σ_g s_g·m_g ≈ (1/SampleMod)·Σ_g m_g² — the
+    *     whole point; a both-sampled pair would enter from both
+    *     directions, so the join predicate keeps exactly one
+    *     (ds < dn when the neighbor is sampled too) and the
+    *     intersection count `i` stays exact with no pair-gram
+    *     distinct (measured: the distinct's extra exchange cost
+    *     more than the sampling saved at SampleMod = 4);
+    *   - candidates stay FULL-CORPUS banding (the production run
+    *     being certified), so `caught / truth_S` estimates pair
+    *     recall: each true pair enters truth_S with probability
+    *     1−(1−1/SampleMod)², independent of whether banding caught
+    *     it, making k/n an (asymptotically) unbiased ratio
+    *     estimator of the corpus-wide recall.
+    *
+    * The interval is the Wilson 95% score CI on k successes in n
+    * Bernoulli draws (z = 1.96, z² = 3.8416), in exact-permille
+    * floors/ceils — chosen over Wald because it stays non-degenerate
+    * at k = n (the common perfect-recall reading) and never leaves
+    * [0, 1000]. The catalog pins SampleMod = 4 (the 16 hex chars of
+    * an md5 head split 4/16 on residue 0) so the sf0.01 fixture's 25
+    * true pairs keep a non-vacuous n ≈ 15; a production corpus runs
+    * the same face at ~1% (two-hex-char residue, mod 256 ≈ 0.4%, or
+    * mod 100 of a wider slice) — the estimator and CI are
+    * fraction-independent, only n (and the CI width) changes.
+    * Reading: ci_lo ≥ the team's recall bar certifies the banding
+    * parameters on THIS corpus; a wide interval says sample more,
+    * not that recall moved. */
+  val lshRecallSampled: Q = Q(
+    "dd_lsh_recall_sampled",
+    (s, dir) => {
+      import graft.operators.{CacheScope, Partitioning, TextDedup}
+      val corpus = Tables(s, dir, "documents")
+      val inSample =
+        expr("ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 4 = 0")
+      val sh = Partitioning.ensureParallelism(corpus, "doc_id")
+        .transform(TextDedup.shingles(_))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .distinct()
+        .persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // one side restricted to the sample — the (1/SampleMod)·Σ m²
+      // fan-out. A both-sampled pair would enter from BOTH
+      // directions; rather than a (da, db, g) distinct (measured: an
+      // extra full exchange over the pair-gram rows that cost more
+      // than it saved), the join predicate keeps exactly one
+      // direction per pair — ds < dn when both are sampled, any
+      // direction (there is only one) when dn is not — so each
+      // shared gram of each qualifying pair is exactly one row and
+      // the groupBy count is the exact intersection. The sampled
+      // side's membership bit rides the cached sh projection so md5
+      // runs once per posting, not once per joined row.
+      val shN = sh.select(col("doc_id").as("dn"), col("g"),
+        expr("ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 4 = 0")
+          .as("n_in_s"))
+      val truth = sh.filter(inSample)
+        .select(col("doc_id").as("ds"), col("g"))
+        .join(shN, Seq("g"))
+        .filter(col("ds") =!= col("dn") &&
+          (col("ds") < col("dn") || !col("n_in_s")))
+        .select(least(col("ds"), col("dn")).as("da"),
+          greatest(col("ds"), col("dn")).as("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")),
+          "da")
+        .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")),
+          "db")
+        .filter(col("i") * 3 >= col("sa") + col("sb"))
+        .select("da", "db")
+        .persist()
+      val cand = TextDedup.lshCandidates(corpus, numPerms = 8, nBands = 2)
+        .select(col("doc_a").as("da"), col("doc_b").as("db"))
+        .persist()
+      val caught = truth.join(cand, Seq("da", "db"), "left_semi")
+      val result = corpus.filter(inSample)
+        .agg(count(lit(1)).as("n_docs_sampled"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .select(col("n_docs_sampled"), col("n_true_pairs"),
+          col("n_caught"),
+          expr("""CASE WHEN n_true_pairs = 0 THEN CAST(1000 AS BIGINT)
+                       ELSE (n_caught * 1000) div n_true_pairs END""")
+            .as("recall_permille"),
+          expr("""CASE WHEN n_true_pairs = 0 THEN CAST(0 AS BIGINT)
+                       ELSE greatest(CAST(0 AS BIGINT),
+                         CAST(floor((1000.0 * ((n_caught + 1.9208) -
+                           (1.96 * sqrt((CAST(n_caught *
+                             (n_true_pairs - n_caught) AS DOUBLE) /
+                             n_true_pairs) + 0.9604)))) /
+                           (n_true_pairs + 3.8416)) AS BIGINT)) END""")
+            .as("ci_lo_permille"),
+          expr("""CASE WHEN n_true_pairs = 0 THEN CAST(1000 AS BIGINT)
+                       ELSE least(CAST(1000 AS BIGINT),
+                         CAST(ceil((1000.0 * ((n_caught + 1.9208) +
+                           (1.96 * sqrt((CAST(n_caught *
+                             (n_true_pairs - n_caught) AS DOUBLE) /
+                             n_true_pairs) + 0.9604)))) /
+                           (n_true_pairs + 3.8416)) AS BIGINT)) END""")
+            .as("ci_hi_permille"))
+      CacheScope.eval(result)(sh, truth, cand)
+    },
+    Some(s"""
+      WITH $shinglesSql, $sigSql, $candSql,
+      rsizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      samp AS (
+        SELECT doc_id FROM documents
+        WHERE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4 = 0),
+      pg AS (
+        SELECT least(a.doc_id, b.doc_id) AS da,
+               greatest(a.doc_id, b.doc_id) AS db
+        FROM sh a
+        JOIN samp s ON a.doc_id = s.doc_id
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          AND (a.doc_id < b.doc_id OR
+               ascii(substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1))
+                 % 4 <> 0)),
+      rinter AS (SELECT da, db, count(*) AS i FROM pg GROUP BY 1, 2),
+      rtruth AS (
+        SELECT da, db FROM rinter
+        JOIN rsizes sa ON sa.doc_id = rinter.da
+        JOIN rsizes sb ON sb.doc_id = rinter.db
+        WHERE 3 * i >= sa.sz + sb.sz),
+      rcaught AS (
+        SELECT t.da, t.db FROM rtruth t
+        JOIN cand c ON t.da = c.doc_a AND t.db = c.doc_b)
+      SELECT CAST(s.n AS BIGINT) AS n_docs_sampled,
+             CAST(t.n AS BIGINT) AS n_true_pairs,
+             CAST(g.n AS BIGINT) AS n_caught,
+             CAST(CASE WHEN t.n = 0 THEN 1000
+                       ELSE g.n * 1000 // t.n END AS BIGINT)
+               AS recall_permille,
+             CAST(CASE WHEN t.n = 0 THEN 0
+                       ELSE greatest(0, CAST(floor((1000.0 *
+                         ((g.n + 1.9208) - (1.96 * sqrt((CAST(g.n *
+                           (t.n - g.n) AS DOUBLE) / t.n) + 0.9604)))) /
+                         (t.n + 3.8416)) AS BIGINT)) END AS BIGINT)
+               AS ci_lo_permille,
+             CAST(CASE WHEN t.n = 0 THEN 1000
+                       ELSE least(1000, CAST(ceil((1000.0 *
+                         ((g.n + 1.9208) + (1.96 * sqrt((CAST(g.n *
+                           (t.n - g.n) AS DOUBLE) / t.n) + 0.9604)))) /
+                         (t.n + 3.8416)) AS BIGINT)) END AS BIGINT)
+               AS ci_hi_permille
+      FROM (SELECT count(*) AS n FROM samp) s,
+           (SELECT count(*) AS n FROM rtruth) t,
+           (SELECT count(*) AS n FROM rcaught) g""")
+  )
+
   def all: Seq[Q] = Seq(exact, minhashLsh, jaccardVerify, simhash,
     simhashHamming, simhashHamming2, embedSrp, dupClusters,
     decontaminate, decontaminateBloom, dedupCorpus, minhashBound,
@@ -2084,5 +2246,5 @@ object Dedup extends QueryModule {
     leakageSafeSplit, containment, dupWeights, dedupBest,
     paragraphDedup, fuzzyVerify, contaminationRate, cdcChunkDup,
     lshBucketStats, qualityGatePipeline, methodAgreement, ngramNovelty,
-    urlDedup, lshRecall)
+    urlDedup, lshRecall, lshRecallSampled)
 }

@@ -1146,7 +1146,7 @@ object Relational extends QueryModule {
     copurchase, copurchaseHealth, incrementalView, exactMedian,
     compactionPlan, histogram, exactKSample, snapshotDiff,
     shareOfTotal, pareto, skyline, fkCheck, kAnonymity, lDiversity,
-    copurchaseTriangles)
+    tCloseness, copurchaseTriangles)
 
   /** k-anonymity audit — the privacy-compliance complement of
     * `ta_pii_redact`'s direct-identifier scrub: group the table by its
@@ -1230,6 +1230,113 @@ object Relational extends QueryModule {
                   THEN 'homogeneous' ELSE 'diverse' END AS verdict
       FROM b GROUP BY 1, 2
       ORDER BY nationkey, segment""")
+  )
+
+  /** t-closeness audit — the attack l-diversity misses: a class can
+    * hold all three standing buckets (diverse) while its DISTRIBUTION
+    * over them is wildly unlike the table's — e.g. 96% negative in a
+    * class vs 9% overall still discloses near-certain standing for
+    * its members (skewness attack, Li/Li/Venkatasubramanian 2007,
+    * "t-Closeness: Privacy Beyond k-Anonymity and l-Diversity").
+    * Same quasi-identifier classes as `rel_k_anonymity`; the
+    * sensitive attribute is the account balance over FIVE ORDERED
+    * cents buckets (<0, <2500.00, <5000.00, <7500.00, ≥7500.00 —
+    * cents-exact thresholds, no float compare). For ordered buckets
+    * the paper's Earth-Mover's Distance reduces to the mean absolute
+    * CUMULATIVE gap: EMD = (1/(k−1)) · Σ_{j<k−1} |P≤j − Q≤j|, with P
+    * the class distribution and Q the whole table's. Computed in
+    * exact integer permille — each cumulative gap |a_j/m − b_j/N|
+    * becomes |a_j·N − b_j·m| over the common denominator m·N, so the
+    * reported `emd_permille = (1000·Σ|a_j·N − b_j·m|) div (4·m·N)`
+    * is exact (hash-stable) with no float in the plan. A class is
+    * t-close at the canonical t = 0.2 bar iff emd ≤ 200‰; the
+    * `skewed` rows are what a release must generalize next, AFTER
+    * k and l already cleared. Third gate of the release pack
+    * (`jobs.Jobs` JOB=release_corpus).
+    *
+    * Scale (100 TB): one map-side-combined aggregate to |classes|
+    * rows (the cumulative counts are conditional sums in the same
+    * pass) plus a broadcast 1-row corpus aggregate — the
+    * `ev_watermark` scalar-attach pattern; no joins by key, no
+    * windows. The Long arithmetic is exact while 4000·m·N < 2⁶³
+    * (corpora to ~10⁹ rows); past that the two products switch to
+    * DECIMAL(38,0) with the identical plan shape. */
+  val tCloseness: Q = Q(
+    "rel_t_closeness",
+    (s, dir) => {
+      val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+      val bucketed = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("segment"),
+          when(cents < 0L, 0L).when(cents < 250000L, 1L)
+            .when(cents < 500000L, 2L).when(cents < 750000L, 3L)
+            .otherwise(4L).as("b"))
+      val classes = bucketed.groupBy("nationkey", "segment")
+        .agg(count(lit(1)).as("class_size"),
+          sum(when(col("b") <= 0L, 1L).otherwise(0L)).as("a0"),
+          sum(when(col("b") <= 1L, 1L).otherwise(0L)).as("a1"),
+          sum(when(col("b") <= 2L, 1L).otherwise(0L)).as("a2"),
+          sum(when(col("b") <= 3L, 1L).otherwise(0L)).as("a3"))
+      val corpus = bucketed.agg(count(lit(1)).as("n_total"),
+        sum(when(col("b") <= 0L, 1L).otherwise(0L)).as("q0"),
+        sum(when(col("b") <= 1L, 1L).otherwise(0L)).as("q1"),
+        sum(when(col("b") <= 2L, 1L).otherwise(0L)).as("q2"),
+        sum(when(col("b") <= 3L, 1L).otherwise(0L)).as("q3"))
+      classes.crossJoin(broadcast(corpus))
+        .select(col("nationkey"), col("segment"), col("class_size"),
+          expr("""(1000 * (abs(a0 * n_total - q0 * class_size) +
+                           abs(a1 * n_total - q1 * class_size) +
+                           abs(a2 * n_total - q2 * class_size) +
+                           abs(a3 * n_total - q3 * class_size)))
+                  div (4 * class_size * n_total)""")
+            .as("emd_permille"))
+        .select(col("nationkey"), col("segment"), col("class_size"),
+          col("emd_permille"),
+          when(col("emd_permille") > 200L, "skewed")
+            .otherwise("close").as("verdict"))
+        .orderBy("nationkey", "segment")
+    },
+    Some("""
+      WITH b AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               c_mktsegment AS segment,
+               CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+                      THEN 0
+                    WHEN CAST(round(c_acctbal * 100) AS BIGINT)
+                      < 250000 THEN 1
+                    WHEN CAST(round(c_acctbal * 100) AS BIGINT)
+                      < 500000 THEN 2
+                    WHEN CAST(round(c_acctbal * 100) AS BIGINT)
+                      < 750000 THEN 3
+                    ELSE 4 END AS b
+        FROM customer),
+      cls AS (
+        SELECT nationkey, segment, count(*) AS class_size,
+               sum(CASE WHEN b <= 0 THEN 1 ELSE 0 END) AS a0,
+               sum(CASE WHEN b <= 1 THEN 1 ELSE 0 END) AS a1,
+               sum(CASE WHEN b <= 2 THEN 1 ELSE 0 END) AS a2,
+               sum(CASE WHEN b <= 3 THEN 1 ELSE 0 END) AS a3
+        FROM b GROUP BY 1, 2),
+      tot AS (
+        SELECT count(*) AS n_total,
+               sum(CASE WHEN b <= 0 THEN 1 ELSE 0 END) AS q0,
+               sum(CASE WHEN b <= 1 THEN 1 ELSE 0 END) AS q1,
+               sum(CASE WHEN b <= 2 THEN 1 ELSE 0 END) AS q2,
+               sum(CASE WHEN b <= 3 THEN 1 ELSE 0 END) AS q3
+        FROM b),
+      emd AS (
+        SELECT nationkey, segment, class_size,
+               CAST((1000 * (abs(a0 * n_total - q0 * class_size) +
+                             abs(a1 * n_total - q1 * class_size) +
+                             abs(a2 * n_total - q2 * class_size) +
+                             abs(a3 * n_total - q3 * class_size)))
+                    // (4 * class_size * n_total) AS BIGINT)
+                 AS emd_permille
+        FROM cls, tot)
+      SELECT nationkey, segment, class_size, emd_permille,
+             CASE WHEN emd_permille > 200 THEN 'skewed'
+                  ELSE 'close' END AS verdict
+      FROM emd ORDER BY nationkey, segment""")
   )
 
   /** Referential-integrity audit — the data-quality report a lake

@@ -74,7 +74,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       // dd_lsh_recall cross-joins its three 1-row count aggregates
       // (truth / candidates / caught) into the one-row certification
       // report — the same scalar-attach pattern
-      "dd_lsh_recall")
+      "dd_lsh_recall",
+      // dd_lsh_recall_sampled is the same three-scalar attach over
+      // the sampled truth set (sample size / truth / caught)
+      "dd_lsh_recall_sampled",
+      // rel_t_closeness broadcast-attaches its 1-row corpus
+      // cumulative-distribution aggregate to the |classes|-bounded
+      // equivalence-class aggregate — the scalar-attach pattern
+      "rel_t_closeness")
 
   /** Queries allowed an empty-partition (global) window:
     * rel_pagination is the documented literal-parity port of the

@@ -234,6 +234,44 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(viaDeleted.nonEmpty, "parity vacuous: no ranked rows")
   }
 
+  test("BM25 re-crawl: removeDocs then appendIndex composes to the " +
+      "rebuild on the final corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    // the documented re-crawl flow (Lexical.appendIndex scaladoc):
+    // a slice of resident doc_ids arrives again with NEW text —
+    // delete the stale postings, then append the fresh batch. The
+    // fresh text is a deterministic rewrite so the composed index
+    // must differ from the original build and still match a
+    // from-scratch rebuild on the final corpus.
+    val stale = col("doc_id") % 13 === 5
+    val recrawled = docs.filter(stale)
+      .withColumn("text", concat(col("text"), lit(" recrawl marker")))
+    val composed = Lexical.appendIndex(
+      Lexical.removeDocs(Lexical.buildIndex(docs),
+        docs.filter(stale).select("doc_id")),
+      recrawled)
+    val finalCorpus = docs.filter(!stale).unionByName(recrawled)
+    val rebuilt = Lexical.buildIndex(finalCorpus)
+    assert(composed.nDocs == rebuilt.nDocs &&
+      composed.sumDl == rebuilt.sumDl,
+      s"re-crawl scalars drifted: composed (${composed.nDocs}, " +
+        s"${composed.sumDl}) vs rebuilt (${rebuilt.nDocs}, " +
+        s"${rebuilt.sumDl})")
+    def dfMap(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMap(composed.df) == dfMap(rebuilt.df),
+      "re-crawl df drifted from the final-corpus rebuild")
+    val queries = finalCorpus.filter(col("doc_id") % 250 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      d.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    val viaComposed = rows(Lexical.rankedFromIndex(composed, queries))
+    assert(viaComposed == rows(Lexical.rankedFromIndex(rebuilt, queries)),
+      "re-crawl probe diverged from the final-corpus rebuild")
+    assert(viaComposed.nonEmpty, "parity vacuous: no ranked rows")
+  }
+
   test("BM25 bundle round-trips through the lake and probes " +
       "identically to the in-session index") {
     import org.apache.spark.sql.functions._

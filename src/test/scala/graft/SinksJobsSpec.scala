@@ -158,10 +158,10 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     val dir = Files.createTempDirectory("jobs_release_spec").toString
     val res = graft.Main.run(spark, "release_corpus", sf,
       Seq(s"$dir/t1"), "2024-01-01")
-    assert(res.size == 7 && res.forall(_._3), s"uploads: $res")
+    assert(res.size == 8 && res.forall(_._3), s"uploads: $res")
     for (extract <- Seq("dataset-card", "quality-drift", "mix-budgets",
         "consumption-schedule", "learned-merges", "k-anonymity-audit",
-        "l-diversity-audit")) {
+        "l-diversity-audit", "t-closeness-audit")) {
       val key = Sinks.dailyKey("2024-01-01", extract)
       assert(new java.io.File(s"$dir/t1/$key").exists(), s"missing $key")
     }
