@@ -101,8 +101,10 @@ object Bench {
     // optional args = subset of query names, for local iteration on one
     // query without paying for the whole catalog
     // SPARK_GRAFT_SKEW_BENCH=only: run just the skew-evidence section
-    // (local iteration on the fixtures without paying for the catalog;
-    // never writes the detail record)
+    // without paying for the catalog. On an idle same-frame host the
+    // measured cells are SPLICED into the detail record's skew
+    // section (the controlled-seeding path — see the skewOnly block
+    // below); the catalog queries/total are never touched.
     val skewOnly = sys.env.get("SPARK_GRAFT_SKEW_BENCH").contains("only")
     val selected =
       if (skewOnly) Seq.empty
@@ -316,9 +318,18 @@ object Bench {
     // measured cells are spliced into the existing detail record
     // (everything else untouched) so the next loaded-host closing
     // refresh has sound controlled evidence to carry. A loaded host
-    // never splices — skewPlan already refused to measure fresh.
+    // never splices — skewPlan already refused to measure fresh —
+    // and neither does a FOREIGN-FRAME host: a record whose
+    // sf/cpus/meas differ from this run has no floor frame to judge
+    // "idle" against (hostLoaded degrades to false), so without the
+    // prevSkewFrameOk gate a 4-thread laptop could stamp its cells
+    // into a 32-cpu record as controlled — the same laundering shape
+    // the provenance fix closes on the carry path.
     if (skewOnly) {
-      if (skew.nonEmpty && skewCtx == "controlled") {
+      if (!prevSkewFrameOk) System.err.println(
+        s"[bench] skew-only run NOT spliced: $detailPath is a " +
+          "different sf/cpus/meas frame than this run")
+      else if (skew.nonEmpty && skewCtx == "controlled") {
         prevSkewTxt.flatMap(spliceSkewBench(_, skew, skewCtx)) match {
           case Some(patched) =>
             java.nio.file.Files.write(
@@ -537,7 +548,10 @@ object Bench {
             "not updated")
       } catch { case e: Exception =>
         System.err.println(s"[bench] floor update skipped: $e") }
-    } else System.err.println(
+    } else if (skewOnly) System.err.println(
+      s"[bench] skew-only run: catalog record in $detailPath " +
+        "untouched (only the skew section may have been spliced above)")
+    else System.err.println(
       s"[bench] subset run: $detailPath left untouched (set " +
         "SPARK_GRAFT_BENCH_DETAIL to record subset timings)")
     println(headline(results, reps, sfName, detailPath, reruns))
@@ -568,31 +582,35 @@ object Bench {
     * results land in the detail record under `skew_bench` and are
     * NOT part of the catalog total or the regression gate.
     *
-    * Expected reading (r14 controlled idle-host run, local[32],
-    * median of 3 interleaved reps, calib 0.229/0.835 vs floor frame
-    * 0.215/0.873 — the section executes BEFORE the catalog loop;
-    * r11's post-catalog position read the same cells 2-6× slower
-    * with the distortion inverting the scd2 result):
+    * Expected reading (r14's committed controlled matrix — the
+    * full-catalog idle-host refresh, local[32], median of 3
+    * interleaved reps, calib 0.222/0.911 inside the floor frame; a
+    * same-day seeding run on the same host read every cell within
+    * ±20%, the fixtures' honest noise floor — the RATIOS below are
+    * the evidence, not the absolute cells. The section executes
+    * BEFORE the catalog loop; r11's post-catalog position read the
+    * same cells 2-6× slower with the distortion inverting the scd2
+    * result):
     *
     *   - JOIN cells, layer 1: AQE's runtime skew split serves the
     *     90%-hot join well enough that plain and salted land within
-    *     rep noise of each other (plain 2.95 s vs salted 2.40 s
+    *     rep noise of each other (plain 3.43 s vs salted 2.59 s
     *     medians, rep spreads overlapping — the MG sketch pass plus
     *     hot-sliver replication roughly cancels against the split
     *     AQE already does); salted pays a small constant on uniform
-    *     data (1.31 vs 1.00 s). Salting a shuffle JOIN buys little
+    *     data (1.52 vs 1.35 s). Salting a shuffle JOIN buys little
     *     on Spark with AQE skew-join on — it is for window/ordered
     *     shapes AQE cannot split.
     *   - SCD2 cells, layer 2: window-partition skew gets NO runtime
     *     split, and the time-bucket salt WINS on the wide-row,
-    *     windows-heavy shape (4.34 vs 5.53 s at 95%-hot; the gap
-    *     widens with the hot user's mass) at the documented ~2× cost
-    *     on uniform data (4.69 vs 2.02 s).
+    *     windows-heavy shape (4.21 vs 5.86 s at 95%-hot; the gap
+    *     widens with the hot user's mass) at the documented ~2.5×
+    *     cost on uniform data (3.79 vs 1.54 s).
     *   - CUSUM cells, layer 2 again: under the honest FULL-
-    *     materialization meter the two-phase form WINS ≈ 2.8× on the
-    *     99%-hot fixture (plain 11.75 s vs 4.20 s — the hot type's
-    *     single-task ordered sort is the bottleneck) and pays ≈ 2.5×
-    *     on uniform data (5.34 vs 2.11 s). An earlier "plain wins at
+    *     materialization meter the two-phase form WINS ≈ 2.6× on the
+    *     99%-hot fixture (plain 9.66 s vs 3.72 s — the hot type's
+    *     single-task ordered sort is the bottleneck) and pays ≈ 2.2×
+    *     on uniform data (4.47 vs 2.02 s). An earlier "plain wins at
     *     every in-memory mass" reading was a count()-forcing
     *     artifact — the pruner deleted the plain window's prefix-sum
     *     projection while the two-phase join kept its work billed
@@ -840,23 +858,32 @@ object Bench {
     * `"skew_bench_context"` tag inside an existing detail line,
     * leaving every other byte untouched — the skew-only seeding path
     * (a fresh controlled matrix must not discard the catalog record
-    * it rides in). None when the line has no skew section to replace
+    * it rides in). A record with cells but NO context tag — the
+    * pre-guard unknown-provenance class this path exists to
+    * displace — gets the tag inserted right after the replaced
+    * cells. None only when the line has no skew section at all
     * (nothing is guessed about where one would belong). */
   def spliceSkewBench(detailTxt: String, cells: Map[String, Double],
                       ctx: String): Option[String] = {
     val start = detailTxt.indexOf("\"skew_bench\":{")
     val end = if (start < 0) -1 else detailTxt.indexOf('}', start)
-    val ctxRe = "\"skew_bench_context\":\"[^\"]*\"".r
-    if (start < 0 || end < 0 || cells.isEmpty ||
-        ctxRe.findFirstIn(detailTxt).isEmpty) None
+    if (start < 0 || end < 0 || cells.isEmpty) None
     else {
       val body = cells.toSeq.sorted.map { case (k, v) =>
         jsonStr(k) + ":" + fmt(v, 3) }.mkString(",")
-      val withCells = detailTxt.substring(0, start) +
-        "\"skew_bench\":{" + body + detailTxt.substring(end)
-      Some(ctxRe.replaceFirstIn(withCells,
-        "\"skew_bench_context\":" +
-          java.util.regex.Matcher.quoteReplacement(jsonStr(ctx))))
+      val ctxJson = "\"skew_bench_context\":" + jsonStr(ctx)
+      val ctxRe = "\"skew_bench_context\":\"[^\"]*\"".r
+      if (ctxRe.findFirstIn(detailTxt).nonEmpty) {
+        val withCells = detailTxt.substring(0, start) +
+          "\"skew_bench\":{" + body + detailTxt.substring(end)
+        Some(ctxRe.replaceFirstIn(withCells,
+          java.util.regex.Matcher.quoteReplacement(ctxJson)))
+      } else
+        // pre-guard record: tag inserted adjacent to the cells, the
+        // position detailJson itself serializes it at
+        Some(detailTxt.substring(0, start) +
+          "\"skew_bench\":{" + body + "}," + ctxJson +
+          detailTxt.substring(end + 1))
     }
   }
 

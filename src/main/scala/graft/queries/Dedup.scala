@@ -2109,7 +2109,17 @@ object Dedup extends QueryModule {
     * Bernoulli draws (z = 1.96, z² = 3.8416), in exact-permille
     * floors/ceils — chosen over Wald because it stays non-degenerate
     * at k = n (the common perfect-recall reading) and never leaves
-    * [0, 1000]. The catalog pins SampleMod = 4 (the 16 hex chars of
+    * [0, 1000]. STATED ASSUMPTION: the CI treats the n incident
+    * pairs as independent draws, but pairs sharing a sampled doc are
+    * correlated (one doc's banding signature drives all its pairs'
+    * catch outcomes), so on heavily CLUSTERED corpora — one sampled
+    * doc incident to dozens of true pairs — the effective sample
+    * size is below n and the nominal interval is anti-conservative.
+    * The `n_docs_sampled` vs `n_true_pairs` ratio is the cluster
+    * diagnostic: when pairs-per-sampled-doc is high, read the CI as
+    * approximate, shrink the sample fraction and average runs over
+    * residues, or fall back to the pair-preserving certification
+    * slice of the full face. The catalog pins SampleMod = 4 (the 16 hex chars of
     * an md5 head split 4/16 on residue 0) so the sf0.01 fixture's 25
     * true pairs keep a non-vacuous n ≈ 15; a production corpus runs
     * the same face at ~1% (two-hex-char residue, mod 256 ≈ 0.4%, or

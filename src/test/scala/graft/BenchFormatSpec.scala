@@ -242,7 +242,21 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(js.get("queries").size() === 20)
     assert(js.get("calib").asDouble() === 0.3)
     assert(Bench.parseSkewBench(patched) === fresh)
-    // no skew section / no context tag → refuse rather than guess
+    // a PRE-GUARD record (cells, no context tag — the unknown-
+    // provenance class the seeding path exists to displace) gets the
+    // tag inserted next to the replaced cells, staying valid JSON
+    val preGuard = Bench.detailJson(mk(20), 3, "sf0.1", calib = 0.3,
+      skew = Map("scd2_plain_uniform" -> 13.641))
+    assert(!mapper.readTree(preGuard).has("skew_bench_context"))
+    val seeded = Bench.spliceSkewBench(preGuard, fresh, "controlled").get
+    val sjs = mapper.readTree(seeded)
+    assert(sjs.get("skew_bench_context").asText() === "controlled")
+    assert(sjs.get("skew_bench").get("scd2_plain_skew").asDouble() === 11.2)
+    assert(sjs.get("skew_bench").size() === 2)
+    assert(sjs.get("queries").size() === 20)
+    assert(Bench.parseDetailField(seeded, "skew_bench_context")
+      === Some("controlled"))
+    // no skew section at all / no cells → refuse rather than guess
     val bare = Bench.detailJson(mk(5), 3, "sf0.1")
     assert(Bench.spliceSkewBench(bare, fresh, "controlled") === None)
     assert(Bench.spliceSkewBench(orig, Map.empty, "controlled") === None)

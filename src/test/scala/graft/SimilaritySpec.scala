@@ -272,6 +272,37 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(viaComposed.nonEmpty, "parity vacuous: no ranked rows")
   }
 
+  test("BM25 maintenance edges: remove-all empties exactly, " +
+      "empty-batch append is identity, empty probe fails loudly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 50)
+    val idx = Lexical.buildIndex(docs)
+    def dfMap(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // takedown of the whole corpus: scalars to exact zero, both
+    // relations empty — not a corrupt half-state
+    val emptied = Lexical.removeDocs(idx, docs.select("doc_id"))
+    assert(emptied.nDocs == 0L && emptied.sumDl == 0L)
+    assert(emptied.tf.head(1).isEmpty && emptied.df.head(1).isEmpty)
+    // probing an empty index is a loud contract violation, never a
+    // silent empty ranking
+    intercept[IllegalArgumentException] {
+      Lexical.rankedFromIndex(emptied, docs)
+    }
+    // a crawl batch that turned out empty must be an exact identity
+    // (the daily-append path must tolerate quiet days)
+    val appended = Lexical.appendIndex(idx, docs.filter(lit(false)))
+    assert(appended.nDocs == idx.nDocs && appended.sumDl == idx.sumDl)
+    assert(dfMap(appended.df) == dfMap(idx.df))
+    // and removing ids that never indexed is an exact no-op
+    val noop = Lexical.removeDocs(idx,
+      spark.range(800000000L, 800000010L).selectExpr("id AS doc_id"))
+    assert(noop.nDocs == idx.nDocs && noop.sumDl == idx.sumDl)
+    assert(dfMap(noop.df) == dfMap(idx.df))
+  }
+
   test("BM25 bundle round-trips through the lake and probes " +
       "identically to the in-session index") {
     import org.apache.spark.sql.functions._
