@@ -445,4 +445,53 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         s"doc $i late boundaries moved: base=$b0 shifted=$b1")
     }
   }
+
+  test("BM25 lifecycle: build+append+remove composes to a rebuild on " +
+      "any random corpus") {
+    // random corpora deliberately include the edge shapes the
+    // fixture pins cannot reach densely: empty texts and one-token
+    // texts (no 2-shingles — the docs-with-postings nDocs
+    // convention), heavy within-doc repetition (tf > 1), near-total
+    // vocabulary overlap (df near N), and removals that straddle the
+    // resident corpus and the appended batch
+    import graft.operators.Lexical
+    val word = Gen.frequency(
+      (6, Gen.oneOf("alpha", "beta", "gamma", "delta")),
+      (2, Gen.oneOf("epsilon", "zeta")),
+      (1, Gen.const("rare")))
+    val text = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(60, text).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = corpus.toDF("doc_id", "text")
+    val base = df.filter($"doc_id" % 3 =!= 0)
+    val batch = df.filter($"doc_id" % 3 === 0)
+    val removeIds = df.filter($"doc_id" % 5 === 1).select("doc_id")
+    val composed = Lexical.removeDocs(
+      Lexical.appendIndex(Lexical.buildIndex(base), batch), removeIds)
+    val rebuilt = Lexical.buildIndex(df.filter($"doc_id" % 5 =!= 1))
+    assert(composed.nDocs == rebuilt.nDocs &&
+      composed.sumDl == rebuilt.sumDl,
+      s"scalars: composed (${composed.nDocs}, ${composed.sumDl}) vs " +
+        s"rebuilt (${rebuilt.nDocs}, ${rebuilt.sumDl})")
+    def dfMap(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMap(composed.df) == dfMap(rebuilt.df), "df tables differ")
+    def tfMap(d: org.apache.spark.sql.DataFrame)
+        : Map[(Long, String), Long] =
+      d.collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tfMap(composed.tf) == tfMap(rebuilt.tf), "postings differ")
+    // probe parity whenever the surviving corpus is probeable (the
+    // dense random vocabulary may prune every term past the df cap —
+    // equality still must hold, emptiness is then legitimate)
+    if (rebuilt.nDocs > 0) {
+      val queries = df.filter($"doc_id" % 5 =!= 1 && $"doc_id" % 7 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        d.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(rows(Lexical.rankedFromIndex(composed, queries)) ==
+        rows(Lexical.rankedFromIndex(rebuilt, queries)),
+        "probe rankings diverged")
+    }
+  }
 }
