@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * `Ann.appendIvfIndex` / `ss_ivf_append`, and this): at 100 TB the
   * posting build dominates lexical retrieval cost, and re-tokenizing
   * the resident corpus for every daily crawl batch is exactly what a
-  * pipeline cannot afford. The index is three artifacts a warehouse
+  * pipeline cannot afford. The index is four artifacts a warehouse
   * persists — the postings table `(doc_id, token, tf)`, the
-  * vocabulary table `(token, df)`, and the two corpus scalars
-  * `(n_docs, Σdl)` — and appending a batch touches the resident
-  * corpus ZERO times:
+  * vocabulary table `(token, df)`, the doc-length table
+  * `(doc_id, dl)` (maintained so a probe NEVER re-aggregates the
+  * full postings for lengths — the corpus-sized cost that would
+  * otherwise hide inside every query batch), and the two corpus
+  * scalars `(n_docs, Σdl)` — and appending a batch touches the
+  * resident corpus ZERO times:
   *
   *   - batch postings: one tokenize pass over the BATCH only;
   *   - postings' = postings ∪ batch postings (batches are doc-
@@ -21,6 +24,7 @@ import org.apache.spark.sql.functions._
   *     batch is new doc_ids — so per-doc term counts never merge);
   *   - df' = df +_token batch-df (full-outer add; new tokens enter
   *     with their batch df);
+  *   - dl' = dl ∪ batch-dl (doc-disjoint union, like postings);
   *   - n_docs' / Σdl' add the batch scalars.
   *
   * Every merge is exact integer addition, so the appended index is
@@ -58,17 +62,23 @@ object Lexical {
     * one posting (the `bm25Ranked` convention — a one-token doc has
     * no 2-shingles and no dl); `sumDl` is the total posting mass
     * Σtf, so `avgdl_m = (1000·sumDl) div nDocs` exactly as the
-    * full-rebuild scorer freezes it. */
+    * full-rebuild scorer freezes it. `dl` is the per-doc posting
+    * mass `(doc_id, dl)` — maintained through append/remove exactly
+    * like the postings so the probe reads lengths from a |docs|-row
+    * table instead of re-aggregating |postings| rows per batch. */
   final case class Bm25Index(tf: DataFrame, df: DataFrame,
-                             nDocs: Long, sumDl: Long)
+                             dl: DataFrame, nDocs: Long, sumDl: Long)
 
-  /** From-scratch build: one tokenize pass + one vocabulary
-    * aggregate + a 1-row scalar collect. */
+  private def docLengths(tf: DataFrame): DataFrame =
+    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+
+  /** From-scratch build: one tokenize pass + the vocabulary and
+    * doc-length aggregates + a 1-row scalar collect. */
   def buildIndex(docs: DataFrame): Bm25Index = {
     val tf = postings(docs)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val r = tf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
-    Bm25Index(tf, df, r.getLong(0),
+    Bm25Index(tf, df, docLengths(tf), r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -92,6 +102,7 @@ object Lexical {
         (coalesce(col("__base"), lit(0L)) +
           coalesce(col("__new"), lit(0L))).as("df"))
     Bm25Index(idx.tf.unionByName(btf), mergedDf,
+      idx.dl.unionByName(docLengths(btf)),
       idx.nDocs + r.getLong(0),
       idx.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1)))
   }
@@ -122,19 +133,22 @@ object Lexical {
         (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
       .filter(col("df") > 0)
     Bm25Index(idx.tf.join(rm, Seq("doc_id"), "left_anti"), newDf,
+      idx.dl.join(rm, Seq("doc_id"), "left_anti"),
       idx.nDocs - r.getLong(0),
       idx.sumDl - (if (r.isNullAt(1)) 0L else r.getLong(1)))
   }
 
-  /** Persist the bundle as three parquet datasets under `path`
-    * (`postings/`, `vocab/`, `scalars/` — the last a 1-row table) via
-    * the T6 dynamic-overwrite sink, so the index survives the session
-    * the way the IVF bucketed table does (`Ann.appendIvfIndex`):
-    * build once, probe from any later job. Re-delivery overwrites in
-    * place — idempotent like every other sink in `jobs.Sinks`. */
+  /** Persist the bundle as four parquet datasets under `path`
+    * (`postings/`, `vocab/`, `doclen/`, `scalars/` — the last a
+    * 1-row table) via the T6 dynamic-overwrite sink, so the index
+    * survives the session the way the IVF bucketed table does
+    * (`Ann.appendIvfIndex`): build once, probe from any later job.
+    * Re-delivery overwrites in place — idempotent like every other
+    * sink in `jobs.Sinks`. */
   def writeIndex(idx: Bm25Index, path: String): Unit = {
     graft.jobs.Sinks.partitionedParquet(idx.tf, s"$path/postings", Nil)
     graft.jobs.Sinks.partitionedParquet(idx.df, s"$path/vocab", Nil)
+    graft.jobs.Sinks.partitionedParquet(idx.dl, s"$path/doclen", Nil)
     val spark = idx.tf.sparkSession
     import spark.implicits._
     graft.jobs.Sinks.partitionedParquet(
@@ -155,6 +169,7 @@ object Lexical {
     Bm25Index(
       Tables.readLake(spark, s"$path/postings", "parquet"),
       Tables.readLake(spark, s"$path/vocab", "parquet"),
+      Tables.readLake(spark, s"$path/doclen", "parquet"),
       sc.getLong(0), sc.getLong(1))
   }
 
@@ -164,10 +179,15 @@ object Lexical {
     * impact pruning, ties to doc_id), with the corpus stats taken
     * from the index SCALARS instead of a 1-row aggregate — the
     * serving shape: stats are literals in the plan, the query batch
-    * equi-joins the vocabulary then the postings on the TERM key, so
-    * per-query cost is Σ posting-list length over its terms, never
-    * |corpus|. SimilaritySpec pins output equality with the
-    * full-rebuild scorer on the union corpus. */
+    * equi-joins the vocabulary then the postings on the TERM key,
+    * and doc lengths come from the bundle's MAINTAINED `dl` table
+    * (a |docs|-row equi-join on the candidates), never a probe-time
+    * re-aggregation of the full postings — the corpus-sized cost
+    * that would otherwise hide inside every query batch. Per-query
+    * cost is therefore Σ posting-list length over its terms plus the
+    * candidate dl lookups, never |postings|. SimilaritySpec pins
+    * output equality with the full-rebuild scorer on the union
+    * corpus. */
   def rankedFromIndex(idx: Bm25Index, queryDocs: DataFrame,
                       dfCapDen: Int = 20, k: Int = 10): DataFrame = {
     require(idx.nDocs > 0, "empty index")
@@ -181,10 +201,9 @@ object Lexical {
       .join(idf, "token")
       .filter(col("df") * dfCapDen <= lit(idx.nDocs))
       .select("q_id", "token", "idf_b")
-    val dl = idx.tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val scored = qterms.join(idx.tf, "token")
       .filter(col("doc_id") =!= col("q_id"))
-      .join(dl, "doc_id")
+      .join(idx.dl, "doc_id")
       .withColumn("contrib", expr(
         s"(idf_b * 22000 * tf * ${avgdlM}L) div " +
           s"(10 * ${avgdlM}L * tf + 3 * ${avgdlM}L + 9000 * dl)"))

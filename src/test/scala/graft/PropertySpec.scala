@@ -482,6 +482,10 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       d.collect()
         .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(tfMap(composed.tf) == tfMap(rebuilt.tf), "postings differ")
+    def dlMap(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dlMap(composed.dl) == dlMap(rebuilt.dl),
+      "maintained dl table differs")
     // probe parity whenever the surviving corpus is probeable (the
     // dense random vocabulary may prune every term past the df cap —
     // equality still must hold, emptiness is then legitimate)

@@ -179,6 +179,10 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dfMap(appended.df) == dfMap(rebuilt.df),
       "df add diverged from the union recompute")
+    def dlMap(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dlMap(appended.dl) == dlMap(rebuilt.dl),
+      "maintained dl table diverged from the union recompute")
     // 2) probe parity: the appended bundle ranks every query exactly
     //    as the full-rebuild scorer does on the union corpus (the
     //    ss_ivf_append pin, lexical edition)
@@ -222,6 +226,10 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       "df decrement diverged from the rebuild (zero-df tokens must " +
         "leave the vocabulary)")
     assert(dm.values.forall(_ > 0), "zero/negative df survived delete")
+    def dlMap(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dlMap(deleted.dl) == dlMap(rebuilt.dl),
+      "maintained dl table kept a removed doc's length")
     // probe parity on the survivors — idf and avgdl both moved, so a
     // stale scalar would show up here even with equal posting sets
     val queries = docs.filter(col("doc_id") % 250 === 0 &&
@@ -281,11 +289,12 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val idx = Lexical.buildIndex(docs)
     def dfMap(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
       d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // takedown of the whole corpus: scalars to exact zero, both
+    // takedown of the whole corpus: scalars to exact zero, all three
     // relations empty — not a corrupt half-state
     val emptied = Lexical.removeDocs(idx, docs.select("doc_id"))
     assert(emptied.nDocs == 0L && emptied.sumDl == 0L)
-    assert(emptied.tf.head(1).isEmpty && emptied.df.head(1).isEmpty)
+    assert(emptied.tf.head(1).isEmpty && emptied.df.head(1).isEmpty &&
+      emptied.dl.head(1).isEmpty)
     // probing an empty index is a loud contract violation, never a
     // silent empty ranking
     intercept[IllegalArgumentException] {
