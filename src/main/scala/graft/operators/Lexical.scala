@@ -144,12 +144,27 @@ object Lexical {
     * survives the session the way the IVF bucketed table does
     * (`Ann.appendIvfIndex`): build once, probe from any later job.
     * Re-delivery overwrites in place — idempotent like every other
-    * sink in `jobs.Sinks`. */
+    * sink in `jobs.Sinks`.
+    *
+    * The tokenize lineage executes ONCE: only the postings write
+    * forces it; vocab and doclen are then re-derived from the
+    * just-written parquet (a columnar scan of three narrow columns),
+    * not from the in-session plans — three independent writes of
+    * lazy plans all rooted at `postings(docs)` would tokenize the
+    * corpus three times, the exact cost this module exists to avoid.
+    * Sound because both tables are exact functions of the postings
+    * and the MAINTAINED forms are spec-pinned bit-identical to these
+    * recomputes at every lifecycle step. */
   def writeIndex(idx: Bm25Index, path: String): Unit = {
     graft.jobs.Sinks.partitionedParquet(idx.tf, s"$path/postings", Nil)
-    graft.jobs.Sinks.partitionedParquet(idx.df, s"$path/vocab", Nil)
-    graft.jobs.Sinks.partitionedParquet(idx.dl, s"$path/doclen", Nil)
     val spark = idx.tf.sparkSession
+    val tfDisk = graft.sources.Tables
+      .readLake(spark, s"$path/postings", "parquet")
+    graft.jobs.Sinks.partitionedParquet(
+      tfDisk.groupBy("token").agg(count(lit(1)).as("df")),
+      s"$path/vocab", Nil)
+    graft.jobs.Sinks.partitionedParquet(
+      docLengths(tfDisk), s"$path/doclen", Nil)
     import spark.implicits._
     graft.jobs.Sinks.partitionedParquet(
       Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl"),
@@ -158,19 +173,29 @@ object Lexical {
 
   /** Reload a [[writeIndex]] bundle. The scalar read is a 1-row
     * planning-class collect (the `ta_heavy_hitters` stance); the
-    * postings/vocab come back as lazy scans, so a reload-then-probe
-    * reads only the posting lists the query's terms touch — the
-    * serving shape, corpus never rescanned. */
+    * postings/vocab/doclen come back as lazy scans, so a
+    * reload-then-probe reads only the posting lists the query's
+    * terms touch — the serving shape, corpus never rescanned. A
+    * bundle persisted BEFORE the doclen dataset existed (three
+    * datasets only) stays readable: its doc lengths derive from the
+    * intact postings instead — correct (dl is an exact function of
+    * tf), just without the probe-cost benefit until the bundle is
+    * rewritten. */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): Bm25Index = {
     import graft.sources.Tables
     val sc = Tables.readLake(spark, s"$path/scalars", "parquet")
       .select("n_docs", "sum_dl").collect()(0)
-    Bm25Index(
-      Tables.readLake(spark, s"$path/postings", "parquet"),
+    val tf = Tables.readLake(spark, s"$path/postings", "parquet")
+    val dlPath = new org.apache.hadoop.fs.Path(s"$path/doclen")
+    val dl =
+      if (dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(dlPath))
+        Tables.readLake(spark, s"$path/doclen", "parquet")
+      else docLengths(tf)
+    Bm25Index(tf,
       Tables.readLake(spark, s"$path/vocab", "parquet"),
-      Tables.readLake(spark, s"$path/doclen", "parquet"),
-      sc.getLong(0), sc.getLong(1))
+      dl, sc.getLong(0), sc.getLong(1))
   }
 
   /** The probe against a prebuilt/appended index — arithmetic

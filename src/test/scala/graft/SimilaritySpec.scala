@@ -336,6 +336,17 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val again = Lexical.readIndex(spark, s"$dir/bm25")
     assert(again.tf.count() == idx.tf.count())
     assert(again.nDocs == idx.nDocs)
+    // a pre-doclen bundle (three datasets — the layout writeIndex
+    // shipped before the maintained dl table) must stay readable:
+    // doc lengths derive from the intact postings and the probe
+    // still matches
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(new java.io.File(s"$dir/bm25/doclen"))
+    val legacy = Lexical.readIndex(spark, s"$dir/bm25")
+    assert(rows(Lexical.rankedFromIndex(legacy, queries)) == viaReload,
+      "legacy three-dataset bundle probe diverged")
   }
 
   test("PQ encode is a narrow map and its search recalls against brute") {
