@@ -198,6 +198,48 @@ object Lexical {
       dl, sc.getLong(0), sc.getLong(1))
   }
 
+  /** Serving-TABLE layout of the bundle — the `Ann.buildIvfIndex`
+    * build-once pattern, lexical edition: the same four artifacts as
+    * [[writeIndex]], but postings and vocabulary persisted as
+    * TOKEN-bucketed catalog tables and doclen bucketed by doc_id. A
+    * probe over [[readIndexTables]] then plans every INDEX-side join
+    * without an exchange on the index side — the bucketed scans come
+    * out hash-partitioned by their bucket spec, so only the (small)
+    * query-derived side shuffles to meet them; at 100 TB the
+    * postings never move. Same one-tokenize-pass discipline as
+    * writeIndex: vocab and doclen derive from the just-written
+    * postings table. */
+  def writeIndexTables(idx: Bm25Index, name: String,
+                       buckets: Int = 16): Unit = {
+    Partitioning.writeBucketed(idx.tf, s"${name}_postings", "token",
+      buckets)
+    val spark = idx.tf.sparkSession
+    val tfDisk = spark.table(s"${name}_postings")
+    Partitioning.writeBucketed(
+      tfDisk.groupBy("token").agg(count(lit(1)).as("df")),
+      s"${name}_vocab", "token", buckets)
+    Partitioning.writeBucketed(docLengths(tfDisk), s"${name}_doclen",
+      "doc_id", buckets)
+    import spark.implicits._
+    Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_scalars")
+  }
+
+  /** Reload a [[writeIndexTables]] bundle by name — lazy bucketed
+    * scans plus the 1-row scalar collect, probe-parity-identical to
+    * the in-session index (spec-pinned, along with the probe plan
+    * having strictly fewer exchanges than the plain-parquet form). */
+  def readIndexTables(spark: org.apache.spark.sql.SparkSession,
+                      name: String): Bm25Index = {
+    val sc = spark.table(s"${name}_scalars")
+      .select("n_docs", "sum_dl").collect()(0)
+    Bm25Index(spark.table(s"${name}_postings"),
+      spark.table(s"${name}_vocab"),
+      spark.table(s"${name}_doclen"),
+      sc.getLong(0), sc.getLong(1))
+  }
+
   /** The probe against a prebuilt/appended index — arithmetic
     * identical to the full-rebuild `bm25Ranked` (exact-rational
     * Okapi k1=1.2 b=0.75, whole-bit floor-log2 idf, df·dfCapDen ≤ N

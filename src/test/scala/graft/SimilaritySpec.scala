@@ -349,6 +349,56 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       "legacy three-dataset bundle probe diverged")
   }
 
+  test("BM25 bucketed serving tables: probe parity with strictly " +
+      "fewer exchanges than the plain bundle") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val idx = Lexical.buildIndex(docs)
+    try {
+      Lexical.writeIndexTables(idx, "bm25_serve_spec", buckets = 8)
+      val srv = Lexical.readIndexTables(spark, "bm25_serve_spec")
+      assert(srv.nDocs == idx.nDocs && srv.sumDl == idx.sumDl)
+      val queries = docs.filter(col("doc_id") % 250 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        d.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+      val viaTables = rows(Lexical.rankedFromIndex(srv, queries))
+      assert(viaTables == rows(Lexical.rankedFromIndex(idx, queries)),
+        "bucketed-table probe diverged from the in-session index")
+      assert(viaTables.nonEmpty, "parity vacuous: no ranked rows")
+      // the serving claim, measured on the plan: every index-side
+      // scan is hash-partitioned by its bucket spec, so the probe
+      // needs strictly fewer shuffles than the same probe over the
+      // plain-parquet bundle. At fixture scale broadcast joins hide
+      // the difference (the tiny query side broadcasts and neither
+      // form exchanges the index side), so the comparison runs with
+      // the broadcast threshold OFF — the 100 TB shape, where a
+      // multi-million-doc query batch cannot broadcast and the plain
+      // bundle must shuffle postings, vocab AND doclen to meet it
+      def nEx(d: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(d.queryExecution.executedPlan.toString).size
+      val dir = java.nio.file.Files
+        .createTempDirectory("bm25_plain_spec").toString
+      Lexical.writeIndex(idx, s"$dir/bm25")
+      val plain = Lexical.readIndex(spark, s"$dir/bm25")
+      val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prior = spark.conf.get(thresholdKey)
+      val (exTables, exPlain) =
+        try {
+          spark.conf.set(thresholdKey, "-1")
+          (nEx(Lexical.rankedFromIndex(srv, queries)),
+            nEx(Lexical.rankedFromIndex(plain, queries)))
+        } finally spark.conf.set(thresholdKey, prior)
+      assert(exTables < exPlain,
+        s"bucketed probe plans $exTables exchanges vs plain $exPlain " +
+          "-- the bucket layout bought nothing")
+    } finally {
+      for (t <- Seq("postings", "vocab", "doclen", "scalars"))
+        spark.sql(s"DROP TABLE IF EXISTS bm25_serve_spec_$t")
+    }
+  }
+
   test("PQ encode is a narrow map and its search recalls against brute") {
     import graft.operators.Ann
     import org.apache.spark.sql.functions.col
