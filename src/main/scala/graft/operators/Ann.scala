@@ -202,6 +202,30 @@ object Ann {
       .format("parquet")
       .saveAsTable(table)
 
+  /** DELETE face of the build-once index — the takedown/re-crawl
+    * maintenance path completing the lifecycle trio next to
+    * [[buildIvfIndex]]/[[appendIvfIndex]] (and mirroring
+    * `Lexical.removeDocs` on the lexical side): drop a vector-id set
+    * from the bucketed assignment table. The LOGICAL work is a
+    * filter — no centroid argmax recomputes, no Lloyd pass — but
+    * plain-parquet bucketed tables have no row-level delete, so the
+    * PHYSICAL cost is a rewrite of the surviving rows (checkpointed
+    * first: Spark refuses an overwrite that reads its own target).
+    * At a scale where that rewrite hurts, the table belongs in a
+    * format with deletion vectors (the same bucket layout applies) —
+    * this face keeps the SEMANTICS pinned: the table after a delete
+    * probes identically to one built from scratch on the remaining
+    * corpus under the same centroids (SimilaritySpec). Ids absent
+    * from the table are no-ops. */
+  def removeIvfVectors(s: SparkSession, table: String, ids: DataFrame,
+                       nBuckets: Int, idCol: String = "vec_id"): Unit = {
+    val rm = ids.select(col(idCol)).distinct()
+    val kept = CacheScope.materialize(
+      Partitioning.bucketed(s, table).join(rm, Seq(idCol), "left_anti"))
+    Partitioning.writeBucketed(kept, table, "cell", nBuckets)
+    CacheScope.releaseCheckpoint(kept)
+  }
+
   /** PROBE-many face against a prebuilt index table: the probe-cell
     * list (k·nprobe values, driver-known) lands on the scan as an IN
     * filter, so Spark prunes to the matching buckets; the query batch

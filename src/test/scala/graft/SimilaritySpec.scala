@@ -157,6 +157,49 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("IVF delete: pruned table probes identically to a rebuild on " +
+      "the remaining corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, CacheScope}
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val cents = Ann.ivfCentroids(spark, emb, 10,
+      steps = graft.queries.Similarity.IvfSteps)
+    Ann.buildIvfIndex(spark, emb, cents, "ivf_del_spec", nBuckets = 8)
+    // takedown slice + ids that were never indexed (no-op contract)
+    val victims = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
+      .unionByName(spark.range(900000000L, 900000005L)
+        .selectExpr("id AS vec_id"))
+    Ann.removeIvfVectors(spark, "ivf_del_spec", victims, nBuckets = 8)
+    Ann.buildIvfIndex(spark, emb.filter(col("vec_id") % 9 =!= 4),
+      cents, "ivf_del_rebuild_spec", nBuckets = 8)
+    try {
+      val queries = Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3 && col("vec_id") % 9 =!= 4),
+        cents, nprobe = 2)
+        .transform(CacheScope.materialize)
+      val pruned =
+        Ann.probeIvfIndex(spark, "ivf_del_spec", queries, 10)
+      // the rewrite must not cost the probe its bucket-pruned shape
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"deleted-index probe scan is not bucket-pruned:\n$plan")
+      val d = pruned.collect().map(_.toSeq).toSeq
+      val r = Ann.probeIvfIndex(spark, "ivf_del_rebuild_spec", queries, 10)
+        .collect().map(_.toSeq).toSeq
+      assert(d == r,
+        "delete-then-probe diverged from the remainder rebuild's probe")
+      assert(d.nonEmpty, "parity vacuous: no probe rows")
+      // the removed ids are gone from the table itself
+      assert(graft.operators.Partitioning.bucketed(spark, "ivf_del_spec")
+        .filter(col("vec_id") % 9 === 4).head(1).isEmpty,
+        "removed vectors survived in the assignment table")
+      CacheScope.releaseCheckpoint(queries)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_del_spec")
+      spark.sql("DROP TABLE IF EXISTS ivf_del_rebuild_spec")
+    }
+  }
+
   test("BM25 append: appended index probes identically to a union rebuild") {
     import org.apache.spark.sql.functions._
     import graft.operators.Lexical
