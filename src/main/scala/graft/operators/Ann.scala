@@ -209,21 +209,33 @@ object Ann {
     * from the bucketed assignment table. The LOGICAL work is a
     * filter — no centroid argmax recomputes, no Lloyd pass — but
     * plain-parquet bucketed tables have no row-level delete, so the
-    * PHYSICAL cost is a rewrite of the surviving rows (checkpointed
-    * first: Spark refuses an overwrite that reads its own target).
-    * At a scale where that rewrite hurts, the table belongs in a
+    * PHYSICAL cost is a rewrite of the surviving rows, installed via
+    * [[Partitioning.replaceBucketed]]'s stage-then-swap so the
+    * serving table stays intact until the rewrite has committed (a
+    * mid-write failure can never destroy the index) and the
+    * survivors' read-from-the-target lineage needs no checkpoint. At
+    * a scale where the rewrite itself hurts, the table belongs in a
     * format with deletion vectors (the same bucket layout applies) —
     * this face keeps the SEMANTICS pinned: the table after a delete
     * probes identically to one built from scratch on the remaining
-    * corpus under the same centroids (SimilaritySpec). Ids absent
-    * from the table are no-ops. */
+    * corpus under the same centroids (SimilaritySpec). The bucket
+    * spec comes from the CATALOG, not a parameter — a delete never
+    * legitimately re-buckets, and a caller-supplied count that
+    * disagreed with the table would silently do exactly that. Ids
+    * absent from the table are no-ops. */
   def removeIvfVectors(s: SparkSession, table: String, ids: DataFrame,
-                       nBuckets: Int, idCol: String = "vec_id"): Unit = {
+                       idCol: String = "vec_id"): Unit = {
+    val spec = s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bucket spec — not an IVF index table"))
     val rm = ids.select(col(idCol)).distinct()
-    val kept = CacheScope.materialize(
-      Partitioning.bucketed(s, table).join(rm, Seq(idCol), "left_anti"))
-    Partitioning.writeBucketed(kept, table, "cell", nBuckets)
-    CacheScope.releaseCheckpoint(kept)
+    val kept =
+      Partitioning.bucketed(s, table).join(rm, Seq(idCol), "left_anti")
+    Partitioning.replaceBucketed(s, table, kept,
+      spec.bucketColumnNames.head, spec.numBuckets)
   }
 
   /** PROBE-many face against a prebuilt index table: the probe-cell

@@ -72,13 +72,18 @@ object Lexical {
   private def docLengths(tf: DataFrame): DataFrame =
     tf.groupBy("doc_id").agg(sum("tf").as("dl"))
 
+  /** The one vocabulary derivation (df = docs per token) every face
+    * shares — drift in any copy would break the bit-identical-to-
+    * rebuild contract between the maintained and derived forms. */
+  private def vocabOf(tf: DataFrame): DataFrame =
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+
   /** From-scratch build: one tokenize pass + the vocabulary and
     * doc-length aggregates + a 1-row scalar collect. */
   def buildIndex(docs: DataFrame): Bm25Index = {
     val tf = postings(docs)
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val r = tf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
-    Bm25Index(tf, df, docLengths(tf), r.getLong(0),
+    Bm25Index(tf, vocabOf(tf), docLengths(tf), r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -93,7 +98,7 @@ object Lexical {
     * slice (see removeDocs), still never a corpus re-tokenize. */
   def appendIndex(idx: Bm25Index, batch: DataFrame): Bm25Index = {
     val btf = postings(batch)
-    val bdf = btf.groupBy("token").agg(count(lit(1)).as("df"))
+    val bdf = vocabOf(btf)
     val r = btf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
     val mergedDf = idx.df.withColumnRenamed("df", "__base")
       .join(bdf.withColumnRenamed("df", "__new"),
@@ -154,21 +159,41 @@ object Lexical {
     * corpus three times, the exact cost this module exists to avoid.
     * Sound because both tables are exact functions of the postings
     * and the MAINTAINED forms are spec-pinned bit-identical to these
-    * recomputes at every lifecycle step. */
+    * recomputes at every lifecycle step.
+    *
+    * Each dataset lands via STAGE-THEN-RENAME (write `<dir>__stage`,
+    * then swap): the maintain-and-rewrite flow — readIndex(path) →
+    * append/remove → writeIndex(path) — has the postings write
+    * READING the very directory it replaces, which a direct
+    * overwrite both refuses (self-read) and, worked around with a
+    * checkpoint, turns into a data-loss window (target dropped while
+    * the only copy is non-fault-tolerant blocks). With the stage, a
+    * crash leaves the intact original or a complete durable staging
+    * copy. The four datasets are not one transaction — a crash
+    * between swaps leaves a mixed bundle; re-running writeIndex
+    * converges it (every write is idempotent). */
   def writeIndex(idx: Bm25Index, path: String): Unit = {
-    graft.jobs.Sinks.partitionedParquet(idx.tf, s"$path/postings", Nil)
     val spark = idx.tf.sparkSession
+    def staged(dir: String)(write: String => Unit): Unit = {
+      val stage = dir + "__stage"
+      write(stage)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.rename(new org.apache.hadoop.fs.Path(stage), p)
+    }
+    staged(s"$path/postings") {
+      graft.jobs.Sinks.partitionedParquet(idx.tf, _, Nil) }
     val tfDisk = graft.sources.Tables
       .readLake(spark, s"$path/postings", "parquet")
-    graft.jobs.Sinks.partitionedParquet(
-      tfDisk.groupBy("token").agg(count(lit(1)).as("df")),
-      s"$path/vocab", Nil)
-    graft.jobs.Sinks.partitionedParquet(
-      docLengths(tfDisk), s"$path/doclen", Nil)
+    staged(s"$path/vocab") {
+      graft.jobs.Sinks.partitionedParquet(vocabOf(tfDisk), _, Nil) }
+    staged(s"$path/doclen") {
+      graft.jobs.Sinks.partitionedParquet(docLengths(tfDisk), _, Nil) }
     import spark.implicits._
-    graft.jobs.Sinks.partitionedParquet(
-      Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl"),
-      s"$path/scalars", Nil)
+    staged(s"$path/scalars") {
+      graft.jobs.Sinks.partitionedParquet(
+        Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl"), _, Nil) }
   }
 
   /** Reload a [[writeIndex]] bundle. The scalar read is a 1-row
@@ -208,22 +233,30 @@ object Lexical {
     * query-derived side shuffles to meet them; at 100 TB the
     * postings never move. Same one-tokenize-pass discipline as
     * writeIndex: vocab and doclen derive from the just-written
-    * postings table. */
+    * postings table. Every table installs via
+    * [[Partitioning.replaceBucketed]]'s stage-then-swap, so the
+    * maintain-and-rewrite flow — readIndexTables(name) →
+    * append/remove → writeIndexTables(name) — works in place (the
+    * postings lineage may READ the table being replaced) and a
+    * mid-write failure can never destroy the serving copy. The four
+    * tables are not one transaction — a crash between swaps leaves a
+    * mixed bundle; re-running writeIndexTables converges it. */
   def writeIndexTables(idx: Bm25Index, name: String,
                        buckets: Int = 16): Unit = {
-    Partitioning.writeBucketed(idx.tf, s"${name}_postings", "token",
-      buckets)
     val spark = idx.tf.sparkSession
+    Partitioning.replaceBucketed(spark, s"${name}_postings", idx.tf,
+      "token", buckets)
     val tfDisk = spark.table(s"${name}_postings")
-    Partitioning.writeBucketed(
-      tfDisk.groupBy("token").agg(count(lit(1)).as("df")),
-      s"${name}_vocab", "token", buckets)
-    Partitioning.writeBucketed(docLengths(tfDisk), s"${name}_doclen",
-      "doc_id", buckets)
+    Partitioning.replaceBucketed(spark, s"${name}_vocab",
+      vocabOf(tfDisk), "token", buckets)
+    Partitioning.replaceBucketed(spark, s"${name}_doclen",
+      docLengths(tfDisk), "doc_id", buckets)
     import spark.implicits._
+    val stage = s"${name}_scalars__stage"
     Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl")
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${name}_scalars")
+      .write.mode("overwrite").format("parquet").saveAsTable(stage)
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_scalars")
+    spark.sql(s"ALTER TABLE $stage RENAME TO ${name}_scalars")
   }
 
   /** Reload a [[writeIndexTables]] bundle by name — lazy bucketed

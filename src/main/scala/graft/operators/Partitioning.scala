@@ -402,6 +402,27 @@ object Partitioning {
   def bucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** REPLACE a bucketed table with `df` via stage-then-swap: the
+    * rows land in `<table>__stage` first — the original stays intact
+    * (and serving) until the full rewrite has committed — then one
+    * drop + rename installs them. Two hazards of a naive
+    * mode("overwrite") rewrite die here: a `df` whose lineage READS
+    * the target (the maintain-and-rewrite flow: read table → filter/
+    * union → write back) is refused by Spark outright, and working
+    * around that with a checkpoint puts the only copy of the data in
+    * non-fault-tolerant blocks while the overwrite has already
+    * dropped the original — a mid-write executor loss then destroys
+    * the table. With the stage, a crash at any point leaves either
+    * the untouched original or (after the drop, before the rename) a
+    * complete durable staging copy — recoverable, never data loss. */
+  def replaceBucketed(spark: SparkSession, table: String, df: DataFrame,
+                      key: String, buckets: Int): Unit = {
+    val stage = table + "__stage"
+    writeBucketed(df, stage, key, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+  }
+
   /** Write a directory-partitioned parquet layout (`path/key=value/…`)
     * — the lake-output analog of the reference's per-term file
     * partitioning (S7/S8): one directory per key value, so any later

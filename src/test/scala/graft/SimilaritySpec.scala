@@ -169,7 +169,8 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val victims = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
       .unionByName(spark.range(900000000L, 900000005L)
         .selectExpr("id AS vec_id"))
-    Ann.removeIvfVectors(spark, "ivf_del_spec", victims, nBuckets = 8)
+    // bucket spec comes from the catalog — no count to get wrong
+    Ann.removeIvfVectors(spark, "ivf_del_spec", victims)
     Ann.buildIvfIndex(spark, emb.filter(col("vec_id") % 9 =!= 4),
       cents, "ivf_del_rebuild_spec", nBuckets = 8)
     try {
@@ -390,6 +391,24 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val legacy = Lexical.readIndex(spark, s"$dir/bm25")
     assert(rows(Lexical.rankedFromIndex(legacy, queries)) == viaReload,
       "legacy three-dataset bundle probe diverged")
+    // maintain-and-rewrite IN PLACE: reload the bundle, delete a
+    // slice, write back to the SAME path — the postings write reads
+    // the directory it replaces, which only the stage-then-rename
+    // layout survives
+    val pruned = Lexical.removeDocs(
+      Lexical.readIndex(spark, s"$dir/bm25"),
+      docs.filter(col("doc_id") % 9 === 2).select("doc_id"))
+    Lexical.writeIndex(pruned, s"$dir/bm25")
+    val rewritten = Lexical.readIndex(spark, s"$dir/bm25")
+    val remainder =
+      Lexical.buildIndex(docs.filter(col("doc_id") % 9 =!= 2))
+    assert(rewritten.nDocs == remainder.nDocs &&
+      rewritten.sumDl == remainder.sumDl)
+    val q2 = docs.filter(col("doc_id") % 250 === 0 &&
+      col("doc_id") % 9 =!= 2)
+    assert(rows(Lexical.rankedFromIndex(rewritten, q2)) ==
+      rows(Lexical.rankedFromIndex(remainder, q2)),
+      "in-place rewritten bundle probe diverged from the rebuild")
   }
 
   test("BM25 bucketed serving tables: probe parity with strictly " +
@@ -436,9 +455,29 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(exTables < exPlain,
         s"bucketed probe plans $exTables exchanges vs plain $exPlain " +
           "-- the bucket layout bought nothing")
+      // maintain-and-rewrite IN PLACE: reload the tables, delete a
+      // slice, write back under the SAME name — the postings lineage
+      // reads the table being replaced, which only the
+      // stage-then-swap install survives
+      val maintained = Lexical.removeDocs(
+        Lexical.readIndexTables(spark, "bm25_serve_spec"),
+        docs.filter(col("doc_id") % 9 === 2).select("doc_id"))
+      Lexical.writeIndexTables(maintained, "bm25_serve_spec",
+        buckets = 8)
+      val rewritten = Lexical.readIndexTables(spark, "bm25_serve_spec")
+      val remainder =
+        Lexical.buildIndex(docs.filter(col("doc_id") % 9 =!= 2))
+      assert(rewritten.nDocs == remainder.nDocs &&
+        rewritten.sumDl == remainder.sumDl)
+      val q2 = docs.filter(col("doc_id") % 250 === 0 &&
+        col("doc_id") % 9 =!= 2)
+      assert(rows(Lexical.rankedFromIndex(rewritten, q2)) ==
+        rows(Lexical.rankedFromIndex(remainder, q2)),
+        "in-place rewritten serving tables diverged from the rebuild")
     } finally {
-      for (t <- Seq("postings", "vocab", "doclen", "scalars"))
-        spark.sql(s"DROP TABLE IF EXISTS bm25_serve_spec_$t")
+      for (t <- Seq("postings", "vocab", "doclen", "scalars");
+          suffix <- Seq("", "__stage"))
+        spark.sql(s"DROP TABLE IF EXISTS bm25_serve_spec_$t$suffix")
     }
   }
 
