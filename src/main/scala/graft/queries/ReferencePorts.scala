@@ -23,6 +23,30 @@ object ReferencePorts extends QueryModule {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Deterministic anchor the composed JOB faces share: cutoff =
+    * max(o_orderdate) − 5 days, term = the cutoff's yyyyMM month — a
+    * term with a real 5-day recency tail (anchoring on max's own
+    * month would leave only the boundary day when max lands on the
+    * 1st, as it does in the fixture). The 1-row max() collect is
+    * planning-class driver work, the same round-trip the reference's
+    * get_current_term_ids makes. o_orderdate is parquet
+    * TIMESTAMP_NTZ, surfacing as LocalDateTime; session TZ is UTC so
+    * either form maps to the same instant. */
+  private def ordersAnchor(s: SparkSession,
+                           dir: String): (java.sql.Timestamp, String) = {
+    val maxI = t(s, dir, "orders")
+      .agg(max("o_orderdate")).head.get(0) match {
+        case ts: java.sql.Timestamp => ts.toInstant
+        case ldt: java.time.LocalDateTime =>
+          ldt.toInstant(java.time.ZoneOffset.UTC)
+      }
+    val cutoff = java.sql.Timestamp.from(
+      maxI.minus(java.time.Duration.ofDays(5)))
+    val termId = java.time.format.DateTimeFormatter.ofPattern("yyyyMM")
+      .withZone(java.time.ZoneOffset.UTC).format(cutoff.toInstant)
+    (cutoff, termId)
+  }
+
   // --------------------------------------------------------------------
   // P1/S1: pure projection + rename scan
   // (reference: jonesy/queries.py:22-28 get_advisor_notes_access — a
@@ -198,19 +222,7 @@ object ReferencePorts extends QueryModule {
   val recentEnrollmentUpdates: Q = Q(
     "ref_recent_enrollment_updates",
     (s, dir) => {
-      // o_orderdate is parquet TIMESTAMP_NTZ, surfacing as
-      // LocalDateTime; session TZ is UTC so either form maps to the
-      // same instant
-      val maxI = t(s, dir, "orders")
-        .agg(max("o_orderdate")).head.get(0) match {
-          case ts: java.sql.Timestamp => ts.toInstant
-          case ldt: java.time.LocalDateTime =>
-            ldt.toInstant(java.time.ZoneOffset.UTC)
-        }
-      val cutoff = java.sql.Timestamp.from(
-        maxI.minus(java.time.Duration.ofDays(5)))
-      val termId = java.time.format.DateTimeFormatter.ofPattern("yyyyMM")
-        .withZone(java.time.ZoneOffset.UTC).format(cutoff.toInstant)
+      val (cutoff, termId) = ordersAnchor(s, dir)
       graft.jobs.Jobs.recentEnrollmentUpdates(s, dir, termId, Some(cutoff))
     },
     Some("""
@@ -302,8 +314,60 @@ object ReferencePorts extends QueryModule {
                last_updated DESC""")
   )
 
+  /** The composed SNAPSHOT extract AS THE JOB RUNS IT — this catalog
+    * face calls [[graft.jobs.Jobs.termEnrollments]] directly
+    * (reference get_term_enrollments, jonesy/queries.py:286-315: the
+    * 13-column DISTINCT enrollment projection ORDER BY section_id,
+    * sis_id, whose ROWNUM batching is certified separately by
+    * `rel_pagination`/`rel_keyset_pagination`), so CORRECTNESS
+    * certifies the very plan `JOB=upload_term_snapshot` uploads for
+    * its largest-volume extract — previously the one composed job
+    * plan certified only by golden files (VERDICT r14 "What's
+    * missing" #1; the refresh extracts got this treatment in r8/r9
+    * as `ref_recent_enrollment_updates` / `_instructor_`).
+    *
+    * Anchoring (both engines identically): term = the month of
+    * max(o_orderdate) − 5 days — the [[recentEnrollmentUpdates]]
+    * anchor, reused so the face exercises a month with a full tail
+    * of orders (max itself lands on the 1st in the fixture). The
+    * 1-row max() collect is planning-class driver work, the same
+    * round-trip the reference's get_current_term_ids makes before it
+    * passes term_id into this query builder. */
+  val termEnrollmentsQ: Q = Q(
+    "ref_term_enrollments",
+    (s, dir) => {
+      val (_, termId) = ordersAnchor(s, dir)
+      graft.jobs.Jobs.termEnrollments(s, dir, termId)
+    },
+    Some("""
+      WITH mx AS (SELECT max(o_orderdate) - INTERVAL 5 DAY AS anchor
+                  FROM orders),
+           term AS (SELECT date_trunc('month', anchor) AS lo,
+                           date_trunc('month', anchor)
+                             + INTERVAL 1 MONTH AS hi FROM mx),
+           term_orders AS (SELECT orders.* FROM orders, term
+                           WHERE o_orderdate >= lo AND o_orderdate < hi)
+      SELECT DISTINCT
+             l.l_orderkey AS section_id,
+             strftime(o.o_orderdate, '%Y%m') AS term_id,
+             o.o_orderpriority AS session_id,
+             o.o_custkey AS ldap_uid,
+             CAST(o.o_custkey AS VARCHAR) AS sis_id,
+             l.l_linestatus AS enrollment_status,
+             l.l_linenumber AS waitlist_position,
+             l.l_quantity AS units,
+             l.l_returnflag AS grade,
+             l.l_discount AS grade_points,
+             o.o_orderstatus AS grading_basis,
+             CASE WHEN l.l_returnflag = 'N' THEN NULL
+                  ELSE l.l_returnflag END AS grade_midterm,
+             'UC_GRAFT' AS institution
+      FROM lineitem l JOIN term_orders o ON l.l_orderkey = o.o_orderkey
+      ORDER BY section_id, sis_id, waitlist_position""")
+  )
+
   def all: Seq[Q] = Seq(
     advisorNotes, basicAttributes, currentTerms,
     latestOrderPerCustomer, latestOrderWindow, recentEnrollmentUpdates,
-    recentInstructorUpdatesQ)
+    recentInstructorUpdatesQ, termEnrollmentsQ)
 }
