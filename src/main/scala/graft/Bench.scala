@@ -277,9 +277,13 @@ object Bench {
     // a previous record measured under a different sf/cpus/meas must
     // not be carried forward as if it were this run's configuration
     // (r13 advice #3 — floorFrame is frame-checked, the carry wasn't)
+    // .contains, not .forall: a record missing sf/cpus must read
+    // FOREIGN-frame, not vacuously same-frame — detailJson always
+    // writes both, so absence means a hand-edited/truncated record
+    // whose cells must not become carry/splice eligible (r14 advice #4)
     val prevSkewFrameOk = prevSkewTxt.exists { t =>
-      parseDetailField(t, "sf").forall(_ == sfName) &&
-        parseDetailField(t, "cpus").forall(_ == cpus) &&
+      parseDetailField(t, "sf").contains(sfName) &&
+        parseDetailField(t, "cpus").contains(cpus) &&
         parseDetailField(t, "meas").getOrElse("count") == Meas
     }
     val prevSkewCells =
@@ -296,21 +300,53 @@ object Bench {
       sys.env.get("SPARK_GRAFT_SKEW_REPS")
         .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
         .getOrElse(3))
-    val (skew, skewCtx): (Map[String, Double], String) =
-      if (args.nonEmpty && !skewOnly) (Map.empty, "")
+    // skewDevs: Some(set) iff the per-cell deviation guard COMPARED
+    // (a controlled fresh measure over a carried controlled matrix);
+    // None on carry/loaded/no-prior paths — absence of the tag must
+    // not read as "guard ran, clean" (r14 verdict #1/#2: a controlled
+    // run's noisy cell silently replaced a clean carried reading with
+    // no flag). Deviating cells are re-repped once, focused; a cell
+    // still >SkewDeviationFactor× off after arbitration ships, but
+    // NAMED in the record so notes-vs-record drift is self-reporting.
+    val (skew, skewCtx, skewDevs)
+        : (Map[String, Double], String, Option[Set[String]]) =
+      if (args.nonEmpty && !skewOnly) (Map.empty, "", None)
       else if (sys.env.get("SPARK_GRAFT_SKEW_BENCH").contains("0"))
-        (Map.empty, "")
+        (Map.empty, "", None)
       else skewPlan(loadedHost, prevSkewCells, prevSkewCtx) match {
         case (false, ctx) =>
           System.err.println(
             s"[bench] skew bench NOT re-measured (host loaded): " +
               s"carrying the previous controlled matrix, context=$ctx")
-          (prevSkewCells, ctx)
+          (prevSkewCells, ctx, None)
         case (true, ctx) =>
-          try (skewBench(spark, skewReps), ctx)
-          catch { case e: Exception =>
+          try {
+            var cells = skewBench(spark, skewReps)
+            val guardArmed = ctx == "controlled" &&
+              prevSkewCells.nonEmpty &&
+              prevSkewCtx.exists(c => c == "controlled" || c == "carried")
+            val devs: Option[Set[String]] =
+              if (!guardArmed) None
+              else {
+                val first = skewDeviations(cells, prevSkewCells)
+                if (first.nonEmpty) {
+                  System.err.println(s"[bench] skew cells deviate >" +
+                    s"${SkewDeviationFactor}x from the carried " +
+                    s"controlled matrix: ${first.toSeq.sorted
+                      .mkString(", ")} -- re-repping those cells")
+                  cells = cells ++ skewBench(spark, skewReps, only = first)
+                }
+                val stillOff = skewDeviations(cells, prevSkewCells)
+                for (k <- stillOff.toSeq.sorted) System.err.println(
+                  f"[bench] skew $k CONFIRMED deviant after re-rep: " +
+                    f"${cells(k)}%.3f s vs carried " +
+                    f"${prevSkewCells(k)}%.3f s -- tagged in the record")
+                Some(stillOff)
+              }
+            (cells, ctx, devs)
+          } catch { case e: Exception =>
             System.err.println(s"[bench] skew bench skipped: $e")
-            (Map.empty, "")
+            (Map.empty, "", None)
           }
       }
     // SPARK_GRAFT_SKEW_BENCH=only exists to SEED the controlled
@@ -330,7 +366,8 @@ object Bench {
         s"[bench] skew-only run NOT spliced: $detailPath is a " +
           "different sf/cpus/meas frame than this run")
       else if (skew.nonEmpty && skewCtx == "controlled") {
-        prevSkewTxt.flatMap(spliceSkewBench(_, skew, skewCtx)) match {
+        prevSkewTxt.flatMap(
+          spliceSkewBench(_, skew, skewCtx, skewDevs)) match {
           case Some(patched) =>
             java.nio.file.Files.write(
               java.nio.file.Paths.get(detailPath),
@@ -507,7 +544,7 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detailJson(results, reps, sfName, calib, cpus, reruns, calib2,
           unresolvedFlags, skew, calibSh, calibSh2, skewCtx,
-          coldMap, warmMap) + "\n")
+          coldMap, warmMap, skewDevs) + "\n")
           .getBytes("UTF-8"))
       // lower the monotone floor where this run beat it (rerun
       // medians count: same query, same purge discipline); never
@@ -629,7 +666,8 @@ object Bench {
     * at all when the run's calib probes exceed [[SkewCalibGuard]]×
     * the floor-file frame (the previous record's cells are carried
     * forward, tagged `"skew_bench_context":"carried"`). */
-  def skewBench(spark: SparkSession, reps: Int = 3): Map[String, Double] = {
+  def skewBench(spark: SparkSession, reps: Int = 3,
+                only: Set[String] = Set.empty): Map[String, Double] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     def timed(f: => Unit): Double = {
@@ -755,19 +793,35 @@ object Bench {
       }
       name -> sec
     }
-    val cellDefs: Seq[() => (String, Double)] = Seq(
-      () => joinCell("join_plain_skew", skewed = true, salted = false),
-      () => joinCell("join_salted_skew", skewed = true, salted = true),
-      () => joinCell("join_plain_uniform", skewed = false, salted = false),
-      () => joinCell("join_salted_uniform", skewed = false, salted = true),
-      () => scd2Cell("scd2_plain_skew", skewed = true, salted = false),
-      () => scd2Cell("scd2_salted_skew", skewed = true, salted = true),
-      () => scd2Cell("scd2_plain_uniform", skewed = false, salted = false),
-      () => scd2Cell("scd2_salted_uniform", skewed = false, salted = true),
-      () => cusumCell("cusum_plain_skew", skewed = true, salted = false),
-      () => cusumCell("cusum_salted_skew", skewed = true, salted = true),
-      () => cusumCell("cusum_plain_uniform", skewed = false, salted = false),
-      () => cusumCell("cusum_salted_uniform", skewed = false, salted = true))
+    // names listed alongside the thunks so a focused re-rep (`only`,
+    // the deviation-arbitration path) can select cells before running
+    val allCellDefs: Seq[(String, () => (String, Double))] = Seq(
+      "join_plain_skew" ->
+        (() => joinCell("join_plain_skew", skewed = true, salted = false)),
+      "join_salted_skew" ->
+        (() => joinCell("join_salted_skew", skewed = true, salted = true)),
+      "join_plain_uniform" ->
+        (() => joinCell("join_plain_uniform", skewed = false, salted = false)),
+      "join_salted_uniform" ->
+        (() => joinCell("join_salted_uniform", skewed = false, salted = true)),
+      "scd2_plain_skew" ->
+        (() => scd2Cell("scd2_plain_skew", skewed = true, salted = false)),
+      "scd2_salted_skew" ->
+        (() => scd2Cell("scd2_salted_skew", skewed = true, salted = true)),
+      "scd2_plain_uniform" ->
+        (() => scd2Cell("scd2_plain_uniform", skewed = false, salted = false)),
+      "scd2_salted_uniform" ->
+        (() => scd2Cell("scd2_salted_uniform", skewed = false, salted = true)),
+      "cusum_plain_skew" ->
+        (() => cusumCell("cusum_plain_skew", skewed = true, salted = false)),
+      "cusum_salted_skew" ->
+        (() => cusumCell("cusum_salted_skew", skewed = true, salted = true)),
+      "cusum_plain_uniform" ->
+        (() => cusumCell("cusum_plain_uniform", skewed = false, salted = false)),
+      "cusum_salted_uniform" ->
+        (() => cusumCell("cusum_salted_uniform", skewed = false, salted = true)))
+    val cellDefs = (if (only.isEmpty) allCellDefs
+      else allCellDefs.filter(d => only(d._1))).map(_._2)
     // INTERLEAVED reps (r12 verdict #1): the whole cell sequence runs
     // end-to-end `reps` times so a monotone host drift spreads over
     // every cell instead of landing on whichever cell ran last — the
@@ -789,7 +843,10 @@ object Bench {
       // result-equality sanity EVERY rep (counts is overwritten each
       // rep, so the check must run before the next pass — r13 advice
       // #1 caught the post-loop placement verifying the last rep only)
-      for ((p, s) <- agreePairs)
+      // — pairs gated on presence so a focused `only` re-rep of one
+      // side does not require its twin
+      for ((p, s) <- agreePairs
+          if counts.contains(p) && counts.contains(s))
         require(counts(p) == counts(s),
           s"skew bench mismatch (rep $r): $p=${counts(p)} vs $s=${counts(s)}")
     }
@@ -854,6 +911,27 @@ object Bench {
       (false, "carried")
     else (true, "loaded")
 
+  /** A re-measured controlled cell may only replace its carried
+    * controlled value silently when the two agree within this factor
+    * (either direction); past it the cell is re-repped, and a
+    * persisting disagreement is tagged in the record. */
+  val SkewDeviationFactor = 2.0
+
+  /** Cells whose fresh value deviates more than `factor`× — in either
+    * direction — from the carried controlled value (r14 verdict #1:
+    * the calib guard gates the RUN, but a single noisy cell inside an
+    * otherwise-controlled run could still silently replace a clean
+    * reading — scd2_salted_uniform landed at 15.86 s over a 3.79 s
+    * controlled cell with nothing in the record saying so). Cells
+    * missing on either side, or nonpositive, cannot deviate. */
+  def skewDeviations(fresh: Map[String, Double],
+                     carried: Map[String, Double],
+                     factor: Double = SkewDeviationFactor): Set[String] =
+    fresh.keySet.intersect(carried.keySet).filter { k =>
+      val (f, c) = (fresh(k), carried(k))
+      f > 0 && c > 0 && (f > c * factor || f * factor < c)
+    }
+
   /** Replace the `"skew_bench":{...}` cells and the
     * `"skew_bench_context"` tag inside an existing detail line,
     * leaving every other byte untouched — the skew-only seeding path
@@ -864,26 +942,46 @@ object Bench {
     * cells. None only when the line has no skew section at all
     * (nothing is guessed about where one would belong). */
   def spliceSkewBench(detailTxt: String, cells: Map[String, Double],
-                      ctx: String): Option[String] = {
+                      ctx: String,
+                      devs: Option[Set[String]] = None): Option[String] = {
     val start = detailTxt.indexOf("\"skew_bench\":{")
     val end = if (start < 0) -1 else detailTxt.indexOf('}', start)
     if (start < 0 || end < 0 || cells.isEmpty) None
     else {
+      // the first-'}' scan is correct ONLY while the section is a
+      // flat name→number map; a nested value would make `end` the
+      // WRONG brace and silently truncate the record on splice —
+      // fail loudly instead (r14 advice #3)
+      val section = detailTxt.substring(
+        start + "\"skew_bench\":{".length, end)
+      require(!section.contains('{'),
+        "skew_bench section is no longer a flat map -- " +
+          "spliceSkewBench's brace scan cannot splice it safely")
       val body = cells.toSeq.sorted.map { case (k, v) =>
         jsonStr(k) + ":" + fmt(v, 3) }.mkString(",")
       val ctxJson = "\"skew_bench_context\":" + jsonStr(ctx)
       val ctxRe = "\"skew_bench_context\":\"[^\"]*\"".r
-      if (ctxRe.findFirstIn(detailTxt).nonEmpty) {
-        val withCells = detailTxt.substring(0, start) +
-          "\"skew_bench\":{" + body + detailTxt.substring(end)
+      val devsRe = ",\"skew_bench_deviations\":\\[[^\\]]*\\]".r
+      val devsJson = devs.map(_.toSeq.sorted.map(jsonStr)
+        .mkString(",\"skew_bench_deviations\":[", ",", "]"))
+      // the deviations tag rides with the context tag: dropped (a
+      // splice replaces the whole matrix, so stale names must not
+      // survive it) then re-inserted when this splice's guard ran
+      val base0 = devsRe.replaceFirstIn(detailTxt, "")
+      val start0 = base0.indexOf("\"skew_bench\":{")
+      val end0 = base0.indexOf('}', start0)
+      if (ctxRe.findFirstIn(base0).nonEmpty) {
+        val withCells = base0.substring(0, start0) +
+          "\"skew_bench\":{" + body + base0.substring(end0)
         Some(ctxRe.replaceFirstIn(withCells,
-          java.util.regex.Matcher.quoteReplacement(ctxJson)))
+          java.util.regex.Matcher.quoteReplacement(
+            ctxJson + devsJson.getOrElse(""))))
       } else
         // pre-guard record: tag inserted adjacent to the cells, the
         // position detailJson itself serializes it at
-        Some(detailTxt.substring(0, start) +
+        Some(base0.substring(0, start0) +
           "\"skew_bench\":{" + body + "}," + ctxJson +
-          detailTxt.substring(end + 1))
+          devsJson.getOrElse("") + base0.substring(end0 + 1))
     }
   }
 
@@ -1130,7 +1228,8 @@ object Bench {
                  calibSh2: Double = -1.0,
                  skewCtx: String = "",
                  coldMap: Map[String, Double] = Map.empty,
-                 warmMap: Map[String, Double] = Map.empty): String = {
+                 warmMap: Map[String, Double] = Map.empty,
+                 skewDevs: Option[Set[String]] = None): String = {
     val total = results.collect { case (_, v, None) => v }.sum
     val resolvedPart = resolvedTotalPart(results, reruns, 6)
     val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, 6) }
@@ -1165,6 +1264,14 @@ object Bench {
        }.mkString(""","skew_bench":{""", ",", "}")) +
         (if (skew.nonEmpty && skewCtx.nonEmpty)
           s""","skew_bench_context":${jsonStr(skewCtx)}"""
+         else "") +
+        // present (possibly []) ONLY when the deviation guard ran —
+        // "guard compared, these cells still disagree with the carried
+        // controlled matrix after a focused re-rep"; absent on carry/
+        // loaded paths where no comparison was possible
+        (if (skew.nonEmpty && skewDevs.isDefined)
+          skewDevs.get.toSeq.sorted.map(jsonStr)
+            .mkString(""","skew_bench_deviations":[""", ",", "]")
          else "")
     // cold (rep-1: build + first-compile + eager work + execute) and
     // warm (the post-reps probe: plan, generated code and shuffle

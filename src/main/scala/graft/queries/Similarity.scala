@@ -1450,9 +1450,76 @@ object Similarity extends QueryModule {
       ORDER BY n.df_new DESC, n.token LIMIT 20""")
   )
 
+  /** LEXICAL-INDEX DELETE — the takedown leg of the lifecycle,
+    * previously spec-only (r14 verdict "Next" #5): a takedown batch
+    * (doc_id % 9 = 0) leaves the resident BM25 index through
+    * [[graft.operators.Lexical.removeDocs]] — an anti-join filter
+    * plus ONE aggregate over the REMOVED slice, never a corpus
+    * re-tokenize — and this face reports what the delete did to the
+    * index: the top-20 per-term df decrements (df_dec desc, token
+    * tie-break; df_after = 0 rows are tokens LEAVING the vocabulary,
+    * exactly what a from-scratch rebuild forgets) plus the removed
+    * scalar mass (docs_removed / mass_removed — the nDocs/Σdl
+    * subtractions) attached as literal columns, the
+    * `ta_heavy_hitters` scalar-attach stance. The face computes the
+    * decrements by DIFFING removeDocs's actual output vocabulary
+    * against the pre-delete vocabulary (full join on token), so
+    * CORRECTNESS certifies the maintained df table itself, not a
+    * parallel derivation — the `ss_bm25_append` treatment, delete
+    * edition.
+    *
+    * Scale (100 TB): one tokenize pass over the corpus for the base
+    * index (amortized in production — the index is persisted), one
+    * broadcast semi-join to the takedown ids, a vocabulary-grain
+    * full join, a top-k. The tombstone-deferred serving path
+    * (`Lexical.removeDocsDeferred`) installs these same decrements
+    * as a delta table; SimilaritySpec pins the two bit-identical. */
+  val bm25Remove: Q = Q(
+    "ss_bm25_remove",
+    (s, dir) => {
+      import graft.operators.Lexical
+      val docsT = Tables(s, dir, "documents")
+      val idx = Lexical.buildIndex(docsT)
+      val after = Lexical.removeDocs(idx,
+        docsT.filter(col("doc_id") % 9 === 0).select("doc_id"))
+      idx.df.withColumnRenamed("df", "df_base")
+        .join(after.df.withColumnRenamed("df", "df_kept"),
+          Seq("token"), "left")
+        .select(col("token"), col("df_base"),
+          (col("df_base") - coalesce(col("df_kept"), lit(0L)))
+            .as("df_dec"),
+          coalesce(col("df_kept"), lit(0L)).as("df_after"))
+        .filter(col("df_dec") > 0)
+        .withColumn("docs_removed", lit(idx.nDocs - after.nDocs))
+        .withColumn("mass_removed", lit(idx.sumDl - after.sumDl))
+        .orderBy(col("df_dec").desc, col("token"))
+        .limit(20)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_transform(l[1:len(l)-1],
+                 (x, i) -> x || ' ' || l[i+1])) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents)),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      base AS (SELECT token, count(*) AS df_base FROM tf GROUP BY 1),
+      rm AS (SELECT * FROM tf WHERE doc_id % 9 = 0),
+      dec AS (SELECT token, count(*) AS df_dec FROM rm GROUP BY 1),
+      scal AS (SELECT count(DISTINCT doc_id) AS docs_removed,
+                      CAST(coalesce(sum(tf), 0) AS BIGINT) AS mass_removed
+               FROM rm)
+      SELECT b.token, b.df_base, d.df_dec,
+             b.df_base - d.df_dec AS df_after,
+             s.docs_removed, s.mass_removed
+      FROM dec d JOIN base b USING (token), scal s
+      ORDER BY d.df_dec DESC, b.token LIMIT 20""")
+  )
+
   def all: Seq[Q] = Seq(topkBrute, topkSrp, topkIvf, topkIvf2,
     topkSrpMulti, recallReport, embedHealth, quantizeInt8, hybridSearch,
     topkPerLabel, topkPq, clusterReport, topkIvfPq, semanticDedup,
     rangeSearch, centroidDrift, ivfAppend, bm25Topk, rrfFusion,
-    bm25IndexStats, bm25Append)
+    bm25IndexStats, bm25Append, bm25Remove)
 }

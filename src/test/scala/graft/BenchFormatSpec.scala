@@ -262,6 +262,68 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.spliceSkewBench(orig, Map.empty, "controlled") === None)
   }
 
+  test("skew deviation guard: >2x cells detected, tagged, spliced; " +
+      "brace drift fails loudly") {
+    // the kernel: either direction past the factor, missing or
+    // nonpositive cells can never deviate (r14 verdict #1: a 15.86 s
+    // cell over a 3.79 s carried controlled value shipped untagged)
+    val carried = Map("scd2_salted_uniform" -> 3.79,
+      "join_plain_skew" -> 1.6, "cusum_plain_skew" -> 10.0,
+      "gone" -> 2.0, "bad" -> -1.0)
+    val fresh = Map("scd2_salted_uniform" -> 15.86, // 4.2× slower
+      "join_plain_skew" -> 0.7,                     // 2.3× faster
+      "cusum_plain_skew" -> 11.0,                   // within 2×
+      "new_cell" -> 9.9, "bad" -> 5.0)
+    assert(Bench.skewDeviations(fresh, carried)
+      === Set("scd2_salted_uniform", "join_plain_skew"))
+    assert(Bench.skewDeviations(fresh, carried, factor = 5.0)
+      === Set.empty)
+    // exactly at the factor is NOT a deviation (strict >)
+    assert(Bench.skewDeviations(Map("a" -> 2.0), Map("a" -> 1.0))
+      === Set.empty)
+    // detailJson: the tag is present (sorted, possibly empty) exactly
+    // when the guard compared — Some — and absent when it could not
+    val skew = Map("scd2_salted_uniform" -> 15.86)
+    val tagged = Bench.detailJson(mk(10), 3, "sf0.1", cpus = "32",
+      skew = skew, skewCtx = "controlled",
+      skewDevs = Some(Set("scd2_salted_uniform")))
+    val tjs = mapper.readTree(tagged)
+    assert(tjs.get("skew_bench_deviations").size() === 1)
+    assert(tjs.get("skew_bench_deviations").get(0).asText()
+      === "scd2_salted_uniform")
+    val clean = Bench.detailJson(mk(10), 3, "sf0.1", cpus = "32",
+      skew = skew, skewCtx = "controlled", skewDevs = Some(Set.empty))
+    assert(mapper.readTree(clean).get("skew_bench_deviations").size()
+      === 0)
+    val noGuard = Bench.detailJson(mk(10), 3, "sf0.1", cpus = "32",
+      skew = skew, skewCtx = "carried")
+    assert(!mapper.readTree(noGuard).has("skew_bench_deviations"))
+    // splice: a stale deviations tag is dropped with the matrix it
+    // described; the new guard's tag rides in with the context
+    val fresh2 = Map("scd2_salted_uniform" -> 3.9)
+    val respliced = Bench.spliceSkewBench(tagged, fresh2, "controlled",
+      devs = Some(Set.empty)).get
+    val rjs = mapper.readTree(respliced)
+    assert(rjs.get("skew_bench").get("scd2_salted_uniform")
+      .asDouble() === 3.9)
+    assert(rjs.get("skew_bench_deviations").size() === 0)
+    assert(rjs.get("queries").size() === 10)
+    val guardless = Bench.spliceSkewBench(tagged, fresh2,
+      "controlled").get
+    assert(!mapper.readTree(guardless).has("skew_bench_deviations"))
+    val reTagged = Bench.spliceSkewBench(noGuard, fresh2, "controlled",
+      devs = Some(Set("scd2_salted_uniform"))).get
+    assert(mapper.readTree(reTagged).get("skew_bench_deviations")
+      .get(0).asText() === "scd2_salted_uniform")
+    // a nested value inside skew_bench would put the first '}' at
+    // the wrong brace — the splice must refuse loudly, not truncate
+    val nested = tagged.replace(""""skew_bench":{""",
+      """"skew_bench":{"inner":{"x":1},""")
+    intercept[IllegalArgumentException] {
+      Bench.spliceSkewBench(nested, fresh2, "controlled")
+    }
+  }
+
   test("value_resolved: resolved flags replace their medians in the companion total") {
     val results = mk(10)  // q_i = i * 0.037
     val reruns = Seq(

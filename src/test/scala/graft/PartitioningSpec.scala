@@ -264,6 +264,71 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(s"$base/events").count() == events.count())
   }
 
+  test("replaceBucketed swap is resolvable after a crash at every step") {
+    import spark.implicits._
+    // three generations of a tiny bucketed table, distinguishable by a
+    // version column, so each simulated crash state says which data a
+    // reader would see
+    def gen(v: Int) = (1L to 20L).map(k => (k, v)).toDF("k", "v")
+    def ver(name: String): Int =
+      Partitioning.bucketed(spark, name).select(max("v")).head.getInt(0)
+    def drop(names: String*): Unit = names.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val t = "swap_spec"
+    drop(t, s"${t}__stage", s"${t}__old")
+
+    // the steps of replaceBucketed(t, gen2) over a served gen1, as
+    // they land in the catalog; after each we assert a reader (the
+    // recoverSwap-guarded bucketed()) resolves the table, and WHICH
+    // generation it sees
+    Partitioning.writeBucketed(gen(1), t, "k", 2)
+    // crash during the stage write: target intact and serving
+    assert(ver(t) == 1)
+    // crash after the stage committed, before rename-out: old serves
+    Partitioning.writeBucketed(gen(2), s"${t}__stage", "k", 2)
+    assert(ver(t) == 1)
+    // crash between rename-out and rename-in: the serving NAME is
+    // unbound — the reader must install the complete stage (gen2),
+    // not fail and not resurrect old
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
+    assert(ver(t) == 2)
+    assert(!spark.catalog.tableExists(s"${t}__stage"))
+    // crash after rename-in, before drop-old: new serves, stale old
+    // must not shadow it (state continues from the recovery above)
+    assert(spark.catalog.tableExists(s"${t}__old"))
+    assert(ver(t) == 2)
+    // a legacy/rename-in-failed remnant: only __old exists
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old2")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}__old")
+    spark.sql(s"ALTER TABLE ${t}__old2 RENAME TO ${t}__old")
+    assert(ver(t) == 2)
+
+    // a full replace over any of those recovered states converges:
+    // next generation in, no twins left behind, self-read lineage OK
+    val g3 = Partitioning.bucketed(spark, t)
+      .select(col("k"), (col("v") + 1).as("v")) // reads the target
+    Partitioning.replaceBucketed(spark, t, g3, "k", 2)
+    assert(ver(t) == 3)
+    assert(!spark.catalog.tableExists(s"${t}__stage") &&
+      !spark.catalog.tableExists(s"${t}__old"))
+
+    // replaceTable (the plain sibling): same swap, same invariants
+    val p = "swap_spec_plain"
+    drop(p, s"${p}__stage", s"${p}__old")
+    Partitioning.replaceTable(spark, p, gen(1))
+    Partitioning.replaceTable(spark, p,
+      spark.table(p).select(col("k"), (col("v") + 1).as("v")))
+    assert(spark.table(p).select(max("v")).head.getInt(0) == 2)
+    assert(!spark.catalog.tableExists(s"${p}__stage") &&
+      !spark.catalog.tableExists(s"${p}__old"))
+    drop(t, p)
+  }
+
   test("keyset pagination plans as pushed range scan + distributed top-k") {
     val df = SparkEntry.queries("rel_keyset_pagination")(
       spark, "/root/testdata/sf0.001")

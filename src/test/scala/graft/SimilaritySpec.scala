@@ -639,4 +639,153 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     // self-exclusion: no query ranks itself
     assert(got.forall { case (q, rows) => rows.forall(_._2 != q) })
   }
+
+  test("IVF tombstone delete: probe parity without a rewrite, append " +
+      "overlap compacts, gate folds the tombstones physically") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, CacheScope, Partitioning}
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val cents = Ann.ivfCentroids(spark, emb, 10,
+      steps = graft.queries.Similarity.IvfSteps)
+    Ann.buildIvfIndex(spark, emb, cents, "ivf_tomb_spec", nBuckets = 8)
+    Ann.buildIvfIndex(spark, emb.filter(col("vec_id") % 9 =!= 4),
+      cents, "ivf_tomb_rebuild_spec", nBuckets = 8)
+    try {
+      val victims = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
+        .unionByName(spark.range(900000000L, 900000005L)
+          .selectExpr("id AS vec_id")) // never-indexed ids: no-ops
+      // fraction 1.0 → threshold = corpus size → no compaction yet
+      assert(!Ann.tombstoneIvfVectors(spark, "ivf_tomb_spec", victims,
+        compactFraction = 1.0))
+      assert(spark.catalog.tableExists("ivf_tomb_spec__tombstones"))
+      // rows physically SURVIVE — that is the point of the deferral
+      assert(Partitioning.bucketed(spark, "ivf_tomb_spec")
+        .filter(col("vec_id") % 9 === 4).head(1).nonEmpty,
+        "deferred delete must not rewrite the table")
+      val queries = Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3 && col("vec_id") % 9 =!= 4),
+        cents, nprobe = 2).transform(CacheScope.materialize)
+      val tombed =
+        Ann.probeIvfIndex(spark, "ivf_tomb_spec", queries, 10)
+      val rebuilt =
+        Ann.probeIvfIndex(spark, "ivf_tomb_rebuild_spec", queries, 10)
+      // the anti-join must not cost the probe its bucket-pruned shape,
+      // and (broadcast-sided) must add ZERO exchanges over the same
+      // probe against the physically-rewritten table — the top-k
+      // rank's own q_id exchange exists in both
+      val plan = tombed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"tombstoned probe scan is not bucket-pruned:\n$plan")
+      def nEx(d: org.apache.spark.sql.DataFrame) =
+        "Exchange hashpartitioning".r
+          .findAllIn(d.queryExecution.executedPlan.toString).size
+      assert(nEx(tombed) == nEx(rebuilt),
+        s"tombstone anti-join added an exchange:\n$plan")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq).toSeq
+      val t = rows(tombed)
+      assert(t == rows(rebuilt),
+        "tombstoned probe diverged from the remainder rebuild's probe")
+      assert(t.nonEmpty, "parity vacuous: no probe rows")
+      // re-adding a tombstoned id must compact first (old row dies
+      // physically) so exactly ONE live row per id serves afterwards
+      val readd = emb.filter(col("vec_id") % 9 === 4 &&
+        col("vec_id") < 50)
+      assert(readd.count() > 0, "revive fixture empty")
+      Ann.appendIvfIndex(readd, cents, "ivf_tomb_spec", nBuckets = 8)
+      assert(!spark.catalog.tableExists("ivf_tomb_spec__tombstones"),
+        "overlapping append must have compacted the tombstones")
+      val perId = Partitioning.bucketed(spark, "ivf_tomb_spec")
+        .groupBy("vec_id").count().filter(col("count") > 1)
+      assert(perId.head(1).isEmpty, "duplicate live rows after revive")
+      // gate trip: a fresh tombstone batch with a tiny fraction →
+      // physical fold, tombstone table gone, rows gone
+      val victims2 = emb.filter(col("vec_id") % 9 === 7)
+        .select("vec_id")
+      assert(Ann.tombstoneIvfVectors(spark, "ivf_tomb_spec", victims2,
+        compactFraction = 1e-9))
+      assert(!spark.catalog.tableExists("ivf_tomb_spec__tombstones"))
+      assert(Partitioning.bucketed(spark, "ivf_tomb_spec")
+        .filter(col("vec_id") % 9 === 7).head(1).isEmpty,
+        "compaction left tombstoned rows in the table")
+      CacheScope.releaseCheckpoint(queries)
+    } finally {
+      for (t <- Seq("ivf_tomb_spec", "ivf_tomb_spec__tombstones",
+          "ivf_tomb_spec__stage", "ivf_tomb_spec__old",
+          "ivf_tomb_rebuild_spec"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("BM25 deferred delete: delta-served bundle is bit-identical to " +
+      "the remainder rebuild; compaction gate folds it physically") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Lexical, Partitioning}
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(docs),
+        "bm25_tomb_spec", buckets = 8)
+      val victims = docs.filter(col("doc_id") % 9 === 2)
+        .select("doc_id")
+        .unionByName(spark.range(900000000L, 900000005L)
+          .selectExpr("id AS doc_id")) // never-indexed: no-ops
+      assert(!Lexical.removeDocsDeferred(spark, "bm25_tomb_spec",
+        victims, compactFraction = 1.0))
+      assert(spark.catalog.tableExists("bm25_tomb_spec_deltas"))
+      // postings physically SURVIVE — the deferral's point
+      assert(spark.table("bm25_tomb_spec_postings")
+        .filter(col("doc_id") % 9 === 2).head(1).nonEmpty,
+        "deferred delete must not rewrite the postings")
+      val served = Lexical.readIndexTables(spark, "bm25_tomb_spec")
+      val remainder =
+        Lexical.buildIndex(docs.filter(col("doc_id") % 9 =!= 2))
+      // scalar, df-map and probe parity — the bit-identical contract
+      assert(served.nDocs == remainder.nDocs &&
+        served.sumDl == remainder.sumDl)
+      def dfMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfMap(served.df) == dfMap(remainder.df),
+        "delta-served vocabulary diverged from the rebuild")
+      val queries = docs.filter(col("doc_id") % 250 === 0 &&
+        col("doc_id") % 9 =!= 2)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+      val viaDeltas = rows(Lexical.rankedFromIndex(served, queries))
+      assert(viaDeltas == rows(Lexical.rankedFromIndex(
+          remainder, queries)),
+        "delta-served probe diverged from the remainder rebuild")
+      assert(viaDeltas.nonEmpty, "parity vacuous: no ranked rows")
+      // idempotency: re-deleting the same ids changes nothing (they
+      // are no longer live, so no decrement can double-fire)
+      assert(!Lexical.removeDocsDeferred(spark, "bm25_tomb_spec",
+        victims, compactFraction = 1.0))
+      val again = Lexical.readIndexTables(spark, "bm25_tomb_spec")
+      assert(again.nDocs == remainder.nDocs &&
+        again.sumDl == remainder.sumDl,
+        "re-deleting tombstoned ids double-decremented the scalars")
+      // gate trip: second batch under a tiny fraction → compaction —
+      // deltas folded, table dropped, postings physically pruned
+      assert(Lexical.removeDocsDeferred(spark, "bm25_tomb_spec",
+        docs.filter(col("doc_id") % 9 === 5).select("doc_id"),
+        compactFraction = 1e-9))
+      assert(!spark.catalog.tableExists("bm25_tomb_spec_deltas"))
+      assert(spark.table("bm25_tomb_spec_postings")
+        .filter(col("doc_id") % 9 === 2 || col("doc_id") % 9 === 5)
+        .head(1).isEmpty, "compaction left tombstoned postings")
+      val compacted = Lexical.readIndexTables(spark, "bm25_tomb_spec")
+      val remainder2 = Lexical.buildIndex(
+        docs.filter(col("doc_id") % 9 =!= 2 && col("doc_id") % 9 =!= 5))
+      assert(compacted.nDocs == remainder2.nDocs &&
+        compacted.sumDl == remainder2.sumDl)
+      val q2 = docs.filter(col("doc_id") % 250 === 0 &&
+        col("doc_id") % 9 =!= 2 && col("doc_id") % 9 =!= 5)
+      assert(rows(Lexical.rankedFromIndex(compacted, q2)) ==
+        rows(Lexical.rankedFromIndex(remainder2, q2)),
+        "compacted bundle probe diverged from the rebuild")
+    } finally {
+      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          suffix <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS bm25_tomb_spec_$t$suffix")
+    }
+  }
 }
