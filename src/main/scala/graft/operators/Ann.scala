@@ -174,9 +174,41 @@ object Ann {
   def buildIvfIndex(s: SparkSession, corpus: DataFrame,
                     cents: Array[(Long, Array[Float])], table: String,
                     nBuckets: Int, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit =
+                    vecCol: String = "embedding"): Unit = {
     Partitioning.writeBucketed(
       ivfAssign(corpus, cents, idCol, vecCol), table, "cell", nBuckets)
+    writeIvfScalars(s, table, s.table(table).count())
+  }
+
+  /** Maintained physical row count of an index table, kept in the
+    * 1-row `<table>__scalars` sibling (the `Lexical` `_scalars`
+    * pattern) so the compaction gate in [[tombstoneIvfVectors]] never
+    * pays a full-table aggregate per takedown batch (r15 verdict #3 /
+    * next-round #5). Lifecycle: build/compact RE-DERIVE it from the
+    * just-installed table (a pure function of the install, so a crash
+    * anywhere re-converges on re-run); append ADDS the batch count (a
+    * crash between the data append and the scalar install leaves an
+    * UNDERcount — the gate then trips a batch early, which only
+    * schedules the rewrite sooner; the next compaction recount heals
+    * the drift exactly). */
+  private def writeIvfScalars(s: SparkSession, table: String,
+                              n: Long): Unit = {
+    import s.implicits._
+    Partitioning.replaceTable(s, table + "__scalars",
+      Seq(n).toDF("n_rows"))
+  }
+
+  /** The maintained row count, if the scalars sibling exists — a
+    * 1-row planning-class read. None for a table built before the
+    * scalars pattern (or by a raw [[Partitioning.writeBucketed]]). */
+  private def readIvfScalars(s: SparkSession, table: String)
+      : Option[Long] = {
+    val sc = table + "__scalars"
+    Partitioning.recoverSwap(s, sc)
+    if (s.catalog.tableExists(sc))
+      Some(s.table(sc).select("n_rows").collect()(0).getLong(0))
+    else None
+  }
 
   /** APPEND face of the build-once index — the daily-crawl
     * maintenance path [[buildIvfIndex]] lacks: assign a NEW batch to
@@ -205,16 +237,29 @@ object Ann {
     // id — disjoint crawl batches (the common case) skip both.
     val s = batch.sparkSession
     val tomb = table + "__tombstones"
+    // converge a tombstone swap that crashed in the unbound-name
+    // window BEFORE probing existence: with the tombstones dangling
+    // as __stage/__old the exists check would read false, the
+    // compact-before-append would be skipped, and a later reader's
+    // recoverSwap would reinstall pending tombstones that then mask
+    // both the old and the freshly appended row (ADVICE r15)
+    Partitioning.recoverSwap(s, tomb)
     if (s.catalog.tableExists(tomb) &&
         s.table(tomb).join(batch.select(col(idCol)).distinct(),
           Seq(idCol), "left_semi").head(1).nonEmpty)
       compactIvfIndex(s, table, idCol)
+    val nBatch = batch.count() // batch-sized, never the index
     ivfAssign(batch, cents, idCol, vecCol)
       .write.mode("append")
       .bucketBy(nBuckets, "cell")
       .sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
+    // maintained count += batch; a pre-scalars legacy table pays one
+    // catch-up count here instead of per takedown batch
+    val prior = readIvfScalars(s, table)
+      .getOrElse(s.table(table).count() - nBatch)
+    writeIvfScalars(s, table, prior + nBatch)
   }
 
   /** DELETE face of the build-once index — the takedown/re-crawl
@@ -253,6 +298,10 @@ object Ann {
       Partitioning.bucketed(s, table).join(rm, Seq(idCol), "left_anti")
     Partitioning.replaceBucketed(s, table, kept,
       spec.bucketColumnNames.head, spec.numBuckets)
+    // re-derive the maintained count from the install (exact resync —
+    // heals any append-crash undercount); the count rides the rewrite
+    // this method already paid, never a standalone full scan
+    writeIvfScalars(s, table, s.table(table).count())
   }
 
   /** DEFERRED delete — the shape [[removeIvfVectors]]'s scaladoc
@@ -280,6 +329,13 @@ object Ann {
                           compactFraction: Double = 0.05,
                           maxTombstones: Long = 1000000L): Boolean = {
     val tomb = table + "__tombstones"
+    // converge a prior tombstone-batch swap that crashed in the
+    // unbound-name window BEFORE the exists-gated merge below:
+    // otherwise merged = inIndex (new batch only) and replaceTable's
+    // own recovery would install the surviving tombstones just to
+    // overwrite them with the batch — silently resurrecting every
+    // previously deleted vector (ADVICE r15)
+    Partitioning.recoverSwap(s, tomb)
     val inIndex = ids.select(col(idCol)).distinct()
       .join(Partitioning.bucketed(s, table).select(idCol),
         Seq(idCol), "left_semi")
@@ -289,7 +345,16 @@ object Ann {
       else inIndex
     Partitioning.replaceTable(s, tomb, merged)
     val nTomb = s.table(tomb).count()
-    val nBase = Partitioning.bucketed(s, table).count()
+    // gate sizing from the MAINTAINED 1-row scalars, never a
+    // full-table aggregate per takedown batch (r15 verdict): at 100 TB
+    // counting the base table per delete batch is a full-scan-class
+    // job run just to size a threshold. Legacy tables (no scalars yet)
+    // pay the count ONCE and install it.
+    val nBase = readIvfScalars(s, table).getOrElse {
+      val n = Partitioning.bucketed(s, table).count()
+      writeIvfScalars(s, table, n)
+      n
+    }
     val threshold = math.max(1L,
       math.min((compactFraction * nBase).toLong, maxTombstones))
     if (nTomb >= threshold) { compactIvfIndex(s, table, idCol); true }

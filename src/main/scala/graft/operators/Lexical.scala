@@ -418,6 +418,11 @@ object Lexical {
     * its postings install (see its scaladoc). */
   def compactIndexTables(spark: org.apache.spark.sql.SparkSession,
                          name: String): Unit = {
+    // the bucket-spec lookup runs BEFORE readIndexTables would heal a
+    // postings swap that crashed in the unbound-name window — converge
+    // it first or the recovery re-run dies on NoSuchTableException
+    // instead of converging (ADVICE r15)
+    Partitioning.recoverSwap(spark, s"${name}_postings")
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst
         .TableIdentifier(s"${name}_postings"))

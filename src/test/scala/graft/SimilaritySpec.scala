@@ -117,7 +117,8 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       val idx = probe.collect().map(_.toSeq).toSeq
       assert(idx == live)
       graft.operators.CacheScope.releaseCheckpoint(queries)
-    } finally spark.sql("DROP TABLE IF EXISTS ivf_index_spec")
+    } finally for (t <- Seq("ivf_index_spec", "ivf_index_spec__scalars"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("IVF append: appended index probes identically to a union rebuild") {
@@ -152,8 +153,9 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
         "append-then-probe diverged from the union rebuild's probe")
       CacheScope.releaseCheckpoint(queries)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS ivf_append_spec")
-      spark.sql("DROP TABLE IF EXISTS ivf_union_spec")
+      for (b <- Seq("ivf_append_spec", "ivf_union_spec");
+          sx <- Seq("", "__scalars"))
+        spark.sql(s"DROP TABLE IF EXISTS $b$sx")
     }
   }
 
@@ -196,8 +198,9 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
         "removed vectors survived in the assignment table")
       CacheScope.releaseCheckpoint(queries)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS ivf_del_spec")
-      spark.sql("DROP TABLE IF EXISTS ivf_del_rebuild_spec")
+      for (b <- Seq("ivf_del_spec", "ivf_del_rebuild_spec");
+          sx <- Seq("", "__scalars"))
+        spark.sql(s"DROP TABLE IF EXISTS $b$sx")
     }
   }
 
@@ -712,7 +715,9 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     } finally {
       for (t <- Seq("ivf_tomb_spec", "ivf_tomb_spec__tombstones",
           "ivf_tomb_spec__stage", "ivf_tomb_spec__old",
-          "ivf_tomb_rebuild_spec"))
+          "ivf_tomb_spec__scalars", "ivf_tomb_spec__scalars__stage",
+          "ivf_tomb_spec__scalars__old", "ivf_tomb_rebuild_spec",
+          "ivf_tomb_rebuild_spec__scalars"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
@@ -786,6 +791,111 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
           suffix <- Seq("", "__stage", "__old"))
         spark.sql(s"DROP TABLE IF EXISTS bm25_tomb_spec_$t$suffix")
+    }
+  }
+
+  test("IVF crash windows: a dangling tombstone swap never loses " +
+      "deletes; the compaction gate reads the maintained scalars, " +
+      "never the base table") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, Partitioning}
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val cents = Ann.ivfCentroids(spark, emb, 10,
+      steps = graft.queries.Similarity.IvfSteps)
+    val t = "ivf_crash_spec"
+    val tomb = s"${t}__tombstones"
+    try {
+      Ann.buildIvfIndex(spark, emb, cents, t, nBuckets = 8)
+      val n = emb.count()
+      def scalarsN: Long = spark.table(s"${t}__scalars")
+        .select("n_rows").collect()(0).getLong(0)
+      assert(scalarsN == n, "build did not install the row-count scalars")
+      def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+        d.select("vec_id").collect().map(_.getLong(0)).toSet
+      // batch 1 tombstones, then simulate a crash in the swap's
+      // unbound-name window: the tombstone table survives only as its
+      // __stage twin (ADVICE r15 — the exists-gated merge would
+      // otherwise silently drop these deletes)
+      val v1 = emb.filter(col("vec_id") % 9 === 4).select("vec_id")
+      assert(!Ann.tombstoneIvfVectors(spark, t, v1, compactFraction = 1.0))
+      spark.sql(s"ALTER TABLE $tomb RENAME TO ${tomb}__stage")
+      val v2 = emb.filter(col("vec_id") % 9 === 7).select("vec_id")
+      assert(!Ann.tombstoneIvfVectors(spark, t, v2, compactFraction = 1.0))
+      assert(ids(spark.table(tomb)) == ids(v1) ++ ids(v2),
+        "tombstones from before the crashed swap were lost")
+      // same window, append path: with an overlapping batch the
+      // compact-before-append MUST still see the dangling tombstones
+      spark.sql(s"ALTER TABLE $tomb RENAME TO ${tomb}__stage")
+      val readd = emb.filter(col("vec_id") % 9 === 4 && col("vec_id") < 50)
+      assert(readd.count() > 0, "revive fixture empty")
+      Ann.appendIvfIndex(readd, cents, t, nBuckets = 8)
+      assert(!spark.catalog.tableExists(tomb),
+        "overlapping append must compact the recovered tombstones")
+      assert(Partitioning.bucketed(spark, t).groupBy("vec_id").count()
+        .filter(col("count") > 1).head(1).isEmpty,
+        "duplicate live rows after revive across the crashed swap")
+      val live = Partitioning.bucketed(spark, t).count()
+      assert(scalarsN == live,
+        "append/compact left the maintained count out of sync")
+      // gate reads the MAINTAINED count: plant an inflated row count —
+      // threshold becomes min(frac*huge, 1M-cap) >> tombstones, so the
+      // gate must NOT trip; it would trip if the implementation still
+      // counted the physical table (n rows * 1e-9 * ... -> threshold 1)
+      Partitioning.replaceTable(spark, s"${t}__scalars",
+        Seq(90000000000000L).toDF("n_rows"))
+      val v3 = emb.filter(col("vec_id") % 9 === 2).select("vec_id")
+      assert(!Ann.tombstoneIvfVectors(spark, t, v3,
+          compactFraction = 1e-9),
+        "gate counted the base table instead of the maintained scalars")
+      // restore truth: now the same fraction trips, compaction folds,
+      // and the scalars resync to the physical remainder
+      Partitioning.replaceTable(spark, s"${t}__scalars",
+        Seq(live).toDF("n_rows"))
+      val v4 = emb.filter(col("vec_id") % 9 === 1).select("vec_id")
+      assert(Ann.tombstoneIvfVectors(spark, t, v4, compactFraction = 1e-9))
+      assert(!spark.catalog.tableExists(tomb))
+      assert(scalarsN == Partitioning.bucketed(spark, t).count(),
+        "compaction did not resync the maintained count")
+    } finally {
+      for (base <- Seq(t, tomb, s"${t}__scalars");
+          suffix <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $base$suffix")
+    }
+  }
+
+  test("Lexical compaction converges when a crash left the postings " +
+      "swap in the unbound-name window") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0) // small fixture: build cost x2 here
+    val name = "bm25_crash_spec"
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(docs), name,
+        buckets = 8)
+      assert(!Lexical.removeDocsDeferred(spark, name,
+        docs.filter(col("doc_id") % 9 === 2).select("doc_id"),
+        compactFraction = 1.0))
+      // crash window: postings registered only under __stage — the
+      // bucket-spec metadata lookup used to die on NoSuchTableException
+      // before readIndexTables could heal it (ADVICE r15)
+      spark.sql(
+        s"ALTER TABLE ${name}_postings RENAME TO ${name}_postings__stage")
+      Lexical.compactIndexTables(spark, name) // must not throw
+      assert(spark.catalog.tableExists(s"${name}_postings"))
+      assert(!spark.catalog.tableExists(s"${name}_deltas"),
+        "compaction did not fold the pending delta")
+      val served = Lexical.readIndexTables(spark, name)
+      val remainder =
+        Lexical.buildIndex(docs.filter(col("doc_id") % 9 =!= 2))
+      assert(served.nDocs == remainder.nDocs &&
+        served.sumDl == remainder.sumDl,
+        "post-recovery compacted bundle diverged from the rebuild")
+    } finally {
+      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          suffix <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t$suffix")
     }
   }
 }
