@@ -730,15 +730,48 @@ object Bench {
           lead("valid_from", 1).over(wLead).as("valid_to"),
           col("n_events"))
     }
+    // regime instrumentation (r15 verdict #1: the scd2 UNIFORM cells
+    // have read bimodally across controlled runs — {2.4–2.9} vs
+    // {4.1–5.7+} — with record-vs-notes drift three rounds running):
+    // per rep, log the JVM-state suspects (GC + JIT compilation time
+    // spent INSIDE the timed region) and the executed AQE plan's
+    // shape, so a regime flip names its cause in the run log instead
+    // of surfacing as an unexplained record delta
+    def gcMillis: Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) t += math.max(0L, it.next().getCollectionTime)
+      t
+    }
+    def jitMillis: Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime
+      else 0L
+    }
+    def planShape(df: org.apache.spark.sql.DataFrame): String = {
+      val p = df.queryExecution.executedPlan.toString
+      def n(pat: String) = pat.r.findAllIn(p).size
+      s"exchanges=${n("Exchange hashpartitioning")} " +
+        s"aqeReads=${n("AQEShuffleRead")} " +
+        s"coalesced=${n("coalesced")} skewSplit=${n("skewed")} " +
+        s"sorts=${n("\\bSort\\b")}"
+    }
     def scd2Cell(name: String, skewed: Boolean, salted: Boolean): (String, Double) = {
       val ev = evDf(skewed)
+      var shape = ""
+      val (gc0, jit0) = (gcMillis, jitMillis)
       val sec = timed {
         val r =
           if (salted)
             graft.operators.Partitioning.scd2TwoPhase(ev, 3600L)
           else plainScd2(ev)
         counts += name -> r.queryExecution.toRdd.count()
+        shape = planShape(r)
       }
+      System.err.println(f"[bench] skew $name regime: gc=${
+        gcMillis - gc0}ms jit=${jitMillis - jit0}ms $shape")
       name -> sec
     }
     // ---- cusum fixture: the ordered PREFIX-SUM family (r12's

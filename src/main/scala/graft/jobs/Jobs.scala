@@ -92,6 +92,18 @@ object Jobs {
       "rel_k_anonymity" -> "k-anonymity-audit",
       "rel_l_diversity" -> "l-diversity-audit",
       "rel_t_closeness" -> "t-closeness-audit"),
+    // Extension job (r16): the serving-index maintenance run — the
+    // cron entry that keeps BOTH retrieval indexes (IVF vector, BM25
+    // lexical) serving as the corpus changes: daily batch append →
+    // takedown tombstones → compaction/retrain gates (the actual
+    // table maintenance runs as this job's PRE-step, `preSteps`
+    // below; these extracts are the evidence pack that ships with
+    // it — the same append/takedown report faces the catalog
+    // certifies).
+    "maintain_indexes" -> Seq(
+      "ss_ivf_append" -> "ivf-append-report",
+      "ss_bm25_append" -> "bm25-append-report",
+      "ss_bm25_remove" -> "bm25-takedown-report"),
     // Extension job: the event-analytics pack — the interval sweeps,
     // robustified measures, and resampled series a metrics warehouse
     // serves, through the same dispatch machinery.
@@ -118,6 +130,152 @@ object Jobs {
     "upload_snapshot" -> Seq(
       ("courses", "courses", termCourses _),
       ("enrollments", "enrollments", termEnrollments _)))
+
+  // ------------------------------------------------------------------
+  // Serving-index maintenance (JOB=maintain_indexes) — the composed
+  // daily run the lifecycle operators exist for: bootstrap-or-append
+  // each serving index, apply the day's takedowns as deferred
+  // tombstones, let the compaction gates fold when they trip, and
+  // check the IVF retrain gate. The day's batch / takedown sets are
+  // the repo's deterministic split idioms (the `dd_incremental` /
+  // `ss_ivf_append` convention: id % 7 = 0 is "today's crawl",
+  // id % 50 = 0 among residents is "today's takedowns") so the run is
+  // replayable against the fixtures; a production deployment swaps
+  // those two predicates for its ingest and takedown feeds and
+  // nothing else changes.
+  // ------------------------------------------------------------------
+
+  /** Serving-table names the maintenance job owns. */
+  val IvfServingTable = "ivf_serving_index"
+  val IvfServingCentroids = "ivf_serving_centroids"
+  val Bm25ServingName = "bm25_serving"
+
+  /** IVF retrain gate: retrain when any cell's serving centroid has
+    * drifted below this e6 cosine alignment against its one-step
+    * Lloyd update over the live corpus (the `ss_ivf_append` drift
+    * measure, given its certified consequence here). */
+  val RetrainAlignE6 = 995000L
+
+  private def servingBuckets = 8
+
+  /** Persisted serving centroids: k rows (cell, embedding) installed
+    * via the atomic staged swap; the read is a planning-class k-row
+    * collect, id-sorted so training replays deterministically. */
+  private def saveCentroids(s: SparkSession,
+                            cents: Array[(Long, Array[Float])]): Unit = {
+    import s.implicits._
+    graft.operators.Partitioning.replaceTable(s, IvfServingCentroids,
+      cents.toSeq.toDF("cell", "embedding"))
+  }
+
+  private def loadCentroids(s: SparkSession)
+      : Array[(Long, Array[Float])] = {
+    graft.operators.Partitioning.recoverSwap(s, IvfServingCentroids)
+    s.table(IvfServingCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+  }
+
+  /** One maintenance run over both serving indexes. Returns the run
+    * log — (index_name, step, n, flag) rows: the step's row/doc/victim
+    * count (or the retrain gate's min alignment) and whether the
+    * step's gate fired (compaction folded / retrain ran). The log is
+    * the job's own extract (`index-maintenance-log` through the gzip
+    * fan-out) so the cron evidence pack records what each day's run
+    * actually did. Driver round-trips are planning-class (1-row
+    * scalar reads, k-row centroid reads); logged sizes come from the
+    * maintained scalars tables or the day's takedown FEED (feed-sized
+    * counts), never an index-sized aggregate. `flag` means the step's
+    * gate fired (compaction folded / retrain ran; for bootstrap, that
+    * the build ran). */
+  def maintainServingIndexes(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Ann, Lexical, Partitioning}
+    val log = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Boolean)]
+
+    // ---- IVF (dense vectors) ------------------------------------
+    val emb = Tables(s, sfDir, "embeddings")
+    val resident = emb.filter(col("vec_id") % 7 =!= 0)
+    val batch = emb.filter(col("vec_id") % 7 === 0)
+    def ivfRows: Long = {
+      Partitioning.recoverSwap(s, s"${IvfServingTable}__scalars")
+      s.table(s"${IvfServingTable}__scalars")
+        .select("n_rows").collect()(0).getLong(0)
+    }
+    Partitioning.recoverSwap(s, IvfServingTable)
+    if (!s.catalog.tableExists(IvfServingTable)) {
+      val cents = Ann.ivfCentroids(s, resident, 10,
+        steps = graft.queries.Similarity.IvfSteps)
+      Ann.buildIvfIndex(s, resident, cents, IvfServingTable,
+        servingBuckets)
+      saveCentroids(s, cents)
+      log += (("ivf", "bootstrap", ivfRows, true))
+    }
+    val cents = loadCentroids(s)
+    // idempotent daily append: only ids not already serving (a re-run
+    // of a crashed day must not double-append); one narrow id-column
+    // pass over the index per day — the re-run guard's price
+    val before = ivfRows
+    val fresh = batch.join(
+      Partitioning.bucketed(s, IvfServingTable).select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    Ann.appendIvfIndex(fresh, cents, IvfServingTable, servingBuckets)
+    log += (("ivf", "append", ivfRows - before, false))
+    // takedowns from the RESIDENT split only, so a steady-state re-run
+    // converges to no-ops instead of re-appending yesterday's victims
+    val victims = emb.filter(col("vec_id") % 50 === 0 &&
+      col("vec_id") % 7 =!= 0).select("vec_id")
+    val folded = Ann.tombstoneIvfVectors(s, IvfServingTable, victims)
+    log += (("ivf", "takedown", victims.count(), folded))
+    // retrain gate: one Lloyd step over the live corpus (the
+    // ss_ivf_append drift measure) — below threshold, retrain resumes
+    // from the serving centroids and the rebuilt table folds pending
+    // tombstones; the refreshed centroids persist for tomorrow's run
+    val updated = Ann.ivfCentroidsFrom(s,
+      Ann.liveIvfVectors(s, IvfServingTable), cents, 1)
+    val uMap = updated.toMap
+    val minAlign = cents.map { case (id, v) =>
+      graft.queries.Similarity.alignE6(v, uMap(id))
+    }.min
+    val drifted = minAlign < RetrainAlignE6
+    if (drifted)
+      saveCentroids(s, Ann.retrainIvfIndex(s, IvfServingTable, cents))
+    log += (("ivf", "retrain_gate", minAlign, drifted))
+
+    // ---- BM25 (lexical) ------------------------------------------
+    val docs = Tables(s, sfDir, "documents")
+    val dResident = docs.filter(col("doc_id") % 7 =!= 0)
+    val dBatch = docs.filter(col("doc_id") % 7 === 0)
+    def bm25Docs: Long = {
+      Partitioning.recoverSwap(s, s"${Bm25ServingName}_scalars")
+      s.table(s"${Bm25ServingName}_scalars")
+        .select("n_docs").collect()(0).getLong(0)
+    }
+    Partitioning.recoverSwap(s, s"${Bm25ServingName}_postings")
+    if (!s.catalog.tableExists(s"${Bm25ServingName}_postings")) {
+      Lexical.writeIndexTables(Lexical.buildIndex(dResident),
+        Bm25ServingName, servingBuckets)
+      log += (("bm25", "bootstrap", bm25Docs, true))
+    }
+    val dBefore = bm25Docs
+    Lexical.appendIndexTables(s, Bm25ServingName, dBatch)
+    log += (("bm25", "append", bm25Docs - dBefore, false))
+    val dVictims = docs.filter(col("doc_id") % 50 === 0 &&
+      col("doc_id") % 7 =!= 0).select("doc_id")
+    val dFolded = Lexical.removeDocsDeferred(s, Bm25ServingName, dVictims)
+    log += (("bm25", "takedown", dVictims.count(), dFolded))
+
+    import s.implicits._
+    log.toSeq.toDF("index_name", "step", "n", "flag")
+      .orderBy("index_name", "step")
+  }
+
+  /** Job-level PRE-compositions: table maintenance that must run
+    * BEFORE the job's report pipeline, its run log fanned out under
+    * its own extract key like any other extract. */
+  val preSteps: Map[String, (String, (SparkSession, String) => DataFrame)] =
+    Map("maintain_indexes" ->
+      (("index-maintenance-log", maintainServingIndexes _)))
 
   /** Current term ids as yyyyMM, from the catalog's current-term
     * resolution query (reference: jobs.py:71-74). The collect is ≤3
@@ -388,6 +546,13 @@ object Jobs {
         val keyFor: String => String =
           if (job == "upload_advisors") Sinks.advisorsKey(isoDate, _)
           else Sinks.dailyKey(isoDate, _)
+        // job-level pre-composition (index maintenance) runs FIRST —
+        // the reports below describe the maintenance the run just did
+        val pre = for {
+          (extract, step) <- preSteps.get(job).toSeq
+          df = step(spark, sfDir)
+          (target, ok) <- Sinks.fanOut(df, targets, keyFor(extract))
+        } yield (extract, target, ok)
         val flat = for {
           (name, extract) <- extracts
           df = SparkEntry.queries(name)(spark, sfDir)
@@ -404,6 +569,6 @@ object Jobs {
           (target, ok) <- Sinks.fanOut(df, targets,
             Sinks.termKey(isoDate, dir, file, term))
         } yield (s"$file-$term", target, ok)
-        flat ++ perTerm
+        pre ++ flat ++ perTerm
     }
 }

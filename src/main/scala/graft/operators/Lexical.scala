@@ -259,28 +259,96 @@ object Lexical {
     val spark = idx.tf.sparkSession
     Partitioning.replaceBucketed(spark, s"${name}_postings", idx.tf,
       "token", buckets)
+    deriveIndexArtifacts(spark, name, buckets)
+    // the bundle just written IS current truth (idx came from
+    // readIndexTables with deltas applied, or is a fresh build) —
+    // pending delete-deltas are folded in or superseded either way
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_deltas")
+  }
+
+  /** The derived tail shared by [[writeIndexTables]] and
+    * [[appendIndexTables]]: vocab, doclen and scalars rebuilt from
+    * the postings TABLE state. Scalars re-derived from the
+    * just-written postings, NOT taken from driver longs: with a
+    * delete-delta table in play ([[removeDocsDeferred]]), in-memory
+    * nDocs/sumDl may already have the deltas subtracted, and a crash
+    * between the scalar install and a later delta drop would
+    * double-subtract in a way no re-run could converge. Derived from
+    * the postings, every artifact is a pure function of the postings
+    * install, so re-running the caller after ANY crash converges the
+    * bundle. */
+  private def deriveIndexArtifacts(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      buckets: Int): Unit = {
     val tfDisk = spark.table(s"${name}_postings")
     Partitioning.replaceBucketed(spark, s"${name}_vocab",
       vocabOf(tfDisk), "token", buckets)
     Partitioning.replaceBucketed(spark, s"${name}_doclen",
       docLengths(tfDisk), "doc_id", buckets)
-    // scalars re-derived from the just-written postings, NOT taken
-    // from the driver longs: with a delete-delta table in play
-    // (removeDocsDeferred), idx.nDocs/sumDl may already have the
-    // deltas subtracted, and a crash between the scalar install and
-    // the delta drop below would otherwise double-subtract in a way
-    // no re-run could converge. Derived from tfDisk, every artifact
-    // is a pure function of the postings install, so re-running this
-    // method after ANY crash converges the bundle.
     val sc = tfDisk.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
     import spark.implicits._
     Partitioning.replaceTable(spark, s"${name}_scalars",
       Seq((sc.getLong(0), if (sc.isNullAt(1)) 0L else sc.getLong(1)))
         .toDF("n_docs", "sum_dl"))
-    // the bundle just written IS current truth (idx came from
-    // readIndexTables with deltas applied, or is a fresh build) —
-    // pending delete-deltas are folded in or superseded either way
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_deltas")
+  }
+
+  /** APPEND a crawl batch into the serving-TABLE bundle without
+    * rewriting the resident postings — the daily-maintenance path the
+    * rewrite-per-batch flow (readIndexTables → [[appendIndex]] →
+    * [[writeIndexTables]]) cannot afford at 100 TB, and the lexical
+    * twin of `Ann.appendIvfIndex`: the batch tokenizes ONCE, its
+    * postings land as bucketed-append files under the SAME bucket
+    * spec (probe-side plans unchanged — Spark bucketed appends hash
+    * new files identically), and the derived artifacts (vocab,
+    * doclen, scalars) rebuild from the postings table — one postings
+    * scan, never a postings rewrite and never a resident re-tokenize.
+    * The residual scan is the convergence price: an incremental
+    * df/doclen merge would touch only batch-sized data but leaves no
+    * way to re-run after a crash without double-counting; derived
+    * from the postings install, a re-run after a crash at ANY step
+    * converges (the doc-id guard below keeps the postings append
+    * itself idempotent).
+    *
+    * Batch docs already present in the index are dropped (re-run
+    * idempotence — T6); a batch that re-adds a DEFERRED-DELETED doc
+    * compacts first, exactly like the IVF overlap rule (clearing the
+    * tombstone would unmask the ghost postings, keeping it would mask
+    * the fresh ones). Pending delete-deltas for OTHER docs survive
+    * the append untouched: every delta decrement is relative to
+    * postings-truth, which is what the derived artifacts record. */
+  def appendIndexTables(spark: org.apache.spark.sql.SparkSession,
+                        name: String, batch: DataFrame): Unit = {
+    val dt = s"${name}_deltas"
+    Partitioning.recoverSwap(spark, dt)
+    val batchIds = batch.select(col("doc_id")).distinct()
+    if (spark.catalog.tableExists(dt) &&
+        spark.table(dt).filter(col("kind") === "tomb")
+          .select(col("id").as("doc_id"))
+          .join(batchIds, Seq("doc_id"), "left_semi")
+          .head(1).nonEmpty)
+      compactIndexTables(spark, name)
+    val spec = {
+      Partitioning.recoverSwap(spark, s"${name}_postings")
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst
+          .TableIdentifier(s"${name}_postings"))
+        .bucketSpec.getOrElse(throw new IllegalArgumentException(
+          s"${name}_postings has no bucket spec — not a serving bundle"))
+    }
+    // idempotence guard against the POSTINGS table (the first
+    // artifact installed — a doclen/vocab-based guard would go stale
+    // exactly in the crash window it exists for): one narrow
+    // doc_id-column scan per daily batch
+    val fresh = batch.join(
+      spark.table(s"${name}_postings").select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    postings(fresh)
+      .write.mode("append")
+      .bucketBy(spec.numBuckets, "token")
+      .sortBy("token")
+      .format("parquet")
+      .saveAsTable(s"${name}_postings")
+    deriveIndexArtifacts(spark, name, spec.numBuckets)
   }
 
   /** Reload a [[writeIndexTables]] bundle by name — lazy bucketed

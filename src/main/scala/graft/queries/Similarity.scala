@@ -986,7 +986,7 @@ object Similarity extends QueryModule {
     * and Spark's HALF_UP rounding exactly, so the DuckDB oracles'
     * `round(cosine * 1e6)` hash-matches bit-for-bit. Shared by
     * `ss_centroid_drift` and `ss_ivf_append`. */
-  private def alignE6(a: Array[Float], b: Array[Float]): Long = {
+  private[graft] def alignE6(a: Array[Float], b: Array[Float]): Long = {
     def dot(x: Array[Float], y: Array[Float]): Double = {
       var acc = 0.0
       var i = 0

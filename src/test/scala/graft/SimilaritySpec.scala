@@ -864,6 +864,143 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("BM25 table append: bucketed-append bundle serves identically " +
+      "to a union rebuild, re-runs append nothing, tombstone overlap " +
+      "compacts first") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val resident = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val name = "bm25_tapp_spec"
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), name,
+        buckets = 8)
+      Lexical.appendIndexTables(spark, name, batch)
+      val served = Lexical.readIndexTables(spark, name)
+      val rebuild = Lexical.buildIndex(docs)
+      assert(served.nDocs == rebuild.nDocs &&
+        served.sumDl == rebuild.sumDl,
+        "appended scalars diverged from the union rebuild")
+      def dfMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfMap(served.df) == dfMap(rebuild.df),
+        "appended vocabulary diverged from the union rebuild")
+      val queries = docs.filter(col("doc_id") % 250 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+      val viaTables = rows(Lexical.rankedFromIndex(served, queries))
+      assert(viaTables == rows(Lexical.rankedFromIndex(rebuild, queries)),
+        "appended-bundle probe diverged from the union rebuild")
+      assert(viaTables.nonEmpty, "parity vacuous: no ranked rows")
+      // idempotence: re-delivering the same batch appends nothing
+      val nPostings = spark.table(s"${name}_postings").count()
+      Lexical.appendIndexTables(spark, name, batch)
+      assert(spark.table(s"${name}_postings").count() == nPostings,
+        "re-run double-appended batch postings")
+      // tombstone overlap: deferred-delete a batch doc, then re-add it
+      // in a new batch — the append must compact FIRST so exactly one
+      // live posting set serves for the doc
+      val victim = batch.select("doc_id").orderBy("doc_id").limit(1)
+      assert(!Lexical.removeDocsDeferred(spark, name, victim,
+        compactFraction = 1.0))
+      assert(spark.catalog.tableExists(s"${name}_deltas"))
+      Lexical.appendIndexTables(spark, name,
+        docs.join(victim, Seq("doc_id"), "left_semi"))
+      assert(!spark.catalog.tableExists(s"${name}_deltas"),
+        "overlapping append must compact the pending deltas first")
+      val perDoc = spark.table(s"${name}_postings")
+        .join(victim, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id", "token").count().filter(col("count") > 1)
+      assert(perDoc.head(1).isEmpty,
+        "re-added doc serves duplicate postings")
+      val healed = Lexical.readIndexTables(spark, name)
+      assert(healed.nDocs == rebuild.nDocs &&
+        healed.sumDl == rebuild.sumDl,
+        "delete-then-re-add did not restore the union scalars")
+    } finally {
+      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          suffix <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t$suffix")
+    }
+  }
+
+  test("IVF retrain gate consequence: a drifted append fires the gate " +
+      "and the retrained index's recall is >= the stale-centroid " +
+      "index's on the appended corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, CacheScope}
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    // resident corpus trains the serving centroids; the appended batch
+    // is DELIBERATELY drifted (reversed component order decorrelates
+    // it from every resident cell) so the one-step-Lloyd alignment
+    // gate genuinely fires instead of reading ~1e6
+    val resident = emb.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val union = resident.unionByName(batch)
+      .transform(CacheScope.materialize)
+    // k=40 over the %4==0 resident split yields 10 seeds (ids 0,4,…,36)
+    val stale = Ann.ivfCentroids(spark, resident, 40,
+      steps = graft.queries.Similarity.IvfSteps)
+    val t = "ivf_retrain_spec"
+    try {
+      Ann.buildIvfIndex(spark, resident, stale, t, nBuckets = 8)
+      Ann.appendIvfIndex(batch, stale, t, nBuckets = 8)
+      // the gate measure the maintenance job computes: one Lloyd step
+      // over the live corpus, min e6 alignment against serving cents
+      val updated1 =
+        Ann.ivfCentroidsFrom(spark, Ann.liveIvfVectors(spark, t),
+          stale, 1).toMap
+      val minAlign = stale.map { case (id, v) =>
+        graft.queries.Similarity.alignE6(v, updated1(id))
+      }.min
+      assert(minAlign < graft.jobs.Jobs.RetrainAlignE6,
+        s"drift fixture failed to fire the gate: minAlign=$minAlign")
+      // recall of the STALE index (queries probe under stale cents)
+      val qVecs = union.filter(col("vec_id") % 40 === 1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .transform(CacheScope.materialize)
+      val truth = Ann.topkBrute(spark, union, qVecs, 10)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      def recallOf(cents: Array[(Long, Array[Float])]): Int = {
+        val queries = Ann.ivfProbeCells(
+          qVecs.select(col("q_id").as("vec_id"),
+            col("q_emb").as("embedding")), cents, nprobe = 2)
+          .transform(CacheScope.materialize)
+        val got = Ann.probeIvfIndex(spark, t, queries, 10)
+          .select("q_id", "vec_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        CacheScope.releaseCheckpoint(queries)
+        truth.keys.toSeq
+          .map(q => (got.getOrElse(q, Set.empty[Long]) & truth(q)).size)
+          .sum
+      }
+      val staleRecall = recallOf(stale)
+      // gate fired -> retrain resumes from the serving centroids and
+      // rebuilds the table; the refreshed index must serve at least
+      // as well as the stale one on the same corpus
+      val refreshed = Ann.retrainIvfIndex(spark, t, stale, steps = 1)
+      val retrainedRecall = recallOf(refreshed)
+      assert(retrainedRecall >= staleRecall,
+        s"retrain degraded recall: $staleRecall -> $retrainedRecall")
+      assert(retrainedRecall > 0, "recall comparison vacuous")
+      assert(retrainedRecall > staleRecall,
+        s"drift fixture too weak to separate the indexes: " +
+          s"$staleRecall == $retrainedRecall")
+      CacheScope.releaseCheckpoint(qVecs)
+      CacheScope.releaseCheckpoint(union)
+    } finally {
+      for (base <- Seq(t, s"${t}__tombstones", s"${t}__scalars");
+          suffix <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $base$suffix")
+    }
+  }
+
   test("Lexical compaction converges when a crash left the postings " +
       "swap in the unbound-name window") {
     import org.apache.spark.sql.functions._

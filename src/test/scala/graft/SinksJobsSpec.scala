@@ -180,6 +180,64 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("maintain_indexes job: bootstrap, append, takedown and gates " +
+      "compose end-to-end; reports fan out; a re-run converges") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("jobs_maint_spec").toString
+    try {
+      val res = graft.Main.run(spark, "maintain_indexes", sf,
+        Seq(s"$dir/t1"), "2024-01-01")
+      // the maintenance log + the three report extracts, all delivered
+      assert(res.size == 4 && res.forall(_._3), s"uploads: $res")
+      for (extract <- Seq("index-maintenance-log", "ivf-append-report",
+          "bm25-append-report", "bm25-takedown-report")) {
+        val key = Sinks.dailyKey("2024-01-01", extract)
+        assert(new java.io.File(s"$dir/t1/$key").exists(),
+          s"missing $key")
+      }
+      assert(spark.catalog.tableExists(Jobs.IvfServingTable))
+      assert(spark.catalog.tableExists(Jobs.IvfServingCentroids))
+      assert(spark.catalog.tableExists(s"${Jobs.Bm25ServingName}_postings"))
+      // day-2 re-run of the maintenance composition: no re-bootstrap,
+      // zero-row appends (idempotent re-delivery), takedowns no-op
+      val log2 = Jobs.maintainServingIndexes(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3)))
+      assert(!log2.exists(_._2 == "bootstrap"),
+        s"re-run re-bootstrapped: ${log2.mkString(", ")}")
+      val appends = log2.filter(_._2 == "append")
+      assert(appends.size == 2 && appends.forall(_._3 == 0L),
+        s"re-run appended rows: ${log2.mkString(", ")}")
+      // the maintained indexes actually serve
+      val cents = spark.table(Jobs.IvfServingCentroids).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val emb = graft.sources.Tables(spark, sf, "embeddings")
+      val queries = graft.operators.Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3), cents, nprobe = 2)
+        .transform(graft.operators.CacheScope.materialize)
+      assert(graft.operators.Ann.probeIvfIndex(spark,
+        Jobs.IvfServingTable, queries, 10).head(1).nonEmpty,
+        "served IVF probe returned nothing")
+      graft.operators.CacheScope.releaseCheckpoint(queries)
+      val idx = graft.operators.Lexical
+        .readIndexTables(spark, Jobs.Bm25ServingName)
+      val docs = graft.sources.Tables(spark, sf, "documents")
+      assert(graft.operators.Lexical.rankedFromIndex(idx,
+        docs.filter(col("doc_id") % 250 === 0)).head(1).nonEmpty,
+        "served BM25 probe returned nothing")
+    } finally {
+      for (b <- Seq(Jobs.IvfServingTable,
+          s"${Jobs.IvfServingTable}__tombstones",
+          s"${Jobs.IvfServingTable}__scalars", Jobs.IvfServingCentroids);
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $b$sx")
+      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${Jobs.Bm25ServingName}_$t$sx")
+    }
+  }
+
   test("refresh extracts accept an explicit recency cutoff (jobs.py:40-49)") {
     // The reference computes the cutoff once and passes it into both
     // refresh queries; the anchored default exists only for oracle
