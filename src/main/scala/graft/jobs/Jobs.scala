@@ -213,12 +213,12 @@ object Jobs {
     }
     val cents = loadCentroids(s)
     // idempotent daily append: only ids not already serving (a re-run
-    // of a crashed day must not double-append); one narrow id-column
-    // pass over the index per day — the re-run guard's price
+    // of a crashed day must not double-append) — via the
+    // index-never-shuffles guard shape (Partitioning.newKeysOnly:
+    // batch ids broadcast and probe the index scan)
     val before = ivfRows
-    val fresh = batch.join(
-      Partitioning.bucketed(s, IvfServingTable).select("vec_id"),
-      Seq("vec_id"), "left_anti")
+    val fresh = Partitioning.newKeysOnly(batch,
+      Partitioning.bucketed(s, IvfServingTable), "vec_id")
     Ann.appendIvfIndex(fresh, cents, IvfServingTable, servingBuckets)
     log += (("ivf", "append", ivfRows - before, false))
     // takedowns from the RESIDENT split only, so a steady-state re-run

@@ -337,11 +337,11 @@ object Lexical {
     }
     // idempotence guard against the POSTINGS table (the first
     // artifact installed — a doclen/vocab-based guard would go stale
-    // exactly in the crash window it exists for): one narrow
-    // doc_id-column scan per daily batch
-    val fresh = batch.join(
-      spark.table(s"${name}_postings").select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti")
+    // exactly in the crash window it exists for), in the
+    // postings-never-shuffle shape: batch ids broadcast and probe the
+    // postings scan, the (≤ batch) overlap broadcasts back
+    val fresh = Partitioning.newKeysOnly(batch,
+      spark.table(s"${name}_postings"), "doc_id")
     postings(fresh)
       .write.mode("append")
       .bucketBy(spec.numBuckets, "token")

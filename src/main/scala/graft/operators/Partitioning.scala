@@ -497,6 +497,33 @@ object Partitioning {
       }
     }
 
+  /** `batch` minus the rows whose `key` already exists in `big` — the
+    * re-run idempotence guard of the index-maintenance jobs, shaped so
+    * the BIG side never shuffles: a plain `batch LEFT ANTI big.keys`
+    * plans a sort-merge join that shuffles every index id per daily
+    * batch (id-grain but O(index) — the wrong cost class for a guard).
+    * Instead the batch's distinct keys (counted — one batch-sized
+    * pass) BROADCAST and probe the big side as a semi-join, so the
+    * index scan stays narrow and exchange-free; the overlap that
+    * survives is ≤ batch-sized and broadcasts back for the anti.
+    * Above `broadcastIdCap` keys (default 4M ≈ 32 MB of longs) the
+    * guard falls back to the shuffle anti-join — and at the scale
+    * where even that hurts, a delivery-manifest check (did THIS batch
+    * already land?) replaces the data-level guard entirely; this
+    * operator keeps the exact per-row semantics for everything below
+    * that. PartitioningSpec pins result equality with the plain anti
+    * and the big side's exchange-free plan under the cap. */
+  def newKeysOnly(batch: DataFrame, big: DataFrame, key: String,
+                  broadcastIdCap: Long = 4000000L): DataFrame = {
+    val ids = batch.select(col(key)).distinct()
+    if (ids.count() <= broadcastIdCap) {
+      val overlap = big.select(col(key))
+        .join(broadcast(ids), Seq(key), "left_semi").distinct()
+      batch.join(broadcast(overlap), Seq(key), "left_anti")
+    } else
+      batch.join(big.select(col(key)).distinct(), Seq(key), "left_anti")
+  }
+
   /** Write a directory-partitioned parquet layout (`path/key=value/…`)
     * — the lake-output analog of the reference's per-term file
     * partitioning (S7/S8): one directory per key value, so any later

@@ -329,6 +329,48 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     drop(t, p)
   }
 
+  test("newKeysOnly equals the plain anti-join and never shuffles " +
+      "the big side under the broadcast cap") {
+    val big = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("payload"))
+    // batch: half overlapping keys, half genuinely new
+    val batch = spark.range(0, 400, 1, 4)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN id + 1 ELSE id + 9000000 END AS k",
+        "id AS v")
+    val plain = batch.join(big.select("k").distinct(), Seq("k"), "left_anti")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k", "v").collect().map(_.toSeq).toSeq
+    val guarded = Partitioning.newKeysOnly(batch, big, "k")
+    assert(rows(guarded) == rows(plain),
+      "broadcast-overlap guard diverged from the plain anti-join")
+    assert(guarded.count() > 0 && guarded.count() < batch.count(),
+      "fixture vacuous: guard must drop some keys and keep some")
+    // plan shape: under the cap the BIG side must plan scan →
+    // broadcast-semi with no shuffle below the semi-join (a sort-merge
+    // anti would shuffle every index id). Plans print top-down, so the
+    // semi-join's subtree — the big scan and the broadcast ids — is
+    // everything after its line; the one legitimate exchange (the
+    // distinct over the ≤ batch-sized overlap) sits ABOVE it.
+    // plans print the streaming (big-scan) child between the LeftSemi
+    // line and its BroadcastExchange build side; the two legitimate
+    // exchanges (batch-id distinct inside the broadcast build, overlap
+    // distinct above the semi) are batch-bounded and sit outside it
+    val plan = guarded.queryExecution.executedPlan.toString
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(semiIdx >= 0, s"guard lost its broadcast-semi shape:\n$plan")
+    val sub = plan.substring(semiIdx)
+    val streamSide = sub.substring(0, sub.indexOf("BroadcastExchange"))
+    assert(!streamSide.contains("Exchange hashpartitioning"),
+      s"guard shuffled the big side under the broadcast cap:\n$plan")
+    assert(streamSide.contains("FileScan"),
+      s"big side no longer a direct scan:\n$plan")
+    // above the cap: same rows via the fallback shuffle anti
+    val fallback = Partitioning.newKeysOnly(batch, big, "k",
+      broadcastIdCap = 1L)
+    assert(rows(fallback) == rows(plain),
+      "fallback path diverged from the plain anti-join")
+  }
+
   test("keyset pagination plans as pushed range scan + distributed top-k") {
     val df = SparkEntry.queries("rel_keyset_pagination")(
       spark, "/root/testdata/sf0.001")
