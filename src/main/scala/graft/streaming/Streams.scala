@@ -985,6 +985,96 @@ object Streams {
       }
   }
 
+  /** Streaming ingest into the BM25 serving bundle — the live face of
+    * `maintain_indexes`'s lexical append step
+    * (`Jobs.maintainServingIndexes`): every micro-batch of crawl docs
+    * lands through `Lexical.appendIndexTables`, which tokenizes ONLY
+    * the batch, bucket-appends its postings under the catalog's spec,
+    * and re-derives vocab/doclen/scalars from the postings install —
+    * the bundle is probe-ready after every micro-batch instead of
+    * once nightly. Delivery is idempotent at the DATA level, beyond
+    * the checkpoint's path level: the doc-id guard inside
+    * appendIndexTables (the `newKeysOnly` broadcast-probe shape, big
+    * side never shuffles) drops already-indexed docs, so an
+    * at-least-once source or a checkpoint-less replay converges to
+    * zero-row appends instead of double-counting df/nDocs/sumDl (T6
+    * on the index face), and a batch re-adding a deferred-deleted doc
+    * still compacts first. The caller bootstraps the resident bundle
+    * once (`Lexical.writeIndexTables`, exactly as the batch job
+    * does); takedowns and compaction stay batch-gated decisions.
+    * Micro-batch-split parity with the one-shot batch append — same
+    * scalars, same probe ranking — is pinned in StreamsSpec.
+    *
+    * Cross-session visibility: the appends run in the streaming
+    * execution's CLONED session, so a separate reader session that
+    * has already planned over the bundle holds a stale file listing
+    * in its own relation cache — Spark's standard per-session cache
+    * contract. Such a reader calls `catalog.refreshTable` on the
+    * bundle tables before probing (probe jobs that open the bundle
+    * fresh, like `rankedFromIndex` over `readIndexTables` in a new
+    * session, need nothing). */
+  def startBm25IngestQuery(docs: DataFrame, name: String,
+                           checkpoint: String) =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // an empty micro-batch (idle trigger) must not churn the
+        // derived-artifact swaps — the append would be a no-op anyway
+        if (batch.head(1).nonEmpty)
+          graft.operators.Lexical.appendIndexTables(
+            batch.sparkSession, name, batch)
+        ()
+      }
+      .start()
+
+  /** Streaming ingest into the IVF serving index — the dense twin of
+    * [[startBm25IngestQuery]] and the live face of
+    * `maintain_indexes`'s vector append step: each micro-batch of
+    * embeddings assigns to the FROZEN serving centroids (the
+    * [[streamingIvfAssign]] serve-frozen / retrain-offline stance)
+    * and bucket-appends via `Ann.appendIvfIndex` — probe plans keep
+    * their pruned, exchange-free shape after any number of
+    * micro-batches. The bucket spec comes from the CATALOG, never a
+    * parameter, so a streaming caller cannot silently re-bucket the
+    * serving table; redelivered rows drop via the same `newKeysOnly`
+    * guard the batch job uses (vec ids broadcast and probe the index
+    * scan — the index never shuffles for the guard), and a batch
+    * re-adding a tombstoned id compacts first inside appendIvfIndex.
+    * Retraining stays the batch drift gate's decision
+    * (`ss_ivf_append` → `Ann.retrainIvfIndex`), after which the query
+    * restarts with the refreshed centroid literals. Cross-session
+    * readers refresh the table before probing — see
+    * [[startBm25IngestQuery]]'s visibility note. */
+  def startIvfIngestQuery(emb: DataFrame, table: String,
+                          cents: Array[(Long, Array[Float])],
+                          checkpoint: String) =
+    emb.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.head(1).nonEmpty) {
+          val s = batch.sparkSession
+          // recoverSwap BEFORE the metadata lookup: a compaction that
+          // crashed in the unbound-name window leaves the table only
+          // under a __stage/__old twin, and the bucket-spec read would
+          // throw where the read path would have healed (ADVICE r15's
+          // compactIndexTables ordering lesson)
+          val big = graft.operators.Partitioning.bucketed(s, table)
+          val spec = s.sessionState.catalog
+            .getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(table))
+            .bucketSpec.getOrElse(throw new IllegalArgumentException(
+              s"$table has no bucket spec — not an IVF index table"))
+          val fresh = graft.operators.Partitioning.newKeysOnly(batch,
+            big, "vec_id")
+          graft.operators.Ann.appendIvfIndex(fresh, cents, table,
+            spec.numBuckets)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming fan-out — the reference's multi-target S3 sink
     * (SURVEY.md S5) on the streaming face: every micro-batch is written
     * gzip-CSV to each target under a per-batch key via `foreachBatch`,

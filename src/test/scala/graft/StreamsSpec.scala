@@ -1117,4 +1117,133 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         "batch face must never row a source with neither slice")
     } finally q.stop()
   }
+
+  test("streaming BM25 ingest converges the serving bundle to the " +
+    "one-shot batch append under any micro-batch split; redelivery " +
+    "appends nothing") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Lexical
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val resident = docs.filter(col("doc_id") % 7 =!= 0)
+    val day = docs.filter(col("doc_id") % 7 === 0)
+    val live = "bm25_singest_spec"
+    val twin = "bm25_singestb_spec"
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), live,
+        buckets = 8)
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), twin,
+        buckets = 8)
+      Lexical.appendIndexTables(spark, twin, day) // the batch twin
+      val rows = day.as[(Long, String)].collect().toSeq
+      assert(rows.size >= 3, "fixture too small to micro-batch")
+      val source = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("bm25_singest_ck").toString
+      val q = Streams.startBm25IngestQuery(
+        source.toDF().toDF("doc_id", "text"), live, ckpt)
+      try {
+        val (b1, b2) = rows.splitAt(rows.size / 2)
+        source.addData(b1: _*); q.processAllAvailable()
+        source.addData(b2: _*); q.processAllAvailable()
+        // at-least-once redelivery: the WHOLE day replays — the
+        // data-level guard must converge it to a zero-row append
+        source.addData(rows: _*); q.processAllAvailable()
+      } finally q.stop()
+      // the stream wrote from its CLONED session; this session planned
+      // over the bundle during the bootstrap build, so its relation
+      // cache is stale — the documented cross-session refresh contract
+      for (t <- Seq("postings", "vocab", "doclen", "scalars"))
+        spark.catalog.refreshTable(s"${live}_$t")
+      val served = Lexical.readIndexTables(spark, live)
+      val batch = Lexical.readIndexTables(spark, twin)
+      assert(served.nDocs == batch.nDocs && served.sumDl == batch.sumDl,
+        "streamed scalars diverged from the batch append")
+      def postingSet(ix: Lexical.Bm25Index) = ix.tf.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(postingSet(served) == postingSet(batch),
+        "streamed postings diverged from the batch append")
+      val queries = docs.filter(col("doc_id") % 250 === 0)
+      def ranked(ix: Lexical.Bm25Index) =
+        Lexical.rankedFromIndex(ix, queries)
+          .orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+      val viaStream = ranked(served)
+      assert(viaStream == ranked(batch),
+        "streamed-bundle probe diverged from the batch append's")
+      assert(viaStream.nonEmpty, "parity vacuous: no ranked rows")
+    } finally {
+      for (n <- Seq(live, twin);
+          t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
+    }
+  }
+
+  test("streaming IVF ingest converges the serving index to the " +
+    "one-shot batch append; probe stays bucket-pruned and redelivery " +
+    "appends nothing") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Ann
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val resident = emb.filter(col("vec_id") % 7 =!= 0)
+    val day = emb.filter(col("vec_id") % 7 === 0)
+    val live = "ivf_singest_spec"
+    val twin = "ivf_singestb_spec"
+    try {
+      val cents = Ann.ivfCentroids(spark, resident, 10,
+        steps = graft.queries.Similarity.IvfSteps)
+      Ann.buildIvfIndex(spark, resident, cents, live, nBuckets = 8)
+      Ann.buildIvfIndex(spark, resident, cents, twin, nBuckets = 8)
+      Ann.appendIvfIndex(day, cents, twin, nBuckets = 8)
+      val rows = day.select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().toSeq
+      assert(rows.size >= 3, "fixture too small to micro-batch")
+      val source = MemoryStream[(Long, Array[Float])]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("ivf_singest_ck").toString
+      val q = Streams.startIvfIngestQuery(
+        source.toDF().toDF("vec_id", "embedding"), live, cents, ckpt)
+      try {
+        val (b1, b2) = rows.splitAt(rows.size / 2)
+        source.addData(b1: _*); q.processAllAvailable()
+        source.addData(b2: _*); q.processAllAvailable()
+        source.addData(rows: _*); q.processAllAvailable() // redelivery
+      } finally q.stop()
+      // cross-session cache refresh (see the BM25 ingest test's note)
+      spark.catalog.refreshTable(live)
+      spark.catalog.refreshTable(s"${live}__scalars")
+      def cellSet(t: String) = spark.table(t)
+        .selectExpr("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cellSet(live) == cellSet(twin),
+        "streamed assignments diverged from the batch append")
+      // the maintained scalar must track the physical count exactly
+      // (redelivered micro-batches add zero)
+      assert(spark.table(s"${live}__scalars")
+          .collect()(0).getLong(0) == spark.table(live).count(),
+        "streamed scalar count drifted from the physical table")
+      val queries = Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3), cents, nprobe = 2)
+        .transform(graft.operators.CacheScope.materialize)
+      val probed = Ann.probeIvfIndex(spark, live, queries, 10)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"streamed-index probe scan is not bucket-pruned:\n$plan")
+      val a = probed.collect().map(_.toSeq).toSeq
+      val b = Ann.probeIvfIndex(spark, twin, queries, 10)
+        .collect().map(_.toSeq).toSeq
+      assert(a == b && a.nonEmpty,
+        "streamed-index probe diverged from the batch append's")
+      graft.operators.CacheScope.releaseCheckpoint(queries)
+    } finally {
+      for (t <- Seq(live, twin);
+          sx <- Seq("", "__scalars", "__tombstones", "__stage", "__old",
+            "__scalars__stage", "__scalars__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sx")
+    }
+  }
 }
