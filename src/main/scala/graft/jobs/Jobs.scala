@@ -187,8 +187,19 @@ object Jobs {
     * maintained scalars tables or the day's takedown FEED (feed-sized
     * counts), never an index-sized aggregate. `flag` means the step's
     * gate fired (compaction folded / retrain ran; for bootstrap, that
-    * the build ran). */
-  def maintainServingIndexes(s: SparkSession, sfDir: String): DataFrame = {
+    * the build ran).
+    *
+    * `batchKey` (the dispatch passes the run's ISO date — the cron's
+    * daily identity) arms [[Partitioning.deliverOnce]]'s
+    * delivery-manifest fast path on the two append steps: a re-run of
+    * the SAME day's crashed cron skips each append body on a
+    * manifest-row check (`append_skipped` in the log) instead of
+    * probing the index, the 100 TB shape `newKeysOnly`'s cap note
+    * names; the data-level guard stays underneath as the convergence
+    * backstop for the body-committed/key-unrecorded crash window and
+    * for callers without a key. */
+  def maintainServingIndexes(s: SparkSession, sfDir: String,
+                             batchKey: Option[String] = None): DataFrame = {
     import graft.operators.{Ann, Lexical, Partitioning}
     val log = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long, Boolean)]
@@ -217,10 +228,14 @@ object Jobs {
     // index-never-shuffles guard shape (Partitioning.newKeysOnly:
     // batch ids broadcast and probe the index scan)
     val before = ivfRows
-    val fresh = Partitioning.newKeysOnly(batch,
-      Partitioning.bucketed(s, IvfServingTable), "vec_id")
-    Ann.appendIvfIndex(fresh, cents, IvfServingTable, servingBuckets)
-    log += (("ivf", "append", ivfRows - before, false))
+    val ranIvf = Partitioning.deliverOnce(s, IvfServingTable,
+      batchKey.map(_ + ":append")) {
+      val fresh = Partitioning.newKeysOnly(batch,
+        Partitioning.bucketed(s, IvfServingTable), "vec_id")
+      Ann.appendIvfIndex(fresh, cents, IvfServingTable, servingBuckets)
+    }
+    log += (("ivf", if (ranIvf) "append" else "append_skipped",
+      if (ranIvf) ivfRows - before else 0L, false))
     // takedowns from the RESIDENT split only, so a steady-state re-run
     // converges to no-ops instead of re-appending yesterday's victims
     val victims = emb.filter(col("vec_id") % 50 === 0 &&
@@ -258,8 +273,12 @@ object Jobs {
       log += (("bm25", "bootstrap", bm25Docs, true))
     }
     val dBefore = bm25Docs
-    Lexical.appendIndexTables(s, Bm25ServingName, dBatch)
-    log += (("bm25", "append", bm25Docs - dBefore, false))
+    val ranBm25 = Partitioning.deliverOnce(s, Bm25ServingName,
+      batchKey.map(_ + ":append")) {
+      Lexical.appendIndexTables(s, Bm25ServingName, dBatch)
+    }
+    log += (("bm25", if (ranBm25) "append" else "append_skipped",
+      if (ranBm25) bm25Docs - dBefore else 0L, false))
     val dVictims = docs.filter(col("doc_id") % 50 === 0 &&
       col("doc_id") % 7 =!= 0).select("doc_id")
     val dFolded = Lexical.removeDocsDeferred(s, Bm25ServingName, dVictims)
@@ -272,10 +291,14 @@ object Jobs {
 
   /** Job-level PRE-compositions: table maintenance that must run
     * BEFORE the job's report pipeline, its run log fanned out under
-    * its own extract key like any other extract. */
-  val preSteps: Map[String, (String, (SparkSession, String) => DataFrame)] =
+    * its own extract key like any other extract. The third argument
+    * is the run's ISO date — the daily batch identity that arms the
+    * delivery-manifest fast path. */
+  val preSteps
+      : Map[String, (String, (SparkSession, String, String) => DataFrame)] =
     Map("maintain_indexes" ->
-      (("index-maintenance-log", maintainServingIndexes _)))
+      (("index-maintenance-log",
+        (s, d, date) => maintainServingIndexes(s, d, Some(date)))))
 
   /** Current term ids as yyyyMM, from the catalog's current-term
     * resolution query (reference: jobs.py:71-74). The collect is ≤3
@@ -550,7 +573,7 @@ object Jobs {
         // the reports below describe the maintenance the run just did
         val pre = for {
           (extract, step) <- preSteps.get(job).toSeq
-          df = step(spark, sfDir)
+          df = step(spark, sfDir, isoDate)
           (target, ok) <- Sinks.fanOut(df, targets, keyFor(extract))
         } yield (extract, target, ok)
         val flat = for {

@@ -508,11 +508,12 @@ object Partitioning {
     * survives is ≤ batch-sized and broadcasts back for the anti.
     * Above `broadcastIdCap` keys (default 4M ≈ 32 MB of longs) the
     * guard falls back to the shuffle anti-join — and at the scale
-    * where even that hurts, a delivery-manifest check (did THIS batch
-    * already land?) replaces the data-level guard entirely; this
-    * operator keeps the exact per-row semantics for everything below
-    * that. PartitioningSpec pins result equality with the plain anti
-    * and the big side's exchange-free plan under the cap. */
+    * where even that hurts, [[deliverOnce]]'s delivery-manifest check
+    * (did THIS batch already land?) short-circuits the data-level
+    * guard entirely; this operator keeps the exact per-row semantics
+    * for everything below that. PartitioningSpec pins result equality
+    * with the plain anti and the big side's exchange-free plan under
+    * the cap. */
   def newKeysOnly(batch: DataFrame, big: DataFrame, key: String,
                   broadcastIdCap: Long = 4000000L): DataFrame = {
     val ids = batch.select(col(key)).distinct()
@@ -522,6 +523,45 @@ object Partitioning {
       batch.join(broadcast(overlap), Seq(key), "left_anti")
     } else
       batch.join(big.select(col(key)).distinct(), Seq(key), "left_anti")
+  }
+
+  /** Delivery-manifest idempotence — the guard shape [[newKeysOnly]]'s
+    * scaladoc names for the scale where even the fallback shuffle
+    * anti-join hurts: instead of asking the DATA which rows are new,
+    * ask a tiny per-table manifest whether THIS batch already landed.
+    * The check is a `head(1)` over a |delivered batches|-row table —
+    * independent of both index and batch size, so a crashed daily
+    * cron's re-run skips the whole append body without touching the
+    * index or re-reading the feed. The key records only AFTER `body`
+    * returns, so the one crash window (body committed, key
+    * unrecorded) replays the body on re-run — which is why the
+    * manifest COMPOSES WITH, never replaces, the data-level guards:
+    * the replayed body converges through them ([[newKeysOnly]] /
+    * `appendIndexTables`' doc-id guard). With `key = None` the
+    * manifest is bypassed — callers without a feed-supplied batch id
+    * keep pure data-level idempotence. Returns true iff the body ran.
+    * Single-writer per table, like every serving swap
+    * ([[recoverSwap]]'s contract). */
+  def deliverOnce(s: SparkSession, table: String, key: Option[String])
+                 (body: => Unit): Boolean = {
+    val man = table + "__manifest"
+    key match {
+      case None => body; true
+      case Some(k) =>
+        recoverSwap(s, man)
+        if (s.catalog.tableExists(man) &&
+            s.table(man).filter(col("batch_key") === k).head(1).nonEmpty)
+          false
+        else {
+          body
+          import s.implicits._
+          val row = Seq(k).toDF("batch_key")
+          if (s.catalog.tableExists(man))
+            row.write.mode("append").format("parquet").saveAsTable(man)
+          else replaceTable(s, man, row)
+          true
+        }
+    }
   }
 
   /** Write a directory-partitioned parquet layout (`path/key=value/…`)

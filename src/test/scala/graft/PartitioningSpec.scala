@@ -371,6 +371,37 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
       "fallback path diverged from the plain anti-join")
   }
 
+  test("deliverOnce runs a keyed body exactly once, bypasses with no " +
+      "key, and heals a dangling manifest swap") {
+    val t = "deliver_once_spec"
+    try {
+      var runs = 0
+      // first delivery of day-1 runs the body and records the key
+      assert(Partitioning.deliverOnce(spark, t, Some("d1")) { runs += 1 })
+      assert(runs == 1)
+      // redelivery of day-1 short-circuits on the manifest row
+      assert(!Partitioning.deliverOnce(spark, t, Some("d1")) { runs += 1 })
+      assert(runs == 1, "manifest failed to skip a delivered batch")
+      // a new day runs again
+      assert(Partitioning.deliverOnce(spark, t, Some("d2")) { runs += 1 })
+      assert(runs == 2)
+      // keyless callers keep pure data-level idempotence: always run,
+      // and never touch the manifest
+      val manRows = spark.table(s"${t}__manifest").count()
+      assert(Partitioning.deliverOnce(spark, t, None) { runs += 1 })
+      assert(runs == 3 &&
+        spark.table(s"${t}__manifest").count() == manRows,
+        "keyless delivery must bypass the manifest entirely")
+      // a manifest stranded mid-swap (crash in the unbound-name
+      // window) still skips: the read path heals it first
+      spark.sql(s"ALTER TABLE ${t}__manifest RENAME TO ${t}__manifest__stage")
+      assert(!Partitioning.deliverOnce(spark, t, Some("d2")) { runs += 1 })
+      assert(runs == 3, "dangling manifest swap lost delivered keys")
+    } finally
+      for (sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${t}__manifest$sx")
+  }
+
   test("keyset pagination plans as pushed range scan + distributed top-k") {
     val df = SparkEntry.queries("rel_keyset_pagination")(
       spark, "/root/testdata/sf0.001")

@@ -208,6 +208,25 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
       val appends = log2.filter(_._2 == "append")
       assert(appends.size == 2 && appends.forall(_._3 == 0L),
         s"re-run appended rows: ${log2.mkString(", ")}")
+      // same-DAY re-run (the crashed-cron recovery): the delivery
+      // manifest recorded 2024-01-01 during the Main.run above, so
+      // both append bodies short-circuit on a manifest-row check —
+      // never probing the index — and the log says so
+      val logSame = Jobs
+        .maintainServingIndexes(spark, sf, Some("2024-01-01"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(logSame.count(_._2 == "append_skipped") == 2 &&
+        !logSame.exists(_._2 == "append"),
+        s"same-day re-run did not manifest-skip: ${logSame.mkString(", ")}")
+      // a NEW day runs the appends; the data-level guard underneath
+      // converges them to zero rows on the unchanged fixture feed
+      val logNext = Jobs
+        .maintainServingIndexes(spark, sf, Some("2024-01-02"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2)))
+      val nextAppends = logNext.filter(_._2 == "append")
+      assert(nextAppends.size == 2 && nextAppends.forall(_._3 == 0L),
+        s"new-day run misbehaved: ${logNext.mkString(", ")}")
       // the maintained indexes actually serve
       val cents = spark.table(Jobs.IvfServingCentroids).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -229,7 +248,9 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     } finally {
       for (b <- Seq(Jobs.IvfServingTable,
           s"${Jobs.IvfServingTable}__tombstones",
-          s"${Jobs.IvfServingTable}__scalars", Jobs.IvfServingCentroids);
+          s"${Jobs.IvfServingTable}__scalars",
+          s"${Jobs.IvfServingTable}__manifest",
+          s"${Jobs.Bm25ServingName}__manifest", Jobs.IvfServingCentroids);
           sx <- Seq("", "__stage", "__old"))
         spark.sql(s"DROP TABLE IF EXISTS $b$sx")
       for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
