@@ -1075,6 +1075,55 @@ object Streams {
       }
       .start()
 
+  /** Streaming takedowns for the IVF serving index — the delete twin
+    * of [[startIvfIngestQuery]], for the feeds that arrive
+    * continuously in production (GDPR/DMCA requests, re-crawl
+    * invalidations): each micro-batch of vector ids lands as deferred
+    * tombstones via `Ann.tombstoneIvfVectors` — a tombstone-sized
+    * merge, never an index rewrite — and every probe subtracts them
+    * with the broadcast anti-join until the compaction gate trips and
+    * folds physically. Redelivery is a no-op by construction (the
+    * tombstone merge is a set union; ids already absent from the
+    * index are dropped before they can inflate the gate), so an
+    * at-least-once feed needs nothing beyond the checkpoint.
+    * Micro-batch-split parity with the one-shot batch takedown is
+    * pinned in StreamsSpec; cross-session readers refresh per
+    * [[startBm25IngestQuery]]'s visibility note. */
+  def startIvfTakedownQuery(ids: DataFrame, table: String,
+                            checkpoint: String) =
+    ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.head(1).nonEmpty)
+          graft.operators.Ann.tombstoneIvfVectors(
+            batch.sparkSession, table, batch)
+        ()
+      }
+      .start()
+
+  /** Streaming takedowns for the BM25 serving bundle — the lexical
+    * twin of [[startIvfTakedownQuery]]: each micro-batch of doc ids
+    * lands in the delete-delta table via `Lexical.removeDocsDeferred`
+    * (tombstones + precomputed df/scalar decrements served through
+    * broadcast anti-joins — one removed-slice aggregate per batch,
+    * never a re-tokenize or a postings rewrite), folding physically
+    * only at the compaction gate. Redelivered or never-indexed ids
+    * drop against the LIVE view before they can double-decrement df
+    * or inflate the gate, so at-least-once feeds converge. */
+  def startBm25TakedownQuery(ids: DataFrame, name: String,
+                             checkpoint: String) =
+    ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.head(1).nonEmpty)
+          graft.operators.Lexical.removeDocsDeferred(
+            batch.sparkSession, name, batch)
+        ()
+      }
+      .start()
+
   /** Streaming fan-out — the reference's multi-target S3 sink
     * (SURVEY.md S5) on the streaming face: every micro-batch is written
     * gzip-CSV to each target under a per-batch key via `foreachBatch`,

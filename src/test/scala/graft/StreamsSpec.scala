@@ -1246,4 +1246,110 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         spark.sql(s"DROP TABLE IF EXISTS $t$sx")
     }
   }
+
+  test("streaming takedowns converge both serving indexes to the " +
+    "one-shot batch takedown; redelivered ids are no-ops") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Ann, Lexical}
+    val sf = "/root/testdata/sf0.001"
+    // --- IVF ------------------------------------------------------
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val victims = emb.filter(col("vec_id") % 50 === 0).select("vec_id")
+      .as[Long].collect().toSeq
+    assert(victims.size >= 2, "fixture too small to micro-batch")
+    val live = "ivf_stake_spec"
+    val twin = "ivf_stakeb_spec"
+    try {
+      val cents = Ann.ivfCentroids(spark, emb, 10,
+        steps = graft.queries.Similarity.IvfSteps)
+      Ann.buildIvfIndex(spark, emb, cents, live, nBuckets = 8)
+      Ann.buildIvfIndex(spark, emb, cents, twin, nBuckets = 8)
+      import spark.implicits._
+      Ann.tombstoneIvfVectors(spark, twin,
+        victims.toDF("vec_id")) // one-shot batch twin
+      val source = MemoryStream[Long]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("ivf_stake_ck").toString
+      val q = Streams.startIvfTakedownQuery(
+        source.toDF().toDF("vec_id"), live, ckpt)
+      try {
+        val (b1, b2) = victims.splitAt(victims.size / 2)
+        source.addData(b1: _*); q.processAllAvailable()
+        source.addData(b2: _*); q.processAllAvailable()
+        source.addData(victims: _*); q.processAllAvailable() // replay
+      } finally q.stop()
+      spark.catalog.refreshTable(s"${live}__tombstones")
+      def tombs(t: String) = spark.table(s"${t}__tombstones")
+        .as[Long].collect().toSet
+      assert(tombs(live) == tombs(twin) &&
+        tombs(live) == victims.toSet,
+        "streamed tombstones diverged from the batch takedown")
+      val queries = Ann.ivfProbeCells(
+        emb.filter(col("vec_id") < 3), cents, nprobe = 2)
+        .transform(graft.operators.CacheScope.materialize)
+      def probed(t: String) = Ann.probeIvfIndex(spark, t, queries, 10)
+        .collect().map(_.toSeq).toSeq
+      val a = probed(live)
+      assert(a == probed(twin) && a.nonEmpty,
+        "streamed-takedown probe diverged from the batch takedown's")
+      val servedIds = Ann.probeIvfIndex(spark, live, queries, 10)
+        .select("vec_id").as[Long].collect().toSet
+      assert(servedIds.intersect(victims.toSet).isEmpty,
+        "a taken-down vector still serves")
+      graft.operators.CacheScope.releaseCheckpoint(queries)
+    } finally {
+      for (t <- Seq(live, twin);
+          sx <- Seq("", "__scalars", "__tombstones", "__stage", "__old",
+            "__tombstones__stage", "__tombstones__old",
+            "__scalars__stage", "__scalars__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sx")
+    }
+    // --- BM25 -----------------------------------------------------
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val dVictims = docs.filter(col("doc_id") % 50 === 0)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(dVictims.size >= 2, "fixture too small to micro-batch")
+    val bLive = "bm25_stake_spec"
+    val bTwin = "bm25_stakeb_spec"
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(docs), bLive,
+        buckets = 8)
+      Lexical.writeIndexTables(Lexical.buildIndex(docs), bTwin,
+        buckets = 8)
+      import spark.implicits._
+      Lexical.removeDocsDeferred(spark, bTwin, dVictims.toDF("doc_id"))
+      val source = MemoryStream[Long]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("bm25_stake_ck").toString
+      val q = Streams.startBm25TakedownQuery(
+        source.toDF().toDF("doc_id"), bLive, ckpt)
+      try {
+        val (b1, b2) = dVictims.splitAt(dVictims.size / 2)
+        source.addData(b1: _*); q.processAllAvailable()
+        source.addData(b2: _*); q.processAllAvailable()
+        source.addData(dVictims: _*); q.processAllAvailable() // replay
+      } finally q.stop()
+      spark.catalog.refreshTable(s"${bLive}_deltas")
+      val served = Lexical.readIndexTables(spark, bLive)
+      val batch = Lexical.readIndexTables(spark, bTwin)
+      assert(served.nDocs == batch.nDocs && served.sumDl == batch.sumDl,
+        "streamed-takedown scalars diverged from the batch delete " +
+          s"(stream ${served.nDocs}/${served.sumDl} vs " +
+          s"batch ${batch.nDocs}/${batch.sumDl})")
+      val queries = docs.filter(col("doc_id") % 250 === 0)
+      def ranked(ix: Lexical.Bm25Index) =
+        Lexical.rankedFromIndex(ix, queries)
+          .orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+      val viaStream = ranked(served)
+      assert(viaStream == ranked(batch) && viaStream.nonEmpty,
+        "streamed-takedown probe diverged from the batch delete's")
+    } finally {
+      for (n <- Seq(bLive, bTwin);
+          t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
+    }
+  }
 }
