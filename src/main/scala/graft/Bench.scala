@@ -760,7 +760,12 @@ object Bench {
     }
     def scd2Cell(name: String, skewed: Boolean, salted: Boolean): (String, Double) = {
       val ev = evDf(skewed)
-      var shape = ""
+      // hoisted so the plan-shape rendering (a toString + five regex
+      // scans over the executed plan) happens OUTSIDE the timed
+      // region — instrumentation introduced to EXPLAIN this cell's
+      // bimodality must not perturb the sub-second readings it
+      // arbitrates
+      var done: org.apache.spark.sql.DataFrame = null
       val (gc0, jit0) = (gcMillis, jitMillis)
       val sec = timed {
         val r =
@@ -768,10 +773,10 @@ object Bench {
             graft.operators.Partitioning.scd2TwoPhase(ev, 3600L)
           else plainScd2(ev)
         counts += name -> r.queryExecution.toRdd.count()
-        shape = planShape(r)
+        done = r
       }
       System.err.println(f"[bench] skew $name regime: gc=${
-        gcMillis - gc0}ms jit=${jitMillis - jit0}ms $shape")
+        gcMillis - gc0}ms jit=${jitMillis - jit0}ms ${planShape(done)}")
       name -> sec
     }
     // ---- cusum fixture: the ordered PREFIX-SUM family (r12's

@@ -213,8 +213,18 @@ object Jobs {
       s.table(s"${IvfServingTable}__scalars")
         .select("n_rows").collect()(0).getLong(0)
     }
+    // bootstrap gate keyed on the COMPLETE artifact set, not just the
+    // index table: a crash between buildIvfIndex's data install and
+    // its scalars write (or before saveCentroids) must not wedge
+    // every later run on a missing sibling — the bootstrap build is
+    // deterministic (seeded centroids) and overwrite-installed, so
+    // re-running it converges
     Partitioning.recoverSwap(s, IvfServingTable)
-    if (!s.catalog.tableExists(IvfServingTable)) {
+    Partitioning.recoverSwap(s, s"${IvfServingTable}__scalars")
+    Partitioning.recoverSwap(s, IvfServingCentroids)
+    if (!s.catalog.tableExists(IvfServingTable) ||
+        !s.catalog.tableExists(s"${IvfServingTable}__scalars") ||
+        !s.catalog.tableExists(IvfServingCentroids)) {
       val cents = Ann.ivfCentroids(s, resident, 10,
         steps = graft.queries.Similarity.IvfSteps)
       Ann.buildIvfIndex(s, resident, cents, IvfServingTable,
@@ -222,17 +232,26 @@ object Jobs {
       saveCentroids(s, cents)
       log += (("ivf", "bootstrap", ivfRows, true))
     }
+    // a retrain that crashed between its centroid install and the
+    // assignment rebuild left the two out of step (probes would route
+    // cells by centroids the table was never assigned under) — the
+    // intent marker the retrain path writes first converges it here
+    val retrainMarker = s"${IvfServingTable}__retrain_pending"
+    Partitioning.recoverSwap(s, retrainMarker)
+    if (s.catalog.tableExists(retrainMarker)) {
+      Ann.rebuildIvfAssignments(s, IvfServingTable, loadCentroids(s))
+      s.sql(s"DROP TABLE IF EXISTS $retrainMarker")
+      log += (("ivf", "retrain_recovered", 0L, true))
+    }
     val cents = loadCentroids(s)
-    // idempotent daily append: only ids not already serving (a re-run
-    // of a crashed day must not double-append) — via the
-    // index-never-shuffles guard shape (Partitioning.newKeysOnly:
-    // batch ids broadcast and probe the index scan)
+    // idempotent daily append via the guarded face: tombstone-overlap
+    // compaction BEFORE the already-indexed filter (a tombstoned id's
+    // physical row would otherwise hide the re-add from the overlap
+    // check), intra-batch id dedup, catalog bucket spec
     val before = ivfRows
     val ranIvf = Partitioning.deliverOnce(s, IvfServingTable,
       batchKey.map(_ + ":append")) {
-      val fresh = Partitioning.newKeysOnly(batch,
-        Partitioning.bucketed(s, IvfServingTable), "vec_id")
-      Ann.appendIvfIndex(fresh, cents, IvfServingTable, servingBuckets)
+      Ann.appendIvfBatch(s, IvfServingTable, batch, cents)
     }
     log += (("ivf", if (ranIvf) "append" else "append_skipped",
       if (ranIvf) ivfRows - before else 0L, false))
@@ -253,8 +272,22 @@ object Jobs {
       graft.queries.Similarity.alignE6(v, uMap(id))
     }.min
     val drifted = minAlign < RetrainAlignE6
-    if (drifted)
-      saveCentroids(s, Ann.retrainIvfIndex(s, IvfServingTable, cents))
+    if (drifted) {
+      // the gate's own one-step Lloyd result IS the retrained centroid
+      // set (retrainIvfIndex would recompute the identical pass —
+      // a second full-corpus job for nothing). The two installs can't
+      // swap atomically, so the intent marker lands first: a crash
+      // anywhere in between re-runs the assignment rebuild from the
+      // PERSISTED centroids on the next run (recovery above), and a
+      // crash before saveCentroids rebuilds under the old centroids —
+      // a semantic no-op. Marker drops only after both committed.
+      import s.implicits._
+      Partitioning.replaceTable(s, retrainMarker,
+        Seq(1).toDF("pending"))
+      saveCentroids(s, updated)
+      Ann.rebuildIvfAssignments(s, IvfServingTable, updated)
+      s.sql(s"DROP TABLE IF EXISTS $retrainMarker")
+    }
     log += (("ivf", "retrain_gate", minAlign, drifted))
 
     // ---- BM25 (lexical) ------------------------------------------
@@ -266,8 +299,15 @@ object Jobs {
       s.table(s"${Bm25ServingName}_scalars")
         .select("n_docs").collect()(0).getLong(0)
     }
-    Partitioning.recoverSwap(s, s"${Bm25ServingName}_postings")
-    if (!s.catalog.tableExists(s"${Bm25ServingName}_postings")) {
+    // same artifact-complete gate as the IVF side: a crash inside
+    // writeIndexTables (postings installed, vocab/doclen/scalars not
+    // yet) must re-run the bootstrap, not wedge on a missing sibling;
+    // the rebuild is a deterministic staged-swap overwrite, so the
+    // re-run converges
+    val bundleTables = Seq("postings", "vocab", "doclen", "scalars")
+      .map(t => s"${Bm25ServingName}_$t")
+    bundleTables.foreach(Partitioning.recoverSwap(s, _))
+    if (!bundleTables.forall(s.catalog.tableExists)) {
       Lexical.writeIndexTables(Lexical.buildIndex(dResident),
         Bm25ServingName, servingBuckets)
       log += (("bm25", "bootstrap", bm25Docs, true))

@@ -249,6 +249,7 @@ object Ann {
           Seq(idCol), "left_semi").head(1).nonEmpty)
       compactIvfIndex(s, table, idCol)
     val nBatch = batch.count() // batch-sized, never the index
+    if (nBatch == 0L) return // nothing to assign; don't churn scalars
     ivfAssign(batch, cents, idCol, vecCol)
       .write.mode("append")
       .bucketBy(nBuckets, "cell")
@@ -260,6 +261,48 @@ object Ann {
     val prior = readIvfScalars(s, table)
       .getOrElse(s.table(table).count() - nBatch)
     writeIvfScalars(s, table, prior + nBatch)
+  }
+
+  /** The maintenance-caller face of [[appendIvfIndex]] — what the
+    * `maintain_indexes` job and the streaming ingest run per daily
+    * batch / micro-batch. Three hazards of composing the re-run
+    * idempotence guard by hand die here:
+    *
+    *  - ORDER: the tombstone-overlap check must run BEFORE the
+    *    already-indexed filter. A tombstoned id's PHYSICAL row is
+    *    still in the table, so `newKeysOnly` against the raw scan
+    *    drops the re-added id from the batch — appendIvfIndex's own
+    *    overlap check then never sees it, the tombstone survives, and
+    *    the fresh embedding is silently discarded forever (the
+    *    lexical twin `Lexical.appendIndexTables` always had this
+    *    ordering; this gives the dense side the same one).
+    *  - INTRA-BATCH duplicates: at-least-once feeds can repeat an id
+    *    WITHIN one batch, where batch-vs-index dedup can't see it —
+    *    two live rows per id would each occupy a probe top-k slot.
+    *    The feed contract is id-grain, so one row per id survives
+    *    (arbitrary among byte-identical redeliveries).
+    *  - BUCKET SPEC: from the catalog, never a caller parameter
+    *    ([[removeIvfVectors]]'s rationale, applied to the append).
+    *
+    * Returns the appended row count (feed-sized to compute). */
+  def appendIvfBatch(s: SparkSession, table: String, batch: DataFrame,
+                     cents: Array[(Long, Array[Float])],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Long = {
+    val tomb = table + "__tombstones"
+    Partitioning.recoverSwap(s, tomb)
+    val dedup = batch.dropDuplicates(idCol)
+    if (s.catalog.tableExists(tomb) &&
+        s.table(tomb).join(dedup.select(col(idCol)),
+          Seq(idCol), "left_semi").head(1).nonEmpty)
+      compactIvfIndex(s, table, idCol)
+    val fresh = Partitioning.newKeysOnly(dedup,
+      Partitioning.bucketed(s, table), idCol)
+    val n = fresh.count()
+    if (n > 0L)
+      appendIvfIndex(fresh, cents, table,
+        Partitioning.bucketSpecOf(s, table).numBuckets, idCol, vecCol)
+    n
   }
 
   /** DELETE face of the build-once index — the takedown/re-crawl
@@ -287,12 +330,7 @@ object Ann {
     * absent from the table are no-ops. */
   def removeIvfVectors(s: SparkSession, table: String, ids: DataFrame,
                        idCol: String = "vec_id"): Unit = {
-    val spec = s.sessionState.catalog
-      .getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table has no bucket spec — not an IVF index table"))
+    val spec = Partitioning.bucketSpecOf(s, table)
     val rm = ids.select(col(idCol)).distinct()
     val kept =
       Partitioning.bucketed(s, table).join(rm, Seq(idCol), "left_anti")
@@ -398,18 +436,31 @@ object Ann {
     val live = liveIndex(s, table, Partitioning.bucketed(s, table), idCol)
       .select(col(idCol), col(vecCol))
     val updated = ivfCentroidsFrom(s, live, cents, steps, idCol, vecCol)
-    val spec = s.sessionState.catalog
-      .getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table has no bucket spec — not an IVF index table"))
+    rebuildIvfAssignments(s, table, updated, idCol, vecCol)
+    updated
+  }
+
+  /** The rebuild half of [[retrainIvfIndex]], callable with centroids
+    * the caller already has: re-assign the LIVE view under `cents`
+    * and install via one staged swap, folding pending tombstones
+    * (the rebuild reads the live view, so the tombstone table drops).
+    * The `maintain_indexes` job calls this with the drift gate's own
+    * one-step Lloyd result — the gate already paid that full-corpus
+    * pass to measure alignment, so retraining must not pay it twice.
+    * Idempotent: a re-run under the same centroids re-derives the
+    * same table. */
+  def rebuildIvfAssignments(s: SparkSession, table: String,
+                            cents: Array[(Long, Array[Float])],
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Unit = {
+    val live = liveIndex(s, table, Partitioning.bucketed(s, table), idCol)
+      .select(col(idCol), col(vecCol))
+    val spec = Partitioning.bucketSpecOf(s, table)
     Partitioning.replaceBucketed(s, table,
-      ivfAssign(live, updated, idCol, vecCol),
+      ivfAssign(live, cents, idCol, vecCol),
       spec.bucketColumnNames.head, spec.numBuckets)
     writeIvfScalars(s, table, s.table(table).count())
     s.sql(s"DROP TABLE IF EXISTS ${table}__tombstones")
-    updated
   }
 
   /** Public live-corpus view of a serving index — (idCol, vecCol)

@@ -320,35 +320,53 @@ object Lexical {
                         name: String, batch: DataFrame): Unit = {
     val dt = s"${name}_deltas"
     Partitioning.recoverSwap(spark, dt)
-    val batchIds = batch.select(col("doc_id")).distinct()
+    // the feed contract is doc-grain: an at-least-once source can
+    // repeat a doc WITHIN one batch, where the batch-vs-index guard
+    // below can't see it — both copies would append and double the
+    // doc's tf/doclen/scalar mass. One row per id survives (arbitrary
+    // among byte-identical redeliveries).
+    val dedup = batch.dropDuplicates("doc_id")
+    val batchIds = dedup.select(col("doc_id")).distinct()
     if (spark.catalog.tableExists(dt) &&
         spark.table(dt).filter(col("kind") === "tomb")
           .select(col("id").as("doc_id"))
           .join(batchIds, Seq("doc_id"), "left_semi")
           .head(1).nonEmpty)
       compactIndexTables(spark, name)
-    val spec = {
-      Partitioning.recoverSwap(spark, s"${name}_postings")
-      spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst
-          .TableIdentifier(s"${name}_postings"))
-        .bucketSpec.getOrElse(throw new IllegalArgumentException(
-          s"${name}_postings has no bucket spec — not a serving bundle"))
-    }
+    val spec = Partitioning.bucketSpecOf(spark, s"${name}_postings")
     // idempotence guard against the POSTINGS table (the first
     // artifact installed — a doclen/vocab-based guard would go stale
     // exactly in the crash window it exists for), in the
     // postings-never-shuffle shape: batch ids broadcast and probe the
     // postings scan, the (≤ batch) overlap broadcasts back
-    val fresh = Partitioning.newKeysOnly(batch,
+    val fresh = Partitioning.newKeysOnly(dedup,
       spark.table(s"${name}_postings"), "doc_id")
-    postings(fresh)
-      .write.mode("append")
-      .bucketBy(spec.numBuckets, "token")
-      .sortBy("token")
-      .format("parquet")
-      .saveAsTable(s"${name}_postings")
+    // a fully-redelivered batch appends nothing — skip the postings
+    // write AND the derived-artifact rebuild (a full postings scan +
+    // three staged swaps spent to change nothing). The skip is only
+    // safe when no PRIOR append crashed between its postings install
+    // and its derive (the artifacts would be stale and this return
+    // would freeze them) — the intent marker below makes that window
+    // detectable, keeping the crash-at-any-step convergence contract.
+    val pend = s"${name}__derive_pending"
+    Partitioning.recoverSwap(spark, pend)
+    val mustDerive = spark.catalog.tableExists(pend)
+    val hasFresh = fresh.head(1).nonEmpty
+    if (!hasFresh && !mustDerive) return
+    if (hasFresh) {
+      if (!mustDerive) {
+        import spark.implicits._
+        Partitioning.replaceTable(spark, pend, Seq(1).toDF("pending"))
+      }
+      postings(fresh)
+        .write.mode("append")
+        .bucketBy(spec.numBuckets, "token")
+        .sortBy("token")
+        .format("parquet")
+        .saveAsTable(s"${name}_postings")
+    }
     deriveIndexArtifacts(spark, name, spec.numBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS $pend")
   }
 
   /** Reload a [[writeIndexTables]] bundle by name — lazy bucketed
@@ -486,10 +504,12 @@ object Lexical {
     * its postings install (see its scaladoc). */
   def compactIndexTables(spark: org.apache.spark.sql.SparkSession,
                          name: String): Unit = {
-    // the bucket-spec lookup runs BEFORE readIndexTables would heal a
-    // postings swap that crashed in the unbound-name window — converge
-    // it first or the recovery re-run dies on NoSuchTableException
-    // instead of converging (ADVICE r15)
+    // converge a postings swap that crashed in the unbound-name window
+    // BEFORE the metadata lookup — without that, the recovery re-run
+    // dies on NoSuchTableException instead of converging (ADVICE r15).
+    // A spec-less legacy bundle compacts INTO the default bucketing
+    // (writeIndexTables' default) rather than failing, so bucketSpecOf's
+    // throw is deliberately not used here.
     Partitioning.recoverSwap(spark, s"${name}_postings")
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst

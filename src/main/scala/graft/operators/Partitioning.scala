@@ -525,6 +525,24 @@ object Partitioning {
       batch.join(big.select(col(key)).distinct(), Seq(key), "left_anti")
   }
 
+  /** The bucket spec of a serving table, from the CATALOG — the one
+    * place every maintenance path reads it (a caller-supplied bucket
+    * count that disagreed with the table would silently re-bucket;
+    * see `Ann.removeIvfVectors`'s scaladoc). Converges a swap that
+    * crashed in the unbound-name window BEFORE the metadata lookup,
+    * which would otherwise throw where the read path would have
+    * healed. */
+  def bucketSpecOf(s: SparkSession, table: String)
+      : org.apache.spark.sql.catalyst.catalog.BucketSpec = {
+    recoverSwap(s, table)
+    s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bucket spec — not a serving table"))
+  }
+
   /** Delivery-manifest idempotence — the guard shape [[newKeysOnly]]'s
     * scaladoc names for the scale where even the fallback shuffle
     * anti-join hurts: instead of asking the DATA which rows are new,

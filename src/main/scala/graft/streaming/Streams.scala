@@ -995,11 +995,12 @@ object Streams {
     * once nightly. Delivery is idempotent at the DATA level, beyond
     * the checkpoint's path level: the doc-id guard inside
     * appendIndexTables (the `newKeysOnly` broadcast-probe shape, big
-    * side never shuffles) drops already-indexed docs, so an
-    * at-least-once source or a checkpoint-less replay converges to
-    * zero-row appends instead of double-counting df/nDocs/sumDl (T6
-    * on the index face), and a batch re-adding a deferred-deleted doc
-    * still compacts first. The caller bootstraps the resident bundle
+    * side never shuffles) drops already-indexed docs and collapses
+    * intra-batch duplicates to one row per id, so an at-least-once
+    * source or a checkpoint-less replay converges to zero-row appends
+    * instead of double-counting df/nDocs/sumDl (T6 on the index
+    * face), and a batch re-adding a deferred-deleted doc still
+    * compacts first. The caller bootstraps the resident bundle
     * once (`Lexical.writeIndexTables`, exactly as the batch job
     * does); takedowns and compaction stay batch-gated decisions.
     * Micro-batch-split parity with the one-shot batch append — same
@@ -1033,18 +1034,21 @@ object Streams {
     * `maintain_indexes`'s vector append step: each micro-batch of
     * embeddings assigns to the FROZEN serving centroids (the
     * [[streamingIvfAssign]] serve-frozen / retrain-offline stance)
-    * and bucket-appends via `Ann.appendIvfIndex` — probe plans keep
-    * their pruned, exchange-free shape after any number of
-    * micro-batches. The bucket spec comes from the CATALOG, never a
-    * parameter, so a streaming caller cannot silently re-bucket the
-    * serving table; redelivered rows drop via the same `newKeysOnly`
-    * guard the batch job uses (vec ids broadcast and probe the index
-    * scan — the index never shuffles for the guard), and a batch
-    * re-adding a tombstoned id compacts first inside appendIvfIndex.
-    * Retraining stays the batch drift gate's decision
-    * (`ss_ivf_append` → `Ann.retrainIvfIndex`), after which the query
-    * restarts with the refreshed centroid literals. Cross-session
-    * readers refresh the table before probing — see
+    * and bucket-appends via `Ann.appendIvfBatch`, the guarded
+    * maintenance face — probe plans keep their pruned, exchange-free
+    * shape after any number of micro-batches. The guard handles what
+    * an at-least-once micro-batch feed throws at a serving index:
+    * the bucket spec comes from the CATALOG, never a parameter;
+    * redelivered ids drop via the `newKeysOnly` broadcast-probe shape
+    * (the index never shuffles for the guard) and intra-batch
+    * duplicates collapse to one row per id; a batch re-adding a
+    * TOMBSTONED id compacts first — checked against the batch BEFORE
+    * the already-indexed filter, which would otherwise hide the
+    * re-add behind the tombstoned id's still-physical row and discard
+    * the fresh embedding forever. Retraining stays the batch drift
+    * gate's decision (`ss_ivf_append` → `Ann.retrainIvfIndex`), after
+    * which the query restarts with the refreshed centroid literals.
+    * Cross-session readers refresh the table before probing — see
     * [[startBm25IngestQuery]]'s visibility note. */
   def startIvfIngestQuery(emb: DataFrame, table: String,
                           cents: Array[(Long, Array[Float])],
@@ -1053,24 +1057,9 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (batch.head(1).nonEmpty) {
-          val s = batch.sparkSession
-          // recoverSwap BEFORE the metadata lookup: a compaction that
-          // crashed in the unbound-name window leaves the table only
-          // under a __stage/__old twin, and the bucket-spec read would
-          // throw where the read path would have healed (ADVICE r15's
-          // compactIndexTables ordering lesson)
-          val big = graft.operators.Partitioning.bucketed(s, table)
-          val spec = s.sessionState.catalog
-            .getTableMetadata(
-              org.apache.spark.sql.catalyst.TableIdentifier(table))
-            .bucketSpec.getOrElse(throw new IllegalArgumentException(
-              s"$table has no bucket spec — not an IVF index table"))
-          val fresh = graft.operators.Partitioning.newKeysOnly(batch,
-            big, "vec_id")
-          graft.operators.Ann.appendIvfIndex(fresh, cents, table,
-            spec.numBuckets)
-        }
+        if (batch.head(1).nonEmpty)
+          graft.operators.Ann.appendIvfBatch(
+            batch.sparkSession, table, batch, cents)
         ()
       }
       .start()

@@ -1035,4 +1035,115 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
         spark.sql(s"DROP TABLE IF EXISTS ${name}_$t$suffix")
     }
   }
+
+  test("appendIvfBatch: a re-added tombstoned id compacts first and " +
+      "serves again; intra-batch duplicates collapse to one live row") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, Partitioning}
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val t = "ivf_gapp_spec"
+    try {
+      val cents = Ann.ivfCentroids(spark, emb, 10,
+        steps = graft.queries.Similarity.IvfSteps)
+      Ann.buildIvfIndex(spark, emb, cents, t, nBuckets = 8)
+      // tombstone one id WITHOUT tripping compaction: its physical row
+      // stays in the table, masked by the tombstone
+      val victim = emb.select("vec_id").orderBy("vec_id").limit(1)
+      assert(!Ann.tombstoneIvfVectors(spark, t, victim,
+        compactFraction = 1.0))
+      assert(spark.catalog.tableExists(s"${t}__tombstones"))
+      // re-deliver the victim: a hand-rolled newKeysOnly-then-append
+      // would see the victim's physical row, drop the re-add, and the
+      // tombstone would mask it forever — the guarded face must
+      // compact first and append it
+      val readd = emb.join(victim, Seq("vec_id"), "left_semi")
+      assert(Ann.appendIvfBatch(spark, t, readd, cents) == 1L,
+        "guarded append dropped the re-added tombstoned id")
+      assert(!spark.catalog.tableExists(s"${t}__tombstones"),
+        "re-add must compact the tombstones first")
+      val vid = victim.collect()(0).getLong(0)
+      assert(Partitioning.bucketed(spark, t)
+          .filter(col("vec_id") === vid).count() == 1L,
+        "re-added id must have exactly one live row")
+      // intra-batch duplicate: physically remove an id, then re-append
+      // it TWICE in one batch — one live row and scalar += 1, not 2
+      val dupId = emb.select("vec_id").orderBy(desc("vec_id")).limit(1)
+      Ann.removeIvfVectors(spark, t, dupId)
+      val nBefore = spark.table(s"${t}__scalars")
+        .collect()(0).getLong(0)
+      val dupBatch = emb.join(dupId, Seq("vec_id"), "left_semi")
+      assert(Ann.appendIvfBatch(spark, t,
+          dupBatch.unionByName(dupBatch), cents) == 1L,
+        "intra-batch duplicate id must collapse before the append")
+      assert(Partitioning.bucketed(spark, t)
+          .join(dupId, Seq("vec_id"), "left_semi").count() == 1L,
+        "duplicate live rows after an intra-batch duplicated append")
+      assert(spark.table(s"${t}__scalars").collect()(0).getLong(0)
+          == nBefore + 1L,
+        "scalar count drifted on the duplicated append")
+      // full redelivery: nothing fresh, nothing appended
+      assert(Ann.appendIvfBatch(spark, t, emb, cents) == 0L,
+        "redelivered corpus must append zero rows")
+    } finally {
+      for (b <- Seq(t, s"${t}__tombstones", s"${t}__scalars");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $b$sx")
+    }
+  }
+
+  test("BM25 table append: intra-batch duplicate docs collapse, and " +
+      "the empty-redelivery fast path still converges a crashed " +
+      "derive via the pending marker") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Lexical, Partitioning}
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val resident = docs.filter(col("doc_id") % 7 =!= 0)
+    val day = docs.filter(col("doc_id") % 7 === 0)
+    val a = "bm25_dupa_spec"
+    val b = "bm25_dupb_spec"
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), a, 8)
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), b, 8)
+      // the same day's batch, delivered once vs duplicated WITHIN the
+      // batch (at-least-once inside one micro-batch) — identical bundle
+      Lexical.appendIndexTables(spark, a, day)
+      Lexical.appendIndexTables(spark, b, day.unionByName(day))
+      val ia = Lexical.readIndexTables(spark, a)
+      val ib = Lexical.readIndexTables(spark, b)
+      assert(ia.nDocs == ib.nDocs && ia.sumDl == ib.sumDl,
+        s"intra-batch duplicates doubled mass: ${ia.nDocs}/${ia.sumDl}" +
+          s" vs ${ib.nDocs}/${ib.sumDl}")
+      // crashed-derive convergence: simulate a crash between the
+      // postings append and the derive — stale scalars, marker present
+      import spark.implicits._
+      val truth = spark.table(s"${a}_scalars")
+        .select("n_docs", "sum_dl").collect()(0)
+      Partitioning.replaceTable(spark, s"${a}_scalars",
+        Seq((0L, 0L)).toDF("n_docs", "sum_dl"))
+      Partitioning.replaceTable(spark, s"${a}__derive_pending",
+        Seq(1).toDF("pending"))
+      // a FULLY-redelivered batch would fast-path out and freeze the
+      // stale scalars — the marker must force the re-derive instead
+      Lexical.appendIndexTables(spark, a, day)
+      assert(!spark.catalog.tableExists(s"${a}__derive_pending"),
+        "derive marker must drop after the recovery derive")
+      val healed = spark.table(s"${a}_scalars")
+        .select("n_docs", "sum_dl").collect()(0)
+      assert(healed.getLong(0) == truth.getLong(0) &&
+        healed.getLong(1) == truth.getLong(1),
+        "recovery derive did not restore the scalars")
+      // and with no marker pending, the empty redelivery is a no-op
+      Lexical.appendIndexTables(spark, a, day)
+      assert(!spark.catalog.tableExists(s"${a}__derive_pending"))
+    } finally {
+      for (n <- Seq(a, b)) {
+        for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+            sx <- Seq("", "__stage", "__old"))
+          spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
+        for (sx <- Seq("", "__stage", "__old"))
+          spark.sql(s"DROP TABLE IF EXISTS ${n}__derive_pending$sx")
+      }
+    }
+  }
 }

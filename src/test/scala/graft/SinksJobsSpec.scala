@@ -227,6 +227,45 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
       val nextAppends = logNext.filter(_._2 == "append")
       assert(nextAppends.size == 2 && nextAppends.forall(_._3 == 0L),
         s"new-day run misbehaved: ${logNext.mkString(", ")}")
+      // mid-bootstrap crash convergence: a crash between the index
+      // install and its sibling artifacts (scalars/centroids) must
+      // re-bootstrap on the next run, not wedge every later cron on
+      // NoSuchTableException
+      spark.sql(s"DROP TABLE IF EXISTS ${Jobs.IvfServingTable}__scalars")
+      spark.sql(s"DROP TABLE IF EXISTS ${Jobs.IvfServingCentroids}")
+      spark.sql(s"DROP TABLE IF EXISTS ${Jobs.Bm25ServingName}_scalars")
+      val logHeal = Jobs.maintainServingIndexes(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(logHeal.count(_._2 == "bootstrap") == 2,
+        s"missing siblings did not re-bootstrap: ${logHeal.mkString(", ")}")
+      // retrain-marker recovery: a crash between the centroid install
+      // and the assignment rebuild leaves the intent marker — the next
+      // run must rebuild assignments under the persisted centroids
+      import spark.implicits._
+      graft.operators.Partitioning.replaceTable(spark,
+        s"${Jobs.IvfServingTable}__retrain_pending",
+        Seq(1).toDF("pending"))
+      val logRec = Jobs.maintainServingIndexes(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(logRec.exists(_._2 == "retrain_recovered"),
+        s"pending retrain not recovered: ${logRec.mkString(", ")}")
+      assert(!spark.catalog.tableExists(
+          s"${Jobs.IvfServingTable}__retrain_pending"),
+        "retrain marker must drop after the recovery rebuild")
+      // the rebuilt assignments match the persisted centroids exactly
+      val pc = spark.table(Jobs.IvfServingCentroids).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val reassigned = graft.operators.Ann.ivfAssign(
+        spark.table(Jobs.IvfServingTable)
+          .select("vec_id", "embedding"), pc)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val servingCells = spark.table(Jobs.IvfServingTable)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(servingCells == reassigned,
+        "recovered assignments disagree with the persisted centroids")
       // the maintained indexes actually serve
       val cents = spark.table(Jobs.IvfServingCentroids).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -250,7 +289,10 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
           s"${Jobs.IvfServingTable}__tombstones",
           s"${Jobs.IvfServingTable}__scalars",
           s"${Jobs.IvfServingTable}__manifest",
-          s"${Jobs.Bm25ServingName}__manifest", Jobs.IvfServingCentroids);
+          s"${Jobs.IvfServingTable}__retrain_pending",
+          s"${Jobs.Bm25ServingName}__manifest",
+          s"${Jobs.Bm25ServingName}__derive_pending",
+          Jobs.IvfServingCentroids);
           sx <- Seq("", "__stage", "__old"))
         spark.sql(s"DROP TABLE IF EXISTS $b$sx")
       for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
