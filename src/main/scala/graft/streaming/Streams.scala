@@ -29,7 +29,9 @@ object Streams {
   final case class Session(user_id: Long, n_events: Long,
                            first_ts: Timestamp, last_ts: Timestamp)
 
-  /** Running state per user (public: Spark codegen instantiates it). */
+  /** Running state per user (public: Spark codegen instantiates it).
+    * `first`/`last` are MICROSECONDS ([[usOf]]) — the batch faces'
+    * gap arithmetic. */
   final case class SessionState(n: Long, first: Long, last: Long)
 
   /** T1/T5 — watermarked tumbling-window counts. Works identically on a
@@ -47,20 +49,54 @@ object Streams {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Sign-safe unix MICROS of a Timestamp, mirroring Spark's
+    * `unix_micros` — the batch faces chain gaps and order events in
+    * µs, so a millisecond truncation here would classify a
+    * µs-boundary gap differently from the oracle-matched batch plans
+    * (the r8/r11 replay-parity lesson, kept in ONE place for every
+    * stateful twin). */
+  private def usOf(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** The one within-batch event ordering every stateful fold replays —
+    * (ts nanos-precise, event_id tiebreak), the batch faces' total
+    * order. A private single definition so the twins can't drift. */
+  private val byTsThenId: java.util.Comparator[Event] =
+    (a: Event, b: Event) => {
+      val c = a.ts.compareTo(b.ts)
+      if (c != 0) c else java.lang.Long.compare(a.event_id, b.event_id)
+    }
+
+  /** Exact inverse of [[usOf]] — reconstructs the Timestamp down to
+    * the microsecond (a bare `new Timestamp(ms)` would truncate the
+    * sub-millisecond part the fixtures carry). */
+  private def tsOfUs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Custom state — sessionization with `flatMapGroupsWithState`
     * (SURVEY.md §2.12 / builder mandate: KeyValueGroupedDataset state
     * ops). EVENT-time semantics, matching the reference's 5-day
     * lookback contract: a session closes when the WATERMARK passes its
     * last event + gap — wall-clock stalls don't close sessions, and a
-    * late out-of-order event inside `allowedLateness` still merges
-    * into its open session. The per-group iterator is folded in one
-    * pass (count + min/max), never materialized — a hot key's whole
-    * micro-batch group on the heap is the scale failure mode. */
+    * late out-of-order event landing inside the open session's gap
+    * chain still merges into it. Within a micro-batch the group is
+    * processed in (ts, event_id) order and SPLIT at every quiet gap —
+    * the `ev_session_window` gaps-and-islands rule — so two events an
+    * afternoon apart are two sessions even when they share a batch
+    * (completed intra-batch sessions emit immediately; only the open
+    * tail is carried as state). The usual total-order caveat
+    * ([[streamingDebounce]]): a cross-batch late event inside the open
+    * session's span merges rather than retroactively re-splitting
+    * already-emitted history. Gap arithmetic is exact µs — the batch
+    * face's — via [[usOf]]. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  allowedLateness: String = "5 days")
       : Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
     events
       .withWatermark("ts", allowedLateness)
       .groupByKey(_.user_id)
@@ -68,40 +104,42 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event],
          state: GroupState[SessionState]) =>
+          def emit(s: SessionState) =
+            Session(userId, s.n, tsOfUs(s.first), tsOfUs(s.last))
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, s.n, new Timestamp(s.first),
-              new Timestamp(s.last)))
+            Iterator(emit(s))
           } else {
-            var n = 0L
-            var lo = Long.MaxValue
-            var hi = Long.MinValue
-            rows.foreach { e =>
-              n += 1
-              val t = e.ts.getTime
-              if (t < lo) lo = t
-              if (t > hi) hi = t
-            }
-            if (n == 0) Iterator.empty
-            else {
-              val next = state.getOption match {
-                case Some(s) => SessionState(s.n + n,
-                  math.min(s.first, lo), math.max(s.last, hi))
-                case None => SessionState(n, lo, hi)
+            val sorted = rows.toArray
+            java.util.Arrays.sort(sorted, byTsThenId)
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = usOf(e.ts)
+              if (cur == null) cur = SessionState(1L, t, t)
+              else if (t - cur.last <= gapUs)
+                // includes the cross-batch late case t < cur.last:
+                // inside the session's gap chain is inside the session
+                cur = SessionState(cur.n + 1,
+                  math.min(cur.first, t), math.max(cur.last, t))
+              else {
+                out += emit(cur) // gap exceeded: the session SPLITS
+                cur = SessionState(1L, t, t)
               }
-              state.update(next)
-              // close at last-event-time + gap; if the watermark has
-              // already passed that target (a late event extended the
-              // session), close at the earliest timestamp the API
-              // permits — watermark + 1 — rather than a full gap after
-              // the watermark (setTimeoutTimestamp rejects targets at
-              // or behind the watermark)
-              state.setTimeoutTimestamp(
-                math.max(next.last + gapMs,
-                  state.getCurrentWatermarkMs() + 1))
-              Iterator.empty
             }
+            if (cur != null) {
+              state.update(cur)
+              // close at last-event-time + gap (µs horizon rounded UP
+              // to the timeout API's millis so it never fires a
+              // fraction early); if the watermark already passed that
+              // target, close at the earliest timestamp the API
+              // permits — watermark + 1
+              state.setTimeoutTimestamp(
+                math.max(math.floorDiv(cur.last + gapUs + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
       }
   }
@@ -144,10 +182,6 @@ object Streams {
       : Dataset[Debounced] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    // µs from a Timestamp, mirroring Spark's unix_micros (the batch
-    // face's gap arithmetic)
-    def us(t: Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .withWatermark("ts", allowedLateness)
       .groupByKey(e => (e.user_id, e.event_type))
@@ -163,15 +197,11 @@ object Streams {
               b.keeperTs, b.suppressed))
           } else {
             val sorted = rows.toArray
-            java.util.Arrays.sort(sorted, (a: Event, b: Event) => {
-              val c = a.ts.compareTo(b.ts)
-              if (c != 0) c
-              else java.lang.Long.compare(a.event_id, b.event_id)
-            })
+            java.util.Arrays.sort(sorted, byTsThenId)
             val out = Seq.newBuilder[Debounced]
             var cur = state.getOption.orNull
             sorted.foreach { e =>
-              val t = us(e.ts)
+              val t = usOf(e.ts)
               if (cur == null)
                 cur = BurstState(e.event_id, e.ts, t, 0L)
               else if (t - cur.last <= gapUs)
@@ -238,8 +268,6 @@ object Streams {
                                  pathTimeoutDays: Int = 30)
       : Dataset[Credit] = {
     import events.sparkSession.implicits._
-    def us(t: Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .withWatermark("ts", allowedLateness)
       .groupByKey(_.user_id)
@@ -254,16 +282,12 @@ object Streams {
             Iterator.empty
           } else {
             val sorted = rows.toArray
-            java.util.Arrays.sort(sorted, (a: Event, b: Event) => {
-              val c = a.ts.compareTo(b.ts)
-              if (c != 0) c
-              else java.lang.Long.compare(a.event_id, b.event_id)
-            })
+            java.util.Arrays.sort(sorted, byTsThenId)
             val out = Seq.newBuilder[Credit]
             var cur = state.getOption
               .getOrElse(PathState(Map.empty, "", 0L, Long.MinValue))
             sorted.foreach { e =>
-              val t = us(e.ts)
+              val t = usOf(e.ts)
               if (e.event_type == "purchase") {
                 // replicate the batch face's round(value * 100)
                 // EXACTLY: Spark's Round on a double is
@@ -341,18 +365,13 @@ object Streams {
   def streamingConcurrency(events: Dataset[Event])
       : Dataset[Concurrency] = {
     import events.sparkSession.implicits._
-    def us(t: Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.event_type)
       .mapGroupsWithState[SweepState, Concurrency](
         GroupStateTimeout.NoTimeout) {
         (tpe: String, rows: Iterator[Event], state: GroupState[SweepState]) =>
           val sorted = rows.toArray
-          java.util.Arrays.sort(sorted, (a: Event, b: Event) => {
-            val c = a.ts.compareTo(b.ts)
-            if (c != 0) c else java.lang.Long.compare(a.event_id, b.event_id)
-          })
+          java.util.Arrays.sort(sorted, byTsThenId)
           var ends = state.getOption.map(_.ends).getOrElse(Nil)
           var peak = state.getOption.map(_.peak).getOrElse(0L)
           // high-water mark of event time seen for this key: pruning
@@ -362,18 +381,36 @@ object Streams {
           // spurious peak off intervals that had not started yet at
           // the late row's instant
           var maxT = state.getOption.map(_.maxT).getOrElse(Long.MinValue)
+          // linear merge of two sorted lists — `ends` is maintained
+          // ascending by this very loop, so re-sorting the whole open
+          // multiset per timestamp run (O(n log n) at high live
+          // concurrency) is wasted work; only the run's openings sort.
+          // Iterative, not recursive: `ends` IS the live concurrency,
+          // and a stack frame per open interval would overflow exactly
+          // on the hot keys the sweep exists for
+          def merge(a: List[Long], b: List[Long]): List[Long] = {
+            val out = List.newBuilder[Long]
+            var xs = a
+            var ys = b
+            while (xs.nonEmpty && ys.nonEmpty)
+              if (xs.head <= ys.head) { out += xs.head; xs = xs.tail }
+              else { out += ys.head; ys = ys.tail }
+            out ++= xs
+            out ++= ys
+            out.result()
+          }
           var i = 0
           while (i < sorted.length) {
-            val t = us(sorted(i).ts)
+            val t = usOf(sorted(i).ts)
             // run of equal timestamps: open all, then close all ≤ t
             var opened = List.empty[Long]
-            while (i < sorted.length && us(sorted(i).ts) == t) {
+            while (i < sorted.length && usOf(sorted(i).ts) == t) {
               val dur = math.max(0L,
                 math.round(sorted(i).value * 1000000L))
               opened = (t + dur) :: opened
               i += 1
             }
-            ends = (ends ++ opened).sorted.dropWhile(_ <= t)
+            ends = merge(ends, opened.sorted).dropWhile(_ <= t)
             // peak only advances at in-order positions — a late run's
             // transient liveness between t and maxT is unobservable
             // (the documented under-count), never an over-count
@@ -475,9 +512,12 @@ object Streams {
     * which is the equivalence `StreamsSpec` pins. A cross-batch late
     * event (inside lateness but after a newer run opened) cannot
     * retroactively split an emitted interval — the append-mode
-    * limitation every changelog SCD2 shares; the batch face is the
-    * reconciliation path, exactly the snapshot/incremental duality of
-    * T3.
+    * limitation every changelog SCD2 shares; the open run is the
+    * key's LATEST truth and is never rewound by the late arrival
+    * (same type folds into its count; a different type emits as a
+    * zero-length interval anchored at the open run's start, keeping
+    * the chain monotone). The batch face is the reconciliation path,
+    * exactly the snapshot/incremental duality of T3.
     *
     * Scale: state is ONE small row per user (bounded by key
     * cardinality, like [[streamingUpsert]]); the per-batch sort
@@ -492,31 +532,34 @@ object Streams {
         (userId: Long, rows: Iterator[Event],
          state: GroupState[ScdRunState]) =>
           val sorted = rows.toArray
-          java.util.Arrays.sort(sorted, (a: Event, b: Event) => {
-            val c = a.ts.compareTo(b.ts) // nanos-precise, like upsert
-            if (c != 0) c else java.lang.Long.compare(a.event_id, b.event_id)
-          })
+          java.util.Arrays.sort(sorted, byTsThenId)
           val out = Seq.newBuilder[ScdInterval]
           var cur = state.getOption.orNull
           sorted.foreach { e =>
-            // a cross-batch late event can predate the open run's
-            // start (the in-batch sort can't reorder across batches);
-            // clamp its effective time to the run's valid_from so the
-            // emitted chain stays monotone — the late run collapses to
-            // a zero-length interval instead of inverting valid_to <
-            // valid_from and corrupting a history table that applies
-            // the changelog
-            val ts =
-              if (cur != null && e.ts.compareTo(cur.valid_from) < 0)
-                cur.valid_from
-              else e.ts
             if (cur == null) cur = ScdRunState(e.event_type, e.ts, 1L)
+            else if (e.ts.compareTo(cur.valid_from) < 0) {
+              // a cross-batch late event predates the open run (the
+              // in-batch sort can't reorder across batches). The open
+              // run is the key's LATEST truth and must never be
+              // rewound — an older event overwriting newer state is
+              // the inversion streamingUpsert guards against. Same
+              // type folds into the run's count; a different type
+              // emits the LATE run as a zero-length interval anchored
+              // at the open run's start (the chain stays monotone, a
+              // history table applying the changelog sees the stale
+              // type for zero duration and the open run untouched).
+              if (cur.event_type == e.event_type)
+                cur = cur.copy(n = cur.n + 1)
+              else
+                out += ScdInterval(userId, e.event_type,
+                  cur.valid_from, cur.valid_from, 1L)
+            }
             else if (cur.event_type == e.event_type)
               cur = cur.copy(n = cur.n + 1)
             else {
               out += ScdInterval(userId, cur.event_type, cur.valid_from,
-                ts, cur.n)
-              cur = ScdRunState(e.event_type, ts, 1L)
+                e.ts, cur.n)
+              cur = ScdRunState(e.event_type, e.ts, 1L)
             }
           }
           if (cur != null) state.update(cur)
@@ -570,12 +613,19 @@ object Streams {
   /** Streaming exact dedup — the stream face of `dd_exact`: drop rows
     * whose key was already seen, with the watermark bounding the
     * dedup-state retention to the late-data allowance (without it,
-    * seen-keys state grows forever — the 100 TB failure mode). */
+    * seen-keys state grows forever — the 100 TB failure mode).
+    * `dropDuplicatesWithinWatermark` keys on the KEY ALONE — a
+    * redelivered event whose timestamp was re-stamped in transit
+    * (broker/ingest-assigned time differs on retry) is still the same
+    * event, exactly as the batch face dedups on the fingerprint alone
+    * — while the watermark expires seen-key state; appending `ts` to
+    * the key (the pre-3.5 `dropDuplicates` state-eviction workaround)
+    * would let every re-stamped redelivery through. */
   def streamingDedup(events: DataFrame,
                      keyCols: Seq[String] = Seq("event_id")): DataFrame =
     events
       .withWatermark("ts", "5 days")
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming NEAR-dedup — the stream face of the SimHash batch
     * family: each arriving document gets its packed fingerprint from
@@ -761,8 +811,7 @@ object Streams {
           rows.foreach { e =>
             // sign-safe micros and Spark-exact HALF_UP cents — the
             // streamingAttributionLinear replay-parity idioms
-            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-              e.ts.getNanos / 1000L
+            val us = usOf(e.ts)
             if (us > lastUs) lastUs = us
             freq += 1
             cents += java.math.BigDecimal.valueOf(e.value * 100)
@@ -1137,9 +1186,16 @@ object Streams {
   /** Wire a streaming source of events shaped like the `events` table
     * into the windowed aggregation and a memory sink — the
     * readStream → transform → writeStream lifecycle in one place.
-    * Complete mode: the sink holds the full windowed rollup. */
-  def startWindowedQuery(spark: SparkSession, source: DataFrame,
-                         queryName: String) =
+    * Complete mode: the sink holds the full windowed rollup — which
+    * also means the watermark CANNOT evict window state (Complete
+    * must re-emit every window each trigger) and the driver-side
+    * memory sink re-materializes the whole rollup per batch. That is
+    * the demo/inspection contract this helper exists for, NOT a
+    * production shape: a long-lived deployment runs
+    * [[windowedEventCounts]] under Append/Update to a real sink,
+    * where the 5-day watermark bounds state exactly as the header
+    * describes. */
+  def startWindowedQuery(source: DataFrame, queryName: String) =
     windowedEventCounts(source)
       .writeStream
       .format("memory")

@@ -19,7 +19,7 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
   test("windowed counts over a memory stream, two micro-batches") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
-    val q = Streams.startWindowedQuery(spark, source.toDF(), "win_test")
+    val q = Streams.startWindowedQuery(source.toDF(), "win_test")
     try {
       source.addData(
         Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.25),
@@ -58,7 +58,7 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
       .parquet(s"$dir/in")
-    val q = Streams.startWindowedQuery(spark, src, "file_win_test")
+    val q = Streams.startWindowedQuery(src, "file_win_test")
     try {
       q.processAllAvailable()
       val out = spark.table("file_win_test")
@@ -81,6 +81,13 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         Event(2, ts("2024-01-01 10:01:00"), 7, "view", 2.0))
       q.processAllAvailable()
       assert(spark.table("dedup_test").count() == 2)
+      // redelivery with a RE-STAMPED timestamp (broker-assigned time
+      // differs on retry) is still the same event — the key alone
+      // dedups, like the batch face's fingerprint-only dd_exact
+      source.addData(Event(1, ts("2024-01-01 10:00:03"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2,
+        "a re-stamped redelivery leaked through the key-only dedup")
     } finally q.stop()
   }
 
@@ -262,6 +269,39 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         .as[graft.streaming.Streams.Session].collect().toSeq
       assert(rows == Seq(graft.streaming.Streams.Session(7, 3,
         ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))))
+    } finally q.stop()
+  }
+
+  test("sessionize splits at the quiet gap INSIDE one micro-batch") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.sessionize(source.toDS(), gapMinutes = 30,
+        allowedLateness = "10 minutes").writeStream
+      .format("memory").queryName("sess_split")
+      .outputMode("append").start()
+    try {
+      // two events an afternoon apart sharing a batch: the
+      // gaps-and-islands rule says TWO sessions — the completed
+      // morning one emits immediately, the evening one stays open
+      source.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 7, "view", 1.0),
+        Event(3, ts("2024-01-01 18:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_split")
+        .as[graft.streaming.Streams.Session].collect().toSeq
+      assert(rows == Seq(graft.streaming.Streams.Session(7, 2,
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"))),
+        s"gap inside a batch did not split the session: $rows")
+      // the open evening session closes by event-time timeout
+      source.addData(Event(4, ts("2024-01-02 12:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_split")
+          .as[graft.streaming.Streams.Session].collect().toSet ==
+        Set(graft.streaming.Streams.Session(7, 2,
+            ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
+          graft.streaming.Streams.Session(7, 1,
+            ts("2024-01-01 18:00:00"), ts("2024-01-01 18:00:00"))))
     } finally q.stop()
   }
 
@@ -605,8 +645,10 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
       assert(b2 == b1 + ((7L, "view", ts("2024-01-01 10:10:00"),
         ts("2024-01-01 10:20:00"), 1L)))
       // batch 3: a cross-batch LATE event older than the open run —
-      // must clamp to the run's start (zero-length late run), never
-      // emit an inverted interval
+      // the LATE type emits as a zero-length interval anchored at the
+      // open run's start (never an inverted interval), and the open
+      // run — the key's latest truth — is NOT rewound: an older event
+      // must never overwrite newer state (the streamingUpsert rule)
       source.addData(Event(5, ts("2024-01-01 09:00:00"), 7, "click", 1.0))
       q.processAllAvailable()
       val b3 = spark.table("scd2_test")
@@ -614,8 +656,17 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
       b3.foreach { case (_, _, from, to, _) =>
         assert(!to.before(from), s"inverted interval [$from, $to)")
       }
-      assert(b3.toSet == b2 + ((7L, "purchase",
+      assert(b3.toSet == b2 + ((7L, "click",
         ts("2024-01-01 10:20:00"), ts("2024-01-01 10:20:00"), 1L)))
+      // batch 4: the next in-order type closes the STILL-OPEN purchase
+      // run with its full span — proof the late click did not steal it
+      source.addData(Event(6, ts("2024-01-01 10:40:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("scd2_test")
+          .as[(Long, String, Timestamp, Timestamp, Long)].collect()
+          .toSet == b3.toSet + ((7L, "purchase",
+        ts("2024-01-01 10:20:00"), ts("2024-01-01 10:40:00"), 1L)),
+        "the open run was rewound by a late event")
     } finally q.stop()
   }
 
