@@ -184,7 +184,13 @@ object Bench {
           // regression report
           System.err.println(f"[bench] $name$tag rep ${r + 1}: $dt%.3f s")
         } catch {
-          case e: Throwable => err = Some(
+          // NonFatal only: an OutOfMemoryError (or any VM-fatal)
+          // must kill the run — recording it as an ordinary error and
+          // timing 100+ more queries in a heap-thrashed JVM would
+          // write inflated medians over the detail record and present
+          // them as a normally-completed run (the warm probe below
+          // already had this right)
+          case e if scala.util.control.NonFatal(e) => err = Some(
             e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse("").take(160))
         }
@@ -253,8 +259,12 @@ object Bench {
     // (BenchFormatSpec pins it).
     val floorFrame: Option[(Double, Double)] =
       readText(floorPath(detailPath)).flatMap { txt =>
-        if (parseDetailField(txt, "sf").exists(_ != sfName) ||
-            parseDetailField(txt, "cpus").exists(_ != cpus) ||
+        // contains, not exists(_ != _): a record MISSING its frame
+        // field (truncated write — the fields serialize last) must
+        // read as a frame mismatch, not vacuously pass (the r14
+        // carry-path lesson, applied to every frame check)
+        if (!parseDetailField(txt, "sf").contains(sfName) ||
+            !parseDetailField(txt, "cpus").contains(cpus) ||
             parseDetailField(txt, "meas").getOrElse("count") != Meas)
           None
         else {
@@ -312,7 +322,12 @@ object Bench {
         : (Map[String, Double], String, Option[Set[String]]) =
       if (args.nonEmpty && !skewOnly) (Map.empty, "", None)
       else if (sys.env.get("SPARK_GRAFT_SKEW_BENCH").contains("0"))
-        (Map.empty, "", None)
+        // disabled, but a full run still overwrites the detail record:
+        // carry the previous matrix forward instead of silently
+        // destroying the controlled evidence the guard machinery
+        // exists to protect
+        (prevSkewCells,
+          if (prevSkewCells.nonEmpty) "carried" else "", None)
       else skewPlan(loadedHost, prevSkewCells, prevSkewCtx) match {
         case (false, ctx) =>
           System.err.println(
@@ -345,8 +360,13 @@ object Bench {
               }
             (cells, ctx, devs)
           } catch { case e: Exception =>
-            System.err.println(s"[bench] skew bench skipped: $e")
-            (Map.empty, "", None)
+            // same carry rule as the disabled path: an OOM or an
+            // agreePairs mismatch must not let the full-run detail
+            // overwrite destroy the carried controlled matrix
+            System.err.println(s"[bench] skew bench skipped " +
+              s"(previous matrix carried): $e")
+            (prevSkewCells,
+              if (prevSkewCells.nonEmpty) "carried" else "", None)
           }
       }
     // SPARK_GRAFT_SKEW_BENCH=only exists to SEED the controlled
@@ -428,9 +448,12 @@ object Bench {
       // semantics (meas field absent) under-billed projection-tail
       // faces and cannot be compared to full-materialization times
       val prevMeas = parseDetailField(prevTxt, "meas").getOrElse("count")
-      if (prevSf.exists(_ != sfName) ||
-          prevReps.exists(_ != reps.toString) ||
-          prevCpus.exists(_ != cpus) ||
+      // contains: a frame field missing from a truncated prior record
+      // must skip the gate, not vacuously pass as same-frame (sf
+      // serializes LAST — exactly what a killed mid-write run loses)
+      if (!prevSf.contains(sfName) ||
+          !prevReps.contains(reps.toString) ||
+          !prevCpus.contains(cpus) ||
           prevMeas != Meas) {
         System.err.println(s"[bench] previous detail is sf=" +
           s"${prevSf.getOrElse("?")}/reps=${prevReps.getOrElse("?")}" +
@@ -488,8 +511,13 @@ object Bench {
           System.err.println(
             f"[bench] REGRESSION $k: $o%.2f s -> $n%.2f s " +
               f"(${n / o}%.1fx vs $src)") }
-        unresolvedFlags = 0
-        if (regs.nonEmpty) {
+        // unresolvedFlags stays -1 ("gate never finished") until the
+        // arbitration below actually completes: setting 0 up front
+        // would let a mid-gate exception (calib probe, rerun crash)
+        // fall to the outer catch and ship a record claiming every
+        // flag resolved when none were arbitrated
+        if (regs.isEmpty) unresolvedFlags = 0
+        else {
           System.err.println(
             s"[bench] ${regs.size} queries regressed >${RegressionFactor}x " +
               s"vs $detailPath -- self-arbitrating with an in-process rerun")
@@ -555,17 +583,30 @@ object Bench {
           if (java.nio.file.Files.exists(fp))
             new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
           else ""
+        // contains (not forall): a truncated floor file missing its
+        // frame fields must be treated as a different frame
         val sameHw = oldTxt.isEmpty ||
-          (parseDetailField(oldTxt, "sf").forall(_ == sfName) &&
-            parseDetailField(oldTxt, "reps").forall(_ == reps.toString) &&
-            parseDetailField(oldTxt, "cpus").forall(_ == cpus))
+          (parseDetailField(oldTxt, "sf").contains(sfName) &&
+            parseDetailField(oldTxt, "reps").contains(reps.toString) &&
+            parseDetailField(oldTxt, "cpus").contains(cpus))
         val sameMeas = oldTxt.isEmpty ||
           parseDetailField(oldTxt, "meas").getOrElse("count") == Meas
         if (sameHw) {
-          val withRerun = results.collect { case (k, v, None) if v >= 0 =>
-            k -> math.min(v, reruns.collectFirst {
-              case r if r.name == k && r.rerun > 0 => r.rerun
-            }.getOrElse(v))
+          // a rerun-won value was MEASURED in the fresh calib2 frame
+          // (the gate arbitrates it there); stamping it with the
+          // run-start calibs would corrupt the floor's host-frame
+          // normalization — e.g. load clearing mid-run pairs a fast
+          // rerun with a slow start-probe, and every later honest run
+          // gets a too-small excuse clamp. Split the update by the
+          // frame each value was actually measured in.
+          val rerunWon = reruns.collect {
+            case r if r.rerun > 0 && results.exists(x =>
+              x._1 == r.name && x._3.isEmpty && r.rerun < x._2) =>
+              r.name -> r.rerun
+          }.toMap
+          val firstRun = results.collect {
+            case (k, v, None) if v >= 0 && !rerunWon.contains(k) =>
+              k -> v
           }.toMap
           // a measurement-mode change RESETS the floor to this run:
           // count()-era floors under-billed projection-tail faces and
@@ -577,7 +618,12 @@ object Bench {
                 "-- floor reset to this run")
               Map.empty[String, (Double, Double, Double)]
             }
-          val nf = updatedFloor(base, withRerun, calib, calibSh)
+          val nf0 = updatedFloor(base, firstRun, calib, calibSh)
+          val nf =
+            if (rerunWon.isEmpty) nf0
+            else updatedFloor(nf0, rerunWon,
+              if (calib2 > 0) calib2 else calib,
+              if (calibSh2 > 0) calibSh2 else calibSh)
           java.nio.file.Files.write(fp,
             (floorJson(sfName, reps, cpus, nf) + "\n").getBytes("UTF-8"))
         } else System.err.println(
@@ -1025,14 +1071,8 @@ object Bench {
 
   /** The flat `"name":number` map inside `"skew_bench":{...}` of a
     * detail line, tolerant like [[parseDetailQueries]]. */
-  def parseSkewBench(json: String): Map[String, Double] = {
-    val start = json.indexOf("\"skew_bench\":{")
-    val end = if (start < 0) -1 else json.indexOf('}', start)
-    if (start < 0 || end < 0) return Map.empty
-    val body = json.substring(start + "\"skew_bench\":{".length, end)
-    "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-  }
+  def parseSkewBench(json: String): Map[String, Double] =
+    parseFlatSection(json, "skew_bench")
 
   /** Monotone floor file beside the detail record: per query, the
     * best-ever raw median and the host calib of the run that set it.
@@ -1200,11 +1240,22 @@ object Bench {
     * format is flat `"name":number` pairs inside the queries object.
     * Tolerant of truncation — a half-written file from a killed run
     * yields an empty map, never an exception. */
-  def parseDetailQueries(json: String): Map[String, Double] = {
-    val start = json.indexOf("\"queries\":{")
+  def parseDetailQueries(json: String): Map[String, Double] =
+    parseFlatSection(json, "queries")
+
+  /** The flat `"name":number` map inside `"<key>":{...}` — the ONE
+    * scan [[parseDetailQueries]] and [[parseSkewBench]] share (they
+    * were line-for-line copies; the first-'}' truncation-tolerance
+    * contract and the nested-brace hazard `spliceSkewBench` guards
+    * against now live in a single place). Tolerant of a truncated
+    * tail: a missing section returns empty, never throws. */
+  private def parseFlatSection(json: String,
+                               key: String): Map[String, Double] = {
+    val header = "\"" + key + "\":{"
+    val start = json.indexOf(header)
     val end = if (start < 0) -1 else json.indexOf('}', start)
     if (start < 0 || end < 0) return Map.empty
-    val body = json.substring(start + "\"queries\":{".length, end)
+    val body = json.substring(start + header.length, end)
     "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
@@ -1237,12 +1288,25 @@ object Bench {
   }
 
   private def errPart(
-      results: Seq[(String, Double, Option[String])]): String = {
+      results: Seq[(String, Double, Option[String])],
+      errKeep: Int = Int.MaxValue, errLen: Int = 160): String = {
     // errors only when present — every serialized byte competes with
-    // catalog growth for the capture window
-    val errs = results.collect { case (k, _, Some(m)) =>
-      jsonStr(k) + ":" + jsonStr(m) }.mkString("{", ",", "}")
-    if (errs == "{}") "" else s""","errors":$errs"""
+    // catalog growth for the capture window. The degradation ladder
+    // shrinks THIS section too: a shared-fixture failure erroring 30
+    // queries would otherwise exceed the budget at every rung and
+    // decapitate the JSON head in the driver's capture window (the
+    // r7 failure mode, on the error path)
+    val all = results.collect { case (k, _, Some(m)) => (k, m) }
+    if (all.isEmpty) ""
+    else {
+      val shown = all.take(errKeep)
+      val errs = shown.map { case (k, m) =>
+        jsonStr(k) + ":" + jsonStr(m.take(errLen)) }
+        .mkString("{", ",", "}")
+      val omitted = all.size - shown.size
+      s""","errors":$errs""" +
+        (if (omitted > 0) s""","errors_omitted":$omitted""" else "")
+    }
   }
 
   /** The unbounded full-precision record written beside the repo.
@@ -1353,7 +1417,8 @@ object Bench {
                reps: Int, sfName: String, detailPath: String,
                reruns: Seq[Rerun] = Nil): String = {
     val total = results.collect { case (_, v, None) => v }.sum
-    def line(prec: Int, keep: Int): String = {
+    def line(prec: Int, keep: Int,
+             errKeep: Int = Int.MaxValue, errLen: Int = 160): String = {
       val resolvedPart = resolvedTotalPart(results, reruns, prec)
       val (shown, omitted) =
         if (keep >= results.size) (results, 0)
@@ -1366,12 +1431,17 @@ object Bench {
         .mkString("{", ",", "}")
       val omitPart = if (omitted == 0) ""
         else s""","q_omitted":$omitted,"detail":${jsonStr(detailPath)}"""
-      s"""{"metric":"total","value":${fmt(total, prec)}$resolvedPart,"unit":"sec","reps":$reps,"queries":$qs$omitPart${errPart(results)},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, prec)}$resolvedPart,"unit":"sec","reps":$reps,"queries":$qs$omitPart${errPart(results, errKeep, errLen)},"sf":"$sfName"}"""
     }
     val candidates =
       Seq(3, 2, 1).map(line(_, Int.MaxValue)) ++
         Seq(results.size - 5, results.size - 10, 60, 40, 20, 10)
-          .filter(_ > 0).map(line(1, _))
-    candidates.find(_.length <= StdoutBudget).getOrElse(line(1, 5))
+          .filter(_ > 0).map(line(1, _)) ++
+        // error-shrinking rungs: a mass failure (shared fixture gone)
+        // must still yield a headline that FITS — the full error map
+        // alone can exceed the budget at every query-shrinking rung
+        Seq(line(1, 10, 5, 60), line(1, 5, 3, 40))
+    candidates.find(_.length <= StdoutBudget)
+      .getOrElse(line(1, 5, 3, 40))
   }
 }

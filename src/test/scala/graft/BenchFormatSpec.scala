@@ -59,6 +59,23 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(math.abs(js.get("value").asDouble() - total) < 0.05)
   }
 
+  test("a mass failure still fits the budget: the ladder shrinks the " +
+      "error map too, with an omission count") {
+    // 40 errored queries × ~30-char messages would blow the budget at
+    // every query-shrinking rung if the error map never shrank (the
+    // r7 decapitated-stdout failure, on the error path)
+    val line = Bench.headline(mk(150, err = 40), 3, "sf0.1", "d.json")
+    assert(line.length <= Bench.StdoutBudget,
+      s"mass-failure headline exceeds the budget (${line.length})")
+    val js = mapper.readTree(line)
+    val shownErrs = js.get("errors").size()
+    val omittedErrs =
+      if (js.has("errors_omitted")) js.get("errors_omitted").asInt() else 0
+    assert(shownErrs + omittedErrs == 40,
+      s"errors accounted: shown=$shownErrs omitted=$omittedErrs")
+    assert(shownErrs > 0, "at least some errors must survive the ladder")
+  }
+
   test("detail JSON always carries the whole catalog at full precision") {
     val detail = Bench.detailJson(mk(500), 3, "sf0.01")
     val js = mapper.readTree(detail)
