@@ -31,14 +31,16 @@ object Sinks {
   def serializeTimestamps(df: DataFrame,
                           laColumns: Set[String] = Set("last_updated"))
       : DataFrame =
-    df.schema.fields.foldLeft(df) { (acc, f) =>
-      if (f.dataType == TimestampType) {
-        val c: Column =
-          if (laColumns(f.name)) Fns.laReinterpretFormat(col(f.name))
-          else Fns.tsUtcFormat(col(f.name))
-        acc.withColumn(f.name, c)
-      } else acc
-    }
+    // one select, not a withColumn per column: each withColumn call
+    // re-analyzes the whole plan (Spark's own scaladoc warns against
+    // looping it) — quadratic analyzer work on wide extracts
+    df.select(df.schema.fields.map { f =>
+      val c: Column =
+        if (f.dataType != TimestampType) col(f.name)
+        else if (laColumns(f.name)) Fns.laReinterpretFormat(col(f.name))
+        else Fns.tsUtcFormat(col(f.name))
+      c.as(f.name)
+    }.toIndexedSeq: _*)
 
   /** S4 — headerless gzip CSV (reference: jonesy/jobs.py:100-114,175:
     * csv.writer into GzipFile, lineterminator='\n', UTF-8). */
@@ -51,6 +53,11 @@ object Sinks {
       .option("compression", "gzip")
       .option("header", "false")
       .option("lineSep", "\n")
+      // RFC 4180 quote doubling ("" inside a quoted field), matching
+      // the reference's python csv.writer; Spark's default escape is
+      // backslash, which an RFC consumer mis-parses at the first
+      // interior quote
+      .option("escape", "\"")
       .csv(path)
   }
 
@@ -89,9 +96,12 @@ object Sinks {
     * filesystem API. Re-executing a 100 TB lineage once per target —
     * r6's shape — was the S5 scale wart (VERDICT r6). A failed staging
     * write fails every target; a failed copy fails only its target.
-    * Targets always receive identical bytes, and each copy lands over
-    * a `delete` of any prior key — the T6 idempotent-redelivery
-    * contract, same as the single-target overwrite.
+    * Targets always receive identical bytes, and each delivery copies
+    * into a sibling `__incoming` key first, swapping in only after
+    * the bytes landed — the prior extract keeps serving through a
+    * failed copy (the reference's atomic S3 put), and re-delivery
+    * overwrites idempotently (T6), same as the single-target
+    * overwrite.
     *
     * The staging path must be visible to BOTH the executors (that
     * commit the write) and the driver (that copies the bytes out). A
@@ -115,16 +125,29 @@ object Sinks {
     } else {
       import org.apache.hadoop.fs.{FileUtil, Path => HPath}
       val sc = df.sparkSession.sparkContext
-      require(staging.nonEmpty || sc.isLocal,
-        "fanOut on a non-local master needs an explicit DFS staging " +
-          "path: a driver-local temp dir is not visible to executors")
+      if (staging.isEmpty && !sc.isLocal) {
+        // a config error, but the sink contract is log-and-False,
+        // never raise (jobs.py:128-131): throwing here would abort
+        // every REMAINING extract of the job run, which is worse than
+        // the misconfigured one failing
+        System.err.println("[sink] fanOut on a non-local master needs " +
+          "an explicit DFS staging path: a driver-local temp dir is " +
+          "not visible to executors -- all targets failed")
+        return targets.map(_ -> false)
+      }
       val conf = sc.hadoopConfiguration
       // the created-by-us parent (deleted in full afterwards) vs the
-      // caller-owned staging root (only our stage/ subdir is deleted)
+      // caller-owned staging root (only our stage subdir is deleted).
+      // The stage dir is KEYED so two concurrent fanOuts sharing one
+      // staging root cannot clobber each other's staged bytes
+      // mid-copy (both would report true while a target held a mix).
       val tempParent = if (staging.isEmpty)
         Some(java.nio.file.Files.createTempDirectory("graft-fanout").toString)
       else None
-      val stage = staging.orElse(tempParent).get + "/stage"
+      val stageName = "stage-" + java.security.MessageDigest
+        .getInstance("MD5").digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val stage = staging.orElse(tempParent).get + "/" + stageName
       val computed =
         try {
           gzipCsv(df, stage)
@@ -142,12 +165,23 @@ object Sinks {
       val out = targets.map { t =>
         t -> (computed &&
           (try {
+            // copy into a sibling temp key FIRST, then swap: the
+            // reference's S3 put is atomic (a failed upload leaves the
+            // old object serving), so delete-then-copy — which leaves
+            // the target EMPTY when the copy dies mid-stream — would
+            // be a regression of the delivery contract. The stale
+            // window shrinks to two metadata ops (delete + rename).
             val src = new HPath(stage)
             val dst = new HPath(s"$t/$key")
+            val tmp = new HPath(s"$t/${key}__incoming")
             val dstFs = dst.getFileSystem(conf)
-            if (dstFs.exists(dst)) dstFs.delete(dst, true)
-            FileUtil.copy(src.getFileSystem(conf), src, dstFs, dst,
-              false, true, conf)
+            if (dstFs.exists(tmp)) dstFs.delete(tmp, true)
+            val copied = FileUtil.copy(src.getFileSystem(conf), src,
+              dstFs, tmp, false, true, conf)
+            copied && {
+              if (dstFs.exists(dst)) dstFs.delete(dst, true)
+              dstFs.rename(tmp, dst)
+            }
           } catch { case e: Exception => logFail(s"target $t", e) }))
       }
       try {

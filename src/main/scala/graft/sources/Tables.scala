@@ -63,20 +63,30 @@ object Tables {
     * end-to-end in TablesSpec against an embedded Derby database
     * (partition count, lowercase contract, pushed predicate).
     */
+  /** The base JDBC reader every path here layers on — url/dbtable plus
+    * the caller's props, in ONE place so option-layering fixes can't
+    * silently miss the probe or the unpartitioned fallback. */
+  private def jdbcReader(spark: SparkSession, url: String,
+                         dbtable: String,
+                         props: Map[String, String])
+      : org.apache.spark.sql.DataFrameReader =
+    props.foldLeft(
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+    ) { case (r, (k, v)) => r.option(k, v) }
+
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,
            numPartitions: Int,
            props: Map[String, String] = Map.empty): DataFrame =
     lowercased(
-      props.foldLeft(
-        spark.read.format("jdbc")
-          .option("url", url)
-          .option("dbtable", table)
-          .option("partitionColumn", partitionColumn)
-          .option("lowerBound", lowerBound)
-          .option("upperBound", upperBound)
-          .option("numPartitions", numPartitions)
-      ) { case (r, (k, v)) => r.option(k, v) }.load())
+      jdbcReader(spark, url, table, props)
+        .option("partitionColumn", partitionColumn)
+        .option("lowerBound", lowerBound)
+        .option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+        .load())
 
   /** [[jdbc]] with the partition bounds DERIVED from the data — the
     * Spark-native replacement for the reference driver's
@@ -102,17 +112,9 @@ object Tables {
     val probeSql =
       s"(SELECT MIN($partitionColumn) AS mn, MAX($partitionColumn) AS mx " +
         s"FROM $table) probe"
-    val probe = props.foldLeft(
-      spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", probeSql)
-    ) { case (r, (k, v)) => r.option(k, v) }.load().head()
+    val probe = jdbcReader(spark, url, probeSql, props).load().head()
     if (probe.isNullAt(0) || probe.isNullAt(1))
-      lowercased(props.foldLeft(
-        spark.read.format("jdbc")
-          .option("url", url)
-          .option("dbtable", table)
-      ) { case (r, (k, v)) => r.option(k, v) }.load())
+      lowercased(jdbcReader(spark, url, table, props).load())
     else {
       // the probe column arrives as whatever the dialect maps the
       // database type to — normalize the numeric family to Long
@@ -122,8 +124,14 @@ object Tables {
           s"partitionColumn $partitionColumn must be numeric for " +
             s"bound derivation, got ${other.getClass.getSimpleName}")
       }
+      // max+1 keeps the max-value run out of a whole-stripe final
+      // partition — but saturate instead of wrapping when max is
+      // Long.MaxValue (snowflake-style ids): bounds clip stride, never
+      // filter rows, so the saturated bound stays correct
+      val mx = asLong(1)
       jdbc(spark, url, table, partitionColumn,
-        lowerBound = asLong(0), upperBound = asLong(1) + 1L,
+        lowerBound = asLong(0),
+        upperBound = if (mx == Long.MaxValue) mx else mx + 1L,
         numPartitions = numPartitions, props = props)
     }
   }
@@ -204,17 +212,25 @@ object Tables {
     * — so the text round-trip is lossless under [[readLake]]'s
     * explicit schema; text formats get gzip (the S4
     * sink convention) — columnar formats keep their internal codec. */
+  /** The µs-precision text-format timestamp patterns, ONE definition
+    * shared by [[writeLake]] and [[readLake]]: the read patterns must
+    * exactly match the write patterns or the text round-trip silently
+    * floors/mis-parses — hoisting them makes one-sided drift
+    * impossible. */
+  private val LakeTsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private val LakeTsNtzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
   def writeLake(df: DataFrame, path: String, format: String): Unit = {
     require(lakeFormats(format), s"unsupported lake format: $format")
     val w = df.write.mode("overwrite").format(format)
     val tuned = format match {
       case "csv" => w.option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("timestampFormat", LakeTsFmt)
+        .option("timestampNTZFormat", LakeTsNtzFmt)
         .option("compression", "gzip")
       case "json" => w
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("timestampFormat", LakeTsFmt)
+        .option("timestampNTZFormat", LakeTsNtzFmt)
         .option("compression", "gzip")
       case _ => w
     }
@@ -238,11 +254,11 @@ object Tables {
     val r = spark.read.format(format)
     val tuned = format match {
       case "csv" => r.option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("timestampFormat", LakeTsFmt)
+        .option("timestampNTZFormat", LakeTsNtzFmt)
       case "json" =>
-        r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        r.option("timestampFormat", LakeTsFmt)
+        .option("timestampNTZFormat", LakeTsNtzFmt)
       case _ => r
     }
     lowercased(schema.fold(tuned)(tuned.schema).load(path))

@@ -31,6 +31,44 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     assert(cols == Set("2024-01-15 04:00:00 -0800"))
   }
 
+  test("gzip CSV doubles interior quotes (RFC 4180, the python " +
+      "csv.writer convention)") {
+    val dir = Files.createTempDirectory("sink_rfc_spec").toString
+    Sinks.gzipCsv(Seq(("ROBERT \"BOB\" SMITH", 1L)).toDF("name", "n"),
+      s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".csv.gz")).head
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(part))
+    val raw = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    assert(raw.contains("\"ROBERT \"\"BOB\"\" SMITH\""),
+      s"interior quotes not RFC-doubled: $raw")
+    assert(!raw.contains("\\\""), s"backslash-escaped quotes leaked: $raw")
+  }
+
+  test("a failed delivery preserves the target's previous extract " +
+      "(the reference's atomic-put contract)") {
+    val dir = Files.createTempDirectory("sink_keep_spec").toString
+    val ok = Seq((1L, "a")).toDF("id", "v")
+    val key = "k/q.gz"
+    val r1 = Sinks.fanOut(ok, Seq(s"$dir/t1", s"$dir/t2"), key)
+    assert(r1.forall(_._2), s"seed delivery failed: $r1")
+    def readT1() = spark.read.csv(s"$dir/t1/$key").collect()
+      .map(_.getString(0)).toSeq
+    assert(readT1() == Seq("1"))
+    // a frame that fails at EXECUTION time: the staging write errors,
+    // every target reports false, and yesterday's extract still serves
+    val bad = spark.range(1)
+      .selectExpr("raise_error('boom') AS id", "'x' AS v")
+    val r2 = Sinks.fanOut(bad, Seq(s"$dir/t1", s"$dir/t2"), key)
+    assert(r2.forall(!_._2), s"failed delivery reported success: $r2")
+    assert(readT1() == Seq("1"),
+      "a failed delivery destroyed the previous extract")
+    assert(!new java.io.File(s"$dir/t1/${key}__incoming").exists(),
+      "failed delivery left an __incoming remnant")
+  }
+
   test("fanOut isolates a failing target and continues (jobs.py:128-131)") {
     val dir = Files.createTempDirectory("fan_spec").toString
     val df = Seq((1, "x")).toDF("a", "b")
