@@ -96,7 +96,13 @@ object Partitioning {
       val hotJoin = saltedLeft
         .join(saltedRight, Seq(key, "__salt"), "inner")
         .drop("__salt")
-      cold.unionByName(hotJoin)
+      // positional union, NOT unionByName: both branches are built as
+      // `left.join(right, Seq(key))` shapes so their column ORDER is
+      // identical by construction, while duplicate non-key column
+      // names (left and right both carrying `v` — legal for the plain
+      // join this operator promises to equal) would make unionByName
+      // throw on ambiguous attributes exactly when a hot key exists
+      cold.union(hotJoin)
     }
   }
 
@@ -369,9 +375,16 @@ object Partitioning {
     val spark = df.sparkSession
     import spark.implicits._
     val offDf = broadcast(offsets.toDF(partCol, "__bkt", "__off"))
+    // ROWS, not the default RANGE frame: duplicate idCol values are
+    // ORDER BY peers, and RANGE would hand every peer the shared
+    // inclusive total — the `cum - weight` exclusive-prefix identity
+    // below then breaks exactly on redelivered rows
+    // (prefixSumTwoPhase pins the same choice)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partCol), col("__bkt"))
       .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     // null-safe equality on the group key — a plain equi-join would
     // silently drop every NULL-keyed row the window just processed
     base
@@ -458,9 +471,21 @@ object Partitioning {
   private def installStage(spark: SparkSession, table: String): Unit = {
     val old = table + "__old"
     spark.sql(s"DROP TABLE IF EXISTS $old") // stale from a prior crash
-    if (spark.catalog.tableExists(table))
-      spark.sql(s"ALTER TABLE $table RENAME TO $old")
-    spark.sql(s"ALTER TABLE ${table}__stage RENAME TO $table")
+    try {
+      if (spark.catalog.tableExists(table))
+        spark.sql(s"ALTER TABLE $table RENAME TO $old")
+      spark.sql(s"ALTER TABLE ${table}__stage RENAME TO $table")
+    } catch {
+      // a READER's recoverSwap can win the rename-in race (it observes
+      // the unbound instant and installs the stage itself); the
+      // writer's ALTER then throws even though the swap SUCCEEDED —
+      // the same swallow-iff-resolved guard recoverSwap documents,
+      // without which the whole maintenance job dies on a completed
+      // install. Anything else (stage gone AND table unbound — a
+      // genuinely broken catalog) still surfaces.
+      case _: Exception if spark.catalog.tableExists(table) &&
+          !spark.catalog.tableExists(table + "__stage") => ()
+    }
     spark.sql(s"DROP TABLE IF EXISTS $old")
   }
 
@@ -535,9 +560,12 @@ object Partitioning {
   def bucketSpecOf(s: SparkSession, table: String)
       : org.apache.spark.sql.catalyst.catalog.BucketSpec = {
     recoverSwap(s, table)
+    // parse, don't wrap: TableIdentifier(name) treats "db.tbl" as one
+    // unparsed part, which would resolve against the current database
+    // and miss a table the recovery probe above just found
     s.sessionState.catalog
       .getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
+        s.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"$table has no bucket spec — not a serving table"))
@@ -611,6 +639,22 @@ object Partitioning {
     * (split enumeration; no job runs). */
   def ensureParallelism(df: DataFrame, keyCol: String): DataFrame = {
     if (df.isStreaming) return df // micro-batches parallelize at the source
+    // wide plans (join/agg/window/sort/repartition upstream) already
+    // parallelize via spark.sql.shuffle.partitions — and under AQE the
+    // partition-count probe below would EXECUTE their shuffle stages
+    // (AdaptiveSparkPlanExec materializes on toRdd), turning a
+    // "planning-time only" probe into the whole upstream job, run
+    // twice if the repartition branch is then taken. The guard keeps
+    // the probe planning-class for the narrow pipelines this helper
+    // exists for.
+    // (explicit coalesce/repartition stays PROBED — coalesce(1) is
+    // precisely the starved shape this helper exists to widen)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.optimizedPlan.collectFirst {
+      case _: Join => (); case _: Aggregate => ()
+      case _: Sort => (); case _: Window => ()
+    }.nonEmpty
+    if (wide) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // toRdd, not df.rdd: the probe needs only the physical partition
     // count, and df.rdd would additionally plan (and cache on the df)

@@ -168,6 +168,23 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(got == ref)
   }
 
+  test("packShards uses a ROWS running sum: duplicate ids (redelivered " +
+      "rows) don't share one inclusive total") {
+    import spark.implicits._
+    // two rows with the SAME id and EQUAL weight (order-independent):
+    // ROWS prefixes give exclusive starts {0, 1500} → shards {0, 1};
+    // the default RANGE frame hands both peers the shared inclusive
+    // cum 3000 → starts {1500, 1500} → shards {1, 1}, losing shard 0
+    val d = Seq(("s", 1L, 1500L), ("s", 1L, 1500L))
+      .toDF("source", "doc_id", "n_tokens")
+    val shards = graft.operators.Partitioning
+      .packShards(d, "source", "doc_id", "n_tokens", 1000L)
+      .select("shard").collect().map(_.getLong(0)).sorted.toSeq
+    assert(shards == Seq(0L, 1L),
+      s"duplicate-id rows shared one inclusive total (RANGE frame): " +
+        s"shards=$shards")
+  }
+
   test("packShards keeps NULL group keys and survives all-NULL weights") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
