@@ -17,10 +17,15 @@ object CacheScope {
   /** Release a localCheckpoint'ed DataFrame's storage blocks.
     * `Dataset.unpersist` only evicts cache-manager entries, and
     * localCheckpoint blocks live at the RDD layer behind the plan's
-    * `LogicalRDD` leaf — unpersist that RDD or the blocks linger until
-    * GC-driven cleanup. No-op for non-checkpoint plans. */
+    * `LogicalRDD` leaves — unpersist those RDDs or the blocks linger
+    * until GC-driven cleanup. COLLECTS the leaves rather than matching
+    * only a bare root: callers routinely hand back a checkpoint
+    * wrapped in a projection (`lshCandidates(...).select(...)`), and
+    * the old root-only match silently no-op'd on exactly those,
+    * leaking the candidate-pair blocks the call existed to free.
+    * No-op for plans with no checkpoint leaf. */
   def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
+    df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()

@@ -143,6 +143,38 @@ object TextDedup {
     CacheScope.eval(candidates(bd, idCol))(bd)
   }
 
+  /** Exact shingle-overlap stats per candidate pair — the ONE verify
+    * kernel `dd_jaccard_verify` / `dd_minhash_bound` /
+    * `dd_containment` share (three faces carried line-for-line copies;
+    * a fix to the intersection join in one silently missing the others
+    * is the drift hazard this removes, the r11 `hashedGramInstances`
+    * precedent). `cand` (doc_a, doc_b) joins the shingle table on both
+    * sides, intersects, and attaches per-doc set sizes. Output:
+    * (doc_a, doc_b, n_inter, n_a, n_b), with n_inter = 0 — a KEPT
+    * row, not a dropped pair — for candidates sharing band buckets
+    * but no shingle (md5 collision; semantically possible). Both
+    * inputs must be PERSISTED by the caller: each feeds two branches
+    * here (`cand`: the intersection and the left-join base; `sh`: the
+    * sizes and both intersection sides). Cost ∝ candidates × overlap,
+    * never pairs². */
+  def pairOverlap(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("shingle").as("shingle_b")), "doc_b")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("__n").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("__n").as("n_b")),
+        "doc_b")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+  }
+
   /** SimHash fingerprint per doc: per-bit majority vote over token
     * md5s (bit b = parity of hex char b), assembled into a `bits`-wide
     * bit-string.
@@ -170,7 +202,11 @@ object TextDedup {
   def simhashInt(docs: DataFrame, bits: Int = 32,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
-    withSimhashInt(docs, bits, textCol).select(col(idCol), col("simhash_int"))
+    // idCol forwarded: withSimhashInt keys its starved-scan
+    // repartition on it, and the old hard-coded "doc_id" threw on any
+    // other id column exactly when the input was single-partition
+    withSimhashInt(docs, bits, textCol, idCol = idCol)
+      .select(col(idCol), col("simhash_int"))
 
   /** The explode + partial-aggregating-groupBy SimHash plan — same
     * output as [[simhashInt]], one token-row shuffle. Kept as the
@@ -187,11 +223,17 @@ object TextDedup {
     val votes = (1 to bits).map(b =>
       sum(when(ascii(col("h").substr(b, 1)) % 2 === 1, 1).otherwise(-1))
         .as(s"__v$b"))
-    toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val agg = toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
         (1 to bits).map(b =>
           when(col(s"__v$b") > 0, lit(1L << (bits - b))).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash_int"))
+    // total on NULL text, like the narrow form: explode(split(NULL))
+    // drops the doc's rows, so without this join the grouped reference
+    // would LOSE the row where withSimhashInt keeps it with a NULL
+    // fingerprint (simhash_long's nullSafeEval) — the bit-identical
+    // equivalence contract would break on exactly the degenerate input
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
   }
 
   /** Bit-string rendering of a packed fingerprint, identical to the
@@ -245,9 +287,10 @@ object TextDedup {
   }
 
   /** Distinct k-word shingles per document — the n-gram unit for
-    * decontamination and boilerplate analysis (the 2-shingle
-    * [[shingles]] keeps duplicates for MinHash; these are
-    * per-doc-distinct because overlap/frequency ops count gram SETS).
+    * decontamination and boilerplate analysis. Per-doc-distinct like
+    * the 2-shingle [[shingles]] (both apply `array_distinct`: MinHash
+    * and the overlap/frequency ops all operate on gram SETS — a
+    * min over a multiset equals the min over its set anyway).
     * One narrow projection + explode; a doc shorter than k words
     * yields no rows (the `if` guard — Spark's `sequence(1, n)` with
     * n < 1 would count DOWN, not produce empty). */
@@ -393,6 +436,12 @@ object TextDedup {
     * 1 / 1+bits / 1+bits+C(bits,2). */
   private def flipVariants(fpCol: String, bits: Int, maxFlips: Int)
       : String = {
+    // bits = 1 with pair flips would build sequence(1, 0) — which
+    // Spark counts DOWN to [1, 0], yielding negative shift amounts
+    // whose Java wrap-around masks can pair fingerprints at distances
+    // past the budget; there is no valid pair flip in a 1-bit space
+    require(maxFlips < 2 || bits >= 2,
+      s"flipVariants: pair flips need bits >= 2, got bits=$bits")
     val one = s"""transform(sequence(1, $bits),
                     i -> $fpCol ^ shiftleft(1L, $bits - i))"""
     val two = s"""flatten(transform(sequence(1, ${bits - 1}),

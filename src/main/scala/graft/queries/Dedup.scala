@@ -180,41 +180,33 @@ object Dedup extends QueryModule {
       // instead of four scans (ADVICE r2).
       import graft.operators.{CacheScope, TextDedup}
       val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // signatures come from the NATIVE narrow kernel over the raw
       // docs — identical values to `signatures(sh, 8)` (min over
       // duplicates = min over distinct) without the md5-per-shingle-row
       // groupBy shuffle; the persisted shingle table serves only the
-      // sizes and the intersection join. Lazily persisted, like sh:
-      // the one job that materializes the final result populates both
-      // caches in passing — an eager checkpoint here costs a whole
-      // extra pass over the corpus (r6's bench regression).
+      // sizes and the intersection join (both inside pairOverlap).
+      // Lazily persisted, like sh: the one job that materializes the
+      // final result populates both caches in passing — an eager
+      // checkpoint here costs a whole extra pass over the corpus
+      // (r6's bench regression).
       val bd = TextDedup.bands(TextDedup.signaturesNarrow(
         Tables(s, dir, "documents"), 8), 8, 2).persist()
-      val cand = TextDedup.candidates(bd).select("doc_a", "doc_b")
-      val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"),
-          col("shingle").as("shingle_b")), "doc_b")
-        .filter(col("shingle") === col("shingle_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
+      val cand = TextDedup.candidates(bd)
+        .select("doc_a", "doc_b").persist()
       // jaccard is a single IEEE division of exact integers — Spark and
       // DuckDB produce bit-identical doubles, so no decimal cast and the
       // >= 0.5 filter applies to the same raw value on both sides
       // (ADVICE r2: never round/cast differently from the oracle).
-      val result = inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-          "doc_b")
+      // A zero-intersection pair scores 0.0 and dies on the filter,
+      // exactly as the oracle's inner intersection CTE drops it.
+      val result = TextDedup.pairOverlap(sh, cand)
         .select(
           col("doc_a"), col("doc_b"),
           (col("n_inter").cast("double") /
             (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
-      CacheScope.eval(result)(sh, bd)
+      CacheScope.eval(result)(sh, bd, cand)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
@@ -256,12 +248,16 @@ object Dedup extends QueryModule {
     (s, dir) => {
       import graft.operators.TextDedup
       val docs = Tables(s, dir, "documents")
-      val cand = TextDedup.candidates(TextDedup.bands(
-          TextDedup.signaturesNarrow(docs, 8), 8, 2))
+      // lshCandidates, not a hand-rolled bands→candidates chain: the
+      // band table feeds BOTH sides of the self-join (candidates()'s
+      // own contract) and the kernel persists/releases it internally —
+      // the unpersisted form recomputed the corpus scan + native
+      // fingerprinting once per join side
+      val cand = TextDedup.lshCandidates(docs, numPerms = 8, nBands = 2)
         .select("doc_a", "doc_b")
       val pre = docs.select(col("doc_id"),
         substring(col("text"), 1, 120).as("prefix"))
-      cand
+      graft.operators.CacheScope.eval(cand
         .join(pre.select(col("doc_id").as("doc_a"),
           col("prefix").as("pa")), "doc_a")
         .join(pre.select(col("doc_id").as("doc_b"),
@@ -269,7 +265,7 @@ object Dedup extends QueryModule {
         .withColumn("dist", levenshtein(col("pa"), col("pb"), 20))
         .filter(col("dist") >= 0)
         .select(col("doc_a"), col("doc_b"), col("dist"))
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"))(cand)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
@@ -296,7 +292,12 @@ object Dedup extends QueryModule {
         .orderBy("doc_id"),
     Some(s"""
       WITH $simhashSql
-      SELECT doc_id, simhash FROM sfp ORDER BY doc_id""")
+      SELECT d.doc_id, sfp.simhash FROM documents d
+      LEFT JOIN sfp USING (doc_id) ORDER BY d.doc_id""")
+      // LEFT JOIN from documents: a NULL-text doc has no token rows,
+      // so the bare sfp SELECT would DROP it where the Spark side
+      // (total simhash_long) keeps it with a NULL fingerprint —
+      // identical on the clean fixture, aligned on degenerate input
   )
 
   /** SimHash near-dup retrieval at Hamming distance ≤ 1 via the
@@ -474,10 +475,9 @@ object Dedup extends QueryModule {
     (s, dir) => {
       import graft.operators.{CacheScope, TextDedup}
       val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val sigs = TextDedup.signaturesNarrow(
         Tables(s, dir, "documents"), 8).persist()
-      // cand feeds BOTH the estimate join and the intersection count —
+      // cand feeds BOTH the estimate join and the overlap kernel —
       // persisted so the band self-join runs once, not once per branch
       val cand = TextDedup.candidates(TextDedup.bands(sigs, 8, 2))
         .select("doc_a", "doc_b").persist()
@@ -489,22 +489,11 @@ object Dedup extends QueryModule {
         .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
         .select(col("doc_a"), col("doc_b"),
           (matches.cast("double") / lit(8.0)).as("est_jaccard"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"),
-          col("shingle").as("shingle_b")), "doc_b")
-        .filter(col("shingle") === col("shingle_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
       val result = est
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-          "doc_b")
+        .join(TextDedup.pairOverlap(sh, cand), Seq("doc_a", "doc_b"))
         .withColumn("jaccard",
-          coalesce(col("n_inter"), lit(0L)).cast("double") /
-            (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))))
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")))
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
           col("jaccard"),
           abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
@@ -1121,8 +1110,14 @@ object Dedup extends QueryModule {
         .persist()
       val bits = Bloom.buildLong(corpus.select("fpl"), "fpl")
       val batch = all.filter(col("doc_id") % 7 === 0)
+        // coalesce: a NULL-text doc hashes to a NULL key and the gate
+        // returns NULL — both filters below would then drop the row
+        // from BOTH branches, silently losing it, where the oracle's
+        // NOT EXISTS (NULL never equals) keeps it. NULL text is
+        // definitionally fresh (nothing to match).
         .withColumn("might",
-          Bloom.gateLong(s, bits, xxhash64(col("text"))))
+          coalesce(Bloom.gateLong(s, bits, xxhash64(col("text"))),
+            lit(false)))
       val fresh = batch.filter(!col("might"))
       val survivors = batch.filter(col("might"))
         .withColumn("fp", md5(col("text")))
@@ -1229,30 +1224,18 @@ object Dedup extends QueryModule {
     (s, dir) => {
       import graft.operators.{CacheScope, TextDedup}
       val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val sigs = TextDedup.signaturesNarrow(
         Tables(s, dir, "documents"), 8).persist()
+      // cand feeds BOTH branches of the overlap kernel — persisted so
+      // the banded self-join runs once, not once per branch
       val cand = TextDedup.candidates(TextDedup.bands(sigs, 8, 2))
-        .select("doc_a", "doc_b")
-      val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"),
-          col("shingle").as("shingle_b")), "doc_b")
-        .filter(col("shingle") === col("shingle_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
-      val result = cand
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-          "doc_b")
-        .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+        .select("doc_a", "doc_b").persist()
+      val result = TextDedup.pairOverlap(sh, cand)
         .select(col("doc_a"), col("doc_b"),
-          (col("ni").cast("double") / least(col("n_a"), col("n_b")))
+          (col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
             .as("containment"),
-          (col("ni").cast("double") /
-            (col("n_a") + col("n_b") - col("ni"))).as("jaccard"))
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
         .withColumn("is_partial_dup",
           col("containment") >= 0.7 && col("jaccard") < 0.7)
         .orderBy("doc_a", "doc_b")
@@ -1763,7 +1746,10 @@ object Dedup extends QueryModule {
         .select(col("minhash"), col("simhash"), col("cdc_chunk"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"))
         .orderBy("minhash", "simhash", "cdc_chunk")
-      CacheScope.eval(result)(fp)
+      // mh's plan carries lshCandidates' internal checkpoint — passing
+      // it lets releaseCheckpoint free those candidate-pair blocks
+      // (previously leaked until GC)
+      CacheScope.eval(result)(fp, mh)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,

@@ -375,4 +375,49 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(graft.queries.Events.anomaly.fn(spark, dir).count() == 0,
       "zero-variance groups flag nothing (strict inequality)")
   }
+
+  test("NULL text: the grouped simhash reference stays total (matching " +
+      "the narrow form) and the Bloom-gated incremental split loses " +
+      "no rows") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null: String),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val narrow = rows(TextDedup.simhashInt(docs, 32))
+    val grouped = rows(TextDedup.simhashIntGrouped(docs, 32))
+    assert(narrow == grouped,
+      s"grouped/narrow diverge on NULL text: $grouped vs $narrow")
+    assert(narrow.exists { case (id, fp) => id == 2L && fp.isEmpty },
+      "NULL-text doc must survive with a NULL fingerprint")
+    // the Bloom might/fresh split must account for every batch row:
+    // a NULL gate (NULL text → NULL hash) previously dropped the row
+    // from BOTH branches
+    val bits = graft.operators.Bloom.buildLong(
+      Seq(11L).toDF("fpl"), "fpl")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, xxhash64}
+    val batch = Seq((10L, "seen"), (20L, null: String))
+      .toDF("doc_id", "text")
+      .withColumn("might", coalesce(
+        graft.operators.Bloom.gateLong(spark, bits, xxhash64(col("text"))),
+        lit(false)))
+    val kept = batch.filter(!col("might")).select("doc_id")
+      .unionByName(batch.filter(col("might")).select("doc_id"))
+      .as[Long].collect().toSet
+    assert(kept == Set(10L, 20L),
+      s"might/fresh split lost rows: $kept")
+  }
+
+  test("simhashInt keys its starved-scan repartition on the CALLER's " +
+      "id column") {
+    import spark.implicits._
+    val emb = Seq((1L, "a b c"), (2L, "d e f"))
+      .toDF("vec_id", "text").coalesce(1) // the starved single-partition shape
+    val out = graft.operators.TextDedup
+      .simhashInt(emb, 32, idCol = "vec_id")
+    assert(out.columns.toSeq == Seq("vec_id", "simhash_int"))
+    assert(out.count() == 2) // previously: AnalysisException on doc_id
+  }
 }
