@@ -80,8 +80,16 @@ object Lexical {
 
   /** From-scratch build: one tokenize pass + the vocabulary and
     * doc-length aggregates + a 1-row scalar collect. */
-  def buildIndex(docs: DataFrame): Bm25Index = {
-    val tf = postings(docs)
+  def buildIndex(docs: DataFrame): Bm25Index =
+    buildIndexFromPostings(postings(docs))
+
+  /** [[buildIndex]] from an existing postings relation — the entry
+    * point for callers that PERSIST `tf` before building (the
+    * `ss_bm25_remove` report derives the base index, the removed
+    * slice and the final join all from the same postings): the scalar
+    * collect here populates the cache, so the whole face tokenizes
+    * the corpus once instead of once per consumer. */
+  def buildIndexFromPostings(tf: DataFrame): Bm25Index = {
     val r = tf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
     Bm25Index(tf, vocabOf(tf), docLengths(tf), r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1))

@@ -49,6 +49,26 @@ object Similarity extends QueryModule {
     (emb, queries)
   }
 
+  /** The one IVF probe-and-rank pipeline (assign → probe-cell
+    * broadcast join → native cosine → per-query rank ≤ K) — shared by
+    * the `ss_topk_ivf*` faces and the recall certification, so the
+    * recall report can never measure a DIFFERENT pipeline than the
+    * one served (the two used to be hand-maintained copies). */
+  private def ivfTopk(s: SparkSession, emb: DataFrame,
+                      cents: Array[(Long, Array[Float])],
+                      nprobe: Int): DataFrame = {
+    import graft.operators.Ann
+    val queries = Ann.ivfProbeCells(
+      emb.filter(col("vec_id") < 3), cents, nprobe)
+    Ann.ivfAssign(emb, cents)
+      .join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+  }
+
   /** Brute-force cosine top-k: exact baseline, query batch broadcast. */
   val topkBrute: Q = Q(
     "ss_topk_brute",
@@ -149,17 +169,7 @@ object Similarity extends QueryModule {
       import graft.operators.Ann
       val emb = Tables(s, dir, "embeddings")
       val cents1 = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps)
-      val assigned = Ann.ivfAssign(emb, cents1)
-      val queries = Ann.ivfProbeCells(
-        emb.filter(col("vec_id") < 3), cents1, nprobe)
-      val wRank = Window.partitionBy("q_id")
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-      assigned
-        .join(broadcast(queries),
-          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= K)
+      ivfTopk(s, emb, cents1, nprobe)
         .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
         .orderBy("q_id", "rank")
     },
@@ -303,29 +313,25 @@ object Similarity extends QueryModule {
   val recallReport: Q = Q(
     "ss_recall_report",
     (s, dir) => {
-      import graft.operators.Ann
-      val emb = Tables(s, dir, "embeddings")
+      import graft.operators.{Ann, CacheScope}
+      val (emb, queries) = parts(s, dir)
       val qids = emb.filter(col("vec_id") < 3).select("vec_id")
-      val queries = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // brute truth feeds THREE consumers (both recallOf joins and
+      // the q_id spine) — persisted so the |Q|·N broadcast-join +
+      // rank-window pipeline executes once, not three times
       val brute = Ann.topkBrute(s, emb, queries, K)
-        .select("q_id", "vec_id")
+        .select("q_id", "vec_id").persist()
       val srp = Ann.topkSrp(s, emb, qids, K, nPlanes = 4)
         .select("q_id", "vec_id")
       val cents = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps)
-      val ivf = Ann.ivfAssign(emb, cents)
-        .join(broadcast(Ann.ivfProbeCells(
-          emb.filter(col("vec_id") < 3), cents, 2)),
-          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
-        .withColumn("rank", row_number().over(Window.partitionBy("q_id")
-          .orderBy(col("cosine").desc, col("vec_id").asc)))
-        .filter(col("rank") <= K)
+      // the SAME ivfTopk pipeline the ss_topk_ivf faces serve — the
+      // certification must measure the served plan, not a copy
+      val ivf = ivfTopk(s, emb, cents, nprobe = 2)
         .select("q_id", "vec_id")
       def recallOf(approx: DataFrame, label: String): DataFrame =
         brute.join(approx, Seq("q_id", "vec_id"))
           .groupBy("q_id").agg(count(lit(1)).as(s"${label}_h"))
-      brute.select("q_id").distinct()
+      CacheScope.eval(brute.select("q_id").distinct()
         .join(recallOf(srp, "srp"), Seq("q_id"), "left")
         .join(recallOf(ivf, "ivf"), Seq("q_id"), "left")
         .select(col("q_id"),
@@ -335,7 +341,7 @@ object Similarity extends QueryModule {
           coalesce(col("ivf_h"), lit(0L)).as("ivf_hits"),
           (coalesce(col("ivf_h"), lit(0L)).cast("double") / lit(K.toDouble))
             .as("ivf_recall"))
-        .orderBy("q_id")
+        .orderBy("q_id"))(brute)
     },
     Some(s"""
       WITH ${graft.operators.Srp.duckCoefCte(4)},
@@ -435,7 +441,10 @@ object Similarity extends QueryModule {
              CAST(sum(CASE WHEN isnan(norm) OR isinf(norm) THEN 1 ELSE 0 END)
                AS BIGINT) AS n_nonfinite,
              min(norm) AS min_norm, max(norm) AS max_norm
-      FROM n GROUP BY 1 ORDER BY 1""")
+      FROM n GROUP BY 1 ORDER BY 1 NULLS FIRST""")
+      // NULLS FIRST pins DuckDB's default (NULLS LAST for ASC) to
+      // Spark's (nulls first) — the label column is nullable and an
+      // unpinned NULL group would diverge the two engines' row order
   )
 
   /** INT8 QUANTIZATION materialization — the storage-compression pass a
@@ -557,7 +566,6 @@ object Similarity extends QueryModule {
         .join(broadcast(queries),
           col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
         .withColumn("cosine", cosineNative(s, "q_emb", "embedding"))
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("q_id")
         .orderBy(col("cosine").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -977,8 +985,11 @@ object Similarity extends QueryModule {
       SELECT a.c_id AS cell,
              CAST(round(${duckCosine("a.c_emb", "b.c_emb")} * 1000000)
                AS BIGINT) AS align_e6
-      FROM cents1 a JOIN cents2 b ON a.c_id = b.c_id
+      FROM cents1 a JOIN cents$IvfSteps b ON a.c_id = b.c_id
       ORDER BY cell""")
+      // cents$IvfSteps, not a hardcoded cents2: the Spark side
+      // compares step 1 against step IvfSteps, and the IvfSteps
+      // scaladoc promises both sides derive from the constant
   )
 
   /** e6-quantized cosine alignment between two float vectors —
@@ -1160,7 +1171,10 @@ object Similarity extends QueryModule {
       .orderBy(col("score_milli").desc, col("doc_id"))
     val ranked = scored
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 10)
+      // K, not an inline 10: ss_rrf_fusion fuses this lexical list
+      // with the dense top-K — a K change must move both lists or the
+      // fusion silently skews toward one retriever
+      .filter(col("rnk") <= K)
       .select("q_id", "rnk", "doc_id", "score_milli", "n_terms")
     (ranked, tf)
   }
@@ -1329,11 +1343,16 @@ object Similarity extends QueryModule {
     "ss_bm25_index_stats",
     (s, dir) => {
       val docsT = Tables(s, dir, "documents")
-      val tf = graft.operators.Lexical.postings(docsT)
+      val tf = graft.operators.Lexical.postings(docsT).persist()
       val vocab = tf.groupBy("token")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-      val nd = docsT.agg(count(lit(1)).as("n_docs"))
-      vocab.crossJoin(broadcast(nd))
+      // N = docs WITH at least one posting — the SCORER's definition
+      // (Lexical.buildIndex / bm25Ranked freeze the same N): a stats
+      // face counting ALL documents would misstate the idf range and
+      // the df-cap prune set on any corpus with shingle-less docs,
+      // reporting a different index than ss_bm25_topk serves
+      val nd = tf.agg(countDistinct("doc_id").as("n_docs"))
+      graft.operators.CacheScope.eval(vocab.crossJoin(broadcast(nd))
         .withColumn("idf_b", expr(
           "length(bin((2*n_docs - 2*df + 1) div (2*df + 1))) - 1"))
         .groupBy(expr("length(bin(df)) - 1").cast("long")
@@ -1347,7 +1366,7 @@ object Similarity extends QueryModule {
             .as("n_pruned"),
           sum(when(col("df") * 20 > col("n_docs"), col("df"))
             .otherwise(0L)).as("pruned_postings"))
-        .orderBy("log2_df")
+        .orderBy("log2_df"))(tf)
     },
     Some("""
       WITH tok AS (
@@ -1362,7 +1381,7 @@ object Similarity extends QueryModule {
       vocab AS (
         SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
         FROM tf GROUP BY 1),
-      nd AS (SELECT count(*) AS n_docs FROM documents),
+      nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
       vi AS (
         SELECT v.*, n.n_docs,
                length(bin((2*n.n_docs - 2*v.df + 1) // (2*v.df + 1)))
@@ -1477,12 +1496,18 @@ object Similarity extends QueryModule {
   val bm25Remove: Q = Q(
     "ss_bm25_remove",
     (s, dir) => {
-      import graft.operators.Lexical
+      import graft.operators.{CacheScope, Lexical}
       val docsT = Tables(s, dir, "documents")
-      val idx = Lexical.buildIndex(docsT)
+      // postings persisted BEFORE the index build: the build's scalar
+      // collect populates the cache, and every later consumer (the
+      // removed-slice aggregate inside removeDocs, the base/kept df
+      // join below) reads it — one tokenize pass for the whole face
+      // instead of one per rooted lineage
+      val tf = Lexical.postings(docsT).persist()
+      val idx = Lexical.buildIndexFromPostings(tf)
       val after = Lexical.removeDocs(idx,
         docsT.filter(col("doc_id") % 9 === 0).select("doc_id"))
-      idx.df.withColumnRenamed("df", "df_base")
+      CacheScope.eval(idx.df.withColumnRenamed("df", "df_base")
         .join(after.df.withColumnRenamed("df", "df_kept"),
           Seq("token"), "left")
         .select(col("token"), col("df_base"),
@@ -1493,7 +1518,7 @@ object Similarity extends QueryModule {
         .withColumn("docs_removed", lit(idx.nDocs - after.nDocs))
         .withColumn("mass_removed", lit(idx.sumDl - after.sumDl))
         .orderBy(col("df_dec").desc, col("token"))
-        .limit(20)
+        .limit(20))(tf)
     },
     Some("""
       WITH tok AS (
