@@ -85,21 +85,31 @@ object QualityModel {
     * at that score), collected driver-side at the ≤ 10·|sources|
     * grain so `Streams.streamingQualityDrift` can replay the batch
     * face row-for-row (StreamsSpec pins it). */
+  /** The reference-slice decile-boundary election — (source, decile,
+    * n_old_k, b_score, b_doc) rows — shared by the batch face
+    * `ta_quality_drift` and [[driftRef]]'s streaming artifact. ONE
+    * definition: the two used to be line-for-line copies, and a
+    * tie-break or ntile-order change applied to one would silently
+    * break the batch/stream replay contract StreamsSpec pins. `old`
+    * is the reference slice with (source, doc_id, score) columns. */
+  def decileBoundaries(old: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("score", "doc_id")
+    val od = old.withColumn("decile", ntile(10).over(w))
+    od.groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_old_k"), max("score").as("b_score"))
+      .join(od.withColumnRenamed("score", "b_score"),
+        Seq("source", "decile", "b_score"))
+      .groupBy("source", "decile", "n_old_k", "b_score")
+      .agg(max("doc_id").as("b_doc"))
+  }
+
   def driftRef(docs: DataFrame): Map[String, DriftRef] = {
     val sc = docs
       .select(col("source"), col("doc_id"),
         coalesce(logitOf(col("text")), lit(0L)).as("score"))
       .filter(expr(
         "ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 2") === 0)
-    val w = Window.partitionBy("source").orderBy("score", "doc_id")
-    val od = sc.withColumn("decile", ntile(10).over(w))
-    val ob = od.groupBy("source", "decile")
-      .agg(count(lit(1)).as("n_old_k"), max("score").as("b_score"))
-    val ob2 = ob
-      .join(od.withColumnRenamed("score", "b_score"),
-        Seq("source", "decile", "b_score"))
-      .groupBy("source", "decile", "n_old_k", "b_score")
-      .agg(max("doc_id").as("b_doc"))
+    val ob2 = decileBoundaries(sc)
       .select("source", "decile", "n_old_k", "b_score", "b_doc")
     ob2.collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2),

@@ -26,11 +26,11 @@ object Curation extends QueryModule {
     * 2/3/4-gram character share, duplicated 5..10-gram excess mass,
     * word count and mean word length, all exact permille/milli
     * integers, plus the composed keep verdict. The face runs the
-    * ZERO-SHUFFLE kernel ([[graft.operators.GopherRules.metricsNarrow]]
-    * — in-row run-length analysis of each doc's sorted n-gram
-    * arrays, no gram exchange at all); the grouped map-side-combinable
-    * twin ([[graft.operators.GopherRules.metrics]]) is the
-    * differential reference, equality pinned in CurationSpec. Rule
+    * NATIVE zero-shuffle kernel
+    * ([[graft.operators.GopherRules.metricsNative]] — the fused
+    * `gopher_stats` run-length expression, no gram exchange at all);
+    * the HOF-fold (`metricsNarrow`) and grouped (`metrics`) twins are
+    * the differential references, equality pinned in CurationSpec. Rule
     * statement lives on [[graft.operators.GopherRules.metrics]]. */
   /** The Gopher rule replay as a parameterized CTE chain over any
     * `(doc_id, <textExpr>)` relation, ending in
@@ -39,12 +39,17 @@ object Curation extends QueryModule {
     * (over raw documents) and [[ingestPipeline]] (over the cleaned
     * extraction), so the rule arithmetic cannot drift between the
     * standalone and composed certifications. */
-  private def gopherCtesOver(srcRel: String, textExpr: String): String =
+  private def gopherCtesOver(srcRel: String, textExpr: String): String = {
+    // NULL text = empty text — the pin Curate.scala's kernels share
+    // (withMetricsNative coalesces before the fused scan); without
+    // the same coalesce here a NULL-text doc would emit NULL metrics
+    // in the oracle against the kernel's all-zero row
+    val te = s"coalesce($textExpr, '')"
     s"""
       gbase AS (
-        SELECT doc_id, string_split($textExpr, ' ') AS t,
-               CAST(len(replace($textExpr, ' ', '')) AS BIGINT) AS nc,
-               CAST(len(list_filter(string_split($textExpr, ' '),
+        SELECT doc_id, string_split($te, ' ') AS t,
+               CAST(len(replace($te, ' ', '')) AS BIGINT) AS nc,
+               CAST(len(list_filter(string_split($te, ' '),
                  x -> x <> '')) AS BIGINT) AS nw
         FROM $srcRel),
       ggrams AS (
@@ -116,6 +121,7 @@ object Curation extends QueryModule {
                  coalesce(p.d9, 0) AS dup9_pm,
                  coalesce(p.d10, 0) AS dup10_pm
           FROM gbase b LEFT JOIN gpiv p USING (doc_id)))"""
+  }
 
   val gopherRules: Q = Q(
     "ta_gopher_rules",
@@ -286,7 +292,7 @@ object Curation extends QueryModule {
   /** THE COMPOSED CRAWL-INGEST PIPELINE — raw HTML-shaped records to
     * training sequences as ONE Catalyst plan: extract
     * ([[graft.operators.HtmlText.cleanText]]) → Gopher admission gate
-    * ([[graft.operators.GopherRules.withMetricsNarrow]] on the CLEAN
+    * ([[graft.operators.GopherRules.withMetricsNative]] on the CLEAN
     * text, keep = 1 survivors only) → sequence packing of the
     * survivors' real BPE budgets (+1 EOS, 256-token windows). The
     * extraction output is MATERIALIZED once
@@ -406,20 +412,20 @@ object Curation extends QueryModule {
       // COALESCE(score, 0): without it a regenerated fixture with a
       // NULL text would score NULL here (sorting FIRST in the rank
       // window) but 0 in DuckDB — the r11 silent-divergence class
+      // persisted: the logit fold over the corpus feeds the boundary
+      // election (which self-joins its decile ranking), the comparison
+      // slice, and the per-source totals — ~4 scans of the most
+      // expensive projection in the face without it
       val sc = docs(s, dir).select(col("source"), col("doc_id"),
         coalesce(QualityModel.logitOf(col("text")), lit(0L))
           .as("score"),
         expr("ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 2")
-          .as("half"))
+          .as("half")).persist()
       val old = sc.filter(col("half") === 0)
-      val w = Window.partitionBy("source").orderBy("score", "doc_id")
-      val od = old.withColumn("decile", ntile(10).over(w))
-      val ob = od.groupBy("source", "decile")
-        .agg(count(lit(1)).as("n_old_k"), max("score").as("b_score"))
-      val ob2 = ob.join(od.withColumnRenamed("score", "b_score"),
-          Seq("source", "decile", "b_score"))
-        .groupBy("source", "decile", "n_old_k", "b_score")
-        .agg(max("doc_id").as("b_doc"))
+      // the SHARED election (QualityModel.decileBoundaries) — the
+      // streaming artifact replays these exact rows
+      val ob2 = QualityModel.decileBoundaries(
+        old.select("source", "doc_id", "score"))
       val nb = sc.filter(col("half") === 1)
         .join(ob2, Seq("source"), "left")
         .groupBy("source", "doc_id")
@@ -435,7 +441,8 @@ object Curation extends QueryModule {
       val tt = sc.groupBy("source").agg(
         sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_old"),
         sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_new"))
-      tt.select(col("source"), col("n_old"), col("n_new"),
+      graft.operators.CacheScope.eval(
+        tt.select(col("source"), col("n_old"), col("n_new"),
           explode(expr("sequence(1L, 10L)")).as("decile"))
         .join(ob2.select("source", "decile", "n_old_k"),
           Seq("source", "decile"), "left")
@@ -453,7 +460,7 @@ object Curation extends QueryModule {
           col("l1_permille"),
           expr("__code div 16").as("max_shift_permille"),
           expr("10 - __code % 16").as("drift_decile"))
-        .orderBy("source")
+        .orderBy("source"))(sc)
     },
     Some("""
       WITH tok AS (
@@ -555,11 +562,20 @@ object Curation extends QueryModule {
     "ta_dataset_card",
     (s, dir) => {
       import graft.operators.{CacheScope, QualityModel}
+      // NULL-text pins (the r11 silent-divergence class, the fix
+      // qualityDrift already carries): n_toks/n_chars coalesce to 0
+      // (the oracle's NULL rows are sum-skipped — same totals), and
+      // score coalesces per doc like the oracle's coalesce(l.score,0)
+      // — without it an all-NULL-text source sums to NULL vs the
+      // oracle's 0. fp stays raw md5 (NULL on both engines, grouped
+      // identically).
       val base = docs(s, dir).select(col("source"), col("lang"),
-        expr("size(filter(split(text, ' '), x -> x <> ''))")
-          .as("n_toks"),
-        length(col("text")).cast("long").as("n_chars"),
-        QualityModel.logitOf(col("text")).as("score"),
+        coalesce(expr("size(filter(split(text, ' '), x -> x <> ''))"),
+          lit(0)).as("n_toks"),
+        coalesce(length(col("text")).cast("long"), lit(0L))
+          .as("n_chars"),
+        coalesce(QualityModel.logitOf(col("text")), lit(0L))
+          .as("score"),
         md5(col("text")).as("fp")).persist()
       val core = base.groupBy("source").agg(
         count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),

@@ -158,8 +158,13 @@ object TextAnalysis extends QueryModule {
           col("doc_id"),
           col("n_tokens"),
           (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
-          (col("n_punct").cast("double") / length(col("text")))
-            .as("punct_ratio"),
+          // greatest(len,1): the one zero-capable denominator here
+          // (split always yields >= 1 token, text length can be 0) —
+          // unguarded, Spark's non-ANSI divide returns NULL where
+          // DuckDB's IEEE 0.0/0 returns NaN, a silent cross-engine
+          // divergence on empty text; 0 punct / 1 = 0.0 on both
+          (col("n_punct").cast("double") /
+            greatest(length(col("text")), lit(1))).as("punct_ratio"),
           (size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
             .as("lex_diversity"),
           when(col("n_tokens") >= 20 &&
@@ -174,7 +179,7 @@ object TextAnalysis extends QueryModule {
              CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
                   / len(toks) AS stop_ratio,
              CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
-                  / length(text) AS punct_ratio,
+                  / greatest(length(text), 1) AS punct_ratio,
              CAST(len(list_distinct(toks)) AS DOUBLE)
                   / len(toks) AS lex_diversity,
              CASE WHEN len(toks) >= 20 AND len(list_distinct(toks)) >= 10
@@ -273,13 +278,15 @@ object TextAnalysis extends QueryModule {
   val hashEmbed: Q = Q(
     "ta_hash_embed",
     (s, dir) => {
-      val dim = (ascii(substring(md5(col("token")), 1, 1)) * 31 +
-        ascii(substring(md5(col("token")), 2, 1))) % 64
+      // the SHARED hashing-trick kernel (QualityModel.dimOf — "ONE
+      // formula for the feature hash"), not an inline copy that a
+      // model change could silently un-align from the classifier
       docs(s, dir)
         .select(col("doc_id"),
           explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
-        .select(col("doc_id"), dim.cast("long").as("dim"))
+        .select(col("doc_id"),
+          graft.operators.QualityModel.dimOf(col("token")).as("dim"))
         .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("nnz"),
@@ -905,12 +912,17 @@ object TextAnalysis extends QueryModule {
     "ta_bpe_shard_assign",
     (s, dir) => {
       graft.GraftExtensions.ensure(s)
-      graft.operators.Partitioning.packShards(
-          docs(s, dir)
-            .withColumn("n_tokens", expr("bpe_count(text)")),
-          "source", "doc_id", "n_tokens", budget = 6000L)
-        .select("source", "doc_id", "n_tokens", "shard")
-        .orderBy("source", "shard", "doc_id")
+      // persisted: packShards evaluates its input TWICE (per-bucket
+      // totals collect + the windowed plan — its own scaladoc's
+      // warning), and this input carries the native BPE merge walk
+      // over the whole corpus, the face's dominant cost
+      val weighted = docs(s, dir)
+        .withColumn("n_tokens", expr("bpe_count(text)")).persist()
+      graft.operators.CacheScope.eval(
+        graft.operators.Partitioning.packShards(
+            weighted, "source", "doc_id", "n_tokens", budget = 6000L)
+          .select("source", "doc_id", "n_tokens", "shard")
+          .orderBy("source", "shard", "doc_id"))(weighted)
     },
     Some(s"""
       WITH $bpeCountCtes
@@ -1730,6 +1742,10 @@ object TextAnalysis extends QueryModule {
     Q(
       "ta_heavy_hitters",
       (s, dir) => {
+        // the native mg_summary aggregate must be registered — every
+        // sibling native-expression face calls ensure; without it a
+        // direct q.fn on a fresh session fails order-dependently
+        graft.GraftExtensions.ensure(s)
         val toks = docs(s, dir)
           .select(explode(split(col("text"), " ")).as("token"))
         val summary = toks.agg(
