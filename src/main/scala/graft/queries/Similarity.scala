@@ -313,14 +313,18 @@ object Similarity extends QueryModule {
   val recallReport: Q = Q(
     "ss_recall_report",
     (s, dir) => {
-      import graft.operators.{Ann, CacheScope}
+      import graft.operators.Ann
       val (emb, queries) = parts(s, dir)
       val qids = emb.filter(col("vec_id") < 3).select("vec_id")
-      // brute truth feeds THREE consumers (both recallOf joins and
-      // the q_id spine) — persisted so the |Q|·N broadcast-join +
-      // rank-window pipeline executes once, not three times
+      // NOT persisted, deliberately and by measurement: the brute
+      // subtree appears under three consumers, but Catalyst's
+      // ReusedExchange already deduplicates the identical physical
+      // subtrees within the one materializing job — an explicit
+      // persist breaks that reuse with an InMemoryRelation and read
+      // 1.8x SLOWER on the controlled meter (idle-host A/B against
+      // the pre-persist commit)
       val brute = Ann.topkBrute(s, emb, queries, K)
-        .select("q_id", "vec_id").persist()
+        .select("q_id", "vec_id")
       val srp = Ann.topkSrp(s, emb, qids, K, nPlanes = 4)
         .select("q_id", "vec_id")
       val cents = Ann.ivfCentroids(s, emb, 8, steps = IvfSteps)
@@ -331,7 +335,7 @@ object Similarity extends QueryModule {
       def recallOf(approx: DataFrame, label: String): DataFrame =
         brute.join(approx, Seq("q_id", "vec_id"))
           .groupBy("q_id").agg(count(lit(1)).as(s"${label}_h"))
-      CacheScope.eval(brute.select("q_id").distinct()
+      brute.select("q_id").distinct()
         .join(recallOf(srp, "srp"), Seq("q_id"), "left")
         .join(recallOf(ivf, "ivf"), Seq("q_id"), "left")
         .select(col("q_id"),
@@ -341,7 +345,7 @@ object Similarity extends QueryModule {
           coalesce(col("ivf_h"), lit(0L)).as("ivf_hits"),
           (coalesce(col("ivf_h"), lit(0L)).cast("double") / lit(K.toDouble))
             .as("ivf_recall"))
-        .orderBy("q_id"))(brute)
+        .orderBy("q_id")
     },
     Some(s"""
       WITH ${graft.operators.Srp.duckCoefCte(4)},
@@ -1343,7 +1347,11 @@ object Similarity extends QueryModule {
     "ss_bm25_index_stats",
     (s, dir) => {
       val docsT = Tables(s, dir, "documents")
-      val tf = graft.operators.Lexical.postings(docsT).persist()
+      // not persisted: the two tf consumers are a broadcast 1-row
+      // aggregate and the main vocab fold — cache-writing the full
+      // postings costs more than the narrow recompute (measured; the
+      // ss_recall_report A/B note)
+      val tf = graft.operators.Lexical.postings(docsT)
       val vocab = tf.groupBy("token")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       // N = docs WITH at least one posting — the SCORER's definition
@@ -1352,7 +1360,7 @@ object Similarity extends QueryModule {
       // the df-cap prune set on any corpus with shingle-less docs,
       // reporting a different index than ss_bm25_topk serves
       val nd = tf.agg(countDistinct("doc_id").as("n_docs"))
-      graft.operators.CacheScope.eval(vocab.crossJoin(broadcast(nd))
+      vocab.crossJoin(broadcast(nd))
         .withColumn("idf_b", expr(
           "length(bin((2*n_docs - 2*df + 1) div (2*df + 1))) - 1"))
         .groupBy(expr("length(bin(df)) - 1").cast("long")
@@ -1366,7 +1374,7 @@ object Similarity extends QueryModule {
             .as("n_pruned"),
           sum(when(col("df") * 20 > col("n_docs"), col("df"))
             .otherwise(0L)).as("pruned_postings"))
-        .orderBy("log2_df"))(tf)
+        .orderBy("log2_df")
     },
     Some("""
       WITH tok AS (
@@ -1496,18 +1504,17 @@ object Similarity extends QueryModule {
   val bm25Remove: Q = Q(
     "ss_bm25_remove",
     (s, dir) => {
-      import graft.operators.{CacheScope, Lexical}
+      import graft.operators.Lexical
       val docsT = Tables(s, dir, "documents")
-      // postings persisted BEFORE the index build: the build's scalar
-      // collect populates the cache, and every later consumer (the
-      // removed-slice aggregate inside removeDocs, the base/kept df
-      // join below) reads it — one tokenize pass for the whole face
-      // instead of one per rooted lineage
-      val tf = Lexical.postings(docsT).persist()
-      val idx = Lexical.buildIndexFromPostings(tf)
+      // the postings lineage roots several consumers, but caching the
+      // full token-string postings reads SLOWER than the narrow
+      // recompute on the controlled meter (idle-host A/B — Catalyst
+      // reuses what it can, and the production path serves from the
+      // persisted index tables anyway, per the scale note above)
+      val idx = Lexical.buildIndex(docsT)
       val after = Lexical.removeDocs(idx,
         docsT.filter(col("doc_id") % 9 === 0).select("doc_id"))
-      CacheScope.eval(idx.df.withColumnRenamed("df", "df_base")
+      (idx.df.withColumnRenamed("df", "df_base")
         .join(after.df.withColumnRenamed("df", "df_kept"),
           Seq("token"), "left")
         .select(col("token"), col("df_base"),
@@ -1518,7 +1525,7 @@ object Similarity extends QueryModule {
         .withColumn("docs_removed", lit(idx.nDocs - after.nDocs))
         .withColumn("mass_removed", lit(idx.sumDl - after.sumDl))
         .orderBy(col("df_dec").desc, col("token"))
-        .limit(20))(tf)
+        .limit(20))
     },
     Some("""
       WITH tok AS (

@@ -912,12 +912,15 @@ object TextAnalysis extends QueryModule {
     "ta_bpe_shard_assign",
     (s, dir) => {
       graft.GraftExtensions.ensure(s)
-      // persisted: packShards evaluates its input TWICE (per-bucket
-      // totals collect + the windowed plan — its own scaladoc's
-      // warning), and this input carries the native BPE merge walk
-      // over the whole corpus, the face's dominant cost
+      // persisted NARROW: packShards evaluates its input TWICE
+      // (per-bucket totals collect + the windowed plan — its own
+      // scaladoc's warning), and this input carries the native BPE
+      // merge walk over the whole corpus, the face's dominant cost.
+      // The projection drops the text column FIRST — caching the raw
+      // text alongside would cost more than the second BPE pass saves
       val weighted = docs(s, dir)
-        .withColumn("n_tokens", expr("bpe_count(text)")).persist()
+        .select(col("source"), col("doc_id"),
+          expr("bpe_count(text)").as("n_tokens")).persist()
       graft.operators.CacheScope.eval(
         graft.operators.Partitioning.packShards(
             weighted, "source", "doc_id", "n_tokens", budget = 6000L)
