@@ -294,11 +294,12 @@ object Jobs {
     val docs = Tables(s, sfDir, "documents")
     val dResident = docs.filter(col("doc_id") % 7 =!= 0)
     val dBatch = docs.filter(col("doc_id") % 7 === 0)
-    def bm25Docs: Long = {
-      Partitioning.recoverSwap(s, s"${Bm25ServingName}_scalars")
-      s.table(s"${Bm25ServingName}_scalars")
-        .select("n_docs").collect()(0).getLong(0)
-    }
+    // SERVED doc count — base scalars plus pending delta adjustments
+    // (the append path records batch adds in the delta table instead
+    // of rewriting the scalars; readIndexTables folds both signs and
+    // self-heals a crashed append's pending marker in passing)
+    def bm25Docs: Long =
+      Lexical.readIndexTables(s, Bm25ServingName).nDocs
     // same artifact-complete gate as the IVF side: a crash inside
     // writeIndexTables (postings installed, vocab/doclen/scalars not
     // yet) must re-run the bootstrap, not wedge on a missing sibling;

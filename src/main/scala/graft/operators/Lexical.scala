@@ -270,18 +270,23 @@ object Lexical {
     deriveIndexArtifacts(spark, name, buckets)
     // the bundle just written IS current truth (idx came from
     // readIndexTables with deltas applied, or is a fresh build) —
-    // pending delete-deltas are folded in or superseded either way
+    // pending delete-deltas are folded in or superseded either way,
+    // and a pending append marker's docs are in the derived artifacts
+    // now (the derive read the full postings), so a later
+    // finishPendingAppend merging them again would double-count
     spark.sql(s"DROP TABLE IF EXISTS ${name}_deltas")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}__append_pending")
   }
 
-  /** The derived tail shared by [[writeIndexTables]] and
-    * [[appendIndexTables]]: vocab, doclen and scalars rebuilt from
-    * the postings TABLE state. Scalars re-derived from the
-    * just-written postings, NOT taken from driver longs: with a
-    * delete-delta table in play ([[removeDocsDeferred]]), in-memory
-    * nDocs/sumDl may already have the deltas subtracted, and a crash
+  /** The derived tail of [[writeIndexTables]] (the build/compaction
+    * path — the one place the full-postings aggregate is the point;
+    * the daily append path never runs this, r16 verdict #1): vocab,
+    * doclen and scalars rebuilt from the postings TABLE state.
+    * Scalars re-derived from the just-written postings, NOT taken
+    * from driver longs: with a delta table in play, in-memory
+    * nDocs/sumDl may already have the deltas folded, and a crash
     * between the scalar install and a later delta drop would
-    * double-subtract in a way no re-run could converge. Derived from
+    * double-count in a way no re-run could converge. Derived from
     * the postings, every artifact is a pure function of the postings
     * install, so re-running the caller after ANY crash converges the
     * bundle. */
@@ -300,34 +305,56 @@ object Lexical {
         .toDF("n_docs", "sum_dl"))
   }
 
-  /** APPEND a crawl batch into the serving-TABLE bundle without
-    * rewriting the resident postings — the daily-maintenance path the
+  /** APPEND a crawl batch into the serving-TABLE bundle touching
+    * ONLY batch-sized data — the daily-maintenance path the
     * rewrite-per-batch flow (readIndexTables → [[appendIndex]] →
     * [[writeIndexTables]]) cannot afford at 100 TB, and the lexical
-    * twin of `Ann.appendIvfIndex`: the batch tokenizes ONCE, its
+    * twin of `Ann.appendIvfIndex`. The batch tokenizes ONCE and its
     * postings land as bucketed-append files under the SAME bucket
     * spec (probe-side plans unchanged — Spark bucketed appends hash
-    * new files identically), and the derived artifacts (vocab,
-    * doclen, scalars) rebuild from the postings table — one postings
-    * scan, never a postings rewrite and never a resident re-tokenize.
-    * The residual scan is the convergence price: an incremental
-    * df/doclen merge would touch only batch-sized data but leaves no
-    * way to re-run after a crash without double-counting; derived
-    * from the postings install, a re-run after a crash at ANY step
-    * converges (the doc-id guard below keeps the postings append
-    * itself idempotent).
+    * new files identically). The derived artifacts do NOT rebuild:
+    * the batch's per-token df increments, its doclen rows and its
+    * two scalar adds land in the `<name>_deltas` table — the
+    * [[removeDocsDeferred]] machinery with the sign flipped — via
+    * one atomic staged swap, and [[readIndexTables]] folds them into
+    * the served view next to the tombstone deltas. Steady-state cost
+    * per batch: one batch tokenize + one aggregate over the batch's
+    * OWN postings + the small-table swap — never a full-postings
+    * scan (r16 verdict #1: the derive-per-append was the last
+    * full-scan-class step in the daily cron).
+    *
+    * Crash convergence rides the `<name>__append_pending` marker —
+    * the batch's fresh doc_ids, installed atomically BEFORE the
+    * postings append. [[finishPendingAppend]] (run at the top of
+    * every append and read) recomputes the pending batch's delta
+    * from postings-truth restricted to the marked ids (bounded by
+    * the batch's posting mass) and merges it exactly once (the delta
+    * records the marker's id-set fingerprint in the same atomic
+    * swap), so a crash at ANY instant converges on the next run:
+    * before the postings append the marker's ids are absent from the
+    * postings and simply re-run; after it they merge from truth;
+    * after the merge the fingerprint short-circuits a re-merge.
     *
     * Batch docs already present in the index are dropped (re-run
-    * idempotence — T6); a batch that re-adds a DEFERRED-DELETED doc
-    * compacts first, exactly like the IVF overlap rule (clearing the
-    * tombstone would unmask the ghost postings, keeping it would mask
-    * the fresh ones). Pending delete-deltas for OTHER docs survive
-    * the append untouched: every delta decrement is relative to
-    * postings-truth, which is what the derived artifacts record. */
+    * idempotence — T6; the guard probes doclen ∪ pending dladd rows —
+    * |docs|-row tables, not the |postings|-row scan, sound because
+    * the marker convergence above has already accounted every
+    * committed doc in one of the two). A batch that re-adds a
+    * DEFERRED-DELETED doc compacts first, exactly like the IVF
+    * overlap rule (clearing the tombstone would unmask the ghost
+    * postings, keeping it would mask the fresh ones). The COMPACTION
+    * GATE bounds the delta's growth exactly as on the delete side:
+    * pending appended docs ≥ min(compactFraction · base docs,
+    * maxDeltaDocs) → [[compactIndexTables]] folds everything into
+    * the physical bundle (paying the rebuild once per ~fraction of
+    * corpus growth, amortized — the LSM shape). */
   def appendIndexTables(spark: org.apache.spark.sql.SparkSession,
-                        name: String, batch: DataFrame): Unit = {
+                        name: String, batch: DataFrame,
+                        compactFraction: Double = 0.05,
+                        maxDeltaDocs: Long = 1000000L): Unit = {
     val dt = s"${name}_deltas"
     Partitioning.recoverSwap(spark, dt)
+    finishPendingAppend(spark, name) // converge a prior crashed append
     // the feed contract is doc-grain: an at-least-once source can
     // repeat a doc WITHIN one batch, where the batch-vs-index guard
     // below can't see it — both copies would append and double the
@@ -342,47 +369,122 @@ object Lexical {
           .head(1).nonEmpty)
       compactIndexTables(spark, name)
     val spec = Partitioning.bucketSpecOf(spark, s"${name}_postings")
-    // idempotence guard against the POSTINGS table (the first
-    // artifact installed — a doclen/vocab-based guard would go stale
-    // exactly in the crash window it exists for), in the
-    // postings-never-shuffle shape: batch ids broadcast and probe the
-    // postings scan, the (≤ batch) overlap broadcasts back
-    val fresh = Partitioning.newKeysOnly(dedup,
-      spark.table(s"${name}_postings"), "doc_id")
-    // a fully-redelivered batch appends nothing — skip the postings
-    // write AND the derived-artifact rebuild (a full postings scan +
-    // three staged swaps spent to change nothing). The skip is only
-    // safe when no PRIOR append crashed between its postings install
-    // and its derive (the artifacts would be stale and this return
-    // would freeze them) — the intent marker below makes that window
-    // detectable, keeping the crash-at-any-step convergence contract.
-    val pend = s"${name}__derive_pending"
-    Partitioning.recoverSwap(spark, pend)
-    val mustDerive = spark.catalog.tableExists(pend)
-    val hasFresh = fresh.head(1).nonEmpty
-    if (!hasFresh && !mustDerive) return
-    if (hasFresh) {
-      if (!mustDerive) {
+    // idempotence guard at doc grain: every committed doc is in base
+    // doclen or in a pending dladd row (marker convergence ran above),
+    // so probing their union is equivalent to probing the postings'
+    // doc set — at ~1/avgdl the rows. Docs whose text yields no
+    // 2-shingle are never indexed and stay "fresh" forever; their
+    // re-append writes nothing (an empty postings append, no delta).
+    val dlIds = Partitioning.bucketed(spark, s"${name}_doclen")
+      .select("doc_id")
+    val indexedIds =
+      if (spark.catalog.tableExists(dt))
+        dlIds.unionByName(spark.table(dt)
+          .filter(col("kind") === "dladd")
+          .select(col("id").as("doc_id")))
+      else dlIds
+    val fresh = Partitioning.newKeysOnly(dedup, indexedIds, "doc_id")
+    // a fully-redelivered batch appends nothing — no marker, no
+    // postings write, no delta merge
+    if (fresh.head(1).isEmpty) return
+    val mk = s"${name}__append_pending"
+    Partitioning.replaceTable(spark, mk, fresh.select("doc_id"))
+    postings(dedup.join(broadcast(spark.table(mk)),
+        Seq("doc_id"), "left_semi"))
+      .write.mode("append")
+      .bucketBy(spec.numBuckets, "token")
+      .sortBy("token")
+      .format("parquet")
+      .saveAsTable(s"${name}_postings")
+    finishPendingAppend(spark, name) // merge THIS batch's delta
+    // compaction gate on the accumulated append mass
+    val nAdd =
+      if (spark.catalog.tableExists(dt))
+        spark.table(dt).filter(col("kind") === "dladd").count()
+      else 0L
+    val baseN = spark.table(s"${name}_scalars")
+      .select("n_docs").collect()(0).getLong(0)
+    val threshold = math.max(1L,
+      math.min((compactFraction * baseN).toLong, maxDeltaDocs))
+    if (nAdd >= threshold) compactIndexTables(spark, name)
+  }
+
+  /** Converge a crashed [[appendIndexTables]]: if the append-pending
+    * marker exists, account its docs from POSTINGS-TRUTH — the
+    * per-token df increments, doclen rows and scalar adds of the
+    * postings rows the marked ids actually committed (a broadcast
+    * semi-join; cost bounded by the batch's posting mass, never the
+    * corpus) — merged into the delta table in ONE atomic swap that
+    * also records the marker's id-set fingerprint, making the merge
+    * exactly-once: a re-run that finds the fingerprint already in
+    * the delta only drops the marker. Ids with no committed postings
+    * contribute nothing (buildIndex's docs-with-postings convention);
+    * a marker whose ids committed NO postings at all (crash before
+    * the append, or an all-shingle-less batch) drops without a
+    * merge. No-op when no marker exists — one catalog check, which
+    * is why every read path can afford to self-heal through it. */
+  private def finishPendingAppend(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    val mk = s"${name}__append_pending"
+    Partitioning.recoverSwap(spark, mk)
+    if (!spark.catalog.tableExists(mk)) return
+    val ids = spark.table(mk).select("doc_id")
+    // deterministic identity of the marked id-set — same ids, same
+    // fingerprint, so the applied-row check below is exact across
+    // re-runs (markers are batch-sized by contract: the collect_list
+    // is one batch of longs on the driver)
+    val fp = ids
+      .agg(md5(concat_ws(",", sort_array(
+        collect_list(col("doc_id").cast("string"))))).as("fp"))
+      .collect()(0).getString(0)
+    val dt = s"${name}_deltas"
+    Partitioning.recoverSwap(spark, dt)
+    val prior: Option[DataFrame] =
+      if (spark.catalog.tableExists(dt)) Some(spark.table(dt)) else None
+    val already = prior.exists(_.filter(col("kind") === "applied" &&
+      col("token") === fp).head(1).nonEmpty)
+    if (!already) {
+      Partitioning.recoverSwap(spark, s"${name}_postings")
+      val slice = spark.table(s"${name}_postings")
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      val r = slice.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
+      val aDocs = r.getLong(0)
+      if (aDocs > 0L) {
+        val aMass = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val nullTok = lit(null).cast("string")
+        val nullId = lit(null).cast("long")
         import spark.implicits._
-        Partitioning.replaceTable(spark, pend, Seq(1).toDF("pending"))
+        val rows = slice.groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("dfinc").as("kind"), nullId.as("id"),
+            col("token"), col("n"))
+          .unionByName(slice.groupBy("doc_id").agg(sum("tf").as("n"))
+            .select(lit("dladd").as("kind"), col("doc_id").as("id"),
+              nullTok.as("token"), col("n")))
+          .unionByName(Seq(("scal_docs_add", aDocs),
+              ("scal_mass_add", aMass)).toDF("kind", "n")
+            .select(col("kind"), nullId.as("id"), nullTok.as("token"),
+              col("n")))
+          .unionByName(Seq(fp).toDF("token")
+            .select(lit("applied").as("kind"), nullId.as("id"),
+              col("token"), nullId.as("n")))
+        Partitioning.replaceTable(spark, dt,
+          prior.fold(rows)(_.unionByName(rows)))
       }
-      postings(fresh)
-        .write.mode("append")
-        .bucketBy(spec.numBuckets, "token")
-        .sortBy("token")
-        .format("parquet")
-        .saveAsTable(s"${name}_postings")
     }
-    deriveIndexArtifacts(spark, name, spec.numBuckets)
-    spark.sql(s"DROP TABLE IF EXISTS $pend")
+    spark.sql(s"DROP TABLE IF EXISTS $mk")
   }
 
   /** Reload a [[writeIndexTables]] bundle by name — lazy bucketed
     * scans plus the 1-row scalar collect, probe-parity-identical to
     * the in-session index (spec-pinned, along with the probe plan
-    * having strictly fewer exchanges than the plain-parquet form). */
+    * having strictly fewer exchanges than the plain-parquet form).
+    * Self-heals through [[finishPendingAppend]] first, so a reader
+    * arriving inside a crashed append's window (postings committed,
+    * delta unmerged) serves the converged view, not a stale one. */
   def readIndexTables(spark: org.apache.spark.sql.SparkSession,
                       name: String): Bm25Index = {
+    finishPendingAppend(spark, name)
     Partitioning.recoverSwap(spark, s"${name}_scalars")
     val sc = spark.table(s"${name}_scalars")
       .select("n_docs", "sum_dl").collect()(0)
@@ -395,28 +497,41 @@ object Lexical {
     Partitioning.recoverSwap(spark, dt)
     if (!spark.catalog.tableExists(dt)) base
     else {
-      // apply the pending delete-delta ([[removeDocsDeferred]]):
-      // tombstoned docs leave tf/dl via BROADCAST anti-joins (the
-      // gate's row cap bounds the broadcast), per-token df and the
-      // two scalars subtract the PRECOMPUTED decrements the delta
-      // carries — all exact, so the view equals the compacted index
+      // apply the pending deltas — BOTH signs: tombstoned docs leave
+      // tf/dl via BROADCAST anti-joins (the delete gate's row cap
+      // bounds the broadcast), appended docs' doclen rows union in
+      // (their postings are already physically in tf — the append
+      // writes postings eagerly, artifacts lazily), per-token df nets
+      // the precomputed increments minus decrements (full-outer: a
+      // batch can introduce brand-new vocabulary), and the scalars
+      // add/subtract the recorded masses — all exact integer
+      // arithmetic, so the served view is bit-identical to the
+      // compacted index (spec-pinned against a union rebuild)
       val d = spark.table(dt)
       val tombs = d.filter(col("kind") === "tomb")
         .select(col("id").as("doc_id"))
-      val dec = d.filter(col("kind") === "dfdec")
-        .select(col("token"), col("n").as("__dec"))
+      val net = d.filter(col("kind").isin("dfinc", "dfdec"))
+        .groupBy("token")
+        .agg(sum(when(col("kind") === "dfinc", col("n"))
+          .otherwise(-col("n"))).as("__net"))
+      val dladd = d.filter(col("kind") === "dladd")
+        .select(col("id").as("doc_id"), col("n").as("dl"))
       val scal = d.filter(col("kind").startsWith("scal_"))
-        .select("kind", "n").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .groupBy("kind").agg(sum("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       Bm25Index(
         base.tf.join(broadcast(tombs), Seq("doc_id"), "left_anti"),
-        base.df.join(dec, Seq("token"), "left_outer")
+        base.df.join(net, Seq("token"), "full_outer")
           .select(col("token"),
-            (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
+            (coalesce(col("df"), lit(0L)) +
+              coalesce(col("__net"), lit(0L))).as("df"))
           .filter(col("df") > 0),
-        base.dl.join(broadcast(tombs), Seq("doc_id"), "left_anti"),
-        base.nDocs - scal.getOrElse("scal_docs", 0L),
-        base.sumDl - scal.getOrElse("scal_mass", 0L))
+        base.dl.unionByName(dladd)
+          .join(broadcast(tombs), Seq("doc_id"), "left_anti"),
+        base.nDocs + scal.getOrElse("scal_docs_add", 0L) -
+          scal.getOrElse("scal_docs", 0L),
+        base.sumDl + scal.getOrElse("scal_mass_add", 0L) -
+          scal.getOrElse("scal_mass", 0L))
     }
   }
 
@@ -469,10 +584,16 @@ object Lexical {
       .select(col("id").as("doc_id")))
     val priorDec = prior.map(_.filter(col("kind") === "dfdec")
       .select(col("token"), col("n")))
-    val priorScal = prior.map(_.filter(col("kind").startsWith("scal_"))
-      .select("kind", "n").collect()
-      .map(x => x.getString(0) -> x.getLong(1)).toMap)
+    val priorScal = prior.map(
+      _.filter(col("kind").isin("scal_docs", "scal_mass"))
+        .select("kind", "n").collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap)
       .getOrElse(Map.empty[String, Long])
+    // APPEND-side delta rows (dfinc/dladd/scal_*_add/applied — the
+    // appendIndexTables machinery) pass through the rewrite untouched:
+    // this face consolidates only the delete-side kinds it owns
+    val priorOther = prior.map(_.filter(!col("kind").isin(
+      "tomb", "dfdec", "scal_docs", "scal_mass")))
     val allTombs = priorTombs.fold(rm)(_.unionByName(rm).distinct())
     val allDec = priorDec.fold(batchDec) { p =>
       p.withColumnRenamed("n", "__a")
@@ -496,7 +617,8 @@ object Lexical {
         .toDF("kind", "n")
         .select(col("kind"), nullId.as("id"), nullTok.as("token"),
           col("n")))
-    Partitioning.replaceTable(spark, dt, deltas)
+    Partitioning.replaceTable(spark, dt,
+      priorOther.fold(deltas)(o => deltas.unionByName(o)))
     val nTomb = spark.table(dt).filter(col("kind") === "tomb").count()
     val threshold = math.max(1L, math.min(
       (compactFraction * (live.nDocs - dDocs)).toLong, maxTombstones))

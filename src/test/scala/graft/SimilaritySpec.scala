@@ -876,7 +876,23 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     try {
       Lexical.writeIndexTables(Lexical.buildIndex(resident), name,
         buckets = 8)
-      Lexical.appendIndexTables(spark, name, batch)
+      // gate held open (compactFraction=1.0): the parity below is the
+      // DELTA-SERVED view — batch postings physically appended, vocab/
+      // doclen/scalars folded from the delta table at read, never a
+      // full-postings re-derive (r16 verdict #1)
+      Lexical.appendIndexTables(spark, name, batch,
+        compactFraction = 1.0)
+      assert(spark.catalog.tableExists(s"${name}_deltas") &&
+        spark.table(s"${name}_deltas")
+          .filter(col("kind") === "dladd").head(1).nonEmpty,
+        "append did not stage batch artifacts as deltas")
+      // the BASE scalars must NOT move — proof the append skipped the
+      // full-postings derive (the delta carries the adds instead)
+      val baseScal = spark.table(s"${name}_scalars")
+        .select("n_docs").collect()(0).getLong(0)
+      val residentIdx = Lexical.buildIndex(resident)
+      assert(baseScal == residentIdx.nDocs,
+        "append rewrote the base scalars — full derive ran")
       val served = Lexical.readIndexTables(spark, name)
       val rebuild = Lexical.buildIndex(docs)
       assert(served.nDocs == rebuild.nDocs &&
@@ -893,22 +909,33 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(viaTables == rows(Lexical.rankedFromIndex(rebuild, queries)),
         "appended-bundle probe diverged from the union rebuild")
       assert(viaTables.nonEmpty, "parity vacuous: no ranked rows")
-      // idempotence: re-delivering the same batch appends nothing
+      // idempotence: re-delivering the same batch appends nothing and
+      // merges nothing (delta mass unchanged)
       val nPostings = spark.table(s"${name}_postings").count()
-      Lexical.appendIndexTables(spark, name, batch)
+      val nDelta = spark.table(s"${name}_deltas").count()
+      Lexical.appendIndexTables(spark, name, batch,
+        compactFraction = 1.0)
       assert(spark.table(s"${name}_postings").count() == nPostings,
         "re-run double-appended batch postings")
+      assert(spark.table(s"${name}_deltas").count() == nDelta,
+        "re-run re-merged the batch delta")
       // tombstone overlap: deferred-delete a batch doc, then re-add it
       // in a new batch — the append must compact FIRST so exactly one
       // live posting set serves for the doc
       val victim = batch.select("doc_id").orderBy("doc_id").limit(1)
       assert(!Lexical.removeDocsDeferred(spark, name, victim,
         compactFraction = 1.0))
-      assert(spark.catalog.tableExists(s"${name}_deltas"))
+      assert(spark.table(s"${name}_deltas")
+        .filter(col("kind") === "tomb").head(1).nonEmpty)
       Lexical.appendIndexTables(spark, name,
-        docs.join(victim, Seq("doc_id"), "left_semi"))
-      assert(!spark.catalog.tableExists(s"${name}_deltas"),
-        "overlapping append must compact the pending deltas first")
+        docs.join(victim, Seq("doc_id"), "left_semi"),
+        compactFraction = 1.0)
+      // the overlap compaction folded the OLD deltas (tombstone gone);
+      // the re-append then staged its own fresh dladd delta
+      assert(!spark.catalog.tableExists(s"${name}_deltas") ||
+        spark.table(s"${name}_deltas")
+          .filter(col("kind") === "tomb").head(1).isEmpty,
+        "overlapping append must compact the pending tombstone first")
       val perDoc = spark.table(s"${name}_postings")
         .join(victim, Seq("doc_id"), "left_semi")
         .groupBy("doc_id", "token").count().filter(col("count") > 1)
@@ -1092,57 +1119,86 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
   }
 
   test("BM25 table append: intra-batch duplicate docs collapse, and " +
-      "the empty-redelivery fast path still converges a crashed " +
-      "derive via the pending marker") {
+      "every crash window of the delta protocol converges — marker " +
+      "only, postings-committed/delta-unmerged, merged/marker-undropped") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Lexical, Partitioning}
     val docs = graft.sources.Tables(spark, sf, "documents")
       .select("doc_id", "text")
     val resident = docs.filter(col("doc_id") % 7 =!= 0)
     val day = docs.filter(col("doc_id") % 7 === 0)
+    val union = Lexical.buildIndex(docs)
     val a = "bm25_dupa_spec"
     val b = "bm25_dupb_spec"
+    def servedScal(n: String) = {
+      val i = Lexical.readIndexTables(spark, n); (i.nDocs, i.sumDl)
+    }
     try {
       Lexical.writeIndexTables(Lexical.buildIndex(resident), a, 8)
       Lexical.writeIndexTables(Lexical.buildIndex(resident), b, 8)
       // the same day's batch, delivered once vs duplicated WITHIN the
       // batch (at-least-once inside one micro-batch) — identical bundle
-      Lexical.appendIndexTables(spark, a, day)
-      Lexical.appendIndexTables(spark, b, day.unionByName(day))
-      val ia = Lexical.readIndexTables(spark, a)
-      val ib = Lexical.readIndexTables(spark, b)
-      assert(ia.nDocs == ib.nDocs && ia.sumDl == ib.sumDl,
-        s"intra-batch duplicates doubled mass: ${ia.nDocs}/${ia.sumDl}" +
-          s" vs ${ib.nDocs}/${ib.sumDl}")
-      // crashed-derive convergence: simulate a crash between the
-      // postings append and the derive — stale scalars, marker present
+      Lexical.appendIndexTables(spark, a, day, compactFraction = 1.0)
+      Lexical.appendIndexTables(spark, b, day.unionByName(day),
+        compactFraction = 1.0)
+      assert(servedScal(a) == servedScal(b),
+        "intra-batch duplicates doubled mass")
+      assert(servedScal(a) == ((union.nDocs, union.sumDl)),
+        "delta-served append diverged from the union rebuild")
+
+      // --- window 3: delta merged, marker not yet dropped ---------
+      // re-plant the marker with the SAME id set; the applied-row
+      // fingerprint must short-circuit a second merge
       import spark.implicits._
-      val truth = spark.table(s"${a}_scalars")
-        .select("n_docs", "sum_dl").collect()(0)
-      Partitioning.replaceTable(spark, s"${a}_scalars",
-        Seq((0L, 0L)).toDF("n_docs", "sum_dl"))
-      Partitioning.replaceTable(spark, s"${a}__derive_pending",
-        Seq(1).toDF("pending"))
-      // a FULLY-redelivered batch would fast-path out and freeze the
-      // stale scalars — the marker must force the re-derive instead
-      Lexical.appendIndexTables(spark, a, day)
-      assert(!spark.catalog.tableExists(s"${a}__derive_pending"),
-        "derive marker must drop after the recovery derive")
-      val healed = spark.table(s"${a}_scalars")
-        .select("n_docs", "sum_dl").collect()(0)
-      assert(healed.getLong(0) == truth.getLong(0) &&
-        healed.getLong(1) == truth.getLong(1),
-        "recovery derive did not restore the scalars")
-      // and with no marker pending, the empty redelivery is a no-op
-      Lexical.appendIndexTables(spark, a, day)
-      assert(!spark.catalog.tableExists(s"${a}__derive_pending"))
+      Partitioning.replaceTable(spark, s"${a}__append_pending",
+        day.select("doc_id"))
+      Lexical.appendIndexTables(spark, a, day, compactFraction = 1.0)
+      assert(!spark.catalog.tableExists(s"${a}__append_pending"),
+        "stale marker must drop after the fingerprint check")
+      assert(servedScal(a) == ((union.nDocs, union.sumDl)),
+        "fingerprinted re-merge double-counted the batch")
+
+      // --- window 1: marker written, postings append never ran ----
+      // (on a fresh index c) the marked ids are absent from the
+      // postings, so recovery drops the marker and the same batch
+      // then appends normally
+      val c = "bm25_dupc_spec"
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), c, 8)
+      Partitioning.replaceTable(spark, s"${c}__append_pending",
+        day.select("doc_id"))
+      Lexical.appendIndexTables(spark, c, day, compactFraction = 1.0)
+      assert(!spark.catalog.tableExists(s"${c}__append_pending"))
+      assert(servedScal(c) == ((union.nDocs, union.sumDl)),
+        "marker-only crash did not converge to the union")
+
+      // --- window 2: postings committed, delta never merged -------
+      // (on index d) replay the append's first two steps by hand,
+      // then a bare READ must self-heal: merge from postings-truth,
+      // drop the marker, serve the union
+      val d = "bm25_dupd_spec"
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), d, 8)
+      Partitioning.replaceTable(spark, s"${d}__append_pending",
+        day.select("doc_id"))
+      Lexical.postings(day).write.mode("append")
+        .bucketBy(8, "token").sortBy("token")
+        .format("parquet").saveAsTable(s"${d}_postings")
+      assert(servedScal(d) == ((union.nDocs, union.sumDl)),
+        "read did not self-heal the postings-committed crash window")
+      assert(!spark.catalog.tableExists(s"${d}__append_pending"),
+        "marker must drop after the read-side recovery merge")
+      // and a full redelivery after the heal is a no-op
+      val nD = spark.table(s"${d}_deltas").count()
+      Lexical.appendIndexTables(spark, d, day, compactFraction = 1.0)
+      assert(spark.table(s"${d}_deltas").count() == nD &&
+        servedScal(d) == ((union.nDocs, union.sumDl)),
+        "redelivery after recovery drifted the served view")
     } finally {
-      for (n <- Seq(a, b)) {
+      for (n <- Seq(a, b, "bm25_dupc_spec", "bm25_dupd_spec")) {
         for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
             sx <- Seq("", "__stage", "__old"))
           spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
         for (sx <- Seq("", "__stage", "__old"))
-          spark.sql(s"DROP TABLE IF EXISTS ${n}__derive_pending$sx")
+          spark.sql(s"DROP TABLE IF EXISTS ${n}__append_pending$sx")
       }
     }
   }
