@@ -156,6 +156,14 @@ object Jobs {
     * measure, given its certified consequence here). */
   val RetrainAlignE6 = 995000L
 
+  /** Denominator of the retrain gate's deterministic md5-residue
+    * sample (`Ann.ivfDriftGate`): the no-drift path evaluates drift
+    * on ~1/16 of the live index instead of a full-corpus Lloyd pass.
+    * On the small test fixtures the per-cell support guard forces the
+    * escalation path — sampling pays off exactly where it matters,
+    * when cells are large. */
+  val RetrainSampleDenom = 16
+
   private def servingBuckets = 8
 
   /** Persisted serving centroids: k rows (cell, embedding) installed
@@ -261,17 +269,20 @@ object Jobs {
       col("vec_id") % 7 =!= 0).select("vec_id")
     val folded = Ann.tombstoneIvfVectors(s, IvfServingTable, victims)
     log += (("ivf", "takedown", victims.count(), folded))
-    // retrain gate: one Lloyd step over the live corpus (the
-    // ss_ivf_append drift measure) — below threshold, retrain resumes
-    // from the serving centroids and the rebuilt table folds pending
-    // tombstones; the refreshed centroids persist for tomorrow's run
-    val updated = Ann.ivfCentroidsFrom(s,
-      Ann.liveIvfVectors(s, IvfServingTable), cents, 1)
-    val uMap = updated.toMap
-    val minAlign = cents.map { case (id, v) =>
-      graft.queries.Similarity.alignE6(v, uMap(id))
-    }.min
-    val drifted = minAlign < RetrainAlignE6
+    // retrain gate, SAMPLED first (r16 verdict #2): the steady-state
+    // no-drift run reads a deterministic md5-residue sample of the
+    // live index instead of paying a full-corpus Lloyd pass; only a
+    // reading inside the CI band of the threshold (or an
+    // under-sampled cell) escalates to the full pass — whose refined
+    // centroids then double as the retrain's training result, so a
+    // drifted run still pays the corpus exactly once
+    val gate = Ann.ivfDriftGate(s, IvfServingTable, cents,
+      RetrainAlignE6, sampleDenom = RetrainSampleDenom)
+    val minAlign = gate.minAlignE6
+    val updated = gate.updated
+    val drifted = gate.drifted
+    log += (("ivf", "retrain_gate_sampled",
+      if (gate.sampledOnly) 1L else 0L, gate.sampledOnly))
     if (drifted) {
       // the gate's own one-step Lloyd result IS the retrained centroid
       // set (retrainIvfIndex would recompute the identical pass —

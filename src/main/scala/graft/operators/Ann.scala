@@ -127,21 +127,9 @@ object Ann {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding")
       : Array[(Long, Array[Float])] = {
-    graft.GraftExtensions.ensure(s)
     var cents = seed
     for (_ <- 1 to steps) {
-      val sums = ivfAssign(corpus, cents, idCol, vecCol)
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("idx", "x")))
-        .groupBy("cell", "idx")
-        .agg(sum(round(col("x").cast("double") * LloydScale).cast("long"))
-          .as("s"), count(lit(1)).as("n"))
-        .collect()
-      val refined: Map[Long, Array[Float]] = sums.groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1))
-            .map(r => ((r.getLong(2).toDouble / r.getLong(3)) / LloydScale)
-              .toFloat)
-        }
+      val (refined, _, _) = lloydPass(corpus, cents, idCol, vecCol)
       // empty cells keep their previous centroid (cannot occur in step
       // 1 — a data-point seed argmaxes to itself — but CAN from step 2
       // on, once centroids are means; the fallback is mirrored in the
@@ -149,6 +137,123 @@ object Ann {
       cents = cents.map { case (cId, v) => (cId, refined.getOrElse(cId, v)) }
     }
     cents
+  }
+
+  /** ONE deterministic Lloyd pass over `corpus` under `cents`: the
+    * per-cell integer-scaled mean vector, the per-cell member count,
+    * and the per-cell mean squared norm E‖x‖² — exactly the
+    * arithmetic [[ivfCentroidsFrom]] iterates (factored so
+    * [[ivfDriftGate]] can run the identical update over a SAMPLE and
+    * read the per-cell support and dispersion its CI guard needs;
+    * the extra Σ‖x‖² rides the same aggregate for free). */
+  private def lloydPass(corpus: DataFrame,
+                        cents: Array[(Long, Array[Float])],
+                        idCol: String, vecCol: String)
+      : (Map[Long, Array[Float]], Map[Long, Long], Map[Long, Double]) = {
+    graft.GraftExtensions.ensure(corpus.sparkSession)
+    val sums = ivfAssign(corpus, cents, idCol, vecCol)
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("idx", "x")))
+      .groupBy("cell", "idx")
+      .agg(sum(round(col("x").cast("double") * LloydScale).cast("long"))
+        .as("s"), count(lit(1)).as("n"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("sq"))
+      .collect()
+    val byCell = sums.groupBy(_.getLong(0))
+    val means: Map[Long, Array[Float]] = byCell.map { case (cell, rows) =>
+      cell -> rows.sortBy(_.getInt(1))
+        .map(r => ((r.getLong(2).toDouble / r.getLong(3)) / LloydScale)
+          .toFloat)
+    }
+    (means,
+      byCell.map { case (cell, rows) => cell -> rows.head.getLong(3) },
+      byCell.map { case (cell, rows) =>
+        cell -> rows.map(_.getDouble(4)).sum / rows.head.getLong(3) })
+  }
+
+  /** The drift gate's decision record: `minAlignE6` is the decisive
+    * measure (sampled when `sampledOnly`, else full), `updated` the
+    * full one-step Lloyd result iff the full pass ran — the caller's
+    * retrain centroids, already paid for. */
+  final case class DriftGate(minAlignE6: Long, drifted: Boolean,
+                             sampledOnly: Boolean,
+                             updated: Array[(Long, Array[Float])])
+
+  /** SAMPLED retrain gate — the no-drift fast path the full-pass gate
+    * lacks (r16 verdict #2: the daily cron paid one full-corpus Lloyd
+    * pass per run just to learn "no drift", the overwhelmingly common
+    * answer). The gate runs the one-step centroid update over a
+    * DETERMINISTIC md5-residue sample of the live index (the
+    * `dd_lsh_recall_sampled` estimator stance: first two md5 hex
+    * chars of the id mod `sampleDenom` — replay-stable, no rand())
+    * and compares the sampled per-cell means against the serving
+    * centroids:
+    *
+    *  - every cell sampled with ≥ `minCellSample` members AND every
+    *    cell's sampled alignment ≥ threshold + its own CI half-width
+    *    (below) → CLEAN with no full-corpus pass (the steady-state
+    *    cost: ~1/sampleDenom of the Lloyd aggregate; the scan's
+    *    filter is a narrow row-level predicate, the dims-explode
+    *    aggregation — the actual cost — processes only the sample);
+    *  - otherwise (any cell's alignment within its band, below the
+    *    threshold, or under-sampled — the cases where the estimate
+    *    cannot be trusted to clear the gate) → ESCALATE to the full
+    *    one-step pass, whose verdict is exact and whose refined
+    *    centroids double as the retrain's training result, so a
+    *    drifted run never pays the pass twice.
+    *
+    * The CI half-width is estimated FROM THE SAMPLE, per cell — a
+    * fixed margin cannot work, because the estimator's noise depends
+    * on how tight the cell is: the sample mean m̂ of n_s members
+    * errs from the full mean by a vector of total variance
+    * σ²/n_s (σ² = E‖x‖² − ‖m̂‖², the within-cell dispersion the same
+    * aggregate already measures), which misaligns cos(m̂, m) by
+    * ≈ σ²/(2·n_s·‖m̂‖²). The guard uses `ciZ`² × that (default z=4 —
+    * conservative, since clearing falsely skips a needed retrain
+    * while escalating falsely only costs the old full pass), floored
+    * at `marginE6`. Tight, well-sampled cells (the 100 TB shape —
+    * millions of members per cell) clear on a few-percent sample;
+    * loose or thin cells escalate honestly rather than mis-clear
+    * (spec-pinned on the weakly-clustered fixture). Decision
+    * agreement with the always-full gate is spec-pinned on drifted
+    * and undrifted fixtures. */
+  def ivfDriftGate(s: SparkSession, table: String,
+                   cents: Array[(Long, Array[Float])],
+                   thresholdE6: Long, sampleDenom: Int = 16,
+                   marginE6: Long = 500, minCellSample: Long = 30,
+                   ciZ: Double = 4.0, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DriftGate = {
+    require(sampleDenom >= 1 && sampleDenom <= 256,
+      "sampleDenom must divide the 256 md5-prefix buckets sensibly")
+    val live = liveIvfVectors(s, table, idCol, vecCol)
+    if (sampleDenom > 1) {
+      val sample = live.filter(
+        expr(s"conv(substring(md5(cast($idCol AS string)), 1, 2), " +
+          s"16, 10) % $sampleDenom") === 0)
+      val (means, counts, meanSq) = lloydPass(sample, cents, idCol, vecCol)
+      val cleared = cents.map { case (id, v) =>
+        val n = counts.getOrElse(id, 0L)
+        val m = means.getOrElse(id, v)
+        val align = graft.queries.Similarity.alignE6(v, m)
+        val mNorm2 = m.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+        val ok = n >= minCellSample && mNorm2 > 0 && {
+          val sigma2 = math.max(0.0, meanSq.getOrElse(id, 0.0) - mNorm2)
+          val halfWidth = math.max(marginE6.toDouble,
+            ciZ * ciZ * 1e6 * sigma2 / (2.0 * n * mNorm2))
+          align >= thresholdE6 + halfWidth
+        }
+        (align, ok)
+      }
+      if (cleared.forall(_._2))
+        return DriftGate(cleared.map(_._1).min, drifted = false,
+          sampledOnly = true, cents)
+    }
+    val updated = ivfCentroidsFrom(s, live, cents, 1, idCol, vecCol)
+    val uMap = updated.toMap
+    val minAlign = cents.map { case (id, v) =>
+      graft.queries.Similarity.alignE6(v, uMap(id))
+    }.min
+    DriftGate(minAlign, minAlign < thresholdE6,
+      sampledOnly = false, updated)
   }
 
   /** Top-`nprobe` probe cells per query vector: (q_id, q_emb, q_cell).

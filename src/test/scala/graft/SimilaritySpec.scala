@@ -1028,6 +1028,104 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ivfDriftGate: the sampled fast path clears an undrifted index " +
+      "with no full-corpus pass and agrees with the always-full gate; " +
+      "a drifted index escalates and both verdicts say drifted") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ann
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val t = "ivf_gate_spec"
+    val t2 = "ivf_gate_drift_spec"
+    try {
+      // UNDRIFTED: centroids trained to (near-)convergence on the
+      // very corpus the index serves — one more Lloyd step barely
+      // moves them (the catalog's 2-step training is NOT converged on
+      // this small fixture: a 3rd step still moves 3% — so the
+      // "undrifted" fixture must train deeper to mean what it says)
+      val cents = Ann.ivfCentroids(spark, emb, 10, steps = 12)
+      Ann.buildIvfIndex(spark, emb, cents, t, nBuckets = 8)
+      // sampleDenom=1 IS the always-full gate (no sampling branch)
+      val full = Ann.ivfDriftGate(spark, t, cents,
+        graft.jobs.Jobs.RetrainAlignE6, sampleDenom = 1)
+      assert(!full.sampledOnly && !full.drifted,
+        s"undrifted fixture read drifted by the full gate: $full")
+      // the fixture's cells are WEAKLY clustered (synthetic near-
+      // random vectors): a half-corpus sample mean misaligns from the
+      // converged mean by whole percents, so the per-cell CI guard
+      // must refuse to clear — escalate, and agree with the full gate
+      val sampled = Ann.ivfDriftGate(spark, t, cents,
+        graft.jobs.Jobs.RetrainAlignE6, sampleDenom = 2,
+        minCellSample = 5)
+      assert(!sampled.sampledOnly,
+        s"loose cells cleared on a noisy sample: $sampled")
+      assert(sampled.drifted == full.drifted &&
+        sampled.minAlignE6 == full.minAlignE6,
+        "escalated verdict diverged from the always-full gate")
+
+      // TIGHT clusters — the 100 TB shape the fast path exists for:
+      // 10 well-separated cells with jitter ≪ separation, so the
+      // sampled mean estimates the full mean to ~1e-5 cosine and the
+      // gate clears with NO full-corpus pass
+      import spark.implicits._
+      val tight = (0L until 500L).map { i =>
+        val g = (i % 10).toInt
+        Array.tabulate(16) { j =>
+          (if (j == g) 1.0f else 0.0f) +
+            (((i * 31 + j * 7) % 11).toInt - 5) / 500.0f
+        }
+      }.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val t3 = "ivf_gate_tight_spec"
+      val tc = Ann.ivfCentroids(spark, tight, 10, steps = 3)
+      Ann.buildIvfIndex(spark, tight, tc, t3, nBuckets = 8)
+      val fullT = Ann.ivfDriftGate(spark, t3, tc,
+        graft.jobs.Jobs.RetrainAlignE6, sampleDenom = 1)
+      val fastT = Ann.ivfDriftGate(spark, t3, tc,
+        graft.jobs.Jobs.RetrainAlignE6, sampleDenom = 2,
+        minCellSample = 5)
+      assert(fastT.sampledOnly && !fastT.drifted,
+        s"tight cells did not clear the sampled fast path: $fastT")
+      assert(fastT.drifted == fullT.drifted,
+        "fast-path verdict disagrees with the full gate on tight cells")
+      // under-sampled support must force the escalation path (the CI
+      // guard), and the escalated verdict equals the full gate's
+      val starved = Ann.ivfDriftGate(spark, t3, tc,
+        graft.jobs.Jobs.RetrainAlignE6, sampleDenom = 2,
+        minCellSample = 1000000L)
+      assert(!starved.sampledOnly && starved.drifted == fullT.drifted,
+        s"support guard did not escalate: $starved")
+
+      // DRIFTED: the retrain-spec fixture — resident-trained centroids
+      // serving an appended batch with reversed component order
+      val resident = emb.filter(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
+      val batch = emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val stale = Ann.ivfCentroids(spark, resident, 40,
+        steps = graft.queries.Similarity.IvfSteps)
+      Ann.buildIvfIndex(spark, resident, stale, t2, nBuckets = 8)
+      Ann.appendIvfIndex(batch, stale, t2, nBuckets = 8)
+      val fullD = Ann.ivfDriftGate(spark, t2, stale,
+        graft.jobs.Jobs.RetrainAlignE6, sampleDenom = 1)
+      assert(fullD.drifted, s"drift fixture read clean: $fullD")
+      val sampledD = Ann.ivfDriftGate(spark, t2, stale,
+        graft.jobs.Jobs.RetrainAlignE6, sampleDenom = 2,
+        minCellSample = 5)
+      // a reading inside/below the band NEVER clears on the sample:
+      // it escalates, and the escalated verdict is the full gate's —
+      // so the sampled gate can skip work but never skip a retrain
+      assert(!sampledD.sampledOnly && sampledD.drifted,
+        s"drifted fixture cleared on the sample: $sampledD")
+      assert(sampledD.minAlignE6 == fullD.minAlignE6,
+        "escalated verdict diverged from the always-full gate")
+    } finally {
+      for (base <- Seq(t, t2, "ivf_gate_tight_spec");
+          sib <- Seq("", "__tombstones", "__scalars");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $base$sib$sx")
+    }
+  }
+
   test("Lexical compaction converges when a crash left the postings " +
       "swap in the unbound-name window") {
     import org.apache.spark.sql.functions._
