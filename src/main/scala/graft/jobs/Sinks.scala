@@ -140,13 +140,17 @@ object Sinks {
       // caller-owned staging root (only our stage subdir is deleted).
       // The stage dir is KEYED so two concurrent fanOuts sharing one
       // staging root cannot clobber each other's staged bytes
-      // mid-copy (both would report true while a target held a mix).
+      // mid-copy (both would report true while a target held a mix),
+      // and UNIQUIFIED (pid + nanotime) so even two concurrent
+      // deliveries of the SAME key stage apart (ADVICE r16) — the
+      // md5 alone would have them share one stage dir
       val tempParent = if (staging.isEmpty)
         Some(java.nio.file.Files.createTempDirectory("graft-fanout").toString)
       else None
       val stageName = "stage-" + java.security.MessageDigest
         .getInstance("MD5").digest(key.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
+        .map("%02x".format(_)).mkString.take(16) +
+        s"-${ProcessHandle.current().pid()}-${System.nanoTime()}"
       val stage = staging.orElse(tempParent).get + "/" + stageName
       val computed =
         try {
@@ -169,18 +173,42 @@ object Sinks {
             // reference's S3 put is atomic (a failed upload leaves the
             // old object serving), so delete-then-copy — which leaves
             // the target EMPTY when the copy dies mid-stream — would
-            // be a regression of the delivery contract. The stale
-            // window shrinks to two metadata ops (delete + rename).
+            // be a regression of the delivery contract. The swap is
+            // rename-ASIDE (dst → __old), rename-in, drop __old — the
+            // replaceBucketed ordering (ADVICE r16 closed the
+            // delete-then-rename window here too): the prior extract
+            // exists under SOME name until the new one serves, a
+            // false rename-in restores it, and the one unbound-name
+            // instant self-heals at the next delivery below.
             val src = new HPath(stage)
             val dst = new HPath(s"$t/$key")
             val tmp = new HPath(s"$t/${key}__incoming")
+            val old = new HPath(s"$t/${key}__old")
             val dstFs = dst.getFileSystem(conf)
+            // converge a prior crashed swap: restore the moved-aside
+            // extract if the serving key is unbound; drop a stale
+            // __old (crash after rename-in) otherwise
+            if (dstFs.exists(old)) {
+              if (!dstFs.exists(dst)) dstFs.rename(old, dst)
+              else dstFs.delete(old, true)
+            }
             if (dstFs.exists(tmp)) dstFs.delete(tmp, true)
             val copied = FileUtil.copy(src.getFileSystem(conf), src,
               dstFs, tmp, false, true, conf)
             copied && {
-              if (dstFs.exists(dst)) dstFs.delete(dst, true)
-              dstFs.rename(tmp, dst)
+              val hadDst = dstFs.exists(dst)
+              if (hadDst && !dstFs.rename(dst, old))
+                throw new java.io.IOException(
+                  s"could not move aside $dst; prior extract intact")
+              if (dstFs.rename(tmp, dst)) {
+                if (hadDst) dstFs.delete(old, true)
+                true
+              } else {
+                // restore the prior extract before reporting failure
+                if (hadDst) dstFs.rename(old, dst)
+                logFail(s"target $t", new java.io.IOException(
+                  s"rename $tmp -> $dst returned false; prior restored"))
+              }
             }
           } catch { case e: Exception => logFail(s"target $t", e) }))
       }

@@ -588,7 +588,8 @@ object Partitioning {
     * keep pure data-level idempotence. Returns true iff the body ran.
     * Single-writer per table, like every serving swap
     * ([[recoverSwap]]'s contract). */
-  def deliverOnce(s: SparkSession, table: String, key: Option[String])
+  def deliverOnce(s: SparkSession, table: String, key: Option[String],
+                  manifestCap: Long = 10000L)
                  (body: => Unit): Boolean = {
     val man = table + "__manifest"
     key match {
@@ -602,9 +603,22 @@ object Partitioning {
           body
           import s.implicits._
           val row = Seq(k).toDF("batch_key")
-          if (s.catalog.tableExists(man))
+          if (s.catalog.tableExists(man)) {
             row.write.mode("append").format("parquet").saveAsTable(man)
-          else replaceTable(s, man, row)
+            // retention (ADVICE r16): one parquet append per batch
+            // forever is a slow leak for a long-lived cron, and each
+            // check scans the whole manifest. Past the cap, compact
+            // to the newest half by batch-key order (keys are the
+            // cron's ISO dates, so lexicographic IS temporal).
+            // Dropping an ancient key is safe by the composition
+            // contract above: its redelivery replays the body and
+            // converges through the data-level guards, the same path
+            // as the body-committed/key-unrecorded crash window.
+            if (s.table(man).count() > manifestCap)
+              replaceTable(s, man, s.table(man)
+                .orderBy(col("batch_key").desc)
+                .limit(math.max(1L, manifestCap / 2).toInt))
+          } else replaceTable(s, man, row)
           true
         }
     }
@@ -639,28 +653,52 @@ object Partitioning {
     * (split enumeration; no job runs). */
   def ensureParallelism(df: DataFrame, keyCol: String): DataFrame = {
     if (df.isStreaming) return df // micro-batches parallelize at the source
-    // wide plans (join/agg/window/sort/repartition upstream) already
-    // parallelize via spark.sql.shuffle.partitions — and under AQE the
-    // partition-count probe below would EXECUTE their shuffle stages
-    // (AdaptiveSparkPlanExec materializes on toRdd), turning a
-    // "planning-time only" probe into the whole upstream job, run
-    // twice if the repartition branch is then taken. The guard keeps
-    // the probe planning-class for the narrow pipelines this helper
-    // exists for.
-    // (explicit coalesce/repartition stays PROBED — coalesce(1) is
-    // precisely the starved shape this helper exists to widen)
     import org.apache.spark.sql.catalyst.plans.logical._
-    val wide = df.queryExecution.optimizedPlan.collectFirst {
-      case _: Join => (); case _: Aggregate => ()
-      case _: Sort => (); case _: Window => ()
-    }.nonEmpty
-    if (wide) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // toRdd, not df.rdd: the probe needs only the physical partition
-    // count, and df.rdd would additionally plan (and cache on the df)
-    // the InternalRow→Row deserialization conversion nobody executes
-    if (df.queryExecution.toRdd.getNumPartitions * 2 < target)
-      df.repartition(target, col(keyCol))
-    else df
+    // walk down through narrow single-child nodes to the first
+    // partitioning-relevant one: an EXPLICIT repartition/coalesce
+    // there caps everything downstream regardless of what shuffles
+    // beneath it — a join followed by coalesce(1) is exactly the
+    // starved tail this helper exists to widen (ADVICE r16: the old
+    // wide-anywhere early return silently skipped it). Its target
+    // count sits in the plan, so the decision is static — no probe.
+    @annotation.tailrec
+    def firstShaping(p: LogicalPlan): LogicalPlan = p match {
+      case _: Join | _: Aggregate | _: Sort | _: Window => p
+      case _: Repartition | _: RepartitionByExpression |
+           _: RebalancePartitions => p
+      case _ if p.children.sizeIs == 1 => firstShaping(p.children.head)
+      case _ => p
+    }
+    firstShaping(df.queryExecution.optimizedPlan) match {
+      case r: Repartition if r.numPartitions * 2 < target =>
+        df.repartition(target, col(keyCol))
+      case r: RepartitionByExpression
+          if r.optNumPartitions.exists(_ * 2 < target) =>
+        df.repartition(target, col(keyCol))
+      case _: Repartition | _: RepartitionByExpression |
+           _: RebalancePartitions =>
+        df // explicitly shaped wide enough (or AQE-rebalanced)
+      case _: Join | _: Aggregate | _: Sort | _: Window =>
+        df // wide top: spark.sql.shuffle.partitions already applies
+      case other =>
+        // narrow to a multi-child node: probe ONLY when no wide op
+        // hides below — under AQE the partition-count probe would
+        // EXECUTE buried shuffle stages (AdaptiveSparkPlanExec
+        // materializes on toRdd), turning a "planning-time only"
+        // probe into the whole upstream job
+        val wide = other.collectFirst {
+          case _: Join => (); case _: Aggregate => ()
+          case _: Sort => (); case _: Window => ()
+        }.nonEmpty
+        if (wide) df
+        // toRdd, not df.rdd: the probe needs only the physical
+        // partition count, and df.rdd would additionally plan (and
+        // cache on the df) the InternalRow→Row deserialization
+        // conversion nobody executes
+        else if (df.queryExecution.toRdd.getNumPartitions * 2 < target)
+          df.repartition(target, col(keyCol))
+        else df
+    }
   }
 }

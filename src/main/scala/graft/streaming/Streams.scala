@@ -90,8 +90,17 @@ object Streams {
     * tail is carried as state). The usual total-order caveat
     * ([[streamingDebounce]]): a cross-batch late event inside the open
     * session's span merges rather than retroactively re-splitting
-    * already-emitted history. Gap arithmetic is exact µs — the batch
-    * face's — via [[usOf]]. */
+    * already-emitted history — but ONLY inside the session's actual
+    * reach: a late event older than `first − gap` is NOT in the gap
+    * chain (the merge test `t − last ≤ gap` is vacuous for any
+    * t ≤ last, and blindly merging would rewind `first` up to the
+    * whole lateness allowance, overlapping sessions already emitted
+    * — ADVICE r16). Such stragglers fold through their OWN
+    * gaps-and-islands chain: chains that reach within `gap` of the
+    * open session's start bridge into it (what the batch total order
+    * would have done); detached ones emit as their own (possibly
+    * single-event, zero-length) sessions. Gap arithmetic is exact µs
+    * — the batch face's — via [[usOf]]. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  allowedLateness: String = "5 days")
       : Dataset[Session] = {
@@ -115,18 +124,39 @@ object Streams {
             java.util.Arrays.sort(sorted, byTsThenId)
             val out = Seq.newBuilder[Session]
             var cur = state.getOption.orNull
+            // gaps-and-islands chain of cross-batch stragglers older
+            // than the open session's reach (sorted ascending, so
+            // they form a prefix of the batch)
+            var late: SessionState = null
             sorted.foreach { e =>
               val t = usOf(e.ts)
               if (cur == null) cur = SessionState(1L, t, t)
-              else if (t - cur.last <= gapUs)
-                // includes the cross-batch late case t < cur.last:
-                // inside the session's gap chain is inside the session
+              else if (t < cur.first - gapUs) {
+                if (late == null) late = SessionState(1L, t, t)
+                else if (t - late.last <= gapUs)
+                  late = SessionState(late.n + 1, late.first, t)
+                else {
+                  out += emit(late)
+                  late = SessionState(1L, t, t)
+                }
+              } else if (t - cur.last <= gapUs)
+                // includes the cross-batch late case
+                // cur.first − gap ≤ t < cur.last: inside the open
+                // session's gap chain is inside the session
                 cur = SessionState(cur.n + 1,
                   math.min(cur.first, t), math.max(cur.last, t))
               else {
                 out += emit(cur) // gap exceeded: the session SPLITS
                 cur = SessionState(1L, t, t)
               }
+            }
+            if (late != null) {
+              // a straggler chain reaching within gap of the open
+              // session's start is transitively in its chain — the
+              // batch total order would have merged them
+              if (cur.first - late.last <= gapUs)
+                cur = SessionState(cur.n + late.n, late.first, cur.last)
+              else out += emit(late)
             }
             if (cur != null) {
               state.update(cur)
@@ -496,9 +526,16 @@ object Streams {
 
   /** The open run per user — the stream's is_current row, held as
     * state rather than emitted (public: Spark codegen instantiates
-    * it). */
+    * it). `lastLate` is the event_type of the most recent zero-length
+    * late emission anchored at this run's start (null when none):
+    * an at-least-once source redelivering the same late event every
+    * batch would otherwise append an identical changelog row per
+    * redelivery (ADVICE r16) — one string of state dedups the
+    * consecutive-redelivery case; genuinely alternating late types
+    * still each emit, which a changelog applier tolerates by the
+    * zero-length contract. */
   final case class ScdRunState(event_type: String, valid_from: Timestamp,
-                               n: Long)
+                               n: Long, lastLate: String = null)
 
   /** Streaming SCD2 — the stream face of the batch intervalization
     * (`ev_scd2`): per user, maintain the open event-type run as state
@@ -550,9 +587,14 @@ object Streams {
               // type for zero duration and the open run untouched).
               if (cur.event_type == e.event_type)
                 cur = cur.copy(n = cur.n + 1)
-              else
+              else if (cur.lastLate != e.event_type) {
+                // dedup a redelivered late event: the same type
+                // re-emitting the identical zero-length row every
+                // batch is at-least-once noise, not history
                 out += ScdInterval(userId, e.event_type,
                   cur.valid_from, cur.valid_from, 1L)
+                cur = cur.copy(lastLate = e.event_type)
+              }
             }
             else if (cur.event_type == e.event_type)
               cur = cur.copy(n = cur.n + 1)

@@ -249,6 +249,23 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     val par = (1L to 100L).toDF("doc_id")
       .repartition(spark.sparkContext.defaultParallelism)
     assert(Partitioning.ensureParallelism(par, "doc_id") eq par)
+    // a JOIN followed by coalesce(1) — the starved tail the old
+    // wide-anywhere guard silently skipped (ADVICE r16): the explicit
+    // coalesce caps everything downstream regardless of the join's
+    // shuffle, and its target count sits in the plan, so the helper
+    // must widen it (statically — no probe job)
+    val dim = (1L to 100L).toDF("doc_id")
+    val starvedTail = (1L to 100L).toDF("doc_id")
+      .join(dim, "doc_id").coalesce(1)
+    val widened = Partitioning.ensureParallelism(starvedTail, "doc_id")
+    assert(widened.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism,
+      "join-then-coalesce(1) tail was not widened")
+    assert(widened.count() == 100)
+    // a bare wide plan (no explicit shaping) still passes through —
+    // its own shuffle already parallelizes it
+    val wide = (1L to 100L).toDF("doc_id").join(dim, "doc_id")
+    assert(Partitioning.ensureParallelism(wide, "doc_id") eq wide)
   }
 
   test("partitioned lake write: pruned reads, dynamic per-partition overwrite") {
@@ -414,6 +431,22 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
       spark.sql(s"ALTER TABLE ${t}__manifest RENAME TO ${t}__manifest__stage")
       assert(!Partitioning.deliverOnce(spark, t, Some("d2")) { runs += 1 })
       assert(runs == 3, "dangling manifest swap lost delivered keys")
+      // retention: past the cap the manifest compacts to the newest
+      // half by key order — it never grows unboundedly (ADVICE r16).
+      // Recent keys still skip; a trimmed ancient key replays its
+      // body and converges through the data-level guards beneath.
+      for (d <- 3 to 8)
+        Partitioning.deliverOnce(spark, t, Some(s"d$d"),
+          manifestCap = 4L) { runs += 1 }
+      assert(spark.table(s"${t}__manifest").count() <= 4L,
+        "manifest retention did not trim past the cap")
+      assert(!Partitioning.deliverOnce(spark, t, Some("d8"),
+        manifestCap = 4L) { runs += 1 }, "newest key must still skip")
+      val runsBefore = runs
+      assert(Partitioning.deliverOnce(spark, t, Some("d1"),
+        manifestCap = 4L) { runs += 1 },
+        "a trimmed ancient key must replay its body")
+      assert(runs == runsBefore + 1)
     } finally
       for (sx <- Seq("", "__stage", "__old"))
         spark.sql(s"DROP TABLE IF EXISTS ${t}__manifest$sx")

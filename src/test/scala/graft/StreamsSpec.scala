@@ -272,6 +272,50 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("sessionize: a cross-batch straggler older than the open " +
+      "session's reach emits as its own session instead of rewinding " +
+      "the open one; one within reach still merges") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.sessionize(source.toDS(), gapMinutes = 30,
+        allowedLateness = "1 day").writeStream
+      .format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        Event(1, ts("2024-01-02 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-02 10:10:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      // a straggler 20h older than the open session's start: far
+      // outside its gap chain — before ADVICE r16 the vacuous merge
+      // test (t − last ≤ gap for any t ≤ last) swallowed it, rewinding
+      // first by 20h; now it emits as its own single-event session
+      source.addData(Event(3, ts("2024-01-01 14:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val stragglers = spark.table("sess_late")
+        .as[graft.streaming.Streams.Session].collect().toSeq
+      assert(stragglers == Seq(graft.streaming.Streams.Session(7, 1,
+        ts("2024-01-01 14:00:00"), ts("2024-01-01 14:00:00"))),
+        s"straggler did not emit as its own session: $stragglers")
+      // a late event INSIDE the open session's reach (≥ first − gap)
+      // still merges rather than fragmenting
+      source.addData(Event(4, ts("2024-01-02 09:45:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // close the open session via the event-time timeout
+      source.addData(Event(5, ts("2024-01-03 12:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_late")
+        .as[graft.streaming.Streams.Session].collect().toSet
+      assert(rows.contains(graft.streaming.Streams.Session(7, 3,
+        ts("2024-01-02 09:45:00"), ts("2024-01-02 10:10:00"))),
+        s"in-reach late event did not merge into the open session: $rows")
+      // and the open session was never rewound across the straggler
+      assert(!rows.exists(s => s.user_id == 7 &&
+          s.first_ts == ts("2024-01-01 14:00:00") && s.n_events > 1),
+        s"open session rewound into the straggler: $rows")
+    } finally q.stop()
+  }
+
   test("sessionize splits at the quiet gap INSIDE one micro-batch") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
@@ -658,6 +702,15 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
       }
       assert(b3.toSet == b2 + ((7L, "click",
         ts("2024-01-01 10:20:00"), ts("2024-01-01 10:20:00"), 1L)))
+      // batch 3b: the SAME late event redelivered (at-least-once
+      // source) must not append a second identical zero-length row
+      // every batch (ADVICE r16) — the run state remembers its last
+      // late emission and dedups the redelivery
+      val nBefore = spark.table("scd2_test").count()
+      source.addData(Event(5, ts("2024-01-01 09:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("scd2_test").count() == nBefore,
+        "redelivered late event re-emitted its zero-length interval")
       // batch 4: the next in-order type closes the STILL-OPEN purchase
       // run with its full span — proof the late click did not steal it
       source.addData(Event(6, ts("2024-01-01 10:40:00"), 7, "view", 1.0))
