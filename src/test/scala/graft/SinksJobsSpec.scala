@@ -406,4 +406,125 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     Sinks.partitionedParquet(backfill, dir, Seq("day"))
     assert(table() == Set((1L, "d1"), (20L, "d2")))
   }
+
+  test("multi-day maintenance soak: three days of genuinely fresh " +
+      "batches with takedowns and a day-2 re-add of a day-1 victim " +
+      "converge BOTH serving indexes to a from-scratch rebuild over " +
+      "the surviving corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, Lexical, Partitioning}
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    def dayDocs(d: Int) = docs.filter(col("doc_id") % 4 === d)
+    def dayVecs(d: Int) = emb.filter(col("vec_id") % 4 === d)
+    val bm = "soak_bm25"
+    val iv = "soak_ivf"
+    val ivRef = "soak_ivf_ref"
+    try {
+      // day 0 — bootstrap both indexes on the resident split; the
+      // centroids are fixed for the whole soak (retrain is a separate
+      // gated decision, exercised by its own specs)
+      Lexical.writeIndexTables(Lexical.buildIndex(dayDocs(0)), bm, 8)
+      val cents = Ann.ivfCentroids(spark, emb, 10, steps = 2)
+      Ann.buildIvfIndex(spark, dayVecs(0), cents, iv, nBuckets = 8)
+      // day 1 — fresh batch appends, then a day-0 victim takedown;
+      // loose gates (appends 10.0 — day batches are ~50% of the base
+      // each, so 1.0 would legitimately fire on day 3; takedowns 1.0)
+      // hold compaction open so days 2-3 run on top of LIVE deltas
+      // and tombstones (the steady-state shape)
+      Lexical.appendIndexTables(spark, bm, dayDocs(1),
+        compactFraction = 10.0)
+      Ann.appendIvfBatch(spark, iv, dayVecs(1), cents)
+      val v1doc = dayDocs(0).select("doc_id").orderBy("doc_id").limit(1)
+      val v1vec = dayVecs(0).select("vec_id").orderBy("vec_id").limit(1)
+      assert(!Lexical.removeDocsDeferred(spark, bm, v1doc,
+        compactFraction = 1.0))
+      assert(!Ann.tombstoneIvfVectors(spark, iv, v1vec,
+        compactFraction = 1.0))
+      // day 2 — fresh batch PLUS the day-1 victim RE-ADDED (takedown
+      // reversal: the overlap rule must compact first so exactly one
+      // live copy serves), then a permanent takedown of day-1 docs
+      Lexical.appendIndexTables(spark, bm,
+        dayDocs(2).unionByName(
+          docs.join(v1doc, Seq("doc_id"), "left_semi")),
+        compactFraction = 10.0)
+      Ann.appendIvfBatch(spark, iv,
+        dayVecs(2).unionByName(
+          emb.join(v1vec, Seq("vec_id"), "left_semi")), cents)
+      val v2doc = dayDocs(1).select("doc_id").orderBy("doc_id").limit(2)
+      val v2vec = dayVecs(1).select("vec_id").orderBy("vec_id").limit(2)
+      assert(!Lexical.removeDocsDeferred(spark, bm, v2doc,
+        compactFraction = 1.0))
+      assert(!Ann.tombstoneIvfVectors(spark, iv, v2vec,
+        compactFraction = 1.0))
+      // day 3 — one more fresh batch lands on top of the live
+      // deltas/tombstones
+      Lexical.appendIndexTables(spark, bm, dayDocs(3),
+        compactFraction = 10.0)
+      Ann.appendIvfBatch(spark, iv, dayVecs(3), cents)
+      // surviving corpus: all four days minus the PERMANENT victims
+      // (the day-1 victim was re-added, so it survives)
+      val survDocs = docs.join(v2doc, Seq("doc_id"), "left_anti")
+      val survVecs = emb.join(v2vec, Seq("vec_id"), "left_anti")
+
+      // BM25: the delta-served view is the from-scratch rebuild —
+      // scalars, vocabulary and probe, bit-for-bit
+      val served = Lexical.readIndexTables(spark, bm)
+      val rebuild = Lexical.buildIndex(survDocs)
+      assert(served.nDocs == rebuild.nDocs &&
+        served.sumDl == rebuild.sumDl,
+        s"soaked scalars diverged: ${(served.nDocs, served.sumDl)} vs " +
+          s"${(rebuild.nDocs, rebuild.sumDl)}")
+      def dfMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfMap(served.df) == dfMap(rebuild.df),
+        "soaked vocabulary diverged from the rebuild")
+      val qDocs = survDocs.filter(col("doc_id") % 250 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+      val viaSoak = rows(Lexical.rankedFromIndex(served, qDocs))
+      assert(viaSoak == rows(Lexical.rankedFromIndex(rebuild, qDocs)),
+        "soaked BM25 probe diverged from the rebuild")
+      assert(viaSoak.nonEmpty, "probe parity vacuous: no ranked rows")
+
+      // IVF: the live view is exactly the surviving id set, and a
+      // probe equals one against a from-scratch build on the
+      // survivors under the same centroids
+      val liveIds = Ann.liveIvfVectors(spark, iv)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val survIds = survVecs.select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(liveIds == survIds,
+        s"live view diverged: ±${(liveIds diff survIds).size}/" +
+          s"${(survIds diff liveIds).size} ids")
+      Ann.buildIvfIndex(spark, survVecs, cents, ivRef, nBuckets = 8)
+      val queries = Ann.ivfProbeCells(
+        survVecs.filter(col("vec_id") % 40 === 1), cents, nprobe = 2)
+        .transform(graft.operators.CacheScope.materialize)
+      def probeRows(t: String) =
+        Ann.probeIvfIndex(spark, t, queries, 10)
+          .collect().map(_.toSeq).toSet
+      assert(probeRows(iv) == probeRows(ivRef),
+        "soaked IVF probe diverged from the from-scratch build")
+      assert(probeRows(iv).nonEmpty, "IVF parity vacuous")
+      graft.operators.CacheScope.releaseCheckpoint(queries)
+      // the soak genuinely ran on live deltas: both pending tables
+      // still exist going into the final reads
+      assert(spark.catalog.tableExists(s"${bm}_deltas") &&
+        spark.catalog.tableExists(s"${iv}__tombstones"),
+        "gates closed early — the soak did not test the deferred path")
+    } finally {
+      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${bm}_$t$sx")
+      for (sx <- Seq("", "__stage", "__old")) {
+        spark.sql(s"DROP TABLE IF EXISTS ${bm}__append_pending$sx")
+        for (b <- Seq(iv, ivRef, s"${iv}__tombstones", s"${iv}__scalars",
+            s"${ivRef}__scalars", s"${ivRef}__tombstones"))
+          spark.sql(s"DROP TABLE IF EXISTS $b$sx")
+      }
+    }
+  }
 }
