@@ -489,8 +489,9 @@ object Bench {
             "(calib-normalized gate; absolute totals NOT comparable)")
         // monotone floor (same sf/reps/cpus frame only)
         val floorFile = new java.io.File(floorPath(detailPath))
-        val floor: Map[String, (Double, Double, Double)] =
-          if (!floorFile.exists()) Map.empty
+        val (floor, floorProv): (Map[String, (Double, Double, Double)],
+            Map[String, String]) =
+          if (!floorFile.exists()) (Map.empty, Map.empty)
           else {
             val txt = new String(
               java.nio.file.Files.readAllBytes(floorFile.toPath), "UTF-8")
@@ -501,16 +502,23 @@ object Bench {
               System.err.println(
                 "[bench] floor file is a different sf/reps/cpus/meas " +
                   "frame -- floor base skipped")
-              Map.empty
-            } else parseFloorQueries(txt)
+              (Map.empty, Map.empty)
+            } else (parseFloorQueries(txt), parseFloorProvenance(txt))
           }
         val curRaw = results.collect { case (k, v, None) => k -> v }.toMap
         val regs = regressionsWithFloor(prev, prevCalib, prevCalibSh,
           floor, curRaw, calib, calibSh)
         regs.foreach { case (k, o, n, _, src) =>
+          // a flag against a hand-re-baselined floor names the
+          // floor's provenance, so the arbitration evidence is
+          // self-describing (r16 verdict #3)
+          val prov = if (src == "floor")
+            floorProv.get(k).map(p => s" [floor provenance: $p]")
+              .getOrElse("")
+          else ""
           System.err.println(
             f"[bench] REGRESSION $k: $o%.2f s -> $n%.2f s " +
-              f"(${n / o}%.1fx vs $src)") }
+              f"(${n / o}%.1fx vs $src)$prov") }
         // unresolvedFlags stays -1 ("gate never finished") until the
         // arbitration below actually completes: setting 0 up front
         // would let a mid-gate exception (calib probe, rerun crash)
@@ -555,7 +563,9 @@ object Bench {
               f"rerun=$m%.2f s $src=$baseVal%.2f s -> " +
               (if (resolved) "RESOLVED (load noise)"
                else "UNRESOLVED (regression persists)"))
-            Rerun(k, first, if (e.nonEmpty) -1.0 else m, baseVal, resolved)
+            Rerun(k, first, if (e.nonEmpty) -1.0 else m, baseVal,
+              resolved,
+              floorProv = if (src == "floor") floorProv.get(k) else None)
           }
           unresolvedFlags = reruns.count(!_.resolved)
           System.err.println(
@@ -624,8 +634,15 @@ object Bench {
             else updatedFloor(nf0, rerunWon,
               if (calib2 > 0) calib2 else calib,
               if (calibSh2 > 0) calibSh2 else calibSh)
+          // provenance survives ONLY for entries this run left
+          // untouched: a re-measured entry's threshold now rests on
+          // this run's own frame, not the hand-edit's note
+          val prov = (if (sameMeas) parseFloorProvenance(oldTxt)
+                      else Map.empty[String, String])
+            .filter { case (k, _) => nf.get(k) == base.get(k) }
           java.nio.file.Files.write(fp,
-            (floorJson(sfName, reps, cpus, nf) + "\n").getBytes("UTF-8"))
+            (floorJson(sfName, reps, cpus, nf, prov) + "\n")
+              .getBytes("UTF-8"))
         } else System.err.println(
           "[bench] floor file is a different sf/reps/cpus frame -- " +
             "not updated")
@@ -947,8 +964,13 @@ object Bench {
     * its in-process rerun median (fresh purge + fresh calib frame),
     * the previous run's value it was compared against, and the
     * verdict — resolved (load noise) or not (real regression). */
+  /** `floorProv` carries the floor entry's hand-re-baseline
+    * provenance when THAT entry is the flagged base (None for a
+    * measured floor or a prev-record flag) — the shipped record then
+    * names what evidence the contested threshold rests on. */
   final case class Rerun(name: String, first: Double, rerun: Double,
-                         prev: Double, resolved: Boolean)
+                         prev: Double, resolved: Boolean,
+                         floorProv: Option[String] = None)
 
   /** A query regressed when it slowed by more than this factor. */
   val RegressionFactor = 1.5
@@ -1116,12 +1138,39 @@ object Bench {
     * pre-r12 count()-semantics and never compare. */
   val Meas = "full"
 
+  /** The floor file's optional `provenance` map — one line per
+    * HAND-RE-BASELINED entry ("rN: why", pointing at the BENCH_NOTES
+    * section with the measurement), so a later flag against that
+    * entry can name what its threshold rests on (r16 verdict #3).
+    * Entries re-seeded by an actual measured run carry no provenance
+    * — the run's own frame fields are their provenance. */
+  def parseFloorProvenance(json: String): Map[String, String] = {
+    val start = json.indexOf("\"provenance\":{")
+    if (start < 0) return Map.empty
+    val body = json.substring(start + "\"provenance\":".length)
+    val end = body.indexOf('}')
+    if (end < 0) return Map.empty
+    "\"([^\"]+)\":\"([^\"]*)\"".r
+      .findAllMatchIn(body.substring(0, end + 1))
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
   def floorJson(sfName: String, reps: Int, cpus: String,
-                entries: Map[String, (Double, Double, Double)]): String = {
+                entries: Map[String, (Double, Double, Double)],
+                prov: Map[String, String] = Map.empty): String = {
     val qs = entries.toSeq.sortBy(_._1).map { case (k, (t, c, cs)) =>
       jsonStr(k) + s":[${fmt(t, 6)},${fmt(c, 6)},${fmt(cs, 6)}]"
     }.mkString("{", ",", "}")
-    s"""{"sf":"$sfName","reps":$reps,"cpus":"$cpus","meas":"$Meas","queries":$qs}"""
+    // provenance AFTER queries (parseFloorQueries scans past
+    // "queries":{ with a numeric-array regex — string-valued entries
+    // never match it); only keys still present in the floor carry
+    val pv = prov.filter { case (k, _) => entries.contains(k) }
+    val pvPart =
+      if (pv.isEmpty) ""
+      else pv.toSeq.sortBy(_._1).map { case (k, v) =>
+        jsonStr(k) + ":" + jsonStr(v)
+      }.mkString(""","provenance":{""", ",", "}")
+    s"""{"sf":"$sfName","reps":$reps,"cpus":"$cpus","meas":"$Meas","queries":$qs$pvPart}"""
   }
 
   /** Lower the floor where this run's raw median (rerun included —
@@ -1347,7 +1396,8 @@ object Bench {
         val body = reruns.map { r =>
           jsonStr(r.name) + s""":{"first":${fmt(r.first, 6)},"rerun":${
             fmt(r.rerun, 6)},"prev":${fmt(r.prev, 6)},"resolved":${
-            r.resolved}}"""
+            r.resolved}${r.floorProv.map(p =>
+              s""","floor_prov":${jsonStr(p)}""").getOrElse("")}}"""
         }.mkString("{", ",", "}")
         val c2 = (if (calib2 > 0) s""","calib2":${fmt(calib2, 6)}"""
           else "") +

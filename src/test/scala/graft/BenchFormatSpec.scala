@@ -444,6 +444,53 @@ class BenchFormatSpec extends AnyFunSuite {
       "0.9 x 2.0 scale = 1.8 < 2.0: beats the floor in its own frame")
   }
 
+  test("floor provenance: hand-re-baseline markers round-trip, drop " +
+      "for re-measured entries, and ride a floor-flag into the record") {
+    val entries = Map("q1" -> ((1.25, 0.14, 0.5)), "q2" -> ((0.5, 0.2, 0.6)))
+    val prov = Map("q1" -> "r16: stale floor, controlled re-read 1.25")
+    val js = Bench.floorJson("sf0.1", 3, "32", entries, prov)
+    // queries parse is untouched by the string-valued section
+    assert(Bench.parseFloorQueries(js) === entries)
+    assert(Bench.parseFloorProvenance(js) === prov)
+    // absent section → empty map; provenance for a key not in the
+    // floor is dropped at write (its entry is gone — nothing to
+    // describe)
+    assert(Bench.parseFloorProvenance(
+      Bench.floorJson("sf0.1", 3, "32", entries)) === Map.empty)
+    assert(Bench.parseFloorProvenance(Bench.floorJson("sf0.1", 3, "32",
+      entries, Map("gone" -> "r9: whatever"))) === Map.empty)
+    // the shipped BENCH_FLOOR.json's own markers parse
+    val shipped = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_FLOOR.json")), "UTF-8")
+    val shippedProv = Bench.parseFloorProvenance(shipped)
+    val shippedQs = Bench.parseFloorQueries(shipped)
+    assert(shippedProv.nonEmpty,
+      "the r16 hand-edited floor entries must carry provenance markers")
+    assert(shippedProv.keySet.subsetOf(shippedQs.keySet),
+      "provenance names a floor entry that no longer exists")
+    assert(shippedProv.values.forall(_.startsWith("r")),
+      "provenance lines name their round")
+    // a flag against a provenance-carrying floor entry ships the
+    // marker in the rerun record; a measured-floor flag ships none
+    val reruns = Seq(
+      Bench.Rerun("q1", 2.6, 2.5, 1.25, resolved = false,
+        floorProv = prov.get("q1")),
+      Bench.Rerun("q2", 1.2, 1.1, 0.5, resolved = true))
+    val detail = Bench.detailJson(
+      Seq(("q1", 2.6, None), ("q2", 1.2, None)), 3, "sf0.1",
+      calib = 0.2, cpus = "32", reruns = reruns, calib2 = 0.2,
+      unresolvedFlags = 1)
+    assert(detail.contains(
+      """"floor_prov":"r16: stale floor, controlled re-read 1.25""""),
+      s"flag record must name the floor's provenance:\n$detail")
+    assert(!detail.contains(""""q2":{"first":1.2""") ||
+      !detail.substring(detail.indexOf(""""q2":{"first"""))
+        .takeWhile(_ != '}').contains("floor_prov"),
+      "a measured-floor flag must not carry a provenance field")
+    // still one valid JSON line
+    assert(!detail.contains("\n"))
+  }
+
   test("calib normalization excuses a slower host, never inflates a faster one") {
     // slower host: probe 0.4 → 0.88 excuses up to 2.2×
     assert(math.abs(Bench.calibScale(0.4, 0.88) - 2.2) < 1e-9)
