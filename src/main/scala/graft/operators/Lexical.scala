@@ -65,9 +65,31 @@ object Lexical {
     * full-rebuild scorer freezes it. `dl` is the per-doc posting
     * mass `(doc_id, dl)` — maintained through append/remove exactly
     * like the postings so the probe reads lengths from a |docs|-row
-    * table instead of re-aggregating |postings| rows per batch. */
+    * table instead of re-aggregating |postings| rows per batch.
+    *
+    * `dlSplit`, when present, is `dl` factored as (big, small) with
+    * DISJOINT doc sets and `dl = big ∪ small`: the delta-served
+    * table bundle sets it to (bucketed base doclen minus tombstones,
+    * pending append-delta rows — bounded by the compaction gate's
+    * row cap, so always broadcastable). A UNION would erase the big
+    * leg's bucket partitioning and force the probe to shuffle the
+    * whole |docs|-row relation per query batch between compactions;
+    * [[rankedFromIndex]] instead overlays the small leg as a
+    * broadcast, keeping the doclen side exchange-free. Consumers
+    * needing the plain relation read `dl` (semantically identical).
+    * `dfSplit` is the same factoring for the vocabulary: (bucketed
+    * base vocab with the delta's per-token net adjustments overlaid
+    * as a broadcast — partitioning preserved, dead tokens filtered;
+    * brand-new tokens the pending batches introduced — delta-
+    * bounded). A full-outer merge would lose the bucket partitioning
+    * (SMJ FullOuter output partitioning is unknown) and re-shuffle
+    * the whole vocabulary per probe batch. */
   final case class Bm25Index(tf: DataFrame, df: DataFrame,
-                             dl: DataFrame, nDocs: Long, sumDl: Long)
+                             dl: DataFrame, nDocs: Long, sumDl: Long,
+                             dlSplit: Option[(DataFrame, DataFrame)] =
+                               None,
+                             dfSplit: Option[(DataFrame, DataFrame)] =
+                               None)
 
   private def docLengths(tf: DataFrame): DataFrame =
     tf.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -454,10 +476,27 @@ object Lexical {
         val nullTok = lit(null).cast("string")
         val nullId = lit(null).cast("long")
         import spark.implicits._
-        val rows = slice.groupBy("token")
-          .agg(count(lit(1)).as("n"))
+        // split the batch vocabulary by BASE-vocab membership NOW
+        // (one broadcast-semi probe of the bucketed vocab — a narrow
+        // batch-cost scan, paid once per append): tokens already in
+        // the base vocab record as `dfinc` adjustments its serving
+        // leg overlays in place, brand-new tokens as `dfnew` rows
+        // that serve from the broadcastable small leg — the split
+        // that lets readIndexTables keep the vocab side of every
+        // probe exchange-free (see Bm25Index.dfSplit)
+        val bdf = slice.groupBy("token").agg(count(lit(1)).as("n"))
+        Partitioning.recoverSwap(spark, s"${name}_vocab")
+        val existTok = spark.table(s"${name}_vocab").select("token")
+          .join(broadcast(bdf.select("token")), Seq("token"),
+            "left_semi")
+        val rows = bdf
+          .join(broadcast(existTok), Seq("token"), "left_semi")
           .select(lit("dfinc").as("kind"), nullId.as("id"),
             col("token"), col("n"))
+          .unionByName(bdf
+            .join(broadcast(existTok), Seq("token"), "left_anti")
+            .select(lit("dfnew").as("kind"), nullId.as("id"),
+              col("token"), col("n")))
           .unionByName(slice.groupBy("doc_id").agg(sum("tf").as("n"))
             .select(lit("dladd").as("kind"), col("doc_id").as("id"),
               nullTok.as("token"), col("n")))
@@ -510,28 +549,48 @@ object Lexical {
       val d = spark.table(dt)
       val tombs = d.filter(col("kind") === "tomb")
         .select(col("id").as("doc_id"))
-      val net = d.filter(col("kind").isin("dfinc", "dfdec"))
+      // per-token net adjustment, split by the newness the append
+      // path recorded: a token with any `dfnew` row was absent from
+      // the base vocab when it first appended (membership is static
+      // until compaction, which drops the deltas), so it serves from
+      // the small leg; `dfdec` rows subtract on whichever leg their
+      // token lives (a tombstoned delta-appended doc decrements its
+      // dfnew tokens here)
+      val adj = d.filter(col("kind").isin("dfinc", "dfdec", "dfnew"))
         .groupBy("token")
-        .agg(sum(when(col("kind") === "dfinc", col("n"))
-          .otherwise(-col("n"))).as("__net"))
+        .agg(sum(when(col("kind") === "dfdec", -col("n"))
+          .otherwise(col("n"))).as("__net"),
+          max((col("kind") === "dfnew").cast("int")).as("__isnew"))
+      val dfBig = base.df
+        .join(broadcast(adj.filter(col("__isnew") === 0)
+          .select(col("token"), col("__net"))), Seq("token"), "left")
+        .select(col("token"),
+          (col("df") + coalesce(col("__net"), lit(0L))).as("df"))
+        .filter(col("df") > 0) // broadcast-left preserves bucketing
+      val dfNew = adj.filter(col("__isnew") === 1)
+        .select(col("token"), col("__net").as("df"))
+        .filter(col("df") > 0)
+      // dladd docs are never tombstoned un-compacted (the append path
+      // compacts on overlap) EXCEPT by a later removeDocsDeferred —
+      // whose tombs must mask them here just like base docs
       val dladd = d.filter(col("kind") === "dladd")
         .select(col("id").as("doc_id"), col("n").as("dl"))
+        .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      val dlBig = base.dl.join(broadcast(tombs), Seq("doc_id"),
+        "left_anti") // broadcast anti preserves the bucket layout
       val scal = d.filter(col("kind").startsWith("scal_"))
         .groupBy("kind").agg(sum("n").as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       Bm25Index(
         base.tf.join(broadcast(tombs), Seq("doc_id"), "left_anti"),
-        base.df.join(net, Seq("token"), "full_outer")
-          .select(col("token"),
-            (coalesce(col("df"), lit(0L)) +
-              coalesce(col("__net"), lit(0L))).as("df"))
-          .filter(col("df") > 0),
-        base.dl.unionByName(dladd)
-          .join(broadcast(tombs), Seq("doc_id"), "left_anti"),
+        dfBig.unionByName(dfNew),
+        dlBig.unionByName(dladd),
         base.nDocs + scal.getOrElse("scal_docs_add", 0L) -
           scal.getOrElse("scal_docs", 0L),
         base.sumDl + scal.getOrElse("scal_mass_add", 0L) -
-          scal.getOrElse("scal_mass", 0L))
+          scal.getOrElse("scal_mass", 0L),
+        dlSplit = Some((dlBig, dladd)),
+        dfSplit = Some((dfBig, dfNew)))
     }
   }
 
@@ -667,18 +726,49 @@ object Lexical {
                       dfCapDen: Int = 20, k: Int = 10): DataFrame = {
     require(idx.nDocs > 0, "empty index")
     val avgdlM = (1000L * idx.sumDl) / idx.nDocs
-    val idf = idx.df.withColumn("idf_b", expr(
-      s"length(bin((2*${idx.nDocs}L - 2*df + 1) div (2*df + 1))) - 1"))
-    val qterms = queryDocs
+    val qtok = queryDocs
       .select(col("doc_id").as("q_id"), split(col("text"), " ").as("__l"))
       .select(col("q_id"),
         explode(array_distinct(expr(GramsOf))).as("token"))
-      .join(idf, "token")
+    // vocabulary lookup: with a [[Bm25Index.dfSplit]] the new-token
+    // leg (delta-bounded) overlays as a BROADCAST coalesce — the
+    // bucketed vocab side never exchanges, so the delta-served probe
+    // keeps the compacted bundle's plan shape on the index side. The
+    // isNotNull filter restores the inner-join semantics: the legs'
+    // token sets are disjoint and union to the full vocabulary.
+    val withDf = idx.dfSplit match {
+      case None => qtok.join(idx.df, "token")
+      case Some((big, small)) => qtok
+        .join(big, Seq("token"), "left")
+        .join(broadcast(small.withColumnRenamed("df", "__dfs")),
+          Seq("token"), "left")
+        .withColumn("df", coalesce(col("df"), col("__dfs")))
+        .filter(col("df").isNotNull).drop("__dfs")
+    }
+    val qterms = withDf
+      .withColumn("idf_b", expr(
+        s"length(bin((2*${idx.nDocs}L - 2*df + 1) div (2*df + 1))) - 1"))
       .filter(col("df") * dfCapDen <= lit(idx.nDocs))
       .select("q_id", "token", "idf_b")
-    val scored = qterms.join(idx.tf, "token")
+    val hits = qterms.join(idx.tf, "token")
       .filter(col("doc_id") =!= col("q_id"))
-      .join(idx.dl, "doc_id")
+    // doclen lookup: with a [[Bm25Index.dlSplit]] the small leg
+    // (delta-bounded) overlays as a BROADCAST coalesce instead of a
+    // union — the bucketed big leg never exchanges, so the
+    // delta-served probe plans exactly like the compacted bundle's
+    // (spec-pinned). The isNotNull filter restores the inner-join
+    // semantics bit-for-bit: the legs' doc sets are disjoint and
+    // their union is the full dl relation.
+    val withDl = idx.dlSplit match {
+      case None => hits.join(idx.dl, "doc_id")
+      case Some((big, small)) => hits
+        .join(big, Seq("doc_id"), "left")
+        .join(broadcast(small.withColumnRenamed("dl", "__dls")),
+          Seq("doc_id"), "left")
+        .withColumn("dl", coalesce(col("dl"), col("__dls")))
+        .filter(col("dl").isNotNull).drop("__dls")
+    }
+    val scored = withDl
       .withColumn("contrib", expr(
         s"(idf_b * 22000 * tf * ${avgdlM}L) div " +
           s"(10 * ${avgdlM}L * tf + 3 * ${avgdlM}L + 9000 * dl)"))

@@ -909,6 +909,58 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(viaTables == rows(Lexical.rankedFromIndex(rebuild, queries)),
         "appended-bundle probe diverged from the union rebuild")
       assert(viaTables.nonEmpty, "parity vacuous: no ranked rows")
+      // the 100 TB plan shape: in the delta-served probe the INDEX
+      // tables never re-shuffle — the vocab and doclen scans sit
+      // under NO shuffle exchange (their delta legs overlay as
+      // broadcasts; a union/full-outer would erase the bucket
+      // partitioning and re-shuffle the whole relation per probe
+      // batch), and the postings scan shuffles only AFTER the query
+      // join cut it to posting-list size (the clean bundle's own
+      // shape). The only exchanges the deltas add are the two
+      // delta-bounded adjustment groupBys inside broadcast builds.
+      // Threshold off so the query side can't hide shuffles; AQE off
+      // so the plan tree is walkable.
+      Lexical.writeIndexTables(rebuild, "bm25_tapp_clean_spec", 8)
+      val clean = Lexical.readIndexTables(spark, "bm25_tapp_clean_spec")
+      def nEx(d: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(d.queryExecution.executedPlan.toString).size
+      val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val priorThr = spark.conf.get(thresholdKey)
+      val priorAqe = spark.conf.get(aqeKey)
+      try {
+        spark.conf.set(thresholdKey, "-1")
+        spark.conf.set(aqeKey, "false")
+        val exDelta = nEx(Lexical.rankedFromIndex(served, queries))
+        val exClean = nEx(Lexical.rankedFromIndex(clean, queries))
+        assert(exDelta <= exClean + 2,
+          s"delta-served probe plans $exDelta exchanges vs the clean " +
+            s"bundle's $exClean -- more than the two delta-bounded " +
+            "adjustment shuffles")
+        // precisely: every exchange the delta path ADDS must feed on
+        // the (small) deltas table ALONE — an exchange fed by the
+        // postings/vocab/doclen relations beyond the clean plan's
+        // own shape would be the index re-shuffling
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        def exchanges(d: org.apache.spark.sql.DataFrame) =
+          d.queryExecution.executedPlan
+            .collect { case e: ShuffleExchangeExec => e }
+        val deltaFed = exchanges(Lexical.rankedFromIndex(served, queries))
+          .filterNot { e =>
+            val ls = e.collectLeaves()
+            ls.nonEmpty &&
+              ls.forall(_.toString.contains(s"${name}_deltas"))
+          }
+        val cleanEx = exchanges(Lexical.rankedFromIndex(clean, queries))
+        assert(deltaFed.size == cleanEx.size,
+          s"${deltaFed.size} non-delta-fed exchanges vs the clean " +
+            s"plan's ${cleanEx.size} -- a delta leg re-shuffles an " +
+            "index relation")
+      } finally {
+        spark.conf.set(thresholdKey, priorThr)
+        spark.conf.set(aqeKey, priorAqe)
+      }
       // idempotence: re-delivering the same batch appends nothing and
       // merges nothing (delta mass unchanged)
       val nPostings = spark.table(s"${name}_postings").count()
@@ -946,9 +998,13 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
         healed.sumDl == rebuild.sumDl,
         "delete-then-re-add did not restore the union scalars")
     } finally {
-      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+      for (n <- Seq(name, "bm25_tapp_clean_spec");
+          t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
           suffix <- Seq("", "__stage", "__old"))
-        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t$suffix")
+        spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$suffix")
+      for (suffix <- Seq("", "__stage", "__old"))
+        spark.sql(
+          s"DROP TABLE IF EXISTS ${name}__append_pending$suffix")
     }
   }
 
