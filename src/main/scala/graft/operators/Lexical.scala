@@ -161,7 +161,9 @@ object Lexical {
     * [[removeDocsDeferred]]: same decrements, installed as one
     * atomic delta table instead of a four-table rewrite. */
   def removeDocs(idx: Bm25Index, ids: DataFrame): Bm25Index = {
-    val rm = ids.select(col("doc_id")).distinct()
+    // takedown batches are batch-sized by contract — broadcast them
+    // so the postings extract streams instead of shuffling
+    val rm = broadcast(ids.select(col("doc_id")).distinct())
     val removed = idx.tf.join(rm, Seq("doc_id"), "left_semi")
     val dec = removed.groupBy("token").agg(count(lit(1)).as("__dec"))
     val r = removed.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
@@ -627,9 +629,15 @@ object Lexical {
     val dt = s"${name}_deltas"
     val live = readIndexTables(spark, name) // prior deltas applied
     // live victims only: already-tombstoned or never-indexed ids must
-    // neither decrement again nor inflate the compaction gate
-    val rm = ids.select(col("doc_id")).distinct()
-      .join(live.dl.select("doc_id"), Seq("doc_id"), "left_semi")
+    // neither decrement again nor inflate the compaction gate. Probe
+    // direction matters at scale: the |docs|-row doclen relation
+    // streams as the narrow left side probed by the BROADCAST batch
+    // ids — `ids ⋉ dl` the other way would put doclen on the
+    // non-broadcastable build side and shuffle it per takedown batch.
+    val rm = live.dl.select("doc_id")
+      .join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .distinct()
     val removed = live.tf.join(broadcast(rm), Seq("doc_id"), "left_semi")
     val batchDec = removed.groupBy("token")
       .agg(count(lit(1)).as("n"))
