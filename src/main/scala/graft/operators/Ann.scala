@@ -479,17 +479,11 @@ object Ann {
     // overwrite them with the batch — silently resurrecting every
     // previously deleted vector (ADVICE r15)
     Partitioning.recoverSwap(s, tomb)
-    // membership in the postings-never-shuffle shape (the newKeysOnly
-    // probe direction): the INDEX streams as a narrow scan probed by
-    // the broadcast batch ids — `ids ⋉ index` the other way round
-    // would put the index on the semi-join's build/right side, which
-    // cannot broadcast, and shuffle the whole table per takedown
-    // batch. One live row per id (the append guard's invariant), and
-    // the ≤ batch result is deduped anyway.
-    val inIndex = Partitioning.bucketed(s, table).select(idCol)
-      .join(broadcast(ids.select(col(idCol)).distinct()),
-        Seq(idCol), "left_semi")
-      .distinct()
+    // membership in the index-never-shuffles shape — see
+    // [[Partitioning.keysInBig]]: the naive `ids ⋉ index` would
+    // shuffle the whole table per takedown batch
+    val inIndex = Partitioning.keysInBig(ids,
+      Partitioning.bucketed(s, table), idCol)
     val merged =
       if (s.catalog.tableExists(tomb))
         s.table(tomb).unionByName(inIndex).distinct()

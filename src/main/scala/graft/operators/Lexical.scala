@@ -629,15 +629,11 @@ object Lexical {
     val dt = s"${name}_deltas"
     val live = readIndexTables(spark, name) // prior deltas applied
     // live victims only: already-tombstoned or never-indexed ids must
-    // neither decrement again nor inflate the compaction gate. Probe
-    // direction matters at scale: the |docs|-row doclen relation
-    // streams as the narrow left side probed by the BROADCAST batch
-    // ids — `ids ⋉ dl` the other way would put doclen on the
-    // non-broadcastable build side and shuffle it per takedown batch.
-    val rm = live.dl.select("doc_id")
-      .join(broadcast(ids.select(col("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-      .distinct()
+    // neither decrement again nor inflate the compaction gate — in
+    // the doclen-never-shuffles probe shape ([[Partitioning.keysInBig]];
+    // the naive `ids ⋉ dl` would shuffle the |docs|-row relation per
+    // takedown batch)
+    val rm = Partitioning.keysInBig(ids, live.dl, "doc_id")
     val removed = live.tf.join(broadcast(rm), Seq("doc_id"), "left_semi")
     val batchDec = removed.groupBy("token")
       .agg(count(lit(1)).as("n"))

@@ -550,6 +550,22 @@ object Partitioning {
       batch.join(big.select(col(key)).distinct(), Seq(key), "left_anti")
   }
 
+  /** The members of `ids` that exist in `big` — [[newKeysOnly]]'s
+    * complement, in the same big-side-never-shuffles shape: `big`
+    * streams as a narrow scan probed by the BROADCAST id set, and
+    * the ≤ ids-sized survivors dedup after. The naive spelling
+    * (`ids ⋉ big`) puts the big relation on the semi-join's
+    * non-broadcastable build side and shuffles it once per batch —
+    * the takedown-path hazard this helper retires for the tombstone
+    * and delete-delta writers. `ids` must be batch-sized (the
+    * broadcast contract); equality with the plain semi-join and the
+    * big side's exchange-free plan are pinned in PartitioningSpec. */
+  def keysInBig(ids: DataFrame, big: DataFrame, key: String): DataFrame =
+    big.select(col(key))
+      .join(broadcast(ids.select(col(key)).distinct()),
+        Seq(key), "left_semi")
+      .distinct()
+
   /** The bucket spec of a serving table, from the CATALOG — the one
     * place every maintenance path reads it (a caller-supplied bucket
     * count that disagreed with the table would silently re-bucket;

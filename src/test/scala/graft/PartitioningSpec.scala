@@ -405,6 +405,36 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
       "fallback path diverged from the plain anti-join")
   }
 
+  test("keysInBig equals the plain semi-join and never shuffles the " +
+      "big side (the takedown membership probe direction)") {
+    val big = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("payload"))
+    val batch = spark.range(0, 400, 1, 4)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN id + 1 ELSE id + 9000000 END AS k")
+    val plain = batch.select("k").distinct()
+      .join(big.select("k"), Seq("k"), "left_semi")
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.getLong(0)).sorted.toSeq
+    val probed = Partitioning.keysInBig(batch, big, "k")
+    assert(keys(probed) == keys(plain),
+      "flipped membership probe diverged from the plain semi-join")
+    assert(probed.count() > 0 && probed.count() < 400,
+      "fixture vacuous: some ids must be members, some not")
+    // plan shape: the big relation streams under the broadcast semi —
+    // no shuffle between the semi-join and the big scan (the naive
+    // `ids semi big` direction plans a sort-merge semi that shuffles
+    // the whole big relation per batch)
+    val plan = probed.queryExecution.executedPlan.toString
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(semiIdx >= 0, s"probe lost its broadcast-semi shape:\n$plan")
+    val sub = plan.substring(semiIdx)
+    val streamSide = sub.substring(0, sub.indexOf("BroadcastExchange"))
+    assert(!streamSide.contains("Exchange hashpartitioning"),
+      s"membership probe shuffled the big side:\n$plan")
+    assert(streamSide.contains("FileScan"),
+      s"big side no longer a direct scan:\n$plan")
+  }
+
   test("deliverOnce runs a keyed body exactly once, bypasses with no " +
       "key, and heals a dangling manifest swap") {
     val t = "deliver_once_spec"
