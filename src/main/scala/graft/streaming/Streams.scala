@@ -1081,9 +1081,11 @@ object Streams {
     * (`Jobs.maintainServingIndexes`): every micro-batch of crawl docs
     * lands through `Lexical.appendIndexTables`, which tokenizes ONLY
     * the batch, bucket-appends its postings under the catalog's spec,
-    * and re-derives vocab/doclen/scalars from the postings install —
-    * the bundle is probe-ready after every micro-batch instead of
-    * once nightly. Delivery is idempotent at the DATA level, beyond
+    * and stages the vocab/doclen/scalar adds as append-deltas the
+    * read path folds in (batch-sized end-to-end, r16 verdict #1 — no
+    * per-micro-batch full-postings derive) — the bundle is
+    * probe-ready after every micro-batch instead of once nightly.
+    * Delivery is idempotent at the DATA level, beyond
     * the checkpoint's path level: the doc-id guard inside
     * appendIndexTables (the `newKeysOnly` broadcast-probe shape, big
     * side never shuffles) drops already-indexed docs and collapses
@@ -1112,7 +1114,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // an empty micro-batch (idle trigger) must not churn the
-        // derived-artifact swaps — the append would be a no-op anyway
+        // guard probes and delta swaps — the append is a no-op anyway
         if (batch.head(1).nonEmpty)
           graft.operators.Lexical.appendIndexTables(
             batch.sparkSession, name, batch)
