@@ -1148,7 +1148,24 @@ object Bench {
     val start = json.indexOf("\"provenance\":{")
     if (start < 0) return Map.empty
     val body = json.substring(start + "\"provenance\":".length)
-    val end = body.indexOf('}')
+    // the section ends at the first '}' OUTSIDE a string literal — a
+    // provenance note containing a brace (hand-edits reference
+    // "{controlled}" protocols) must not truncate the map and drop
+    // every later entry on the next round-trip. Values written by
+    // floorJson carry no quotes or backslashes (jsonStr blanks them),
+    // but the scan honors escapes anyway for hand-edited files.
+    var i = 0
+    var inStr = false
+    var end = -1
+    while (end < 0 && i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (c == '}') end = i
+      i += 1
+    }
     if (end < 0) return Map.empty
     "\"([^\"]+)\":\"([^\"]*)\"".r
       .findAllMatchIn(body.substring(0, end + 1))

@@ -138,19 +138,24 @@ object Sinks {
       val conf = sc.hadoopConfiguration
       // the created-by-us parent (deleted in full afterwards) vs the
       // caller-owned staging root (only our stage subdir is deleted).
-      // The stage dir is KEYED so two concurrent fanOuts sharing one
-      // staging root cannot clobber each other's staged bytes
-      // mid-copy (both would report true while a target held a mix),
-      // and UNIQUIFIED (pid + nanotime) so even two concurrent
-      // deliveries of the SAME key stage apart (ADVICE r16) — the
-      // md5 alone would have them share one stage dir
+      // The stage dir is KEYED so two concurrent fanOuts of DIFFERENT
+      // keys sharing one staging root cannot clobber each other's
+      // staged bytes mid-copy, and DETERMINISTIC on purpose: a
+      // crashed delivery's leftovers are overwritten by the next
+      // run's gzipCsv instead of leaking one orphaned extract copy
+      // per crash in the caller-owned root. Concurrent deliveries of
+      // the SAME key are NOT supported — beyond the stage, the
+      // per-target __incoming/__old swap keys are necessarily shared,
+      // so same-key delivery is single-writer, exactly like every
+      // serving-table swap (Partitioning.recoverSwap's contract); the
+      // cron deployment this sink serves delivers each key once per
+      // run.
       val tempParent = if (staging.isEmpty)
         Some(java.nio.file.Files.createTempDirectory("graft-fanout").toString)
       else None
       val stageName = "stage-" + java.security.MessageDigest
         .getInstance("MD5").digest(key.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16) +
-        s"-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+        .map("%02x".format(_)).mkString.take(16)
       val stage = staging.orElse(tempParent).get + "/" + stageName
       val computed =
         try {

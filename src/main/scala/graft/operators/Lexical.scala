@@ -350,7 +350,9 @@ object Lexical {
     * Crash convergence rides the `<name>__append_pending` marker —
     * the batch's fresh doc_ids, installed atomically BEFORE the
     * postings append. [[finishPendingAppend]] (run at the top of
-    * every append and read) recomputes the pending batch's delta
+    * every maintenance WRITE — append, deferred delete, compaction;
+    * deliberately not by readers, see its contract) recomputes the
+    * pending batch's delta
     * from postings-truth restricted to the marked ids (bounded by
     * the batch's posting mass) and merges it exactly once (the delta
     * records the marker's id-set fingerprint in the same atomic
@@ -378,6 +380,19 @@ object Lexical {
                         maxDeltaDocs: Long = 1000000L): Unit = {
     val dt = s"${name}_deltas"
     Partitioning.recoverSwap(spark, dt)
+    // MIGRATION: a bundle whose pre-delta-protocol append crashed
+    // between its postings install and its full derive left the old
+    // `__derive_pending` marker and stale artifacts; the old code
+    // converged it with a full re-derive, so pay that once here (the
+    // pre-upgrade delete-deltas stay valid — they are relative to
+    // postings-truth, which the derive re-reads)
+    val legacy = s"${name}__derive_pending"
+    Partitioning.recoverSwap(spark, legacy)
+    if (spark.catalog.tableExists(legacy)) {
+      deriveIndexArtifacts(spark, name,
+        Partitioning.bucketSpecOf(spark, s"${name}_postings").numBuckets)
+      spark.sql(s"DROP TABLE IF EXISTS $legacy")
+    }
     finishPendingAppend(spark, name) // converge a prior crashed append
     // the feed contract is doc-grain: an at-least-once source can
     // repeat a doc WITHIN one batch, where the batch-vs-index guard
@@ -444,9 +459,21 @@ object Lexical {
     * the delta only drops the marker. Ids with no committed postings
     * contribute nothing (buildIndex's docs-with-postings convention);
     * a marker whose ids committed NO postings at all (crash before
-    * the append, or an all-shingle-less batch) drops without a
-    * merge. No-op when no marker exists — one catalog check, which
-    * is why every read path can afford to self-heal through it. */
+    * the append, or an all-shingle-less batch) is LEFT IN PLACE with
+    * nothing merged — the next append overwrites or completes it.
+    *
+    * WRITER-ONLY, like every serving swap: the maintenance paths
+    * (append, deferred delete, compaction) call this; the plain read
+    * path must NOT, because a reader running between the marker
+    * install and the in-flight postings commit would observe an
+    * empty (or partially visible) slice and could record the
+    * fingerprint against less than the batch's true mass — the
+    * writer's own post-commit merge then skips on the fingerprint
+    * and the unseen mass is never accounted. Until a writer
+    * converges, readers serve the consistent PRE-APPEND view (the
+    * pending docs' postings are physically present but invisible to
+    * ranking — their doclen rows don't exist yet, and the probe's dl
+    * lookup is what admits a doc). */
   private def finishPendingAppend(
       spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     val mk = s"${name}__append_pending"
@@ -473,6 +500,11 @@ object Lexical {
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
       val r = slice.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
       val aDocs = r.getLong(0)
+      // nothing committed for the marked ids: leave the marker in
+      // place (the crash-before-postings window, or an all-shingle-
+      // less batch) — the next append overwrites or completes it;
+      // dropping here would lose the marker of an IN-FLIGHT append
+      if (aDocs == 0L) return
       if (aDocs > 0L) {
         val aMass = if (r.isNullAt(1)) 0L else r.getLong(1)
         val nullTok = lit(null).cast("string")
@@ -520,12 +552,16 @@ object Lexical {
     * scans plus the 1-row scalar collect, probe-parity-identical to
     * the in-session index (spec-pinned, along with the probe plan
     * having strictly fewer exchanges than the plain-parquet form).
-    * Self-heals through [[finishPendingAppend]] first, so a reader
-    * arriving inside a crashed append's window (postings committed,
-    * delta unmerged) serves the converged view, not a stale one. */
+    * A reader arriving inside a crashed append's window (postings
+    * committed, delta unmerged, marker pending) serves the
+    * consistent PRE-APPEND view — the pending docs are invisible to
+    * ranking (no doclen rows yet, and the probe's dl lookup is what
+    * admits a doc) — and the next WRITER operation converges it via
+    * [[finishPendingAppend]]; readers deliberately do not (see its
+    * writer-only contract: a reader racing the in-flight postings
+    * commit could fingerprint a partial slice). */
   def readIndexTables(spark: org.apache.spark.sql.SparkSession,
                       name: String): Bm25Index = {
-    finishPendingAppend(spark, name)
     Partitioning.recoverSwap(spark, s"${name}_scalars")
     val sc = spark.table(s"${name}_scalars")
       .select("n_docs", "sum_dl").collect()(0)
@@ -627,6 +663,10 @@ object Lexical {
                          compactFraction: Double = 0.05,
                          maxTombstones: Long = 1000000L): Boolean = {
     val dt = s"${name}_deltas"
+    // writer path: converge a crashed append FIRST — otherwise a
+    // victim among the pending docs is invisible to live.dl, the
+    // takedown no-ops, and the later convergence resurrects the doc
+    finishPendingAppend(spark, name)
     val live = readIndexTables(spark, name) // prior deltas applied
     // live victims only: already-tombstoned or never-indexed ids must
     // neither decrement again nor inflate the compaction gate — in
@@ -704,6 +744,13 @@ object Lexical {
     // (writeIndexTables' default) rather than failing, so bucketSpecOf's
     // throw is deliberately not used here.
     Partitioning.recoverSwap(spark, s"${name}_postings")
+    // writer path: converge a crashed append before folding —
+    // the rebuild below derives artifacts from the postings install
+    // (pending docs included), and writeIndexTables drops the marker,
+    // so the fold would be correct either way; merging first keeps
+    // one invariant ("a marker's docs are unaccounted") instead of
+    // two
+    finishPendingAppend(spark, name)
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst
         .TableIdentifier(s"${name}_postings"))

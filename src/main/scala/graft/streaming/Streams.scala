@@ -128,6 +128,24 @@ object Streams {
             // than the open session's reach (sorted ascending, so
             // they form a prefix of the batch)
             var late: SessionState = null
+            // resolve the straggler chain against the session about
+            // to be finalized: a chain reaching within gap of its
+            // start is transitively in its chain — the batch total
+            // order would have merged them — and the resolution must
+            // happen BEFORE the session is emitted or carried, never
+            // only at end-of-batch (a mid-batch split would otherwise
+            // emit the session un-bridged and strand the chain as a
+            // spurious extra session)
+            def bridged(s: SessionState): SessionState =
+              if (late == null) s
+              else {
+                val r =
+                  if (s.first - late.last <= gapUs)
+                    SessionState(s.n + late.n, late.first, s.last)
+                  else { out += emit(late); s }
+                late = null
+                r
+              }
             sorted.foreach { e =>
               val t = usOf(e.ts)
               if (cur == null) cur = SessionState(1L, t, t)
@@ -146,18 +164,14 @@ object Streams {
                 cur = SessionState(cur.n + 1,
                   math.min(cur.first, t), math.max(cur.last, t))
               else {
-                out += emit(cur) // gap exceeded: the session SPLITS
+                // gap exceeded: the session SPLITS — with its final
+                // extent known, bridge-or-emit any straggler chain
+                // first (its events precede this session)
+                out += emit(bridged(cur))
                 cur = SessionState(1L, t, t)
               }
             }
-            if (late != null) {
-              // a straggler chain reaching within gap of the open
-              // session's start is transitively in its chain — the
-              // batch total order would have merged them
-              if (cur.first - late.last <= gapUs)
-                cur = SessionState(cur.n + late.n, late.first, cur.last)
-              else out += emit(late)
-            }
+            if (cur != null) cur = bridged(cur)
             if (cur != null) {
               state.update(cur)
               // close at last-event-time + gap (µs horizon rounded UP
@@ -533,7 +547,12 @@ object Streams {
     * redelivery (ADVICE r16) — one string of state dedups the
     * consecutive-redelivery case; genuinely alternating late types
     * still each emit, which a changelog applier tolerates by the
-    * zero-length contract. */
+    * zero-length contract. A genuinely DISTINCT late event of the
+    * same type as the last late emission also collapses into it —
+    * deliberately: the zero-length row carries no event identity or
+    * count, so a second emission would be byte-identical and convey
+    * nothing; per-event late tallies belong to the batch-face
+    * reconciliation (T3), not the changelog. */
   final case class ScdRunState(event_type: String, valid_from: Timestamp,
                                n: Long, lastLate: String = null)
 

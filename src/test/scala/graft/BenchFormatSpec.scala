@@ -452,6 +452,14 @@ class BenchFormatSpec extends AnyFunSuite {
     // queries parse is untouched by the string-valued section
     assert(Bench.parseFloorQueries(js) === entries)
     assert(Bench.parseFloorProvenance(js) === prov)
+    // a brace inside a value must not truncate the section (hand
+    // edits reference "{controlled}" protocols); later entries survive
+    val braced = Map("a_q" -> "r17: re-read {controlled} 1.2",
+      "z_q" -> "r17: later entry")
+    val bjs = Bench.floorJson("sf0.1", 3, "32",
+      Map("a_q" -> ((1.0, 0.1, 0.5)), "z_q" -> ((2.0, 0.1, 0.5))), braced)
+    assert(Bench.parseFloorProvenance(bjs) === braced,
+      "brace in a provenance value truncated the section")
     // absent section → empty map; provenance for a key not in the
     // floor is dropped at write (its entry is gone — nothing to
     // describe)

@@ -1326,21 +1326,41 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
         "marker-only crash did not converge to the union")
 
       // --- window 2: postings committed, delta never merged -------
-      // (on index d) replay the append's first two steps by hand,
-      // then a bare READ must self-heal: merge from postings-truth,
-      // drop the marker, serve the union
+      // (on index d) replay the append's first two steps by hand. A
+      // bare READ must serve the consistent PRE-APPEND view and leave
+      // the marker alone (readers deliberately never merge — a reader
+      // racing an in-flight postings commit could fingerprint a
+      // partial slice, and the writer's own merge would then skip on
+      // the fingerprint with the unseen mass never accounted); the
+      // next WRITER operation — here a full redelivery — converges.
       val d = "bm25_dupd_spec"
-      Lexical.writeIndexTables(Lexical.buildIndex(resident), d, 8)
+      val residentIdx = Lexical.buildIndex(resident)
+      Lexical.writeIndexTables(residentIdx, d, 8)
       Partitioning.replaceTable(spark, s"${d}__append_pending",
         day.select("doc_id"))
       Lexical.postings(day).write.mode("append")
         .bucketBy(8, "token").sortBy("token")
         .format("parquet").saveAsTable(s"${d}_postings")
-      assert(servedScal(d) == ((union.nDocs, union.sumDl)),
-        "read did not self-heal the postings-committed crash window")
+      assert(servedScal(d) == ((residentIdx.nDocs, residentIdx.sumDl)),
+        "reader did not serve the consistent pre-append view")
+      assert(spark.catalog.tableExists(s"${d}__append_pending"),
+        "a bare read must not touch the pending marker")
+      // the pending docs are invisible to RANKING too, not just to
+      // the scalars: no doclen rows yet, so no batch doc can place
+      val midProbe = Lexical.rankedFromIndex(
+        Lexical.readIndexTables(spark, d),
+        docs.filter(col("doc_id") % 250 === 0))
+      assert(midProbe.join(day.select(col("doc_id")),
+          Seq("doc_id"), "left_semi").head(1).isEmpty,
+        "a pending (unaccounted) doc placed in the ranking")
+      // writer-side convergence: the redelivery merges from
+      // postings-truth, drops the marker, serves the union
+      Lexical.appendIndexTables(spark, d, day, compactFraction = 1.0)
       assert(!spark.catalog.tableExists(s"${d}__append_pending"),
-        "marker must drop after the read-side recovery merge")
-      // and a full redelivery after the heal is a no-op
+        "marker must drop after the writer-side recovery merge")
+      assert(servedScal(d) == ((union.nDocs, union.sumDl)),
+        "writer-side recovery did not converge to the union")
+      // and a second full redelivery after the heal is a no-op
       val nD = spark.table(s"${d}_deltas").count()
       Lexical.appendIndexTables(spark, d, day, compactFraction = 1.0)
       assert(spark.table(s"${d}_deltas").count() == nD &&

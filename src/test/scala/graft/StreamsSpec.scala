@@ -316,6 +316,39 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("sessionize: a straggler chain bridges into a session that is " +
+      "emitted MID-batch by a split, not only into the end-of-batch " +
+      "open tail") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.sessionize(source.toDS(), gapMinutes = 30,
+        allowedLateness = "1 day").writeStream
+      .format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        Event(1, ts("2024-01-02 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-02 10:10:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      // one batch: a straggler at 09:25 (outside the open session's
+      // 09:30 reach), a 09:35 that merges and EXTENDS the reach over
+      // the straggler, and an 11:00 that splits. Batch truth is ONE
+      // closed session [09:25, 10:10] n=4 — the chain must bridge
+      // into the session finalized by the mid-batch split, not strand
+      // as a spurious [09:25] while the session emits as [09:35, ...]
+      source.addData(
+        Event(3, ts("2024-01-02 09:25:00"), 7, "click", 1.0),
+        Event(4, ts("2024-01-02 09:35:00"), 7, "click", 1.0),
+        Event(5, ts("2024-01-02 11:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_bridge")
+        .as[graft.streaming.Streams.Session].collect().toSeq
+      assert(rows == Seq(graft.streaming.Streams.Session(7, 4,
+        ts("2024-01-02 09:25:00"), ts("2024-01-02 10:10:00"))),
+        s"mid-batch split did not bridge the straggler chain: $rows")
+    } finally q.stop()
+  }
+
   test("sessionize splits at the quiet gap INSIDE one micro-batch") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
