@@ -1145,9 +1145,12 @@ object Bench {
     * Entries re-seeded by an actual measured run carry no provenance
     * — the run's own frame fields are their provenance. */
   def parseFloorProvenance(json: String): Map[String, String] = {
-    val start = json.indexOf("\"provenance\":{")
-    if (start < 0) return Map.empty
-    val body = json.substring(start + "\"provenance\":".length)
+    // whitespace-tolerant locate: the map exists FOR hand edits, and
+    // a hand (or pretty-printer) writing `"provenance": {` must not
+    // have the whole section silently dropped on the next round-trip
+    val hdr = "\"provenance\"\\s*:\\s*\\{".r.findFirstMatchIn(json)
+    if (hdr.isEmpty) return Map.empty
+    val body = json.substring(hdr.get.end - 1)
     // the section ends at the first '}' OUTSIDE a string literal — a
     // provenance note containing a brace (hand-edits reference
     // "{controlled}" protocols) must not truncate the map and drop
@@ -1167,7 +1170,7 @@ object Bench {
       i += 1
     }
     if (end < 0) return Map.empty
-    "\"([^\"]+)\":\"([^\"]*)\"".r
+    "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
       .findAllMatchIn(body.substring(0, end + 1))
       .map(m => m.group(1) -> m.group(2)).toMap
   }

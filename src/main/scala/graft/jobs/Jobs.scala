@@ -307,8 +307,12 @@ object Jobs {
     val dBatch = docs.filter(col("doc_id") % 7 === 0)
     // SERVED doc count — base scalars plus pending delta adjustments
     // (the append path records batch adds in the delta table instead
-    // of rewriting the scalars; readIndexTables folds both signs and
-    // self-heals a crashed append's pending marker in passing)
+    // of rewriting the scalars; readIndexTables folds both signs).
+    // NOTE: this is a READ — it does NOT converge a crashed append's
+    // pending marker (writer-only contract, see finishPendingAppend);
+    // a pending batch's docs are invisible here until this job's own
+    // append/delete/compact step converges the marker, which is the
+    // consistent pre-append view the gate should count anyway.
     def bm25Docs: Long =
       Lexical.readIndexTables(s, Bm25ServingName).nDocs
     // same artifact-complete gate as the IVF side: a crash inside

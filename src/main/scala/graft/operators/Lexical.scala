@@ -162,8 +162,12 @@ object Lexical {
     * atomic delta table instead of a four-table rewrite. */
   def removeDocs(idx: Bm25Index, ids: DataFrame): Bm25Index = {
     // takedown batches are batch-sized by contract — broadcast them
-    // so the postings extract streams instead of shuffling
-    val rm = broadcast(ids.select(col("doc_id")).distinct())
+    // so the postings extract streams instead of shuffling; past the
+    // broadcast-safe bound (newKeysOnly's 4M-key cap) fall back to
+    // the shuffle joins, which complete at any id-set size instead
+    // of failing the whole takedown on Spark's broadcast limit
+    val rmIds = ids.select(col("doc_id")).distinct()
+    val rm = if (rmIds.count() <= 4000000L) broadcast(rmIds) else rmIds
     val removed = idx.tf.join(rm, Seq("doc_id"), "left_semi")
     val dec = removed.groupBy("token").agg(count(lit(1)).as("__dec"))
     val r = removed.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
@@ -441,6 +445,12 @@ object Lexical {
       if (spark.catalog.tableExists(dt))
         spark.table(dt).filter(col("kind") === "dladd").count()
       else 0L
+    // a compaction crash inside the scalars replaceTable leaves the
+    // table unbound until SOME path probes it — every other table
+    // this function touches is recoverSwap'd above, and without this
+    // probe the gate read below would crash-loop a streaming ingest
+    // on every fresh micro-batch until a reader happened to run
+    Partitioning.recoverSwap(spark, s"${name}_scalars")
     val baseN = spark.table(s"${name}_scalars")
       .select("n_docs").collect()(0).getLong(0)
     val threshold = math.max(1L,
@@ -505,45 +515,43 @@ object Lexical {
       // less batch) — the next append overwrites or completes it;
       // dropping here would lose the marker of an IN-FLIGHT append
       if (aDocs == 0L) return
-      if (aDocs > 0L) {
-        val aMass = if (r.isNullAt(1)) 0L else r.getLong(1)
-        val nullTok = lit(null).cast("string")
-        val nullId = lit(null).cast("long")
-        import spark.implicits._
-        // split the batch vocabulary by BASE-vocab membership NOW
-        // (one broadcast-semi probe of the bucketed vocab — a narrow
-        // batch-cost scan, paid once per append): tokens already in
-        // the base vocab record as `dfinc` adjustments its serving
-        // leg overlays in place, brand-new tokens as `dfnew` rows
-        // that serve from the broadcastable small leg — the split
-        // that lets readIndexTables keep the vocab side of every
-        // probe exchange-free (see Bm25Index.dfSplit)
-        val bdf = slice.groupBy("token").agg(count(lit(1)).as("n"))
-        Partitioning.recoverSwap(spark, s"${name}_vocab")
-        val existTok = spark.table(s"${name}_vocab").select("token")
-          .join(broadcast(bdf.select("token")), Seq("token"),
-            "left_semi")
-        val rows = bdf
-          .join(broadcast(existTok), Seq("token"), "left_semi")
-          .select(lit("dfinc").as("kind"), nullId.as("id"),
-            col("token"), col("n"))
-          .unionByName(bdf
-            .join(broadcast(existTok), Seq("token"), "left_anti")
-            .select(lit("dfnew").as("kind"), nullId.as("id"),
-              col("token"), col("n")))
-          .unionByName(slice.groupBy("doc_id").agg(sum("tf").as("n"))
-            .select(lit("dladd").as("kind"), col("doc_id").as("id"),
-              nullTok.as("token"), col("n")))
-          .unionByName(Seq(("scal_docs_add", aDocs),
-              ("scal_mass_add", aMass)).toDF("kind", "n")
-            .select(col("kind"), nullId.as("id"), nullTok.as("token"),
-              col("n")))
-          .unionByName(Seq(fp).toDF("token")
-            .select(lit("applied").as("kind"), nullId.as("id"),
-              col("token"), nullId.as("n")))
-        Partitioning.replaceTable(spark, dt,
-          prior.fold(rows)(_.unionByName(rows)))
-      }
+      val aMass = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val nullTok = lit(null).cast("string")
+      val nullId = lit(null).cast("long")
+      import spark.implicits._
+      // split the batch vocabulary by BASE-vocab membership NOW
+      // (one broadcast-semi probe of the bucketed vocab — a narrow
+      // batch-cost scan, paid once per append): tokens already in
+      // the base vocab record as `dfinc` adjustments its serving
+      // leg overlays in place, brand-new tokens as `dfnew` rows
+      // that serve from the broadcastable small leg — the split
+      // that lets readIndexTables keep the vocab side of every
+      // probe exchange-free (see Bm25Index.dfSplit)
+      val bdf = slice.groupBy("token").agg(count(lit(1)).as("n"))
+      Partitioning.recoverSwap(spark, s"${name}_vocab")
+      val existTok = spark.table(s"${name}_vocab").select("token")
+        .join(broadcast(bdf.select("token")), Seq("token"),
+          "left_semi")
+      val rows = bdf
+        .join(broadcast(existTok), Seq("token"), "left_semi")
+        .select(lit("dfinc").as("kind"), nullId.as("id"),
+          col("token"), col("n"))
+        .unionByName(bdf
+          .join(broadcast(existTok), Seq("token"), "left_anti")
+          .select(lit("dfnew").as("kind"), nullId.as("id"),
+            col("token"), col("n")))
+        .unionByName(slice.groupBy("doc_id").agg(sum("tf").as("n"))
+          .select(lit("dladd").as("kind"), col("doc_id").as("id"),
+            nullTok.as("token"), col("n")))
+        .unionByName(Seq(("scal_docs_add", aDocs),
+            ("scal_mass_add", aMass)).toDF("kind", "n")
+          .select(col("kind"), nullId.as("id"), nullTok.as("token"),
+            col("n")))
+        .unionByName(Seq(fp).toDF("token")
+          .select(lit("applied").as("kind"), nullId.as("id"),
+            col("token"), nullId.as("n")))
+      Partitioning.replaceTable(spark, dt,
+        prior.fold(rows)(_.unionByName(rows)))
     }
     spark.sql(s"DROP TABLE IF EXISTS $mk")
   }

@@ -557,14 +557,25 @@ object Partitioning {
     * (`ids ⋉ big`) puts the big relation on the semi-join's
     * non-broadcastable build side and shuffles it once per batch —
     * the takedown-path hazard this helper retires for the tombstone
-    * and delete-delta writers. `ids` must be batch-sized (the
-    * broadcast contract); equality with the plain semi-join and the
-    * big side's exchange-free plan are pinned in PartitioningSpec. */
-  def keysInBig(ids: DataFrame, big: DataFrame, key: String): DataFrame =
-    big.select(col(key))
-      .join(broadcast(ids.select(col(key)).distinct()),
-        Seq(key), "left_semi")
-      .distinct()
+    * and delete-delta writers. Takedown sets are batch-sized by
+    * contract, but the contract is enforced, not assumed: above
+    * `broadcastIdCap` keys (the same 4M ≈ 32 MB bound as
+    * [[newKeysOnly]] — an id set past it would blow Spark's
+    * broadcast limit and fail the whole takedown run) the probe
+    * falls back to the plain shuffle semi-join, which completes at
+    * any id-set size. Equality with the plain semi-join and the big
+    * side's exchange-free plan under the cap are pinned in
+    * PartitioningSpec. */
+  def keysInBig(ids: DataFrame, big: DataFrame, key: String,
+                broadcastIdCap: Long = 4000000L): DataFrame = {
+    val k = ids.select(col(key)).distinct()
+    if (k.count() <= broadcastIdCap)
+      big.select(col(key))
+        .join(broadcast(k), Seq(key), "left_semi")
+        .distinct()
+    else
+      k.join(big.select(col(key)), Seq(key), "left_semi")
+  }
 
   /** The bucket spec of a serving table, from the CATALOG — the one
     * place every maintenance path reads it (a caller-supplied bucket

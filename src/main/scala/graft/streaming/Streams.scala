@@ -552,7 +552,18 @@ object Streams {
     * deliberately: the zero-length row carries no event identity or
     * count, so a second emission would be byte-identical and convey
     * nothing; per-event late tallies belong to the batch-face
-    * reconciliation (T3), not the changelog. */
+    * reconciliation (T3), not the changelog.
+    *
+    * STATE-SCHEMA MIGRATION: adding `lastLate` widened the
+    * flatMapGroupsWithState state encoder from 3 to 4 fields, which
+    * an existing checkpoint's state store will refuse to restore
+    * (Spark's state schema check). A deployment upgrading across
+    * this change must drain the old query (process all in-flight
+    * data, stop at a quiet point) and restart with a FRESH
+    * checkpoint; open runs re-seed from the first post-restart event
+    * per key, emitting one spurious-but-idempotent interval close
+    * that the changelog applier tolerates by the same zero-length
+    * contract as above. */
   final case class ScdRunState(event_type: String, valid_from: Timestamp,
                                n: Long, lastLate: String = null)
 

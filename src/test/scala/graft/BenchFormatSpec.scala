@@ -460,6 +460,13 @@ class BenchFormatSpec extends AnyFunSuite {
       Map("a_q" -> ((1.0, 0.1, 0.5)), "z_q" -> ((2.0, 0.1, 0.5))), braced)
     assert(Bench.parseFloorProvenance(bjs) === braced,
       "brace in a provenance value truncated the section")
+    // a HAND-formatted section (the map exists for hand edits) with
+    // whitespace around the colons must parse, not silently vanish
+    // on the next round-trip
+    val pretty = js.replace("\"provenance\":{",
+      "\"provenance\": {\n  ").replace("\":\"r16", "\": \"r16")
+    assert(Bench.parseFloorProvenance(pretty) === prov,
+      "whitespace-formatted provenance dropped")
     // absent section → empty map; provenance for a key not in the
     // floor is dropped at write (its entry is gone — nothing to
     // describe)

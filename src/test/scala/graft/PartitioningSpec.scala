@@ -433,6 +433,12 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
       s"membership probe shuffled the big side:\n$plan")
     assert(streamSide.contains("FileScan"),
       s"big side no longer a direct scan:\n$plan")
+    // above the cap the probe falls back to the plain shuffle semi
+    // instead of failing the run on Spark's broadcast limit
+    val fallback = Partitioning.keysInBig(batch, big, "k",
+      broadcastIdCap = 1L)
+    assert(keys(fallback) == keys(plain),
+      "over-cap fallback diverged from the plain semi-join")
   }
 
   test("deliverOnce runs a keyed body exactly once, bypasses with no " +

@@ -1376,4 +1376,37 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("BM25 table append heals a scalars swap crashed mid-rename: " +
+      "the compaction gate read must not wedge a streaming ingest") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val resident = docs.filter(col("doc_id") % 7 =!= 0)
+    val day = docs.filter(col("doc_id") % 7 === 0)
+    val union = Lexical.buildIndex(docs)
+    val n = "bm25_scalcrash_spec"
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), n, 8)
+      // crash window: a compaction died inside the scalars
+      // replaceTable between rename-out and rename-in — the table is
+      // unbound, only its __stage twin exists. The next append's
+      // gate reads scalars AFTER committing its postings and delta;
+      // without a recovery probe there it would throw and a
+      // streaming ingest would crash-loop on every fresh micro-batch
+      spark.sql(
+        s"ALTER TABLE ${n}_scalars RENAME TO ${n}_scalars__stage")
+      Lexical.appendIndexTables(spark, n, day, compactFraction = 1.0)
+      val i = Lexical.readIndexTables(spark, n)
+      assert((i.nDocs, i.sumDl) == ((union.nDocs, union.sumDl)),
+        "append across the crashed scalars swap diverged from the union")
+    } finally {
+      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
+      for (sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}__append_pending$sx")
+    }
+  }
 }
