@@ -1377,6 +1377,56 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("BM25 takedown of a PENDING-append doc converges the crashed " +
+      "append first, so the takedown cannot no-op and resurrect") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Lexical, Partitioning}
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val resident = docs.filter(col("doc_id") % 7 =!= 0)
+    val day = docs.filter(col("doc_id") % 7 === 0)
+    val n = "bm25_pendtake_spec"
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), n, 8)
+      // crashed append: marker installed, postings committed, delta
+      // never merged — the day's docs are physically present but
+      // invisible to ranking (no doclen rows)
+      Partitioning.replaceTable(spark, s"${n}__append_pending",
+        day.select("doc_id"))
+      Lexical.postings(day).write.mode("append")
+        .bucketBy(8, "token").sortBy("token")
+        .format("parquet").saveAsTable(s"${n}_postings")
+      // a takedown of one PENDING doc arrives before any redelivery.
+      // Without the writer-side converge-first, the victim is not in
+      // live.dl, the takedown filters it out as never-indexed, and a
+      // later convergence would RESURRECT it — the exact hazard the
+      // converge-before-probe ordering retires
+      val victim = day.select("doc_id").orderBy("doc_id").limit(1)
+      val vid = victim.collect()(0).getLong(0)
+      Lexical.removeDocsDeferred(spark, n, victim,
+        compactFraction = 1.0)
+      assert(!spark.catalog.tableExists(s"${n}__append_pending"),
+        "takedown (a writer) must converge the crashed append")
+      val served = Lexical.readIndexTables(spark, n)
+      val expect = Lexical.buildIndex(
+        docs.filter(col("doc_id") =!= vid))
+      assert((served.nDocs, served.sumDl) ==
+          ((expect.nDocs, expect.sumDl)),
+        "takedown of a pending doc diverged from the union-minus-victim")
+      assert(served.dl.filter(col("doc_id") === vid).head(1).isEmpty,
+        "tombstoned pending doc still serves a doclen row")
+      // and it stays gone across a full redelivery guard probe is
+      // NOT asserted: a re-add after takedown is a legitimate re-add
+      // by the lifecycle contract
+    } finally {
+      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
+      for (sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}__append_pending$sx")
+    }
+  }
+
   test("BM25 table append heals a scalars swap crashed mid-rename: " +
       "the compaction gate read must not wedge a streaming ingest") {
     import org.apache.spark.sql.functions._
