@@ -37,16 +37,19 @@ object Bloom {
     // Recover from the NPE instead of pre-checking with df.isEmpty:
     // the pre-check was a whole extra Spark job paid by EVERY build on
     // the overwhelmingly common non-empty path (ADVICE r8). The catch
-    // CONFIRMS emptiness before substituting the empty filter — an
-    // unrelated NPE on a non-empty input must propagate, because an
-    // all-zero filter over real keys would silently drop every row at
-    // the gate (the one way this operator can break its no-false-
-    // negative contract). The confirm job runs only on the NPE path.
+    // CONFIRMS emptiness OF THE KEY SET — not of the frame: the
+    // aggregate skips NULL keys, so a non-empty input whose keys are
+    // all NULL yields the same null buffer as zero rows, and the
+    // empty filter is the correct degenerate for it too. An unrelated
+    // NPE on a real key set must still propagate, because an all-zero
+    // filter over real keys would silently drop every row at the gate
+    // (the one way this operator can break its no-false-negative
+    // contract). The confirm job runs only on the NPE path.
     val f =
       try df.stat.bloomFilter(keyCol, expectedItems, fpp)
       catch {
         case npe: NullPointerException =>
-          if (df.isEmpty)
+          if (df.filter(col(keyCol).isNotNull).isEmpty)
             org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
           else throw npe
       }

@@ -107,61 +107,77 @@ object ConnectedComponents {
     val bidir = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    // Label init folds the FIRST propagation round in: every node
-    // starts at min(own id, min neighbor id) — one shuffle, the same
-    // shuffle a distinct-ids init would have paid, but one full round
-    // of joins ahead. (bidir has every node as a src, so no node is
-    // lost to the groupBy.)
-    var labels = bidir
-      .groupBy("src")
-      .agg(least(col("src"), min(col("dst"))).as("label"))
-      .select(col("src").as("id"), col("label"))
-      .transform(CacheScope.materialize)
-    var prev = labels
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
+    // Every exit below — success, maxIters throw, or a Spark failure
+    // mid-round — must release what it pinned: in a long-lived
+    // session (the scenario CacheScope exists for) an exception path
+    // that skips the releases leaks bidir + fwd + the current round's
+    // checkpointed blocks in executor storage forever. The finally
+    // releases bidir/fwd on every path, and the current round's
+    // labels on the NON-returning paths only (the returned plan reads
+    // its blocks; unpersist is idempotent, so a prev already released
+    // by the loop is safe to touch again).
+    var prev: DataFrame = null
+    var returned = false
+    try {
+      // Label init folds the FIRST propagation round in: every node
+      // starts at min(own id, min neighbor id) — one shuffle, the same
+      // shuffle a distinct-ids init would have paid, but one full round
+      // of joins ahead. (bidir has every node as a src, so no node is
+      // lost to the groupBy.)
+      var labels = bidir
+        .groupBy("src")
+        .agg(least(col("src"), min(col("dst"))).as("label"))
+        .select(col("src").as("id"), col("label"))
+        .transform(CacheScope.materialize)
+      prev = labels
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
       // Three label sources flow into one min-aggregation: neighbor
       // labels (1-hop propagation), the label's own label (pointer
       // doubling), and the node's own (id, label) row. The is_self row
       // (exactly one per id — labels' ids are bidir's distinct srcs)
       // resurfaces the previous label so `changed` needs no extra join.
-      val fromNeighbors = bidir
-        .join(labels, bidir("dst") === labels("id"))
-        .select(bidir("src").as("id"), col("label"),
-          lit(false).as("is_self"))
-      val lbl = labels.select(col("id").as("l_id"), col("label").as("l_label"))
-      val fromPointer = labels
-        .join(lbl, labels("label") === col("l_id"))
-        .select(labels("id"), col("l_label").as("label"),
-          lit(false).as("is_self"))
-      val next = fromNeighbors
-        .union(fromPointer)
-        .union(labels.select(col("id"), col("label"),
-          lit(true).as("is_self")))
-        .groupBy("id")
-        .agg(min("label").as("label"),
-          max(when(col("is_self"), col("label"))).as("__old"))
-        .withColumn("__changed", col("label") < col("__old"))
-        .transform(CacheScope.materialize)
-      // Scans the blocks just materialized by localCheckpoint — cheap.
-      converged = next.filter(col("__changed")).isEmpty
-      // Previous round's checkpointed blocks are no longer reachable
-      // from any live plan — release them (ADVICE r4). The final
-      // round's blocks stay: the returned plan reads them.
-      releaseCheckpoint(prev)
-      prev = next
-      labels = next.select("id", "label")
-      iter += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $iter converged=$converged")
+        val fromNeighbors = bidir
+          .join(labels, bidir("dst") === labels("id"))
+          .select(bidir("src").as("id"), col("label"),
+            lit(false).as("is_self"))
+        val lbl = labels.select(col("id").as("l_id"), col("label").as("l_label"))
+        val fromPointer = labels
+          .join(lbl, labels("label") === col("l_id"))
+          .select(labels("id"), col("l_label").as("label"),
+            lit(false).as("is_self"))
+        val next = fromNeighbors
+          .union(fromPointer)
+          .union(labels.select(col("id"), col("label"),
+            lit(true).as("is_self")))
+          .groupBy("id")
+          .agg(min("label").as("label"),
+            max(when(col("is_self"), col("label"))).as("__old"))
+          .withColumn("__changed", col("label") < col("__old"))
+          .transform(CacheScope.materialize)
+        // Scans the blocks just materialized by localCheckpoint — cheap.
+        converged = next.filter(col("__changed")).isEmpty
+        // Previous round's checkpointed blocks are no longer reachable
+        // from any live plan — release them (ADVICE r4). The final
+        // round's blocks stay: the returned plan reads them.
+        releaseCheckpoint(prev)
+        prev = next
+        labels = next.select("id", "label")
+        iter += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round $iter converged=$converged")
+      }
+      if (!converged) throw new IllegalStateException(
+        s"ConnectedComponents.minLabel: no fixpoint after $maxIters rounds" +
+          " — labels would be silently wrong; raise maxIters")
+      returned = true
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally {
+      bidir.unpersist()
+      releaseCheckpoint(fwd)
+      if (!returned && prev != null) releaseCheckpoint(prev)
     }
-    bidir.unpersist()
-    releaseCheckpoint(fwd)
-    if (!converged) throw new IllegalStateException(
-      s"ConnectedComponents.minLabel: no fixpoint after $maxIters rounds" +
-        " — labels would be silently wrong; raise maxIters")
-    labels.select(col("id"), col("label").as("cluster"))
   }
 
   /** Driver-side union-find with min-id roots and path compression:

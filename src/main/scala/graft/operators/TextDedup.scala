@@ -15,14 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** The word-bigram shingle array over a pre-split `__toks` column —
+    * ONE spelling shared by [[shingles]] and [[signaturesNarrowFold]]
+    * (the hashedGramInstances lesson, r11: verbatim twin SQL strings
+    * drift apart under maintenance, and these two feed the
+    * differential contracts between the native MinhashSig kernel and
+    * its declarative reference). */
+  private val BigramShingleSql =
+    "transform(slice(__toks, 1, size(__toks)-1)," +
+      " (x, i) -> concat(x, ' ', element_at(__toks, i+2)))"
+
   /** Distinct word-bigram shingles per doc: (docId, shingle). */
   def shingles(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
     docs
       .withColumn("__toks", split(col(textCol), " "))
-      .select(col(idCol), explode(array_distinct(expr(
-        "transform(slice(__toks, 1, size(__toks)-1)," +
-          " (x, i) -> concat(x, ' ', element_at(__toks, i+2)))")))
+      .select(col(idCol), explode(array_distinct(expr(BigramShingleSql)))
         .as("shingle"))
 
   /** numPerms-permutation MinHash signature per doc (md5-keyed
@@ -80,9 +88,7 @@ object TextDedup {
         .as(s"h$i"))
     Partitioning.ensureParallelism(docs, idCol)
       .withColumn("__toks", split(col(textCol), " "))
-      .withColumn("__sh", array_distinct(expr(
-        "transform(slice(__toks, 1, size(__toks)-1)," +
-          " (x, i) -> concat(x, ' ', element_at(__toks, i+2)))")))
+      .withColumn("__sh", array_distinct(expr(BigramShingleSql)))
       .filter(size(col("__sh")) > 0)
       .select(col(idCol) +: sig: _*)
   }
@@ -212,7 +218,15 @@ object TextDedup {
     * output as [[simhashInt]], one token-row shuffle. Kept as the
     * differential reference the equivalence spec checks the narrow
     * fold against; the narrow form wins at every scale (votes for one
-    * doc never span rows, so the shuffle buys nothing). */
+    * doc never span rows, so the shuffle buys nothing).
+    *
+    * PRECONDITION: `idCol` is unique per row. On duplicate ids the
+    * groupBy merges votes across all rows sharing the id and the
+    * totality join fans the MERGED fingerprint back to every row —
+    * a different (and here meaningless) answer than the per-row
+    * forms, which fingerprint each row independently. The
+    * equivalence specs feed id-unique corpora; this reference is not
+    * a per-row operator. */
   def simhashIntGrouped(docs: DataFrame, bits: Int = 32,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
@@ -424,10 +438,20 @@ object TextDedup {
                     = 0)"""))
       .select(
         col(idCol),
-        size(col("__l")).cast("long").as("n_tokens"),
-        (size(col("__l")) - size(col("__kept"))).cast("long")
+        // NULL-text totality (the cdcChunks stance): a NULL doc rides
+        // through as (0, 0, NULL) — without the explicit branch the
+        // NULL split leg yields NULL counts and, worse, concat_ws
+        // renders the text as '' (a silent NULL→'' rewrite in a
+        // corpus-rewrite operator). The oracle SQL carries the same
+        // branch.
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(col("__l")).cast("long")).as("n_tokens"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise((size(col("__l")) - size(col("__kept"))).cast("long"))
           .as("n_scrubbed_tokens"),
-        expr("concat_ws(' ', transform(__kept, i -> element_at(__l, i)))")
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(expr(
+            "concat_ws(' ', transform(__kept, i -> element_at(__l, i)))"))
           .as("scrubbed_text"))
   }
 
@@ -508,9 +532,12 @@ object TextDedup {
   def cdcChunks(docs: DataFrame, window: Int = 4, mask: Int = 8,
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
+    // fail fast like the sibling gram kernels: mask=0 would be a
+    // mid-job DIVIDE_BY_ZERO (ANSI) or a silent one-chunk-per-doc
+    // (NULL predicate under legacy semantics); window<1 garbage cuts
+    require(window >= 1, s"cdcChunks: window must be >= 1, got $window")
+    require(mask >= 1, s"cdcChunks: mask must be >= 1, got $mask")
     val g = s"array_join(slice(__toks, p - ${window - 1}, $window), ' ')"
-    val hashGram = s"(ascii(substring(md5($g), 1, 1)) * 31" +
-      s" + ascii(substring(md5($g), 2, 1))) % $mask"
     // the whole chunking runs INSIDE the token array — cut positions
     // by one filter, chunk texts by one transform over (start, end)
     // pairs — so the only exploded rows are the CHUNKS (~tokens/mask
@@ -518,14 +545,28 @@ object TextDedup {
     // window, no exchange at all in the chunk stage: embarrassingly
     // parallel per document. A cut AFTER the last token opens no new
     // chunk (nothing follows it), hence the strict `p < size` bound.
+    // The boundary hash digests md5 ONCE per eligible position (the
+    // per-token hot loop at scale): the first transform materializes
+    // the 2-hex-char slice the vote needs, the filter votes on it —
+    // HOF lambdas run interpreted with no common-subexpression
+    // elimination, so interpolating md5($g) twice into the predicate
+    // would pay two digests per position for the same bits.
     docs
       // NULL text normalizes to '' (one empty-token chunk) instead of
       // silently dropping the document at the posexplode — a corpus
       // report must account for every input row (EdgeCaseSpec)
       .withColumn("__toks", split(coalesce(col(textCol), lit("")), " "))
       .withColumn("__cuts", expr(
-        s"filter(sequence(1, size(__toks)), p -> p >= $window" +
-          s" AND p < size(__toks) AND $hashGram = 0)"))
+        s"""transform(
+              filter(
+                transform(sequence(1, size(__toks)),
+                  p -> named_struct('p', p, 'h',
+                    CASE WHEN p >= $window AND p < size(__toks)
+                         THEN substring(md5($g), 1, 2) END)),
+                s -> s.h IS NOT NULL AND
+                     (ascii(substring(s.h, 1, 1)) * 31 +
+                      ascii(substring(s.h, 2, 1))) % $mask = 0),
+              s -> s.p)"""))
       .withColumn("__starts",
         expr("concat(array(1), transform(__cuts, b -> b + 1))"))
       .withColumn("__ends",

@@ -33,8 +33,13 @@ object UrlCanon {
 
   /** Tracking-parameter pattern — a query-string `k=v` pair whose key
     * matches is dropped. Public, so callers extending the list keep
-    * the catalog face's baseline visible. */
-  val TrackingParamRe = "^(utm_[a-z]+|fbclid|gclid)="
+    * the catalog face's baseline visible. `utm_*` admits underscores
+    * and digits in the key tail: the real GA4 vocabulary includes
+    * utm_source_platform / utm_creative_format / utm_marketing_tactic,
+    * and a `[a-z]+`-only tail would leak those into the canonical
+    * string — identical pages fetched with and without the tracker
+    * would then canonicalize apart and the dedup would miss them. */
+  val TrackingParamRe = "^(utm_[a-z0-9_]+|fbclid|gclid)="
 
   /** Everything after the FIRST occurrence of `delim`, or '' when the
     * delimiter is absent — the split_part(col, delim, 2)-compatible

@@ -936,10 +936,13 @@ object Dedup extends QueryModule {
                             IF i >= x.s AND i <= x.e]) = 0] AS kept
         FROM base)
       SELECT doc_id,
-             CAST(len(l) AS BIGINT) AS n_tokens,
-             CAST(len(l) - len(kept) AS BIGINT) AS n_scrubbed_tokens,
-             coalesce(array_to_string([l[i] FOR i IN kept], ' '), '')
-               AS scrubbed_text
+             CAST(coalesce(len(l), 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(len(l) - len(kept), 0) AS BIGINT)
+               AS n_scrubbed_tokens,
+             CASE WHEN l IS NULL THEN NULL
+                  ELSE coalesce(
+                    array_to_string([l[i] FOR i IN kept], ' '), '')
+             END AS scrubbed_text
       FROM reb ORDER BY doc_id""")
   )
 
@@ -1931,7 +1934,7 @@ object Dedup extends QueryModule {
                array_to_string(
                  list_filter(string_split(q, '&'),
                    p -> p <> '' AND NOT
-                     regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=')),
+                     regexp_matches(p, '^(utm_[a-z0-9_]+|fbclid|gclid)=')),
                  '&') AS kept
         FROM auths),
       canon AS (

@@ -124,6 +124,34 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(g.count() == 0, "null/empty text must not pass the gate")
   }
 
+  test("cdcChunks fails fast on invalid window/mask instead of " +
+      "dividing by zero mid-job or silently not cutting") {
+    intercept[IllegalArgumentException] {
+      TextDedup.cdcChunks(weird, window = 4, mask = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.cdcChunks(weird, window = 0, mask = 8)
+    }
+  }
+
+  test("scrubRepeatedSpans is total on NULL text: (0, 0, NULL), " +
+      "never a silent NULL-to-empty rewrite") {
+    val withNull = weird.union(
+      Seq((6L, null: String)).toDF("doc_id", "text"))
+    val out = TextDedup.scrubRepeatedSpans(withNull, 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "every input doc appears in the scrub report")
+    assert(out(6L) == ((0L, 0L, null)),
+      "NULL text must ride through as (0, 0, NULL)")
+    // non-null degenerates keep their counts and text
+    assert(out(2L) == ((1L, 0L, "one")))
+    assert(out(3L) == ((2L, 0L, "two words")))
+  }
+
   test("bloom gate and streaming gate are total on degenerate docs") {
     import org.apache.spark.sql.functions._
     // empty member set: build over zero rows must still gate soundly
@@ -133,6 +161,17 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     val gated = weird.select(xxhash64(col("text")).as("g"))
       .filter(graft.operators.Bloom.gateLong(spark, bits, col("g")))
     assert(gated.count() == 0, "empty filter admits nothing")
+    // all-NULL key set (e.g. xxhash64 over all-NULL text): the same
+    // legal degenerate as zero rows — the aggregate skips NULLs, so
+    // the recovery must probe the KEY set's emptiness, not the
+    // frame's, or the build crashes where the empty filter is correct
+    val nullKeys = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+      .select(xxhash64(col("text")).as("g"))
+    val nbits = graft.operators.Bloom.buildLong(nullKeys, "g")
+    val ngated = weird.select(xxhash64(col("text")).as("g"))
+      .filter(graft.operators.Bloom.gateLong(spark, nbits, col("g")))
+    assert(ngated.count() == 0, "all-NULL-key filter admits nothing")
     // the streaming gram gate passes short/empty docs (no 6-gram) and
     // stays total on repeated separators — batch DataFrame, same code.
     // NULL text joins the always-pass set: split(NULL) propagates NULL
