@@ -127,7 +127,17 @@ object BpeOps {
               "two-pass replace expansion diverges from the " +
               "leftmost-first kernel on runs of the same token")
           (l, r) -> rank
-        }.toMap
+        }.foldLeft(Map.empty[(String, String), Int]) { case (m, (k, rank)) =>
+          // duplicates must fail HERE too (the self-pair stance): a
+          // last-wins toMap would drop a rank, de-contiguating the
+          // rank space — wordTokens indexes orderedMerges POSITIONALLY
+          // by rank, so a dropped rank shifts every later lookup to
+          // the wrong pair (or out of bounds) at apply time
+          require(!m.contains(k),
+            s"duplicate merge pair '${k._1} ${k._2}' (ranks ${m(k)} " +
+              s"and $rank): the rank space must be contiguous")
+          m.updated(k, rank)
+        }
     } finally in.close()
   }
 
@@ -154,8 +164,18 @@ object BpeOps {
     * O(|vocabulary| · len): the production-vocab shape (30k–50k
     * ranks) where a full-rank sweep per cache-missing word would
     * collapse on the unique-word tail of a web corpus. */
+  /** Initial per-character token array, split by CODE POINT — a
+    * UTF-16-unit split (`word.map(_.toString)`) would shear non-BMP
+    * characters (emoji, supplementary CJK) into lone surrogates that
+    * UTF8String encoding downstream corrupts to '?', and would
+    * diverge from the oracle's character-based replay (SQL string
+    * functions count code points, not UTF-16 units). */
+  private def charTokens(word: String): Array[String] =
+    word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+
   def wordTokens(word: String): Array[String] = {
-    var toks = word.map(_.toString).toArray
+    var toks = charTokens(word)
     while (toks.length > 1) {
       var best = Int.MaxValue
       var i = 0
@@ -182,7 +202,7 @@ object BpeOps {
     * oracle's unrolled replace expansion, kept as the differential
     * reference [[wordTokens]] is pinned against. */
   def wordTokensBySweep(word: String): Array[String] = {
-    var toks = word.map(_.toString).toArray
+    var toks = charTokens(word)
     orderedMerges.foreach { case (x, y) =>
       if (toks.length > 1) {
         val out = Array.newBuilder[String]

@@ -66,6 +66,15 @@ object FingerprintOps {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  // one digest per thread (the SimhashOps/MinhashOps pattern): a
+  // per-row getInstance is a JCA provider lookup + allocation on the
+  // exact hot path this native kernel exists to optimize
+  private val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def minWindowMd5(text: UTF8String, w: Int): UTF8String = {
     require(w > 0, "window length must be positive")
     val bytes = text.getBytes
@@ -83,7 +92,8 @@ object FingerprintOps {
     }
     offs(nChars) = nBytes
 
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
+    md.reset()
     val minDig = new Array[Byte](16)
     var haveMin = false
     val nWin = math.max(nChars - w + 1, 1)

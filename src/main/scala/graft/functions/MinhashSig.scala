@@ -69,6 +69,19 @@ case class MinhashSig(left: Expression, right: Expression)
   * code calls it through the class's static forwarder. */
 object MinhashOps {
 
+  // the permutation prefixes ("0|", "1|", …) depend only on numPerms
+  // (a foldable literal per query) — rebuilding them per ROW was pure
+  // allocation + int-formatting waste in the kernel that exists to
+  // remove per-row allocation. The byte arrays are write-once and
+  // only read after, so sharing across threads is safe.
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private val mkPrefixes =
+    new java.util.function.Function[Int, Array[Array[Byte]]] {
+      override def apply(n: Int): Array[Array[Byte]] =
+        Array.tabulate(n)(p => (p.toString + "|").getBytes("UTF-8"))
+    }
+
   private val mdLocal =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
@@ -104,8 +117,7 @@ object MinhashOps {
       if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
       i += 1
     }
-    val prefixes = Array.tabulate(numPerms)(p =>
-      (p.toString + "|").getBytes("UTF-8"))
+    val prefixes = prefixCache.computeIfAbsent(numPerms, mkPrefixes)
     val mins = new Array[Array[Byte]](numPerms)
     val md = mdLocal.get()
     var j = 0

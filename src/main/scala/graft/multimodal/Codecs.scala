@@ -208,6 +208,11 @@ object Codecs {
           require(le16(b, off + 8) == 1,
             s"not PCM: format ${le16(b, off + 8)}")
           channels = le16(b, off + 10)
+          // a corrupt channels=0 passes every other guard and poisons
+          // any downstream per-channel math (frames = samples/channels
+          // divides by zero) — surface it as the validated failure the
+          // module contract promises for corrupt fields
+          require(channels >= 1, s"bad channel count $channels")
           rate = le32(b, off + 12)
           require(le16(b, off + 22) == 16,
             s"unsupported bits/sample ${le16(b, off + 22)}")
@@ -741,6 +746,12 @@ object Codecs {
             require(len == 4 && be16at(seg) == 0,
               "restart intervals unsupported")
           case 0xda => // SOS
+            // guard the 6 body reads below like SOF0/DHT/DQT guard
+            // theirs: a truncated len=2 SOS at end-of-buffer would
+            // index past the array (escaping the quarantine seam),
+            // and mid-buffer would silently consume entropy bytes as
+            // header fields. 1-component SOS is exactly 8 bytes.
+            require(len >= 8, s"short SOS ($len)")
             require((b(seg) & 0xff) == 1,
               s"only 1-component scans supported (${b(seg) & 0xff})")
             dcSel = (b(seg + 2) & 0xff) >> 4
@@ -760,6 +771,17 @@ object Codecs {
     require(dcTab(dcSel) != null, s"missing DC Huffman table $dcSel")
     require(acTab(acSel) != null, s"missing AC Huffman table $acSel")
     val qt = quant(tq)
+    // dims are header-controlled: a ~200-byte file can declare
+    // 65535x65535 and force a ~17 GB matrix here before the entropy
+    // decode could fail on the truncated scan. Baseline JPEG spends
+    // at least two bits per 8x8 block (a DC code + EOB), so a legit
+    // scan needs >= pixels/256 bytes — bound the declaration by the
+    // bytes actually present (2x headroom + a 1 MB floor for tiny
+    // valid files) and quarantine the impossible header as a
+    // validated parse failure instead of an executor OOM
+    require(width.toLong * height.toLong <=
+        b.length.toLong * 512L + (1L << 20),
+      s"declared ${width}x$height exceeds what ${b.length} bytes can encode")
     val r = new JBitReader(b, pos)
     val px = Array.ofDim[Int](height, width)
     val coef = new Array[Int](64)
@@ -853,13 +875,37 @@ object Codecs {
     }
     require(width > 0, "no IHDR chunk")
     require(sawEnd, "no IEND chunk")
+    // scanline size math in Long (the decodeBmp stance): header-
+    // declared dims can wrap height*(width+1) past Int — a
+    // NegativeArraySizeException escaping the quarantine seam — or
+    // land on a small positive wrap that mis-sizes the buffer. And
+    // even in-range dims must be backed by the bytes present: DEFLATE
+    // expands at most ~1032x, so a declaration a tiny IDAT cannot
+    // possibly fill quarantines here as a validated failure instead
+    // of allocating gigabytes and OOM-ing the executor
+    val rawLenL = height.toLong * (width.toLong + 1L)
+    require(rawLenL <= idat.size.toLong * 1032L + 4096L,
+      s"declared ${width}x$height exceeds what ${idat.size}" +
+        " compressed bytes can encode")
+    require(rawLenL <= Int.MaxValue.toLong,
+      s"scanline stream too large: $rawLenL")
     // inflate the filtered scanline stream
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
-    val raw = new Array[Byte](height * (width + 1))
+    val raw = new Array[Byte](rawLenL.toInt)
     var got = 0
     while (got < raw.length && !infl.finished()) {
-      val n = infl.inflate(raw, got, raw.length - got)
+      // malformed zlib throws the checked DataFormatException, which
+      // is not an IllegalArgumentException and would escape
+      // tryDecode's quarantine — rewrap as the contract's validated
+      // parse failure
+      val n =
+        try infl.inflate(raw, got, raw.length - got)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"malformed IDAT zlib stream: ${e.getMessage}", e)
+        }
       // any non-progress iteration is a parse failure: n==0 with
       // finished()==false means needsInput (truncated stream) or
       // needsDictionary (preset-dictionary zlib, unsupported) — the

@@ -102,7 +102,12 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+          // a NULL payload (the metadata schema's nullable-source
+          // case — encode(NULL) is NULL) rides through as the empty
+          // payload instead of NPE-ing the task: every input row
+          // stays accounted, with a content-true 0-byte checksum
+          val raw = r.getAs[Array[Byte]](1)
+          val bytes = if (raw == null) Array.emptyByteArray else raw
           val resized = Array.range(0, bytes.length, stride)
             .map(bytes(_))
           md.reset()
@@ -378,7 +383,10 @@ object Multimodal {
         // per-partition "decoder" setup happens once, here
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+          // NULL payload → empty payload (see resizeStub): total on
+          // the nullable-source rows the metadata schema anticipates
+          val raw = r.getAs[Array[Byte]](1)
+          val bytes = if (raw == null) Array.emptyByteArray else raw
           val fakeW = 16 + (bytes.length % 16)
           val fakeH = 16 + ((bytes.length / 16) % 16)
           val mean =

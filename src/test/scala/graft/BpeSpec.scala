@@ -134,6 +134,23 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("non-BMP characters split as code points, never lone surrogates") {
+    // U+1D11E (musical G clef) is one character in any SQL engine's
+    // length(); a UTF-16-unit split would shear it into two surrogate
+    // tokens that UTF8String encoding corrupts to '?'
+    val word = "a" + new String(Character.toChars(0x1D11E)) + "b"
+    val toks = BpeOps.wordTokens(word)
+    assert(toks.mkString == word, "tokens must reassemble the word")
+    assert(!toks.exists(t =>
+        t.length == 1 && Character.isSurrogate(t.charAt(0))),
+      s"lone surrogate token in ${toks.toSeq}")
+    // no merges exist for these chars, so the split IS the output:
+    // 3 code points, the non-BMP one intact as a 2-unit string
+    assert(toks.length == 3 && toks(1).length == 2 &&
+      toks(1).codePointCount(0, 2) == 1,
+      s"expected code-point split, got ${toks.toSeq}")
+  }
+
   test("null text yields null, not a crash") {
     graft.GraftExtensions.ensure(spark)
     val out = spark.sql("SELECT bpe_count(CAST(NULL AS STRING)) AS n")

@@ -255,6 +255,97 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(e3.getMessage.contains("IDAT"), e3.getMessage)
   }
 
+  test("Codecs: header-declared dims are bounded by the bytes present " +
+      "(crafted tiny files cannot force gigabyte allocations)") {
+    import graft.multimodal.Codecs
+    // JPEG: SOF0 declaring 65535x65535 in a ~200-byte file must be a
+    // validated failure BEFORE the pixel matrix allocates ~17 GB
+    val good = Codecs.encodeJpegGray(16, 16, (x, y) => (x + y) % 256)
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val huge = good.clone()
+    huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xff.toByte
+    huge(sofAt + 7) = 0xff.toByte; huge(sofAt + 8) = 0xff.toByte
+    val e1 = intercept[IllegalArgumentException](
+      Codecs.decodeJpegGray(huge))
+    assert(e1.getMessage.contains("exceeds"), e1.getMessage)
+    // JPEG: SOS declaring an empty body must fail validation, not
+    // read header fields out of the entropy stream (or off the end)
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val shortSos = good.clone()
+    shortSos(sosAt + 2) = 0; shortSos(sosAt + 3) = 2
+    val e2 = intercept[IllegalArgumentException](
+      Codecs.decodeJpegGray(shortSos))
+    assert(e2.getMessage.contains("short SOS"), e2.getMessage)
+    // PNG chunk builder (the Long-math test's idiom)
+    def png(ihdr: Array[Byte], idat: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+        0x1a, 0x0a))
+      def chunk(tag: String, body: Array[Byte]): Unit = {
+        out.write(Array[Byte]((body.length >>> 24).toByte,
+          (body.length >>> 16).toByte, (body.length >>> 8).toByte,
+          body.length.toByte))
+        val payload = tag.getBytes("US-ASCII") ++ body
+        out.write(payload)
+        val c = new java.util.zip.CRC32(); c.update(payload)
+        val v = c.getValue.toInt
+        out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+          (v >>> 8).toByte, v.toByte))
+      }
+      chunk("IHDR", ihdr)
+      chunk("IDAT", idat)
+      chunk("IEND", Array.empty)
+      out.toByteArray
+    }
+    // PNG: width=0x7FFFFFFF, height=1 passes the >0 dim check but
+    // height*(width+1) wraps Int — must be the validated "exceeds"
+    // failure, not NegativeArraySizeException / OOM
+    val evilDims = png(
+      Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+        0, 0, 0, 1, 8, 0, 0, 0, 0),
+      Array[Byte](0x78, 0x9c.toByte, 0x03, 0x00, 0x00, 0x00, 0x00, 0x01))
+    val e3 = intercept[IllegalArgumentException](Codecs.decodePng(evilDims))
+    assert(e3.getMessage.contains("exceeds"), e3.getMessage)
+    // PNG: structurally valid chunks whose IDAT body is not a zlib
+    // stream — DataFormatException must surface as the contract's
+    // IllegalArgumentException, inside the quarantine seam
+    val badZlib = png(
+      Array[Byte](0, 0, 0, 4, 0, 0, 0, 4, 8, 0, 0, 0, 0),
+      Array[Byte](0x11, 0x22, 0x33, 0x44, 0x55, 0x66))
+    val e4 = intercept[IllegalArgumentException](Codecs.decodePng(badZlib))
+    assert(e4.getMessage.contains("IDAT"), e4.getMessage)
+    assert(Codecs.tryDecode(Codecs.decodePng(badZlib)).isLeft)
+    // WAV: channels=0 from a corrupt fmt chunk is a validated failure
+    val wav = Codecs.encodeWavPcm16(8000, 1, Array(1, 2, 3))
+    val zeroCh = wav.clone()
+    zeroCh(22) = 0; zeroCh(23) = 0
+    val e5 = intercept[IllegalArgumentException](
+      Codecs.decodeWavPcm16(zeroCh))
+    assert(e5.getMessage.contains("channel"), e5.getMessage)
+  }
+
+  test("decode/resize stubs are total on NULL payloads (nullable " +
+      "source column), never NPE-ing the task") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "some text"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val payloads = Multimodal.withPayload(docs)
+    val dec = Multimodal.decodeStub(spark, payloads)
+      .orderBy("doc_id").collect()
+    assert(dec.length == 2, "every input row accounted")
+    assert(dec(1).getInt(1) == 16 && dec(1).getInt(2) == 16 &&
+      dec(1).getDouble(3) == 0.0,
+      "NULL payload decodes as the empty payload")
+    val res = Multimodal.resizeStub(spark, payloads)
+      .orderBy("doc_id").collect()
+    assert(res.length == 2 && res(1).getLong(1) == 0L &&
+      res(1).getLong(2) == 0L,
+      "NULL payload resizes as the empty payload")
+  }
+
   test("decodeStub: fixed feature schema, deterministic values") {
     val payloads = Multimodal.withPayload(Tables(spark, sf, "documents"))
     val f1 = Multimodal.decodeStub(spark, payloads).orderBy("doc_id")
