@@ -282,6 +282,13 @@ object Ann {
                     vecCol: String = "embedding"): Unit = {
     Partitioning.writeBucketed(
       ivfAssign(corpus, cents, idCol, vecCol), table, "cell", nBuckets)
+    // a rebuild under an existing name must not inherit the previous
+    // index's deferred deletes: a surviving __tombstones sibling
+    // would anti-join fresh vectors with recycled ids out of every
+    // probe forever (the lexical twin writeIndexTables drops its
+    // deltas/marker at fold for the same reason)
+    Partitioning.recoverSwap(s, table + "__tombstones")
+    s.sql(s"DROP TABLE IF EXISTS ${table}__tombstones")
     writeIvfScalars(s, table, s.table(table).count())
   }
 
@@ -401,13 +408,19 @@ object Ann {
         s.table(tomb).join(dedup.select(col(idCol)),
           Seq(idCol), "left_semi").head(1).nonEmpty)
       compactIvfIndex(s, table, idCol)
+    // fresh's lineage embeds the whole-index newKeysOnly probe; the
+    // count here, the tombstone-overlap probe, the recount and the
+    // write inside appendIvfIndex would re-run it up to four times —
+    // persist so the index-side scan is paid ONCE per daily batch
     val fresh = Partitioning.newKeysOnly(dedup,
-      Partitioning.bucketed(s, table), idCol)
-    val n = fresh.count()
-    if (n > 0L)
-      appendIvfIndex(fresh, cents, table,
-        Partitioning.bucketSpecOf(s, table).numBuckets, idCol, vecCol)
-    n
+      Partitioning.bucketed(s, table), idCol).persist()
+    try {
+      val n = fresh.count()
+      if (n > 0L)
+        appendIvfIndex(fresh, cents, table,
+          Partitioning.bucketSpecOf(s, table).numBuckets, idCol, vecCol)
+      n
+    } finally fresh.unpersist(blocking = false)
   }
 
   /** DELETE face of the build-once index — the takedown/re-crawl
@@ -691,7 +704,8 @@ object Ann {
     // passing; no eager extra pass), released as soon as the (k·|Q|)-row
     // result is itself materialized (CacheScope.eval) so no blocks
     // outlive the call
-    val bucketed = Srp.withBucket(s, corpus, nPlanes).persist()
+    val bucketed =
+      Srp.withBucket(s, corpus, nPlanes, vecCol = vecCol).persist()
     val queries = bucketed.join(queryIds, idCol)
       .select(col(idCol).as("q_id"), col("bucket").as("q_bucket"),
         col(vecCol).as("q_emb"))
@@ -717,7 +731,8 @@ object Ann {
                    queryIds: DataFrame, k: Int, nPlanes: Int = 4,
                    nTables: Int = 4, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val bucketed = Srp.withBucket(s, corpus, nPlanes * nTables).persist()
+    val bucketed = Srp.withBucket(s, corpus, nPlanes * nTables,
+      vecCol = vecCol).persist()
     val bands = bucketed.select(col(idCol), col(vecCol),
       posexplode(array((0 until nTables).map(t =>
         substring(col("bucket"), t * nPlanes + 1, nPlanes)): _*))

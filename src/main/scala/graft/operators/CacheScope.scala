@@ -44,10 +44,25 @@ object CacheScope {
     df.sparkSession.conf.getOption("graft.checkpoint.dir") match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // set-once: SparkContext stores the dir FULLY QUALIFIED with a
+        // fresh UUID subdirectory appended, so an equality test
+        // against the raw conf value never matches and every
+        // materialize call would re-set the dir — one orphan UUID
+        // directory on the DFS per iteration of every loop that runs
+        // through here. Remember what we set instead.
+        if (!checkpointDirSet.contains((sc, dir))) {
+          sc.setCheckpointDir(dir)
+          checkpointDirSet.add((sc, dir))
+        }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }
+
+  // (SparkContext, conf dir) pairs already applied — keyed on the
+  // context so a new session/context after a restart re-applies
+  private val checkpointDirSet =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[
+      (org.apache.spark.SparkContext, String)]()
 
   /** Materialize `result` eagerly (via [[materialize]], so the
     * `graft.checkpoint.dir` knob applies here too) and release the

@@ -163,11 +163,13 @@ object Lexical {
   def removeDocs(idx: Bm25Index, ids: DataFrame): Bm25Index = {
     // takedown batches are batch-sized by contract — broadcast them
     // so the postings extract streams instead of shuffling; past the
-    // broadcast-safe bound (newKeysOnly's 4M-key cap) fall back to
-    // the shuffle joins, which complete at any id-set size instead
-    // of failing the whole takedown on Spark's broadcast limit
+    // shared broadcast-safe bound fall back to the shuffle joins,
+    // which complete at any id-set size instead of failing the whole
+    // takedown on Spark's broadcast limit
     val rmIds = ids.select(col("doc_id")).distinct()
-    val rm = if (rmIds.count() <= 4000000L) broadcast(rmIds) else rmIds
+    val rm =
+      if (rmIds.count() <= Partitioning.BroadcastIdCap) broadcast(rmIds)
+      else rmIds
     val removed = idx.tf.join(rm, Seq("doc_id"), "left_semi")
     val dec = removed.groupBy("token").agg(count(lit(1)).as("__dec"))
     val r = removed.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
@@ -293,15 +295,23 @@ object Lexical {
   def writeIndexTables(idx: Bm25Index, name: String,
                        buckets: Int = 16): Unit = {
     val spark = idx.tf.sparkSession
+    // the NEW generation is fixed before any install: the scalars the
+    // derive stamps must supersede every delta/marker computed
+    // against the old artifacts, whatever instant a crash lands on
+    val gen = foldGen(spark, name) + 1L
     Partitioning.replaceBucketed(spark, s"${name}_postings", idx.tf,
       "token", buckets)
-    deriveIndexArtifacts(spark, name, buckets)
+    deriveIndexArtifacts(spark, name, buckets, gen)
     // the bundle just written IS current truth (idx came from
     // readIndexTables with deltas applied, or is a fresh build) —
     // pending delete-deltas are folded in or superseded either way,
     // and a pending append marker's docs are in the derived artifacts
     // now (the derive read the full postings), so a later
-    // finishPendingAppend merging them again would double-count
+    // finishPendingAppend merging them again would double-count.
+    // The drops are now hygiene, not correctness: the generation
+    // bump above already marks both superseded for every reader and
+    // writer, so a crash in between leaves no window where the
+    // arithmetic double-applies (SimilaritySpec pins it).
     spark.sql(s"DROP TABLE IF EXISTS ${name}_deltas")
     spark.sql(s"DROP TABLE IF EXISTS ${name}__append_pending")
   }
@@ -320,7 +330,7 @@ object Lexical {
     * bundle. */
   private def deriveIndexArtifacts(
       spark: org.apache.spark.sql.SparkSession, name: String,
-      buckets: Int): Unit = {
+      buckets: Int, gen: Long): Unit = {
     val tfDisk = spark.table(s"${name}_postings")
     Partitioning.replaceBucketed(spark, s"${name}_vocab",
       vocabOf(tfDisk), "token", buckets)
@@ -329,8 +339,63 @@ object Lexical {
     val sc = tfDisk.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
     import spark.implicits._
     Partitioning.replaceTable(spark, s"${name}_scalars",
-      Seq((sc.getLong(0), if (sc.isNullAt(1)) 0L else sc.getLong(1)))
-        .toDF("n_docs", "sum_dl"))
+      Seq((sc.getLong(0), if (sc.isNullAt(1)) 0L else sc.getLong(1), gen))
+        .toDF("n_docs", "sum_dl", "fold_gen"))
+  }
+
+  /** The artifact GENERATION of a serving bundle — stamped into the
+    * scalars by every fold ([[deriveIndexArtifacts]]) and carried by
+    * every delta table and append marker as the generation they were
+    * computed AGAINST. The stamp closes the fold's last
+    * reader-visible crash window: with artifacts already derived
+    * from the folded postings but the delta drop not yet executed, a
+    * reader used to DOUBLE-APPLY the surviving deltas (dfdec
+    * decrementing already-folded df, scal_docs pushing nDocs
+    * negative). Now a generation mismatch marks deltas SUPERSEDED —
+    * readers serve the folded artifacts pure, writers discard the
+    * stale table on their next delta write, and a pending append
+    * marker older than the artifacts drops without a merge (the
+    * fold's derive read the full postings, so the marker's committed
+    * docs are already accounted). Pre-stamp bundles read as
+    * generation 0, matching their unstamped deltas/markers — the
+    * legacy behavior, upgraded at their first fold. */
+  private def foldGen(spark: org.apache.spark.sql.SparkSession,
+                      name: String): Long = {
+    Partitioning.recoverSwap(spark, s"${name}_scalars")
+    if (!spark.catalog.tableExists(s"${name}_scalars")) 0L
+    else {
+      val t = spark.table(s"${name}_scalars")
+      if (!t.columns.contains("fold_gen")) 0L
+      else t.select("fold_gen").collect()(0).getLong(0)
+    }
+  }
+
+  /** The deltas table iff it exists AND matches the artifacts'
+    * generation; a stale (pre-fold) table reads as ABSENT — see
+    * [[foldGen]]. Every read and write of `<name>_deltas` goes
+    * through here so no path can apply superseded arithmetic. */
+  private def validDeltas(spark: org.apache.spark.sql.SparkSession,
+                          name: String): Option[DataFrame] = {
+    val dt = s"${name}_deltas"
+    Partitioning.recoverSwap(spark, dt)
+    if (!spark.catalog.tableExists(dt)) None
+    else {
+      val d = spark.table(dt)
+      val g = d.filter(col("kind") === "gen").select("n").collect()
+      val dGen = if (g.isEmpty) 0L else g(0).getLong(0)
+      if (dGen == foldGen(spark, name)) Some(d) else None
+    }
+  }
+
+  /** The 1-row generation stamp every fresh deltas table carries
+    * (kind='gen', n=generation); prior-carrying rewrites inherit the
+    * row through their pass-through leg instead. */
+  private def genRow(spark: org.apache.spark.sql.SparkSession,
+                     gen: Long): DataFrame = {
+    import spark.implicits._
+    Seq(("gen", gen)).toDF("kind", "n")
+      .select(col("kind"), lit(null).cast("long").as("id"),
+        lit(null).cast("string").as("token"), col("n"))
   }
 
   /** APPEND a crawl batch into the serving-TABLE bundle touching
@@ -393,8 +458,17 @@ object Lexical {
     val legacy = s"${name}__derive_pending"
     Partitioning.recoverSwap(spark, legacy)
     if (spark.catalog.tableExists(legacy)) {
+      // NOT a fold — the generation does NOT bump: this re-derive
+      // reads the postings AS THEY ARE, which still physically
+      // contain any deferred-deleted docs, so the delete-deltas must
+      // STAY valid and keep subtracting (bumping would mark them
+      // superseded and silently resurrect every tombstoned doc).
+      // Append-deltas cannot exist here: the legacy marker predates
+      // the delta-append protocol, whose first maintenance call is
+      // what migrates it.
       deriveIndexArtifacts(spark, name,
-        Partitioning.bucketSpecOf(spark, s"${name}_postings").numBuckets)
+        Partitioning.bucketSpecOf(spark, s"${name}_postings").numBuckets,
+        foldGen(spark, name))
       spark.sql(s"DROP TABLE IF EXISTS $legacy")
     }
     finishPendingAppend(spark, name) // converge a prior crashed append
@@ -405,11 +479,11 @@ object Lexical {
     // among byte-identical redeliveries).
     val dedup = batch.dropDuplicates("doc_id")
     val batchIds = dedup.select(col("doc_id")).distinct()
-    if (spark.catalog.tableExists(dt) &&
-        spark.table(dt).filter(col("kind") === "tomb")
+    if (validDeltas(spark, name).exists(
+        _.filter(col("kind") === "tomb")
           .select(col("id").as("doc_id"))
           .join(batchIds, Seq("doc_id"), "left_semi")
-          .head(1).nonEmpty)
+          .head(1).nonEmpty))
       compactIndexTables(spark, name)
     val spec = Partitioning.bucketSpecOf(spark, s"${name}_postings")
     // idempotence guard at doc grain: every committed doc is in base
@@ -420,18 +494,23 @@ object Lexical {
     // re-append writes nothing (an empty postings append, no delta).
     val dlIds = Partitioning.bucketed(spark, s"${name}_doclen")
       .select("doc_id")
-    val indexedIds =
-      if (spark.catalog.tableExists(dt))
-        dlIds.unionByName(spark.table(dt)
-          .filter(col("kind") === "dladd")
+    val indexedIds = validDeltas(spark, name) match {
+      case Some(d) =>
+        dlIds.unionByName(d.filter(col("kind") === "dladd")
           .select(col("id").as("doc_id")))
-      else dlIds
+      case None => dlIds
+    }
     val fresh = Partitioning.newKeysOnly(dedup, indexedIds, "doc_id")
     // a fully-redelivered batch appends nothing — no marker, no
     // postings write, no delta merge
     if (fresh.head(1).isEmpty) return
     val mk = s"${name}__append_pending"
-    Partitioning.replaceTable(spark, mk, fresh.select("doc_id"))
+    // the marker carries the artifact generation it was installed
+    // under ([[foldGen]]): a fold racing ahead of a crashed append's
+    // convergence supersedes it, and finishPendingAppend drops it
+    // without the double-counting merge
+    Partitioning.replaceTable(spark, mk, fresh.select("doc_id")
+      .withColumn("gen", lit(foldGen(spark, name))))
     postings(dedup.join(broadcast(spark.table(mk)),
         Seq("doc_id"), "left_semi"))
       .write.mode("append")
@@ -441,10 +520,8 @@ object Lexical {
       .saveAsTable(s"${name}_postings")
     finishPendingAppend(spark, name) // merge THIS batch's delta
     // compaction gate on the accumulated append mass
-    val nAdd =
-      if (spark.catalog.tableExists(dt))
-        spark.table(dt).filter(col("kind") === "dladd").count()
-      else 0L
+    val nAdd = validDeltas(spark, name)
+      .map(_.filter(col("kind") === "dladd").count()).getOrElse(0L)
     // a compaction crash inside the scalars replaceTable leaves the
     // table unbound until SOME path probes it — every other table
     // this function touches is recoverSwap'd above, and without this
@@ -489,7 +566,24 @@ object Lexical {
     val mk = s"${name}__append_pending"
     Partitioning.recoverSwap(spark, mk)
     if (!spark.catalog.tableExists(mk)) return
-    val ids = spark.table(mk).select("doc_id")
+    // a marker OLDER than the artifacts' generation is superseded: a
+    // fold ran after it was installed, and the fold's derive read the
+    // full postings — the marker's committed docs are already in the
+    // artifacts, so merging a delta for them would double-count.
+    // Drop it without a merge. (Markers installed before the stamp
+    // existed read gen 0, matching a pre-stamp bundle's artifacts.)
+    val mkT = spark.table(mk)
+    val mGen =
+      if (!mkT.columns.contains("gen")) 0L
+      else {
+        val g = mkT.select("gen").limit(1).collect()
+        if (g.isEmpty) 0L else g(0).getLong(0)
+      }
+    if (mGen != foldGen(spark, name)) {
+      spark.sql(s"DROP TABLE IF EXISTS $mk")
+      return
+    }
+    val ids = mkT.select("doc_id")
     // deterministic identity of the marked id-set — same ids, same
     // fingerprint, so the applied-row check below is exact across
     // re-runs (markers are batch-sized by contract: the collect_list
@@ -499,9 +593,11 @@ object Lexical {
         collect_list(col("doc_id").cast("string"))))).as("fp"))
       .collect()(0).getString(0)
     val dt = s"${name}_deltas"
-    Partitioning.recoverSwap(spark, dt)
-    val prior: Option[DataFrame] =
-      if (spark.catalog.tableExists(dt)) Some(spark.table(dt)) else None
+    // stale (pre-fold) deltas read as absent — a gen-matched marker
+    // with a stale prior cannot happen (the fold bumps both out
+    // together), but the central [[validDeltas]] read keeps the
+    // invariant in one place
+    val prior: Option[DataFrame] = validDeltas(spark, name)
     val already = prior.exists(_.filter(col("kind") === "applied" &&
       col("token") === fp).head(1).nonEmpty)
     if (!already) {
@@ -550,8 +646,11 @@ object Lexical {
         .unionByName(Seq(fp).toDF("token")
           .select(lit("applied").as("kind"), nullId.as("id"),
             col("token"), nullId.as("n")))
+      // fresh table → stamped with the marker's generation (== the
+      // artifacts', checked above); prior-carrying merge inherits it
       Partitioning.replaceTable(spark, dt,
-        prior.fold(rows)(_.unionByName(rows)))
+        prior.fold(rows.unionByName(genRow(spark, mGen)))(
+          _.unionByName(rows)))
     }
     spark.sql(s"DROP TABLE IF EXISTS $mk")
   }
@@ -578,21 +677,29 @@ object Lexical {
       Partitioning.bucketed(spark, s"${name}_vocab"),
       Partitioning.bucketed(spark, s"${name}_doclen"),
       sc.getLong(0), sc.getLong(1))
-    val dt = s"${name}_deltas"
-    Partitioning.recoverSwap(spark, dt)
-    if (!spark.catalog.tableExists(dt)) base
-    else {
-      // apply the pending deltas — BOTH signs: tombstoned docs leave
-      // tf/dl via BROADCAST anti-joins (the delete gate's row cap
-      // bounds the broadcast), appended docs' doclen rows union in
-      // (their postings are already physically in tf — the append
-      // writes postings eagerly, artifacts lazily), per-token df nets
-      // the precomputed increments minus decrements (full-outer: a
-      // batch can introduce brand-new vocabulary), and the scalars
-      // add/subtract the recorded masses — all exact integer
-      // arithmetic, so the served view is bit-identical to the
-      // compacted index (spec-pinned against a union rebuild)
-      val d = spark.table(dt)
+    // [[validDeltas]]: a stale (pre-fold) deltas table reads as
+    // absent — the folded artifacts already contain its arithmetic,
+    // and applying it again double-counts (the crashed-fold window
+    // the generation stamp exists to close)
+    validDeltas(spark, name) match {
+      case None => base
+      case Some(d) =>
+        applyDeltas(base, d)
+    }
+  }
+
+  /** Apply a generation-valid deltas table — BOTH signs: tombstoned
+    * docs leave tf/dl via BROADCAST anti-joins (the delete gate's row
+    * cap bounds the broadcast), appended docs' doclen rows union in
+    * (their postings are already physically in tf — the append
+    * writes postings eagerly, artifacts lazily), per-token df nets
+    * the precomputed increments minus decrements (full-outer: a
+    * batch can introduce brand-new vocabulary), and the scalars
+    * add/subtract the recorded masses — all exact integer
+    * arithmetic, so the served view is bit-identical to the
+    * compacted index (spec-pinned against a union rebuild). */
+  private def applyDeltas(base: Bm25Index, d: DataFrame): Bm25Index = {
+    {
       val tombs = d.filter(col("kind") === "tomb")
         .select(col("id").as("doc_id"))
       // per-token net adjustment, split by the newness the append
@@ -688,9 +795,11 @@ object Lexical {
     val r = removed.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
     val (dDocs, dMass) =
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    // merge with any prior delta, shaped into the union-schema rows
-    val prior: Option[DataFrame] =
-      if (spark.catalog.tableExists(dt)) Some(spark.table(dt)) else None
+    // merge with any prior delta, shaped into the union-schema rows;
+    // a stale (pre-fold) prior reads as absent and is REPLACED
+    // wholesale below — its arithmetic already lives in the folded
+    // artifacts ([[foldGen]])
+    val prior: Option[DataFrame] = validDeltas(spark, name)
     val priorTombs = prior.map(_.filter(col("kind") === "tomb")
       .select(col("id").as("doc_id")))
     val priorDec = prior.map(_.filter(col("kind") === "dfdec")
@@ -728,8 +837,12 @@ object Lexical {
         .toDF("kind", "n")
         .select(col("kind"), nullId.as("id"), nullTok.as("token"),
           col("n")))
+    // a fresh table (no valid prior) carries its generation stamp; a
+    // prior-carrying rewrite inherits the row through priorOther
     Partitioning.replaceTable(spark, dt,
-      priorOther.fold(deltas)(o => deltas.unionByName(o)))
+      priorOther.fold(
+        deltas.unionByName(genRow(spark, foldGen(spark, name))))(
+        o => deltas.unionByName(o)))
     val nTomb = spark.table(dt).filter(col("kind") === "tomb").count()
     val threshold = math.max(1L, math.min(
       (compactFraction * (live.nDocs - dDocs)).toLong, maxTombstones))
@@ -759,9 +872,13 @@ object Lexical {
     // one invariant ("a marker's docs are unaccounted") instead of
     // two
     finishPendingAppend(spark, name)
+    // PARSE the identifier (the bucketSpecOf stance): a raw
+    // TableIdentifier("db.tbl_postings") would look up a single-part
+    // name in the current database and kill the first gate-triggered
+    // compaction of any db-qualified bundle with NoSuchTableException
     val buckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst
-        .TableIdentifier(s"${name}_postings"))
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(s"${name}_postings"))
       .bucketSpec.map(_.numBuckets).getOrElse(16)
     writeIndexTables(readIndexTables(spark, name), name, buckets)
   }

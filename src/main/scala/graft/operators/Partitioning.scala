@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
 object Partitioning {
 
   /** Salted inner equi-join for a skew-heavy left side: left rows get a
-    * deterministic salt in [0, salts) (hash of the whole row — not
-    * rand(), which would break retry/replay determinism); the right side
-    * is replicated `salts` times. Result equals the plain inner join on
-    * `key`, but a hot key's rows spread over `salts` reducers.
+    * POSITIONAL salt in [0, salts) — `monotonically_increasing_id()`
+    * round-robins a partition's rows across every salt, so a hot key
+    * spreads even when its rows are byte-identical (a whole-row hash,
+    * the old salt, gave every duplicate row ONE salt and silently
+    * un-salted exactly the replicated-row skew this operator exists
+    * to fix; rand() remains out — it would mark the stage
+    * indeterminate for retry/replay). The RESULT is salt-agnostic —
+    * every salt value joins against the same replicated right rows —
+    * so the choice affects spreading only. The right side is
+    * replicated `salts` times.
     *
     * Cost model: right side grows ×salts — use for dimension-sized
     * right sides too big to broadcast but small next to the fact side;
@@ -29,7 +35,8 @@ object Partitioning {
                  salts: Int): DataFrame = {
     require(salts > 0)
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong))
+        .cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(lit((0 until salts).toArray)))
     saltedLeft.join(saltedRight, Seq(key, "__salt"), "inner")
@@ -89,8 +96,11 @@ object Partitioning {
       // the inner join's own null semantics, preserved
       val cold = left.filter(!isHot(left))
         .join(right.filter(!isHot(right)), Seq(key), "inner")
+      // positional salt, like saltedJoin: duplicate hot-key rows must
+      // still spread (a whole-row hash collapses them to one salt)
       val saltedLeft = left.filter(isHot(left)).withColumn("__salt",
-        pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+        pmod(monotonically_increasing_id(), lit(salts.toLong))
+          .cast("int"))
       val saltedRight = right.filter(isHot(right)).withColumn("__salt",
         explode(lit((0 until salts).toArray)))
       val hotJoin = saltedLeft
@@ -107,7 +117,8 @@ object Partitioning {
   }
 
   /** Salted two-phase aggregation for skewed group keys: phase 1
-    * aggregates (key, salt) — spreading a hot key over `salts` reducers
+    * aggregates (key, salt) — the positional salt (see [[saltedJoin]])
+    * spreads a hot key over `salts` reducers even on duplicate rows
     * — phase 2 merges the partials per key. `partials` maps a column to
     * its phase-1 aggregate; `merges` folds phase-1 results per key.
     * (For algebraic aggregates Spark's map-side partial aggregation
@@ -116,7 +127,8 @@ object Partitioning {
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
     df.withColumn("__salt",
-        pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+        pmod(monotonically_increasing_id(), lit(salts.toLong))
+          .cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
@@ -135,7 +147,8 @@ object Partitioning {
                   salts: Int): DataFrame = {
     require(salts > 0)
     df.withColumn("__salt",
-        pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+        pmod(monotonically_increasing_id(), lit(salts.toLong))
+          .cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"),
         min(valueCol).as("__mn"), max(valueCol).as("__mx"))
@@ -539,8 +552,14 @@ object Partitioning {
     * for everything below that. PartitioningSpec pins result equality
     * with the plain anti and the big side's exchange-free plan under
     * the cap. */
+  /** The shared broadcast-id bound (~4M longs ≈ 32 MB) every
+    * batch-id-set broadcast in the maintenance paths checks against
+    * before hinting — ONE constant so retuning for a different
+    * broadcast limit cannot miss a site. */
+  val BroadcastIdCap: Long = 4000000L
+
   def newKeysOnly(batch: DataFrame, big: DataFrame, key: String,
-                  broadcastIdCap: Long = 4000000L): DataFrame = {
+                  broadcastIdCap: Long = BroadcastIdCap): DataFrame = {
     val ids = batch.select(col(key)).distinct()
     if (ids.count() <= broadcastIdCap) {
       val overlap = big.select(col(key))
@@ -567,7 +586,7 @@ object Partitioning {
     * side's exchange-free plan under the cap are pinned in
     * PartitioningSpec. */
   def keysInBig(ids: DataFrame, big: DataFrame, key: String,
-                broadcastIdCap: Long = 4000000L): DataFrame = {
+                broadcastIdCap: Long = BroadcastIdCap): DataFrame = {
     val k = ids.select(col(key)).distinct()
     if (k.count() <= broadcastIdCap)
       big.select(col(key))

@@ -41,8 +41,8 @@ object Srp {
     * projection — the scan stops at the first non-empty partition.
     * Exposed so PlanAuditSpec can pin that the probe never regresses
     * to a full-table aggregate (r6's `max(size(embedding))` wart). */
-  def dimsProbe(emb: DataFrame): DataFrame =
-    emb.select(size(col("embedding")).as("d")).limit(1)
+  def dimsProbe(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.select(size(col(vecCol)).as("d")).limit(1)
 
   /** Attach a `bucket` column of nPlanes sign bits. `dims` is the
     * embedding dimensionality — a corpus constant by contract (ragged
@@ -53,15 +53,16 @@ object Srp {
     * widest column end-to-end just to learn a constant — a whole extra
     * pass at 100 TB (VERDICT r6). Callers that know dims pass it. */
   def withBucket(s: SparkSession, emb: DataFrame,
-                 nPlanes: Int, dimsKnown: Option[Int] = None): DataFrame = {
+                 nPlanes: Int, dimsKnown: Option[Int] = None,
+                 vecCol: String = "embedding"): DataFrame = {
     GraftExtensions.ensure(s)
-    val dims = dimsKnown.getOrElse(dimsProbe(emb).head().getInt(0))
+    val dims = dimsKnown.getOrElse(dimsProbe(emb, vecCol).head().getInt(0))
     val withCoefs = (0 until nPlanes).foldLeft(emb) { (df, p) =>
       df.withColumn(s"__c$p", typedLit(coef(p, dims)))
     }
     withCoefs
       .withColumn("bucket", concat((0 until nPlanes).map { p =>
-        when(expr(s"fvec_dot(embedding, __c$p)") >= 0, "1").otherwise("0")
+        when(expr(s"fvec_dot($vecCol, __c$p)") >= 0, "1").otherwise("0")
       }: _*))
       .drop((0 until nPlanes).map(p => s"__c$p"): _*)
   }

@@ -66,6 +66,27 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
     assert(plain == salted)
   }
 
+  test("salting spreads byte-identical duplicate rows — the replicated " +
+      "hot-key shape the whole-row-hash salt silently un-salted") {
+    import spark.implicits._
+    val dup = Seq.fill(400)(("hot", 1L)).toDF("k", "v").repartition(4)
+    // result parity on a duplicates-only input (salt-agnostic results)
+    val cnt = Partitioning.saltedCount(dup, "k", 8).collect()
+    assert(cnt.length == 1 && cnt(0).getLong(1) == 400L)
+    val st = Partitioning.saltedStats(dup, "k", "v", 8).collect()(0)
+    assert(st.getLong(1) == 400L && st.getLong(2) == 400L)
+    val dim = Seq(("hot", "d")).toDF("k", "name")
+    assert(Partitioning.saltedJoin(dup, dim, "k", 8).count() == 400L)
+    // the spreading itself: the positional salt lands a partition's
+    // byte-identical rows on EVERY salt value; the old whole-row hash
+    // gave all 400 copies ONE salt — zero spreading on exactly the
+    // duplicate-heavy hot key the operator exists to fix
+    val spread = dup.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(spread == 8L, s"duplicates spread over $spread salts, want 8")
+  }
+
   test("saltedStats equals the unsalted single-phase aggregate") {
     val d = Tables(spark, sf, "documents")
     val plain = d.groupBy("lang").agg(count(lit(1)).as("n_rows"),

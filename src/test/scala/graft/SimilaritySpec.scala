@@ -1304,8 +1304,13 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       // re-plant the marker with the SAME id set; the applied-row
       // fingerprint must short-circuit a second merge
       import spark.implicits._
+      // markers carry the artifact generation the production protocol
+      // stamps (a gen-less marker would read as a pre-fold legacy one
+      // and rightly drop without a merge)
+      def genOf(nm: String): Long = spark.table(s"${nm}_scalars")
+        .select("fold_gen").collect()(0).getLong(0)
       Partitioning.replaceTable(spark, s"${a}__append_pending",
-        day.select("doc_id"))
+        day.select("doc_id").withColumn("gen", lit(genOf(a))))
       Lexical.appendIndexTables(spark, a, day, compactFraction = 1.0)
       assert(!spark.catalog.tableExists(s"${a}__append_pending"),
         "stale marker must drop after the fingerprint check")
@@ -1319,7 +1324,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       val c = "bm25_dupc_spec"
       Lexical.writeIndexTables(Lexical.buildIndex(resident), c, 8)
       Partitioning.replaceTable(spark, s"${c}__append_pending",
-        day.select("doc_id"))
+        day.select("doc_id").withColumn("gen", lit(genOf(c))))
       Lexical.appendIndexTables(spark, c, day, compactFraction = 1.0)
       assert(!spark.catalog.tableExists(s"${c}__append_pending"))
       assert(servedScal(c) == ((union.nDocs, union.sumDl)),
@@ -1337,7 +1342,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       val residentIdx = Lexical.buildIndex(resident)
       Lexical.writeIndexTables(residentIdx, d, 8)
       Partitioning.replaceTable(spark, s"${d}__append_pending",
-        day.select("doc_id"))
+        day.select("doc_id").withColumn("gen", lit(genOf(d))))
       Lexical.postings(day).write.mode("append")
         .bucketBy(8, "token").sortBy("token")
         .format("parquet").saveAsTable(s"${d}_postings")
@@ -1377,6 +1382,112 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("topkSrp honors a non-default vector column name end-to-end") {
+    import graft.operators.Ann
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val q = emb.select("vec_id").orderBy("vec_id").limit(3)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val byDefault = rows(Ann.topkSrp(spark, emb, q, 5, 4))
+    // the SRP bucketing must run on the NAMED column, not a
+    // hardcoded "embedding" — with the column renamed, a hardcoded
+    // probe either throws or (worse, next to an unrelated column of
+    // that name) buckets on the wrong data and recall collapses
+    val renamed = rows(Ann.topkSrp(spark,
+      emb.withColumnRenamed("embedding", "vec"), q, 5, 4,
+      vecCol = "vec"))
+    assert(renamed == byDefault && renamed.nonEmpty,
+      "renamed-column SRP diverged from the default-named run")
+  }
+
+  test("buildIvfIndex under an existing name drops the previous " +
+      "index's tombstones — a rebuild must not mask recycled ids") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ann
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val t = "ivf_rebuild_tomb_spec"
+    try {
+      val cents = Ann.ivfCentroids(spark, emb, 10,
+        steps = graft.queries.Similarity.IvfSteps)
+      Ann.buildIvfIndex(spark, emb, cents, t, nBuckets = 8)
+      val victim = emb.select("vec_id").orderBy("vec_id").limit(1)
+      assert(!Ann.tombstoneIvfVectors(spark, t, victim,
+        compactFraction = 1.0))
+      assert(spark.catalog.tableExists(s"${t}__tombstones"))
+      // rebuild from scratch under the SAME name with a corpus that
+      // legitimately contains the tombstoned id — the stale tombstone
+      // must not survive to anti-join the fresh vector out forever
+      Ann.buildIvfIndex(spark, emb, cents, t, nBuckets = 8)
+      assert(!spark.catalog.tableExists(s"${t}__tombstones"),
+        "rebuild left the previous index's tombstones serving")
+      val vid = victim.collect()(0).getLong(0)
+      assert(Ann.liveIvfVectors(spark, t)
+          .filter(col("vec_id") === vid).count() == 1L,
+        "recycled id is masked after the rebuild")
+    } finally {
+      for (b <- Seq(t, s"${t}__tombstones", s"${t}__scalars");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $b$sx")
+    }
+  }
+
+  test("BM25 fold generation stamp: deltas surviving a crashed " +
+      "compaction (artifacts derived, drop not yet run) are ignored " +
+      "by readers and discarded by writers — never double-applied") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Lexical, Partitioning}
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val n = "bm25_foldgen_spec"
+    val dt = s"${n}_deltas"
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(docs), n, 8)
+      // tombstone a slice WITHOUT compacting; capture the delta rows
+      val victims = docs.filter(col("doc_id") % 9 === 2)
+        .select("doc_id")
+      assert(!Lexical.removeDocsDeferred(spark, n, victims,
+        compactFraction = 1.0))
+      val staleRows = spark.table(dt)
+      val staleSaved = staleRows.collect()
+      val schema = staleRows.schema
+      val remainder =
+        Lexical.buildIndex(docs.filter(col("doc_id") % 9 =!= 2))
+      // compact (fold) — then simulate the crash window by
+      // re-installing the PRE-FOLD deltas as if the drop never ran
+      Lexical.compactIndexTables(spark, n)
+      Partitioning.replaceTable(spark, dt,
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(staleSaved: _*)), schema))
+      // reader: the folded artifacts already subtracted the victims;
+      // applying the stale deltas again would double-decrement (nDocs
+      // can go NEGATIVE on a larger takedown) — the generation stamp
+      // must mark them superseded
+      val served = Lexical.readIndexTables(spark, n)
+      assert((served.nDocs, served.sumDl) ==
+          ((remainder.nDocs, remainder.sumDl)),
+        "stale pre-fold deltas were double-applied at read")
+      // writer: the next takedown discards the stale table wholesale
+      // and its arithmetic stays exact
+      val victims2 = docs.filter(col("doc_id") % 9 === 5)
+        .select("doc_id")
+      assert(!Lexical.removeDocsDeferred(spark, n, victims2,
+        compactFraction = 1.0))
+      val served2 = Lexical.readIndexTables(spark, n)
+      val remainder2 = Lexical.buildIndex(
+        docs.filter(col("doc_id") % 9 =!= 2 && col("doc_id") % 9 =!= 5))
+      assert((served2.nDocs, served2.sumDl) ==
+          ((remainder2.nDocs, remainder2.sumDl)),
+        "writer merged new deltas into the stale pre-fold table")
+    } finally {
+      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
+      for (sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}__append_pending$sx")
+    }
+  }
+
   test("BM25 takedown of a PENDING-append doc converges the crashed " +
       "append first, so the takedown cannot no-op and resurrect") {
     import org.apache.spark.sql.functions._
@@ -1391,8 +1502,11 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       // crashed append: marker installed, postings committed, delta
       // never merged — the day's docs are physically present but
       // invisible to ranking (no doclen rows)
+      // stamped with the bundle's generation, as the protocol installs it
       Partitioning.replaceTable(spark, s"${n}__append_pending",
-        day.select("doc_id"))
+        day.select("doc_id").withColumn("gen",
+          lit(spark.table(s"${n}_scalars").select("fold_gen")
+            .collect()(0).getLong(0))))
       Lexical.postings(day).write.mode("append")
         .bucketBy(8, "token").sortBy("token")
         .format("parquet").saveAsTable(s"${n}_postings")
