@@ -256,13 +256,18 @@ object Jobs {
     // compaction BEFORE the already-indexed filter (a tombstoned id's
     // physical row would otherwise hide the re-add from the overlap
     // check), intra-batch id dedup, catalog bucket spec
-    val before = ivfRows
+    // log the guarded face's OWN return — a rows-after-minus-before
+    // diff would misreport whenever the append body also compacts
+    // (tombstone overlap physically removes rows: the day's 20 adds
+    // next to 500 folded tombstones would log as -480) or converges a
+    // prior crashed batch (attributing yesterday's docs to today)
+    var ivfAdded = 0L
     val ranIvf = Partitioning.deliverOnce(s, IvfServingTable,
       batchKey.map(_ + ":append")) {
-      Ann.appendIvfBatch(s, IvfServingTable, batch, cents)
+      ivfAdded = Ann.appendIvfBatch(s, IvfServingTable, batch, cents)
     }
     log += (("ivf", if (ranIvf) "append" else "append_skipped",
-      if (ranIvf) ivfRows - before else 0L, false))
+      if (ranIvf) ivfAdded else 0L, false))
     // takedowns from the RESIDENT split only, so a steady-state re-run
     // converges to no-ops instead of re-appending yesterday's victims
     val victims = emb.filter(col("vec_id") % 50 === 0 &&
@@ -328,13 +333,16 @@ object Jobs {
         Bm25ServingName, servingBuckets)
       log += (("bm25", "bootstrap", bm25Docs, true))
     }
-    val dBefore = bm25Docs
+    // same stance as the IVF side: log the append's OWN fresh-doc
+    // return — a served-docs diff would attribute a converged prior
+    // crashed batch's docs to today's run
+    var bm25Added = 0L
     val ranBm25 = Partitioning.deliverOnce(s, Bm25ServingName,
       batchKey.map(_ + ":append")) {
-      Lexical.appendIndexTables(s, Bm25ServingName, dBatch)
+      bm25Added = Lexical.appendIndexTables(s, Bm25ServingName, dBatch)
     }
     log += (("bm25", if (ranBm25) "append" else "append_skipped",
-      if (ranBm25) bm25Docs - dBefore else 0L, false))
+      if (ranBm25) bm25Added else 0L, false))
     val dVictims = docs.filter(col("doc_id") % 50 === 0 &&
       col("doc_id") % 7 =!= 0).select("doc_id")
     val dFolded = Lexical.removeDocsDeferred(s, Bm25ServingName, dVictims)

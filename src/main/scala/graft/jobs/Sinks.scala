@@ -36,7 +36,15 @@ object Sinks {
     // looping it) — quadratic analyzer work on wide extracts
     df.select(df.schema.fields.map { f =>
       val c: Column =
-        if (f.dataType != TimestampType) col(f.name)
+        // NTZ included: the lake round-trip (Tables.readLake) and
+        // micros/isAdjustedToUTC=false parquet scan as TIMESTAMP_NTZ,
+        // and an unserialized NTZ column would land in the CSV in
+        // Spark's default format without the contract's ' UTC'
+        // suffix. Session TZ is pinned UTC, so NTZ wall times ARE the
+        // contract's UTC instants.
+        if (f.dataType != TimestampType &&
+            f.dataType != org.apache.spark.sql.types.TimestampNTZType)
+          col(f.name)
         else if (laColumns(f.name)) Fns.laReinterpretFormat(col(f.name))
         else Fns.tsUtcFormat(col(f.name))
       c.as(f.name)
@@ -75,11 +83,49 @@ object Sinks {
     * travels with this sink and can't leak into unrelated writes. */
   def partitionedParquet(df: DataFrame, path: String,
                          partitionCols: Seq[String]): Unit =
-    df.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
+    // ONE mechanism: the dynamic-overwrite contract lives in
+    // operators.Partitioning.writePartitioned; this is the job-layer
+    // name for it (a second verbatim writer here drifted from the
+    // operator copy once already)
+    graft.operators.Partitioning.writePartitioned(df, path, partitionCols)
+
+  import org.apache.hadoop.fs.{FileSystem => HFileSystem, Path => HPath}
+
+  /** Converge a prior crashed extract swap: restore the moved-aside
+    * extract if the serving key is unbound; drop a stale `__old`
+    * (crash after rename-in) otherwise. */
+  private def convergeExtractSwap(fs: HFileSystem, dst: HPath,
+                                  old: HPath): Unit =
+    if (fs.exists(old)) {
+      if (!fs.exists(dst)) fs.rename(old, dst)
+      else fs.delete(old, true)
+    }
+
+  /** Rename-ASIDE swap of a committed `__incoming` key into the
+    * serving key — dst → __old, tmp → dst, drop __old (the
+    * replaceBucketed ordering; ADVICE r16 closed the
+    * delete-then-rename window): the prior extract exists under SOME
+    * name at every instant, a false rename-in restores it, and the
+    * one unbound-name window self-heals via
+    * [[convergeExtractSwap]] at the next delivery. Throws on any
+    * non-serving outcome so the caller's log-and-False contract sees
+    * one failure seam. */
+  private def swapExtractIn(fs: HFileSystem, dst: HPath, tmp: HPath,
+                            old: HPath): Boolean = {
+    val hadDst = fs.exists(dst)
+    if (hadDst && !fs.rename(dst, old))
+      throw new java.io.IOException(
+        s"could not move aside $dst; prior extract intact")
+    if (fs.rename(tmp, dst)) {
+      if (hadDst) fs.delete(old, true)
+      true
+    } else {
+      // restore the prior extract before reporting failure
+      if (hadDst) fs.rename(old, dst)
+      throw new java.io.IOException(
+        s"rename $tmp -> $dst returned false; prior restored")
+    }
+  }
 
   /** S5 — multi-target fan-out with per-target error isolation
     * (reference: jonesy/jobs.py:116-132: the query is serialized ONCE
@@ -100,8 +146,10 @@ object Sinks {
     * into a sibling `__incoming` key first, swapping in only after
     * the bytes landed — the prior extract keeps serving through a
     * failed copy (the reference's atomic S3 put), and re-delivery
-    * overwrites idempotently (T6), same as the single-target
-    * overwrite.
+    * overwrites idempotently (T6). The single-target path takes the
+    * SAME swap (writing straight to the `__incoming` sibling, no
+    * staging hop), so a failed delivery never destroys the
+    * previously-served extract on either path.
     *
     * The staging path must be visible to BOTH the executors (that
     * commit the write) and the driver (that copies the bytes out). A
@@ -119,11 +167,30 @@ object Sinks {
       false
     }
     if (targets.sizeIs == 1) {
+      // single target: write STRAIGHT to the __incoming sibling (the
+      // executors commit there — no staging hop needed), then the
+      // same rename-aside swap as the multi-target path. The old
+      // direct mode("overwrite") write deleted the serving key before
+      // the job ran, so a mid-job failure destroyed the
+      // previously-served extract — the exact delivery-contract
+      // violation the staged swap exists to prevent.
       val t = targets.head
-      Seq(t -> (try { gzipCsv(df, s"$t/$key"); true }
-                catch { case e: Exception => logFail(s"target $t", e) }))
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      Seq(t -> (try {
+        val dst = new HPath(s"$t/$key")
+        val tmp = new HPath(s"$t/${key}__incoming")
+        val old = new HPath(s"$t/${key}__old")
+        val fs = dst.getFileSystem(conf)
+        convergeExtractSwap(fs, dst, old)
+        gzipCsv(df, tmp.toString) // overwrite clears a stale __incoming
+        val hasParts = fs.exists(tmp) && fs.listStatus(tmp)
+          .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        if (!hasParts) throw new java.io.IOException(
+          s"no part files committed in $tmp; prior extract intact")
+        swapExtractIn(fs, dst, tmp, old)
+      } catch { case e: Exception => logFail(s"target $t", e) }))
     } else {
-      import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+      import org.apache.hadoop.fs.FileUtil
       val sc = df.sparkSession.sparkContext
       if (staging.isEmpty && !sc.isLocal) {
         // a config error, but the sink contract is log-and-False,
@@ -174,47 +241,20 @@ object Sinks {
       val out = targets.map { t =>
         t -> (computed &&
           (try {
-            // copy into a sibling temp key FIRST, then swap: the
-            // reference's S3 put is atomic (a failed upload leaves the
-            // old object serving), so delete-then-copy — which leaves
-            // the target EMPTY when the copy dies mid-stream — would
-            // be a regression of the delivery contract. The swap is
-            // rename-ASIDE (dst → __old), rename-in, drop __old — the
-            // replaceBucketed ordering (ADVICE r16 closed the
-            // delete-then-rename window here too): the prior extract
-            // exists under SOME name until the new one serves, a
-            // false rename-in restores it, and the one unbound-name
-            // instant self-heals at the next delivery below.
+            // copy into a sibling temp key FIRST, then swap in
+            // ([[swapExtractIn]]): delete-then-copy would leave the
+            // target EMPTY when the copy dies mid-stream — a
+            // regression of the delivery contract.
             val src = new HPath(stage)
             val dst = new HPath(s"$t/$key")
             val tmp = new HPath(s"$t/${key}__incoming")
             val old = new HPath(s"$t/${key}__old")
             val dstFs = dst.getFileSystem(conf)
-            // converge a prior crashed swap: restore the moved-aside
-            // extract if the serving key is unbound; drop a stale
-            // __old (crash after rename-in) otherwise
-            if (dstFs.exists(old)) {
-              if (!dstFs.exists(dst)) dstFs.rename(old, dst)
-              else dstFs.delete(old, true)
-            }
+            convergeExtractSwap(dstFs, dst, old)
             if (dstFs.exists(tmp)) dstFs.delete(tmp, true)
             val copied = FileUtil.copy(src.getFileSystem(conf), src,
               dstFs, tmp, false, true, conf)
-            copied && {
-              val hadDst = dstFs.exists(dst)
-              if (hadDst && !dstFs.rename(dst, old))
-                throw new java.io.IOException(
-                  s"could not move aside $dst; prior extract intact")
-              if (dstFs.rename(tmp, dst)) {
-                if (hadDst) dstFs.delete(old, true)
-                true
-              } else {
-                // restore the prior extract before reporting failure
-                if (hadDst) dstFs.rename(old, dst)
-                logFail(s"target $t", new java.io.IOException(
-                  s"rename $tmp -> $dst returned false; prior restored"))
-              }
-            }
+            copied && swapExtractIn(dstFs, dst, tmp, old)
           } catch { case e: Exception => logFail(s"target $t", e) }))
       }
       try {

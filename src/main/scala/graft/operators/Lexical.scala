@@ -234,16 +234,16 @@ object Lexical {
             s"fresh copy is at $stage")
     }
     staged(s"$path/postings") {
-      graft.jobs.Sinks.partitionedParquet(idx.tf, _, Nil) }
+      Partitioning.writePartitioned(idx.tf, _, Nil) }
     val tfDisk = graft.sources.Tables
       .readLake(spark, s"$path/postings", "parquet")
     staged(s"$path/vocab") {
-      graft.jobs.Sinks.partitionedParquet(vocabOf(tfDisk), _, Nil) }
+      Partitioning.writePartitioned(vocabOf(tfDisk), _, Nil) }
     staged(s"$path/doclen") {
-      graft.jobs.Sinks.partitionedParquet(docLengths(tfDisk), _, Nil) }
+      Partitioning.writePartitioned(docLengths(tfDisk), _, Nil) }
     import spark.implicits._
     staged(s"$path/scalars") {
-      graft.jobs.Sinks.partitionedParquet(
+      Partitioning.writePartitioned(
         Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl"), _, Nil) }
   }
 
@@ -442,11 +442,13 @@ object Lexical {
     * pending appended docs ≥ min(compactFraction · base docs,
     * maxDeltaDocs) → [[compactIndexTables]] folds everything into
     * the physical bundle (paying the rebuild once per ~fraction of
-    * corpus growth, amortized — the LSM shape). */
+    * corpus growth, amortized — the LSM shape). Returns the number
+    * of fresh docs THIS call appended (0 for a full redelivery),
+    * exclusive of any prior crashed batch it converged. */
   def appendIndexTables(spark: org.apache.spark.sql.SparkSession,
                         name: String, batch: DataFrame,
                         compactFraction: Double = 0.05,
-                        maxDeltaDocs: Long = 1000000L): Unit = {
+                        maxDeltaDocs: Long = 1000000L): Long = {
     val dt = s"${name}_deltas"
     Partitioning.recoverSwap(spark, dt)
     // MIGRATION: a bundle whose pre-delta-protocol append crashed
@@ -503,7 +505,7 @@ object Lexical {
     val fresh = Partitioning.newKeysOnly(dedup, indexedIds, "doc_id")
     // a fully-redelivered batch appends nothing — no marker, no
     // postings write, no delta merge
-    if (fresh.head(1).isEmpty) return
+    if (fresh.head(1).isEmpty) return 0L
     val mk = s"${name}__append_pending"
     // the marker carries the artifact generation it was installed
     // under ([[foldGen]]): a fold racing ahead of a crashed append's
@@ -511,6 +513,7 @@ object Lexical {
     // without the double-counting merge
     Partitioning.replaceTable(spark, mk, fresh.select("doc_id")
       .withColumn("gen", lit(foldGen(spark, name))))
+    val nFresh = spark.table(mk).count()
     postings(dedup.join(broadcast(spark.table(mk)),
         Seq("doc_id"), "left_semi"))
       .write.mode("append")
@@ -533,6 +536,11 @@ object Lexical {
     val threshold = math.max(1L,
       math.min((compactFraction * baseN).toLong, maxDeltaDocs))
     if (nAdd >= threshold) compactIndexTables(spark, name)
+    // THIS call's fresh docs (the installed marker's rows — a
+    // batch-sized count), exclusive of any prior crashed batch the
+    // top-of-call convergence merged: the honest "what did today's
+    // batch add" number the maintenance log records
+    nFresh
   }
 
   /** Converge a crashed [[appendIndexTables]]: if the append-pending

@@ -679,11 +679,15 @@ object Partitioning {
     * the partitions present in `df` — the idempotent per-term refresh
     * contract (T6) on the lake face: re-running a term's extract
     * rewrites that term's directory and no other. */
-  def writePartitioned(df: DataFrame, path: String, key: String): Unit =
-    df.write.mode("overwrite")
+  def writePartitioned(df: DataFrame, path: String,
+                       keys: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(key)
-      .parquet(path)
+    (if (keys.isEmpty) w else w.partitionBy(keys: _*)).parquet(path)
+  }
+
+  def writePartitioned(df: DataFrame, path: String, key: String): Unit =
+    writePartitioned(df, path, Seq(key))
 
   /** Guarantee a floor of scan parallelism for NARROW pipelines.
     *

@@ -210,13 +210,18 @@ object Streams {
     * carrying keeper identity instead of min/max). Within a
     * micro-batch the group is sorted by (ts, event_id) so gap
     * chaining matches the batch face; across batches a late event
-    * landing inside the open burst's gap horizon is suppressed into
-    * it. One documented divergence under EXTREME lateness: a
-    * cross-batch late event that precedes the open burst's keeper is
-    * counted as suppressed rather than retroactively promoted to
-    * keeper (the batch replay, which sees a total order, would elect
-    * it) — batch/stream parity on splits that respect event order is
-    * pinned in StreamsSpec.
+    * landing inside the open burst's REACH (within gap of the keeper
+    * or later) is suppressed into it, while one older than
+    * keeper − gap folds through its own straggler chain and emits as
+    * its own keeper row(s) — the gap-separated output rows the batch
+    * replay produces, which the old vacuous `t − last ≤ gap` merge
+    * silently swallowed (the sessionize ADVICE-r16 fix, debounce
+    * edition). One documented divergence under EXTREME lateness: a
+    * cross-batch late event within the burst's reach but preceding
+    * its keeper is counted as suppressed rather than retroactively
+    * promoted to keeper (the batch replay, which sees a total order,
+    * would elect it) — batch/stream parity on splits that respect
+    * event order is pinned in StreamsSpec.
     *
     * State is one open burst per active (user, type) — four longs —
     * and times out at watermark + gap: bounded by the number of keys
@@ -244,21 +249,55 @@ object Streams {
             java.util.Arrays.sort(sorted, byTsThenId)
             val out = Seq.newBuilder[Debounced]
             var cur = state.getOption.orNull
+            // gaps-and-islands chain of cross-batch stragglers older
+            // than the open burst's reach (keeper − gap) — the
+            // sessionize straggler fix (ADVICE r16), debounce edition:
+            // `t − last ≤ gap` is vacuous for any t ≤ last, and
+            // swallowing a gap-DETACHED late event as a suppressed
+            // count loses the whole keeper row the batch face emits
+            // for it. Sorted ascending, so stragglers form a prefix.
+            // unlike sessionize, a burst's keeper timestamp never
+            // rewinds (in-reach late events fold as suppressed counts
+            // without moving it), so every chain element stays
+            // strictly older than keeper − gap and the chain can
+            // NEVER bridge into the open burst — it always flushes as
+            // its own keeper row(s), exactly what the batch replay
+            // emits for gap-separated events
+            var late: BurstState = null
+            def flushLate(): Unit =
+              if (late != null) {
+                out += Debounced(userId, eventType, late.keeperId,
+                  late.keeperTs, late.suppressed)
+                late = null
+              }
             sorted.foreach { e =>
               val t = usOf(e.ts)
               if (cur == null)
                 cur = BurstState(e.event_id, e.ts, t, 0L)
+              else if (t < usOf(cur.keeperTs) - gapUs) {
+                if (late == null) late = BurstState(e.event_id, e.ts, t, 0L)
+                else if (t - late.last <= gapUs)
+                  late = late.copy(last = math.max(late.last, t),
+                    suppressed = late.suppressed + 1)
+                else {
+                  out += Debounced(userId, eventType, late.keeperId,
+                    late.keeperTs, late.suppressed)
+                  late = BurstState(e.event_id, e.ts, t, 0L)
+                }
+              }
               else if (t - cur.last <= gapUs)
-                // includes the cross-batch late case t < cur.last:
-                // inside the burst span is inside the gap chain
+                // includes the cross-batch late case t < cur.last but
+                // INSIDE the burst's reach: in the gap chain
                 cur = cur.copy(last = math.max(cur.last, t),
                   suppressed = cur.suppressed + 1)
               else {
+                flushLate()
                 out += Debounced(userId, eventType, cur.keeperId,
                   cur.keeperTs, cur.suppressed)
                 cur = BurstState(e.event_id, e.ts, t, 0L)
               }
             }
+            flushLate()
             if (cur != null) {
               state.update(cur)
               // timeout API is millis; round the µs horizon UP so the
@@ -554,8 +593,15 @@ object Streams {
     * nothing; per-event late tallies belong to the batch-face
     * reconciliation (T3), not the changelog.
     *
-    * STATE-SCHEMA MIGRATION: adding `lastLate` widened the
-    * flatMapGroupsWithState state encoder from 3 to 4 fields, which
+    * `firstId` is the run-anchor event's id — the byTsThenId
+    * tiebreak for a cross-batch event carrying the SAME timestamp as
+    * the open run's start: with a smaller id the batch total order
+    * places it BEFORE the anchor, so it is late (ts alone would route
+    * it through the in-order branch and rewind the open run — the
+    * older-event-overwriting-newer-state inversion).
+    *
+    * STATE-SCHEMA MIGRATION: adding `lastLate` and `firstId` widened
+    * the flatMapGroupsWithState state encoder from 3 to 5 fields, which
     * an existing checkpoint's state store will refuse to restore
     * (Spark's state schema check). A deployment upgrading across
     * this change must drain the old query (process all in-flight
@@ -565,7 +611,8 @@ object Streams {
     * that the changelog applier tolerates by the same zero-length
     * contract as above. */
   final case class ScdRunState(event_type: String, valid_from: Timestamp,
-                               n: Long, lastLate: String = null)
+                               n: Long, lastLate: String = null,
+                               firstId: Long = Long.MinValue)
 
   /** Streaming SCD2 — the stream face of the batch intervalization
     * (`ev_scd2`): per user, maintain the open event-type run as state
@@ -603,8 +650,16 @@ object Streams {
           val out = Seq.newBuilder[ScdInterval]
           var cur = state.getOption.orNull
           sorted.foreach { e =>
-            if (cur == null) cur = ScdRunState(e.event_type, e.ts, 1L)
-            else if (e.ts.compareTo(cur.valid_from) < 0) {
+            if (cur == null)
+              cur = ScdRunState(e.event_type, e.ts, 1L,
+                firstId = e.event_id)
+            else if (e.ts.compareTo(cur.valid_from) < 0 ||
+                (e.ts.compareTo(cur.valid_from) == 0 &&
+                  e.event_id < cur.firstId)) {
+              // late INCLUDES the equal-timestamp smaller-id case:
+              // byTsThenId (the batch face's total order) places that
+              // event before the run's anchor, so routing it through
+              // the in-order branch would rewind the open run
               // a cross-batch late event predates the open run (the
               // in-batch sort can't reorder across batches). The open
               // run is the key's LATEST truth and must never be
@@ -631,7 +686,8 @@ object Streams {
             else {
               out += ScdInterval(userId, cur.event_type, cur.valid_from,
                 e.ts, cur.n)
-              cur = ScdRunState(e.event_type, e.ts, 1L)
+              cur = ScdRunState(e.event_type, e.ts, 1L,
+                firstId = e.event_id)
             }
           }
           if (cur != null) state.update(cur)

@@ -69,6 +69,30 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
       "failed delivery left an __incoming remnant")
   }
 
+  test("single-target fanOut keeps the previous extract through a " +
+      "failed delivery (the same atomic-put contract as multi-target)") {
+    val dir = Files.createTempDirectory("sink_keep1_spec").toString
+    val ok = Seq((1L, "a")).toDF("id", "v")
+    val key = "k/q.gz"
+    assert(Sinks.fanOut(ok, Seq(s"$dir/t1"), key).forall(_._2))
+    def readT1() = spark.read.csv(s"$dir/t1/$key").collect()
+      .map(_.getString(0)).toSeq
+    assert(readT1() == Seq("1"))
+    // the old single-target path wrote mode("overwrite") straight to
+    // the serving key — Spark deleted it before the job ran, so this
+    // failure destroyed the extract
+    val bad = spark.range(1)
+      .selectExpr("raise_error('boom') AS id", "'x' AS v")
+    val r = Sinks.fanOut(bad, Seq(s"$dir/t1"), key)
+    assert(r.forall(!_._2), s"failed delivery reported success: $r")
+    assert(readT1() == Seq("1"),
+      "a failed single-target delivery destroyed the previous extract")
+    // and a healthy redelivery swaps in
+    assert(Sinks.fanOut(Seq((2L, "b")).toDF("id", "v"),
+      Seq(s"$dir/t1"), key).forall(_._2))
+    assert(readT1() == Seq("2"))
+  }
+
   test("fanOut isolates a failing target and continues (jobs.py:128-131)") {
     val dir = Files.createTempDirectory("fan_spec").toString
     val df = Seq((1, "x")).toDF("a", "b")

@@ -879,6 +879,75 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming debounce emits a gap-DETACHED cross-batch straggler " +
+      "as its own keeper row instead of swallowing it") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.streamingDebounce(source.toDS(), gapMinutes = 10,
+        allowedLateness = "5 days").writeStream
+      .format("memory").queryName("debounce_straggler")
+      .outputMode("append").start()
+    try {
+      source.addData(Event(10, ts("2024-01-01 12:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // a straggler 3 HOURS before the open burst's keeper — far
+      // outside its gap chain. The old vacuous t−last≤gap merge
+      // counted it as suppressed; the batch replay emits it as its
+      // own keeper row
+      source.addData(
+        Event(2, ts("2024-01-01 09:00:00"), 7, "click", 1.0),
+        Event(3, ts("2024-01-01 09:05:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val early = spark.table("debounce_straggler")
+        .as[graft.streaming.Streams.Debounced].collect().toSeq
+      assert(early == Seq(graft.streaming.Streams.Debounced(7, "click",
+        2, ts("2024-01-01 09:00:00"), 1L)),
+        s"straggler chain not emitted as its own keeper row: $early")
+      // close the open burst by watermark; its count must NOT include
+      // the stragglers
+      source.addData(Event(99, ts("2030-01-01 00:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("debounce_straggler")
+        .as[graft.streaming.Streams.Debounced].collect().toSet
+      assert(all.contains(graft.streaming.Streams.Debounced(7, "click",
+        10, ts("2024-01-01 12:00:00"), 0L)),
+        s"open burst closed with a polluted count: $all")
+    } finally q.stop()
+  }
+
+  test("streamingScd2 equal-timestamp smaller-id late event does not " +
+      "rewind the open run (byTsThenId tiebreak)") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.streamingScd2(source.toDS())
+      .writeStream.format("memory").queryName("scd2_tie")
+      .outputMode("append").start()
+    try {
+      // open run: type X anchored at (ts=T, id=5)
+      source.addData(Event(5, ts("2024-01-01 10:00:00"), 7, "X", 1.0))
+      q.processAllAvailable()
+      // cross-batch event with the SAME timestamp but a SMALLER id
+      // and a different type: byTsThenId places it BEFORE the anchor,
+      // so it is late — it must emit the zero-length late interval
+      // and leave the open run as X, not close X and install Y
+      source.addData(Event(3, ts("2024-01-01 10:00:00"), 7, "Y", 1.0))
+      q.processAllAvailable()
+      val mid = spark.table("scd2_tie")
+        .selectExpr("event_type", "n_events")
+        .as[(String, Long)].collect().toSeq
+      assert(mid == Seq(("Y", 1L)),
+        s"tie-late event mishandled (expected one zero-length Y): $mid")
+      // a genuinely newer X event extends the STILL-OPEN X run
+      source.addData(Event(9, ts("2024-01-01 11:00:00"), 7, "Z", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_tie")
+        .selectExpr("event_type", "n_events")
+        .as[(String, Long)].collect().toSet
+      assert(rows.contains(("X", 1L)),
+        s"open X run was rewound by the tie-late event: $rows")
+    } finally q.stop()
+  }
+
   test("streamingAttributionLinear replay-parity: per-channel credits " +
       "match ev_attribution_linear over order-respecting batch splits") {
     implicit val sq = spark.sqlContext
