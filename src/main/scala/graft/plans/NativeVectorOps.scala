@@ -43,7 +43,12 @@ object NativeVectorOps extends Rule[LogicalPlan] {
   private def isZeroD(e: Expression): Boolean = e match {
     case Literal(0.0, DoubleType) => true
     case Cast(Literal(z, _), DoubleType, _, _) =>
-      z != null && z.toString.toDouble == 0.0
+      // a matcher must DECLINE, never throw: a non-numeric literal
+      // under a to-double cast (CAST('x' AS DOUBLE) is legal SQL)
+      // would otherwise escape the rule as a NumberFormatException
+      // and fail the whole query instead of skipping the rewrite
+      z != null && scala.util.Try(z.toString.toDouble)
+        .toOption.contains(0.0)
     case _ => false
   }
 

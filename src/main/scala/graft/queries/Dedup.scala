@@ -1437,12 +1437,18 @@ object Dedup extends QueryModule {
   val paragraphDedup: Q = Q(
     "dd_paragraph_dedup",
     (s, dir) => {
+      // tokenize ONCE into a materialized column: HOF lambdas run
+      // interpreted with no CSE (the cdcChunks lesson), so a
+      // split(text) INSIDE the per-chunk lambda re-tokenizes the full
+      // document once per 10-token chunk — quadratic in document
+      // length on exactly the long-document tail
       val paras = Tables(s, dir, "documents")
+        .withColumn("__toks", split(col("text"), " "))
         .selectExpr("doc_id",
           "posexplode(transform(" +
-            "sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int)" +
+            "sequence(0, cast(ceil(size(__toks) / 10.0) as int)" +
             " - 1), " +
-            "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' ')" +
+            "i -> array_join(slice(__toks, i * 10 + 1, 10), ' ')" +
             ")) AS (para_id, para)")
         .withColumn("h", xxhash64(col("para")))
       val freq = paras.select("h", "doc_id").distinct()
@@ -1611,7 +1617,10 @@ object Dedup extends QueryModule {
         .select("source", "doc_id", "n_tokens", "logit",
           "mean_millibits", "dup_millis", "shard")
         .orderBy("source", "shard", "doc_id")
-      CacheScope.eval(result)(gated)
+      // dup is chunkDupStats' localCheckpoint-backed result — release
+      // its |docs|-row blocks with the persist, not at GC (the
+      // methodAgreement lesson)
+      CacheScope.eval(result)(gated, dup)
     },
     Some(s"""
       WITH $cdcChunkSql,
@@ -1751,8 +1760,9 @@ object Dedup extends QueryModule {
         .orderBy("minhash", "simhash", "cdc_chunk")
       // mh's plan carries lshCandidates' internal checkpoint — passing
       // it lets releaseCheckpoint free those candidate-pair blocks
-      // (previously leaked until GC)
-      CacheScope.eval(result)(fp, mh)
+      // (previously leaked until GC); cdc is chunkDupStats'
+      // localCheckpoint-backed result, same class
+      CacheScope.eval(result)(fp, mh, cdc)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
