@@ -38,7 +38,13 @@ object Jobs {
   val pipelines: Map[String, Seq[(String, String)]] = Map(
     "upload_advisors" -> Seq(
       "ref_advisor_notes" -> "advisor-note-permissions",
-      "ref_latest_order_per_customer" -> "instructor-advisor-map"),
+      // The same-shape certified port of
+      // get_instructor_advisor_relationships (queries.py:70-95) —
+      // triple filter + 13-col DISTINCT + greatest-per-group on the
+      // effective-date analogue. r17 and earlier uploaded the J3
+      // analogue face ref_latest_order_per_customer here; as of r18
+      // the job uploads the exact composed plan CORRECTNESS certifies.
+      "ref_instructor_advisor" -> "instructor-advisor-map"),
     "upload_recent_refresh" -> Seq.empty,
     "upload_snapshot" -> Seq("ref_basic_attributes" -> "basic-attributes"),
     // Extension job (no reference counterpart): the training-data

@@ -202,6 +202,111 @@ object ReferencePorts extends QueryModule {
             ORDER BY custkey""")
   )
 
+  /** The composed advisors extract AS THE JOB UPLOADS IT — the last of
+    * the reference's nine query builders to get a same-shape certified
+    * port (reference get_instructor_advisor_relationships,
+    * jonesy/queries.py:70-95): triple equality filter (INSTITUTION /
+    * ACADEMIC_CAREER / EFFECTIVE_STATUS) + 13-column DISTINCT
+    * projection + greatest-per-group on EFFECTIVE_DATE keyed on
+    * (ADVISOR_ID, INSTRUCTOR_ADISOR_NUMBER), ties kept. VERDICT r17
+    * "What's missing" #1; `upload_advisors` now uploads exactly this
+    * plan as its "instructor-advisor-map" extract.
+    *
+    * Fixture role mapping (FIXTURES.md §C style): the reference's wide
+    * denormalized SYSADM view ← lineitem ⋈ part ⋈ supplier; ADVISOR_ID
+    * ← l_suppkey, INSTRUCTOR_ADISOR_NUMBER ← l_partkey, EFFECTIVE_DATE
+    * ← l_shipdate; triple filter ← l_returnflag='N' ∧ l_linestatus='O'
+    * ∧ s_nationkey=15 (filter columns OUTSIDE the projection, exactly
+    * as INSTITUTION/CAREER/STATUS are in the reference).
+    *
+    * Two semantics preserved deliberately:
+    *  - the correlated MAX ranges over the view UNFILTERED (the
+    *    reference subquery I1 carries only the key correlation, none
+    *    of the outer filters) — so the argmax is computed on the raw
+    *    fact BEFORE any filter, and a row survives only if it is the
+    *    group's all-time latest, not the latest among filtered rows;
+    *  - DISTINCT applies to the 13-column projection AFTER the argmax
+    *    (the DISTINCT-before vs -after interaction the other composed
+    *    ports were created to catch).
+    * The DuckDB oracle keeps the reference's CORRELATED shape, proving
+    * the decorrelated-by-construction rewrite semantics-preserving.
+    *
+    * One deviation: the reference emits unordered rows (its only
+    * builder with no ORDER BY); the engine's determinism contract
+    * (Q scaladoc) requires a total order, so both engines sort by
+    * (advisor_id, instructor_advisor_nbr, academic_plan) — a pure
+    * suffix, no row-set change.
+    *
+    * Scale shape: the filters land on the scan (PushedFilters); the
+    * argmax is one map-side-partial groupBy shuffle on the 2-part key
+    * plus a co-partitioned join back (no correlated re-scan per row);
+    * part (2k) and the nation-filtered supplier (10 rows) broadcast. */
+  val instructorAdvisor: Q = Q(
+    "ref_instructor_advisor",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // Decorrelated argmax over the UNFILTERED fact (see scaladoc).
+      val latest = li
+        .groupBy(col("l_suppkey").as("g_suppkey"),
+          col("l_partkey").as("g_partkey"))
+        .agg(max("l_shipdate").as("max_eff"))
+      li.filter(col("l_returnflag") === "N" && col("l_linestatus") === "O")
+        .join(latest,
+          col("l_suppkey") === col("g_suppkey") &&
+            col("l_partkey") === col("g_partkey") &&
+            col("l_shipdate") === col("max_eff"))
+        .join(broadcast(t(s, dir, "supplier")
+            .filter(col("s_nationkey") === 15)),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .select(
+          col("l_suppkey").as("advisor_id"),
+          col("s_name").as("campus_id"),
+          col("l_partkey").as("instructor_advisor_nbr"),
+          col("l_returnflag").as("advisor_type"),
+          col("p_brand").as("advisor_type_descr"),
+          col("l_linestatus").as("instructor_type"),
+          col("p_type").as("instructor_type_descr"),
+          col("p_name").as("academic_program"),
+          col("l_quantity").as("academic_program_descr"),
+          col("l_linenumber").as("academic_plan"),
+          col("l_extendedprice").as("academic_plan_descr"),
+          col("l_discount").as("academic_sub_plan"),
+          col("l_tax").as("academic_sub_plan_descr"))
+        .distinct()
+        .orderBy("advisor_id", "instructor_advisor_nbr", "academic_plan")
+    },
+    Some("""
+      SELECT DISTINCT
+        i.l_suppkey AS advisor_id,
+        i.s_name AS campus_id,
+        i.l_partkey AS instructor_advisor_nbr,
+        i.l_returnflag AS advisor_type,
+        i.p_brand AS advisor_type_descr,
+        i.l_linestatus AS instructor_type,
+        i.p_type AS instructor_type_descr,
+        i.p_name AS academic_program,
+        i.l_quantity AS academic_program_descr,
+        i.l_linenumber AS academic_plan,
+        i.l_extendedprice AS academic_plan_descr,
+        i.l_discount AS academic_sub_plan,
+        i.l_tax AS academic_sub_plan_descr
+      FROM (SELECT l.*, p.p_name, p.p_brand, p.p_type,
+                   s.s_name, s.s_nationkey
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey) i
+      WHERE i.l_returnflag = 'N'
+        AND i.l_linestatus = 'O'
+        AND i.s_nationkey = 15
+        AND i.l_shipdate = (
+          SELECT max(i1.l_shipdate) FROM lineitem i1
+          WHERE i1.l_suppkey = i.l_suppkey
+            AND i1.l_partkey = i.l_partkey)
+      ORDER BY advisor_id, instructor_advisor_nbr, academic_plan""")
+  )
+
   /** The composed refresh extract AS THE JOB RUNS IT — this catalog
     * face calls [[graft.jobs.Jobs.recentEnrollmentUpdates]] directly
     * (reference get_recent_enrollment_updates, jonesy/queries.py:97-121:
@@ -368,6 +473,6 @@ object ReferencePorts extends QueryModule {
 
   def all: Seq[Q] = Seq(
     advisorNotes, basicAttributes, currentTerms,
-    latestOrderPerCustomer, latestOrderWindow, recentEnrollmentUpdates,
-    recentInstructorUpdatesQ, termEnrollmentsQ)
+    latestOrderPerCustomer, latestOrderWindow, instructorAdvisor,
+    recentEnrollmentUpdates, recentInstructorUpdatesQ, termEnrollmentsQ)
 }
