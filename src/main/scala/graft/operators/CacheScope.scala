@@ -44,25 +44,31 @@ object CacheScope {
     df.sparkSession.conf.getOption("graft.checkpoint.dir") match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        // set-once: SparkContext stores the dir FULLY QUALIFIED with a
-        // fresh UUID subdirectory appended, so an equality test
-        // against the raw conf value never matches and every
-        // materialize call would re-set the dir — one orphan UUID
-        // directory on the DFS per iteration of every loop that runs
-        // through here. Remember what we set instead.
-        if (!checkpointDirSet.contains((sc, dir))) {
-          sc.setCheckpointDir(dir)
-          checkpointDirSet.add((sc, dir))
+        // set-when-changed: SparkContext stores the dir FULLY
+        // QUALIFIED with a fresh UUID subdirectory appended, so an
+        // equality test against the raw conf value never matches and
+        // every materialize call would re-set the dir — one orphan
+        // UUID directory on the DFS per iteration of every loop that
+        // runs through here. Remember the LAST raw value applied per
+        // context instead: re-set only when the conf moved, which
+        // also keeps an A→B→A conf change honest (a set-once pair-set
+        // would short-circuit the third value and leave the effective
+        // dir at B while the conf says A).
+        lastCheckpointDir.synchronized {
+          if (lastCheckpointDir.get(sc) != dir) {
+            sc.setCheckpointDir(dir)
+            lastCheckpointDir.put(sc, dir)
+          }
         }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }
 
-  // (SparkContext, conf dir) pairs already applied — keyed on the
-  // context so a new session/context after a restart re-applies
-  private val checkpointDirSet =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[
-      (org.apache.spark.SparkContext, String)]()
+  // last raw conf dir applied, per context — WEAK keys so a stopped
+  // context's entry is collectable instead of pinned for the JVM's
+  // lifetime (the context is the key's only strong referent here)
+  private val lastCheckpointDir =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]()
 
   /** Materialize `result` eagerly (via [[materialize]], so the
     * `graft.checkpoint.dir` knob applies here too) and release the

@@ -301,19 +301,68 @@ object Lexical {
     val gen = foldGen(spark, name) + 1L
     Partitioning.replaceBucketed(spark, s"${name}_postings", idx.tf,
       "token", buckets)
+    // fold-pending marker, installed AFTER the postings swap but
+    // BEFORE the first derived-artifact swap: from here to the marker
+    // drop the bundle may be MIXED-GENERATION (folded vocab/doclen
+    // next to old-gen scalars, whose old-gen deltas would otherwise
+    // still read as valid and double-apply — the window the r17
+    // scalars-only stamp narrowed but did not close). Readers seeing
+    // the marker serve an in-memory derive from postings-truth
+    // ([[readIndexTables]]); the next maintenance WRITE finishes the
+    // derive ([[finishPendingFold]]). Either way no path ever pairs a
+    // folded artifact with the deltas it already folded in.
+    import spark.implicits._
+    Partitioning.replaceTable(spark, s"${name}__fold_pending",
+      Seq((gen, buckets)).toDF("fold_gen", "buckets"))
     deriveIndexArtifacts(spark, name, buckets, gen)
+    spark.sql(s"DROP TABLE IF EXISTS ${name}__fold_pending")
     // the bundle just written IS current truth (idx came from
     // readIndexTables with deltas applied, or is a fresh build) —
     // pending delete-deltas are folded in or superseded either way,
     // and a pending append marker's docs are in the derived artifacts
     // now (the derive read the full postings), so a later
     // finishPendingAppend merging them again would double-count.
-    // The drops are now hygiene, not correctness: the generation
-    // bump above already marks both superseded for every reader and
-    // writer, so a crash in between leaves no window where the
-    // arithmetic double-applies (SimilaritySpec pins it).
+    // The drops are hygiene, not correctness: the generation bump
+    // above already marks both superseded for every reader and
+    // writer (SimilaritySpec pins it).
     spark.sql(s"DROP TABLE IF EXISTS ${name}_deltas")
     spark.sql(s"DROP TABLE IF EXISTS ${name}__append_pending")
+  }
+
+  /** Converge a crashed [[writeIndexTables]] fold: if the
+    * fold-pending marker exists and the scalars do not yet carry the
+    * marker's target generation, the crash landed somewhere inside
+    * [[deriveIndexArtifacts]] — the postings are already folded truth
+    * (their swap precedes the marker install), so re-running the
+    * derive from them is a pure re-computation that installs every
+    * derived artifact at the target generation; then the marker
+    * drops. WRITER-ONLY like [[finishPendingAppend]]: a reader must
+    * not race the live fold's own derive with duplicate table swaps —
+    * readers detect the marker and fall back to an in-memory derive
+    * instead ([[readIndexTables]]). */
+  private def finishPendingFold(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    val fp = s"${name}__fold_pending"
+    Partitioning.recoverSwap(spark, fp)
+    if (!spark.catalog.tableExists(fp)) return
+    val r = spark.table(fp).collect()(0)
+    val (mGen, mBuckets) = (r.getLong(0), r.getInt(1))
+    if (foldGen(spark, name) != mGen)
+      deriveIndexArtifacts(spark, name, mBuckets, mGen)
+    // crash between the recovery derive and this drop: the next call
+    // finds scalars already at mGen and only drops the marker
+    spark.sql(s"DROP TABLE IF EXISTS $fp")
+  }
+
+  /** True iff a fold-pending marker exists whose target generation
+    * the scalars have not reached — the mixed-generation window a
+    * READER must not serve from the artifact tables. Read-only. */
+  private def foldInProgress(
+      spark: org.apache.spark.sql.SparkSession, name: String): Boolean = {
+    val fp = s"${name}__fold_pending"
+    Partitioning.recoverSwap(spark, fp)
+    spark.catalog.tableExists(fp) &&
+      spark.table(fp).collect()(0).getLong(0) != foldGen(spark, name)
   }
 
   /** The derived tail of [[writeIndexTables]] (the build/compaction
@@ -451,6 +500,10 @@ object Lexical {
                         maxDeltaDocs: Long = 1000000L): Long = {
     val dt = s"${name}_deltas"
     Partitioning.recoverSwap(spark, dt)
+    // writer path: converge a fold that crashed mid-derive FIRST —
+    // until then the bundle is mixed-generation and every artifact
+    // read below would mix folded and pre-fold state
+    finishPendingFold(spark, name)
     // MIGRATION: a bundle whose pre-delta-protocol append crashed
     // between its postings install and its full derive left the old
     // `__derive_pending` marker and stale artifacts; the old code
@@ -678,6 +731,22 @@ object Lexical {
   def readIndexTables(spark: org.apache.spark.sql.SparkSession,
                       name: String): Bm25Index = {
     Partitioning.recoverSwap(spark, s"${name}_scalars")
+    // a fold in flight (or crashed mid-derive) leaves the bundle
+    // MIXED-GENERATION: postings already folded, derived artifacts
+    // somewhere between old and new, old-gen deltas still reading as
+    // valid against the old-gen scalars. No table combination is
+    // consistent in that window, so serve the one thing that IS
+    // truth — an in-memory derive from the folded postings (deltas
+    // ignored: the fold's source had them applied). Costs one
+    // postings aggregate, only inside the fold window; the next
+    // maintenance WRITE converges the tables ([[finishPendingFold]]).
+    if (foldInProgress(spark, name)) {
+      Partitioning.recoverSwap(spark, s"${name}_postings")
+      val tf = Partitioning.bucketed(spark, s"${name}_postings")
+      val r = tf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
+      return Bm25Index(tf, vocabOf(tf), docLengths(tf),
+        r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val sc = spark.table(s"${name}_scalars")
       .select("n_docs", "sum_dl").collect()(0)
     val base = Bm25Index(
@@ -786,9 +855,12 @@ object Lexical {
                          compactFraction: Double = 0.05,
                          maxTombstones: Long = 1000000L): Boolean = {
     val dt = s"${name}_deltas"
-    // writer path: converge a crashed append FIRST — otherwise a
-    // victim among the pending docs is invisible to live.dl, the
-    // takedown no-ops, and the later convergence resurrects the doc
+    // writer path: converge a crashed fold, then a crashed append —
+    // a mid-derive crash leaves mixed-generation artifacts that every
+    // read below would mis-mix, and a victim among pending-append
+    // docs is invisible to live.dl until the append merge runs (the
+    // takedown would no-op and the later convergence resurrect it)
+    finishPendingFold(spark, name)
     finishPendingAppend(spark, name)
     val live = readIndexTables(spark, name) // prior deltas applied
     // live victims only: already-tombstoned or never-indexed ids must
@@ -873,12 +945,12 @@ object Lexical {
     // (writeIndexTables' default) rather than failing, so bucketSpecOf's
     // throw is deliberately not used here.
     Partitioning.recoverSwap(spark, s"${name}_postings")
-    // writer path: converge a crashed append before folding —
-    // the rebuild below derives artifacts from the postings install
-    // (pending docs included), and writeIndexTables drops the marker,
-    // so the fold would be correct either way; merging first keeps
-    // one invariant ("a marker's docs are unaccounted") instead of
-    // two
+    // writer path: converge a crashed fold, then a crashed append,
+    // before folding — the readIndexTables below must not serve the
+    // mixed-generation window, and the rebuild derives artifacts from
+    // the postings install (pending docs included), so merging first
+    // keeps one invariant ("a marker's docs are unaccounted")
+    finishPendingFold(spark, name)
     finishPendingAppend(spark, name)
     // PARSE the identifier (the bucketSpecOf stance): a raw
     // TableIdentifier("db.tbl_postings") would look up a single-part

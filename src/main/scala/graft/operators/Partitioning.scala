@@ -22,11 +22,19 @@ object Partitioning {
     * spreads even when its rows are byte-identical (a whole-row hash,
     * the old salt, gave every duplicate row ONE salt and silently
     * un-salted exactly the replicated-row skew this operator exists
-    * to fix; rand() remains out — it would mark the stage
-    * indeterminate for retry/replay). The RESULT is salt-agnostic —
-    * every salt value joins against the same replicated right rows —
-    * so the choice affects spreading only. The right side is
-    * replicated `salts` times.
+    * to fix). The honest tradeoff vs rand(): BOTH are Nondeterministic
+    * (Stateful) expressions, so either one marks the map stage
+    * indeterminate for retry/replay and can block predicate pushdown
+    * through the salted project — what the id buys is only the
+    * positional spreading of duplicate rows (rand() spreads those too,
+    * but costs an RNG per row and draws identical salts for ~1/salts
+    * of any hot run regardless of position). The RESULT is
+    * salt-agnostic — every salt value joins against the same
+    * replicated right rows — so indeterminate replay re-salting a row
+    * differently changes nothing downstream; callers that need
+    * replay-deterministic lineage should materialize the salted side
+    * (CacheScope.materialize) rather than switch salt functions. The
+    * right side is replicated `salts` times.
     *
     * Cost model: right side grows ×salts — use for dimension-sized
     * right sides too big to broadcast but small next to the fact side;

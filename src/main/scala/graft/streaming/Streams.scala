@@ -216,12 +216,23 @@ object Streams {
     * its own keeper row(s) — the gap-separated output rows the batch
     * replay produces, which the old vacuous `t − last ≤ gap` merge
     * silently swallowed (the sessionize ADVICE-r16 fix, debounce
-    * edition). One documented divergence under EXTREME lateness: a
-    * cross-batch late event within the burst's reach but preceding
-    * its keeper is counted as suppressed rather than retroactively
-    * promoted to keeper (the batch replay, which sees a total order,
-    * would elect it) — batch/stream parity on splits that respect
-    * event order is pinned in StreamsSpec.
+    * edition). TWO documented divergences under EXTREME lateness
+    * (both need an event arriving whole batches late, behind the
+    * open burst's keeper):
+    *  1. a cross-batch late event within the burst's reach but
+    *     preceding its keeper is counted as suppressed rather than
+    *     retroactively promoted to keeper (the batch replay, which
+    *     sees a total order, would elect it);
+    *  2. transitive bridging: the batch total order can MERGE a
+    *     straggler chain into the open burst through an in-reach
+    *     late event t ∈ [keeper − gap, keeper) that lies within gap
+    *     of the chain's last element — batch emits ONE keeper row
+    *     (the chain's first event elected keeper), while the stream
+    *     emits the chain as its own keeper row and folds t into the
+    *     burst as a suppressed count. The stream never rewinds an
+    *     emitted-or-open keeper, so it cannot reproduce the merge.
+    * Batch/stream parity on splits that respect event order, and the
+    * chosen behavior for both divergences, are pinned in StreamsSpec.
     *
     * State is one open burst per active (user, type) — four longs —
     * and times out at watermark + gap: bounded by the number of keys
@@ -259,10 +270,15 @@ object Streams {
             // unlike sessionize, a burst's keeper timestamp never
             // rewinds (in-reach late events fold as suppressed counts
             // without moving it), so every chain element stays
-            // strictly older than keeper − gap and the chain can
-            // NEVER bridge into the open burst — it always flushes as
-            // its own keeper row(s), exactly what the batch replay
-            // emits for gap-separated events
+            // strictly older than keeper − gap and THE STREAM never
+            // merges the chain into the open burst — it flushes as
+            // its own keeper row(s). For gap-separated event sets
+            // that is exactly the batch replay's output; when an
+            // in-reach late event lands within gap of the chain's
+            // last element, the batch total order WOULD transitively
+            // merge chain and burst — divergence #2 in the scaladoc,
+            // pinned in StreamsSpec (the stream keeps the chain
+            // separate and counts the bridging event into the burst)
             var late: BurstState = null
             def flushLate(): Unit =
               if (late != null) {

@@ -1573,4 +1573,92 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
         spark.sql(s"DROP TABLE IF EXISTS ${n}__append_pending$sx")
     }
   }
+
+  test("BM25 fold crashed MID-DERIVE (folded vocab/doclen, pre-fold " +
+      "scalars+deltas): readers serve postings-truth without writing; " +
+      "the next writer converges the bundle") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Lexical, Partitioning}
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val n = "bm25_foldtear_spec"
+    val dt = s"${n}_deltas"
+    val fp = s"${n}__fold_pending"
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(docs), n, 8)
+      val victims = docs.filter(col("doc_id") % 9 === 2).select("doc_id")
+      assert(!Lexical.removeDocsDeferred(spark, n, victims,
+        compactFraction = 1.0))
+      // capture the PRE-FOLD state the crash must resurrect: the
+      // valid gen-1 deltas and the gen-1 scalars
+      def snap(t: String) = {
+        val df = spark.table(t)
+        (df.collect(), df.schema)
+      }
+      val (staleDeltas, deltaSchema) = snap(dt)
+      val (staleScalars, scalarSchema) = snap(s"${n}_scalars")
+      val remainder =
+        Lexical.buildIndex(docs.filter(col("doc_id") % 9 =!= 2))
+      // full fold, then rewind scalars+deltas to their pre-fold rows
+      // and re-install the fold-pending marker — exactly the on-disk
+      // state of a crash AFTER the vocab/doclen swaps but BEFORE the
+      // scalars swap (the window ADVICE r17 named: dfdec would
+      // double-apply against the already-folded df, dladd rows would
+      // duplicate appended docs' dl rows)
+      Lexical.compactIndexTables(spark, n)
+      val foldedGen = spark.table(s"${n}_scalars")
+        .select("fold_gen").collect()(0).getLong(0)
+      def reinstall(t: String, rows: Array[org.apache.spark.sql.Row],
+                    schema: org.apache.spark.sql.types.StructType) =
+        Partitioning.replaceTable(spark, t, spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(rows: _*)), schema))
+      reinstall(dt, staleDeltas, deltaSchema)
+      reinstall(s"${n}_scalars", staleScalars, scalarSchema)
+      Partitioning.replaceTable(spark, fp,
+        Seq((foldedGen, 8)).toDF("fold_gen", "buckets"))
+      // READER: must serve the folded remainder exactly (in-memory
+      // derive from postings-truth), and must not write — the marker
+      // and the stale scalars stay exactly as the crash left them
+      val served = Lexical.readIndexTables(spark, n)
+      assert((served.nDocs, served.sumDl) ==
+          ((remainder.nDocs, remainder.sumDl)),
+        "reader mixed folded artifacts with pre-fold deltas")
+      val dfDiff = served.df.withColumnRenamed("df", "__got")
+        .join(remainder.df.withColumnRenamed("df", "__want"),
+          Seq("token"), "full_outer")
+        .filter(coalesce(col("__got"), lit(-1L)) =!=
+          coalesce(col("__want"), lit(-1L)))
+      assert(dfDiff.head(1).isEmpty,
+        "reader-served df diverged from the folded remainder")
+      assert(spark.catalog.tableExists(fp),
+        "a READER must not converge the torn fold (writer-only)")
+      assert(spark.table(s"${n}_scalars")
+          .select("fold_gen").collect()(0).getLong(0) != foldedGen,
+        "a READER must not rewrite the scalars")
+      // WRITER: the next takedown converges the bundle first, then
+      // applies its own batch — end state identical to a rebuild on
+      // the doubly-reduced corpus
+      val victims2 = docs.filter(col("doc_id") % 9 === 5)
+        .select("doc_id")
+      assert(!Lexical.removeDocsDeferred(spark, n, victims2,
+        compactFraction = 1.0))
+      assert(!spark.catalog.tableExists(fp),
+        "the writer must drop the fold-pending marker")
+      val served2 = Lexical.readIndexTables(spark, n)
+      val remainder2 = Lexical.buildIndex(
+        docs.filter(col("doc_id") % 9 =!= 2 && col("doc_id") % 9 =!= 5))
+      assert((served2.nDocs, served2.sumDl) ==
+          ((remainder2.nDocs, remainder2.sumDl)),
+        "writer convergence left double-applied arithmetic behind")
+    } finally {
+      for (t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
+      for (m <- Seq("__append_pending", "__fold_pending");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}$m$sx")
+    }
+  }
 }

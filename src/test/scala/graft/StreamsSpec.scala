@@ -915,6 +915,46 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming debounce transitive-bridging divergence (#2): a " +
+      "late in-reach event within gap of the straggler chain keeps " +
+      "the chain separate instead of batch's retroactive merge") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.streamingDebounce(source.toDS(), gapMinutes = 10,
+        allowedLateness = "5 days").writeStream
+      .format("memory").queryName("debounce_bridge")
+      .outputMode("append").start()
+    try {
+      source.addData(Event(10, ts("2024-01-01 12:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // straggler chain at 11:35/11:43 (both < keeper − gap = 11:50)
+      // plus a BRIDGING in-reach event at 11:52: within gap of the
+      // chain's last element (9 min) AND inside the burst's reach.
+      // The batch total order chains 11:35→11:43→11:52→12:00 into ONE
+      // burst (keeper 2, suppressed 3); the stream cannot rewind its
+      // open keeper, so it emits the chain as its own keeper row and
+      // counts the bridge into the burst — the documented divergence
+      // #2 (streamingDebounce scaladoc), pinned here as chosen
+      source.addData(
+        Event(2, ts("2024-01-01 11:35:00"), 7, "click", 1.0),
+        Event(3, ts("2024-01-01 11:43:00"), 7, "click", 1.0),
+        Event(4, ts("2024-01-01 11:52:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val early = spark.table("debounce_bridge")
+        .as[graft.streaming.Streams.Debounced].collect().toSeq
+      assert(early == Seq(graft.streaming.Streams.Debounced(7, "click",
+        2, ts("2024-01-01 11:35:00"), 1L)),
+        s"chain not emitted as its own keeper row: $early")
+      source.addData(Event(99, ts("2030-01-01 00:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("debounce_bridge")
+        .as[graft.streaming.Streams.Debounced].collect().toSet
+      assert(all.contains(graft.streaming.Streams.Debounced(7, "click",
+        10, ts("2024-01-01 12:00:00"), 1L)),
+        s"bridging event not folded into the open burst: $all")
+    } finally q.stop()
+  }
+
   test("streamingScd2 equal-timestamp smaller-id late event does not " +
       "rewind the open run (byTsThenId tiebreak)") {
     implicit val sq = spark.sqlContext
