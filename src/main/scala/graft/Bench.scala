@@ -55,6 +55,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // launch-time load average, captured BEFORE the warm-up work adds
+    // our own load — one leg of the record's self-adjudicating `frame`
+    // block (r17 verdict #5: the driver-vs-controlled gap explanation
+    // lived across three BENCH_NOTES sections; now each record carries
+    // its own frame evidence). -1 where the platform has no loadavg.
+    val loadavg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // absorb one-time JVM/codegen/parquet-reader init so the first
     // timed query isn't charged for session warm-up
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -578,11 +585,82 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] regression gate skipped: $e")
     }
+    // DATA-PATH meter (r17 verdict #2) — same decision kernel and
+    // guard discipline as the skew matrix: controlled host measures,
+    // loaded host carries the previous controlled cells, a fresh
+    // controlled cell deviating >2× from its carried value is
+    // re-repped once and named in the record if it persists.
+    //
+    // POSITION: deliberately AFTER the catalog loop and its gate —
+    // the opposite choice from the skew matrix, for a reason. The
+    // section compiles ~60 generated classes and churns GC/code
+    // cache; run before the catalog it shifted the whole catalog's
+    // JVM frame and manufactured 8 false floor flags on its first
+    // outing (ss_*/rel_profile at 1.6-2.6x with idle-host calibs).
+    // The catalog total is the GRADED meter and keeps its historical
+    // frame; the datapath cells are longitudinal (each compared only
+    // to its own carried value, guarded by the same calib gate), so
+    // what they need is positional CONSISTENCY, not a pristine JVM —
+    // fixed-position post-catalog gives them exactly that every run.
+    val prevDpCells =
+      if (prevSkewFrameOk)
+        prevSkewTxt.map(parseDatapathBench).getOrElse(Map.empty)
+      else Map.empty[String, Double]
+    val prevDpCtx: Option[String] = prevSkewTxt
+      .flatMap(t => parseDetailField(t, "datapath_bench_context"))
+    val (datapath, dpCtx, dpDevs)
+        : (Map[String, Double], String, Option[Set[String]]) =
+      if (skewOnly || args.nonEmpty) (Map.empty, "", None)
+      else if (sys.env.get("SPARK_GRAFT_DATAPATH_BENCH").contains("0"))
+        (prevDpCells,
+          if (prevDpCells.nonEmpty) "carried" else "", None)
+      else skewPlan(loadedHost, prevDpCells, prevDpCtx) match {
+        case (false, ctx) =>
+          System.err.println(
+            s"[bench] datapath bench NOT re-measured (host loaded): " +
+              s"carrying the previous controlled cells, context=$ctx")
+          (prevDpCells, ctx, None)
+        case (true, ctx) =>
+          try {
+            var cells = datapathBench(spark, sfDir, skewReps)
+            val guardArmed = ctx == "controlled" &&
+              prevDpCells.nonEmpty &&
+              prevDpCtx.exists(c => c == "controlled" || c == "carried")
+            val devs: Option[Set[String]] =
+              if (!guardArmed) None
+              else {
+                val first = skewDeviations(cells, prevDpCells)
+                if (first.nonEmpty) {
+                  System.err.println(s"[bench] datapath cells deviate " +
+                    s">${SkewDeviationFactor}x from the carried " +
+                    s"controlled cells: ${first.toSeq.sorted
+                      .mkString(", ")} -- re-repping those cells")
+                  cells = cells ++
+                    datapathBench(spark, sfDir, skewReps, only = first)
+                }
+                val stillOff = skewDeviations(cells, prevDpCells)
+                for (k <- stillOff.toSeq.sorted) System.err.println(
+                  f"[bench] datapath $k CONFIRMED deviant after " +
+                    f"re-rep: ${cells(k)}%.3f s vs carried " +
+                    f"${prevDpCells(k)}%.3f s -- tagged in the record")
+                Some(stillOff)
+              }
+            (cells, ctx, devs)
+          } catch { case e: Exception =>
+            System.err.println(s"[bench] datapath bench skipped " +
+              s"(previous cells carried): $e")
+            (prevDpCells,
+              if (prevDpCells.nonEmpty) "carried" else "", None)
+          }
+      }
     if (writeDetail) {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detailJson(results, reps, sfName, calib, cpus, reruns, calib2,
           unresolvedFlags, skew, calibSh, calibSh2, skewCtx,
-          coldMap, warmMap, skewDevs) + "\n")
+          coldMap, warmMap, skewDevs,
+          datapath = datapath, datapathCtx = dpCtx,
+          datapathDevs = dpDevs, loadavg = loadavg,
+          controlled = if (loadedHost) 0 else 1) + "\n")
           .getBytes("UTF-8"))
       // lower the monotone floor where this run beat it (rerun
       // medians count: same query, same purge discipline); never
@@ -960,6 +1038,186 @@ object Bench {
     cells
   }
 
+  /** DATA-PATH meter (r17 verdict #2): at sf0.1 the whole catalog is
+    * compile-bound — the median warm probe across all 201 faces is
+    * ~0.02 s against a 0.91 s median rep, so the 2× gate guards
+    * Spark's planner/codegen overhead and a genuine kernel regression
+    * (gopher_stats, bpe_count, the BM25/IVF probes) could hide inside
+    * compile noise. This section times the EXECUTION of the heaviest
+    * kernels with the compile already paid: the sf fixtures are
+    * deterministically inflated 8× into a temp dir (seeded id/text/
+    * timestamp perturbation — fresh data, so nothing is answered from
+    * cache), each cell's plan runs once UNTIMED (whole-stage codegen
+    * compiled, probe indexes prebuilt), and the timed reps then
+    * rebuild the DataFrame each pass — Spark's source-keyed codegen
+    * cache makes the rebuild warm-plan (analysis only, no javac),
+    * while fresh ShuffleDependencies keep every exchange honestly
+    * re-executed. Cells are INTERLEAVED across reps like [[skewBench]]
+    * and reported as medians; the section reuses the skew section's
+    * entire guard machinery (calib-gated carry, context tag,
+    * deviation re-rep) via [[skewPlan]]/[[skewDeviations]], lands in
+    * the detail record as `datapath_bench`, and never touches the
+    * catalog total or the regression gate.
+    *
+    * Cell inventory (the per-row/kernel cost centers a 100 TB run is
+    * made of): the four native text expressions (gopher_stats,
+    * bpe_count, minhash_sig, simhash_long), the two banded-dedup
+    * composites (LSH banding join, repeated-span scrub), the two
+    * serving-index probes against PREBUILT bucketed tables (BM25,
+    * IVF — index build untimed: probes are the steady-state cost),
+    * the three real codec walks (PNG inflate+unfilter, JPEG
+    * Huffman+IDCT, WAV PCM16), the brute fvec_dot sweep, and the
+    * Misra-Gries sketch pass over events. */
+  def datapathBench(spark: SparkSession, sfDir: String, reps: Int = 3,
+                    only: Set[String] = Set.empty): Map[String, Double] = {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.ensure(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_datapath").toString
+    val bm25T = "graft_dp_bm25_bench"
+    val ivfT = "graft_dp_ivf_bench"
+    try {
+      // ---- 8× fixture inflation, deterministic (no Date/rand):
+      // ids shift by replica, text gets a replica-salted prefix (so
+      // shingles/hashes differ across replicas), embeddings a small
+      // replica-scaled additive perturbation, timestamps a replica-
+      // second offset. Written as parquet so every timed pass reads
+      // fresh columnar data through the real scan path.
+      val rep8 = spark.range(8).select(col("id").as("__rep"))
+      graft.sources.Tables(spark, sfDir, "documents")
+        .crossJoin(rep8)
+        .select(
+          (col("doc_id") * 8 + col("__rep")).as("doc_id"),
+          when(col("__rep") === 0, col("text"))
+            .otherwise(concat(lit("v"), col("__rep"), lit(" "),
+              col("text"))).as("text"),
+          col("lang"), col("source"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$tmp/documents")
+      graft.sources.Tables(spark, sfDir, "embeddings")
+        .crossJoin(rep8)
+        .select(
+          (col("vec_id") * 8 + col("__rep")).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x + __rep * 0.001 " +
+            "AS FLOAT))").as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings")
+      graft.sources.Tables(spark, sfDir, "events")
+        .crossJoin(rep8)
+        .select(
+          (col("event_id") * 8 + col("__rep")).as("event_id"),
+          (col("ts") + expr("make_interval(0,0,0,0,0,0,__rep)")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$tmp/events")
+      def docs8 = spark.read.parquet(s"$tmp/documents")
+      def emb8 = spark.read.parquet(s"$tmp/embeddings")
+      def events8 = spark.read.parquet(s"$tmp/events")
+      // ---- prebuilt serving indexes (untimed: a probe's steady
+      // state amortizes the build over many query batches)
+      graft.operators.Lexical.writeIndexTables(
+        graft.operators.Lexical.buildIndex(
+          docs8.select("doc_id", "text")), bm25T, 16)
+      val cents = graft.operators.Ann.ivfCentroids(spark, emb8, 16)
+      graft.operators.Ann.buildIvfIndex(spark, emb8, cents, ivfT, 16)
+      def cellDf(name: String): org.apache.spark.sql.DataFrame =
+        name match {
+          case "gopher_stats" =>
+            docs8.select(col("doc_id"),
+              expr("gopher_stats(text)").as("g"))
+          case "bpe_count" =>
+            docs8.select(col("doc_id"),
+              expr("bpe_count(text)").as("n"))
+          case "minhash_sig" =>
+            docs8.select(col("doc_id"),
+              expr("minhash_sig(text, 8)").as("sig"))
+          case "simhash" =>
+            docs8.select(col("doc_id"),
+              expr("simhash_long(text, 32)").as("h"))
+          case "min_window_md5" =>
+            docs8.select(col("doc_id"),
+              expr("min_window_md5(text, 8)").as("fp"))
+          case "lsh_banding" =>
+            graft.operators.TextDedup.lshCandidates(
+              docs8.select("doc_id", "text"), numPerms = 8, nBands = 2)
+          case "span_scrub" =>
+            graft.operators.TextDedup.scrubRepeatedSpans(
+              docs8.select("doc_id", "text"), 20)
+          case "bm25_probe" =>
+            graft.operators.Lexical.rankedFromIndex(
+              graft.operators.Lexical.readIndexTables(spark, bm25T),
+              docs8.select("doc_id", "text")
+                .filter(col("doc_id") % 997 === 0))
+          case "ivf_probe" =>
+            graft.operators.Ann.probeIvfIndex(spark, ivfT,
+              graft.operators.Ann.ivfProbeCells(
+                emb8.filter(col("vec_id") < 64), cents, nprobe = 2),
+              k = 10)
+          case "png_decode" =>
+            graft.multimodal.Multimodal.pngDecode(docs8.select("doc_id"))
+          case "jpeg_decode" =>
+            graft.multimodal.Multimodal.jpegDecode(docs8.select("doc_id"))
+          case "wav_decode" =>
+            graft.multimodal.Multimodal.wavDecode(docs8.select("doc_id"))
+          case "fvec_dot" =>
+            emb8.crossJoin(broadcast(emb8.filter(col("vec_id") < 256)
+                .select(col("vec_id").as("q_id"),
+                  col("embedding").as("q_emb"))))
+              .select(expr("fvec_dot(embedding, q_emb)").as("d"))
+              .agg(sum("d"))
+          case "mg_summary" =>
+            events8.select(col("event_type"), col("user_id"))
+              .agg(expr("mg_summary(event_type, 64)").as("mg"))
+        }
+      val allCells = Seq("gopher_stats", "bpe_count", "minhash_sig",
+        "simhash", "min_window_md5", "lsh_banding", "span_scrub",
+        "bm25_probe", "ivf_probe", "png_decode", "jpeg_decode",
+        "wav_decode", "fvec_dot", "mg_summary")
+      val cellNames =
+        if (only.isEmpty) allCells else allCells.filter(only)
+      def runOnce(name: String): Double = {
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        cellDf(name).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // rep 0: untimed compile pass (whole-stage codegen + JIT of
+      // every cell's generated class); the timed reps then measure
+      // warm-plan fresh-data execution
+      cellNames.foreach { n =>
+        val warm = runOnce(n)
+        System.err.println(f"[bench] datapath $n compile pass: $warm%.3f s")
+      }
+      var samples = Map.empty[String, List[Double]].withDefaultValue(Nil)
+      for (r <- 1 to math.max(1, reps); n <- cellNames) {
+        val sec = runOnce(n)
+        samples += n -> (sec :: samples(n))
+        System.err.println(f"[bench] datapath $n rep $r: $sec%.3f s")
+      }
+      val cells = samples.map { case (k, ts) =>
+        val sorted = ts.sorted
+        k -> sorted(sorted.size / 2)
+      }
+      cells.foreach { case (k, v) =>
+        System.err.println(f"[bench] datapath $k median: $v%.3f s") }
+      cells
+    } finally {
+      for (t <- Seq(s"${bm25T}_postings", s"${bm25T}_vocab",
+          s"${bm25T}_doclen", s"${bm25T}_scalars", s"${bm25T}_deltas",
+          s"${bm25T}__append_pending", s"${bm25T}__fold_pending",
+          ivfT, s"${ivfT}__scalars", s"${ivfT}__tombstones");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sx")
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
+        p.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   /** One self-arbitration record: the flagged query's first median,
     * its in-process rerun median (fresh purge + fresh calib frame),
     * the previous run's value it was compared against, and the
@@ -1095,6 +1353,18 @@ object Bench {
     * detail line, tolerant like [[parseDetailQueries]]. */
   def parseSkewBench(json: String): Map[String, Double] =
     parseFlatSection(json, "skew_bench")
+
+  /** The flat `"name":number` cell map inside `"datapath_bench":{...}`
+    * of a detail line — the data-path kernel meter (r17 verdict #2),
+    * tolerant like [[parseDetailQueries]]. */
+  def parseDatapathBench(json: String): Map[String, Double] =
+    parseFlatSection(json, "datapath_bench")
+
+  /** The numeric `"frame":{...}` block of a detail line — launch
+    * loadavg, calib pair, controlled verdict (r17 verdict #5).
+    * Missing block → empty map (pre-frame records). */
+  def parseFrame(json: String): Map[String, Double] =
+    parseFlatSection(json, "frame")
 
   /** Monotone floor file beside the detail record: per query, the
     * best-ever raw median and the host calib of the run that set it.
@@ -1400,7 +1670,12 @@ object Bench {
                  skewCtx: String = "",
                  coldMap: Map[String, Double] = Map.empty,
                  warmMap: Map[String, Double] = Map.empty,
-                 skewDevs: Option[Set[String]] = None): String = {
+                 skewDevs: Option[Set[String]] = None,
+                 datapath: Map[String, Double] = Map.empty,
+                 datapathCtx: String = "",
+                 datapathDevs: Option[Set[String]] = None,
+                 loadavg: Double = -1.0,
+                 controlled: Int = -1): String = {
     val total = results.collect { case (_, v, None) => v }.sum
     val resolvedPart = resolvedTotalPart(results, reruns, 6)
     val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v, 6) }
@@ -1445,6 +1720,41 @@ object Bench {
           skewDevs.get.toSeq.sorted.map(jsonStr)
             .mkString(""","skew_bench_deviations":[""", ",", "]")
          else "")
+    // data-path kernel cells (r17 verdict #2) — same shape and guard
+    // tags as the skew section, AFTER queries for the same parse
+    // reason (nested objects must not precede the queries scan)
+    val datapathPart =
+      (if (datapath.isEmpty) ""
+       else datapath.toSeq.sorted.map { case (k, v) =>
+         jsonStr(k) + ":" + fmt(v, 3)
+       }.mkString(""","datapath_bench":{""", ",", "}")) +
+        (if (datapath.nonEmpty && datapathCtx.nonEmpty)
+          s""","datapath_bench_context":${jsonStr(datapathCtx)}"""
+         else "") +
+        (if (datapath.nonEmpty && datapathDevs.isDefined)
+          datapathDevs.get.toSeq.sorted.map(jsonStr)
+            .mkString(""","datapath_bench_deviations":[""", ",", "]")
+         else "")
+    // self-adjudicating frame block (r17 verdict #5): launch loadavg,
+    // the calib pair, and the controlled verdict in ONE place —
+    // numeric-only so parseFlatSection round-trips it. controlled:
+    // 1 = calibs inside the floor frame's guard, 0 = loaded,
+    // absent field (-1) = the writer predates the block or had no
+    // frame to judge against.
+    val framePart =
+      if (loadavg < 0 && controlled < 0) ""
+      else {
+        val fields = Seq(
+          (if (loadavg >= 0) Seq(s""""loadavg":${fmt(loadavg, 3)}""")
+           else Seq.empty) ++
+            (if (calib > 0) Seq(s""""calib":${fmt(calib, 6)}""")
+             else Seq.empty) ++
+            (if (calibSh > 0) Seq(s""""calib_sh":${fmt(calibSh, 6)}""")
+             else Seq.empty) ++
+            (if (controlled >= 0) Seq(s""""controlled":$controlled""")
+             else Seq.empty)).flatten
+        fields.mkString(""","frame":{""", ",", "}")
+      }
     // cold (rep-1: build + first-compile + eager work + execute) and
     // warm (the post-reps probe: plan, generated code and shuffle
     // outputs reused — diagnostic only, never in the median) per
@@ -1456,7 +1766,7 @@ object Bench {
         jsonStr(k) + ":" + fmt(v, 6)
       }.mkString(s""","$tag":{""", ",", "}")
     val repsPart = auxMap("cold", coldMap) + auxMap("warm", warmMap)
-    s"""{"metric":"total","value":${fmt(total, 6)}$resolvedPart,"unit":"sec","reps":$reps$calibPart$cpusPart,"meas":"$Meas","queries":$qs$rerunPart$flagsPart$skewPart$repsPart${errPart(results)},"sf":"$sfName"}"""
+    s"""{"metric":"total","value":${fmt(total, 6)}$resolvedPart,"unit":"sec","reps":$reps$calibPart$cpusPart,"meas":"$Meas","queries":$qs$rerunPart$flagsPart$skewPart$datapathPart$framePart$repsPart${errPart(results)},"sf":"$sfName"}"""
   }
 
   /** `,"value_resolved":N` when any flag was rerun-arbitrated to load

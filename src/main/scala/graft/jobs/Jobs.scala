@@ -212,8 +212,19 @@ object Jobs {
     * names; the data-level guard stays underneath as the convergence
     * backstop for the body-committed/key-unrecorded crash window and
     * for callers without a key. */
+  /** The four feed parameters make the scaladoc's "a production
+    * deployment swaps those two predicates for its ingest and
+    * takedown feeds" literal: each defaults to the fixture-derived
+    * predicate split, and a caller (the drifted-day soak, a real
+    * ingest) injects its own day's batch/takedown DataFrames — the
+    * gates, guards and logging are identical either way. */
   def maintainServingIndexes(s: SparkSession, sfDir: String,
-                             batchKey: Option[String] = None): DataFrame = {
+                             batchKey: Option[String] = None,
+                             ivfFeed: Option[DataFrame] = None,
+                             ivfTakedownFeed: Option[DataFrame] = None,
+                             bm25Feed: Option[DataFrame] = None,
+                             bm25TakedownFeed: Option[DataFrame] = None)
+      : DataFrame = {
     import graft.operators.{Ann, Lexical, Partitioning}
     val log = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long, Boolean)]
@@ -221,7 +232,7 @@ object Jobs {
     // ---- IVF (dense vectors) ------------------------------------
     val emb = Tables(s, sfDir, "embeddings")
     val resident = emb.filter(col("vec_id") % 7 =!= 0)
-    val batch = emb.filter(col("vec_id") % 7 === 0)
+    val batch = ivfFeed.getOrElse(emb.filter(col("vec_id") % 7 === 0))
     def ivfRows: Long = {
       Partitioning.recoverSwap(s, s"${IvfServingTable}__scalars")
       s.table(s"${IvfServingTable}__scalars")
@@ -276,8 +287,9 @@ object Jobs {
       if (ranIvf) ivfAdded else 0L, false))
     // takedowns from the RESIDENT split only, so a steady-state re-run
     // converges to no-ops instead of re-appending yesterday's victims
-    val victims = emb.filter(col("vec_id") % 50 === 0 &&
-      col("vec_id") % 7 =!= 0).select("vec_id")
+    val victims = ivfTakedownFeed.getOrElse(
+      emb.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") % 7 =!= 0).select("vec_id"))
     val folded = Ann.tombstoneIvfVectors(s, IvfServingTable, victims)
     log += (("ivf", "takedown", victims.count(), folded))
     // retrain gate, SAMPLED first (r16 verdict #2): the steady-state
@@ -315,7 +327,7 @@ object Jobs {
     // ---- BM25 (lexical) ------------------------------------------
     val docs = Tables(s, sfDir, "documents")
     val dResident = docs.filter(col("doc_id") % 7 =!= 0)
-    val dBatch = docs.filter(col("doc_id") % 7 === 0)
+    val dBatch = bm25Feed.getOrElse(docs.filter(col("doc_id") % 7 === 0))
     // SERVED doc count — base scalars plus pending delta adjustments
     // (the append path records batch adds in the delta table instead
     // of rewriting the scalars; readIndexTables folds both signs).
@@ -349,8 +361,9 @@ object Jobs {
     }
     log += (("bm25", if (ranBm25) "append" else "append_skipped",
       if (ranBm25) bm25Added else 0L, false))
-    val dVictims = docs.filter(col("doc_id") % 50 === 0 &&
-      col("doc_id") % 7 =!= 0).select("doc_id")
+    val dVictims = bm25TakedownFeed.getOrElse(
+      docs.filter(col("doc_id") % 50 === 0 &&
+        col("doc_id") % 7 =!= 0).select("doc_id"))
     val dFolded = Lexical.removeDocsDeferred(s, Bm25ServingName, dVictims)
     log += (("bm25", "takedown", dVictims.count(), dFolded))
 

@@ -209,6 +209,69 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.parseSkewBench("{\"queries\":{\"a\":1}}") === Map.empty)
   }
 
+  test("datapath_bench cells + context + deviations serialize after " +
+      "queries, round-trip, and leave every other parser untouched") {
+    val dp = Map("gopher_stats" -> 1.234, "bm25_probe" -> 0.456,
+      "png_decode" -> 2.001)
+    val detail = Bench.detailJson(mk(120), 3, "sf0.1", calib = 0.2,
+      cpus = "32", skew = Map("join_plain_skew" -> 1.5),
+      skewCtx = "controlled", datapath = dp,
+      datapathCtx = "controlled", datapathDevs = Some(Set("png_decode")))
+    val js = mapper.readTree(detail)
+    assert(js.get("datapath_bench").get("gopher_stats")
+      .asDouble() === 1.234)
+    assert(js.get("datapath_bench_context").asText() === "controlled")
+    assert(js.get("datapath_bench_deviations").get(0)
+      .asText() === "png_decode")
+    // round-trips through its own parser; the queries/skew parsers
+    // still stop at their own sections
+    assert(Bench.parseDatapathBench(detail) === dp)
+    assert(Bench.parseDetailQueries(detail).size === 120)
+    assert(Bench.parseSkewBench(detail) ===
+      Map("join_plain_skew" -> 1.5))
+    assert(Bench.parseDetailField(detail, "datapath_bench_context")
+      === Some("controlled"))
+    // no cells → no section, no tags; missing section parses empty
+    val bare = Bench.detailJson(mk(5), 3, "sf0.1",
+      datapathCtx = "controlled")
+    assert(!mapper.readTree(bare).has("datapath_bench"))
+    assert(!mapper.readTree(bare).has("datapath_bench_context"))
+    assert(Bench.parseDatapathBench("{\"queries\":{\"a\":1}}")
+      === Map.empty)
+    // the carry/guard decision kernel is shared with the skew matrix:
+    // a loaded host carries controlled datapath cells verbatim
+    assert(Bench.skewPlan(loadedHost = true, dp,
+      Some("controlled")) === ((false, "carried")))
+    // and the deviation guard flags a >2x cell in either direction
+    assert(Bench.skewDeviations(
+      Map("gopher_stats" -> 2.9), dp) === Set("gopher_stats"))
+  }
+
+  test("frame block: loadavg/calib/controlled serialize numerically, " +
+      "round-trip via parseFrame, and stay absent when unset") {
+    val detail = Bench.detailJson(mk(50), 3, "sf0.1", calib = 0.21,
+      cpus = "32", calibSh = 0.8, loadavg = 0.375, controlled = 1)
+    val js = mapper.readTree(detail)
+    assert(js.get("frame").get("loadavg").asDouble() === 0.375)
+    assert(js.get("frame").get("calib").asDouble() === 0.21)
+    assert(js.get("frame").get("calib_sh").asDouble() === 0.8)
+    assert(js.get("frame").get("controlled").asInt() === 1)
+    val f = Bench.parseFrame(detail)
+    assert(f("loadavg") === 0.375 && f("controlled") === 1.0)
+    // the queries parser still stops at the queries object
+    assert(Bench.parseDetailQueries(detail).size === 50)
+    // platform with no loadavg but a frame verdict still records it
+    val noLoad = Bench.detailJson(mk(5), 3, "sf0.1", calib = 0.2,
+      loadavg = -1.0, controlled = 0)
+    val nj = mapper.readTree(noLoad)
+    assert(!nj.get("frame").has("loadavg"))
+    assert(nj.get("frame").get("controlled").asInt() === 0)
+    // pre-frame writer: both unset → block absent, parseFrame empty
+    val pre = Bench.detailJson(mk(5), 3, "sf0.1")
+    assert(!mapper.readTree(pre).has("frame"))
+    assert(Bench.parseFrame(pre) === Map.empty)
+  }
+
   test("skew guard: loaded host can never overwrite a controlled matrix") {
     val frame = Some((0.7, 0.9))
     // within guard on both probes → controlled re-measure

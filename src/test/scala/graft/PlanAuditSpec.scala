@@ -211,6 +211,74 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("composed pipeline faces stay inside whole-stage codegen: no " +
+      "fallback expressions, every generated method under " +
+      "hugeMethodLimit (r17 verdict #4)") {
+    // Past spark.sql.codegen.hugeMethodLimit Spark SILENTLY abandons
+    // a compiled whole-stage subtree and runs it interpreted —
+    // invisible at sf0.1, a multi-× data-path regression at 100 TB.
+    // The five composed pipeline faces carry the catalog's largest
+    // generated classes; audit them three ways.
+    val hugeLimit = spark.conf
+      .getOption("spark.sql.codegen.hugeMethodLimit")
+      .map(_.toInt).getOrElse(65535)
+    // the JIT's own refusal bar (-XX:-DontCompileHugeMethods default
+    // 8000 bytecodes) is the stricter, economically-real threshold:
+    // a method over it stays interpreted at the JVM level even when
+    // Spark keeps the compiled class
+    val jitLimit = 8000
+    val faces = Seq("dd_curation_pipeline", "dd_quality_gate_pipeline",
+      "ta_ingest_pipeline", "dd_method_agreement", "ta_dataset_card")
+    for (name <- faces) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // execute: AQE finalizes the stages, and the faces' eager
+      // checkpoint materializations compile their upstream subtrees
+      // into the JVM-wide histogram checked below
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.executedPlan
+      // leg 1: no CodegenFallback expression anywhere in the final
+      // plan — an interpreted per-row eval inside a hot projection
+      // (Nondeterministic expressions are fallback by design and
+      // carry no codegen path to lose)
+      val fallbacks = scala.collection.mutable.Set.empty[String]
+      plan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case e: org.apache.spark.sql.catalyst.expressions
+              .codegen.CodegenFallback
+            if !e.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Nondeterministic] =>
+            fallbacks += e.getClass.getSimpleName
+          case _ => ()
+        })
+      }
+      assert(fallbacks.isEmpty,
+        s"$name carries interpreted-eval expressions: " +
+          s"${fallbacks.toSeq.sorted.mkString(", ")}")
+      // leg 2: every finalized whole-stage subtree of the face's own
+      // plan compiles with its largest method under BOTH bars
+      val subtrees =
+        org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
+      subtrees.zipWithIndex.foreach { case ((_, _, stats), i) =>
+        assert(stats.maxMethodCodeSize < jitLimit,
+          s"$name subtree $i: max generated method " +
+            s"${stats.maxMethodCodeSize} bytecodes ≥ JIT limit " +
+            s"$jitLimit — split the stage")
+      }
+    }
+    // leg 3: the JVM-wide codegen histogram — covers every subtree
+    // compiled while the five faces ran, INCLUDING the construction-
+    // time checkpoint-feeding subplans their final plans no longer
+    // show (the composed faces materialize intermediates eagerly, so
+    // leg 2 alone would audit only the post-checkpoint tail)
+    val snap = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_GENERATED_METHOD_BYTECODE_SIZE.getSnapshot
+    assert(snap.getMax > 0, "vacuous: no codegen compile recorded")
+    assert(snap.getMax < hugeLimit,
+      s"some generated method hit ${snap.getMax} bytecodes ≥ " +
+        s"hugeMethodLimit $hugeLimit: Spark will silently fall back " +
+        "to interpreted execution for that stage")
+  }
+
   test("no undocumented single-partition global window in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -431,6 +431,128 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     assert(table() == Set((1L, "d1"), (20L, "d2")))
   }
 
+  test("maintain_indexes soak with a DRIFTED day: the job's own gate " +
+      "escalates, retrains mid-soak, and the served view matches a " +
+      "rebuild under the retrained centroids") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, CacheScope, Partitioning}
+    // sf0.01, not the suite's sf0.001: the gate's 995000 e6-alignment
+    // bar needs cells big enough for Lloyd to converge PAST it — on
+    // the 200-vector fixture the one-step update's limit cycle sits
+    // just under the bar (~994500) and the gate would honestly fire
+    // every night; ~200-vector cells settle in 1-2 passes
+    val soakSf = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables(spark, soakSf, "embeddings")
+      .select("vec_id", "embedding")
+    def dropServing(): Unit = {
+      for (t <- Seq(Jobs.IvfServingTable,
+          s"${Jobs.IvfServingTable}__scalars",
+          s"${Jobs.IvfServingTable}__tombstones",
+          s"${Jobs.IvfServingTable}__retrain_pending",
+          s"${Jobs.IvfServingTable}__manifest",
+          Jobs.IvfServingCentroids) ++
+          Seq("postings", "vocab", "doclen", "scalars", "deltas")
+            .map(x => s"${Jobs.Bm25ServingName}_$x") ++
+          Seq(s"${Jobs.Bm25ServingName}__append_pending",
+            s"${Jobs.Bm25ServingName}__fold_pending",
+            s"${Jobs.Bm25ServingName}__manifest");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sx")
+    }
+    def centsOf(): Array[(Long, Array[Float])] =
+      spark.table(Jobs.IvfServingCentroids).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    // run daily maintenance until the retrain gate settles (reads
+    // not-drifted): each retrain IS one more Lloyd pass over the live
+    // corpus, and Lloyd's alignment improves run over run, so on a
+    // fixed corpus the gate must stop firing within a few nights — a
+    // gate that keeps firing would pay a full assignment rebuild
+    // EVERY night at 100 TB (the thrash this loop also proves absent)
+    def runUntilSettled(keyPrefix: String, maxRuns: Int = 12)
+        : Array[(String, String, Long, Boolean)] = {
+      var last = Array.empty[(String, String, Long, Boolean)]
+      var settled = false
+      var i = 0
+      while (!settled && i < maxRuns) {
+        i += 1
+        last = Jobs.maintainServingIndexes(spark, soakSf,
+            Some(s"$keyPrefix-$i")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getBoolean(3)))
+        settled = last.exists(x => x._1 == "ivf" &&
+          x._2 == "retrain_gate" && !x._4)
+      }
+      assert(settled, s"retrain gate thrashing: still drifted after " +
+        s"$maxRuns steady runs — ${last.mkString(", ")}")
+      last
+    }
+    try {
+      dropServing()
+      // phase 1 — bootstrap + steady fixture feeds until the gate
+      // settles on the fixed corpus
+      runUntilSettled("2024-03-01")
+      val day1Cents = centsOf()
+      // phase 2 — a genuinely DRIFTED ingest: every vector of the
+      // fixture re-lands NEGATED under fresh ids, collapsing each
+      // cell's one-step Lloyd alignment. The job's own sampled gate
+      // must escalate to the full pass (small cells fail the sample's
+      // support guard) and the full pass must fire the retrain.
+      val drifted = emb.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, x -> CAST(-x AS FLOAT))")
+          .as("embedding"))
+      val log2 = Jobs.maintainServingIndexes(spark, soakSf,
+          Some("2024-03-02"), ivfFeed = Some(drifted)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3)))
+      val gate2 = log2.find(x => x._1 == "ivf" && x._2 == "retrain_gate")
+      assert(gate2.exists(_._4),
+        s"drifted day did not retrain: ${log2.mkString(", ")}")
+      assert(gate2.exists(_._3 < Jobs.RetrainAlignE6),
+        s"retrain fired above the alignment bar: $gate2")
+      assert(log2.exists(x => x._1 == "ivf" &&
+          x._2 == "retrain_gate_sampled" && !x._4),
+        s"sampled gate did not escalate: ${log2.mkString(", ")}")
+      val day2Cents = centsOf()
+      assert(day2Cents.map(_._2.toSeq) != day1Cents.map(_._2.toSeq),
+        "retrain left the serving centroids unchanged")
+      assert(!spark.catalog.tableExists(
+          s"${Jobs.IvfServingTable}__retrain_pending"),
+        "retrain intent marker survived a completed retrain")
+      // the served view IS a from-scratch build over the live ids
+      // under the RETRAINED centroids: same assignments, same probe
+      val live = Ann.liveIvfVectors(spark, Jobs.IvfServingTable)
+        .select("vec_id", "embedding")
+        .transform(CacheScope.materialize)
+      val refT = "drift_soak_ref"
+      Ann.buildIvfIndex(spark, live, day2Cents, refT, nBuckets = 8)
+      val queries = Ann.ivfProbeCells(
+        live.filter(col("vec_id") % 97 === 1), day2Cents, nprobe = 2)
+        .transform(CacheScope.materialize)
+      try {
+        def probeRows(t: String) =
+          Ann.probeIvfIndex(spark, t, queries, 10)
+            .collect().map(_.toSeq).toSet
+        val served = probeRows(Jobs.IvfServingTable)
+        assert(served == probeRows(refT),
+          "post-retrain served probe diverged from the rebuild " +
+            "under the retrained centroids")
+        assert(served.nonEmpty, "retrain parity vacuous: no probe rows")
+      } finally {
+        CacheScope.releaseCheckpoint(queries)
+        CacheScope.releaseCheckpoint(live)
+        for (t <- Seq(refT, s"${refT}__scalars", s"${refT}__tombstones");
+            sx <- Seq("", "__stage", "__old"))
+          spark.sql(s"DROP TABLE IF EXISTS $t$sx")
+      }
+      // phase 3 — steady state again on the (now retrained) index:
+      // the gate must settle back to no-retrain, proving the retrain
+      // CONVERGED rather than thrashing every subsequent night
+      runUntilSettled("2024-03-03")
+    } finally dropServing()
+  }
+
   test("multi-day maintenance soak: three days of genuinely fresh " +
       "batches with takedowns and a day-2 re-add of a day-1 victim " +
       "converge BOTH serving indexes to a from-scratch rebuild over " +
