@@ -332,9 +332,10 @@ object Bench {
         // disabled, but a full run still overwrites the detail record:
         // carry the previous matrix forward instead of silently
         // destroying the controlled evidence the guard machinery
-        // exists to protect
-        (prevSkewCells,
-          if (prevSkewCells.nonEmpty) "carried" else "", None)
+        // exists to protect — under the provenance-preserving tag
+        // (carrying a 'loaded' matrix must not re-tag it 'carried',
+        // which skewPlan treats as controlled-equivalent)
+        (prevSkewCells, carryCtx(prevSkewCells, prevSkewCtx), None)
       else skewPlan(loadedHost, prevSkewCells, prevSkewCtx) match {
         case (false, ctx) =>
           System.err.println(
@@ -372,8 +373,7 @@ object Bench {
             // overwrite destroy the carried controlled matrix
             System.err.println(s"[bench] skew bench skipped " +
               s"(previous matrix carried): $e")
-            (prevSkewCells,
-              if (prevSkewCells.nonEmpty) "carried" else "", None)
+            (prevSkewCells, carryCtx(prevSkewCells, prevSkewCtx), None)
           }
       }
     // SPARK_GRAFT_SKEW_BENCH=only exists to SEED the controlled
@@ -612,8 +612,7 @@ object Bench {
         : (Map[String, Double], String, Option[Set[String]]) =
       if (skewOnly || args.nonEmpty) (Map.empty, "", None)
       else if (sys.env.get("SPARK_GRAFT_DATAPATH_BENCH").contains("0"))
-        (prevDpCells,
-          if (prevDpCells.nonEmpty) "carried" else "", None)
+        (prevDpCells, carryCtx(prevDpCells, prevDpCtx), None)
       else skewPlan(loadedHost, prevDpCells, prevDpCtx) match {
         case (false, ctx) =>
           System.err.println(
@@ -649,8 +648,7 @@ object Bench {
           } catch { case e: Exception =>
             System.err.println(s"[bench] datapath bench skipped " +
               s"(previous cells carried): $e")
-            (prevDpCells,
-              if (prevDpCells.nonEmpty) "carried" else "", None)
+            (prevDpCells, carryCtx(prevDpCells, prevDpCtx), None)
           }
       }
     if (writeDetail) {
@@ -660,7 +658,12 @@ object Bench {
           coldMap, warmMap, skewDevs,
           datapath = datapath, datapathCtx = dpCtx,
           datapathDevs = dpDevs, loadavg = loadavg,
-          controlled = if (loadedHost) 0 else 1) + "\n")
+          // -1 (block omits the field) when there is no floor frame
+          // to judge against: a first-ever or foreign-frame run on a
+          // loaded host must not self-report "controlled" — the same
+          // unknown-provenance rule as the skew context tag
+          controlled = if (floorFrame.isEmpty) -1
+            else if (loadedHost) 0 else 1) + "\n")
           .getBytes("UTF-8"))
       // lower the monotone floor where this run beat it (rerun
       // medians count: same query, same purge discipline); never
@@ -1077,6 +1080,21 @@ object Bench {
     val bm25T = "graft_dp_bm25_bench"
     val ivfT = "graft_dp_ivf_bench"
     try {
+      val allCells = Seq("gopher_stats", "bpe_count", "minhash_sig",
+        "simhash", "min_window_md5", "lsh_banding", "span_scrub",
+        "bm25_probe", "ivf_probe", "png_decode", "jpeg_decode",
+        "wav_decode", "fvec_dot", "mg_summary")
+      val cellNames =
+        if (only.isEmpty) allCells else allCells.filter(only)
+      // which fixtures/indexes this invocation actually needs — a
+      // focused deviation re-rep (`only`) of, say, mg_summary must
+      // not re-pay the documents/embeddings inflation or the two
+      // index builds (the section's most expensive untimed setup)
+      val needDocs = cellNames.exists(c => c != "fvec_dot" &&
+        c != "ivf_probe" && c != "mg_summary")
+      val needEmb = cellNames.contains("fvec_dot") ||
+        cellNames.contains("ivf_probe")
+      val needEvents = cellNames.contains("mg_summary")
       // ---- 8× fixture inflation, deterministic (no Date/rand):
       // ids shift by replica, text gets a replica-salted prefix (so
       // shingles/hashes differ across replicas), embeddings a small
@@ -1084,43 +1102,49 @@ object Bench {
       // second offset. Written as parquet so every timed pass reads
       // fresh columnar data through the real scan path.
       val rep8 = spark.range(8).select(col("id").as("__rep"))
-      graft.sources.Tables(spark, sfDir, "documents")
-        .crossJoin(rep8)
-        .select(
-          (col("doc_id") * 8 + col("__rep")).as("doc_id"),
-          when(col("__rep") === 0, col("text"))
-            .otherwise(concat(lit("v"), col("__rep"), lit(" "),
-              col("text"))).as("text"),
-          col("lang"), col("source"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$tmp/documents")
-      graft.sources.Tables(spark, sfDir, "embeddings")
-        .crossJoin(rep8)
-        .select(
-          (col("vec_id") * 8 + col("__rep")).as("vec_id"),
-          expr("transform(embedding, x -> CAST(x + __rep * 0.001 " +
-            "AS FLOAT))").as("embedding"),
-          col("label"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$tmp/embeddings")
-      graft.sources.Tables(spark, sfDir, "events")
-        .crossJoin(rep8)
-        .select(
-          (col("event_id") * 8 + col("__rep")).as("event_id"),
-          (col("ts") + expr("make_interval(0,0,0,0,0,0,__rep)")).as("ts"),
-          col("user_id"), col("event_type"), col("value"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$tmp/events")
+      if (needDocs)
+        graft.sources.Tables(spark, sfDir, "documents")
+          .crossJoin(rep8)
+          .select(
+            (col("doc_id") * 8 + col("__rep")).as("doc_id"),
+            when(col("__rep") === 0, col("text"))
+              .otherwise(concat(lit("v"), col("__rep"), lit(" "),
+                col("text"))).as("text"),
+            col("lang"), col("source"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$tmp/documents")
+      if (needEmb)
+        graft.sources.Tables(spark, sfDir, "embeddings")
+          .crossJoin(rep8)
+          .select(
+            (col("vec_id") * 8 + col("__rep")).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x + __rep * 0.001 " +
+              "AS FLOAT))").as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$tmp/embeddings")
+      if (needEvents)
+        graft.sources.Tables(spark, sfDir, "events")
+          .crossJoin(rep8)
+          .select(
+            (col("event_id") * 8 + col("__rep")).as("event_id"),
+            (col("ts") + expr("make_interval(0,0,0,0,0,0,__rep)")).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$tmp/events")
       def docs8 = spark.read.parquet(s"$tmp/documents")
       def emb8 = spark.read.parquet(s"$tmp/embeddings")
       def events8 = spark.read.parquet(s"$tmp/events")
       // ---- prebuilt serving indexes (untimed: a probe's steady
-      // state amortizes the build over many query batches)
-      graft.operators.Lexical.writeIndexTables(
-        graft.operators.Lexical.buildIndex(
-          docs8.select("doc_id", "text")), bm25T, 16)
-      val cents = graft.operators.Ann.ivfCentroids(spark, emb8, 16)
-      graft.operators.Ann.buildIvfIndex(spark, emb8, cents, ivfT, 16)
+      // state amortizes the build over many query batches), each
+      // built only when its probe cell runs
+      if (cellNames.contains("bm25_probe"))
+        graft.operators.Lexical.writeIndexTables(
+          graft.operators.Lexical.buildIndex(
+            docs8.select("doc_id", "text")), bm25T, 16)
+      lazy val cents = graft.operators.Ann.ivfCentroids(spark, emb8, 16)
+      if (cellNames.contains("ivf_probe"))
+        graft.operators.Ann.buildIvfIndex(spark, emb8, cents, ivfT, 16)
       def cellDf(name: String): org.apache.spark.sql.DataFrame =
         name match {
           case "gopher_stats" =>
@@ -1170,12 +1194,6 @@ object Bench {
             events8.select(col("event_type"), col("user_id"))
               .agg(expr("mg_summary(event_type, 64)").as("mg"))
         }
-      val allCells = Seq("gopher_stats", "bpe_count", "minhash_sig",
-        "simhash", "min_window_md5", "lsh_banding", "span_scrub",
-        "bm25_probe", "ivf_probe", "png_decode", "jpeg_decode",
-        "wav_decode", "fvec_dot", "mg_summary")
-      val cellNames =
-        if (only.isEmpty) allCells else allCells.filter(only)
       def runOnce(name: String): Double = {
         spark.catalog.clearCache()
         System.gc()
@@ -1274,6 +1292,22 @@ object Bench {
         prevCtx.exists(c => c == "controlled" || c == "carried"))
       (false, "carried")
     else (true, "loaded")
+
+  /** Context tag for cells carried forward WITHOUT re-measuring (the
+    * disabled-by-env and measure-crashed paths): provenance must
+    * survive the carry. Only a matrix that is itself controlled
+    * evidence ("controlled", or an earlier "carried" of one) may be
+    * re-tagged "carried" — [[skewPlan]] treats "carried" as
+    * controlled-equivalent, so re-tagging a "loaded" (or untagged,
+    * unknown-provenance) matrix would launder untrusted measurements
+    * into evidence a later loaded host refuses to replace. Anything
+    * else keeps its own tag (or none). */
+  def carryCtx(prevCells: Map[String, Double],
+               prevCtx: Option[String]): String =
+    if (prevCells.isEmpty) ""
+    else if (prevCtx.exists(c => c == "controlled" || c == "carried"))
+      "carried"
+    else prevCtx.getOrElse("")
 
   /** A re-measured controlled cell may only replace its carried
     * controlled value silently when the two agree within this factor

@@ -211,13 +211,15 @@ object Jobs {
     * probing the index, the 100 TB shape `newKeysOnly`'s cap note
     * names; the data-level guard stays underneath as the convergence
     * backstop for the body-committed/key-unrecorded crash window and
-    * for callers without a key. */
-  /** The four feed parameters make the scaladoc's "a production
-    * deployment swaps those two predicates for its ingest and
-    * takedown feeds" literal: each defaults to the fixture-derived
-    * predicate split, and a caller (the drifted-day soak, a real
-    * ingest) injects its own day's batch/takedown DataFrames — the
-    * gates, guards and logging are identical either way. */
+    * for callers without a key.
+    *
+    * The four feed parameters make the section comment's "a
+    * production deployment swaps those two predicates for its ingest
+    * and takedown feeds" literal: each defaults to the
+    * fixture-derived predicate split, and a caller (the drifted-day
+    * soak, a real ingest) injects its own day's batch/takedown
+    * DataFrames — the gates, guards and logging are identical either
+    * way. */
   def maintainServingIndexes(s: SparkSession, sfDir: String,
                              batchKey: Option[String] = None,
                              ivfFeed: Option[DataFrame] = None,

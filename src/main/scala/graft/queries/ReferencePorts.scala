@@ -234,8 +234,13 @@ object ReferencePorts extends QueryModule {
     * One deviation: the reference emits unordered rows (its only
     * builder with no ORDER BY); the engine's determinism contract
     * (Q scaladoc) requires a total order, so both engines sort by
-    * (advisor_id, instructor_advisor_nbr, academic_plan) — a pure
-    * suffix, no row-set change.
+    * ALL 13 projected columns, (advisor_id, instructor_advisor_nbr,
+    * academic_plan) leading — a pure suffix, no row-set change. All
+    * 13 because no shorter prefix is a key: the argmax keeps
+    * shipdate ties, so two distinct result rows can share
+    * (advisor_id, instructor_advisor_nbr, academic_plan) and a
+    * partial sort would leave their relative order engine-dependent
+    * (a false hash mismatch waiting for the fixture to grow one).
     *
     * Scale shape: the filters land on the scan (PushedFilters); the
     * argmax is one map-side-partial groupBy shuffle on the 2-part key
@@ -275,7 +280,12 @@ object ReferencePorts extends QueryModule {
           col("l_discount").as("academic_sub_plan"),
           col("l_tax").as("academic_sub_plan_descr"))
         .distinct()
-        .orderBy("advisor_id", "instructor_advisor_nbr", "academic_plan")
+        .orderBy("advisor_id", "instructor_advisor_nbr",
+          "academic_plan", "campus_id", "advisor_type",
+          "advisor_type_descr", "instructor_type",
+          "instructor_type_descr", "academic_program",
+          "academic_program_descr", "academic_plan_descr",
+          "academic_sub_plan", "academic_sub_plan_descr")
     },
     Some("""
       SELECT DISTINCT
@@ -304,7 +314,11 @@ object ReferencePorts extends QueryModule {
           SELECT max(i1.l_shipdate) FROM lineitem i1
           WHERE i1.l_suppkey = i.l_suppkey
             AND i1.l_partkey = i.l_partkey)
-      ORDER BY advisor_id, instructor_advisor_nbr, academic_plan""")
+      ORDER BY advisor_id, instructor_advisor_nbr, academic_plan,
+        campus_id, advisor_type, advisor_type_descr, instructor_type,
+        instructor_type_descr, academic_program,
+        academic_program_descr, academic_plan_descr,
+        academic_sub_plan, academic_sub_plan_descr""")
   )
 
   /** The composed refresh extract AS THE JOB RUNS IT — this catalog

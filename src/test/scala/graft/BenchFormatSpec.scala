@@ -245,6 +245,15 @@ class BenchFormatSpec extends AnyFunSuite {
     // and the deviation guard flags a >2x cell in either direction
     assert(Bench.skewDeviations(
       Map("gopher_stats" -> 2.9), dp) === Set("gopher_stats"))
+    // carry-without-measuring preserves provenance: only controlled
+    // evidence may be re-tagged "carried" — a 'loaded' or untagged
+    // matrix keeps its own tag, so skewPlan can replace it later
+    // instead of treating laundered noise as controlled-equivalent
+    assert(Bench.carryCtx(dp, Some("controlled")) === "carried")
+    assert(Bench.carryCtx(dp, Some("carried")) === "carried")
+    assert(Bench.carryCtx(dp, Some("loaded")) === "loaded")
+    assert(Bench.carryCtx(dp, None) === "")
+    assert(Bench.carryCtx(Map.empty, Some("controlled")) === "")
   }
 
   test("frame block: loadavg/calib/controlled serialize numerically, " +
