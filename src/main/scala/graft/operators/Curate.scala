@@ -302,15 +302,20 @@ object HtmlText {
     * survive independently), then every remaining tag → one space.
     * `(?s)` makes `.` span newlines — real-world script/style blocks
     * are multi-line, and without DOTALL their inner code would leak
-    * into the clean text. Two full-block alternatives (not a
-    * backreferenced `</\1>`) so a `<script>…</style>` mismatch is
-    * NOT treated as a closed block, and because the DuckDB oracle's
-    * RE2 engine has no backreferences — the alternation is the one
-    * spelling both engines execute identically. */
+    * into the clean text; `(?i)` makes the tag names case-blind —
+    * uppercase `<SCRIPT>` is standard in real HTML, and without it
+    * the block pass would miss the subtree while the case-blind
+    * `<[^>]*>` pass still ate the tags, leaking raw JS/CSS into the
+    * clean text as if it were prose. Two full-block alternatives
+    * (not a backreferenced `</\1>`) so a `<script>…</style>`
+    * mismatch is NOT treated as a closed block, and because the
+    * DuckDB oracle's RE2 engine has no backreferences — the
+    * alternation is the one spelling both engines execute
+    * identically ((?is) is supported identically by both). */
   def stripTags(html: Column): Column =
     regexp_replace(
       regexp_replace(html,
-        "(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " "),
+        "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " "),
       "<[^>]*>", " ")
 
   /** The five standard entities; `&amp;` last (see object doc). The
@@ -328,7 +333,16 @@ object HtmlText {
       "&amp;", "&")
 
   /** The composed extraction: strip → decode → collapse runs of
-    * whitespace → trim. */
+    * whitespace → trim. The collapse class is ALL of space/tab/
+    * newline/CR/FF (spelled as an explicit class, not `\s` — Java
+    * and RE2 disagree on `\s`'s exact membership): source-HTML line
+    * breaks between block elements otherwise survive into clean_text
+    * as literal newlines, which the space-splitting Gopher gate
+    * downstream would count as phantom 1-char words (and a line
+    * break INSIDE a sentence would weld two words into one token).
+    * Collapsing to a single space first also makes the final trim —
+    * space-only in both engines — sufficient at the edges. */
   def cleanText(html: Column): Column =
-    trim(regexp_replace(decodeEntities(stripTags(html)), " +", " "))
+    trim(regexp_replace(decodeEntities(stripTags(html)),
+      "[ \\t\\n\\r\\f]+", " "))
 }

@@ -28,21 +28,29 @@ object Pii {
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
   /** Attach per-class audit counts (`n_emails`, `n_ips`, `n_phones`)
-    * and the redacted `clean_text`. NULL text yields NULL counts and
+    * and the redacted `clean_text`. Each class is counted on the text
+    * AS ITS OWN PASS SEES IT (emails on the raw text, IPs after the
+    * email pass, phones after the IP pass) so Σ counts always equals
+    * the placeholders actually emitted into clean_text: an address
+    * like `1.2.3.4@corp.com` is one email and ZERO IPs — counting
+    * every class on the raw text reported a phantom unredacted IP
+    * that no [IP] placeholder matched, the exact mismatch a
+    * compliance audit reconciles. NULL text yields NULL counts and
     * NULL clean_text — the op is total; gate NULLs upstream if the
     * sink requires them scrubbed. */
   def withScrub(df: DataFrame, textCol: String): DataFrame =
     df
       .withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("__pii_s1",
+        regexp_replace(col(textCol), EmailRe, "[EMAIL]"))
       .withColumn("n_ips",
-        size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))))
+        size(regexp_extract_all(col("__pii_s1"), lit(Ipv4Re), lit(0))))
+      .withColumn("__pii_s2",
+        regexp_replace(col("__pii_s1"), Ipv4Re, "[IP]"))
       .withColumn("n_phones",
-        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))))
+        size(regexp_extract_all(col("__pii_s2"), lit(PhoneRe), lit(0))))
       .withColumn("clean_text",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
-            Ipv4Re, "[IP]"),
-          PhoneRe, "[PHONE]"))
+        regexp_replace(col("__pii_s2"), PhoneRe, "[PHONE]"))
+      .drop("__pii_s1", "__pii_s2")
 }

@@ -78,31 +78,81 @@ object QualityModel {
   final case class DriftRef(nOld: Long, bounds: Seq[(Int, Long, Long)],
                             oldPermille: IndexedSeq[Long])
 
-  /** Build [[DriftRef]]s from a corpus — the EXACT boundary election
-    * of the `ta_quality_drift` catalog face (md5-parity-0 doc ids are
-    * the reference slice; ntile(10) over the injective (score,
-    * doc_id) order; boundary = max score per decile, then max doc_id
-    * at that score), collected driver-side at the ≤ 10·|sources|
-    * grain so `Streams.streamingQualityDrift` can replay the batch
-    * face row-for-row (StreamsSpec pins it). */
   /** The reference-slice decile-boundary election — (source, decile,
     * n_old_k, b_score, b_doc) rows — shared by the batch face
     * `ta_quality_drift` and [[driftRef]]'s streaming artifact. ONE
     * definition: the two used to be line-for-line copies, and a
     * tie-break or ntile-order change applied to one would silently
     * break the batch/stream replay contract StreamsSpec pins. `old`
-    * is the reference slice with (source, doc_id, score) columns. */
+    * is the reference slice with (source, doc_id, score) columns.
+    *
+    * Semantics (unchanged, spec- and oracle-pinned): ntile(10) over
+    * the injective (score, doc_id) order per source; per populated
+    * decile, n_old_k = its row count, b_score = its max score,
+    * b_doc = max doc_id among its rows AT that score — i.e. the
+    * (score, doc_id)-pair of the decile's LAST row.
+    *
+    * Computed two-phase instead of a per-document ntile window: the
+    * reference slice is ~half of EVERY document per source, and
+    * `Window.partitionBy(source)` at document grain funnels a
+    * source's whole slice through one sort task — the straggler/OOM
+    * shape every other operator here avoids (the ntile spelling was
+    * the one per-doc single-partition window left in the engine).
+    * Here the per-source window runs on the (source, score)
+    * AGGREGATED grain (|distinct scores|, map-side-combinable
+    * counts); the ntile cut positions end_k = k·(n/10) + min(k, n%10)
+    * are pure arithmetic on the per-source count; b_score is the
+    * score whose cumulative range contains end_k; and b_doc is the
+    * (end_k − |rows below b_score|)-th smallest doc_id inside
+    * b_score's tie group — a row_number window over ONLY the ≤10
+    * boundary scores' tie-group rows, never the slice. PropertySpec
+    * pins equality with the ntile spelling on tie-heavy data. */
   def decileBoundaries(old: DataFrame): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("score", "doc_id")
-    val od = old.withColumn("decile", ntile(10).over(w))
-    od.groupBy("source", "decile")
-      .agg(count(lit(1)).as("n_old_k"), max("score").as("b_score"))
-      .join(od.withColumnRenamed("score", "b_score"),
-        Seq("source", "decile", "b_score"))
-      .groupBy("source", "decile", "n_old_k", "b_score")
-      .agg(max("doc_id").as("b_doc"))
+    // phase 1: score-grain counts + cumulative spans per source
+    val g = old.groupBy("source", "score").agg(count(lit(1)).as("__c"))
+    val wS = Window.partitionBy("source").orderBy("score")
+    val cum = g
+      .withColumn("__hi", sum("__c").over(wS)) // rows with score ≤ s
+      .withColumn("__lo", col("__hi") - col("__c")) // rows below s
+      .select(col("source"), col("score").as("b_score"),
+        col("__lo"), col("__hi"))
+    // ntile cut arithmetic: first n%10 buckets carry n/10 + 1 rows
+    val cuts = old.groupBy("source").agg(count(lit(1)).as("__n"))
+      .select(col("source"), col("__n"),
+        explode(expr("sequence(1L, 10L)")).as("decile"))
+      .withColumn("__end",
+        expr("decile * (__n div 10) + least(decile, __n % 10)"))
+      .withColumn("__start", expr(
+        "(decile - 1) * (__n div 10) + least(decile - 1, __n % 10) + 1"))
+      .filter(col("__end") >= col("__start")) // only populated deciles
+      .withColumn("n_old_k", col("__end") - col("__start") + 1L)
+      .withColumn("decile", col("decile").cast("int"))
+    // boundary score: the score whose cumulative span contains end_k;
+    // __j = how many of its tie-group rows land in deciles ≤ k
+    val bsc = cuts.join(cum, Seq("source"))
+      .filter(col("__end") > col("__lo") && col("__end") <= col("__hi"))
+      .withColumn("__j", col("__end") - col("__lo"))
+      .select("source", "decile", "n_old_k", "b_score", "__j")
+    // b_doc: the __j-th smallest doc_id inside the boundary score's
+    // tie group — the join keeps only tie-group rows (≤10 boundary
+    // scores per source), so the window partition is a tie group,
+    // never the slice
+    val wTie = Window.partitionBy("source", "decile").orderBy("doc_id")
+    old.select(col("source"), col("doc_id"),
+        col("score").as("b_score"))
+      .join(broadcast(bsc), Seq("source", "b_score"))
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") === col("__j"))
+      .select(col("source"), col("decile"), col("n_old_k"),
+        col("b_score"), col("doc_id").as("b_doc"))
   }
 
+  /** Build [[DriftRef]]s from a corpus — the EXACT boundary election
+    * of the `ta_quality_drift` catalog face (md5-parity-0 doc ids are
+    * the reference slice; the [[decileBoundaries]] election),
+    * collected driver-side at the ≤ 10·|sources| grain so
+    * `Streams.streamingQualityDrift` can replay the batch face
+    * row-for-row (StreamsSpec pins it). */
   def driftRef(docs: DataFrame): Map[String, DriftRef] = {
     val sc = docs
       .select(col("source"), col("doc_id"),

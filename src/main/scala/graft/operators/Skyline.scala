@@ -77,12 +77,25 @@ object Skyline {
       s"skyline2d: $xCol must be integral (got $xt) — the RANGE -1 " +
         "frame is only a strict bound on whole numbers; quantize " +
         "first (e.g. cents)")
+    // NULL-coordinate rows ride OUTSIDE the staircase: under SQL
+    // three-valued logic a NULL x or y can neither dominate (its
+    // comparisons are NULL) nor be dominated (the oracle's NOT EXISTS
+    // sees NULL and keeps the row), so the pairwise semantics is
+    // skyline(non-null slice) ∪ null-coordinate rows. Left inside the
+    // window they'd do the OPPOSITE of both: ascending-nulls-first
+    // ordering puts a NULL-x row in every row's strictly-cheaper
+    // RANGE frame (its y then kills non-dominated rows) and its own
+    // frame bound is NULL (null peers compare equal, so it kills
+    // itself on y-ties).
+    val nonNull = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val nullRows = df.filter(col(xCol).isNull || col(yCol).isNull)
     // materialize the bucket once: handing the raw expression to both
     // window specs would re-alias it per withColumn, and CollapseWindow
     // only merges Window nodes over the SAME partition attribute —
     // with a named column each pass is one exchange + one sort
-    pass(pass(df.withColumn("__bucket", bucket),
+    pass(pass(nonNull.withColumn("__bucket", bucket),
         xCol, yCol, Seq(col("__bucket"))).drop("__bucket"),
       xCol, yCol, Seq.empty)
+      .unionByName(nullRows)
   }
 }

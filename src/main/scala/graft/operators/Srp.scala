@@ -39,10 +39,14 @@ object Srp {
 
   /** The one-row dimensionality probe: a CollectLimit over a narrow
     * projection — the scan stops at the first non-empty partition.
-    * Exposed so PlanAuditSpec can pin that the probe never regresses
-    * to a full-table aggregate (r6's `max(size(embedding))` wart). */
+    * NULL-embedding rows are skipped (size(NULL) is -1/NULL and would
+    * poison the constant the probe exists to learn; the isNotNull
+    * filter rides the same scan). Exposed so PlanAuditSpec can pin
+    * that the probe never regresses to a full-table aggregate (r6's
+    * `max(size(embedding))` wart). */
   def dimsProbe(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
-    emb.select(size(col(vecCol)).as("d")).limit(1)
+    emb.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1)
 
   /** Attach a `bucket` column of nPlanes sign bits. `dims` is the
     * embedding dimensionality — a corpus constant by contract (ragged
@@ -56,7 +60,17 @@ object Srp {
                  nPlanes: Int, dimsKnown: Option[Int] = None,
                  vecCol: String = "embedding"): DataFrame = {
     GraftExtensions.ensure(s)
-    val dims = dimsKnown.getOrElse(dimsProbe(emb, vecCol).head().getInt(0))
+    // headOption, not head(): an empty (or all-NULL-embedding) corpus
+    // must fail with a message naming the probe, not a bare
+    // NoSuchElementException from deep inside a composed plan
+    val dims = dimsKnown.getOrElse {
+      val row = dimsProbe(emb, vecCol).collect().headOption
+      require(row.nonEmpty,
+        s"SRP dims probe: no row with a non-null $vecCol — cannot " +
+          "infer embedding dimensionality from an empty corpus; " +
+          "pass dimsKnown explicitly")
+      row.get.getInt(0)
+    }
     val withCoefs = (0 until nPlanes).foldLeft(emb) { (df, p) =>
       df.withColumn(s"__c$p", typedLit(coef(p, dims)))
     }

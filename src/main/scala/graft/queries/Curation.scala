@@ -208,7 +208,7 @@ object Curation extends QueryModule {
                        regexp_replace(
                          regexp_replace(
                            regexp_replace($inner,
-                             '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+                             '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
                              ' ', 'g'),
                            '<[^>]*>', ' ', 'g'),
                          '&lt;', '<', 'g'),
@@ -216,7 +216,7 @@ object Curation extends QueryModule {
                      '&quot;', '"', 'g'),
                    '&#39;', '''', 'g'),
                  '&amp;', '&', 'g'),
-               ' +', ' ', 'g'))"""
+               '[ \t\n\r\f]+', ' ', 'g'))"""
 
   val htmlExtract: Q = Q(
     "ta_html_extract",

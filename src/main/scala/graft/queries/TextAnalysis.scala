@@ -1267,16 +1267,20 @@ object TextAnalysis extends QueryModule {
                ' tel 415-555-' ||
                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
         FROM documents)
-      SELECT doc_id,
-             len(regexp_extract_all(dirty, '$EmailRe')) AS n_emails,
-             len(regexp_extract_all(dirty, '$Ipv4Re')) AS n_ips,
-             len(regexp_extract_all(dirty, '$PhoneRe')) AS n_phones,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(dirty, '$EmailRe', '[EMAIL]', 'g'),
-                 '$Ipv4Re', '[IP]', 'g'),
-               '$PhoneRe', '[PHONE]', 'g') AS clean_text
-      FROM dirty ORDER BY doc_id""")
+      , s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(dirty, '$EmailRe')) AS n_emails,
+               regexp_replace(dirty, '$EmailRe', '[EMAIL]', 'g') AS t1
+        FROM dirty),
+      s2 AS (
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(t1, '$Ipv4Re')) AS n_ips,
+               regexp_replace(t1, '$Ipv4Re', '[IP]', 'g') AS t2
+        FROM s1)
+      SELECT doc_id, n_emails, n_ips,
+             len(regexp_extract_all(t2, '$PhoneRe')) AS n_phones,
+             regexp_replace(t2, '$PhoneRe', '[PHONE]', 'g') AS clean_text
+      FROM s2 ORDER BY doc_id""")
   )
 
   /** URL EXTRACTION + per-domain stats — the provenance report a

@@ -169,7 +169,18 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       // mismatched pair <script>…</style> is NOT a closed script
       // block: the block regex finds no match (unclosed script), so
       // the tag pass strips the two tags and the inner text survives
-      (7L, "<script>x</style> KEEP"))
+      (7L, "<script>x</style> KEEP"),
+      // UPPERCASE/mixed-case tags (standard in real HTML): the block
+      // pass is case-blind, so the JS body must vanish wholesale —
+      // the pre-(?i) behavior stripped only the tags and leaked
+      // 'var x=tracker();' into clean_text as prose
+      (8L, "<SCRIPT>var x=tracker();</SCRIPT><p>hello</p>" +
+        "<Style>b{}</Style>W"),
+      // whitespace BETWEEN block elements (source-HTML line breaks):
+      // tabs/newlines/CRs collapse into the single-space runs the
+      // space-splitting Gopher gate expects — no phantom 1-char
+      // newline words, no welded cross-line tokens
+      (9L, "<p>alpha</p>\n<p>beta</p>\r\n\tgamma\ndelta"))
       .toDF("id", "h")
     val out = rows.select(col("id"),
         HtmlText.cleanText(col("h")).as("c"),
@@ -192,6 +203,10 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out(6)._2 == "A B")
     // mismatched pair degrades to tag-stripping, never block-drop
     assert(out(7)._2 == "x KEEP")
+    // uppercase blocks vanish wholesale, case-blind
+    assert(out(8)._2 == "hello W")
+    // all whitespace flavors collapse to single spaces
+    assert(out(9)._2 == "alpha beta gamma delta")
   }
 
   test("href extraction returns targets in document order") {

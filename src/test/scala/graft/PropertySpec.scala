@@ -350,6 +350,31 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       .select(col("clean_text"))
     assert(twice.exceptAll(df.select(col("clean_text"))).isEmpty,
       "second scrub altered already-clean text")
+    // audit-count reconciliation: counts are staged (each class sees
+    // the text AFTER the prior passes), so Σ counts == placeholders
+    // emitted — `1.2.3.4@corp.com` is ONE email, ZERO IPs, and a
+    // phone-shaped local part is zero phones
+    val staged = graft.operators.Pii.withScrub(
+      Seq("reach me at 1.2.3.4@corp.com or 555-123-4567@x.com")
+        .toDF("text"), "text").head()
+    assert(staged.getAs[Int]("n_emails") == 2 &&
+      staged.getAs[Int]("n_ips") == 0 &&
+      staged.getAs[Int]("n_phones") == 0,
+      s"staged counts wrong: $staged")
+    assert(staged.getAs[String]("clean_text") ==
+      "reach me at [EMAIL] or [EMAIL]")
+    // and placeholder totals reconcile on the generated corpus too
+    val recon = df.select(
+      sum("n_emails").as("e"), sum("n_ips").as("i"),
+      sum("n_phones").as("p"),
+      sum(size(split(col("clean_text"), "\\[EMAIL\\]", -1)) - 1).as("pe"),
+      sum(size(split(col("clean_text"), "\\[IP\\]", -1)) - 1).as("pi"),
+      sum(size(split(col("clean_text"), "\\[PHONE\\]", -1)) - 1).as("pp"))
+      .head()
+    assert(recon.getLong(0) <= recon.getLong(3) &&
+      recon.getLong(1) <= recon.getLong(4) &&
+      recon.getLong(2) <= recon.getLong(5),
+      s"audit counts exceed emitted placeholders: $recon")
   }
 
   test("mg_summary bound holds on arbitrary streams, any k, any layout") {
@@ -383,22 +408,70 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     // coordinates in 0..6 so x-ties, y-ties and exact (x, y)
     // duplicates are all dense — the RANGE-frame strictness and the
     // duplicates-survive-together rule get exercised on every draw
-    val rows = Gen.listOfN(300,
-      Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0L, 6L)))
+    // ~1 in 8 coordinates NULL: under the pairwise oracle's
+    // three-valued logic a NULL-coordinate row neither dominates nor
+    // is dominated (it always survives, and never eliminates others)
+    // — the staircase must reproduce that, not let nulls-first
+    // ordering poison the RANGE frames
+    def coord: Gen[Option[Long]] = Gen.frequency(
+      7 -> Gen.chooseNum(0L, 6L).map(Some(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    val rows = Gen.listOfN(300, Gen.zip(coord, coord))
       .sample.get.zipWithIndex
       .map { case ((x, y), i) => (i.toLong, x, y) }
-    val df = rows.toDF("id", "x", "y")
+    val df = rows.map { case (i, x, y) =>
+      (i, x.map(java.lang.Long.valueOf).orNull,
+        y.map(java.lang.Long.valueOf).orNull)
+    }.toDF("id", "x", "y")
     val got = graft.operators.Skyline
       .skyline2d(df, "x", "y",
         bucket = org.apache.spark.sql.functions.pmod(
           org.apache.spark.sql.functions.col("id"),
           org.apache.spark.sql.functions.lit(7)))
       .select("id").as[Long].collect().toSet
-    val expect = rows.filter { case (_, x, y) =>
-      !rows.exists { case (_, bx, by) =>
-        bx <= x && by >= y && (bx < x || by > y)
+    val expect = rows.filter { case (_, ox, oy) =>
+      // SQL three-valued dominance: any NULL operand → no dominance
+      !rows.exists { case (_, obx, oby) =>
+        (ox, oy, obx, oby) match {
+          case (Some(x), Some(y), Some(bx), Some(by)) =>
+            bx <= x && by >= y && (bx < x || by > y)
+          case _ => false
+        }
       }
     }.map(_._1).toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("decileBoundaries two-phase election equals the ntile(10) " +
+      "spelling on tie-heavy random slices") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // scores in 0..5 so tie groups routinely SPAN decile boundaries —
+    // the case where the boundary doc_id is an interior order
+    // statistic of the tie group, not its max; sources of uneven
+    // sizes (including < 10 rows) exercise the n%10 arithmetic and
+    // unpopulated deciles
+    val rows = Gen.listOfN(400,
+      Gen.zip(Gen.oneOf("a", "b", "c", "tiny"), Gen.chooseNum(0L, 5L)))
+      .sample.get.zipWithIndex
+      .map { case ((s, sc), i) => (s, i.toLong, sc) }
+      .filter { case (s, i, _) => s != "tiny" || i < 7 }
+    val df = rows.toDF("source", "doc_id", "score")
+    val got = graft.operators.QualityModel.decileBoundaries(df)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // the original per-document ntile spelling, as the oracle pins it
+    val w = Window.partitionBy("source").orderBy("score", "doc_id")
+    val od = df.withColumn("decile", ntile(10).over(w))
+    val expect = od.groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_old_k"), max("score").as("b_score"))
+      .join(od.withColumnRenamed("score", "b_score"),
+        Seq("source", "decile", "b_score"))
+      .groupBy("source", "decile", "n_old_k", "b_score")
+      .agg(max("doc_id").as("b_doc"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
     assert(got == expect,
       s"missing=${expect -- got} extra=${got -- expect}")
   }
