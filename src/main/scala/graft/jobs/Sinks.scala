@@ -45,8 +45,19 @@ object Sinks {
         if (f.dataType != TimestampType &&
             f.dataType != org.apache.spark.sql.types.TimestampNTZType)
           col(f.name)
-        else if (laColumns(f.name)) Fns.laReinterpretFormat(col(f.name))
-        else Fns.tsUtcFormat(col(f.name))
+        else {
+          // NTZ → TIMESTAMP first (session TZ pinned UTC, so the wall
+          // time IS the contract's UTC instant): laReinterpretFormat
+          // computes its offset via cast("long"), which Spark REJECTS
+          // on TIMESTAMP_NTZ at analysis time — without this cast the
+          // exact NTZ inputs this function exists to absorb would
+          // kill the sink with a DATATYPE_MISMATCH AnalysisException
+          val tc =
+            if (f.dataType == TimestampType) col(f.name)
+            else col(f.name).cast(TimestampType)
+          if (laColumns(f.name)) Fns.laReinterpretFormat(tc)
+          else Fns.tsUtcFormat(tc)
+        }
       c.as(f.name)
     }.toIndexedSeq: _*)
 
@@ -254,6 +265,12 @@ object Sinks {
             if (dstFs.exists(tmp)) dstFs.delete(tmp, true)
             val copied = FileUtil.copy(src.getFileSystem(conf), src,
               dstFs, tmp, false, true, conf)
+            // FileUtil.copy can report failure by RETURNING false
+            // instead of throwing — without this line that mode ends
+            // the run with target=false and zero stderr trace, unlike
+            // every other failure path here (log-and-False contract)
+            if (!copied) System.err.println(
+              s"[sink] target $t failed: FileUtil.copy returned false")
             copied && swapExtractIn(dstFs, dst, tmp, old)
           } catch { case e: Exception => logFail(s"target $t", e) }))
       }

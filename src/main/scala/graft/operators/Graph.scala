@@ -34,9 +34,15 @@ object Graph {
     * degree distribution. The vertex type is whatever the caller's
     * `u`/`v` columns hold (orderable). */
   def triangleStats(und: DataFrame): DataFrame = {
+    // persisted: degs feeds BOTH e-build joins and the final output
+    // join, and the cached InMemoryRelation boundary of `e` cannot
+    // bridge exchange reuse back to it — unpersisted, the final join
+    // re-ran the whole (possibly expensive) caller lineage plus the
+    // self-union aggregate a third time
     val degs = und.select(col("u").as("vertex"))
       .union(und.select(col("v").as("vertex")))
       .groupBy("vertex").agg(count(lit(1)).as("deg"))
+      .persist()
     val lower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val e = und
@@ -68,6 +74,6 @@ object Graph {
         expr("CASE WHEN deg >= 2 THEN (2000 * coalesce(t, 0L)) " +
           "div (deg * (deg - 1)) ELSE 0L END")
           .as("clustering_permille"))
-    CacheScope.eval(out)(e)
+    CacheScope.eval(out)(e, degs)
   }
 }

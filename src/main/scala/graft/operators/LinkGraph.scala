@@ -53,18 +53,40 @@ object LinkGraph {
     // other; pass driverEdgeLimit = 0 to force the distributed loop,
     // which remains the unbounded-size path a web-scale domain graph
     // takes.
+    // The rank recurrence assumes a node SET: a duplicated domain row
+    // would multiply every in-mass contribution through the src join
+    // (and double its dangling mass) distributively while a map-based
+    // replay counts it once — dedup ONCE here so both paths, and any
+    // caller feeding raw rows, share one semantics. Callers built on
+    // groupBy output (every catalog face) dedup nothing.
+    val nodeSet = nodes.select(col("domain")).dropDuplicates("domain")
     val (edgesIn, nodesIn): (DataFrame, DataFrame) =
-      if (driverEdgeLimit <= 0) (edges, nodes)
+      if (driverEdgeLimit <= 0) (edges, nodeSet)
       else {
         // Materialize both lineages once: the count probe and either
         // path's reads all hit the checkpointed blocks, never the
         // caller's (possibly expensive) upstream plan twice.
         val edgesM = edges.select(col("src"), col("dst"))
           .transform(CacheScope.materialize)
-        val nodesM = nodes.select(col("domain"))
-          .transform(CacheScope.materialize)
-        if (edgesM.count() <= driverEdgeLimit &&
-            nodesM.count() <= driverEdgeLimit) {
+        val nodesM = nodeSet.transform(CacheScope.materialize)
+        // the local replay is typed for the string domain graphs the
+        // catalog faces feed, and a HashMap cannot reproduce SQL's
+        // null-key join semantics (null src/dst edges silently drop
+        // from every distributed join; a map would route their mass)
+        // — non-string or null-bearing graphs take the type-generic
+        // distributed loop at any size, same result, scheduling cost
+        // only
+        val stringTyped = Seq(
+          nodesM.schema("domain").dataType,
+          edgesM.schema("src").dataType,
+          edgesM.schema("dst").dataType)
+          .forall(_ == org.apache.spark.sql.types.StringType)
+        if (stringTyped &&
+            edgesM.count() <= driverEdgeLimit &&
+            nodesM.count() <= driverEdgeLimit &&
+            nodesM.filter(col("domain").isNull).isEmpty &&
+            edgesM.filter(col("src").isNull ||
+              col("dst").isNull).isEmpty) {
           val out = pageRankLocal(
             nodesM.collect().map(_.getString(0)),
             edgesM.collect().map(r => (r.getString(0), r.getString(1))),

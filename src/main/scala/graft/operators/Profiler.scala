@@ -33,7 +33,12 @@ object Profiler {
       s"columns not in schema: ${missing.mkString(", ")} " +
         s"(have: ${df.columns.mkString(", ")})")
     cols.flatMap { name =>
-      val c = col(name)
+      // backtick-quoted: a top-level column literally named "a.b"
+      // passes the schema-map require above, but a bare col("a.b")
+      // would then parse the dot as nested-field access and throw
+      // UNRESOLVED_COLUMN — the guard must validate what the body
+      // resolves
+      val c = col(s"`$name`")
       val numeric = byName(name).isInstanceOf[NumericType]
       def num(m: Column => Column) =
         if (numeric) m(c).cast("double") else lit(null).cast("double")
@@ -50,14 +55,16 @@ object Profiler {
   }
 
   private def reshape(wide: DataFrame, cols: Seq[String]): DataFrame = {
+    // same backtick rule as the metrics builder: the synthesized
+    // names inherit any dot from the source column name
     val entries = array(cols.map(name => struct(
       lit(name).as("col_name"),
-      col(s"${name}__nulls").as("n_nulls"),
-      col(s"${name}__distinct").as("n_distinct"),
-      col(s"${name}__min_num").as("min_num"),
-      col(s"${name}__max_num").as("max_num"),
-      col(s"${name}__min_str").as("min_str"),
-      col(s"${name}__max_str").as("max_str"))): _*)
+      col(s"`${name}__nulls`").as("n_nulls"),
+      col(s"`${name}__distinct`").as("n_distinct"),
+      col(s"`${name}__min_num`").as("min_num"),
+      col(s"`${name}__max_num`").as("max_num"),
+      col(s"`${name}__min_str`").as("min_str"),
+      col(s"`${name}__max_str`").as("max_str"))): _*)
     wide.select(explode(entries).as("p")).select("p.*")
       .orderBy("col_name")
   }

@@ -33,11 +33,18 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
-  /** The same interleave as ANSI/DuckDB SQL text, for oracle parity. */
+  /** The same interleave as ANSI/DuckDB SQL text, for oracle parity.
+    * The masked bit is cast to BIGINT BEFORE the shift: the Spark
+    * side is promoted to long by the `lit(1L)` mask, but DuckDB
+    * shifts in the COLUMN's type — over INTEGER columns a shift
+    * position ≥ 32 (any bits ≥ 17 puts 2i+1 there) raises
+    * "Left-shift value out of range" instead of computing the key,
+    * and bits 16 would silently wrap where Spark doesn't. */
   def duckKeyExpr2(a: String, b: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, s"bits must be in 1..31, got $bits")
     (0 until bits).map { i =>
-      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})"
+      s"(CAST((($a >> $i) & 1) AS BIGINT) << ${2 * i + 1}) + " +
+        s"(CAST((($b >> $i) & 1) AS BIGINT) << ${2 * i})"
     }.mkString("(", " + ", ")")
   }
 
@@ -49,6 +56,12 @@ object ZOrder {
   def writeZOrdered(df: DataFrame, a: String, b: String, bits: Int,
                     path: String, numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
+    // withColumn REPLACES an existing column of the same name, and
+    // the trailing drop would then silently delete the caller's data
+    // from the written output — refuse loudly instead
+    require(!df.columns.contains("__zkey"),
+      "writeZOrdered: input already has a __zkey column — rename it " +
+        "(the write would silently overwrite and then drop it)")
     df.withColumn("__zkey", key2(col(a), col(b), bits))
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")

@@ -46,7 +46,11 @@ class LinkGraphSpec extends AnyFunSuite with SharedSpark {
     val rnd = new scala.util.Random(7)
     val names = (0 until 12).map(i => s"d$i")
     for (trial <- 1 to 2; redis <- Seq(false, true)) {
-      val nodes = names.toDF("domain")
+      // duplicate node rows included: pageRank's node-SET contract
+      // dedups them once for both paths (distributively they would
+      // otherwise multiply every in-mass contribution through the
+      // rank join while the local HashMap counts them once)
+      val nodes = (names ++ Seq("d0", "d3")).toDF("domain")
       // random sparse graph incl. self-filtered pairs, dangling nodes,
       // duplicate edges (deg counts rows), and an edge to a NON-node
       // (must contribute nothing, its src still counts toward deg)
@@ -63,6 +67,41 @@ class LinkGraphSpec extends AnyFunSuite with SharedSpark {
       assert(fast == dist,
         s"trial $trial redis=$redis: driver $fast != distributed $dist")
     }
+  }
+
+  test("non-string node ids and null-bearing graphs route to the " +
+      "type-generic distributed loop instead of crashing the local " +
+      "replay") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    // Long-typed ids, small graph: the size gate alone would take the
+    // local replay, whose collect is typed getString — the type gate
+    // must route it distributed and return the same ranks as a forced
+    // distributed run
+    val nodesL = Seq(1L, 2L, 3L).toDF("domain")
+    val edgesL = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    def ranksOf(lim: Long) =
+      LinkGraph.pageRank(nodesL, edgesL, rounds = 3,
+        driverEdgeLimit = lim)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranksOf(1L << 20) == ranksOf(0L),
+      "long-typed graph diverged between gated and forced-distributed")
+    // null src/dst edges and a null domain: SQL join semantics (null
+    // keys match nothing; the null node row still holds the floor) —
+    // the null gate must keep this off the HashMap replay
+    val nodesN = (Seq("a", "b") :+ null.asInstanceOf[String])
+      .toDF("domain")
+    val edgesN = Seq(("a", "b"), (null, "a"), ("b", null))
+      .toDF("src", "dst")
+    val gated = LinkGraph.pageRank(nodesN, edgesN, rounds = 2)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val forced = LinkGraph.pageRank(nodesN, edgesN, rounds = 2,
+      driverEdgeLimit = 0L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gated == forced,
+      s"null-bearing graph diverged: gated $gated vs forced $forced")
+    assert(gated.contains(None), "null node row lost")
   }
 
   test("sink graph: redistribution matches the exact integer recurrence " +

@@ -63,6 +63,28 @@ class ProfilerZOrderSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("no_such_col"))
   }
 
+  test("profile handles a column whose NAME contains a dot") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+      .toDF("a.b", "c.d")
+    val out = graft.operators.Profiler.profile(df, Seq("a.b", "c.d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a.b") == ((0L, 2L)) && out("c.d") == ((1L, 1L)),
+      s"dotted-name profile wrong: $out")
+  }
+
+  test("writeZOrdered refuses an input that already carries __zkey " +
+      "instead of silently dropping the caller's column") {
+    import spark.implicits._
+    val df = Seq((1, 2, 9L)).toDF("a", "b", "__zkey")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.writeZOrdered(df, "a", "b", 4,
+        java.nio.file.Files.createTempDirectory("zk").toString, 1)
+    }
+    assert(e.getMessage.contains("__zkey"))
+  }
+
   test("profile is one scan of the input") {
     val o = Tables(spark, sf, "orders")
     val scans = Profiler.profile(o, Seq("o_orderkey", "o_orderstatus"))

@@ -31,6 +31,24 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     assert(cols == Set("2024-01-15 04:00:00 -0800"))
   }
 
+  test("gzipCsv serializes a TIMESTAMP_NTZ last_updated column (the " +
+      "lake round-trip type) through the LA-reinterpretation path") {
+    // laReinterpretFormat computes its offset via cast("long"), which
+    // Spark rejects on TIMESTAMP_NTZ at analysis time — the sink must
+    // cast NTZ → TIMESTAMP first (session TZ is UTC, so the wall time
+    // IS the contract's UTC instant) instead of crashing on exactly
+    // the inputs its scaladoc claims to absorb
+    val dir = Files.createTempDirectory("sink_ntz_spec").toString
+    val df = Seq(1L).toDF("id").withColumn("last_updated",
+      org.apache.spark.sql.functions.expr(
+        "CAST('2024-01-15 12:00:00' AS TIMESTAMP_NTZ)"))
+    Sinks.gzipCsv(df, s"$dir/out")
+    val back = spark.read.option("header", "false").csv(s"$dir/out")
+      .collect().map(_.getString(1)).toSet
+    assert(back == Set("2024-01-15 04:00:00 -0800"),
+      s"NTZ watermark serialized wrong: $back")
+  }
+
   test("gzip CSV doubles interior quotes (RFC 4180, the python " +
       "csv.writer convention)") {
     val dir = Files.createTempDirectory("sink_rfc_spec").toString
