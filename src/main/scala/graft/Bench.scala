@@ -283,12 +283,13 @@ object Bench {
           if (fc > 0 || fs > 0) Some((fc, fs)) else None
         }
       }
-    val loadedHost = hostLoaded(floorFrame, calib, calibSh)
+    val loadedHost = hostLoaded(floorFrame, calib, calibSh, loadavg)
     if (loadedHost) System.err.println(
       f"[bench] host is LOADED: calib $calib%.2f/$calibSh%.2f s vs " +
         f"floor frame ${floorFrame.map(_._1).getOrElse(-1.0)}%.2f/" +
         f"${floorFrame.map(_._2).getOrElse(-1.0)}%.2f s " +
-        f"(guard ${SkewCalibGuard}x)")
+        f"(guard ${SkewCalibGuard}x), loadavg $loadavg%.2f " +
+        f"(gate $LoadavgGate)")
     val prevSkewTxt = readText(detailPath)
     // the carried cells are only controlled evidence in THEIR frame:
     // a previous record measured under a different sf/cpus/meas must
@@ -544,6 +545,25 @@ object Bench {
           System.err.println(f"[bench] fresh calib: cpu $calib2%.3f s, " +
             f"shuffle $calibSh2%.3f s " +
             f"(run-start was $calib%.3f / $calibSh%.3f s)")
+          // frame verdict for the flags about to be arbitrated (r18
+          // verdict #1): the record's own frame block refuted 4
+          // "unresolved" flags shipped from a loadavg-2.47 launch —
+          // the arbitration consulted the calib probes but never the
+          // loadavg leg. An uncontrolled frame (launch OR right now,
+          // by either leg) demotes a failed rerun to frame_noise:
+          // carried, non-authoritative, not counted as unresolved —
+          // the catalog-flag analogue of the skew section's
+          // carry-on-loaded-host stance.
+          val loadavg2 = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+          val frameUncontrolled =
+            hostLoaded(floorFrame, calib, calibSh, loadavg) ||
+              hostLoaded(floorFrame, calib2, calibSh2, loadavg2)
+          if (frameUncontrolled) System.err.println(
+            f"[bench] frame is UNCONTROLLED (loadavg $loadavg%.2f " +
+              f"launch / $loadavg2%.2f now, gate $LoadavgGate; or " +
+              "calibs past the floor-frame guard) -- failed reruns " +
+              "will be tagged frame_noise, not unresolved")
           reruns = regs.map { case (k, baseVal, _, _, src) =>
             val first = results.collectFirst {
               case (`k`, v, None) => v }.getOrElse(-1.0)
@@ -566,18 +586,27 @@ object Bench {
                 !(base > 0 && n > base * RegressionFactor &&
                   n - base > RegressionFloorSec)
               }
+            val frameNoise = !resolved && frameUncontrolled
             System.err.println(f"[bench] rerun $k: first=$first%.2f s " +
               f"rerun=$m%.2f s $src=$baseVal%.2f s -> " +
               (if (resolved) "RESOLVED (load noise)"
+               else if (frameNoise)
+                 "FRAME_NOISE (persists, but the frame is " +
+                   "uncontrolled -- carried, non-authoritative)"
                else "UNRESOLVED (regression persists)"))
             Rerun(k, first, if (e.nonEmpty) -1.0 else m, baseVal,
               resolved,
-              floorProv = if (src == "floor") floorProv.get(k) else None)
+              floorProv = if (src == "floor") floorProv.get(k) else None,
+              frameNoise = frameNoise)
           }
-          unresolvedFlags = reruns.count(!_.resolved)
+          unresolvedFlags = unresolvedCount(reruns)
+          val frameNoiseFlags = reruns.count(_.frameNoise)
           System.err.println(
-            if (unresolvedFlags == 0)
+            if (unresolvedFlags == 0 && frameNoiseFlags == 0)
               "[bench] all flags resolved on rerun -- load noise"
+            else if (unresolvedFlags == 0)
+              s"[bench] $frameNoiseFlags flag(s) tagged frame_noise " +
+                "(uncontrolled frame) -- re-judge on a controlled host"
             else s"[bench] $unresolvedFlags flag(s) UNRESOLVED after " +
               "rerun -- treat as a real regression")
         }
@@ -658,12 +687,15 @@ object Bench {
           coldMap, warmMap, skewDevs,
           datapath = datapath, datapathCtx = dpCtx,
           datapathDevs = dpDevs, loadavg = loadavg,
-          // -1 (block omits the field) when there is no floor frame
-          // to judge against: a first-ever or foreign-frame run on a
-          // loaded host must not self-report "controlled" — the same
-          // unknown-provenance rule as the skew context tag
-          controlled = if (floorFrame.isEmpty) -1
-            else if (loadedHost) 0 else 1) + "\n")
+          // 0 whenever the loaded predicate fires (the loadavg leg
+          // works even without a floor frame); -1 (block omits the
+          // field) only when there is neither a floor frame nor a
+          // load signal — a first-ever quiet-launch run must not
+          // self-report "controlled" off loadavg alone when the calib
+          // legs had nothing to compare against (same
+          // unknown-provenance rule as the skew context tag)
+          controlled = if (loadedHost) 0
+            else if (floorFrame.isEmpty) -1 else 1) + "\n")
           .getBytes("UTF-8"))
       // lower the monotone floor where this run beat it (rerun
       // medians count: same query, same purge discipline); never
@@ -1243,27 +1275,59 @@ object Bench {
   /** `floorProv` carries the floor entry's hand-re-baseline
     * provenance when THAT entry is the flagged base (None for a
     * measured floor or a prev-record flag) — the shipped record then
-    * names what evidence the contested threshold rests on. */
+    * names what evidence the contested threshold rests on.
+    * `frameNoise` (r18 verdict #1): the rerun still read as a
+    * regression, but the frame was uncontrolled (loadavg past
+    * [[LoadavgGate]] at launch or arbitration, or calibs past the
+    * floor-frame guard) — the flag is NON-AUTHORITATIVE, carried
+    * rather than failed, and excluded from `unresolved_flags`. The
+    * same stance the skew/datapath sections have always taken on a
+    * loaded host, extended to catalog floor flags. */
   final case class Rerun(name: String, first: Double, rerun: Double,
                          prev: Double, resolved: Boolean,
-                         floorProv: Option[String] = None)
+                         floorProv: Option[String] = None,
+                         frameNoise: Boolean = false)
 
   /** A query regressed when it slowed by more than this factor. */
   val RegressionFactor = 1.5
+
+  /** The record's `unresolved_flags` count: flags whose rerun still
+    * read as a regression AND whose frame was controlled. A
+    * frame-noise flag (rerun persisted, frame uncontrolled) is
+    * carried, not failed — it never counts as unresolved (r18
+    * verdict #1). Pure so BenchFormatSpec can pin it. */
+  def unresolvedCount(reruns: Seq[Rerun]): Int =
+    reruns.count(r => !r.resolved && !r.frameNoise)
 
   /** The skew matrix may only be re-measured when the host's calib
     * probes are within this factor of the floor-file frame — past it
     * the host is loaded and a refresh would record noise. */
   val SkewCalibGuard = 1.5
 
-  /** Is the host loaded relative to the floor-file frame? Frame is
-    * (cpuCalib, shuffleCalib) medians from the floor file (≤0 =
-    * channel not recorded); loaded when EITHER probe exceeds
-    * [[SkewCalibGuard]]× its frame value. No frame (first run, or a
-    * foreign sf/cpus/meas floor) → never loaded: there is no
-    * controlled evidence to protect yet. */
+  /** A launch load average above this is an uncontrolled frame
+    * regardless of what the calib probes say. The probes are blind to
+    * competitor processes that are I/O-bound or scheduled onto other
+    * cores at probe time but contend with the 32-thread query fan-out
+    * later — the r18 driver frame launched at loadavg 2.474 with
+    * calibs INSIDE the guard and still shipped 4 floor flags that the
+    * controlled record at the same HEAD (loadavg 0.292) refuted.
+    * 0.7 is the controlled-launch bar BENCH_NOTES has documented
+    * since the bench-contention lesson (r18). */
+  val LoadavgGate = 0.7
+
+  /** Is the host loaded? Two independent legs, either suffices:
+    * (a) launch loadavg above [[LoadavgGate]] — direct evidence of
+    * competitor load, available even on a first-ever run; (b) either
+    * calib probe exceeds [[SkewCalibGuard]]× its floor-file frame
+    * value (frame = (cpuCalib, shuffleCalib) medians, ≤0 = channel
+    * not recorded). No frame AND no loadavg signal → not loaded:
+    * there is no evidence of contention. `loadavg` defaults to −1
+    * (platform has no loadavg / caller predates the leg) which
+    * disables leg (a), preserving the calib-only behavior. */
   def hostLoaded(frame: Option[(Double, Double)],
-                 calib: Double, calibSh: Double): Boolean =
+                 calib: Double, calibSh: Double,
+                 loadavg: Double = -1.0): Boolean =
+    loadavg > LoadavgGate ||
     frame.exists { case (fc, fs) =>
       (fc > 0 && calib > 0 && calib > fc * SkewCalibGuard) ||
         (fs > 0 && calibSh > 0 && calibSh > fs * SkewCalibGuard)
@@ -1725,7 +1789,11 @@ object Bench {
         val body = reruns.map { r =>
           jsonStr(r.name) + s""":{"first":${fmt(r.first, 6)},"rerun":${
             fmt(r.rerun, 6)},"prev":${fmt(r.prev, 6)},"resolved":${
-            r.resolved}${r.floorProv.map(p =>
+            r.resolved}${
+            // present only when true: pre-r19 records (and controlled
+            // frames) simply omit the field
+            if (r.frameNoise) ""","frame_noise":true""" else ""}${
+            r.floorProv.map(p =>
               s""","floor_prov":${jsonStr(p)}""").getOrElse("")}}"""
         }.mkString("{", ",", "}")
         val c2 = (if (calib2 > 0) s""","calib2":${fmt(calib2, 6)}"""
@@ -1734,8 +1802,15 @@ object Bench {
         s""","reruns":$body$c2"""
       }
     val flagsPart =
-      if (unresolvedFlags < 0) ""
-      else s""","unresolved_flags":$unresolvedFlags"""
+      (if (unresolvedFlags < 0) ""
+       else s""","unresolved_flags":$unresolvedFlags""") + {
+        // companion count (r18 verdict #1): flags that persisted
+        // through their rerun but on an uncontrolled frame — carried,
+        // not failed; nonzero tells the reader to re-judge those
+        // faces on a controlled host before quoting them
+        val fn = reruns.count(_.frameNoise)
+        if (fn > 0) s""","frame_noise_flags":$fn""" else ""
+      }
     // skew evidence AFTER queries (parseDetailQueries scans to the
     // first '}' past "queries":{ — nested objects must not precede it)
     val skewPart =
@@ -1772,9 +1847,16 @@ object Bench {
     // self-adjudicating frame block (r17 verdict #5): launch loadavg,
     // the calib pair, and the controlled verdict in ONE place —
     // numeric-only so parseFlatSection round-trips it. controlled:
-    // 1 = calibs inside the floor frame's guard, 0 = loaded,
-    // absent field (-1) = the writer predates the block or had no
-    // frame to judge against.
+    // 1 = calibs inside the floor frame's guard AND loadavg under
+    // the gate, 0 = loaded, absent field (-1) = the writer predates
+    // the block or had no frame to judge against.
+    // ORDERING CONSTRAINT: the block reuses the top-level key names
+    // "calib"/"calib_sh" (kept for record-format stability — readers
+    // address the block via parseFrame), and the tolerant
+    // parseDetailField returns the FIRST match in the line — so this
+    // part must serialize AFTER calibPart. BenchFormatSpec pins
+    // parseDetailField("calib") == the top-level value on a
+    // frame-bearing record.
     val framePart =
       if (loadavg < 0 && controlled < 0) ""
       else {

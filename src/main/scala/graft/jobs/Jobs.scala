@@ -227,14 +227,26 @@ object Jobs {
                              bm25Feed: Option[DataFrame] = None,
                              bm25TakedownFeed: Option[DataFrame] = None)
       : DataFrame = {
-    import graft.operators.{Ann, Lexical, Partitioning}
+    import graft.operators.{Ann, CacheScope, Lexical, Partitioning}
     val log = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long, Boolean)]
+
+    // injected feeds are evaluated MORE THAN ONCE below (the log's
+    // count() plus the append/tombstone actions) — a non-deterministic
+    // caller plan (a sampled batch, a now()-anchored filter) could log
+    // a different row count than the index actually absorbed.
+    // Materialize each provided feed once so every consumer reads the
+    // same snapshot; the fixture-derived defaults are deterministic
+    // parquet-scan predicates and skip the checkpoint cost. Released
+    // at the end of the job — the log rows are collected scalars.
+    val feedsM = Seq(ivfFeed, ivfTakedownFeed, bm25Feed,
+      bm25TakedownFeed).map(_.map(CacheScope.materialize))
+    val Seq(ivfFeedM, ivfTakedownM, bm25FeedM, bm25TakedownM) = feedsM
 
     // ---- IVF (dense vectors) ------------------------------------
     val emb = Tables(s, sfDir, "embeddings")
     val resident = emb.filter(col("vec_id") % 7 =!= 0)
-    val batch = ivfFeed.getOrElse(emb.filter(col("vec_id") % 7 === 0))
+    val batch = ivfFeedM.getOrElse(emb.filter(col("vec_id") % 7 === 0))
     def ivfRows: Long = {
       Partitioning.recoverSwap(s, s"${IvfServingTable}__scalars")
       s.table(s"${IvfServingTable}__scalars")
@@ -289,7 +301,7 @@ object Jobs {
       if (ranIvf) ivfAdded else 0L, false))
     // takedowns from the RESIDENT split only, so a steady-state re-run
     // converges to no-ops instead of re-appending yesterday's victims
-    val victims = ivfTakedownFeed.getOrElse(
+    val victims = ivfTakedownM.getOrElse(
       emb.filter(col("vec_id") % 50 === 0 &&
         col("vec_id") % 7 =!= 0).select("vec_id"))
     val folded = Ann.tombstoneIvfVectors(s, IvfServingTable, victims)
@@ -329,7 +341,7 @@ object Jobs {
     // ---- BM25 (lexical) ------------------------------------------
     val docs = Tables(s, sfDir, "documents")
     val dResident = docs.filter(col("doc_id") % 7 =!= 0)
-    val dBatch = bm25Feed.getOrElse(docs.filter(col("doc_id") % 7 === 0))
+    val dBatch = bm25FeedM.getOrElse(docs.filter(col("doc_id") % 7 === 0))
     // SERVED doc count — base scalars plus pending delta adjustments
     // (the append path records batch adds in the delta table instead
     // of rewriting the scalars; readIndexTables folds both signs).
@@ -363,12 +375,14 @@ object Jobs {
     }
     log += (("bm25", if (ranBm25) "append" else "append_skipped",
       if (ranBm25) bm25Added else 0L, false))
-    val dVictims = bm25TakedownFeed.getOrElse(
+    val dVictims = bm25TakedownM.getOrElse(
       docs.filter(col("doc_id") % 50 === 0 &&
         col("doc_id") % 7 =!= 0).select("doc_id"))
     val dFolded = Lexical.removeDocsDeferred(s, Bm25ServingName, dVictims)
     log += (("bm25", "takedown", dVictims.count(), dFolded))
 
+    // every consumer of the injected feeds has executed by here
+    feedsM.flatten.foreach(CacheScope.releaseCheckpoint)
     import s.implicits._
     log.toSeq.toDF("index_name", "step", "n", "flag")
       .orderBy("index_name", "step")

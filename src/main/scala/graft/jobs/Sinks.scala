@@ -30,7 +30,23 @@ object Sinks {
     * (reference: jonesy/jobs.py:166-173). */
   def serializeTimestamps(df: DataFrame,
                           laColumns: Set[String] = Set("last_updated"))
-      : DataFrame =
+      : DataFrame = {
+    // the contract's UTC instants rest on the session TZ: the NTZ→
+    // TIMESTAMP cast below reinterprets wall times in the SESSION
+    // zone, and date_format on TimestampType renders in it too. Every
+    // graft entry point pins spark.sql.session.timeZone=UTC, but a
+    // library caller with a different session TZ would get silently
+    // shifted instants — fail loudly instead, only when the frame
+    // actually carries a timestamp column (a TZ-free extract has
+    // nothing to shift)
+    val hasTs = df.schema.fields.exists(f =>
+      f.dataType == TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    require(!hasTs ||
+        df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "timestamp serialization requires spark.sql.session.timeZone=UTC " +
+        "(the CSV contract's instants are UTC; a different session TZ " +
+        "would silently shift them)")
     // one select, not a withColumn per column: each withColumn call
     // re-analyzes the whole plan (Spark's own scaladoc warns against
     // looping it) — quadratic analyzer work on wide extracts
@@ -60,6 +76,7 @@ object Sinks {
         }
       c.as(f.name)
     }.toIndexedSeq: _*)
+  }
 
   /** S4 — headerless gzip CSV (reference: jonesy/jobs.py:100-114,175:
     * csv.writer into GzipFile, lineterminator='\n', UTF-8). */

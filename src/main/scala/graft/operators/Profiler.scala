@@ -24,6 +24,14 @@ import org.apache.spark.sql.types.NumericType
   */
 object Profiler {
 
+  /** Backtick-quoted column reference that survives ANY top-level
+    * name: dots would otherwise parse as nested-field access, and an
+    * embedded backtick would end the quote early and throw a parse
+    * error — Spark's own escape is doubling (`` ` `` → ```` `` ````),
+    * same as SQL identifier quoting. */
+  private def quoted(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def metrics(df: DataFrame, cols: Seq[String],
                       distinct: Column => Column): Seq[Column] = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -38,7 +46,7 @@ object Profiler {
       // would then parse the dot as nested-field access and throw
       // UNRESOLVED_COLUMN — the guard must validate what the body
       // resolves
-      val c = col(s"`$name`")
+      val c = quoted(name)
       val numeric = byName(name).isInstanceOf[NumericType]
       def num(m: Column => Column) =
         if (numeric) m(c).cast("double") else lit(null).cast("double")
@@ -59,12 +67,12 @@ object Profiler {
     // names inherit any dot from the source column name
     val entries = array(cols.map(name => struct(
       lit(name).as("col_name"),
-      col(s"`${name}__nulls`").as("n_nulls"),
-      col(s"`${name}__distinct`").as("n_distinct"),
-      col(s"`${name}__min_num`").as("min_num"),
-      col(s"`${name}__max_num`").as("max_num"),
-      col(s"`${name}__min_str`").as("min_str"),
-      col(s"`${name}__max_str`").as("max_str"))): _*)
+      quoted(s"${name}__nulls").as("n_nulls"),
+      quoted(s"${name}__distinct").as("n_distinct"),
+      quoted(s"${name}__min_num").as("min_num"),
+      quoted(s"${name}__max_num").as("max_num"),
+      quoted(s"${name}__min_str").as("min_str"),
+      quoted(s"${name}__max_str").as("max_str"))): _*)
     wide.select(explode(entries).as("p")).select("p.*")
       .orderBy("col_name")
   }

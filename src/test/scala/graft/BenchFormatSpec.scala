@@ -256,6 +256,44 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.carryCtx(Map.empty, Some("controlled")) === "")
   }
 
+  test("frame_noise flags: tagged in the record, carried not failed " +
+      "(excluded from unresolved_flags)") {
+    // r18 verdict #1: a loadavg-2.47 launch shipped 4 UNRESOLVED
+    // flags its own frame block refuted. A flag whose rerun persists
+    // on an UNCONTROLLED frame is now tagged frame_noise and never
+    // counts as unresolved — the catalog analogue of the skew
+    // section's carry-on-loaded-host stance.
+    val reruns = Seq(
+      Bench.Rerun("ss_recall_report", 2.9, 2.8, 1.81,
+        resolved = false, frameNoise = true),
+      Bench.Rerun("ta_quality_drift", 2.5, 1.7, 1.89,
+        resolved = true),
+      Bench.Rerun("dd_real_regression", 9.0, 8.8, 1.0,
+        resolved = false))
+    // the kernel: only a persisted flag on a CONTROLLED frame is
+    // unresolved
+    assert(Bench.unresolvedCount(reruns) === 1)
+    assert(Bench.unresolvedCount(reruns.take(2)) === 0)
+    val detail = Bench.detailJson(mk(10), 3, "sf0.1", calib = 0.29,
+      cpus = "32", reruns = reruns, calib2 = 0.26,
+      unresolvedFlags = Bench.unresolvedCount(reruns))
+    val js = mapper.readTree(detail)
+    // per-flag tag: present (true) only on the frame-noise entry —
+    // pre-r19 records and controlled-frame verdicts omit the field
+    assert(js.get("reruns").get("ss_recall_report")
+      .get("frame_noise").asBoolean())
+    assert(!js.get("reruns").get("ta_quality_drift").has("frame_noise"))
+    assert(!js.get("reruns").get("dd_real_regression").has("frame_noise"))
+    // top-level counts: the frame-noise flag is visible (so a reader
+    // knows to re-judge on a controlled host) but NOT failed
+    assert(js.get("unresolved_flags").asInt() === 1)
+    assert(js.get("frame_noise_flags").asInt() === 1)
+    // no frame-noise flags → the companion count is absent
+    val clean = Bench.detailJson(mk(10), 3, "sf0.1",
+      reruns = reruns.filterNot(_.frameNoise), unresolvedFlags = 1)
+    assert(!mapper.readTree(clean).has("frame_noise_flags"))
+  }
+
   test("frame block: loadavg/calib/controlled serialize numerically, " +
       "round-trip via parseFrame, and stay absent when unset") {
     val detail = Bench.detailJson(mk(50), 3, "sf0.1", calib = 0.21,
@@ -269,6 +307,13 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(f("loadavg") === 0.375 && f("controlled") === 1.0)
     // the queries parser still stops at the queries object
     assert(Bench.parseDetailQueries(detail).size === 50)
+    // the frame block reuses the top-level key names "calib"/
+    // "calib_sh"; the tolerant first-match parseDetailField must
+    // still return the TOP-LEVEL value on a frame-bearing record —
+    // this pins the serialization-order constraint detailJson
+    // documents (framePart after calibPart)
+    assert(Bench.parseDetailField(detail, "calib") === Some("0.21"))
+    assert(Bench.parseDetailField(detail, "calib_sh") === Some("0.8"))
     // platform with no loadavg but a frame verdict still records it
     val noLoad = Bench.detailJson(mk(5), 3, "sf0.1", calib = 0.2,
       loadavg = -1.0, controlled = 0)
@@ -294,6 +339,19 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!Bench.hostLoaded(None, 99.0, 99.0))
     // unrecorded channel (-1) never triggers
     assert(!Bench.hostLoaded(Some((-1.0, 0.9)), 99.0, 1.2))
+    // loadavg leg (r18 verdict #1): a launch loadavg past the gate is
+    // loaded even with calibs inside the guard — the r18 driver frame
+    // (loadavg 2.474, calibs in-band) shipped 4 floor flags the
+    // controlled record refuted; the probes are blind to competitor
+    // load that lands after probe time
+    assert(Bench.hostLoaded(frame, 0.9, 1.2, loadavg = 2.474))
+    // ...and works without any floor frame at all
+    assert(Bench.hostLoaded(None, 99.0, 99.0, loadavg = 2.0))
+    // under the gate (or unavailable, -1) the leg stays silent
+    assert(!Bench.hostLoaded(frame, 0.9, 1.2, loadavg = 0.3))
+    assert(!Bench.hostLoaded(None, 99.0, 99.0, loadavg = -1.0))
+    assert(!Bench.hostLoaded(None, 99.0, 99.0,
+      loadavg = Bench.LoadavgGate))
     // loaded + previous controlled cells → CARRY, do not re-measure
     // (the r12 failure: a 2.4×-loaded closing refresh overwrote the
     // builder's controlled matrix with physically-backwards cells)

@@ -28,6 +28,31 @@ class GoldenSinkSpec extends AnyFunSuite with SharedSpark {
     assert(a.nonEmpty && java.util.Arrays.equals(a, b))
   }
 
+  test("timestamp serialization fails loudly under a non-UTC session " +
+      "TZ instead of silently shifting instants") {
+    import org.apache.spark.sql.functions._
+    val withTs = spark.range(1)
+      .select(lit("2026-01-01 00:00:00").cast("timestamp").as("t"))
+    val noTs = spark.range(1).selectExpr("id AS n")
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      // a timestamp column under a shifted session TZ must throw —
+      // the NTZ cast and date_format would both render LA wall times
+      // while the CSV contract promises UTC instants
+      val e = intercept[IllegalArgumentException] {
+        Sinks.serializeTimestamps(withTs)
+      }
+      assert(e.getMessage.contains("UTC"))
+      // a TZ-free frame has nothing to shift: no throw
+      assert(Sinks.serializeTimestamps(noTs).count() == 1L)
+    } finally spark.conf.set(tzKey, saved)
+    // back under the pinned UTC session the same frame serializes
+    assert(Sinks.serializeTimestamps(withTs).collect()(0).getString(0)
+      .endsWith(" UTC"))
+  }
+
   test("upload keys match the reference byte-for-byte (jobs.py:31-62)") {
     // md5("2026-08-12") = faa3edd3ef0a96a9883e52f8d1bd14fd; the three
     // key shapes — advisors under sis-data/sis-sysadm/.../advisors,

@@ -74,6 +74,19 @@ class ProfilerZOrderSpec extends AnyFunSuite with SharedSpark {
       s"dotted-name profile wrong: $out")
   }
 
+  test("profile handles a column whose NAME contains a backtick") {
+    // a backtick inside the name would end the quote early and throw
+    // a parse error unless doubled (Spark's identifier escape) — the
+    // dot fix alone left exactly this hole
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a`b", "plain")
+    val out = graft.operators.Profiler.profile(df, Seq("a`b", "plain"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a`b") == ((0L, 2L)) && out("plain") == ((0L, 2L)),
+      s"backtick-name profile wrong: $out")
+  }
+
   test("writeZOrdered refuses an input that already carries __zkey " +
       "instead of silently dropping the caller's column") {
     import spark.implicits._
