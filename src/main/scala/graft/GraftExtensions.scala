@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight}
 
-import graft.functions.{BloomMightContain, BpeCount, BpeTokens, FloatVectorDot, GopherStats, MinWindowMd5, MinhashSig, MisraGriesAgg, Pcm16WindowSs, SimhashLong}
+import graft.functions.{BloomMightContain, BpeCount, BpeTokens, FloatVectorDot, GopherStats, KgramXxhash64, MinWindowMd5, MinhashSig, MisraGriesAgg, Pcm16WindowSs, SimhashLong}
 
 /** Engine extension point — registers graft's native Catalyst
   * expressions (callable from SQL and `expr(...)`) and the
@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gopherStats)
     ext.injectFunction(GraftExtensions.minWindowMd5)
     ext.injectFunction(GraftExtensions.pcm16WindowSs)
+    ext.injectFunction(GraftExtensions.kgramXxhash64)
     ext.injectOptimizerRule(_ => graft.plans.NativeVectorOps)
   }
 }
@@ -70,6 +71,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "pcm16_window_ss takes exactly 2 arguments")
       Pcm16WindowSs(children.head, children(1))
+    })
+
+  private val kgramXxhash64 = (
+    FunctionIdentifier("kgram_xxhash64"),
+    new ExpressionInfo(classOf[KgramXxhash64].getName, "kgram_xxhash64"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "kgram_xxhash64 takes exactly 2 arguments")
+      KgramXxhash64(children.head, children(1))
     })
 
   private val minWindowMd5 = (
@@ -221,7 +231,7 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     Seq(fvecDot, simhashLong, minhashSig, bloomMightContain, zorder2,
       mgSummary, bpeCount, bpeTokens, gopherStats, minWindowMd5,
-      pcm16WindowSs)
+      pcm16WindowSs, kgramXxhash64)
       .foreach { f =>
       if (!reg.functionExists(f._1))
         reg.registerFunction(f._1, f._2, f._3)

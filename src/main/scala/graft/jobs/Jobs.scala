@@ -365,6 +365,16 @@ object Jobs {
         Bm25ServingName, servingBuckets)
       log += (("bm25", "bootstrap", bm25Docs, true))
     }
+    // a previous run that died INSIDE a writeIndexTables fold
+    // (postings swapped + fold-pending marker installed, derive
+    // incomplete) left a mixed-generation bundle that readers have
+    // been serving via the postings-truth fallback. The append below
+    // would converge it silently as its first step; converge it HERE
+    // with its own log row instead, so the run log records that the
+    // cron healed a crashed fold rather than hiding it inside the
+    // append step (the IVF side's retrain_recovered stance).
+    if (Lexical.recoverPendingFold(s, Bm25ServingName))
+      log += (("bm25", "fold_recovered", bm25Docs, true))
     // same stance as the IVF side: log the append's OWN fresh-doc
     // return — a served-docs diff would attribute a converged prior
     // crashed batch's docs to today's run

@@ -354,6 +354,25 @@ object Lexical {
     spark.sql(s"DROP TABLE IF EXISTS $fp")
   }
 
+  /** Public writer-entry fold recovery, for maintenance JOBS that
+    * want the convergence observable: every mutation path
+    * ([[appendIndexTables]], [[removeDocsDeferred]],
+    * [[compactIndexTables]]) already converges a crashed fold
+    * silently as its first step, but a cron that only logged its own
+    * steps would hide that last night's run died mid-fold and
+    * tonight's run healed it. Returns true iff a fold-pending marker
+    * was found (and the bundle converged via [[finishPendingFold]]) —
+    * the caller's signal to emit a recovery log row. Writer-only,
+    * same as the private entry. */
+  def recoverPendingFold(spark: org.apache.spark.sql.SparkSession,
+                         name: String): Boolean = {
+    val fp = s"${name}__fold_pending"
+    Partitioning.recoverSwap(spark, fp)
+    val pending = spark.catalog.tableExists(fp)
+    if (pending) finishPendingFold(spark, name)
+    pending
+  }
+
   /** True iff a fold-pending marker exists whose target generation
     * the scalars have not reached — the mixed-generation window a
     * READER must not serve from the artifact tables. Read-only. */

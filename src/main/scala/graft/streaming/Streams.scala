@@ -34,6 +34,112 @@ object Streams {
     * gap arithmetic. */
   final case class SessionState(n: Long, first: Long, last: Long)
 
+  // ------------------------------------------------------------------
+  // Versioned state envelope (r18 verdict #4)
+  // ------------------------------------------------------------------
+
+  /** The ONE schema every stateful twin persists to its state store:
+    * a version stamp plus an opaque string payload. Spark's state
+    * schema check refuses to restore a checkpoint whose state encoder
+    * schema changed — the r16 ScdRunState 3→5-field widening turned
+    * every existing checkpoint into a drain-and-restart outage
+    * (BENCH_NOTES r18 §1 documents the procedure). With the envelope,
+    * the STORE schema is permanently `(ver INT, payload STRING)`:
+    * evolving a twin's state is now a payload-codec change — bump the
+    * codec's `ver`, keep `read` accepting the old versions — and a
+    * restart from an old checkpoint MIGRATES each key's state on
+    * first touch instead of refusing to start. The convention, for
+    * every future twin:
+    *   1. state type in `*GroupsWithState[VersionedState, Out]`;
+    *   2. a [[StateCodec]] with explicit per-field string packing
+    *      ([[StatePack]] — URL-encoded strings so user data can never
+    *      collide with the separators, timestamps as millis:nanos so
+    *      µs precision survives, doubles as raw long bits);
+    *   3. evolution = `ver += 1`, `write` emits the new shape, `read`
+    *      keeps a case for every shipped version (the per-version
+    *      defaults ARE the migration);
+    *   4. pin the old-version payload literal in StreamsSpec so the
+    *      migration path can never silently rot.
+    * Adopting the envelope is itself the LAST schema break: deployed
+    * queries upgrading across it drain once, exactly as BENCH_NOTES
+    * r18 §1 prescribes. */
+  final case class VersionedState(ver: Int, payload: String)
+
+  /** Per-state-class payload codec: `write` always emits the CURRENT
+    * version's shape; `read` must accept every version ever shipped
+    * (old-version branches fill the fields that did not exist yet —
+    * that is the whole migration). */
+  private[graft] trait StateCodec[S] {
+    def ver: Int
+    def write(s: S): String
+    def read(ver: Int, payload: String): S
+  }
+
+  /** Field-packing primitives shared by every codec. Payload grammar:
+    * top-level fields joined by '|'; list/map entries joined by ';'
+    * with ',' inside an entry. String fields are URL-encoded (which
+    * escapes '|', ';', ',', '~' and '%'), so user-supplied values can
+    * never collide with the separators; null strings are the bare
+    * marker '~' (unencodable: a literal "~" value encodes to "%7E"). */
+  private[graft] object StatePack {
+    def pack(fields: String*): String = fields.mkString("|")
+    // limit -1: a trailing EMPTY field (empty string, empty list)
+    // must survive the split — the default limit silently drops it
+    // and shifts every read of a payload whose last field is empty
+    def unpack(p: String): Array[String] = p.split("\\|", -1)
+    def str(s: String): String =
+      if (s == null) "~" else java.net.URLEncoder.encode(s, "UTF-8")
+    def strOf(f: String): String =
+      if (f == "~") null else java.net.URLDecoder.decode(f, "UTF-8")
+    /** millis:nanos — `getTime` alone truncates the sub-millisecond
+      * part every replay-parity comparison depends on. */
+    def ts(t: Timestamp): String = s"${t.getTime}:${t.getNanos}"
+    def tsOf(f: String): Timestamp = {
+      val i = f.indexOf(':')
+      val t = new Timestamp(f.substring(0, i).toLong)
+      t.setNanos(f.substring(i + 1).toInt)
+      t
+    }
+    /** Raw IEEE-754 bits — `toString` round-trips doubles in Java,
+      * but bits are unambiguous for every NaN payload too. */
+    def dbl(d: Double): String =
+      java.lang.Double.doubleToRawLongBits(d).toString
+    def dblOf(f: String): Double =
+      java.lang.Double.longBitsToDouble(f.toLong)
+    def longs(xs: Iterable[Long]): String = xs.mkString(",")
+    def longsOf(f: String): Array[Long] =
+      if (f.isEmpty) Array.empty else f.split(',').map(_.toLong)
+  }
+
+  /** Typed view over a `GroupState[VersionedState]` — the adapter
+    * that lets every twin's fold read/write its own state class while
+    * the store only ever sees the envelope. Mirrors exactly the
+    * GroupState surface the twins use. */
+  private final class VGroupState[S](u: GroupState[VersionedState],
+                                     codec: StateCodec[S]) {
+    def getOption: Option[S] =
+      u.getOption.map(v => codec.read(v.ver, v.payload))
+    def get: S = { val v = u.get; codec.read(v.ver, v.payload) }
+    def update(s: S): Unit =
+      u.update(VersionedState(codec.ver, codec.write(s)))
+    def remove(): Unit = u.remove()
+    def hasTimedOut: Boolean = u.hasTimedOut
+    def getCurrentWatermarkMs(): Long = u.getCurrentWatermarkMs()
+    def setTimeoutTimestamp(ms: Long): Unit = u.setTimeoutTimestamp(ms)
+  }
+
+  import StatePack._
+
+  private[graft] object SessionStateCodec extends StateCodec[SessionState] {
+    val ver = 1
+    def write(s: SessionState): String =
+      pack(s.n.toString, s.first.toString, s.last.toString)
+    def read(v: Int, p: String): SessionState = {
+      val f = unpack(p)
+      SessionState(f(0).toLong, f(1).toLong, f(2).toLong)
+    }
+  }
+
   /** T1/T5 — watermarked tumbling-window counts. Works identically on a
     * batch DataFrame (watermark is a no-op) and a streaming one (state
     * for windows older than 5 days is dropped; late rows inside the
@@ -109,10 +215,11 @@ object Streams {
     events
       .withWatermark("ts", allowedLateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[VersionedState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event],
-         state: GroupState[SessionState]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, SessionStateCodec)
           def emit(s: SessionState) =
             Session(userId, s.n, tsOfUs(s.first), tsOfUs(s.last))
           if (state.hasTimedOut) {
@@ -203,6 +310,17 @@ object Streams {
   final case class BurstState(keeperId: Long, keeperTs: Timestamp,
                               last: Long, suppressed: Long)
 
+  private[graft] object BurstStateCodec extends StateCodec[BurstState] {
+    val ver = 1
+    def write(s: BurstState): String =
+      pack(s.keeperId.toString, ts(s.keeperTs), s.last.toString,
+        s.suppressed.toString)
+    def read(v: Int, p: String): BurstState = {
+      val f = unpack(p)
+      BurstState(f(0).toLong, tsOf(f(1)), f(2).toLong, f(3).toLong)
+    }
+  }
+
   /** Streaming debounce — the stream face of `ev_debounce`: one kept
     * event per quiet-gap burst of the same (user, type), emitted with
     * its final suppressed count once the WATERMARK passes the burst's
@@ -245,10 +363,11 @@ object Streams {
     events
       .withWatermark("ts", allowedLateness)
       .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState[BurstState, Debounced](
+      .flatMapGroupsWithState[VersionedState, Debounced](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, String), rows: Iterator[Event],
-         state: GroupState[BurstState]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, BurstStateCodec)
           val (userId, eventType) = key
           if (state.hasTimedOut) {
             val b = state.get
@@ -335,6 +454,24 @@ object Streams {
                              lastChannel: String, nTouch: Long,
                              maxUs: Long)
 
+  private[graft] object PathStateCodec extends StateCodec[PathState] {
+    val ver = 1
+    def write(s: PathState): String =
+      pack(str(s.lastChannel), s.nTouch.toString, s.maxUs.toString,
+        s.counts.toSeq.sorted.map { case (k, n) => str(k) + "," + n }
+          .mkString(";"))
+    def read(v: Int, p: String): PathState = {
+      val f = unpack(p)
+      val counts =
+        if (f(3).isEmpty) Map.empty[String, Long]
+        else f(3).split(';').map { e =>
+          val i = e.lastIndexOf(',')
+          strOf(e.substring(0, i)) -> e.substring(i + 1).toLong
+        }.toMap
+      PathState(counts, strOf(f(0)), f(1).toLong, f(2).toLong)
+    }
+  }
+
   /** Per-purchase per-channel credit emitted by the streaming
     * attribution twin. `n_credits` mirrors the batch face's count
     * grain (touch rows credited, or the one direct conversion). */
@@ -370,10 +507,11 @@ object Streams {
     events
       .withWatermark("ts", allowedLateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[PathState, Credit](
+      .flatMapGroupsWithState[VersionedState, Credit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event],
-         state: GroupState[PathState]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, PathStateCodec)
           if (state.hasTimedOut) {
             // abandoned path: trailing touches credit nothing — the
             // batch face's path-0 drop
@@ -434,6 +572,16 @@ object Streams {
   final case class SweepState(ends: List[Long], peak: Long,
                               maxT: Long = Long.MinValue)
 
+  private[graft] object SweepStateCodec extends StateCodec[SweepState] {
+    val ver = 1
+    def write(s: SweepState): String =
+      pack(s.peak.toString, s.maxT.toString, longs(s.ends))
+    def read(v: Int, p: String): SweepState = {
+      val f = unpack(p)
+      SweepState(longsOf(f(2)).toList, f(0).toLong, f(1).toLong)
+    }
+  }
+
   /** Live/peak concurrency per event type after each micro-batch. */
   final case class Concurrency(event_type: String, live: Long, peak: Long)
 
@@ -466,9 +614,11 @@ object Streams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.event_type)
-      .mapGroupsWithState[SweepState, Concurrency](
+      .mapGroupsWithState[VersionedState, Concurrency](
         GroupStateTimeout.NoTimeout) {
-        (tpe: String, rows: Iterator[Event], state: GroupState[SweepState]) =>
+        (tpe: String, rows: Iterator[Event],
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, SweepStateCodec)
           val sorted = rows.toArray
           java.util.Arrays.sort(sorted, byTsThenId)
           var ends = state.getOption.map(_.ends).getOrElse(Nil)
@@ -533,6 +683,18 @@ object Streams {
   final case class KeyState(user_id: Long, ts: Timestamp,
                             event_id: Long, value: Double, op: String)
 
+  private[graft] object KeyStateCodec extends StateCodec[KeyState] {
+    val ver = 1
+    def write(s: KeyState): String =
+      pack(s.user_id.toString, ts(s.ts), s.event_id.toString,
+        dbl(s.value), str(s.op))
+    def read(v: Int, p: String): KeyState = {
+      val f = unpack(p)
+      KeyState(f(0).toLong, tsOf(f(1)), f(2).toLong, dblOf(f(3)),
+        strOf(f(4)))
+    }
+  }
+
   /** Streaming UPSERT with tombstones — the stream face of the batch
     * CDC merge (`ev_cdc_merge`): `mapGroupsWithState` maintains the
     * latest (ts, event_id)-ordered change per key and emits one
@@ -562,10 +724,11 @@ object Streams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[KeyState, KeyState](
+      .mapGroupsWithState[VersionedState, KeyState](
         GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event],
-         state: GroupState[KeyState]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, KeyStateCodec)
           // Full-precision ts compare (Timestamp.compareTo includes
           // nanos) — NOT getTime, whose millisecond truncation could
           // pick a different winner than the batch twin ev_cdc_merge's
@@ -617,18 +780,41 @@ object Streams {
     * older-event-overwriting-newer-state inversion).
     *
     * STATE-SCHEMA MIGRATION: adding `lastLate` and `firstId` widened
-    * the flatMapGroupsWithState state encoder from 3 to 5 fields, which
-    * an existing checkpoint's state store will refuse to restore
-    * (Spark's state schema check). A deployment upgrading across
-    * this change must drain the old query (process all in-flight
-    * data, stop at a quiet point) and restart with a FRESH
-    * checkpoint; open runs re-seed from the first post-restart event
-    * per key, emitting one spurious-but-idempotent interval close
-    * that the changelog applier tolerates by the same zero-length
-    * contract as above. */
+    * the state from 3 to 5 fields — under the pre-envelope typed
+    * encoder that made every existing checkpoint unrestorable (the
+    * r16 outage BENCH_NOTES r18 §1 documents). Under the
+    * [[VersionedState]] envelope that same widening is now the worked
+    * migration example: [[ScdRunStateCodec]] is at ver 2 and its
+    * `read` still accepts the 3-field ver-1 payload, filling
+    * `lastLate`/`firstId` with the defaults — a restart from a ver-1
+    * checkpoint upgrades each key's run on first touch. */
   final case class ScdRunState(event_type: String, valid_from: Timestamp,
                                n: Long, lastLate: String = null,
                                firstId: Long = Long.MinValue)
+
+  /** Ver 2 = the full 5-field run. Ver 1 is the pre-r17 3-field form
+    * (event_type, valid_from, n): `lastLate` had no dedup memory and
+    * `firstId` no anchor tiebreak — exactly the defaults a fresh run
+    * starts with, so filling them in IS the migration (the first
+    * post-restart late event may emit one extra zero-length row,
+    * which the changelog applier tolerates by the zero-length
+    * contract; the anchor tiebreak re-arms at the next run open). */
+  private[graft] object ScdRunStateCodec extends StateCodec[ScdRunState] {
+    val ver = 2
+    def write(s: ScdRunState): String =
+      pack(str(s.event_type), ts(s.valid_from), s.n.toString,
+        str(s.lastLate), s.firstId.toString)
+    def read(v: Int, p: String): ScdRunState = {
+      val f = unpack(p)
+      v match {
+        case 1 =>
+          ScdRunState(strOf(f(0)), tsOf(f(1)), f(2).toLong)
+        case _ =>
+          ScdRunState(strOf(f(0)), tsOf(f(1)), f(2).toLong,
+            strOf(f(3)), f(4).toLong)
+      }
+    }
+  }
 
   /** Streaming SCD2 — the stream face of the batch intervalization
     * (`ev_scd2`): per user, maintain the open event-type run as state
@@ -657,10 +843,11 @@ object Streams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[ScdRunState, ScdInterval](
+      .flatMapGroupsWithState[VersionedState, ScdInterval](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event],
-         state: GroupState[ScdRunState]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, ScdRunStateCodec)
           val sorted = rows.toArray
           java.util.Arrays.sort(sorted, byTsThenId)
           val out = Seq.newBuilder[ScdInterval]
@@ -718,6 +905,20 @@ object Streams {
     * it). */
   final case class MgCarry(counters: Map[String, Long])
 
+  private[graft] object MgCarryCodec extends StateCodec[MgCarry] {
+    val ver = 1
+    def write(s: MgCarry): String =
+      s.counters.toSeq.sorted.map { case (k, n) => str(k) + "," + n }
+        .mkString(";")
+    def read(v: Int, p: String): MgCarry =
+      MgCarry(
+        if (p.isEmpty) Map.empty
+        else p.split(';').map { e =>
+          val i = e.lastIndexOf(',')
+          strOf(e.substring(0, i)) -> e.substring(i + 1).toLong
+        }.toMap)
+  }
+
   /** Streaming heavy hitters — the stream face of the `mg_summary`
     * aggregate (the trending-items dashboard a 100 TB event stream
     * actually serves): per event_type, a Misra-Gries summary of width
@@ -737,10 +938,11 @@ object Streams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState[MgCarry, HotItem](
+      .flatMapGroupsWithState[VersionedState, HotItem](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (eventType: String, rows: Iterator[Event],
-         state: GroupState[MgCarry]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, MgCarryCodec)
           val buf = scala.collection.mutable.HashMap.empty[String, Long]
           state.getOption.foreach(_.counters.foreach { case (key, c) =>
             buf.update(key, c)
@@ -875,6 +1077,16 @@ object Streams {
   final case class TokenBudget(source: String, docs: Long,
                                tokens: Long, shard: Long)
 
+  /** (docs, tokens) running pair per source. */
+  private[graft] object TokenBudgetStateCodec
+      extends StateCodec[(Long, Long)] {
+    val ver = 1
+    def write(s: (Long, Long)): String = pack(s._1.toString, s._2.toString)
+    def read(v: Int, p: String): (Long, Long) = {
+      val f = unpack(p); (f(0).toLong, f(1).toLong)
+    }
+  }
+
   /** Streaming token-budget monitor — the ingest-time face of the
     * BPE budget family (`ta_bpe_token_stats` / `ta_bpe_shard_assign`):
     * per source, the running document and BPE-token totals and the
@@ -895,10 +1107,11 @@ object Streams {
     docs.select(col("source").cast("string"), col("text").cast("string"))
       .as[(String, String)]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Long), TokenBudget](
+      .mapGroupsWithState[VersionedState, TokenBudget](
         GroupStateTimeout.NoTimeout) {
         (src: String, rows: Iterator[(String, String)],
-         state: GroupState[(Long, Long)]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, TokenBudgetStateCodec)
           var (nDocs, nToks) = state.getOption.getOrElse((0L, 0L))
           rows.foreach { case (_, text) =>
             nDocs += 1
@@ -930,6 +1143,17 @@ object Streams {
   final case class RfmState(user_id: Long, last_us: Long,
                             frequency: Long, monetary_cents: Long)
 
+  /** (last_us, frequency, cents) running triple per user. */
+  private[graft] object RfmStateCodec
+      extends StateCodec[(Long, Long, Long)] {
+    val ver = 1
+    def write(s: (Long, Long, Long)): String =
+      pack(s._1.toString, s._2.toString, s._3.toString)
+    def read(v: Int, p: String): (Long, Long, Long) = {
+      val f = unpack(p); (f(0).toLong, f(1).toLong, f(2).toLong)
+    }
+  }
+
   /** Streaming RFM accumulator — the live half of `ev_rfm`: per user,
     * the running (last-purchase timestamp, purchase count, exact
     * cents) triple the batch face aggregates before scoring. Quintile
@@ -946,10 +1170,11 @@ object Streams {
     import spark.implicits._
     events.filter(_.event_type == "purchase")
       .groupByKey(_.user_id)
-      .mapGroupsWithState[(Long, Long, Long), RfmState](
+      .mapGroupsWithState[VersionedState, RfmState](
         GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[Event],
-         state: GroupState[(Long, Long, Long)]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, RfmStateCodec)
           var (lastUs, freq, cents) =
             state.getOption.getOrElse((Long.MinValue, 0L, 0L))
           rows.foreach { e =>
@@ -973,6 +1198,20 @@ object Streams {
     * batch operator without shipping the frontier itself). */
   final case class Frontier(key: String, size: Long, min_x: Long,
                             max_y: Long, x_sum: Long, y_sum: Long)
+
+  /** The frontier as (x, y, count) entries. */
+  private[graft] object SkylineStateCodec
+      extends StateCodec[List[(Long, Long, Long)]] {
+    val ver = 1
+    def write(s: List[(Long, Long, Long)]): String =
+      s.map { case (x, y, c) => s"$x,$y,$c" }.mkString(";")
+    def read(v: Int, p: String): List[(Long, Long, Long)] =
+      if (p.isEmpty) Nil
+      else p.split(';').map { e =>
+        val f = e.split(',')
+        (f(0).toLong, f(1).toLong, f(2).toLong)
+      }.toList
+  }
 
   /** Streaming Pareto-frontier monitor — the live face of
     * `operators.Skyline`: per key, the running 2-D skyline (minimize
@@ -1001,10 +1240,11 @@ object Streams {
         col("y").cast("long"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[List[(Long, Long, Long)], Frontier](
+      .mapGroupsWithState[VersionedState, Frontier](
         GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, Long, Long)],
-         state: GroupState[List[(Long, Long, Long)]]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, SkylineStateCodec)
           var st = state.getOption.getOrElse(Nil)
           rows.foreach { case (_, x, y) =>
             val dominated = st.exists(q =>
@@ -1030,6 +1270,17 @@ object Streams {
   final case class CusumState(event_type: String, n: Long,
                               s_cents: Long, alarmed: Boolean)
 
+  /** (n, S cents, alarmed latch) per type. */
+  private[graft] object CusumStateCodec
+      extends StateCodec[(Long, Long, Boolean)] {
+    val ver = 1
+    def write(s: (Long, Long, Boolean)): String =
+      pack(s._1.toString, s._2.toString, if (s._3) "1" else "0")
+    def read(v: Int, p: String): (Long, Long, Boolean) = {
+      val f = unpack(p); (f(0).toLong, f(1).toLong, f(2) == "1")
+    }
+  }
+
   /** Online CUSUM level-shift detector — the STREAMING half of
     * `ev_cusum_changepoint`: the batch face locates a past change
     * point retrospectively (it needs the stream's own mean); the
@@ -1054,10 +1305,11 @@ object Streams {
     import spark.implicits._
     events
       .groupByKey(_.event_type)
-      .mapGroupsWithState[(Long, Long, Boolean), CusumState](
+      .mapGroupsWithState[VersionedState, CusumState](
         GroupStateTimeout.NoTimeout) {
         (tpe: String, rows: Iterator[Event],
-         state: GroupState[(Long, Long, Boolean)]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, CusumStateCodec)
           var (n, sCents, alarmed) =
             state.getOption.getOrElse((0L, 0L, false))
           rows.foreach { e =>
@@ -1118,6 +1370,13 @@ object Streams {
                                max_shift_permille: Long,
                                drift_decile: Long)
 
+  /** Ten decile counters per source. */
+  private[graft] object DriftCountsCodec extends StateCodec[Array[Long]] {
+    val ver = 1
+    def write(s: Array[Long]): String = longs(s)
+    def read(v: Int, p: String): Array[Long] = longsOf(p)
+  }
+
   /** Streaming quality-distribution drift monitor — the live face of
     * `ta_quality_drift`: score each arriving doc with the shared
     * QualityModel kernel, bucket it against the FROZEN reference
@@ -1148,10 +1407,11 @@ object Streams {
           lit(0L)).as("score"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Array[Long], DriftReport](
+      .mapGroupsWithState[VersionedState, DriftReport](
         GroupStateTimeout.NoTimeout) {
         (src: String, rows: Iterator[(String, Long, Long)],
-         state: GroupState[Array[Long]]) =>
+         vs: GroupState[VersionedState]) =>
+          val state = new VGroupState(vs, DriftCountsCodec)
           val r = ref.getOrElse(src, emptyRef)
           val counts = state.getOption.getOrElse(Array.fill(10)(0L))
           rows.foreach { case (_, docId, score) =>

@@ -147,6 +147,48 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
       s"mismatch for id ${r.getLong(0)}"))
   }
 
+  test("kgram_xxhash64 equals the built-in slice/concat_ws/xxhash64 " +
+      "composition incl. multibyte, empty tokens, short docs") {
+    graft.GraftExtensions.ensure(spark)
+    val rnd = new scala.util.Random(11)
+    val words = Seq("a", "bb", "", "δé", "漢字", "x-y", "zzz")
+    val crafted = Seq(
+      "",                       // one empty token, k=1 window only
+      "a",                      // single token
+      "a b c",                  // exactly k tokens at k=3
+      "a  b",                   // consecutive spaces → empty token
+      " a b ",                  // leading/trailing empties
+      "漢字 δé 漢字 δé 漢字")  // multibyte boundaries
+    val random = (0 until 200).map(_ =>
+      (0 until rnd.nextInt(12)).map(_ =>
+        words(rnd.nextInt(words.length))).mkString(" "))
+    val df = (crafted ++ random).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (k <- Seq(1, 3, 20)) {
+      val out = df.select(col("id"),
+          expr(s"kgram_xxhash64(text, $k)").as("native"),
+          expr(s"""if(size(split(text, ' ')) >= $k,
+              transform(sequence(1, size(split(text, ' ')) - $k + 1),
+                i -> xxhash64(concat_ws(' ',
+                       slice(split(text, ' '), i, $k)))),
+              cast(array() as array<bigint>))""").as("builtin"))
+        .collect()
+      out.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"mismatch for id ${r.getLong(0)} at k=$k"))
+    }
+    // NULL text → NULL (the hashedGramInstances totality contract)
+    val n = Seq((0L, null.asInstanceOf[String])).toDF("id", "text")
+      .selectExpr("kgram_xxhash64(text, 3)").collect()(0)
+    assert(n.isNullAt(0))
+    // bad literals fail the QUERY at analysis, never a task
+    for (bad <- Seq("kgram_xxhash64(text, 0)", "kgram_xxhash64(text, -2)",
+        "kgram_xxhash64(id, 3)")) {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        Seq((1L, "a b")).toDF("id", "text").selectExpr(bad).collect()
+      }
+    }
+  }
+
   // ---- HtmlText ---------------------------------------------------
 
   test("html extraction is total on malformed input and decodes after stripping") {

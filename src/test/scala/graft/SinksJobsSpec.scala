@@ -571,6 +571,102 @@ class SinksJobsSpec extends AnyFunSuite with SharedSpark {
     } finally dropServing()
   }
 
+  test("maintain_indexes day that CRASHES inside the BM25 fold " +
+      "(postings swapped, marker installed, derive not run): readers " +
+      "serve the consistent view, the next cron converges it with a " +
+      "fold_recovered log row (r18 verdict #3)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Lexical, Partitioning}
+    val bm = Jobs.Bm25ServingName
+    def dropServing(): Unit = {
+      for (t <- Seq(Jobs.IvfServingTable,
+          s"${Jobs.IvfServingTable}__scalars",
+          s"${Jobs.IvfServingTable}__tombstones",
+          s"${Jobs.IvfServingTable}__retrain_pending",
+          s"${Jobs.IvfServingTable}__manifest",
+          Jobs.IvfServingCentroids) ++
+          Seq("postings", "vocab", "doclen", "scalars", "deltas")
+            .map(x => s"${bm}_$x") ++
+          Seq(s"${bm}__append_pending", s"${bm}__fold_pending",
+            s"${bm}__manifest");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sx")
+    }
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    // the cron's fixture-derived feeds: resident %7!=0, batch %7==0,
+    // victims %50==0 within the resident split — so any number of
+    // cron runs converges the served corpus to docs − victims
+    val surviving = docs.filter(
+      !(col("doc_id") % 50 === 0 && col("doc_id") % 7 =!= 0))
+    def parity(tag: String): Unit = {
+      val served = Lexical.readIndexTables(spark, bm)
+      val rebuild = Lexical.buildIndex(surviving)
+      assert((served.nDocs, served.sumDl) ==
+          ((rebuild.nDocs, rebuild.sumDl)),
+        s"$tag: served scalars diverged from the rebuild")
+      val diff = served.df.withColumnRenamed("df", "__got")
+        .join(rebuild.df.withColumnRenamed("df", "__want"),
+          Seq("token"), "full_outer")
+        .filter(coalesce(col("__got"), lit(-1L)) =!=
+          coalesce(col("__want"), lit(-1L)))
+      assert(diff.head(1).isEmpty,
+        s"$tag: served vocabulary diverged from the rebuild")
+    }
+    try {
+      dropServing()
+      // night 1 — a normal cron bootstraps and applies the day's
+      // feeds; from here the BM25 corpus is docs − victims
+      Jobs.maintainServingIndexes(spark, sf, Some("2024-04-01"))
+        .collect()
+      val gen0 = spark.table(s"${bm}_scalars")
+        .select("fold_gen").collect()(0).getLong(0)
+      // night 2 — a maintenance fold CRASHES in exactly the
+      // writeIndexTables window the r17 fix narrowed: the folded
+      // postings swap in and the fold-pending marker installs, then
+      // the process dies BEFORE deriveIndexArtifacts touches any
+      // derived table. Reproduce that on-disk state with the fold's
+      // own primitives: postings ← served truth (deltas applied),
+      // marker at gen0+1, vocab/doclen/scalars/deltas stale at gen0.
+      val folded = Lexical.readIndexTables(spark, bm)
+      Partitioning.replaceBucketed(spark, s"${bm}_postings",
+        folded.tf, "token", 8)
+      Partitioning.replaceTable(spark, s"${bm}__fold_pending",
+        Seq((gen0 + 1L, 8)).toDF("fold_gen", "buckets"))
+      // READER leg: the mixed-generation bundle must serve the
+      // postings-truth fallback (still exactly the surviving corpus)
+      // WITHOUT converging anything — readers are not writers
+      parity("reader under a torn fold")
+      assert(spark.catalog.tableExists(s"${bm}__fold_pending"),
+        "a reader converged the torn fold (writer-only contract)")
+      assert(spark.table(s"${bm}_scalars")
+          .select("fold_gen").collect()(0).getLong(0) == gen0,
+        "a reader rewrote the stale scalars")
+      // night 3 — the next cron run must converge the crashed fold
+      // FIRST, say so in its run log, then apply its own day
+      val log3 = Jobs.maintainServingIndexes(spark, sf,
+          Some("2024-04-03")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(3)))
+      assert(log3.contains(("bm25", "fold_recovered", true)),
+        s"no fold_recovered log row: ${log3.mkString(", ")}")
+      assert(!spark.catalog.tableExists(s"${bm}__fold_pending"),
+        "the cron left the fold-pending marker behind")
+      assert(spark.table(s"${bm}_scalars")
+          .select("fold_gen").collect()(0).getLong(0) >= gen0 + 1L,
+        "recovery did not install the marker's target generation")
+      parity("post-recovery cron")
+      // night 4 — steady state: no recovery row, view still converged
+      val log4 = Jobs.maintainServingIndexes(spark, sf,
+          Some("2024-04-04")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(3)))
+      assert(!log4.exists(x => x._1 == "bm25" &&
+          x._2 == "fold_recovered"),
+        s"steady-state cron logged a phantom recovery: " +
+          s"${log4.mkString(", ")}")
+      parity("steady-state night after recovery")
+    } finally dropServing()
+  }
+
   test("multi-day maintenance soak: three days of genuinely fresh " +
       "batches with takedowns and a day-2 re-add of a day-1 victim " +
       "converge BOTH serving indexes to a from-scratch rebuild over " +

@@ -1598,4 +1598,122 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
     }
   }
+
+  test("versioned state codecs round-trip every field shape (r18 " +
+      "verdict #4 convention)") {
+    import graft.streaming.Streams._
+    // separator-hostile strings, null strings, the null marker as a
+    // VALUE, µs-precision timestamps, negative/NaN doubles, empty and
+    // loaded collections — if any of these corrupts, a restart
+    // silently mutates state instead of restoring it
+    val uglies = Seq("a|b;c,d", "~", "", null, "plain",
+      "%7C already encoded", "日本語")
+    val t1 = ts("2024-01-01 10:00:00"); t1.setNanos(123456000)
+    def rt[S](c: StateCodec[S], s: S): Unit =
+      assert(c.read(c.ver, c.write(s)) === s,
+        s"codec ${c.getClass.getSimpleName} corrupted $s")
+    rt(SessionStateCodec, SessionState(3L, -5L, Long.MaxValue))
+    rt(BurstStateCodec, BurstState(9L, t1, 77L, 0L))
+    for (u <- uglies) {
+      rt(PathStateCodec, PathState(
+        Map(Option(u).getOrElse("null") -> 2L, "email" -> 1L),
+        u, 3L, Long.MinValue))
+      rt(ScdRunStateCodec, ScdRunState(u, t1, 4L, u, -1L))
+      rt(KeyStateCodec, KeyState(1L, t1, 2L, -12.5, u))
+      rt(MgCarryCodec, MgCarry(Map(Option(u).getOrElse("x") -> 5L)))
+    }
+    rt(PathStateCodec, PathState(Map.empty, "", 0L, Long.MinValue))
+    rt(MgCarryCodec, MgCarry(Map.empty))
+    // NaN != NaN under case-class equality — compare the raw bits
+    val nanBack = KeyStateCodec.read(KeyStateCodec.ver,
+      KeyStateCodec.write(KeyState(1L, t1, 2L, Double.NaN, "U")))
+    assert(java.lang.Double.doubleToRawLongBits(nanBack.value) ===
+      java.lang.Double.doubleToRawLongBits(Double.NaN))
+    assert(nanBack.copy(value = 0.0) ===
+      KeyState(1L, t1, 2L, 0.0, "U"))
+    rt(SweepStateCodec, SweepState(Nil, 0L))
+    rt(SweepStateCodec, SweepState(List(1L, 2L, 3L), 9L, 100L))
+    rt(TokenBudgetStateCodec, (0L, 0L))
+    rt(RfmStateCodec, (Long.MinValue, 7L, -42L))
+    rt(CusumStateCodec, (5L, -3L, true))
+    rt(CusumStateCodec, (0L, 0L, false))
+    rt(SkylineStateCodec, Nil)
+    rt(SkylineStateCodec, List((1L, 2L, 3L), (-4L, 5L, 1L)))
+    // Array equality is by reference — compare contents
+    assert(DriftCountsCodec.read(1,
+      DriftCountsCodec.write(Array(1L, 0L, 5L))).toSeq ===
+      Seq(1L, 0L, 5L))
+    assert(DriftCountsCodec.read(1,
+      DriftCountsCodec.write(Array.empty[Long])).isEmpty)
+  }
+
+  test("ScdRunState ver-1 payload migrates: the 3-field pre-r17 form " +
+      "reads with the widened defaults (the envelope's worked example)") {
+    import graft.streaming.Streams._
+    // a literal ver-1 payload as the pre-widening codec would have
+    // written it: (event_type, valid_from millis:nanos, n). Pinned as
+    // a LITERAL so a packing change can't silently redefine what old
+    // checkpoints contain.
+    val v1 = "purchase|1704103200000:123456000|7"
+    val s = ScdRunStateCodec.read(1, v1)
+    val want = ts("2024-01-01 10:00:00"); want.setNanos(123456000)
+    assert(s.event_type === "purchase")
+    assert(s.valid_from === want)
+    assert(s.n === 7L)
+    // the migration: fields that did not exist in ver 1 land on the
+    // fresh-run defaults
+    assert(s.lastLate == null)
+    assert(s.firstId === Long.MinValue)
+    // and the current writer emits ver 2, which reads back identically
+    assert(ScdRunStateCodec.ver === 2)
+    assert(ScdRunStateCodec.read(2, ScdRunStateCodec.write(s)) === s)
+  }
+
+  test("streamingScd2 restores its state from a checkpoint across a " +
+      "query restart (the envelope's restart pin, r18 verdict #4)") {
+    // batch A opens a run per user; the query STOPS; batch B closes
+    // the runs after the restart. The closed intervals' valid_from
+    // and n must come from the RESTORED state — a lost or corrupted
+    // envelope would re-seed the run at batch B and emit wrong
+    // anchors (or refuse to start on a schema mismatch, the exact
+    // r16 outage this envelope exists to end).
+    val base = java.nio.file.Files.createTempDirectory("vstate").toString
+    val (in, out, cp) = (s"$base/in", s"$base/out", s"$base/cp")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    def start() = Streams.streamingScd2(
+      spark.readStream.schema(schema).parquet(in).as[Event])
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    // batch A: user 7 opens a 2-event "view" run; user 8 opens "cart"
+    Seq(Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 7, "view", 1.0),
+        Event(3, ts("2024-01-01 10:00:00"), 8, "cart", 1.0))
+      .toDF().write.parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.schema(
+        "user_id LONG, event_type STRING, valid_from TIMESTAMP, " +
+          "valid_to TIMESTAMP, n_events LONG")
+      .parquet(out).count() == 0, "no run closed yet")
+    // batch B after the RESTART: different types close both runs
+    Seq(Event(4, ts("2024-01-01 11:00:00"), 7, "purchase", 1.0),
+        Event(5, ts("2024-01-01 11:00:00"), 8, "purchase", 1.0))
+      .toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(
+      (7L, "view", ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 11:00:00"), 2L),
+      (8L, "cart", ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 11:00:00"), 1L)),
+      s"state did not survive the restart: $got")
+  }
 }
