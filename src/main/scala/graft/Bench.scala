@@ -586,7 +586,8 @@ object Bench {
                 !(base > 0 && n > base * RegressionFactor &&
                   n - base > RegressionFloorSec)
               }
-            val frameNoise = !resolved && frameUncontrolled
+            val frameNoise = frameNoiseVerdict(resolved,
+              frameUncontrolled, errored = e.nonEmpty || m < 0)
             System.err.println(f"[bench] rerun $k: first=$first%.2f s " +
               f"rerun=$m%.2f s $src=$baseVal%.2f s -> " +
               (if (resolved) "RESOLVED (load noise)"
@@ -1103,6 +1104,14 @@ object Bench {
     * the three real codec walks (PNG inflate+unfilter, JPEG
     * Huffman+IDCT, WAV PCM16), the brute fvec_dot sweep, and the
     * Misra-Gries sketch pass over events. */
+  /** The data-path kernel cell names, in execution order — public so
+    * [[DatapathProbe]] can validate a caller's cell selection before
+    * a silent filter turns a typo into "no measurement". */
+  val DatapathCells: Seq[String] = Seq("gopher_stats", "bpe_count",
+    "minhash_sig", "simhash", "min_window_md5", "lsh_banding",
+    "span_scrub", "bm25_probe", "ivf_probe", "png_decode",
+    "jpeg_decode", "wav_decode", "fvec_dot", "mg_summary")
+
   def datapathBench(spark: SparkSession, sfDir: String, reps: Int = 3,
                     only: Set[String] = Set.empty): Map[String, Double] = {
     import org.apache.spark.sql.functions._
@@ -1112,12 +1121,8 @@ object Bench {
     val bm25T = "graft_dp_bm25_bench"
     val ivfT = "graft_dp_ivf_bench"
     try {
-      val allCells = Seq("gopher_stats", "bpe_count", "minhash_sig",
-        "simhash", "min_window_md5", "lsh_banding", "span_scrub",
-        "bm25_probe", "ivf_probe", "png_decode", "jpeg_decode",
-        "wav_decode", "fvec_dot", "mg_summary")
       val cellNames =
-        if (only.isEmpty) allCells else allCells.filter(only)
+        if (only.isEmpty) DatapathCells else DatapathCells.filter(only)
       // which fixtures/indexes this invocation actually needs — a
       // focused deviation re-rep (`only`) of, say, mg_summary must
       // not re-pay the documents/embeddings inflation or the two
@@ -1298,6 +1303,16 @@ object Bench {
     * verdict #1). Pure so BenchFormatSpec can pin it. */
   def unresolvedCount(reruns: Seq[Rerun]): Int =
     reruns.count(r => !r.resolved && !r.frameNoise)
+
+  /** Whether a flag that FAILED its rerun is demoted to frame_noise.
+    * Only a persisted TIMING on an uncontrolled frame demotes — the
+    * loadavg rationale (probes blind to competitor load) does not
+    * cover a rerun that CRASHED: a throwing query on a loaded host is
+    * still a failure the record must surface as unresolved. Pure so
+    * BenchFormatSpec can pin the error leg. */
+  def frameNoiseVerdict(resolved: Boolean, frameUncontrolled: Boolean,
+                        errored: Boolean): Boolean =
+    !resolved && frameUncontrolled && !errored
 
   /** The skew matrix may only be re-measured when the host's calib
     * probes are within this factor of the floor-file frame — past it

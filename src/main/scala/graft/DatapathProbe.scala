@@ -17,6 +17,17 @@ import org.apache.spark.sql.SparkSession
 object DatapathProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: DatapathProbe <sfDir> [cell ...]")
+    // fail fast on a typo'd cell name (the Bench unknown-query
+    // convention): datapathBench silently filters unknown names, and
+    // a re-baselining operator must never mistake "no such cell" for
+    // a measurement
+    val unknownCells = args.drop(1).filterNot(Bench.DatapathCells.toSet)
+    if (unknownCells.nonEmpty) {
+      System.err.println(
+        s"unknown cells: ${unknownCells.mkString(", ")}\n" +
+          s"known: ${Bench.DatapathCells.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,9 +44,15 @@ object DatapathProbe {
     val cells = Bench.datapathBench(spark, args(0),
       reps = sys.env.getOrElse("SPARK_GRAFT_SKEW_REPS", "3").toInt,
       only = args.drop(1).toSet)
-    println(cells.toSeq.sorted
-      .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
-      .mkString(s"""{"loadavg":${"%.3f".format(loadavg)},""", ",", "}"))
+    // Locale.ROOT (the Bench.fmt convention): a comma-decimal default
+    // locale would print 0,292 and break the JSON line; and the
+    // loadavg field joins the list so an empty cell map can never
+    // leave a trailing comma
+    def num(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    println((s""""loadavg":${num(loadavg)}""" +:
+      cells.toSeq.sorted.map { case (k, v) => s""""$k":${num(v)}""" })
+      .mkString("{", ",", "}"))
     spark.stop()
   }
 }

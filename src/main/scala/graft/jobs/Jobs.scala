@@ -242,6 +242,11 @@ object Jobs {
     val feedsM = Seq(ivfFeed, ivfTakedownFeed, bm25Feed,
       bm25TakedownFeed).map(_.map(CacheScope.materialize))
     val Seq(ivfFeedM, ivfTakedownM, bm25FeedM, bm25TakedownM) = feedsM
+    // try/finally around the whole job body: a step that throws (an
+    // index write failure, a vanished feed source) must still release
+    // the checkpoint blocks — a nightly cron failing repeatedly in a
+    // long-lived session would otherwise pin them until session end
+    try {
 
     // ---- IVF (dense vectors) ------------------------------------
     val emb = Tables(s, sfDir, "embeddings")
@@ -391,11 +396,12 @@ object Jobs {
     val dFolded = Lexical.removeDocsDeferred(s, Bm25ServingName, dVictims)
     log += (("bm25", "takedown", dVictims.count(), dFolded))
 
-    // every consumer of the injected feeds has executed by here
-    feedsM.flatten.foreach(CacheScope.releaseCheckpoint)
     import s.implicits._
     log.toSeq.toDF("index_name", "step", "n", "flag")
       .orderBy("index_name", "step")
+    // every consumer of the injected feeds has executed by here (the
+    // returned log frame is built from collected scalars, not feeds)
+    } finally feedsM.flatten.foreach(CacheScope.releaseCheckpoint)
   }
 
   /** Job-level PRE-compositions: table maintenance that must run

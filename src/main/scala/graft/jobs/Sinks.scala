@@ -42,8 +42,17 @@ object Sinks {
     val hasTs = df.schema.fields.exists(f =>
       f.dataType == TimestampType ||
         f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    // zone-RULES equivalence, not string equality: Etc/UTC, GMT,
+    // +00:00 all render identical instants and must not throw; an
+    // unparseable id reads as not-UTC (fails loudly, never shifts)
+    def isUtc(tz: String): Boolean =
+      scala.util.Try(java.time.ZoneId.of(tz).normalized()
+        .getRules.isFixedOffset &&
+        java.time.ZoneId.of(tz).normalized().getRules
+          .getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0)
+        .getOrElse(false)
     require(!hasTs ||
-        df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+        isUtc(df.sparkSession.conf.get("spark.sql.session.timeZone")),
       "timestamp serialization requires spark.sql.session.timeZone=UTC " +
         "(the CSV contract's instants are UTC; a different session TZ " +
         "would silently shift them)")

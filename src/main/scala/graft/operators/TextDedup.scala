@@ -341,9 +341,12 @@ object TextDedup {
     // same short-doc convention (VectorFnsSpec pins the equality
     // against the built-in composition)
     graft.GraftExtensions.ensure(docs.sparkSession)
+    // doubled embedded backticks (the Profiler.quoted rule): a column
+    // literally named with a ` must not end the quote early
+    val tq = textCol.replace("`", "``")
     Partitioning.ensureParallelism(docs, parallelismCol)
       .select(carry.map(col) :+
-        posexplode(expr(s"kgram_xxhash64(`$textCol`, $k)")): _*)
+        posexplode(expr(s"kgram_xxhash64(`$tq`, $k)")): _*)
       .select(carry.map(col) :+
         (col("pos") + 1).cast("long").as("pos") :+
         col("col").as("g"): _*)

@@ -274,6 +274,17 @@ class BenchFormatSpec extends AnyFunSuite {
     // unresolved
     assert(Bench.unresolvedCount(reruns) === 1)
     assert(Bench.unresolvedCount(reruns.take(2)) === 0)
+    // the demotion verdict: a persisted timing on an uncontrolled
+    // frame demotes; a CRASHED rerun never does (an error is a
+    // failure, not timing noise), and a controlled frame never does
+    assert(Bench.frameNoiseVerdict(resolved = false,
+      frameUncontrolled = true, errored = false))
+    assert(!Bench.frameNoiseVerdict(resolved = false,
+      frameUncontrolled = true, errored = true))
+    assert(!Bench.frameNoiseVerdict(resolved = false,
+      frameUncontrolled = false, errored = false))
+    assert(!Bench.frameNoiseVerdict(resolved = true,
+      frameUncontrolled = true, errored = false))
     val detail = Bench.detailJson(mk(10), 3, "sf0.1", calib = 0.29,
       cpus = "32", reruns = reruns, calib2 = 0.26,
       unresolvedFlags = Bench.unresolvedCount(reruns))

@@ -47,6 +47,14 @@ class GoldenSinkSpec extends AnyFunSuite with SharedSpark {
       assert(e.getMessage.contains("UTC"))
       // a TZ-free frame has nothing to shift: no throw
       assert(Sinks.serializeTimestamps(noTs).count() == 1L)
+      // UTC-equivalent zone ids render identical instants and must
+      // not throw — the guard tests zone RULES, not the literal
+      // string (review finding: Etc/UTC is a common infra default)
+      for (tz <- Seq("Etc/UTC", "GMT", "+00:00")) {
+        spark.conf.set(tzKey, tz)
+        assert(Sinks.serializeTimestamps(withTs).collect()(0)
+          .getString(0).endsWith(" UTC"), s"rejected equivalent $tz")
+      }
     } finally spark.conf.set(tzKey, saved)
     // back under the pinned UTC session the same frame serializes
     assert(Sinks.serializeTimestamps(withTs).collect()(0).getString(0)
