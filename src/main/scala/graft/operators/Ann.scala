@@ -54,10 +54,18 @@ object Ann {
 
   private def withCents(base: DataFrame,
                         cents: Array[(Long, Array[Float])],
-                        prefix: String = "__cc"): DataFrame =
+                        prefix: String = "__cc"): DataFrame = {
+    // every withCents consumer scores with fvec_dot (cellStructs):
+    // registering HERE makes each public face (ivfAssign,
+    // ivfAssignScored, ivfProbeCells, pqEncode) self-sufficient on a
+    // fresh session instead of crashing with "Undefined function"
+    // unless some other call incidentally registered the extension
+    // first (r19 review)
+    graft.GraftExtensions.ensure(base.sparkSession)
     cents.zipWithIndex.foldLeft(base) {
       case (df, ((_, v), i)) => df.withColumn(s"$prefix$i", typedLit(v))
     }
+  }
 
   /** Per-centroid (cosine, -id) structs; array_max picks max cosine
     * with ties to the LOWEST centroid id (the oracle's ORDER BY c_cos
@@ -360,6 +368,20 @@ object Ann {
         s.table(tomb).join(batch.select(col(idCol)).distinct(),
           Seq(idCol), "left_semi").head(1).nonEmpty)
       compactIvfIndex(s, table, idCol)
+    appendAssigned(batch, cents, table, nBuckets, idCol, vecCol)
+  }
+
+  /** The UNGUARDED append core — assign + bucketed write + scalars
+    * bump, no tombstone probe. Factored so [[appendIvfBatch]] (which
+    * runs its own recoverSwap + overlap-compact on a superset of the
+    * rows it appends) doesn't pay the identical tombstone scan and
+    * semi-join a second time inside [[appendIvfIndex]] per daily
+    * batch / micro-batch (r19 review). */
+  private def appendAssigned(batch: DataFrame,
+                             cents: Array[(Long, Array[Float])],
+                             table: String, nBuckets: Int,
+                             idCol: String, vecCol: String): Unit = {
+    val s = batch.sparkSession
     val nBatch = batch.count() // batch-sized, never the index
     if (nBatch == 0L) return // nothing to assign; don't churn scalars
     ivfAssign(batch, cents, idCol, vecCol)
@@ -416,8 +438,11 @@ object Ann {
       Partitioning.bucketed(s, table), idCol).persist()
     try {
       val n = fresh.count()
+      // the unguarded core: this face already ran recoverSwap and the
+      // overlap-compact on dedup ⊇ fresh, so the guarded
+      // appendIvfIndex would only repeat the identical tombstone probe
       if (n > 0L)
-        appendIvfIndex(fresh, cents, table,
+        appendAssigned(fresh, cents, table,
           Partitioning.bucketSpecOf(s, table).numBuckets, idCol, vecCol)
       n
     } finally fresh.unpersist(blocking = false)
@@ -450,8 +475,13 @@ object Ann {
                        idCol: String = "vec_id"): Unit = {
     val spec = Partitioning.bucketSpecOf(s, table)
     val rm = ids.select(col(idCol)).distinct()
+    // broadcast the delete-id side (the liveIndex idiom): a caller
+    // frame with no size stats defaults to Long.MaxValue sizeInBytes
+    // and would plan a sort-merge anti-join shuffling the whole index
+    // by id before the rewrite (r19 review)
     val kept =
-      Partitioning.bucketed(s, table).join(rm, Seq(idCol), "left_anti")
+      Partitioning.bucketed(s, table)
+        .join(broadcast(rm), Seq(idCol), "left_anti")
     Partitioning.replaceBucketed(s, table, kept,
       spec.bucketColumnNames.head, spec.numBuckets)
     // re-derive the maintained count from the install (exact resync —
@@ -663,6 +693,11 @@ object Ann {
                dims: Int, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val m = books.length
+    require(m > 0, "pqEncode: at least one codebook required")
+    // same divisibility guard as pqCodebooks: books trained elsewhere
+    // (or a wrong dims argument) would otherwise silently drop the
+    // trailing dims % m dimensions from every code (r19 review)
+    require(dims % m == 0, s"pqEncode: dims=$dims not divisible by m=$m")
     val sub = dims / m
     var df = corpus
     val codeCols = (0 until m).map { j =>
@@ -706,7 +741,10 @@ object Ann {
     // outlive the call
     val bucketed =
       Srp.withBucket(s, corpus, nPlanes, vecCol = vecCol).persist()
-    val queries = bucketed.join(queryIds, idCol)
+    // broadcast the query-id side: the batch contract is small, but
+    // without the hint a stats-less caller frame can plan a sort-merge
+    // join shuffling the whole bucketed corpus by id (r19 review)
+    val queries = bucketed.join(broadcast(queryIds), idCol)
       .select(col(idCol).as("q_id"), col("bucket").as("q_bucket"),
         col(vecCol).as("q_emb"))
     CacheScope.eval(rank(
@@ -737,7 +775,9 @@ object Ann {
       posexplode(array((0 until nTables).map(t =>
         substring(col("bucket"), t * nPlanes + 1, nPlanes)): _*))
         .as(Seq("tbl", "bkey")))
-    val queries = bands.join(queryIds, idCol)
+    // same broadcast rationale as topkSrp's lookup — here the
+    // un-hinted shuffle would move the nTables-times-exploded corpus
+    val queries = bands.join(broadcast(queryIds), idCol)
       .select(col(idCol).as("q_id"), col("tbl").as("q_tbl"),
         col("bkey").as("q_bkey"), col(vecCol).as("q_emb"))
     val scored = bands

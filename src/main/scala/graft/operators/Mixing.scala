@@ -25,12 +25,17 @@ object Mixing {
     *
     * Closed form (all exact BIGINT): with capacities sorted ascending
     * and P_rn the running capacity prefix, rank rn is capped iff
-    * `cap_rn·(K − rn) + P_rn < B` — monotone in rn because cap is
+    * `cap_rn·(K − rn) + P_rn ≤ B` — monotone in rn because cap is
     * sorted, so the un-capped suffix shares level
     * `t = (B − P_capped) div (K − n_capped)` and the first
     * `(B − P_capped) mod (K − n_capped)` un-capped groups take one
     * extra token. When B ≥ Σ cap every group is capped (the predicate
-    * covers it: cap_rn·(K−rn) ≤ Σ_{j>rn} cap_j for sorted caps).
+    * covers it: cap_rn·(K−rn) ≤ Σ_{j>rn} cap_j for sorted caps —
+    * NON-strict ≤ so the B = Σ cap plateau flags too: a group
+    * consuming exactly its capacity IS at cap, and a strict < left
+    * `capped = false` on exactly those rows while budget = cap,
+    * misleading an at_cap consumer; budgets are identical either
+    * way, only the flag moves — r19 review).
     *
     * Scale: every window here runs on the AGGREGATED group dimension —
     * callers fold the corpus to |groups| rows first, so the
@@ -52,7 +57,7 @@ object Mixing {
       .withColumn("cap", expr(s"$epochCap * c"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("p", sum("cap").over(w))
-      .withColumn("capped", expr("cap * (k - rn) + p < b"))
+      .withColumn("capped", expr("cap * (k - rn) + p <= b"))
       .withColumn("n_capped",
         sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
       .withColumn("p_capped",

@@ -2000,7 +2000,7 @@ object TextAnalysis extends QueryModule {
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
         FROM pl, tot),
       cp AS (
-        SELECT *, cap * (k - rn) + p < b AS capped FROM rkd),
+        SELECT *, cap * (k - rn) + p <= b AS capped FROM rkd),
       lv AS (
         SELECT *,
                CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()

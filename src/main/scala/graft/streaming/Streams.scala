@@ -1474,12 +1474,21 @@ object Streams {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // an empty micro-batch (idle trigger) must not churn the
-        // guard probes and delta swaps — the append is a no-op anyway
+        // guard probes and delta swaps — the append is a no-op anyway.
+        // Same checkpoint-scoped delivery-manifest guard as the IVF
+        // ingest twin: a redelivered batch skips on the manifest
+        // instead of relying on the data-level already-indexed filter,
+        // which a takedown landing between the crash and the
+        // redelivery makes ambiguous (redelivery vs genuine re-add).
         if (batch.head(1).nonEmpty)
-          graft.operators.Lexical.appendIndexTables(
-            batch.sparkSession, name, batch)
+          graft.operators.Partitioning.deliverOnce(batch.sparkSession,
+            name, Some(f"ingest:$checkpoint:$batchId%012d")) {
+            graft.operators.Lexical.appendIndexTables(
+              batch.sparkSession, name, batch)
+            ()
+          }
         ()
       }
       .start()
@@ -1511,10 +1520,25 @@ object Streams {
     emb.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // delivery-manifest guard on the micro-batch identity (r19
+        // review): the data-level newKeysOnly guard alone cannot
+        // distinguish a REDELIVERED batch from a genuine re-add — a
+        // crash after the append committed but before the checkpoint,
+        // followed by a takedown of one of the batch's ids, would on
+        // redelivery compact that id's tombstone away and re-append
+        // the taken-down vector (a GDPR-deleted row serving again).
+        // The manifest key is checkpoint-scoped (a FRESH checkpoint
+        // restarts batch ids at 0 and must not collide with a prior
+        // lineage's keys) and zero-padded so the manifest-cap
+        // compaction's lexicographic retention stays temporal.
         if (batch.head(1).nonEmpty)
-          graft.operators.Ann.appendIvfBatch(
-            batch.sparkSession, table, batch, cents)
+          graft.operators.Partitioning.deliverOnce(batch.sparkSession,
+            table, Some(f"ingest:$checkpoint:$batchId%012d")) {
+            graft.operators.Ann.appendIvfBatch(
+              batch.sparkSession, table, batch, cents)
+            ()
+          }
         ()
       }
       .start()

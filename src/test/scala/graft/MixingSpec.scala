@@ -42,6 +42,20 @@ class MixingSpec extends AnyFunSuite with SharedSpark {
     assert(m("b") === ((60L, 60L, true)))
   }
 
+  test("B = sum(cap) exactly: every group consumes its capacity AND " +
+      "flags capped (the equality plateau, r19 review)") {
+    // c = (1, 2, 2), num/den = 2/1, cap N=1 -> capacities (1, 2, 2),
+    // B = 2*5 div 2 = 5 = sum(cap). The strict-< predicate left ranks
+    // 2-3 flagged capped=false with budget = cap — an at_cap consumer
+    // read "can absorb more" off groups at their exact capacity.
+    val m = alloc("a" -> 1L, "b" -> 2L, "c" -> 2L)(1, 1, 1)
+    assert(m.values.map(_._2).sum === 5L)
+    for ((lang, (cap, budget, capped)) <- m) {
+      assert(budget === cap, s"$lang budget != cap")
+      assert(capped, s"$lang at exact capacity must flag capped")
+    }
+  }
+
   test("remainder goes one token each to the first un-capped groups " +
     "in (cap, group) order") {
     // c = (7, 7, 7), B = (3*21) div 2 = 31, caps 14 each: nothing
