@@ -51,6 +51,18 @@ object Lexical {
     "if(size(__l) >= 2, transform(sequence(1, size(__l) - 1), " +
       "i -> concat_ws(' ', slice(__l, i, 2))), array())"
 
+  /** The corpus scalars (docs-with-postings, total posting mass) of
+    * a postings relation — THE one spelling of the pair every
+    * lifecycle step must agree on (build, append, remove, derive,
+    * pending-append convergence, delta fold): `countDistinct(doc_id)`
+    * plus a null-guarded `sum(tf)` (an empty relation sums to NULL,
+    * and an unguarded getLong would throw exactly on the empty-batch
+    * edge). One helper instead of seven hand copies (r19 review). */
+  private def corpusScalars(tf: DataFrame): (Long, Long) = {
+    val r = tf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** One tokenize pass → the postings relation `(doc_id, token, tf)`
     * — the inverted index as a DataFrame, map-side combinable. */
   def postings(docs: DataFrame): DataFrame =
@@ -112,9 +124,8 @@ object Lexical {
     * collect here populates the cache, so the whole face tokenizes
     * the corpus once instead of once per consumer. */
   def buildIndexFromPostings(tf: DataFrame): Bm25Index = {
-    val r = tf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
-    Bm25Index(tf, vocabOf(tf), docLengths(tf), r.getLong(0),
-      if (r.isNullAt(1)) 0L else r.getLong(1))
+    val (nd, sd) = corpusScalars(tf)
+    Bm25Index(tf, vocabOf(tf), docLengths(tf), nd, sd)
   }
 
   /** The append: tokenize the BATCH only, union postings, add df per
@@ -129,7 +140,7 @@ object Lexical {
   def appendIndex(idx: Bm25Index, batch: DataFrame): Bm25Index = {
     val btf = postings(batch)
     val bdf = vocabOf(btf)
-    val r = btf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
+    val (bDocs, bMass) = corpusScalars(btf)
     val mergedDf = idx.df.withColumnRenamed("df", "__base")
       .join(bdf.withColumnRenamed("df", "__new"),
         Seq("token"), "full_outer")
@@ -138,8 +149,7 @@ object Lexical {
           coalesce(col("__new"), lit(0L))).as("df"))
     Bm25Index(idx.tf.unionByName(btf), mergedDf,
       idx.dl.unionByName(docLengths(btf)),
-      idx.nDocs + r.getLong(0),
-      idx.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      idx.nDocs + bDocs, idx.sumDl + bMass)
   }
 
   /** The delete: remove a doc_id set (re-crawl supersession, takedown)
@@ -172,15 +182,14 @@ object Lexical {
       else rmIds
     val removed = idx.tf.join(rm, Seq("doc_id"), "left_semi")
     val dec = removed.groupBy("token").agg(count(lit(1)).as("__dec"))
-    val r = removed.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
+    val (dDocs, dMass) = corpusScalars(removed)
     val newDf = idx.df.join(dec, Seq("token"), "left_outer")
       .select(col("token"),
         (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
       .filter(col("df") > 0)
     Bm25Index(idx.tf.join(rm, Seq("doc_id"), "left_anti"), newDf,
       idx.dl.join(rm, Seq("doc_id"), "left_anti"),
-      idx.nDocs - r.getLong(0),
-      idx.sumDl - (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      idx.nDocs - dDocs, idx.sumDl - dMass)
   }
 
   /** Persist the bundle as four parquet datasets under `path`
@@ -209,12 +218,27 @@ object Lexical {
     * checkpoint, turns into a data-loss window (target dropped while
     * the only copy is non-fault-tolerant blocks). With the stage, a
     * crash leaves the intact original or a complete durable staging
-    * copy. The four datasets are not one transaction — a crash
-    * between swaps leaves a mixed bundle; re-running writeIndex
-    * converges it (every write is idempotent). */
+    * copy; a crash in the delete→rename window (target gone, the
+    * fresh copy complete under `__stage`) is converged by
+    * [[recoverStagedDir]], which both this writer and [[readIndex]]
+    * probe first. The four datasets are not one transaction — a
+    * crash between swaps leaves a mixed bundle; re-running
+    * writeIndex WITH THE SAME `idx` converges it (every write is
+    * idempotent over the same input).
+    *
+    * SCOPE (r19 review): that convergence holds for a retry of the
+    * same writeIndex call, NOT for a re-run of a whole
+    * readIndex → append → writeIndex maintenance flow — after the
+    * postings swap, a re-read sees the appended postings and would
+    * union the batch in a second time. The directory bundle is the
+    * EXPORT face; crash-convergent incremental maintenance is the
+    * serving-TABLE path ([[appendIndexTables]] /
+    * [[writeIndexTables]]), whose markers, generation stamps and
+    * freshness guards exist for exactly that flow. */
   def writeIndex(idx: Bm25Index, path: String): Unit = {
     val spark = idx.tf.sparkSession
     def staged(dir: String)(write: String => Unit): Unit = {
+      recoverStagedDir(spark, dir)
       val stage = dir + "__stage"
       write(stage)
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -257,9 +281,33 @@ object Lexical {
     * intact postings instead — correct (dl is an exact function of
     * tf), just without the probe-cost benefit until the bundle is
     * rewritten. */
+  /** Converge a [[writeIndex]] staged swap that crashed between its
+    * delete and rename: the target directory is gone and the only —
+    * complete — copy sits under `<dir>__stage`. Rename it in. The
+    * `_SUCCESS` guard keeps a PARTIAL stage (a crash mid-write on a
+    * first-ever export, before any target existed) from being
+    * installed as if it were a finished dataset. No-op when the
+    * target exists (a leftover stage from a crash before the delete
+    * is simply overwritten by the next write). */
+  private def recoverStagedDir(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(dir + "__stage")
+    if (!fs.exists(p) && fs.exists(stage) &&
+        fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")) &&
+        !fs.rename(stage, p))
+      throw new java.io.IOException(
+        s"staged-swap recovery: rename $stage -> $dir failed")
+  }
+
   def readIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): Bm25Index = {
     import graft.sources.Tables
+    // converge a writeIndex swap that crashed in the delete→rename
+    // window before trusting any dataset's existence
+    for (d <- Seq("postings", "vocab", "doclen", "scalars"))
+      recoverStagedDir(spark, s"$path/$d")
     val sc = Tables.readLake(spark, s"$path/scalars", "parquet")
       .select("n_docs", "sum_dl").collect()(0)
     val tf = Tables.readLake(spark, s"$path/postings", "parquet")
@@ -404,10 +452,10 @@ object Lexical {
       vocabOf(tfDisk), "token", buckets)
     Partitioning.replaceBucketed(spark, s"${name}_doclen",
       docLengths(tfDisk), "doc_id", buckets)
-    val sc = tfDisk.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
+    val (nd, sd) = corpusScalars(tfDisk)
     import spark.implicits._
     Partitioning.replaceTable(spark, s"${name}_scalars",
-      Seq((sc.getLong(0), if (sc.isNullAt(1)) 0L else sc.getLong(1), gen))
+      Seq((nd, sd, gen))
         .toDF("n_docs", "sum_dl", "fold_gen"))
   }
 
@@ -551,7 +599,15 @@ object Lexical {
     // below can't see it — both copies would append and double the
     // doc's tf/doclen/scalar mass. One row per id survives (arbitrary
     // among byte-identical redeliveries).
+    // INDEXABLE docs only (≥ 2 tokens → ≥ 1 gram, the buildIndex
+    // docs-with-postings convention): a shingle-less doc can never
+    // enter doclen or the deltas, so keeping it in the batch made the
+    // freshness guard report it as "appended" on EVERY redelivery
+    // (violating the return contract) and left a permanently dangling
+    // append-pending marker whose fingerprint probe every later
+    // maintenance op re-paid (r19 review)
     val dedup = batch.dropDuplicates("doc_id")
+      .filter(coalesce(size(split(col("text"), " ")), lit(0)) >= 2)
     val batchIds = dedup.select(col("doc_id")).distinct()
     if (validDeltas(spark, name).exists(
         _.filter(col("kind") === "tomb")
@@ -563,9 +619,8 @@ object Lexical {
     // idempotence guard at doc grain: every committed doc is in base
     // doclen or in a pending dladd row (marker convergence ran above),
     // so probing their union is equivalent to probing the postings'
-    // doc set — at ~1/avgdl the rows. Docs whose text yields no
-    // 2-shingle are never indexed and stay "fresh" forever; their
-    // re-append writes nothing (an empty postings append, no delta).
+    // doc set — at ~1/avgdl the rows (shingle-less docs were filtered
+    // out above, so "not yet indexed" now always means genuinely new).
     val dlIds = Partitioning.bucketed(spark, s"${name}_doclen")
       .select("doc_id")
     val indexedIds = validDeltas(spark, name) match {
@@ -684,14 +739,13 @@ object Lexical {
       Partitioning.recoverSwap(spark, s"${name}_postings")
       val slice = spark.table(s"${name}_postings")
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      val r = slice.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
-      val aDocs = r.getLong(0)
+      val (aDocs, aMass0) = corpusScalars(slice)
       // nothing committed for the marked ids: leave the marker in
       // place (the crash-before-postings window, or an all-shingle-
       // less batch) — the next append overwrites or completes it;
       // dropping here would lose the marker of an IN-FLIGHT append
       if (aDocs == 0L) return
-      val aMass = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val aMass = aMass0
       val nullTok = lit(null).cast("string")
       val nullId = lit(null).cast("long")
       import spark.implicits._
@@ -762,9 +816,8 @@ object Lexical {
     if (foldInProgress(spark, name)) {
       Partitioning.recoverSwap(spark, s"${name}_postings")
       val tf = Partitioning.bucketed(spark, s"${name}_postings")
-      val r = tf.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
-      return Bm25Index(tf, vocabOf(tf), docLengths(tf),
-        r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      val (nd, sd) = corpusScalars(tf)
+      return Bm25Index(tf, vocabOf(tf), docLengths(tf), nd, sd)
     }
     val sc = spark.table(s"${name}_scalars")
       .select("n_docs", "sum_dl").collect()(0)
@@ -891,9 +944,7 @@ object Lexical {
     val removed = live.tf.join(broadcast(rm), Seq("doc_id"), "left_semi")
     val batchDec = removed.groupBy("token")
       .agg(count(lit(1)).as("n"))
-    val r = removed.agg(countDistinct("doc_id"), sum("tf")).collect()(0)
-    val (dDocs, dMass) =
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    val (dDocs, dMass) = corpusScalars(removed)
     // merge with any prior delta, shaped into the union-schema rows;
     // a stale (pre-fold) prior reads as absent and is REPLACED
     // wholesale below — its arithmetic already lives in the folded

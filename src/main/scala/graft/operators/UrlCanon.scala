@@ -38,8 +38,14 @@ object UrlCanon {
     * utm_source_platform / utm_creative_format / utm_marketing_tactic,
     * and a `[a-z]+`-only tail would leak those into the canonical
     * string — identical pages fetched with and without the tracker
-    * would then canonicalize apart and the dedup would miss them. */
-  val TrackingParamRe = "^(utm_[a-z0-9_]+|fbclid|gclid)="
+    * would then canonicalize apart and the dedup would miss them.
+    * Case-insensitive and `=`-optional (r19 review): mailers/ESPs
+    * emit UPPERCASE UTM keys, and a bare `?utm_source` (no value)
+    * is a legal query param — both previously survived the strip
+    * and defeated the dedup. `(?i)` and the `(=|$)` tail parse
+    * identically in Java regex and DuckDB's RE2, so the oracle twin
+    * keeps the same spelling. */
+  val TrackingParamRe = "(?i)^(utm_[a-z0-9_]+|fbclid|gclid)(=|$)"
 
   /** Everything after the FIRST occurrence of `delim`, or '' when the
     * delimiter is absent — the split_part(col, delim, 2)-compatible

@@ -1944,7 +1944,7 @@ object Dedup extends QueryModule {
                array_to_string(
                  list_filter(string_split(q, '&'),
                    p -> p <> '' AND NOT
-                     regexp_matches(p, '^(utm_[a-z0-9_]+|fbclid|gclid)=')),
+                     regexp_matches(p, '(?i)^(utm_[a-z0-9_]+|fbclid|gclid)(=|$)')),
                  '&') AS kept
         FROM auths),
       canon AS (

@@ -80,8 +80,13 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       // a query per RFC 3986
       path <- Gen.oneOf("", "/x", "/x/y", "/x/", "/", "/x//",
         "/r/https://inner.example.org/p")
+      // UPPERCASE and BARE (no '=') tracking keys included: both must
+      // strip (r19 review — mailers emit uppercase UTM keys, bare
+      // params are legal), so variants differing only in them must
+      // canonicalize together (asserted below)
       params <- Gen.someOf(Seq("utm_source=a", "id=7", "gclid=z",
-        "q=a?b", "utm_campaign=c", "fbclid=f"))
+        "q=a?b", "utm_campaign=c", "fbclid=f", "UTM_SOURCE=mail",
+        "utm_medium"))
       frag <- Gen.oneOf("", "#top", "#sec-2")
     } yield up + "://" + host + port + path +
       (if (params.isEmpty) "" else "?" + params.mkString("&")) + frag
@@ -93,6 +98,18 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       .select(UrlCanon.canonicalize(col("c")).as("c2"))
       .as[String].collect().toSeq
     assert(twice == once, "canonicalize is not a fixed point")
+    // uppercase / bare tracking keys strip like the lowercase '='
+    // forms: the four tracker-only variants collapse to the bare page
+    val trackerVariants = Seq(
+      "https://example.com/p?utm_source=mail",
+      "https://example.com/p?UTM_SOURCE=mail",
+      "https://example.com/p?utm_source",
+      "https://example.com/p?Fbclid=x&GCLID=y")
+    val canon = trackerVariants.toDF("url")
+      .select(UrlCanon.canonicalize(col("url")).as("c"))
+      .as[String].collect().toSet
+    assert(canon == Set("https://example.com/p"),
+      s"tracker variants did not collapse: $canon")
     // spot invariants: no fragment, no tracking params, no port
     // that is the SCHEME'S OWN default (scheme-aware: :80 default
     // for http only, :443 for https only), lowercase scheme+host
@@ -474,6 +491,21 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         r.getLong(3), r.getLong(4))).toSet
     assert(got == expect,
       s"missing=${expect -- got} extra=${got -- expect}")
+    // NULL scores (the kernel is the public ONE definition and
+    // documents no non-null precondition): NULLs sort first like the
+    // ntile spelling, and a boundary landing INSIDE the NULL group
+    // must keep its decile row — the pre-r19 equi-join on b_score
+    // dropped it (NULL never equi-matches), vanishing whole deciles
+    val nd = ((0 until 15).map(i => ("s", i.toLong,
+        null.asInstanceOf[java.lang.Long])) ++
+      (15 until 20).map(i => ("s", i.toLong,
+        java.lang.Long.valueOf(i.toLong))))
+      .toDF("source", "doc_id", "score")
+    val nb = graft.operators.QualityModel.decileBoundaries(nd)
+      .collect()
+    assert(nb.length == 10, s"lost deciles on NULL scores: ${nb.length}")
+    assert(nb.map(_.getLong(2)).sum == 20L,
+      "decile populations no longer cover the slice")
   }
 
   test("cdcChunks: reassembly is lossless and boundaries are local") {

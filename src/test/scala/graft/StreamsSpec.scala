@@ -1424,6 +1424,11 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
           t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
           sx <- Seq("", "__stage", "__old"))
         spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
+      // the ingest query's delivery manifest too: a leftover managed-
+      // table DIRECTORY (no catalog entry in the next session) makes
+      // the next same-name saveAsTable throw LOCATION_ALREADY_EXISTS
+      for (n <- Seq(live, twin); sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}__manifest$sx")
     }
   }
 
@@ -1534,7 +1539,10 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
     } finally {
       for (t <- Seq(live, twin);
           sx <- Seq("", "__scalars", "__tombstones", "__stage", "__old",
-            "__scalars__stage", "__scalars__old"))
+            "__scalars__stage", "__scalars__old",
+            // the ingest manifest: a leftover managed-table DIRECTORY
+            // breaks the next session's same-name saveAsTable
+            "__manifest", "__manifest__stage", "__manifest__old"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sx")
     }
   }
@@ -1594,7 +1602,10 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
       for (t <- Seq(live, twin);
           sx <- Seq("", "__scalars", "__tombstones", "__stage", "__old",
             "__tombstones__stage", "__tombstones__old",
-            "__scalars__stage", "__scalars__old"))
+            "__scalars__stage", "__scalars__old",
+            // the ingest manifest: a leftover managed-table DIRECTORY
+            // breaks the next session's same-name saveAsTable
+            "__manifest", "__manifest__stage", "__manifest__old"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sx")
     }
     // --- BM25 -----------------------------------------------------
