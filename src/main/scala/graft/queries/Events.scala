@@ -78,9 +78,14 @@ object Events extends QueryModule {
         .orderBy("event_id"),
     Some("""
       SELECT event_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               AS k_val
       FROM events
-      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      -- TRY_CAST, filtering the POST-cast value like the Spark face:
+      -- a non-integral $.k must drop the row in both engines, not
+      -- hard-error the oracle (r19 review)
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT NULL
       ORDER BY event_id""")
   )
 
@@ -119,8 +124,12 @@ object Events extends QueryModule {
   val asofJoin: Q = Q(
     "ev_asof_join",
     (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // default RANGE frame over ts alone (unbounded → current ROW's
+      // ORDER VALUE): includes every same-timestamp row, which is
+      // exactly the oracle ASOF's `e.ts >= r.ts` tie semantics — a
+      // (ts, event_id) ROWS frame excluded a same-ts error with a
+      // higher event_id that DuckDB's ASOF matches (r19 review)
+      val w = Window.partitionBy("user_id").orderBy("ts")
       ev(s, dir)
         .withColumn("last_error_ts",
           last(when(col("event_type") === "error", col("ts")),
@@ -159,8 +168,11 @@ object Events extends QueryModule {
     Some("""
       WITH g AS (
         SELECT user_id, ts,
+               -- >= : Spark's session_window end is EXCLUSIVE
+               -- ([ts, ts+gap)), so an exactly-2h gap SPLITS there;
+               -- a strict > would merge it here (r19 review)
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                      OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -193,11 +205,18 @@ object Events extends QueryModule {
     Some("""
       WITH expanded AS (
         SELECT event_type,
-               unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800),
-                       to_timestamp(floor(epoch(ts) / 1800) * 1800)
+               -- make_timestamp(µs), NOT to_timestamp(s)::TIMESTAMP:
+               -- to_timestamp returns TIMESTAMPTZ and the cast renders
+               -- it in the DUCKDB SESSION TimeZone — a non-UTC driver
+               -- environment would shift every win_start while Spark
+               -- stays pinned to UTC (r19 review)
+               unnest([make_timestamp(CAST(floor(epoch(ts) / 1800)
+                         * 1800 * 1000000 AS BIGINT)),
+                       make_timestamp(CAST(floor(epoch(ts) / 1800)
+                         * 1800 * 1000000 AS BIGINT))
                          - INTERVAL 30 MINUTE]) AS win_start
         FROM events)
-      SELECT win_start::TIMESTAMP AS win_start, event_type,
+      SELECT win_start, event_type,
              count(*) AS n_events
       FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""")
   )
@@ -581,7 +600,14 @@ object Events extends QueryModule {
         .withColumn("is_current", col("valid_to").isNull)
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("is_current"), col("n_events"))
-        .orderBy("user_id", "valid_from", "event_type")
+        // + valid_to, n_events: (user, valid_from, type) is not a
+        // key when same-type islands share a timestamp; with all
+        // projected columns in the sort, remaining ties are
+        // byte-identical rows (order-irrelevant to the value hash).
+        // NULLS FIRST explicit in the oracle — Spark ASC defaults to
+        // nulls-first, DuckDB to nulls-last (r19 review)
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+          col("valid_to").asc_nulls_first, col("n_events"))
     },
     Some("""
       WITH ordered AS (
@@ -602,7 +628,8 @@ object Events extends QueryModule {
         FROM islands)
       SELECT user_id, event_type, valid_from, valid_to,
              valid_to IS NULL AS is_current, n_events
-      FROM scd ORDER BY user_id, valid_from, event_type""")
+      FROM scd ORDER BY user_id, valid_from, event_type,
+                     valid_to NULLS FIRST, n_events""")
   )
 
   /** Activity streaks — per user, maximal runs of consecutive active
@@ -1234,7 +1261,7 @@ object Events extends QueryModule {
     (s, dir) => {
       val w = Window.partitionBy("event_type")
         .orderBy("cents", "event_id")
-      val ranked = Tables(s, dir, "events").select(
+      val ranked = ev(s, dir).select(
         col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
         .withColumn("rn", row_number().over(w))
@@ -1287,7 +1314,7 @@ object Events extends QueryModule {
     * engine-specific, so a DuckDB hash oracle cannot exist — the
     * `rel_sketch_agg` / [[windowUsersSketch]] stance. */
   def winsorizeSketch(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "events").select(
+    val e = ev(s, dir).select(
       col("event_id"), col("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
     val bounds = e.groupBy("event_type")

@@ -146,7 +146,12 @@ object Joins extends QueryModule {
       li.join(o,
           li("l_orderkey") === o("o_orderkey") &&
             li("l_shipdate") >= o("o_orderdate") &&
-            li("l_shipdate") <= date_add(o("o_orderdate"), 90))
+            // + INTERVAL, not date_add: date_add TRUNCATES the
+            // timestamp to DATE before adding, while the oracle's
+            // o_orderdate + INTERVAL 90 DAY keeps any time-of-day —
+            // midnight-only fixtures hide the divergence until a
+            // regeneration arms it (r19 review)
+            li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .groupBy(col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("shipped_in_window"))
         .orderBy("priority")

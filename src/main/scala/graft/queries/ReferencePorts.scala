@@ -33,12 +33,25 @@ object ReferencePorts extends QueryModule {
     * TIMESTAMP_NTZ, surfacing as LocalDateTime; session TZ is UTC so
     * either form maps to the same instant. */
   private def ordersAnchor(s: SparkSession,
-                           dir: String): (java.sql.Timestamp, String) = {
-    val maxI = t(s, dir, "orders")
-      .agg(max("o_orderdate")).head.get(0) match {
+                           dir: String): (java.sql.Timestamp, String) =
+    tsAnchor(t(s, dir, "orders"), "o_orderdate")
+
+  /** The (cutoff, termId) anchor from a timestamp column's max: 5-day
+    * lookback, term = the cutoff's UTC month — ONE implementation for
+    * the orders-anchored and events-anchored recent-updates faces
+    * (they were verbatim copies, r19 review). The explicit null arm:
+    * max() of an empty/filtered-empty table returns null, which the
+    * type match used to surface as an opaque scala.MatchError instead
+    * of naming the misconfigured sf-dir. */
+  private def tsAnchor(df: org.apache.spark.sql.DataFrame,
+                       c: String): (java.sql.Timestamp, String) = {
+    val maxI = df.agg(max(c)).head().get(0) match {
         case ts: java.sql.Timestamp => ts.toInstant
         case ldt: java.time.LocalDateTime =>
           ldt.toInstant(java.time.ZoneOffset.UTC)
+        case null => sys.error(
+          s"anchor: max($c) is null — the table is empty " +
+            "(misconfigured sf-dir?)")
       }
     val cutoff = java.sql.Timestamp.from(
       maxI.minus(java.time.Duration.ofDays(5)))
@@ -396,16 +409,7 @@ object ReferencePorts extends QueryModule {
   val recentInstructorUpdatesQ: Q = Q(
     "ref_recent_instructor_updates",
     (s, dir) => {
-      val maxI = t(s, dir, "events")
-        .agg(max("ts")).head.get(0) match {
-          case ts: java.sql.Timestamp => ts.toInstant
-          case ldt: java.time.LocalDateTime =>
-            ldt.toInstant(java.time.ZoneOffset.UTC)
-        }
-      val cutoff = java.sql.Timestamp.from(
-        maxI.minus(java.time.Duration.ofDays(5)))
-      val termId = java.time.format.DateTimeFormatter.ofPattern("yyyyMM")
-        .withZone(java.time.ZoneOffset.UTC).format(cutoff.toInstant)
+      val (cutoff, termId) = tsAnchor(t(s, dir, "events"), "ts")
       graft.jobs.Jobs.recentInstructorUpdates(s, dir, termId, Some(cutoff))
     },
     Some("""
