@@ -549,21 +549,27 @@ object Bench {
           // verdict #1): the record's own frame block refuted 4
           // "unresolved" flags shipped from a loadavg-2.47 launch —
           // the arbitration consulted the calib probes but never the
-          // loadavg leg. An uncontrolled frame (launch OR right now,
-          // by either leg) demotes a failed rerun to frame_noise:
-          // carried, non-authoritative, not counted as unresolved —
-          // the catalog-flag analogue of the skew section's
-          // carry-on-loaded-host stance.
-          val loadavg2 = java.lang.management.ManagementFactory
-            .getOperatingSystemMXBean.getSystemLoadAverage
+          // loadavg leg. An uncontrolled frame demotes a failed rerun
+          // to frame_noise: carried, non-authoritative, not counted
+          // as unresolved — the catalog-flag analogue of the skew
+          // section's carry-on-loaded-host stance.
+          // LAUNCH loadavg only, never arbitration-time: by the gate
+          // the run's OWN 200 queries on 32 threads have pushed the
+          // 1-minute loadavg past any gate, so an arbitration-time
+          // reading would demote EVERY persisting flag and kill the
+          // unresolved path outright (observed on the first r19
+          // controlled run: a real regression tagged frame_noise at
+          // "loadavg 1.9" that was entirely self-load). Competitor
+          // load arriving mid-run is what the FRESH calib2 probes
+          // measure — they stay in the predicate.
           val frameUncontrolled =
             hostLoaded(floorFrame, calib, calibSh, loadavg) ||
-              hostLoaded(floorFrame, calib2, calibSh2, loadavg2)
+              hostLoaded(floorFrame, calib2, calibSh2)
           if (frameUncontrolled) System.err.println(
-            f"[bench] frame is UNCONTROLLED (loadavg $loadavg%.2f " +
-              f"launch / $loadavg2%.2f now, gate $LoadavgGate; or " +
-              "calibs past the floor-frame guard) -- failed reruns " +
-              "will be tagged frame_noise, not unresolved")
+            f"[bench] frame is UNCONTROLLED (launch loadavg " +
+              f"$loadavg%.2f, gate $LoadavgGate; or calibs past the " +
+              "floor-frame guard) -- failed reruns will be tagged " +
+              "frame_noise, not unresolved")
           reruns = regs.map { case (k, baseVal, _, _, src) =>
             val first = results.collectFirst {
               case (`k`, v, None) => v }.getOrElse(-1.0)

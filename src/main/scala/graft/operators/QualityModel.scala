@@ -134,32 +134,30 @@ object QualityModel {
       .withColumn("__j", col("__end") - col("__lo"))
       .select("source", "decile", "n_old_k", "b_score", "__j")
     // b_doc: the __j-th smallest doc_id inside the boundary score's
-    // tie group. The tie group is ranked ONCE per (source, b_score) —
-    // joining bsc first and ranking per (source, decile) would copy a
-    // tie group shared by d deciles d times and sort each copy (up to
-    // 10 whole-slice single-task sorts when one score dominates a
-    // source — r19 review); here the degenerate case pays ONE sort of
-    // the tie group. Joins are NULL-SAFE on the score (<=>): a
+    // tie group — the join keeps only tie-group rows (≤10 boundary
+    // scores per source), so the window partition is a tie group,
+    // never the slice. NULL-SAFE on the score (<=>, r19 review): a
     // boundary landing in a NULL-score group (NULLs sort first, like
-    // the ntile spelling) must keep its decile row — the plain
-    // equi-join silently dropped it (r19 review).
-    val wTie = Window.partitionBy("source", "b_score").orderBy("doc_id")
-    val boundaryScores = bsc.select(col("source").as("__src"),
-      col("b_score").as("__bs")).distinct()
-    val tieRanked = old.select(col("source"), col("doc_id"),
+    // the ntile spelling) must keep its decile row — a plain
+    // equi-join silently dropped it, vanishing whole deciles.
+    // Documented worst case: d deciles sharing ONE boundary score
+    // fan the tie group out d-fold before the per-(source, decile)
+    // sort; a dedup-then-rank rewrite was measured SLOWER on the
+    // catalog face (it evaluates the bsc lineage — a full scoring
+    // pass — a second time for the distinct-scores probe), so the
+    // single-join shape stands.
+    val wTie = Window.partitionBy("source", "decile").orderBy("doc_id")
+    old.select(col("source"), col("doc_id"),
         col("score").as("b_score"))
-      .join(broadcast(boundaryScores),
-        col("source") === col("__src") && col("b_score") <=> col("__bs"))
-      .drop("__src", "__bs")
-      .withColumn("__rn", row_number().over(wTie))
-    tieRanked
       .join(broadcast(bsc.select(col("source").as("__src"),
           col("decile"), col("n_old_k"), col("b_score").as("__bs"),
           col("__j"))),
         col("source") === col("__src") &&
-          col("b_score") <=> col("__bs") && col("__rn") === col("__j"))
+          col("b_score") <=> col("__bs"))
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") === col("__j"))
       .select(col("source"), col("decile"), col("n_old_k"),
-        col("b_score"), col("doc_id").as("b_doc"))
+        col("__bs").as("b_score"), col("doc_id").as("b_doc"))
   }
 
   /** Build [[DriftRef]]s from a corpus — the EXACT boundary election
