@@ -62,9 +62,13 @@ object Ann {
     // unless some other call incidentally registered the extension
     // first (r19 review)
     graft.GraftExtensions.ensure(base.sparkSession)
-    cents.zipWithIndex.foldLeft(base) {
-      case (df, ((_, v), i)) => df.withColumn(s"$prefix$i", typedLit(v))
-    }
+    // one select, not a withColumn fold: each withColumn re-analyzes
+    // the whole accumulated plan, so k literal columns cost O(k²)
+    // analyzer passes over plans carrying k·dims float literals —
+    // driver-side latency every Lloyd pass and probe pays (r20)
+    base.select(col("*") +: cents.zipWithIndex.map {
+      case ((_, v), i) => typedLit(v).as(s"$prefix$i")
+    }: _*)
   }
 
   /** Per-centroid (cosine, -id) structs; array_max picks max cosine
