@@ -111,15 +111,31 @@ object Streams {
       if (f.isEmpty) Array.empty else f.split(',').map(_.toLong)
   }
 
+  /** The one decode gate every envelope read passes through: fail
+    * FAST on a payload from a NEWER binary. Every codec's `read`
+    * falls through to the CURRENT shape for versions it doesn't
+    * recognize (that open-endedness IS the upgrade path), so after a
+    * ver bump a binary ROLLBACK restoring the same checkpoint would
+    * silently mis-parse the newer payload as its own shape — state
+    * corruption where a refused restore is the correct outcome (r19
+    * advisor). Guarded here, once, so every codec inherits it. */
+  private[graft] def decodeState[S](codec: StateCodec[S],
+                                    v: VersionedState): S = {
+    if (v.ver > codec.ver) throw new IllegalStateException(
+      s"state payload ver ${v.ver} is newer than this binary's codec " +
+        s"ver ${codec.ver} — refusing to downgrade-parse; roll the " +
+        "binary forward or drain the checkpoint (BENCH_NOTES r18 §1)")
+    codec.read(v.ver, v.payload)
+  }
+
   /** Typed view over a `GroupState[VersionedState]` — the adapter
     * that lets every twin's fold read/write its own state class while
     * the store only ever sees the envelope. Mirrors exactly the
     * GroupState surface the twins use. */
   private final class VGroupState[S](u: GroupState[VersionedState],
                                      codec: StateCodec[S]) {
-    def getOption: Option[S] =
-      u.getOption.map(v => codec.read(v.ver, v.payload))
-    def get: S = { val v = u.get; codec.read(v.ver, v.payload) }
+    def getOption: Option[S] = u.getOption.map(decodeState(codec, _))
+    def get: S = decodeState(codec, u.get)
     def update(s: S): Unit =
       u.update(VersionedState(codec.ver, codec.write(s)))
     def remove(): Unit = u.remove()
@@ -1469,22 +1485,64 @@ object Streams {
     * bundle tables before probing (probe jobs that open the bundle
     * fresh, like `rankedFromIndex` over `readIndexTables` in a new
     * session, need nothing). */
+  /** Read-or-create the per-LINEAGE stamp file inside `checkpoint`.
+    * The delivery-manifest key must identify a micro-batch across the
+    * whole life of the serving table, but Spark's batchId is unique
+    * only within one checkpoint LINEAGE: the documented
+    * drain-and-restart-fresh procedure (BENCH_NOTES r18 §1) wipes the
+    * checkpoint, and an operator reusing the SAME path would restart
+    * batch ids at 0 — colliding with the prior lineage's manifest
+    * rows still in `<table>__manifest`, so deliverOnce would silently
+    * skip the new lineage's first micro-batches (r19 advisor, medium).
+    * A stamp STORED IN the checkpoint dir has exactly the right
+    * lifetime: restarts from an intact checkpoint read the same stamp
+    * (redelivered batches still dedup), while wiping the dir destroys
+    * the stamp with the batch-id state it scoped, so the fresh
+    * lineage mints fresh keys. The StreamingQuery runId would NOT
+    * work here — it changes on every restart, which would break the
+    * across-restart redelivery dedup that is the manifest's purpose. */
+  private[graft] def lineageStamp(spark: SparkSession,
+                                  checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_lineage")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readIt(): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    if (fs.exists(p)) readIt()
+    else {
+      fs.mkdirs(p.getParent)
+      val id = java.util.UUID.randomUUID().toString
+      try {
+        val out = fs.create(p, false)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+        id
+      } catch {
+        // lost a create race (two starts on one new checkpoint):
+        // the winner's stamp is THE lineage id
+        case _: java.io.IOException => readIt()
+      }
+    }
+  }
+
   def startBm25IngestQuery(docs: DataFrame, name: String,
-                           checkpoint: String) =
+                           checkpoint: String) = {
+    val lineage = lineageStamp(docs.sparkSession, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // an empty micro-batch (idle trigger) must not churn the
         // guard probes and delta swaps — the append is a no-op anyway.
-        // Same checkpoint-scoped delivery-manifest guard as the IVF
+        // Same lineage-scoped delivery-manifest guard as the IVF
         // ingest twin: a redelivered batch skips on the manifest
         // instead of relying on the data-level already-indexed filter,
         // which a takedown landing between the crash and the
         // redelivery makes ambiguous (redelivery vs genuine re-add).
         if (batch.head(1).nonEmpty)
           graft.operators.Partitioning.deliverOnce(batch.sparkSession,
-            name, Some(f"ingest:$checkpoint:$batchId%012d")) {
+            name, Some(f"ingest:$lineage:$batchId%012d")) {
             graft.operators.Lexical.appendIndexTables(
               batch.sparkSession, name, batch)
             ()
@@ -1492,6 +1550,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Streaming ingest into the IVF serving index — the dense twin of
     * [[startBm25IngestQuery]] and the live face of
@@ -1516,7 +1575,8 @@ object Streams {
     * [[startBm25IngestQuery]]'s visibility note. */
   def startIvfIngestQuery(emb: DataFrame, table: String,
                           cents: Array[(Long, Array[Float])],
-                          checkpoint: String) =
+                          checkpoint: String) = {
+    val lineage = lineageStamp(emb.sparkSession, checkpoint)
     emb.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -1528,13 +1588,19 @@ object Streams {
         // followed by a takedown of one of the batch's ids, would on
         // redelivery compact that id's tombstone away and re-append
         // the taken-down vector (a GDPR-deleted row serving again).
-        // The manifest key is checkpoint-scoped (a FRESH checkpoint
-        // restarts batch ids at 0 and must not collide with a prior
-        // lineage's keys) and zero-padded so the manifest-cap
-        // compaction's lexicographic retention stays temporal.
+        // NARROWS, not closes: deliverOnce records the key only AFTER
+        // the body commits, so a crash inside the body→manifest gap
+        // still replays the body on redelivery — the manifest shrinks
+        // the resurrection window to that gap; an operator auditing
+        // GDPR deletion reconciles through the batch takedown path.
+        // The key is scoped by [[lineageStamp]] (NOT the checkpoint
+        // path — a wiped-and-reused path restarts batch ids at 0 and
+        // must not collide with the prior lineage's manifest rows)
+        // and zero-padded so the manifest-cap compaction's
+        // lexicographic retention stays temporal.
         if (batch.head(1).nonEmpty)
           graft.operators.Partitioning.deliverOnce(batch.sparkSession,
-            table, Some(f"ingest:$checkpoint:$batchId%012d")) {
+            table, Some(f"ingest:$lineage:$batchId%012d")) {
             graft.operators.Ann.appendIvfBatch(
               batch.sparkSession, table, batch, cents)
             ()
@@ -1542,6 +1608,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Streaming takedowns for the IVF serving index — the delete twin
     * of [[startIvfIngestQuery]], for the feeds that arrive

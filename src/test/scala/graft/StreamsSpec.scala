@@ -1773,4 +1773,181 @@ class StreamsSpec extends AnyFunSuite with SharedSpark {
         ts("2024-01-01 11:00:00"), 1L)),
       s"state did not survive the restart: $got")
   }
+
+  test("decodeState refuses a payload from a NEWER binary instead of " +
+      "mis-parsing it as the current shape (downgrade guard, r19 " +
+      "advisor)") {
+    import graft.streaming.Streams._
+    // current and every shipped-older version still decode
+    val cur = ScdRunStateCodec.write(ScdRunState("view",
+      ts("2024-01-01 10:00:00"), 2L))
+    assert(decodeState(ScdRunStateCodec,
+      VersionedState(ScdRunStateCodec.ver, cur)).n === 2L)
+    assert(decodeState(ScdRunStateCodec,
+      VersionedState(1, "view|1704103200000:0|2")).n === 2L)
+    // a ver-(cur+1) payload — what a future binary would write — must
+    // throw, NOT fall through the codec's open-ended current-shape
+    // case (a rolled-back binary restoring it would silently corrupt)
+    val e = intercept[IllegalStateException] {
+      decodeState(ScdRunStateCodec,
+        VersionedState(ScdRunStateCodec.ver + 1, cur))
+    }
+    assert(e.getMessage.contains("newer than this binary"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("lineageStamp is stable across restarts from an intact " +
+      "checkpoint and minted fresh when the path is wiped and reused " +
+      "— prior-lineage manifest rows cannot swallow the new lineage's " +
+      "first batches (r19 advisor, medium)") {
+    import graft.operators.Partitioning
+    val cp = java.nio.file.Files
+      .createTempDirectory("lineage_spec").toString
+    val t = "lineage_spec_tbl"
+    try {
+      val s1 = Streams.lineageStamp(spark, cp)
+      assert(Streams.lineageStamp(spark, cp) === s1,
+        "stamp not stable across reads of an intact checkpoint")
+      // lineage 1 delivers its batch 0
+      var ran = 0
+      def key(stamp: String, b: Long) = Some(f"ingest:$stamp:$b%012d")
+      assert(Partitioning.deliverOnce(spark, t, key(s1, 0)) { ran += 1 })
+      assert(!Partitioning.deliverOnce(spark, t, key(s1, 0)) { ran += 1 },
+        "redelivered batch 0 not skipped")
+      assert(ran === 1)
+      // the drain-and-restart-fresh procedure: wipe the checkpoint,
+      // REUSE the same path — batch ids restart at 0
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(cp)).deleteRecursively()
+      val s2 = Streams.lineageStamp(spark, cp)
+      assert(s2 !== s1, "wiped checkpoint did not mint a new lineage")
+      // the new lineage's batch 0 must RUN — under the old
+      // path-scoped key it would collide with lineage 1's manifest
+      // row and be silently skipped (un-indexed data loss)
+      assert(Partitioning.deliverOnce(spark, t, key(s2, 0)) { ran += 1 },
+        "fresh lineage's first batch was swallowed by the prior " +
+          "lineage's manifest row")
+      assert(ran === 2)
+    } finally {
+      for (sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${t}__manifest$sx")
+    }
+  }
+
+  test("streaming BM25 ingest restarts from its checkpoint: batches " +
+      "before and after the restart each land exactly once (r19 " +
+      "verdict #6)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Lexical
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val resident = docs.filter(col("doc_id") % 7 =!= 0)
+    val dayA = docs.filter(col("doc_id") % 14 === 0)
+    val dayB = docs.filter(col("doc_id") % 14 === 7)
+    val live = "bm25_restart_spec"
+    val twin = "bm25_restartb_spec"
+    val base = java.nio.file.Files
+      .createTempDirectory("bm25_restart").toString
+    val (in, cp) = (s"$base/in", s"$base/cp")
+    try {
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), live,
+        buckets = 8)
+      Lexical.writeIndexTables(Lexical.buildIndex(resident), twin,
+        buckets = 8)
+      Lexical.appendIndexTables(spark, twin, dayA)
+      Lexical.appendIndexTables(spark, twin, dayB)
+      def start() = Streams.startBm25IngestQuery(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+        live, cp)
+      dayA.write.parquet(in)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val stamp = Streams.lineageStamp(spark, cp)
+      dayB.write.mode("append").parquet(in)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(Streams.lineageStamp(spark, cp) === stamp,
+        "restart from an intact checkpoint changed the lineage — " +
+          "redelivery dedup across restarts would break")
+      for (t <- Seq("postings", "vocab", "doclen", "scalars"))
+        spark.catalog.refreshTable(s"${live}_$t")
+      // exactly once: dayA must not re-apply on the restart (the
+      // scalars would double-count), dayB must not be lost
+      val served = Lexical.readIndexTables(spark, live)
+      val batch = Lexical.readIndexTables(spark, twin)
+      assert(served.nDocs == batch.nDocs && served.sumDl == batch.sumDl,
+        "restarted stream's scalars diverged from the batch appends")
+      val queries = docs.filter(col("doc_id") % 250 === 0)
+      val viaStream = Lexical.rankedFromIndex(served, queries)
+        .orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(viaStream == Lexical.rankedFromIndex(batch, queries)
+          .orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq,
+        "restarted stream's probe diverged from the batch appends'")
+      assert(viaStream.nonEmpty, "parity vacuous: no ranked rows")
+    } finally {
+      for (n <- Seq(live, twin);
+          t <- Seq("postings", "vocab", "doclen", "scalars", "deltas");
+          sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}_$t$sx")
+      for (n <- Seq(live, twin); sx <- Seq("", "__stage", "__old"))
+        spark.sql(s"DROP TABLE IF EXISTS ${n}__manifest$sx")
+    }
+  }
+
+  test("streaming IVF ingest restarts from its checkpoint: batches " +
+      "before and after the restart each land exactly once (r19 " +
+      "verdict #6)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Ann
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val resident = emb.filter(col("vec_id") % 7 =!= 0)
+    val dayA = emb.filter(col("vec_id") % 14 === 0)
+      .select("vec_id", "embedding")
+    val dayB = emb.filter(col("vec_id") % 14 === 7)
+      .select("vec_id", "embedding")
+    val live = "ivf_restart_spec"
+    val twin = "ivf_restartb_spec"
+    val base = java.nio.file.Files
+      .createTempDirectory("ivf_restart").toString
+    val (in, cp) = (s"$base/in", s"$base/cp")
+    try {
+      val cents = Ann.ivfCentroids(spark, resident, 10,
+        steps = graft.queries.Similarity.IvfSteps)
+      Ann.buildIvfIndex(spark, resident, cents, live, nBuckets = 8)
+      Ann.buildIvfIndex(spark, resident, cents, twin, nBuckets = 8)
+      Ann.appendIvfIndex(dayA, cents, twin, nBuckets = 8)
+      Ann.appendIvfIndex(dayB, cents, twin, nBuckets = 8)
+      def start() = Streams.startIvfIngestQuery(
+        spark.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(in),
+        live, cents, cp)
+      dayA.write.parquet(in)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val stamp = Streams.lineageStamp(spark, cp)
+      dayB.write.mode("append").parquet(in)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(Streams.lineageStamp(spark, cp) === stamp,
+        "restart from an intact checkpoint changed the lineage")
+      spark.catalog.refreshTable(live)
+      spark.catalog.refreshTable(s"${live}__scalars")
+      def cellSet(t: String) = spark.table(t)
+        .selectExpr("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cellSet(live) == cellSet(twin),
+        "restarted stream's assignments diverged from the batch appends")
+      assert(spark.table(s"${live}__scalars")
+          .collect()(0).getLong(0) == spark.table(live).count(),
+        "restarted stream's scalar count drifted from the physical table")
+    } finally {
+      for (t <- Seq(live, twin);
+          sx <- Seq("", "__scalars", "__tombstones", "__stage", "__old",
+            "__scalars__stage", "__scalars__old",
+            "__manifest", "__manifest__stage", "__manifest__old"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sx")
+    }
+  }
 }
