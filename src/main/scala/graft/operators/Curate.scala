@@ -62,6 +62,24 @@ object GopherRules {
     * combine before the exchange — then two bounded reductions back
     * to |docs| rows. Nothing is pairwise; nothing is collected.
     * Expects (doc_id, text); returns one row per doc, unordered. */
+  /** The ONE spelling of the Gopher keep gate — word-count bounds,
+    * mean-word-length bounds, and the per-n top/dup permille
+    * thresholds — parameterized over how each kernel references its
+    * metric columns. The three kernels ([[metrics]],
+    * [[withMetricsNarrow]], [[withMetricsNative]]) whose bit-equality
+    * CurationSpec pins previously each spelled this conjunction
+    * themselves; a threshold change missed in one would have
+    * de-synchronized them silently (r20 review). */
+  private def keepGate(nWords: Column, meanWlen: Column,
+                       topPm: Int => Column,
+                       dupPm: Int => Column): Column =
+    (Seq(nWords >= MinWords, nWords <= MaxWords,
+      meanWlen >= MinWlenMilli, meanWlen <= MaxWlenMilli) ++
+      TopThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
+        topPm(n) <= t } ++
+      DupThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
+        dupPm(n) <= t }).reduce(_ && _)
+
   def metrics(docs: DataFrame): DataFrame = {
     val base = docs.select(
       col("doc_id"),
@@ -107,21 +125,15 @@ object GopherRules {
       topPm(2), topPm(3), topPm(4),
       dupPm(5), dupPm(6), dupPm(7), dupPm(8), dupPm(9), dupPm(10))
 
-    val keepCond = Seq(
-      col("n_words") >= MinWords, col("n_words") <= MaxWords,
-      col("mean_wlen_milli") >= MinWlenMilli,
-      col("mean_wlen_milli") <= MaxWlenMilli) ++
-      TopThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
-        col(s"top${n}_pm") <= t } ++
-      DupThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
-        col(s"dup${n}_pm") <= t }
+    val keepCond = keepGate(col("n_words"), col("mean_wlen_milli"),
+      n => col(s"top${n}_pm"), n => col(s"dup${n}_pm"))
 
     base.select(col("doc_id"), col("nw").as("n_words"),
         expr("(nc * 1000) div greatest(nw, 1L)").as("mean_wlen_milli"))
       .join(pivot, Seq("doc_id"), "left")
       .na.fill(0L)
       .withColumn("keep",
-        when(keepCond.reduce(_ && _), 1L).otherwise(0L))
+        when(keepCond, 1L).otherwise(0L))
   }
 
   /** ZERO-SHUFFLE twin of [[metrics]] — identical output, no gram
@@ -209,13 +221,7 @@ object GopherRules {
     val nWords = col("__nw")
     val meanWlen = expr("(__nc * 1000) div greatest(__nw, 1L)")
 
-    val keepCond = (Seq(
-      nWords >= MinWords, nWords <= MaxWords,
-      meanWlen >= MinWlenMilli, meanWlen <= MaxWlenMilli) ++
-      TopThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
-        topPm(n) <= t } ++
-      DupThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
-        dupPm(n) <= t }).reduce(_ && _)
+    val keepCond = keepGate(nWords, meanWlen, topPm, dupPm)
 
     // ONE projection for every derived column, so each __m struct is
     // an attribute of the child projection, never re-inlined per use
@@ -260,13 +266,7 @@ object GopherRules {
     val nWords = col("__g.n_words")
     val meanWlen = expr("(__g.nc * 1000) div greatest(__g.n_words, 1L)")
 
-    val keepCond = (Seq(
-      nWords >= MinWords, nWords <= MaxWords,
-      meanWlen >= MinWlenMilli, meanWlen <= MaxWlenMilli) ++
-      TopThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
-        topPm(n) <= t } ++
-      DupThresholdPm.toSeq.sortBy(_._1).map { case (n, t) =>
-        dupPm(n) <= t }).reduce(_ && _)
+    val keepCond = keepGate(nWords, meanWlen, topPm, dupPm)
 
     df.select(docs.columns.map(col) ++
       Seq(nWords.as("n_words"), meanWlen.as("mean_wlen_milli")) ++

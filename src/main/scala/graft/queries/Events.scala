@@ -73,19 +73,26 @@ object Events extends QueryModule {
       ev(s, dir)
         .select(
           col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+          // gate the cast on a strict integer-literal match: under
+          // Spark 4's ANSI default a bare cast of '1.5' THROWS, and
+          // DuckDB's TRY_CAST of the same string ROUNDS to 2 — two
+          // different wrong answers. Casting only what ^-?\d+$
+          // admits makes "non-integral $.k drops the row" true in
+          // both engines instead of in neither (r20 review, probed)
+          when(get_json_object(col("props"), "$.k").rlike("^-?\\d+$"),
+            get_json_object(col("props"), "$.k").cast("long"))
+            .as("k_val"))
         .filter(col("k_val").isNotNull)
         .orderBy("event_id"),
     Some("""
       SELECT event_id,
-             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-               AS k_val
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
       FROM events
-      -- TRY_CAST, filtering the POST-cast value like the Spark face:
-      -- a non-integral $.k must drop the row in both engines, not
-      -- hard-error the oracle (r19 review)
-      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-              IS NOT NULL
+      -- same integer-literal gate as the Spark face: TRY_CAST would
+      -- keep a non-integral $.k by rounding it ('1.5' -> 2) while
+      -- Spark's gated cast drops it (r20 review)
+      WHERE regexp_matches(json_extract_string(props, '$.k'),
+              '^-?\d+$')
       ORDER BY event_id""")
   )
 
@@ -168,11 +175,14 @@ object Events extends QueryModule {
     Some("""
       WITH g AS (
         SELECT user_id, ts,
-               -- >= : Spark's session_window end is EXCLUSIVE
-               -- ([ts, ts+gap)), so an exactly-2h gap SPLITS there;
-               -- a strict > would merge it here (r19 review)
+               -- strict > : probed on Spark 4.1.2 — session_window
+               -- MERGES two events exactly gap apart (00:00 + 02:00
+               -- at a 2h gap = ONE session; +1µs = two), i.e. the
+               -- window extent [ts, ts+gap] is inclusive for merge
+               -- purposes; >= here would split what Spark merges
+               -- (r20 review, reverting the unprobed r19 flip)
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                      OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -1119,8 +1129,12 @@ object Events extends QueryModule {
         count(lit(1)).as("n"), sum("v").as("s"),
         sum(col("v") * col("v")).as("ss"),
         greatest(abs(max("v")), abs(min("v")), lit(1L)).as("m"))
-      // The overflow envelope, ENFORCED (r10 advice: Spark's non-ANSI
-      // Long arithmetic wraps silently where DuckDB raises): n·m ≤ 1e9
+      // The overflow envelope, ENFORCED (r10 advice). Spark 4 runs
+      // ANSI-on by default, so Long overflow RAISES on both engines —
+      // the guard's job is not to catch silent wrapping but to fail
+      // FIRST with a named, actionable error (which envelope, which
+      // term) before either engine's opaque ARITHMETIC_OVERFLOW fires
+      // mid-plan (r20 review corrected the pre-ANSI rationale): n·m ≤ 1e9
       // with m = max|v| implies every test term stays inside Long —
       // |n·v − s| ≤ 2·n·m so its square < 2^63, and by Cauchy-Schwarz
       // 0 ≤ n·ss − s² ≤ n²m², so the 9× multiple is < 2^63 too. The

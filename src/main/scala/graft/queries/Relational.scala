@@ -769,7 +769,12 @@ object Relational extends QueryModule {
         .filter(col("n_orders") >= 3)
         .orderBy("part_a", "part_b"),
     Some(s"""
-      WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                 -- NULL part rows must not count toward the basket
+                 -- cap: Spark's collect_set EXCLUDES NULLs, so a
+                 -- 32-part basket plus one NULL row passes the cap
+                 -- there but would read 33 here (r20 review)
+                 WHERE l_partkey IS NOT NULL),
            ok AS (SELECT l_orderkey FROM b GROUP BY 1
                   HAVING count(*) <= $CopurchaseMaxBasket)
       SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
@@ -830,7 +835,10 @@ object Relational extends QueryModule {
         .orderBy("part")
     },
     Some(s"""
-      WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                  -- same NULL-exclusion as rel_copurchase's basket
+                  -- CTE: collect_set drops NULLs on the Spark side
+                  WHERE l_partkey IS NOT NULL),
       bok AS (SELECT l_orderkey FROM bk GROUP BY 1
               HAVING count(*) <= $CopurchaseMaxBasket),
       und AS (

@@ -73,7 +73,12 @@ object ScalarFns extends QueryModule {
       val c = Tables(s, dir, "customer")
       val first = split(col("c_name"), "#").getItem(0)
       val middle = when(col("c_custkey") % 3 === 0, col("c_mktsegment"))
-      val last = split(col("c_name"), "#").getItem(1)
+      // try_element_at, not getItem(1): under Spark 4's ANSI default
+      // getItem THROWS on a c_name with no '#', where the oracle's
+      // string_split(...)[2] returns NULL — NULL-on-missing in both
+      // engines (r20 review, probed). getItem(0) stays: split always
+      // yields at least one element.
+      val last = try_element_at(split(col("c_name"), "#"), lit(2))
       c.select(
           col("c_custkey").as("person_id"),
           Fns.fullName(first, middle, last).as("full_name"),
@@ -140,10 +145,20 @@ object ScalarFns extends QueryModule {
       SELECT event_id,
              strftime(ts, '%H:%M') AS hh_mm,
              strftime(ts, '%Y-%m-%d %H:%M:%S UTC') AS utc_fmt,
-             strftime(timezone('America/Los_Angeles', ts::TIMESTAMPTZ),
+             -- timezone('UTC', ts), NOT ts::TIMESTAMPTZ: the cast
+             -- resolves in the SESSION TimeZone (an LA-localized
+             -- session makes the conversion the identity and the
+             -- offset branch constant), while timezone('UTC', ...)
+             -- pins the naive ts as UTC in any session — the same
+             -- session-TZ-dependence class r19 fixed in
+             -- ev_sliding_window (r20 review, probed under UTC/LA/
+             -- Tokyo sessions)
+             strftime(timezone('America/Los_Angeles',
+                               timezone('UTC', ts)),
                       '%Y-%m-%d %H:%M:%S ')
                || CASE WHEN (epoch(timezone('America/Los_Angeles',
-                               ts::TIMESTAMPTZ)) - epoch(ts)) / 3600 = -7
+                               timezone('UTC', ts))) - epoch(ts))
+                            / 3600 = -7
                        THEN '-0700' ELSE '-0800' END AS last_updated_fmt
       FROM events ORDER BY event_id""")
   )

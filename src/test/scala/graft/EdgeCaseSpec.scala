@@ -459,4 +459,52 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(out.columns.toSeq == Seq("vec_id", "simhash_int"))
     assert(out.count() == 2) // previously: AnalysisException on doc_id
   }
+
+  test("latent-input parity: non-integral JSON, '#'-less names, and " +
+      "an exactly-gap session survive a fixture regeneration (r20 " +
+      "review; DuckDB halves probed: TRY_CAST('1.5')=2, split[2]=NULL, " +
+      "and Spark merges the exact-gap session)") {
+    // faces run over real parquet, so the latent inputs today's
+    // fixtures lack are pinned through a synthetic mini-fixture dir —
+    // the same read path (Tables), the same face functions
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("latent_fixture").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // events: $.k integral / non-integral / scientific / absent, and
+    // one user whose two events sit EXACTLY the 2h session gap apart
+    Seq(
+      (1L, t("2024-01-01 00:00:00"), 7L, "click", 1.0, """{"k": 2}"""),
+      (2L, t("2024-01-01 02:00:00"), 7L, "view", 1.0, """{"k": 1.5}"""),
+      (3L, t("2024-01-01 05:00:00"), 8L, "view", 1.0, """{"k": "1e2"}"""),
+      (4L, t("2024-01-01 06:00:00"), 8L, "view", 1.0, """{"j": 9}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((1L, "Ada#Lovelace", 1, 0.0, "BUILDING"),
+        (2L, "Plato", 1, 0.0, "MACHINERY")) // no '#'
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    // ev_json_extract: under ANSI a bare cast of '1.5' THROWS and
+    // DuckDB's TRY_CAST rounds it to 2 — the gated cast must DROP
+    // rows 2-4 without erroring (matching the oracle's regex gate)
+    val jv = graft.queries.Events.jsonExtract.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(jv === Seq((1L, 2L)),
+      s"non-integral $$.k must drop, integral must survive: $jv")
+    // ref_full_names: getItem(1) on a '#'-less name THROWS under
+    // ANSI; try_element_at yields NULL = the oracle's split[2]
+    val fn = graft.queries.ScalarFns.fullNames.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fn(1L) === "Ada Lovelace")
+    assert(fn(2L) === "Plato", // last-name part NULL -> skipped
+      s"'#'-less name must degrade to first name only: ${fn(2L)}")
+    // ev_session_window: Spark MERGES an exactly-2h gap (probed),
+    // so user 7's two events are ONE session — the oracle's strict
+    // '>' matches; r19's '>=' would have split it
+    val sw = graft.queries.Events.sessionWindow.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(sw === Seq((7L, 2L), (8L, 2L)),
+      s"exact-gap events must merge into one session: $sw")
+  }
 }
