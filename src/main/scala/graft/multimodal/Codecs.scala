@@ -214,6 +214,11 @@ object Codecs {
           // module contract promises for corrupt fields
           require(channels >= 1, s"bad channel count $channels")
           rate = le32(b, off + 12)
+          // validate WHERE parsed: a corrupt rate (0 or negative)
+          // would otherwise surface at the data chunk as the
+          // misleading "data chunk before fmt chunk" — name the
+          // offending field instead (r20 review)
+          require(rate >= 1, s"bad sample rate $rate")
           require(le16(b, off + 22) == 16,
             s"unsupported bits/sample ${le16(b, off + 22)}")
         case "data" =>
@@ -242,28 +247,13 @@ object Codecs {
   private val PngSig =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
-  private val crcTable: Array[Int] = {
-    val t = new Array[Int](256)
-    var n = 0
-    while (n < 256) {
-      var c = n
-      var k = 0
-      while (k < 8) {
-        c = if ((c & 1) != 0) 0xedb88320 ^ (c >>> 1) else c >>> 1
-        k += 1
-      }
-      t(n) = c; n += 1
-    }
-    t
-  }
+  // PNG's CRC-32 is exactly java.util.zip.CRC32 (same polynomial,
+  // init, final xor) — use the JDK's instead of a hand-rolled table
+  // (r20 review removed ~20 duplicated lines)
   private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
-    var c = 0xffffffff
-    var i = off
-    while (i < off + len) {
-      c = crcTable((c ^ b(i)) & 0xff) ^ (c >>> 8)
-      i += 1
-    }
-    c ^ 0xffffffff
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue.toInt
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -581,6 +571,12 @@ object Codecs {
   def encodeJpegGray(width: Int, height: Int, px: (Int, Int) => Int,
                      quant: Array[Int] = JpegStdQuant): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    // SOF0 carries 16-bit dimension fields: larger dims would write
+    // mod-65536 into the header while the scan still encodes every
+    // block — corrupt output instead of the validated error this
+    // module promises (r20 review)
+    require(width <= 0xffff && height <= 0xffff,
+      s"dims ${width}x$height exceed JPEG's 16-bit SOF0 fields")
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
       "quant table must be 64 entries in 1..255")
     val out = new java.io.ByteArrayOutputStream()

@@ -50,7 +50,12 @@ object Bloom {
       catch {
         case npe: NullPointerException =>
           if (df.filter(col(keyCol).isNotNull).isEmpty)
-            org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+            // minimal capacity, NOT expectedItems: a no-member filter
+            // of any size admits nothing (zero bits set ⇒ every probe
+            // misses), so sizing it for a million keys would carry
+            // ~0.9 MB of zero bits into every gate's broadcast for
+            // identical semantics (r20 review)
+            org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
           else throw npe
       }
     val bos = new java.io.ByteArrayOutputStream()

@@ -81,19 +81,39 @@ object ConnectedComponents {
     // (possibly expensive — e.g. LSH candidate generation) upstream
     // plan once per branch. The eager checkpoint pays it a single time
     // and both union branches read the materialized blocks.
+    // NULL endpoints are not nodes — normalize BEFORE either path so
+    // both agree: an edge with one NULL endpoint contributes its
+    // non-null endpoint as a self-edge (the node IS mentioned, so the
+    // contract owes it an output row), a fully-NULL row contributes
+    // nothing. Previously the distributed loop's groupBy kept the
+    // null-src group and emitted a phantom (id = NULL, cluster) row
+    // the driver union-find could never produce — a path-dependent
+    // output the r11 "null joins match nothing" note missed (r20
+    // review). With nulls gone the driver path no longer needs a
+    // null fall-through either.
     val fwd = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src").isNotNull || col("dst").isNotNull)
+      .select(coalesce(col("src"), col("dst")).as("src"),
+        coalesce(col("dst"), col("src")).as("dst"))
       .transform(CacheScope.materialize)
     val longIds = fwd.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && driverEdgeLimit > 0 && fwd.count() <= driverEdgeLimit) {
-      val rows = fwd.collect()
-      // A NULL endpoint must not change behavior with corpus size
-      // (r11 review): the distributed loop degrades gracefully (null
-      // joins match nothing), so null edges fall through to it
-      // instead of NPE-ing on Row.getLong here.
-      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
-        val labels = unionFind(rows.map(r => (r.getLong(0), r.getLong(1))))
+    if (longIds && driverEdgeLimit > 0) {
+      // the size probe and the collect can themselves fail (fetch
+      // failure, driver memory) — release the materialized edges on
+      // that path too, not only after a successful fast-path return
+      // (r20 review: the distributed loop's finally had this
+      // discipline; the driver path ran before the try)
+      val rows =
+        try {
+          if (fwd.count() <= driverEdgeLimit) Some(fwd.collect())
+          else None
+        } catch {
+          case t: Throwable => releaseCheckpoint(fwd); throw t
+        }
+      rows.foreach { rs =>
+        val labels = unionFind(rs.map(r => (r.getLong(0), r.getLong(1))))
         val spark = edges.sparkSession
         import spark.implicits._
         val out = labels.toSeq.sortBy(_._1).toDF("id", "cluster")

@@ -60,15 +60,27 @@ object LinkGraph {
     // caller feeding raw rows, share one semantics. Callers built on
     // groupBy output (every catalog face) dedup nothing.
     val nodeSet = nodes.select(col("domain")).dropDuplicates("domain")
+    // Failure-path cache hygiene (r20 review, the minLabel finally
+    // discipline): every frame pinned below registers here; a Spark
+    // failure anywhere — the size probes, a round's dangling-mass
+    // collect, the final eval — releases them all instead of leaking
+    // persists + checkpoint blocks into the long-lived session.
+    // Success paths release precisely (eval / the driver path's
+    // explicit releases) and set `ok`; the finally re-release of an
+    // already-released frame is an idempotent no-op.
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pinned += df; df }
+    var ok = false
+    try {
     val (edgesIn, nodesIn): (DataFrame, DataFrame) =
       if (driverEdgeLimit <= 0) (edges, nodeSet)
       else {
         // Materialize both lineages once: the count probe and either
         // path's reads all hit the checkpointed blocks, never the
         // caller's (possibly expensive) upstream plan twice.
-        val edgesM = edges.select(col("src"), col("dst"))
-          .transform(CacheScope.materialize)
-        val nodesM = nodeSet.transform(CacheScope.materialize)
+        val edgesM = pin(edges.select(col("src"), col("dst"))
+          .transform(CacheScope.materialize))
+        val nodesM = pin(nodeSet.transform(CacheScope.materialize))
         // the local replay is typed for the string domain graphs the
         // catalog faces feed, and a HashMap cannot reproduce SQL's
         // null-key join semantics (null src/dst edges silently drop
@@ -93,13 +105,14 @@ object LinkGraph {
             rounds, scale, redistribute, nodes.sparkSession)
           CacheScope.releaseCheckpoint(edgesM)
           CacheScope.releaseCheckpoint(nodesM)
+          ok = true
           return out
         }
         (edgesM, nodesM) // distributed loop reads the blocks; released
                          // with the other caches in the final eval
       }
     val deg = edgesIn.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edgesIn.join(deg, "src").persist()
+    val edgesDeg = pin(edgesIn.join(deg, "src").persist())
     // dangling-ness is static: fold it into the node table ONCE (like
     // the out-degree fold into the edge table), so the per-round
     // dangling mass is a 1-row aggregate over the carried flag — no
@@ -113,7 +126,7 @@ object LinkGraph {
           lit(true).as("has_out")), Seq("domain"), "left")
         .select(col("domain"),
           coalesce(col("has_out"), lit(false)).as("has_out"))
-      ).persist()
+      ).transform(d => pin(d.persist()))
     // static across rounds; only read when redistributing
     lazy val nNodes = math.max(1L, nodesP.count())
     val floor = 15L * scale / 100
@@ -142,7 +155,7 @@ object LinkGraph {
       val share: Long =
         if (!redistribute) 0L
         else {
-          ranks = ranks.persist()
+          ranks = pin(ranks.persist())
           val dMass = ranks
             .agg(coalesce(sum(when(!col("has_out"), col("rank"))),
               lit(0L)))
@@ -166,7 +179,15 @@ object LinkGraph {
       .orderBy(col("rank_scaled").desc, col("domain"))
     val release = Seq(edgesDeg, nodesP) ++ Option(prevRanks) ++
       (if (edgesIn ne edges) Seq(edgesIn, nodesIn) else Seq.empty)
-    CacheScope.eval(result)(release: _*)
+    val out = CacheScope.eval(result)(release: _*)
+    ok = true
+    out
+    } finally {
+      if (!ok) pinned.foreach { d =>
+        d.unpersist(blocking = false)
+        CacheScope.releaseCheckpoint(d)
+      }
+    }
   }
 
   /** Local replay of the identical integer recurrence — bit-for-bit

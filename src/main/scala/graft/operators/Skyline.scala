@@ -45,7 +45,14 @@ object Skyline {
     *                            give max = y and survive together). */
   private def pass(df: DataFrame, xCol: String, yCol: String,
                    parts: Seq[Column]): DataFrame = {
-    val byX = Window.partitionBy(parts: _*).orderBy(col(xCol))
+    // order by x as DECIMAL(20,0), not the raw integral column: the
+    // RANGE -1 frame bound evaluates x−1 PER ROW, which at
+    // x = Long.MinValue overflows — ARITHMETIC_OVERFLOW under Spark
+    // 4's ANSI default on a perfectly legal input (r20 review).
+    // decimal(20,0) holds every long with room below MinValue, and
+    // the cast is order-preserving, so the frames are unchanged.
+    val byX = Window.partitionBy(parts: _*)
+      .orderBy(col(xCol).cast("decimal(20,0)"))
     val wLower = byX.rangeBetween(Window.unboundedPreceding, -1)
     val wLe = byX.rangeBetween(Window.unboundedPreceding, 0)
     df.withColumn("__max_y_cheaper", max(col(yCol)).over(wLower))
@@ -77,6 +84,14 @@ object Skyline {
       s"skyline2d: $xCol must be integral (got $xt) — the RANGE -1 " +
         "frame is only a strict bound on whole numbers; quantize " +
         "first (e.g. cents)")
+    // the scratch columns silently OVERWRITE same-name caller columns
+    // (withColumn replaces) and the trailing drop would then delete
+    // the caller's data — refuse loudly instead, the
+    // ZOrder.writeZOrdered __zkey discipline (r20 review)
+    for (c <- Seq("__bucket", "__max_y_cheaper", "__max_y_le"))
+      require(!df.columns.contains(c),
+        s"skyline2d: input must not carry a column named $c — it is " +
+          "used as an internal scratch column and would be destroyed")
     // NULL-coordinate rows ride OUTSIDE the staircase: under SQL
     // three-valued logic a NULL x or y can neither dominate (its
     // comparisons are NULL) nor be dominated (the oracle's NOT EXISTS

@@ -52,6 +52,27 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
     assert(got.keySet == Set(4L, 5L, 6L, 9L))
   }
 
+  test("NULL endpoints are not nodes: half-null edges keep their " +
+      "non-null endpoint, fully-null rows vanish, and both paths " +
+      "agree — no phantom (id=NULL) row (r20 review)") {
+    // previously the distributed loop's groupBy kept the null-src
+    // group and emitted (NULL, cluster), which the driver union-find
+    // could never produce — a path-dependent output
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (3L, null), (null, 7L), (null, null))
+      .toDF("a", "b")
+    def labels(limit: Long) = ConnectedComponents
+      .minLabel(df, "a", "b", driverEdgeLimit = limit)
+      .collect().map { r =>
+        assert(!r.isNullAt(0) && !r.isNullAt(1),
+          s"phantom null row in output: $r")
+        r.getLong(0) -> r.getLong(1)
+      }.toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 7L -> 7L)
+    assert(labels(1L << 20) == want, "driver path")
+    assert(labels(0L) == want, "distributed path")
+  }
+
   test("random graphs: both paths match a BFS ground truth") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 3) {

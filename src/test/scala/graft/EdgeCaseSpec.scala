@@ -161,6 +161,13 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     val gated = weird.select(xxhash64(col("text")).as("g"))
       .filter(graft.operators.Bloom.gateLong(spark, bits, col("g")))
     assert(gated.count() == 0, "empty filter admits nothing")
+    // and it must be SMALL: a no-member filter of any capacity admits
+    // nothing, so the fallback sizes for 1 item, not expectedItems —
+    // the old full-size fallback carried ~0.9 MB of zero bits into
+    // every gate broadcast (r20 review)
+    assert(bits.length < 1024,
+      s"empty-key fallback filter is ${bits.length} bytes — " +
+        "should be minimal capacity, not expectedItems-sized")
     // all-NULL key set (e.g. xxhash64 over all-NULL text): the same
     // legal degenerate as zero rows — the aggregate skips NULLs, so
     // the recovery must probe the KEY set's emptiness, not the

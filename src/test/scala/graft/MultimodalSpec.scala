@@ -114,6 +114,19 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     // Right — the per-row routing a 100 TB corpus scrubber needs
     assert(Codecs.tryDecode(Codecs.decodeBmp(evil)).isLeft)
     assert(Codecs.tryDecode(Codecs.decodeBmp(bmp)).isRight)
+    // a corrupt sample rate must be named AT the fmt field, not
+    // surface later as the misleading "data chunk before fmt chunk"
+    // (r20 review): zero the rate bytes inside the fmt chunk
+    val badRate = wav.clone()
+    badRate(24) = 0; badRate(25) = 0; badRate(26) = 0; badRate(27) = 0
+    val re = intercept[IllegalArgumentException](
+      Codecs.decodeWavPcm16(badRate))
+    assert(re.getMessage.contains("sample rate"), re.getMessage)
+    // SOF0 dimensions are 16-bit: beyond-65535 dims must be a
+    // validated refusal, not a silently mod-65536 header (r20 review)
+    val je = intercept[IllegalArgumentException](
+      Codecs.encodeJpegGray(65537, 8, (_, _) => 0))
+    assert(je.getMessage.contains("16-bit"), je.getMessage)
   }
 
   test("Codecs: JPEG block-constant images round-trip EXACTLY at quant 1") {

@@ -421,6 +421,29 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("skyline2d is total at Long.MinValue x (the RANGE -1 frame " +
+      "bound must not overflow) and refuses scratch-column collisions") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // x = MinValue rows, including an exact (x, y) duplicate pair that
+    // must survive together: the frame bound x-1 overflows a raw long
+    // under ANSI (throw) — the decimal(20,0) order column absorbs it
+    val df = Seq(
+      (1L, Long.MinValue, 5L), (2L, Long.MinValue, 5L),
+      (3L, Long.MinValue, 9L), (4L, 0L, 9L), (5L, 10L, 20L))
+      .toDF("id", "x", "y")
+    val got = graft.operators.Skyline
+      .skyline2d(df, "x", "y", bucket = pmod(col("id"), lit(3)))
+      .select("id").as[Long].collect().toSet
+    // 3 dominates 1/2 (same x, larger y); 4 is dominated by nothing
+    // with smaller-or-equal x and larger y except... 3 has smaller x
+    // and equal y=9 -> dominates 4; 5 survives (largest y)
+    assert(got == Set(3L, 5L), s"skyline at MinValue x: $got")
+    intercept[IllegalArgumentException] {
+      graft.operators.Skyline.skyline2d(
+        df.withColumn("__bucket", lit(1)), "x", "y", lit(1))
+    }
+  }
+
   test("skyline2d equals brute-force dominance on tie-heavy random data") {
     // coordinates in 0..6 so x-ties, y-ties and exact (x, y)
     // duplicates are all dense — the RANGE-frame strictness and the
