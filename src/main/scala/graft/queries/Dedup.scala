@@ -255,8 +255,17 @@ object Dedup extends QueryModule {
       // fingerprinting once per join side
       val cand = TextDedup.lshCandidates(docs, numPerms = 8, nBands = 2)
         .select("doc_a", "doc_b")
+      // edit distance over the ASCII projection of the prefix: Spark's
+      // levenshtein counts CODEPOINTS while DuckDB's counts BYTES
+      // (probed: levenshtein('é','e') = 2 there), so any multibyte
+      // character in a prefix would diverge the dist column and flip
+      // row membership at the cap. Stripping non-ASCII BEFORE the DP
+      // makes byte = codepoint in both engines — a cross-engine-stable
+      // spelling, and a fine one for a near-dup verify heuristic
+      // (r20 review).
       val pre = docs.select(col("doc_id"),
-        substring(col("text"), 1, 120).as("prefix"))
+        regexp_replace(substring(col("text"), 1, 120),
+          "[^\\x00-\\x7F]", "").as("prefix"))
       graft.operators.CacheScope.eval(cand
         .join(pre.select(col("doc_id").as("doc_a"),
           col("prefix").as("pa")), "doc_a")
@@ -269,7 +278,9 @@ object Dedup extends QueryModule {
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
-      pre AS (SELECT doc_id, substr(text, 1, 120) AS prefix
+      pre AS (SELECT doc_id,
+                     regexp_replace(substr(text, 1, 120),
+                                    '[^\\x00-\\x7F]', '', 'g') AS prefix
               FROM documents)
       SELECT c.doc_a, c.doc_b,
              levenshtein(a.prefix, b.prefix) AS dist
@@ -744,7 +755,10 @@ object Dedup extends QueryModule {
                AS n_dup_docs,
              CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                / count(*) AS dup_rate
-      FROM h GROUP BY 1 ORDER BY 1""")
+      -- NULLS FIRST: Spark's ASC sort default; a NULL source row
+      -- would otherwise order last here and flip the row-order hash
+      -- (r20 review)
+      FROM h GROUP BY 1 ORDER BY 1 NULLS FIRST""")
   )
 
   /** Corpus-level duplicate n-gram rate per source — the memorization-
@@ -801,7 +815,7 @@ object Dedup extends QueryModule {
              CAST(count(*) AS BIGINT) AS n_distinct_grams,
              CAST(sum(CASE WHEN n_total > 1 THEN c ELSE 0 END) AS DOUBLE)
                / sum(c) AS dup_rate
-      FROM w GROUP BY 1 ORDER BY 1""")
+      FROM w GROUP BY 1 ORDER BY 1 NULLS FIRST""")
   )
 
   /** Maximal repeated-span report per document — the exact-substring

@@ -224,7 +224,12 @@ object TextAnalysis extends QueryModule {
       SELECT doc_id, source, score,
              percent_rank() OVER w AS src_pct,
              ntile(10) OVER w AS src_decile
-      FROM sc WINDOW w AS (PARTITION BY source ORDER BY score, doc_id)
+      FROM sc
+      -- NULLS FIRST: a NULL score (NULL-text doc) ranks FIRST under
+      -- Spark's ASC default but LAST under DuckDB's, shifting every
+      -- real row's percent_rank/ntile in that source (r20 review)
+      WINDOW w AS (PARTITION BY source
+                   ORDER BY score NULLS FIRST, doc_id)
       ORDER BY doc_id""")
   )
 
@@ -577,8 +582,14 @@ object TextAnalysis extends QueryModule {
   val chunk: Q = Q(
     "ta_chunk",
     (s, dir) =>
+      // NULL ≡ empty in both engines: an un-coalesced NULL list walks
+      // DIFFERENT degenerate paths per engine (Spark's greatest skips
+      // the NULL size and still emits chunk 0 with md5(''); DuckDB's
+      // range(NULL) drops the doc) — coalescing the input makes both
+      // chunk the same [''] token list (r20 review)
       docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("__l"))
+        .select(col("doc_id"),
+          split(coalesce(col("text"), lit("")), " ").as("__l"))
         .select(col("doc_id"), col("__l"),
           explode(expr(
             "sequence(0, (greatest(size(__l) - 32, 0) + 23) div 24)"))
@@ -593,7 +604,8 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id", "chunk_id"),
     Some("""
       WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+        FROM documents),
       c AS (
         SELECT doc_id,
                unnest(range(0, ((greatest(len(l) - 32, 0) + 23) // 24) + 1))
@@ -720,8 +732,13 @@ object TextAnalysis extends QueryModule {
       // a quote or backslash must stay data, never become syntax, and an
       // empty corpus must still yield a typed array<string> literal
       val vocab = typedLit(top5)
+      // NULL text ≡ empty text IN BOTH ENGINES: without the coalesce,
+      // Spark's concat_ws silently rewrites the NULL token array to ''
+      // while DuckDB's array_to_string stays NULL — a ''-vs-NULL
+      // divergence in the materialized column (r20 review). Coalescing
+      // the INPUT makes both engines walk the same [''] token list.
       docs(s, dir)
-        .withColumn("toks", split(col("text"), " "))
+        .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
         .withColumn("clean",
           filter(col("toks"), t => !array_contains(vocab, t)))
         .select(col("doc_id"),
@@ -739,8 +756,8 @@ object TextAnalysis extends QueryModule {
         SELECT list(token) AS sw FROM (
           SELECT token FROM freq ORDER BY freq DESC, token ASC LIMIT 5)),
       stripped AS (
-        SELECT doc_id, string_split(text, ' ') AS toks,
-               list_filter(string_split(text, ' '),
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+               list_filter(string_split(coalesce(text, ''), ' '),
                  t -> NOT list_contains(sw, t)) AS clean
         FROM documents, top5)
       SELECT doc_id, array_to_string(clean, ' ') AS clean_text,
@@ -858,7 +875,7 @@ object TextAnalysis extends QueryModule {
               FROM documents)
         GROUP BY lang, token)
       WHERE rank <= 3
-      ORDER BY lang, rank""")
+      ORDER BY lang NULLS FIRST, rank""")
   )
 
   /** Shard assignment MATERIALIZATION — pack documents into
@@ -896,7 +913,7 @@ object TextAnalysis extends QueryModule {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                  ROWS UNBOUNDED PRECEDING) AS cum
         FROM documents)
-      ORDER BY source, shard, doc_id""")
+      ORDER BY source NULLS FIRST, shard NULLS FIRST, doc_id""")
   )
 
   /** [[shardAssign]] re-based on REAL tokenizer budgets (r10 verdict
@@ -937,7 +954,7 @@ object TextAnalysis extends QueryModule {
                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
                  ROWS UNBOUNDED PRECEDING) AS cum
         FROM documents d JOIN bpe_n b USING (doc_id))
-      ORDER BY source, shard, doc_id""")
+      ORDER BY source NULLS FIRST, shard NULLS FIRST, doc_id""")
   )
 
   /** [[chunk]] re-based on REAL tokenizer windows — 32-BPE-token
@@ -1091,7 +1108,9 @@ object TextAnalysis extends QueryModule {
         .groupBy("lang")
         .agg(sum("nw").as("n_words"), sum("nb").as("n_bpe_tokens"))
         .withColumn("fertility_millis",
-          expr("(n_bpe_tokens * 1000) div n_words"))
+          // nullif: the unimaxMix ANSI-div rationale — a zero-word
+          // language must read NULL, not kill the query (r20 review)
+          expr("(n_bpe_tokens * 1000) div nullif(n_words, 0)"))
         .orderBy("lang")
     },
     Some(s"""
@@ -1103,20 +1122,26 @@ object TextAnalysis extends QueryModule {
       SELECT d.lang,
              CAST(sum(coalesce(w.nw, 0)) AS BIGINT) AS n_words,
              CAST(sum(b.n_bpe) AS BIGINT) AS n_bpe_tokens,
-             CAST(sum(b.n_bpe) * 1000 // sum(coalesce(w.nw, 0))
+             CAST(sum(b.n_bpe) * 1000
+                    // nullif(sum(coalesce(w.nw, 0)), 0)
                AS BIGINT) AS fertility_millis
       FROM documents d
       JOIN bpe_n b USING (doc_id)
       LEFT JOIN wc w USING (doc_id)
-      GROUP BY 1 ORDER BY 1""")
+      GROUP BY 1 ORDER BY 1 NULLS FIRST""")
   )
 
   val bpeChunk: Q = Q(
     "ta_bpe_chunk",
     (s, dir) => {
       graft.GraftExtensions.ensure(s)
+      // coalesce: the oracle's docseq CTE coalesces a NULL-text doc's
+      // token list to [], so the Spark side must hand bpe_tokens ''
+      // (→ []) rather than NULL (→ NULL list, NULL n_tokens) — the
+      // NULL-vs-0 divergence on chunk 0 (r20 review)
       docs(s, dir)
-        .select(col("doc_id"), expr("bpe_tokens(text)").as("__l"))
+        .select(col("doc_id"),
+          expr("bpe_tokens(coalesce(text, ''))").as("__l"))
         .select(col("doc_id"), col("__l"),
           explode(expr(
             "sequence(0, (greatest(size(__l) - 32, 0) + 23) div 24)"))
@@ -1200,14 +1225,19 @@ object TextAnalysis extends QueryModule {
         FROM documents GROUP BY 1, 2),
       cum AS (
         SELECT lang, n_tokens,
-               sum(c) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+               -- NULLS FIRST: a NULL-length bucket (NULL-text docs)
+               -- cumulates FIRST under Spark's ASC default but LAST
+               -- here, shifting cum and therefore every quantile of
+               -- that language (r20 review)
+               sum(c) OVER (PARTITION BY lang
+                            ORDER BY n_tokens NULLS FIRST) AS cum,
                sum(c) OVER (PARTITION BY lang) AS n
         FROM hist)
       SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
              min(CASE WHEN cum >= ceil(0.5 * n)  THEN n_tokens END) AS p50,
              min(CASE WHEN cum >= ceil(0.9 * n)  THEN n_tokens END) AS p90,
              min(CASE WHEN cum >= ceil(0.99 * n) THEN n_tokens END) AS p99
-      FROM cum GROUP BY lang ORDER BY lang""")
+      FROM cum GROUP BY lang ORDER BY lang NULLS FIRST""")
   )
 
   // PII regexes + scrub live in operators.Pii — ONE definition shared
@@ -1423,8 +1453,10 @@ object TextAnalysis extends QueryModule {
   val collapseRepeats: Q = Q(
     "ta_collapse_repeats",
     (s, dir) =>
+      // NULL ≡ empty in both engines — the stopwordStrip coalesce
+      // rationale (r20 review)
       docs(s, dir)
-        .withColumn("toks", split(col("text"), " "))
+        .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
         .withColumn("clean", expr(
           "filter(toks, (t, i) -> i = 0 OR t != element_at(toks, i))"))
         .select(col("doc_id"),
@@ -1433,7 +1465,8 @@ object TextAnalysis extends QueryModule {
           (size(col("toks")) - size(col("clean"))).as("n_collapsed"))
         .orderBy("doc_id"),
     Some("""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      WITH t AS (SELECT doc_id,
+                        string_split(coalesce(text, ''), ' ') AS toks
                  FROM documents),
       c AS (
         SELECT doc_id, toks,
@@ -2033,7 +2066,10 @@ object TextAnalysis extends QueryModule {
           col("c").as("n_tokens"), col("cap").as("capacity"),
           col("budget"),
           when(col("capped"), 1L).otherwise(0L).as("at_cap"),
-          expr("(1000 * budget) div c").as("epochs_milli"))
+          // nullif: Spark's ANSI div THROWS on a zero token count
+          // (an all-empty-text language) where DuckDB's // yields
+          // NULL — NULL-on-zero in both engines (r20 review)
+          expr("(1000 * budget) div nullif(c, 0)").as("epochs_milli"))
         .orderBy("lang")
     },
     Some(s"""
@@ -2042,8 +2078,8 @@ object TextAnalysis extends QueryModule {
              $unimaxBudgetSql AS budget,
              CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT)
                AS at_cap,
-             (1000 * $unimaxBudgetSql) // c AS epochs_milli
-      FROM al ORDER BY lang""")
+             (1000 * $unimaxBudgetSql) // nullif(c, 0) AS epochs_milli
+      FROM al ORDER BY lang NULLS FIRST""")
   )
 
   /** MIX-TO-SCHEDULE (r12) — the consumption ORDER that realizes the

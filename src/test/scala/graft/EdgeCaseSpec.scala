@@ -514,4 +514,54 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(sw === Seq((7L, 2L), (8L, 2L)),
       s"exact-gap events must merge into one session: $sw")
   }
+
+  test("latent-input parity: NULL-text and zero-token documents run " +
+      "the text faces without ANSI throws and on the NULL≡empty " +
+      "convention (r20 dedup/text dialect audit)") {
+    // the dd/ta faces' DuckDB twins were audited for exactly these
+    // inputs (div-by-zero -> NULL, coalesced token lists, NULLS FIRST
+    // sorts); this pins the Spark halves end-to-end over the real
+    // Tables read path
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("latent_docs").toString
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "web", 22L),
+      (2L, null.asInstanceOf[String], "xx", "web", 0L), // NULL text
+      (3L, "", "xx", "books", 0L)) // empty text -> zero tokens
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    import graft.queries.TextAnalysis
+    // chunk faces: the NULL-text doc chunks the [''] list — one chunk,
+    // never a dropped doc or a NULL n_tokens
+    val ch = TextAnalysis.chunk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ch.count(_._1 == 2L) === 1 && ch.exists(_ == ((2L, 0L, 1L))),
+      s"NULL-text doc must yield exactly one ['']-chunk: $ch")
+    val bc = TextAnalysis.bpeChunk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(bc.filter(_._1 == 2L) === Seq((2L, 0L)),
+      s"NULL-text doc must yield one empty BPE chunk with n_tokens 0: $bc")
+    // materialization faces: clean_text '' on both engines, no NULL
+    for ((name, df) <- Seq(
+        "collapse" -> TextAnalysis.collapseRepeats.fn(spark, dir),
+        "stopword" -> TextAnalysis.stopwordStrip.fn(spark, dir))) {
+      val row2 = df.filter(col("doc_id") === 2L).collect()(0)
+      assert(row2.getString(1) == "",
+        s"$name: NULL text must materialize as '' (NULL≡empty)")
+    }
+    // zero-token languages: ANSI div must yield NULL, not throw
+    val um = TextAnalysis.unimaxMix.fn(spark, dir)
+      .filter(col("lang") === "xx").collect()
+    assert(um.nonEmpty && um.forall(_.isNullAt(6)),
+      "unimax epochs_milli must be NULL for a zero-token language")
+    val bf = TextAnalysis.bpeFertility.fn(spark, dir)
+      .filter(col("lang") === "xx").collect()
+    assert(bf.nonEmpty && bf.forall(_.isNullAt(3)),
+      "bpe fertility_millis must be NULL for a zero-word language")
+    // rank-window faces with a NULL score path stay total
+    assert(TextAnalysis.qualityCalibrate.fn(spark, dir).count() === 3)
+    assert(TextAnalysis.lengthQuantiles.fn(spark, dir).count() === 2)
+  }
 }
