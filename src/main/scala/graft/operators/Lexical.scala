@@ -1094,10 +1094,22 @@ object Lexical {
         .withColumn("dl", coalesce(col("dl"), col("__dls")))
         .filter(col("dl").isNotNull).drop("__dls")
     }
+    // ONE exchange for the whole scoring tail (r20, the bm25_probe
+    // datapath ask): hash-partitioning the hits by q_id alone
+    // satisfies BOTH the (q_id, doc_id) aggregation's clustered
+    // distribution (a subset partitioning co-locates every pair) and
+    // the top-k window's q_id distribution, so the plan carries one
+    // exchange where groupBy-then-window paid two back to back. The
+    // trade is map-side combine on the first shuffle — hits carry a
+    // handful of term contributions per (q, doc) pair, a small
+    // combine factor against a whole exchange of the scored rows.
+    // Per-query skew is unchanged: the window already serializes
+    // each q_id's rows through one partition regardless.
     val scored = withDl
       .withColumn("contrib", expr(
         s"(idf_b * 22000 * tf * ${avgdlM}L) div " +
           s"(10 * ${avgdlM}L * tf + 3 * ${avgdlM}L + 9000 * dl)"))
+      .repartition(col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg(sum("contrib").as("score_milli"),
         count(lit(1)).as("n_terms"))
