@@ -100,25 +100,29 @@ object ConnectedComponents {
     val longIds = fwd.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longIds && driverEdgeLimit > 0) {
-      // the size probe and the collect can themselves fail (fetch
-      // failure, driver memory) — release the materialized edges on
-      // that path too, not only after a successful fast-path return
-      // (r20 review: the distributed loop's finally had this
-      // discipline; the driver path ran before the try)
-      val rows =
-        try {
-          if (fwd.count() <= driverEdgeLimit) Some(fwd.collect())
-          else None
-        } catch {
-          case t: Throwable => releaseCheckpoint(fwd); throw t
+      // the WHOLE driver path — size probe, collect, union-find, and
+      // the result build — releases the materialized edges on any
+      // failure, not only after a successful return (r20 review: the
+      // distributed loop's finally had this discipline; the driver
+      // path ran before the try, and driver-memory pressure near the
+      // edge limit can throw in any of these steps)
+      var fastOk = false
+      try {
+        if (fwd.count() <= driverEdgeLimit) {
+          val rs = fwd.collect()
+          val labels =
+            unionFind(rs.map(r => (r.getLong(0), r.getLong(1))))
+          val spark = edges.sparkSession
+          import spark.implicits._
+          val out = labels.toSeq.sortBy(_._1).toDF("id", "cluster")
+          releaseCheckpoint(fwd)
+          fastOk = true
+          return out
         }
-      rows.foreach { rs =>
-        val labels = unionFind(rs.map(r => (r.getLong(0), r.getLong(1))))
-        val spark = edges.sparkSession
-        import spark.implicits._
-        val out = labels.toSeq.sortBy(_._1).toDF("id", "cluster")
-        releaseCheckpoint(fwd)
-        return out
+        fastOk = true // fell through to the distributed loop: fwd
+                      // stays pinned for it, released in ITS finally
+      } finally {
+        if (!fastOk) releaseCheckpoint(fwd)
       }
     }
     // No distinct() on the mirrored edge set: the per-round min-

@@ -1099,12 +1099,18 @@ object Lexical {
     // satisfies BOTH the (q_id, doc_id) aggregation's clustered
     // distribution (a subset partitioning co-locates every pair) and
     // the top-k window's q_id distribution, so the plan carries one
-    // exchange where groupBy-then-window paid two back to back. The
-    // trade is map-side combine on the first shuffle — hits carry a
-    // handful of term contributions per (q, doc) pair, a small
-    // combine factor against a whole exchange of the scored rows.
-    // Per-query skew is unchanged: the window already serializes
-    // each q_id's rows through one partition regardless.
+    // exchange where groupBy-then-window paid two back to back.
+    // The trade, stated honestly: the per-query serial set GROWS
+    // from the post-aggregation (q, doc) rows (which the window
+    // always serialized through one task) to the raw term-level
+    // hits, i.e. by the per-pair term multiplicity, and the first
+    // shuffle loses its map-side combine by the same factor. Both
+    // are bounded: the df-cap prune caps every surviving term's
+    // posting list at nDocs/dfCapDen, and a query shares only a few
+    // pruned terms with any one doc. For a BATCH of queries (the
+    // serving shape this probe exists for) the exchange saved
+    // dominates; a single-query probe pays a somewhat longer
+    // one-task tail it already had in kind at the window.
     val scored = withDl
       .withColumn("contrib", expr(
         s"(idf_b * 22000 * tf * ${avgdlM}L) div " +

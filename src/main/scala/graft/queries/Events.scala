@@ -78,21 +78,31 @@ object Events extends QueryModule {
           // DuckDB's TRY_CAST of the same string ROUNDS to 2 — two
           // different wrong answers. Casting only what ^-?\d+$
           // admits makes "non-integral $.k drops the row" true in
-          // both engines instead of in neither (r20 review, probed)
+          // both engines instead of in neither (r20 review, probed).
+          // try_cast INSIDE the gate: an integral literal BEYOND Long
+          // range ('9…9' ×20) passes the regex, and a plain cast
+          // would overflow-throw in both engines — with the gate
+          // already excluding the values TRY_CAST mis-rounds, the
+          // try form is parity-safe and keeps over-range drops
           when(get_json_object(col("props"), "$.k").rlike("^-?\\d+$"),
-            get_json_object(col("props"), "$.k").cast("long"))
+            expr("try_cast(get_json_object(props, '$.k') AS long)"))
             .as("k_val"))
         .filter(col("k_val").isNotNull)
         .orderBy("event_id"),
     Some("""
       SELECT event_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               AS k_val
       FROM events
-      -- same integer-literal gate as the Spark face: TRY_CAST would
-      -- keep a non-integral $.k by rounding it ('1.5' -> 2) while
-      -- Spark's gated cast drops it (r20 review)
+      -- same integer-literal gate as the Spark face: a bare TRY_CAST
+      -- would keep a non-integral $.k by rounding it ('1.5' -> 2),
+      -- but behind the regex gate it only sees integral literals —
+      -- where it exists to turn an over-Long-range literal into a
+      -- dropped row instead of a query-killing overflow (r20 review)
       WHERE regexp_matches(json_extract_string(props, '$.k'),
               '^-?\d+$')
+        AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT NULL
       ORDER BY event_id""")
   )
 

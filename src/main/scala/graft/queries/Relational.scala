@@ -758,6 +758,11 @@ object Relational extends QueryModule {
     "rel_copurchase",
     (s, dir) =>
       t(s, dir, "lineitem")
+        // NULL order keys are not baskets: Spark's groupBy would form
+        // a real basket for the NULL group (and count it toward every
+        // pair's support) while the oracle's equi-joins drop those
+        // rows — filter them in BOTH engines (r20 review)
+        .filter(col("l_orderkey").isNotNull)
         .groupBy("l_orderkey")
         .agg(collect_set(col("l_partkey")).as("basket"))
         .filter(size(col("basket")) <= CopurchaseMaxBasket)
@@ -773,8 +778,10 @@ object Relational extends QueryModule {
                  -- NULL part rows must not count toward the basket
                  -- cap: Spark's collect_set EXCLUDES NULLs, so a
                  -- 32-part basket plus one NULL row passes the cap
-                 -- there but would read 33 here (r20 review)
-                 WHERE l_partkey IS NOT NULL),
+                 -- there but would read 33 here (r20 review); NULL
+                 -- order keys mirror the Spark-side filter
+                 WHERE l_partkey IS NOT NULL
+                   AND l_orderkey IS NOT NULL),
            ok AS (SELECT l_orderkey FROM b GROUP BY 1
                   HAVING count(*) <= $CopurchaseMaxBasket)
       SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
@@ -819,6 +826,8 @@ object Relational extends QueryModule {
     "rel_copurchase_triangles",
     (s, dir) => {
       val und = t(s, dir, "lineitem")
+        // same NULL-order-key exclusion as rel_copurchase
+        .filter(col("l_orderkey").isNotNull)
         .groupBy("l_orderkey")
         .agg(collect_set(col("l_partkey")).as("basket"))
         .filter(size(col("basket")) <= CopurchaseMaxBasket)
@@ -837,8 +846,10 @@ object Relational extends QueryModule {
     Some(s"""
       WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
                   -- same NULL-exclusion as rel_copurchase's basket
-                  -- CTE: collect_set drops NULLs on the Spark side
-                  WHERE l_partkey IS NOT NULL),
+                  -- CTE: collect_set drops NULLs on the Spark side,
+                  -- and NULL order keys are not baskets
+                  WHERE l_partkey IS NOT NULL
+                    AND l_orderkey IS NOT NULL),
       bok AS (SELECT l_orderkey FROM bk GROUP BY 1
               HAVING count(*) <= $CopurchaseMaxBasket),
       und AS (

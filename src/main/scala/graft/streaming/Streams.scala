@@ -1510,18 +1510,33 @@ object Streams {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
-    if (fs.exists(p)) readIt()
+    // WRITE-TEMP-THEN-RENAME, never create-in-place: a reader racing
+    // a direct create could observe the stamp file EMPTY (created,
+    // bytes unflushed) and key its manifest rows under lineage "" —
+    // re-opening the silent-skip collision this stamp exists to
+    // close; a crash between create and write would even leave the
+    // empty stamp permanently (r20 review). The rename is atomic on
+    // local/HDFS; a lost rename race means the winner's stamp is THE
+    // lineage id. An empty read is always a hard error, never a key.
+    def nonEmpty(s: String): String = {
+      if (s.isEmpty) throw new IllegalStateException(
+        s"empty lineage stamp at $p — checkpoint dir corrupted; " +
+          "remove the file (or wipe the checkpoint) and restart")
+      s
+    }
+    if (fs.exists(p)) nonEmpty(readIt())
     else {
       fs.mkdirs(p.getParent)
       val id = java.util.UUID.randomUUID().toString
-      try {
-        val out = fs.create(p, false)
-        try out.write(id.getBytes("UTF-8")) finally out.close()
-        id
-      } catch {
-        // lost a create race (two starts on one new checkpoint):
-        // the winner's stamp is THE lineage id
-        case _: java.io.IOException => readIt()
+      val tmp = new org.apache.hadoop.fs.Path(
+        checkpoint, s"graft_lineage.tmp.$id")
+      val out = fs.create(tmp, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, p)) id
+      else {
+        // lost the rename race (two starts on one new checkpoint)
+        fs.delete(tmp, false)
+        nonEmpty(readIt())
       }
     }
   }
