@@ -76,17 +76,29 @@ object Events extends QueryModule {
           // gate the cast on a strict integer-literal match: under
           // Spark 4's ANSI default a bare cast of '1.5' THROWS, and
           // DuckDB's TRY_CAST of the same string ROUNDS to 2 — two
-          // different wrong answers. Casting only what ^-?\d+$
-          // admits makes "non-integral $.k drops the row" true in
-          // both engines instead of in neither (r20 review, probed).
-          // try_cast INSIDE the gate: an integral literal BEYOND Long
-          // range ('9…9' ×20) passes the regex, and a plain cast
-          // would overflow-throw in both engines — with the gate
-          // already excluding the values TRY_CAST mis-rounds, the
-          // try form is parity-safe and keeps over-range drops
-          when(get_json_object(col("props"), "$.k").rlike("^-?\\d+$"),
-            expr("try_cast(get_json_object(props, '$.k') AS long)"))
-            .as("k_val"))
+          // different wrong answers. Only what ^-?\d+$ admits is cast,
+          // so "non-integral $.k drops the row" holds in both engines
+          // instead of in neither (r20 review, probed). try_cast, not
+          // cast: an integral literal BEYOND Long range passes the
+          // regex, and a plain cast would overflow-throw in both
+          // engines — the try form turns it into a dropped row.
+          // Gate and cast FUSED through regexp_extract (r20 bench —
+          // the when(rlike, try_cast) spelling evaluated
+          // get_json_object twice per site, and the pushed-down
+          // NOT-NULL filter duplicated both, so every kept row paid
+          // FOUR JSON parses; the face read 2.4 s vs its 1.17 s
+          // floor): a non-match extracts '' and an over-range literal
+          // survives extraction, and try_cast maps both to NULL —
+          // exactly the when-form's row set, one parse per site.
+          // explode(array(·)) is a single-row generator wrapped
+          // around the value so the NOT-NULL filter CANNOT be
+          // alias-substituted below it (predicates never push through
+          // a Generate on its output): the JSON parse runs exactly
+          // once per input row instead of once in the pushed filter
+          // plus once in the project.
+          explode(array(
+            expr("try_cast(regexp_extract(get_json_object(props, '$.k')," +
+              " '^(-?\\\\d+)$', 1) AS long)"))).as("k_val"))
         .filter(col("k_val").isNotNull)
         .orderBy("event_id"),
     Some("""
