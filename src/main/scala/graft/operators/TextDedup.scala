@@ -588,6 +588,11 @@ object TextDedup {
     // HOF lambdas run interpreted with no common-subexpression
     // elimination, so interpolating md5($g) twice into the predicate
     // would pay two digests per position for the same bits.
+    // No ensureParallelism here, deliberately (r20, measured): the
+    // boundary-hash pass runs on the scan's partition count, which at
+    // corpus scale is already wide; forcing a doc_id repartition of
+    // the raw text cost more than the single-task chunking it spread
+    // out on the compact bench input (+4% on all three cdc faces).
     docs
       // NULL text normalizes to '' (one empty-token chunk) instead of
       // silently dropping the document at the posexplode — a corpus
@@ -656,26 +661,32 @@ object TextDedup {
     * exact millis. Output: (idCol, n_chunks, n_dup_chunks,
     * dup_millis).
     *
-    * The chunk table feeds BOTH the frequency aggregate and the join
-    * probe — persisted lazily so the one materializing job chunks each
-    * document once instead of twice (r12: the double lineage was the
-    * bulk of `dd_cdc_chunk_dup`'s cost and a third of
-    * `dd_method_agreement`'s); blocks are released as soon as the
-    * doc-grain result — |docs| rows — is materialized. */
+    * "Recurs in some OTHER document" is decided by ONE unordered
+    * window over the chunk hash — min(doc) ≠ max(doc) within the
+    * hash group is exactly `count(DISTINCT doc) > 1` — so the whole
+    * kernel is two exchanges (hash-key window, then the doc-grain
+    * rollup) over a single chunking pass. The previous shape paid
+    * FOUR over a persisted chunk table (the (h, doc) distinct, the
+    * h-keyed frequency aggregate, and the h-keyed join re-shuffle of
+    * the chunks, then the rollup; r20 bench: the bulk of
+    * `dd_cdc_chunk_dup`'s 1.5x-over-floor reading and a slice of
+    * both composed pipelines). A corpus-hot chunk hash lands its
+    * instances on one window partition, but the join form shuffled
+    * the same instances to the same reducer anyway — skew parity,
+    * two fewer exchanges, no cache lifetime to manage. */
   def chunkDupStats(docs: DataFrame, window: Int = 4, mask: Int = 8,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val ch = cdcChunks(docs, window, mask, idCol, textCol)
-      .select(col(idCol), col("chunk"), xxhash64(col("ctext")).as("h"))
-      .persist()
-    val freq = ch.select("h", idCol).distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
-    val result = ch.join(freq, "h")
+    import org.apache.spark.sql.expressions.Window
+    val byH = Window.partitionBy("h")
+    cdcChunks(docs, window, mask, idCol, textCol)
+      .select(col(idCol), xxhash64(col("ctext")).as("h"))
+      .withColumn("__dup",
+        min(col(idCol)).over(byH) =!= max(col(idCol)).over(byH))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
       .withColumn("dup_millis",
         expr("(n_dup_chunks * 1000) div n_chunks"))
-    CacheScope.eval(result)(ch)
   }
 }

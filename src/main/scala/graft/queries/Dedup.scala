@@ -1631,10 +1631,10 @@ object Dedup extends QueryModule {
         .select("source", "doc_id", "n_tokens", "logit",
           "mean_millibits", "dup_millis", "shard")
         .orderBy("source", "shard", "doc_id")
-      // dup is chunkDupStats' localCheckpoint-backed result — release
-      // its |docs|-row blocks with the persist, not at GC (the
-      // methodAgreement lesson)
-      CacheScope.eval(result)(gated, dup)
+      // dup is lazy since the r20 chunkDupStats single-pass rewrite
+      // (no internal persist/checkpoint to release); gated still
+      // holds the cross-job cache
+      CacheScope.eval(result)(gated)
     },
     Some(s"""
       WITH $cdcChunkSql,
@@ -1774,9 +1774,9 @@ object Dedup extends QueryModule {
         .orderBy("minhash", "simhash", "cdc_chunk")
       // mh's plan carries lshCandidates' internal checkpoint — passing
       // it lets releaseCheckpoint free those candidate-pair blocks
-      // (previously leaked until GC); cdc is chunkDupStats'
-      // localCheckpoint-backed result, same class
-      CacheScope.eval(result)(fp, mh, cdc)
+      // (previously leaked until GC); cdc is lazy since the r20
+      // chunkDupStats single-pass rewrite (nothing to release)
+      CacheScope.eval(result)(fp, mh)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
