@@ -1142,14 +1142,30 @@ object Similarity extends QueryModule {
         _ % 250 === 0,
       dfCapDen: Int = 20)
       : (DataFrame, DataFrame) = {
-    // instance-grain 2-shingles, the dd_* convention — the shared
-    // term/postings kernel also drives the incremental index path
-    // (operators.Lexical, `ss_bm25_append`)
+    // instance-grain 2-shingles, the dd_* convention — same term
+    // definition as the incremental index path (operators.Lexical,
+    // `ss_bm25_append`). The postings here carry the doc length as a
+    // COLUMN (dl = size(__l) − 1, the gram-instance count — exactly
+    // Σtf per doc): the scorer then never aggregates the postings by
+    // doc_id NOR joins a doc-length table back on doc_id — at corpus
+    // scale those were a full postings shuffle and a corpus-sized
+    // equi-join the plain (doc, token, tf) form forced on every
+    // rebuild (r20; the maintained-index path keeps its separate dl
+    // table because a probe cannot re-derive lengths from a batch).
     val gramsOf = graft.operators.Lexical.GramsOf
-    val tf = graft.operators.Lexical.postings(docsT).persist()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      expr("(1000 * sum(dl)) div count(*)").as("avgdl_m"))
+    val tf = docsT
+      .select(col("doc_id"), split(col("text"), " ").as("__l"))
+      .select(col("doc_id"),
+        (size(col("__l")) - 1).cast("long").as("dl"),
+        explode(expr(gramsOf)).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .persist()
+    // corpus scalars in ONE pass over the cached postings: docs with
+    // ≥1 posting, and Σdl = Σtf (each instance counts once)
+    val stats = tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      expr("(1000 * sum(tf)) div count(distinct doc_id)").as("avgdl_m"))
     val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_b", expr(
@@ -1162,12 +1178,19 @@ object Similarity extends QueryModule {
       .join(idf, "token")
       .filter(col("df") * dfCapDen <= col("n_docs"))
       .select("q_id", "token", "idf_b", "avgdl_m")
+    // ONE exchange for the whole scoring tail (the rankedFromIndex
+    // r20 discipline): hash-partitioning the hits by q_id clusters
+    // every (q_id, doc_id) pair — satisfying the pair aggregation —
+    // and is exactly the window's partitioning, so the aggregate and
+    // the top-k window both run exchange-free above it. The trade
+    // (no map-side combine on the pair aggregate) is small: a (q,
+    // doc) pair holds at most a handful of term contributions.
     val scored = qterms.join(tf, "token")
       .filter(col("doc_id") =!= col("q_id"))
-      .join(dl, "doc_id")
       .withColumn("contrib", expr(
         "(idf_b * 22000 * tf * avgdl_m) div " +
           "(10 * avgdl_m * tf + 3 * avgdl_m + 9000 * dl)"))
+      .repartition(col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg(sum("contrib").as("score_milli"),
         count(lit(1)).as("n_terms"))
