@@ -113,9 +113,26 @@ object Lexical {
     tf.groupBy("token").agg(count(lit(1)).as("df"))
 
   /** From-scratch build: one tokenize pass + the vocabulary and
-    * doc-length aggregates + a 1-row scalar collect. */
-  def buildIndex(docs: DataFrame): Bm25Index =
-    buildIndexFromPostings(postings(docs))
+    * doc-length aggregates + a 1-row scalar collect. The scalar
+    * collect reads a NARROW projection of the docs, not the postings
+    * lineage (r20): a doc holds ≥1 posting iff it has ≥2 tokens, and
+    * its dl is exactly size(tokens) − 1 (every gram instance counts
+    * once), so count/sum over that projection equal
+    * `corpusScalars(postings(docs))` without paying the
+    * tokenize + (doc, token) aggregate a second time for one row —
+    * the build's postings lineage is lazy and its consumers pay it
+    * when THEY run. Precondition (the crawl invariant everywhere in
+    * this module): doc_id is unique in `docs` — duplicate ids would
+    * merge in the postings aggregate but double-count here. */
+  def buildIndex(docs: DataFrame): Bm25Index = {
+    val tf = postings(docs)
+    val r = docs
+      .select((size(split(col("text"), " ")) - 1).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .agg(count(lit(1)), coalesce(sum("n"), lit(0L))).collect()(0)
+    Bm25Index(tf, vocabOf(tf), docLengths(tf),
+      r.getLong(0), r.getLong(1))
+  }
 
   /** [[buildIndex]] from an existing postings relation — the entry
     * point for callers that PERSIST `tf` before building (the
