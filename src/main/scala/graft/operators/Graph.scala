@@ -34,18 +34,26 @@ object Graph {
     * degree distribution. The vertex type is whatever the caller's
     * `u`/`v` columns hold (orderable). */
   def triangleStats(und: DataFrame): DataFrame = {
+    // the caller's edge lineage (often an expensive pair aggregation)
+    // feeds the degree count AND the orientation join — persisted so
+    // it computes once across those two jobs (r20: unpersisted, the
+    // degs job re-ran it and the e job ran it again)
+    val undP = und.persist()
+    // degrees by ONE explode pass over the edge list, not a
+    // union-of-two-selects (which scanned the edge lineage twice —
+    // same multiset of endpoints either way)
     // persisted: degs feeds BOTH e-build joins and the final output
     // join, and the cached InMemoryRelation boundary of `e` cannot
     // bridge exchange reuse back to it — unpersisted, the final join
     // re-ran the whole (possibly expensive) caller lineage plus the
     // self-union aggregate a third time
-    val degs = und.select(col("u").as("vertex"))
-      .union(und.select(col("v").as("vertex")))
+    val degs = undP
+      .select(explode(array(col("u"), col("v"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("deg"))
       .persist()
     val lower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val e = und
+    val e = undP
       .join(degs.select(col("vertex").as("u"), col("deg").as("du")),
         "u")
       .join(degs.select(col("vertex").as("v"), col("deg").as("dv")),
@@ -74,6 +82,6 @@ object Graph {
         expr("CASE WHEN deg >= 2 THEN (2000 * coalesce(t, 0L)) " +
           "div (deg * (deg - 1)) ELSE 0L END")
           .as("clustering_permille"))
-    CacheScope.eval(out)(e, degs)
+    CacheScope.eval(out)(e, degs, undP)
   }
 }
