@@ -638,18 +638,21 @@ object TextDedup {
   def ngramNovelty(docs: DataFrame, k: Int = 6,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val g = kShingles(docs, k, idCol, textCol)
+    import org.apache.spark.sql.expressions.Window
+    // first-corpus-occurrence by ONE unordered window over the gram
+    // hash (min doc per gram group), the chunkDupStats discipline
+    // (r20): the previous min-aggregate + join-back shape paid the
+    // gram exchange twice plus a persisted gram table; the window
+    // pays it once, single pass, no cache lifetime.
+    kShingles(docs, k, idCol, textCol)
       .select(col(idCol), xxhash64(col("shingle")).as("g"))
-      .persist()
-    val first = g.groupBy("g").agg(min(idCol).as("first_doc"))
-    val result = g.join(first, "g")
+      .withColumn("__first", min(col(idCol)).over(Window.partitionBy("g")))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col(idCol), 1L)
+        sum(when(col("__first") === col(idCol), 1L)
           .otherwise(0L)).as("n_novel"))
       .withColumn("novelty_millis",
         expr("(n_novel * 1000) div n_grams"))
-    CacheScope.eval(result)(g)
   }
 
   /** Per-document chunk-duplication stats over [[cdcChunks]] — the
