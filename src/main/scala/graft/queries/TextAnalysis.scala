@@ -447,14 +447,20 @@ object TextAnalysis extends QueryModule {
   val boilerplate: Q = Q(
     "ta_boilerplate",
     (s, dir) => {
-      val grams = graft.operators.TextDedup
+      // kShingles rows are distinct per (doc, gram), so plain count
+      // IS the distinct-doc frequency. Counted by ONE unordered
+      // window over the gram hash (the repeatedSpans corpus-count
+      // idiom, r20): the frequency-aggregate + join-back shape paid
+      // the gram exchange twice and computed the unpersisted gram
+      // lineage once per join side. A corpus-hot gram lands its rows
+      // on one window partition — the same reducer the join keyed it
+      // to; salting `g` stays the escape hatch at the extreme.
+      graft.operators.TextDedup
         .kShingles(docs(s, dir), 5)
         .select(col("doc_id"),
           org.apache.spark.sql.functions.xxhash64(col("shingle")).as("g"))
-      // kShingles rows are distinct per (doc, gram), so plain count
-      // IS the distinct-doc frequency
-      val freq = grams.groupBy("g").agg(count(lit(1)).as("n_docs"))
-      grams.join(freq, "g")
+        .withColumn("n_docs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_grams"),
