@@ -165,11 +165,18 @@ object TextDedup {
     * never pairs². */
   def pairOverlap(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    // the intersection join moves 8-byte xxhash64 keys, not shingle
+    // strings (the dd_decontaminate idiom, r20): per-doc row counts
+    // are hash-independent, and a 64-bit collision inflating one
+    // pair's n_inter is the stated resolution — the oracle replays
+    // the intersection on the strings, so one would surface as a
+    // hash mismatch
+    val shh = sh.select(col("doc_id"), xxhash64(col("shingle")).as("g"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"),
-        col("shingle").as("shingle_b")), "doc_b")
-      .filter(col("shingle") === col("shingle_b"))
+      .join(shh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(shh.select(col("doc_id").as("doc_b"),
+        col("g").as("g_b")), "doc_b")
+      .filter(col("g") === col("g_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     cand
