@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan-inspection companion to [[Explain]] for kernels whose catalog
+  * faces eagerly materialize through `CacheScope.eval` (the explain of
+  * the FACE then shows only the truncated `Scan ExistingRDD`): builds
+  * the inner lineage directly and prints `explain("formatted")`
+  * WITHOUT executing it. Used to commit the r20 before/after plan
+  * evidence under plans/r20/.
+  *
+  * Usage: scripts/run.sh graft.PlanDump /root/testdata/sf0.1 <kernel...>
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.ensure(spark)
+    def docs = graft.sources.Tables(spark, sfDir, "documents")
+    val kernels: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "chunk_dup_stats" -> (() =>
+        graft.operators.TextDedup.chunkDupStats(docs)),
+      "ngram_novelty" -> (() =>
+        graft.operators.TextDedup.ngramNovelty(docs, 6)),
+      "bm25_ranked" -> (() =>
+        graft.queries.Similarity.bm25Ranked(docs)._1),
+      "surprisal_per_doc" -> (() =>
+        graft.operators.QualityModel.surprisalPerDoc(docs)),
+      "pair_overlap" -> (() => {
+        val sh = graft.operators.TextDedup.shingles(docs)
+        val cand = graft.operators.TextDedup
+          .lshCandidates(docs, numPerms = 8, nBands = 2)
+          .select("doc_a", "doc_b")
+        graft.operators.TextDedup.pairOverlap(sh, cand)
+      }))
+    val selected = if (names.isEmpty) kernels.keys.toSeq.sorted else names
+    selected.foreach { n =>
+      println(s"\n========== $n ==========")
+      kernels(n)().explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -674,20 +674,69 @@ object Ann {
   // RECONSTRUCTIONS (asymmetric distance: the query stays exact).
   // ------------------------------------------------------------------
 
-  /** Per-subspace codebooks: `ivfCentroids` over each slice of the
-    * corpus. Deterministic like IVF — id-ordered seeds per subspace,
-    * integer-scaled Lloyd sums — so an oracle can replay training. */
+  /** Per-subspace codebooks, bit-identical to running `ivfCentroids`
+    * over each slice of the corpus (id-ordered seeds per subspace,
+    * integer-scaled Lloyd sums — an oracle replays training), but
+    * FUSED across subspaces (r20): training ran 2m sequential driver
+    * jobs (a seed collect plus a Lloyd-pass collect per subspace) for
+    * work that is per-row independent. One collect of the first-ksub
+    * FULL vectors slices into all m seed sets driver-side (slicing
+    * commutes with collect), and each refinement step runs every
+    * subspace's assignment + (cell, idx) sums in ONE corpus pass
+    * grouped by (subspace, cell, idx) — 1 + steps driver jobs total.
+    * The per-group arithmetic is exactly [[lloydPass]]'s: same
+    * literal-centroid argmax per slice, same rounded LloydScale sums,
+    * same empty-cell keep-previous fallback as [[ivfCentroidsFrom]]. */
   def pqCodebooks(s: SparkSession, corpus: DataFrame, m: Int, ksub: Int,
                   dims: Int, steps: Int = 1, idCol: String = "vec_id",
                   vecCol: String = "embedding")
       : Array[Array[(Long, Array[Float])]] = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
-    Array.tabulate(m) { j =>
-      val subCorpus = corpus.select(col(idCol),
-        expr(s"slice($vecCol, ${j * sub + 1}, $sub)").as(vecCol))
-      ivfCentroids(s, subCorpus, ksub, idCol, vecCol, steps)
+    val seedRows = corpus.filter(col(idCol) < ksub)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    var books: Array[Array[(Long, Array[Float])]] = Array.tabulate(m)(j =>
+      seedRows.map { case (id, v) =>
+        (id, v.slice(j * sub, (j + 1) * sub)) })
+    for (_ <- 1 to steps) {
+      var df = corpus
+      val branches = (0 until m).map { j =>
+        val sCol = s"__sub$j"
+        val prefix = s"__pq${j}_"
+        df = df.withColumn(sCol,
+          expr(s"slice($vecCol, ${j * sub + 1}, $sub)"))
+        df = withCents(df, books(j), prefix)
+        df = df.withColumn(s"__cell$j",
+          -array_max(array(cellStructs(books(j), sCol, prefix)
+            .toIndexedSeq: _*))("nid"))
+        struct(lit(j).as("j"), col(s"__cell$j").as("cell"),
+          col(sCol).as("v"))
+      }
+      val sums = df
+        .select(explode(array(branches: _*)).as("__sc"))
+        .select(col("__sc.j").as("j"), col("__sc.cell").as("cell"),
+          posexplode(col("__sc.v")).as(Seq("idx", "x")))
+        .groupBy("j", "cell", "idx")
+        .agg(sum(round(col("x").cast("double") * LloydScale).cast("long"))
+          .as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byJ = sums.groupBy(_.getInt(0))
+      books = Array.tabulate(m) { j =>
+        val byCell = byJ
+          .getOrElse(j, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getLong(1))
+        books(j).map { case (cId, v) =>
+          (cId, byCell.get(cId)
+            .map(_.sortBy(_.getInt(2))
+              .map(r => ((r.getLong(3).toDouble / r.getLong(4))
+                / LloydScale).toFloat))
+            .getOrElse(v))
+        }
+      }
     }
+    books
   }
 
   /** Narrow PQ encode: one argmax-cosine code per subspace — no join,
