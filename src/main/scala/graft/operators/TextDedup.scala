@@ -101,9 +101,17 @@ object TextDedup {
     require(nBands > 0 && numPerms % nBands == 0,
       s"numPerms=$numPerms must divide into nBands=$nBands")
     val rows = numPerms / nBands
+    // bucket identity is xxhash64 of the band's concatenated signature
+    // hex, NOT an md5 hex string (r20): no consumer ever reads a
+    // bucket value — every face groups or self-joins on equality — so
+    // the 8-byte long halves-to-sixths the candidate join's key bytes
+    // and skips a digest+hex allocation per (doc, band). A 64-bit
+    // collision merging two buckets adds false candidate pairs; the
+    // oracles replay banding on the md5 strings, so one would surface
+    // as a row mismatch (the dd_decontaminate hash stance).
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat((b * rows until (b + 1) * rows)
+        xxhash64(concat((b * rows until (b + 1) * rows)
           .map(i => col(s"h$i")): _*)).as("bucket"))
     }
     sig
