@@ -152,9 +152,35 @@ object TextDedup {
   def lshCandidates(docs: DataFrame, numPerms: Int, nBands: Int,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    val (cand, bd) = lshCandidatesLazy(docs, numPerms, nBands, idCol,
+      textCol)
+    CacheScope.eval(cand)(bd)
+  }
+
+  /** Lazy twin of [[lshCandidates]]: the same candidate plan over the
+    * same internally-persisted band table, but WITHOUT the eager
+    * checkpoint — returned alongside the band handle whose release the
+    * CALLER now owns (pass it to `CacheScope.eval(result)(bd)` with
+    * the caller's own intermediates). Use when the candidates feed
+    * exactly ONE lazy consumer: there the checkpoint's extra job
+    * barrier plus block write+read buys nothing — the face's single
+    * final job fills the band cache on its first scan and reads it on
+    * the second, exactly as the eager form's one materializing job
+    * did — and when the caller re-persists the pairs itself (the
+    * recall-certification faces), where checkpoint-then-cache stored
+    * the same small table twice. Callers that COLLECT the pairs
+    * mid-call (the connected-components faces) keep [[lshCandidates]]:
+    * minLabel's own edge materialization wants a truncated plan under
+    * it, not this whole subtree. (r20; measured on
+    * dd_minhash_lsh/dd_fuzzy_verify/dd_method_agreement/
+    * dd_lsh_recall*.) */
+  def lshCandidatesLazy(docs: DataFrame, numPerms: Int, nBands: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text")
+      : (DataFrame, DataFrame) = {
     val bd = bands(signaturesNarrow(docs, numPerms, idCol, textCol),
       numPerms, nBands, idCol).persist()
-    CacheScope.eval(candidates(bd, idCol))(bd)
+    (candidates(bd, idCol), bd)
   }
 
   /** Exact shingle-overlap stats per candidate pair — the ONE verify

@@ -110,11 +110,17 @@ object Dedup extends QueryModule {
   /** MinHash+LSH candidate pairs (the scalable near-dup path). */
   val minhashLsh: Q = Q(
     "dd_minhash_lsh",
-    (s, dir) =>
-      graft.operators.TextDedup.lshCandidates(
-          Tables(s, dir, "documents"), numPerms = 8, nBands = 2)
-        .select(col("doc_a"), col("doc_b"), col("shared_bands"))
-        .orderBy("doc_a", "doc_b"),
+    (s, dir) => {
+      // the lazy twin: candidates feed exactly one consumer (the
+      // output sort), so the eager checkpoint's extra job barrier and
+      // block round-trip bought nothing — one job computes signature,
+      // band self-join (cache-backed), and sort (r20)
+      val (cand, bd) = graft.operators.TextDedup.lshCandidatesLazy(
+        Tables(s, dir, "documents"), numPerms = 8, nBands = 2)
+      graft.operators.CacheScope.eval(
+        cand.select(col("doc_a"), col("doc_b"), col("shared_bands"))
+          .orderBy("doc_a", "doc_b"))(bd)
+    },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql
       SELECT doc_a, doc_b, shared_bands FROM cand ORDER BY doc_a, doc_b""")
@@ -248,13 +254,16 @@ object Dedup extends QueryModule {
     (s, dir) => {
       import graft.operators.TextDedup
       val docs = Tables(s, dir, "documents")
-      // lshCandidates, not a hand-rolled bands→candidates chain: the
-      // band table feeds BOTH sides of the self-join (candidates()'s
-      // own contract) and the kernel persists/releases it internally —
-      // the unpersisted form recomputed the corpus scan + native
-      // fingerprinting once per join side
-      val cand = TextDedup.lshCandidates(docs, numPerms = 8, nBands = 2)
-        .select("doc_a", "doc_b")
+      // lshCandidatesLazy, not a hand-rolled bands→candidates chain:
+      // the band table feeds BOTH sides of the self-join
+      // (candidates()'s own contract) and the kernel persists it
+      // internally — the unpersisted form recomputed the corpus scan
+      // + native fingerprinting once per join side. Lazy (r20): the
+      // pairs feed exactly one consumer (the prefix join), so the
+      // verify runs as ONE job with the band cache filling in-plan.
+      val (candLazy, bd) = TextDedup.lshCandidatesLazy(
+        docs, numPerms = 8, nBands = 2)
+      val cand = candLazy.select("doc_a", "doc_b")
       // edit distance over the ASCII projection of the prefix: Spark's
       // levenshtein counts CODEPOINTS while DuckDB's counts BYTES
       // (probed: levenshtein('é','e') = 2 there), so any multibyte
@@ -274,7 +283,7 @@ object Dedup extends QueryModule {
         .withColumn("dist", levenshtein(col("pa"), col("pb"), 20))
         .filter(col("dist") >= 0)
         .select(col("doc_a"), col("doc_b"), col("dist"))
-        .orderBy("doc_a", "doc_b"))(cand)
+        .orderBy("doc_a", "doc_b"))(bd)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
@@ -1762,9 +1771,13 @@ object Dedup extends QueryModule {
       def members(pairs: DataFrame, a: String, b: String): DataFrame =
         pairs.select(explode(array(col(a), col(b))).as("doc_id"))
           .distinct()
-      val mh = members(
-        TextDedup.lshCandidates(docsDf, numPerms = 8, nBands = 2),
-        "doc_a", "doc_b").withColumn("mh", lit(1))
+      // lazy twin (r20): the pairs feed exactly one consumer (the
+      // members explode), so the whole minhash flag set computes
+      // inside the face's single final job instead of behind a
+      // mid-call checkpoint barrier
+      val (mhCand, mhBd) = TextDedup.lshCandidatesLazy(
+        docsDf, numPerms = 8, nBands = 2)
+      val mh = members(mhCand, "doc_a", "doc_b").withColumn("mh", lit(1))
       val fp = TextDedup.simhashInt(docsDf, 32).persist()
       val sh = members(TextDedup.hammingPairs(fp, 32, maxDistance = 2),
         "doc_a", "doc_b").withColumn("sh", lit(1))
@@ -1791,11 +1804,11 @@ object Dedup extends QueryModule {
         .select(col("minhash"), col("simhash"), col("cdc_chunk"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"))
         .orderBy("minhash", "simhash", "cdc_chunk")
-      // mh's plan carries lshCandidates' internal checkpoint — passing
-      // it lets releaseCheckpoint free those candidate-pair blocks
-      // (previously leaked until GC); cdc is lazy since the r20
-      // chunkDupStats single-pass rewrite (nothing to release)
-      CacheScope.eval(result)(fp, mh)
+      // mhBd is the lazily-persisted band table under the minhash flag
+      // set (the caller-owned release of lshCandidatesLazy); cdc is
+      // lazy since the r20 chunkDupStats single-pass rewrite (nothing
+      // to release)
+      CacheScope.eval(result)(fp, mhBd)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
@@ -2062,7 +2075,13 @@ object Dedup extends QueryModule {
         .filter(col("i") * 3 >= col("sa") + col("sb"))
         .select("da", "db")
         .persist()
-      val cand = TextDedup.lshCandidates(corpus, numPerms = 8, nBands = 2)
+      // lazy twin (r20): the caller re-persists the pairs for its two
+      // consumers (the semi-join probe and the count), so the eager
+      // form checkpointed AND cached the same small table — the lazy
+      // band handle is released with the caller's own intermediates
+      val (candLazy, candBd) = TextDedup.lshCandidatesLazy(
+        corpus, numPerms = 8, nBands = 2)
+      val cand = candLazy
         .select(col("doc_a").as("da"), col("doc_b").as("db"))
         .persist()
       val caught = truth.join(cand, Seq("da", "db"), "left_semi")
@@ -2076,7 +2095,7 @@ object Dedup extends QueryModule {
           expr("""CASE WHEN n_candidates = 0 THEN CAST(1000 AS BIGINT)
                        ELSE (n_caught * 1000) div n_candidates END""")
             .as("precision_millis"))
-      CacheScope.eval(result)(sh, truth, cand)
+      CacheScope.eval(result)(sh, truth, cand, candBd)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
@@ -2202,7 +2221,13 @@ object Dedup extends QueryModule {
         .filter(col("i") * 3 >= col("sa") + col("sb"))
         .select("da", "db")
         .persist()
-      val cand = TextDedup.lshCandidates(corpus, numPerms = 8, nBands = 2)
+      // lazy twin (r20): the caller re-persists the pairs for its two
+      // consumers (the semi-join probe and the count), so the eager
+      // form checkpointed AND cached the same small table — the lazy
+      // band handle is released with the caller's own intermediates
+      val (candLazy, candBd) = TextDedup.lshCandidatesLazy(
+        corpus, numPerms = 8, nBands = 2)
+      val cand = candLazy
         .select(col("doc_a").as("da"), col("doc_b").as("db"))
         .persist()
       val caught = truth.join(cand, Seq("da", "db"), "left_semi")
@@ -2231,7 +2256,7 @@ object Dedup extends QueryModule {
                              n_true_pairs) + 0.9604)))) /
                            (n_true_pairs + 3.8416)) AS BIGINT)) END""")
             .as("ci_hi_permille"))
-      CacheScope.eval(result)(sh, truth, cand)
+      CacheScope.eval(result)(sh, truth, cand, candBd)
     },
     Some(s"""
       WITH $shinglesSql, $sigSql, $candSql,
