@@ -25,6 +25,25 @@ object Dedup extends QueryModule {
   // library API); the queries below pin numPerms=8, bands=2, bits=32 to
   // match their oracles.
 
+  /** Near-dup cluster labels over the banded candidate graph — the
+    * shared stage-1 of every connected-components dedup face. Hands
+    * the LAZY candidate plan to minLabel, whose own edge
+    * materialization then pays the ONE checkpoint the eager
+    * lshCandidates form duplicated (its pair checkpoint and
+    * minLabel's edge checkpoint were the same small table twice, one
+    * job barrier apart — r20); the band cache fills inside that same
+    * materializing job and is released as soon as minLabel returns
+    * (its edges are materialized eagerly, so nothing reads the band
+    * blocks afterwards). */
+  private def lshLabels(docs: DataFrame): DataFrame = {
+    val (cand, bd) = graft.operators.TextDedup.lshCandidatesLazy(
+      docs, numPerms = 8, nBands = 2)
+    val labels = graft.operators.ConnectedComponents
+      .minLabel(cand, "doc_a", "doc_b")
+    bd.unpersist(blocking = false)
+    labels
+  }
+
   // ---- shared SQL fragments (DuckDB oracle side) ---------------------
 
   private val shinglesSql = """
@@ -660,19 +679,10 @@ object Dedup extends QueryModule {
     * recursive transitive-closure CTE. */
   val dupClusters: Q = Q(
     "dd_dup_clusters",
-    (s, dir) => {
-      val cand = graft.operators.TextDedup.lshCandidates(
-        Tables(s, dir, "documents"), numPerms = 8, nBands = 2)
-      // minLabel runs its loop eagerly (materialized edge table +
-      // per-round checkpoints), so cand's blocks are releasable as soon
-      // as it returns.
-      val labels = graft.operators.ConnectedComponents
-        .minLabel(cand, "doc_a", "doc_b")
-      graft.operators.CacheScope.releaseCheckpoint(cand)
-      labels
+    (s, dir) =>
+      lshLabels(Tables(s, dir, "documents"))
         .select(col("id").as("doc_id"), col("cluster"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some(s"""
       WITH RECURSIVE $shinglesSql, $sigSql, $candSql,
       bidir AS (
@@ -697,11 +707,7 @@ object Dedup extends QueryModule {
     "dd_dedup_corpus",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val cand = graft.operators.TextDedup.lshCandidates(
-        docs, numPerms = 8, nBands = 2)
-      val labels = graft.operators.ConnectedComponents
-        .minLabel(cand, "doc_a", "doc_b")
-      graft.operators.CacheScope.releaseCheckpoint(cand)
+      val labels = lshLabels(docs)
       val drop = labels.filter(col("cluster") =!= col("id"))
         .select(col("id").as("doc_id"))
       // the anti-join's stream side is the raw corpus scan — give it
@@ -1030,8 +1036,7 @@ object Dedup extends QueryModule {
   val curationPipeline: Q = Q(
     "dd_curation_pipeline",
     (s, dir) => {
-      import graft.operators.{Bloom, CacheScope, ConnectedComponents,
-        TextDedup}
+      import graft.operators.{Bloom, CacheScope, TextDedup}
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -1049,12 +1054,7 @@ object Dedup extends QueryModule {
       // and share no mutable state — Spark job submission is
       // thread-safe by design — so results are unchanged.
       // stage 1: near-dup clusters, keep the min-id representative
-      val labelsF = Future {
-        val cand = TextDedup.lshCandidates(docs, numPerms = 8, nBands = 2)
-        val labels = ConnectedComponents.minLabel(cand, "doc_a", "doc_b")
-        CacheScope.releaseCheckpoint(cand)
-        labels
-      }
+      val labelsF = Future(lshLabels(docs))
       // stage 2: exact decontamination, bloom-gated
       val evGrams = TextDedup
         .kShingles(docs.filter(col("doc_id") % 10 === 0), 6)
@@ -1208,11 +1208,9 @@ object Dedup extends QueryModule {
   val leakageSafeSplit: Q = Q(
     "dd_leakage_safe_split",
     (s, dir) => {
-      import graft.operators.{CacheScope, ConnectedComponents, TextDedup}
+      import graft.operators.CacheScope
       val docs = Tables(s, dir, "documents")
-      val cand = TextDedup.lshCandidates(docs, numPerms = 8, nBands = 2)
-      val labels = ConnectedComponents.minLabel(cand, "doc_a", "doc_b")
-      CacheScope.releaseCheckpoint(cand)
+      val labels = lshLabels(docs)
       val grp = coalesce(col("cluster"), col("doc_id"))
       val bucket = substring(md5(grp.cast("string")), 1, 2)
       val result = docs
@@ -1328,11 +1326,7 @@ object Dedup extends QueryModule {
     "dd_dup_weights",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val cand = graft.operators.TextDedup.lshCandidates(
-        docs, numPerms = 8, nBands = 2)
-      val labels = graft.operators.ConnectedComponents
-        .minLabel(cand, "doc_a", "doc_b")
-      graft.operators.CacheScope.releaseCheckpoint(cand)
+      val labels = lshLabels(docs)
       val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("sz"))
       val lab = labels.join(sizes, "cluster")
         .select(col("id").as("doc_id"), col("cluster"), col("sz"))
@@ -1390,11 +1384,7 @@ object Dedup extends QueryModule {
     "dd_dedup_best",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val cand = graft.operators.TextDedup.lshCandidates(
-        docs, numPerms = 8, nBands = 2)
-      val labels = graft.operators.ConnectedComponents
-        .minLabel(cand, "doc_a", "doc_b")
-      graft.operators.CacheScope.releaseCheckpoint(cand)
+      val labels = lshLabels(docs)
       val lab = graft.operators.Partitioning
         .ensureParallelism(
           docs.select(col("doc_id"),
