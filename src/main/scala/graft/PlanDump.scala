@@ -41,6 +41,25 @@ object PlanDump {
           .lshCandidates(docs, numPerms = 8, nBands = 2)
           .select("doc_a", "doc_b")
         graft.operators.TextDedup.pairOverlap(sh, cand)
+      }),
+      // the r20 lazy-lshCandidates evidence pair (dd_minhash_lsh as the
+      // representative face): "before" is the eager kernel — its
+      // materializing checkpoint truncates the face plan to a
+      // LogicalRDD leaf and costs a separate job; "after" is the lazy
+      // twin's single fused plan (signature → band self-join over the
+      // in-plan cache → sort), the shape the face's one final job now
+      // executes. Printing "before" EXECUTES the checkpoint by
+      // construction — run at a small sf.
+      "minhash_lsh_before" -> (() =>
+        graft.operators.TextDedup
+          .lshCandidates(docs, numPerms = 8, nBands = 2)
+          .select(col("doc_a"), col("doc_b"), col("shared_bands"))
+          .orderBy("doc_a", "doc_b")),
+      "minhash_lsh_after" -> (() => {
+        val (cand, _) = graft.operators.TextDedup
+          .lshCandidatesLazy(docs, numPerms = 8, nBands = 2)
+        cand.select(col("doc_a"), col("doc_b"), col("shared_bands"))
+          .orderBy("doc_a", "doc_b")
       }))
     val selected = if (names.isEmpty) kernels.keys.toSeq.sorted else names
     selected.foreach { n =>
