@@ -774,7 +774,24 @@ object Bench {
     else System.err.println(
       s"[bench] subset run: $detailPath left untouched (set " +
         "SPARK_GRAFT_BENCH_DETAIL to record subset timings)")
-    println(headline(results, reps, sfName, detailPath, reruns))
+    val line = headline(results, reps, sfName, detailPath, reruns)
+    println(line)
+    // the SAME line, also to a file (r20 verdict #6: the driver's
+    // round-over-round comparison scrapes the sbt log for this line
+    // and went blind two rounds running when the scrape failed; a
+    // sibling file next to the detail record makes the comparison
+    // robust without touching the stdout contract). Additions-only:
+    // best-effort, never fails the run, full-catalog runs only (a
+    // subset run's partial total must not masquerade as a catalog
+    // record — same rule as the detail record above).
+    if (args.isEmpty && !skewOnly) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_LAST", "BENCH_LAST.json")),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] BENCH_LAST write skipped: $e") }
+    }
     spark.stop()
   }
 

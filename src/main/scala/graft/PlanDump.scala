@@ -35,8 +35,17 @@ object PlanDump {
         graft.queries.Similarity.bm25Ranked(docs)._1),
       "surprisal_per_doc" -> (() =>
         graft.operators.QualityModel.surprisalPerDoc(docs)),
+      // the packShards in-plan offsets evidence (r21): the window +
+      // broadcast-offsets join over a deterministic weight projection
+      "pack_shards" -> (() =>
+        graft.operators.Partitioning.packShards(
+          docs.select(org.apache.spark.sql.functions.col("source"),
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.expr(
+              "cast(size(split(text, ' ')) as long)").as("n_tokens")),
+          "source", "doc_id", "n_tokens", 2000L)),
       "pair_overlap" -> (() => {
-        val sh = graft.operators.TextDedup.shingles(docs)
+        val sh = graft.operators.TextDedup.hashedShingles(docs)
         val cand = graft.operators.TextDedup
           .lshCandidates(docs, numPerms = 8, nBands = 2)
           .select("doc_a", "doc_b")

@@ -363,16 +363,23 @@ object Partitioning {
     * of the order key, so ordering hierarchically by (hex₁, md5) IS
     * the flat md5 order. Each of the 16 sub-buckets windows
     * independently (16× the parallelism per group), their per-group
-    * totals prefix-sum on the driver (≤ 16·|groups| rows — a
-    * planning-class round-trip, like the IVF seed collect), and the
-    * bucket offset joins back via broadcast. Bit-identical to the
+    * totals prefix-sum over a ≤ 16·|groups|-row aggregate (one tiny
+    * window over the totals, ordered by the bucket hex char — the
+    * same ascending order the old driver-side sort used, since hex
+    * chars sort identically in Scala and UTF8String), and the bucket
+    * offset joins back via broadcast. Bit-identical to the
     * single-window form (PartitioningSpec pins the equivalence), so
     * any engine can replay it as one plain window.
     *
-    * `df` is evaluated TWICE — once by the offsets collect, once by
-    * the returned plan. Callers whose `df` carries an expensive
-    * lineage should persist() it first (the offsets job fills the
-    * cache in passing) and release it once the result materializes —
+    * The offsets ride the PLAN as a broadcast subtree instead of a
+    * driver collect round-trip (r21, guide §5: the collect was a
+    * whole separate job + plan compile per call — the broadcast
+    * build executes inside the one result job). `df` is still
+    * evaluated TWICE — once by the broadcast's aggregate, once by
+    * the probe side. Callers whose `df` carries an expensive
+    * lineage should persist() it first (the broadcast build fills the
+    * cache in passing, since broadcast subtrees execute before the
+    * probe side) and release it once the result materializes —
     * see dd_curation_pipeline. */
   def packShards(df: DataFrame, partCol: String, idCol: String,
                  weightCol: String, budget: Long): DataFrame = {
@@ -381,21 +388,19 @@ object Partitioning {
       .withColumn("__ord", md5(col(idCol).cast("string")))
       .withColumn("__bkt", substring(col("__ord"), 1, 1))
     // NULL group keys form their own group (as a window's PARTITION BY
-    // would): collect as Option, sum-of-all-NULL weights counts 0
-    val totals = base.groupBy(partCol, "__bkt")
-      .agg(sum(weightCol).as("__t")).collect()
-      .map(r => (Option(r.getString(0)), r.getString(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2)))
-    val offsets = totals.groupBy(_._1).iterator.flatMap {
-      case (part, rows) =>
-        val sorted = rows.sortBy(_._2)
-        val cum = sorted.scanLeft(0L)(_ + _._3)
-        sorted.zip(cum).map { case ((_, bkt, _), off) =>
-          (part.orNull, bkt, off) }
-    }.toSeq
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = broadcast(offsets.toDF(partCol, "__bkt", "__off"))
+    // would): the tiny window partitions NULL into its own group
+    // exactly like the old driver groupBy(Option); sum-of-all-NULL
+    // weights counts 0 via the coalesce
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col("__bkt"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offDf = broadcast(base
+      .groupBy(partCol, "__bkt")
+      .agg(coalesce(sum(weightCol), lit(0L)).as("__t"))
+      .withColumn("__off", coalesce(sum("__t").over(wOff), lit(0L)))
+      .select(col(partCol).as("__p"), col("__bkt").as("__b"),
+        col("__off")))
     // ROWS, not the default RANGE frame: duplicate idCol values are
     // ORDER BY peers, and RANGE would hand every peer the shared
     // inclusive total — the `cum - weight` exclusive-prefix identity
@@ -411,9 +416,8 @@ object Partitioning {
     base
       .withColumn("__cum", sum(weightCol).over(w))
       .join(offDf,
-        base(partCol) <=> offDf(partCol) &&
-          base("__bkt") === offDf("__bkt"))
-      .drop(offDf(partCol)).drop(offDf("__bkt"))
+        col(partCol) <=> col("__p") && col("__bkt") === col("__b"))
+      .drop("__p", "__b")
       .withColumn("shard",
         floor((col("__off") + col("__cum") - col(weightCol)) / budget))
       .drop("__ord", "__bkt", "__cum", "__off")

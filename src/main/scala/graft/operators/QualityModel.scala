@@ -57,12 +57,21 @@ object QualityModel {
       .filter(col("token") =!= "")
     // The unigram model stays a count-aggregate JOINED back — not the
     // window-on-key idiom the gram kernels use (r20, measured): a
-    // unigram vocabulary is map-side-combinable down to |vocab| rows
-    // and broadcastable at any corpus size, so the join is map-side
-    // with NO shuffle of the token rows at all, where a window on
-    // the token key would shuffle every instance into |vocab| hot
-    // partitions. broadcast() made explicit (the ta_tfidf stance —
-    // size estimates post-aggregate are unreliable). The corpus
+    // unigram vocabulary is map-side-combinable down to |vocab| rows,
+    // so the join is map-side with NO shuffle of the token rows at
+    // all, where a window on the token key would shuffle every
+    // instance into |vocab| hot partitions. broadcast() made explicit
+    // (the ta_tfidf stance — size estimates post-aggregate are
+    // unreliable). STATED SIZE BOUND (r20 advice): the explicit hint
+    // has no planner fallback, so this kernel assumes the WORD-grain
+    // vocabulary stays broadcastable — ≲10⁸ distinct tokens (a few GB
+    // framed; Spark hard-caps a broadcast at 8 GB / 512M rows).
+    // Natural-language word vocabularies grow ~O(corpus^0.5) (Heaps'
+    // law) and sit in the 10⁷–10⁸ range even at 100 TB, unlike the
+    // unbounded GRAM spaces the window-keyed kernels handle; a corpus
+    // that breaks the assumption (e.g. binary shards tokenized as
+    // words) should drop the hint and let the planner pick the
+    // shuffle join. The corpus
     // total derives from `counts`, not from a fresh pass over the
     // token rows: the counts subtree then sits on both sides and
     // exchange reuse computes it once, where a |tok|-grain total

@@ -33,6 +33,41 @@ object TextDedup {
       .select(col(idCol), explode(array_distinct(expr(BigramShingleSql)))
         .as("shingle"))
 
+  /** 128-bit gram identity: two independently-seeded xxhash64 halves
+    * as two FLAT LONG columns (g1, g2) — fixed-width 16-byte keys
+    * that join and group like any pair of columns. Flat longs, NOT a
+    * struct: struct grouping/join keys fall off the codegen'd
+    * primitive-key fast paths (measured r21: a struct-keyed
+    * dd_lsh_bucket_stats hash aggregate read 2× its flat-key time).
+    * The CERTIFICATION-grade replacement for a bare `xxhash64(gram)`
+    * wherever the face's output IS a pair/recall claim (r20 verdict
+    * #2): with d distinct grams the expected number of colliding
+    * pairs is d²/2^65 for one 64-bit hash — ~270 expected collisions
+    * at the 100 TB corpus scale of d ≈ 10¹¹ grams, each one silently
+    * inflating an intersection count or merging two LSH buckets —
+    * versus d²/2^129 ≈ 1.5·10⁻¹⁷ for the seeded pair (both halves
+    * must collide simultaneously; the "g2|" salt makes the second
+    * half an independent draw). Non-certification faces
+    * (novelty/chunk-dup reports) keep the single hash: a collision
+    * there perturbs one count cell, not a certified pair set, and
+    * the 8-byte key halves their hottest exchange. */
+  def gramKey128(gram: Column): Seq[Column] =
+    Seq(xxhash64(gram).as("g1"),
+      xxhash64(concat(lit("g2|"), gram)).as("g2"))
+
+  /** [[shingles]] with the shingle text collapsed to the 128-bit
+    * [[gramKey128]] pair: (docId, g1, g2). The narrow relation the
+    * overlap-verify faces persist ONCE and feed to [[pairOverlap]] —
+    * the cache then holds 16-byte fixed keys instead of shingle
+    * strings, and the hashes are computed once per row at cache fill
+    * instead of once per cache read per join side (r20 verdict #2:
+    * `sh` is read three times per face — sizes + both intersection
+    * probes). */
+  def hashedShingles(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    shingles(docs, idCol, textCol)
+      .select(col(idCol) +: gramKey128(col("shingle")): _*)
+
   /** numPerms-permutation MinHash signature per doc (md5-keyed
     * min-hashing: permutation i orders shingles by md5(i || '|' ||
     * shingle), so min = first under that permutation). Output columns
@@ -101,24 +136,33 @@ object TextDedup {
     require(nBands > 0 && numPerms % nBands == 0,
       s"numPerms=$numPerms must divide into nBands=$nBands")
     val rows = numPerms / nBands
-    // bucket identity is xxhash64 of the band's concatenated signature
-    // hex, NOT an md5 hex string (r20): no consumer ever reads a
+    // bucket identity is a 128-bit two-seed xxhash64 PAIR (bkt1,
+    // bkt2 — flat longs, the [[gramKey128]] stance) over the band's
+    // concatenated signature hex, NOT an md5 hex string (r20 moved to
+    // one xxhash64 long; r21 verdict #3 widened it back to 128 bits
+    // because LSH banding feeds CERTIFICATION faces —
+    // dd_minhash_lsh's output IS the pair set and dd_lsh_recall*
+    // certify banding recall, so a bucket-merging collision perturbs
+    // exactly the claim being certified; see [[gramKey128]] for the
+    // birthday math: ~d²/2^65 expected collisions at 10¹¹ keys for
+    // one hash vs ~10⁻¹⁷ for the pair). No consumer ever reads a
     // bucket value — every face groups or self-joins on equality — so
-    // the 8-byte long halves-to-sixths the candidate join's key bytes
-    // and skips a digest+hex allocation per (doc, band). A 64-bit
-    // collision merging two buckets adds false candidate pairs; the
-    // oracles replay banding on the md5 strings, so one would surface
-    // as a row mismatch (the dd_decontaminate hash stance).
+    // the fixed 16 bytes still beat the 32-byte md5 hex string
+    // through the candidate join and skip the digest+hex allocation
+    // per (doc, band); the oracles replay banding on the md5 strings,
+    // so any residual collision would surface as a row mismatch.
     val bandStructs = (0 until nBands).map { b =>
+      val sigc = concat((b * rows until (b + 1) * rows)
+        .map(i => col(s"h$i")): _*)
       struct(lit(b).as("band"),
-        xxhash64(concat((b * rows until (b + 1) * rows)
-          .map(i => col(s"h$i")): _*)).as("bucket"))
+        xxhash64(sigc).as("bkt1"),
+        xxhash64(concat(lit("b2|"), sigc)).as("bkt2"))
     }
     sig
       .select(col(idCol),
         explode(array(bandStructs.toIndexedSeq: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+        col("bb.bkt1").as("bkt1"), col("bb.bkt2").as("bkt2"))
   }
 
   /** Candidate pairs from band-bucket collisions (a < b), with the
@@ -129,12 +173,14 @@ object TextDedup {
     * lifetime. */
   def candidates(bandDf: DataFrame,
                  idCol: String = "doc_id"): DataFrame = {
-    val l = bandDf.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
+    val l = bandDf.select(col(idCol).as("doc_a"), col("band"),
+      col("bkt1"), col("bkt2"))
     val r = bandDf.select(col(idCol).as("doc_b"),
-      col("band").as("band_b"), col("bucket").as("bucket_b"))
+      col("band").as("band_b"), col("bkt1").as("bkt1_b"),
+      col("bkt2").as("bkt2_b"))
     l.join(r,
-        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-          col("doc_a") < col("doc_b"))
+        col("band") === col("band_b") && col("bkt1") === col("bkt1_b") &&
+          col("bkt2") === col("bkt2_b") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_bands"))
   }
@@ -183,34 +229,40 @@ object TextDedup {
     (candidates(bd, idCol), bd)
   }
 
-  /** Exact shingle-overlap stats per candidate pair — the ONE verify
-    * kernel `dd_jaccard_verify` / `dd_minhash_bound` /
-    * `dd_containment` share (three faces carried line-for-line copies;
-    * a fix to the intersection join in one silently missing the others
-    * is the drift hazard this removes, the r11 `hashedGramInstances`
-    * precedent). `cand` (doc_a, doc_b) joins the shingle table on both
-    * sides, intersects, and attaches per-doc set sizes. Output:
-    * (doc_a, doc_b, n_inter, n_a, n_b), with n_inter = 0 — a KEPT
-    * row, not a dropped pair — for candidates sharing band buckets
-    * but no shingle (md5 collision; semantically possible). Both
-    * inputs must be PERSISTED by the caller: each feeds two branches
-    * here (`cand`: the intersection and the left-join base; `sh`: the
-    * sizes and both intersection sides). Cost ∝ candidates × overlap,
-    * never pairs². */
-  def pairOverlap(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
-    // the intersection join moves 8-byte xxhash64 keys, not shingle
-    // strings (the dd_decontaminate idiom, r20): per-doc row counts
-    // are hash-independent, and a 64-bit collision inflating one
-    // pair's n_inter is the stated resolution — the oracle replays
-    // the intersection on the strings, so one would surface as a
-    // hash mismatch
-    val shh = sh.select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+  /** Exact-modulo-128-bit-collision shingle-overlap stats per
+    * candidate pair — the ONE verify kernel `dd_jaccard_verify` /
+    * `dd_minhash_bound` / `dd_containment` share (three faces carried
+    * line-for-line copies; a fix to the intersection join in one
+    * silently missing the others is the drift hazard this removes,
+    * the r11 `hashedGramInstances` precedent). `shh` is the HASHED
+    * shingle relation `(doc_id, g1, g2)` from [[hashedShingles]] —
+    * the caller persists that 16-byte-key projection once and it
+    * feeds all three reads here (the per-doc sizes and both
+    * intersection probes; r20 persisted the STRING shingles and this
+    * kernel re-hashed them on every read of each join side). `cand`
+    * (doc_a, doc_b) joins it on both sides, intersects, and attaches
+    * per-doc set sizes — sizes are row counts, hash-independent.
+    * Output: (doc_a, doc_b, n_inter, n_a, n_b), with n_inter = 0 — a
+    * KEPT row, not a dropped pair — for candidates sharing band
+    * buckets but no shingle (md5 collision; semantically possible).
+    * Both inputs must be PERSISTED by the caller: each feeds multiple
+    * branches here. Cost ∝ candidates × overlap, never pairs².
+    *
+    * Exactness bound: a collision inflating one pair's n_inter needs
+    * BOTH independently-seeded 64-bit halves of [[gramKey128]] to
+    * collide on two distinct grams of the same doc pair —
+    * ~d²/2^129 expected corpus-wide (≈10⁻¹⁷ at d = 10¹¹ grams), so
+    * the verify faces' exactness claim holds at any realistic scale;
+    * the catalog oracle replays the intersection on the strings, so
+    * a collision would surface as a hash mismatch. */
+  def pairOverlap(shh: DataFrame, cand: DataFrame): DataFrame = {
+    val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
     val inter = cand
-      .join(shh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(shh.select(col("doc_id").as("doc_a"),
+        col("g1"), col("g2")), "doc_a")
       .join(shh.select(col("doc_id").as("doc_b"),
-        col("g").as("g_b")), "doc_b")
-      .filter(col("g") === col("g_b"))
+        col("g1").as("g1_b"), col("g2").as("g2_b")), "doc_b")
+      .filter(col("g1") === col("g1_b") && col("g2") === col("g2_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     cand

@@ -167,7 +167,7 @@ object Dedup extends QueryModule {
       val b = TextDedup.bands(
         TextDedup.signaturesNarrow(Tables(s, dir, "documents"), 8),
         numPerms = 8, nBands = 2)
-      b.groupBy("band", "bucket").agg(count(lit(1)).as("m"))
+      b.groupBy("band", "bkt1", "bkt2").agg(count(lit(1)).as("m"))
         .groupBy("band").agg(
           count(lit(1)).as("n_buckets"),
           sum("m").as("n_docs"),
@@ -200,11 +200,14 @@ object Dedup extends QueryModule {
   val jaccardVerify: Q = Q(
     "dd_jaccard_verify",
     (s, dir) => {
-      // One persisted shingle table feeds sizes, signatures→candidates,
-      // and both sides of the intersection count — one computed lineage
-      // instead of four scans (ADVICE r2).
+      // One persisted HASHED shingle table (16-byte gramKey128 keys,
+      // not strings — r21: hashed once at cache fill, read three times
+      // inside pairOverlap) feeds sizes and both sides of the
+      // intersection count — one computed lineage instead of four
+      // scans (ADVICE r2).
       import graft.operators.{CacheScope, TextDedup}
-      val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
+      val sh = TextDedup.hashedShingles(Tables(s, dir, "documents"))
+        .persist()
       // signatures come from the NATIVE narrow kernel over the raw
       // docs — identical values to `signatures(sh, 8)` (min over
       // duplicates = min over distinct) without the md5-per-shingle-row
@@ -513,7 +516,9 @@ object Dedup extends QueryModule {
     "dd_minhash_bound",
     (s, dir) => {
       import graft.operators.{CacheScope, TextDedup}
-      val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
+      // hashed 16-byte gram keys persisted once (r21; see pairOverlap)
+      val sh = TextDedup.hashedShingles(Tables(s, dir, "documents"))
+        .persist()
       val sigs = TextDedup.signaturesNarrow(
         Tables(s, dir, "documents"), 8).persist()
       // cand feeds BOTH the estimate join and the overlap kernel —
@@ -1055,11 +1060,26 @@ object Dedup extends QueryModule {
       // thread-safe by design — so results are unchanged.
       // stage 1: near-dup clusters, keep the min-id representative
       val labelsF = Future(lshLabels(docs))
-      // stage 2: exact decontamination, bloom-gated
+      // stage 2: exact decontamination, bloom-gated. If the bloom
+      // build throws, OBSERVE the clustering future before
+      // propagating (r20 advice): otherwise it keeps running detached
+      // and its band persist + minLabel checkpoint blocks leak until
+      // GC — ready(..) waits without masking the bloom error with a
+      // possibly-later clustering one.
       val evGrams = TextDedup
         .kShingles(docs.filter(col("doc_id") % 10 === 0), 6)
         .select(xxhash64(col("shingle")).as("g")).distinct().persist()
-      val bits = Bloom.buildLong(evGrams, "g")
+      val bits =
+        try Bloom.buildLong(evGrams, "g")
+        catch {
+          case t: Throwable =>
+            try {
+              Await.ready(labelsF, Duration.Inf)
+              labelsF.value.foreach(_.foreach(CacheScope.releaseCheckpoint))
+            } catch { case _: Throwable => () }
+            evGrams.unpersist(blocking = false)
+            throw t
+        }
       val labels = Await.result(labelsF, Duration.Inf)
       val dupDrop = labels.filter(col("cluster") =!= col("id"))
         .select(col("id").as("doc_id"))
@@ -1071,9 +1091,10 @@ object Dedup extends QueryModule {
         .select("doc_id").distinct()
       // stages 3+4: language mix gate, then shard packing. kept's
       // lineage carries every upstream stage and feeds BOTH packShards
-      // jobs (bucket-offset collect, then the window) — persist lazily
-      // so the offsets job fills the cache and the result job replays
-      // none of the dedup/decontamination work.
+      // consumers (the bucket-offset broadcast subtree and the window
+      // probe — ONE job since r21's in-plan offsets) — persist lazily
+      // so the broadcast build fills the cache and the probe side
+      // replays none of the dedup/decontamination work.
       val kept = docs
         .filter(col("doc_id") % 10 =!= 0)
         .join(dupDrop, Seq("doc_id"), "left_anti")
@@ -1266,7 +1287,9 @@ object Dedup extends QueryModule {
     "dd_containment",
     (s, dir) => {
       import graft.operators.{CacheScope, TextDedup}
-      val sh = TextDedup.shingles(Tables(s, dir, "documents")).persist()
+      // hashed 16-byte gram keys persisted once (r21; see pairOverlap)
+      val sh = TextDedup.hashedShingles(Tables(s, dir, "documents"))
+        .persist()
       val sigs = TextDedup.signaturesNarrow(
         Tables(s, dir, "documents"), 8).persist()
       // cand feeds BOTH branches of the overlap kernel — persisted so
@@ -2035,12 +2058,16 @@ object Dedup extends QueryModule {
     (s, dir) => {
       import graft.operators.{CacheScope, Partitioning, TextDedup}
       val corpus = Tables(s, dir, "documents")
-      // gram strings collapse to xxhash64 keys before the self-join
-      // (the dd_decontaminate idiom — the oracle joins on the text, so
-      // a collision would surface as a hash mismatch): the pair
-      // fan-out is Σ m·(m−1)/2 either way, but each joined row is
-      // three longs instead of carrying the gram string. The distinct
-      // runs on the two-long projection — it keeps (doc_id, gram)
+      // gram strings collapse to 128-bit gramKey128 structs before the
+      // self-join (r21 verdict #3: this face CERTIFIES recall, so its
+      // truth kernel gets the certification-grade key — a 64-bit
+      // collision merging two grams would perturb sz/i and flip the
+      // truth inequality on exactly the pair set being certified; the
+      // oracle joins on the text, so one would ALSO surface as a hash
+      // mismatch, but only on oracle-verified scales): the pair
+      // fan-out is Σ m·(m−1)/2 either way, and each joined row is
+      // still fixed-width longs, never the gram string. The distinct
+      // runs on the narrow projection — it keeps (doc_id, gram)
       // parity with the oracle's SELECT DISTINCT even on dirty input
       // (a repeated doc_id row would otherwise double sz and i and
       // flip the truth inequality) at a fraction of the string-row
@@ -2048,13 +2075,13 @@ object Dedup extends QueryModule {
       // from inheriting the parquet scan's partition count (measured:
       // 3× slower nearly-serial explode without it).
       val sh = Partitioning.ensureParallelism(corpus, "doc_id")
-        .transform(TextDedup.shingles(_))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .transform(TextDedup.hashedShingles(_))
         .distinct()
         .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("doc_id").as("da"), col("g"))
-        .join(sh.select(col("doc_id").as("db"), col("g")), Seq("g"))
+      val inter = sh.select(col("doc_id").as("da"), col("g1"), col("g2"))
+        .join(sh.select(col("doc_id").as("db"), col("g1"), col("g2")),
+          Seq("g1", "g2"))
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("i"))
       val truth = inter
@@ -2176,9 +2203,9 @@ object Dedup extends QueryModule {
       val corpus = Tables(s, dir, "documents")
       val inSample =
         expr("ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 4 = 0")
+      // 128-bit gram keys: certification face (see dd_lsh_recall)
       val sh = Partitioning.ensureParallelism(corpus, "doc_id")
-        .transform(TextDedup.shingles(_))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .transform(TextDedup.hashedShingles(_))
         .distinct()
         .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -2193,12 +2220,12 @@ object Dedup extends QueryModule {
       // the groupBy count is the exact intersection. The sampled
       // side's membership bit rides the cached sh projection so md5
       // runs once per posting, not once per joined row.
-      val shN = sh.select(col("doc_id").as("dn"), col("g"),
+      val shN = sh.select(col("doc_id").as("dn"), col("g1"), col("g2"),
         expr("ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 4 = 0")
           .as("n_in_s"))
       val truth = sh.filter(inSample)
-        .select(col("doc_id").as("ds"), col("g"))
-        .join(shN, Seq("g"))
+        .select(col("doc_id").as("ds"), col("g1"), col("g2"))
+        .join(shN, Seq("g1", "g2"))
         .filter(col("ds") =!= col("dn") &&
           (col("ds") < col("dn") || !col("n_in_s")))
         .select(least(col("ds"), col("dn")).as("da"),

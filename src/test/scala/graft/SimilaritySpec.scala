@@ -204,6 +204,30 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("BM25 buildIndex scalar shortcut equals the from-postings " +
+    "derivation, and its doc_id-uniqueness precondition is real") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Lexical
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    // 1) on a unique-id corpus (the crawl invariant) the narrow
+    //    doc-projection scalars ARE corpusScalars(postings(docs))
+    val short = Lexical.buildIndex(docs)
+    val full = Lexical.buildIndexFromPostings(Lexical.postings(docs))
+    assert(short.nDocs == full.nDocs && short.sumDl == full.sumDl,
+      s"scalar shortcut drifted on unique ids: (${short.nDocs}, " +
+        s"${short.sumDl}) vs (${full.nDocs}, ${full.sumDl})")
+    // 2) the precondition is load-bearing (r20 advice): duplicate
+    //    doc_ids merge in the postings aggregate but double-count in
+    //    the shortcut — pin the divergence so the contract line in
+    //    buildIndex's doc can never silently rot into "equivalent"
+    val dup = docs.limit(5).union(docs.limit(5))
+    val dupShort = Lexical.buildIndex(dup)
+    val dupFull = Lexical.buildIndexFromPostings(Lexical.postings(dup))
+    assert(dupShort.nDocs == 2 * dupFull.nDocs,
+      "duplicate ids no longer double-count in the shortcut — if the " +
+        "derivation changed, update buildIndex's precondition doc")
+  }
+
   test("BM25 append: appended index probes identically to a union rebuild") {
     import org.apache.spark.sql.functions._
     import graft.operators.Lexical
