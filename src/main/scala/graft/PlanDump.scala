@@ -35,6 +35,12 @@ object PlanDump {
         graft.queries.Similarity.bm25Ranked(docs)._1),
       "surprisal_per_doc" -> (() =>
         graft.operators.QualityModel.surprisalPerDoc(docs)),
+      // the ss_rrf_fusion tail (r21 verdict #4): the face materializes
+      // through CacheScope.eval, so this prints the shared inner
+      // lineage; the postings cache entry stays registered so the
+      // explain shows the face's real InMemoryRelation substitution
+      "rrf_fusion" -> (() =>
+        graft.queries.Similarity.rrfFusionLineage(spark, sfDir)._1),
       // the packShards in-plan offsets evidence (r21): the window +
       // broadcast-offsets join over a deterministic weight projection
       "pack_shards" -> (() =>
